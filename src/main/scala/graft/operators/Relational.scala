@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Relational operators covering the reference's Tasks A–H semantics
+  * (SURVEY.md §2), re-targeted onto the harness testdata tables.
+  *
+  * Each function is one declarative DataFrame plan — Catalyst handles
+  * column pruning, predicate pushdown, partial aggregation, and join
+  * strategy (AQE); nothing is hand-scheduled. Scale posture: no
+  * collect() in any query path, aggregations happen BEFORE joins so the
+  * shuffled side is pre-reduced, and dimension tables are broadcast.
+  */
+object Relational {
+
+  /** Task A (reference TaskA.java:17,42-44): constant-equality filter +
+    * projection — a map-only job there; a scan+filter+project (no
+    * exchange) here, with both the filter and the 2-column projection
+    * pushed into the parquet scan.
+    * Realization: customers of one nation, name + market segment.
+    */
+  def taskAFilterProject(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.customer(spark, dir)
+    val nation   = Tables.nation(spark, dir)
+    customer
+      .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+      .filter(col("n_name") === "NATION_7")
+      .select(col("c_name").as("name"), col("c_mktsegment").as("mktsegment"))
+  }
+
+  /** Task B implemented semantics (reference TaskB.java:59-67): per-page
+    * access counts inner-joined to broadcast page metadata (the reference
+    * ships pages.csv via distributed cache; we use broadcast()).
+    * Realization: events per user ⋈ broadcast customer.
+    * Aggregate FIRST, then join — the join input is one row per user,
+    * not one row per event.
+    */
+  def taskBCountsJoin(spark: SparkSession, dir: String): DataFrame = {
+    val events   = Tables.events(spark, dir)
+    val customer = Tables.customer(spark, dir)
+    val counts = events.groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+    counts
+      .join(broadcast(customer), counts("user_id") === customer("c_custkey"))
+      .select(col("c_custkey").as("custkey"), col("c_name").as("name"), col("cnt"))
+  }
+
+  /** Task B advertised semantics (reference README.md:134 "Top 10 popular
+    * pages" — the Java never sorts or limits; SURVEY.md §2.5 flags the
+    * discrepancy, so both variants ship). Deterministic tie-break on key.
+    */
+  def taskBTop10(spark: SparkSession, dir: String): DataFrame =
+    taskBCountsJoin(spark, dir)
+      .orderBy(col("cnt").desc, col("custkey").asc)
+      .limit(10)
+
+  /** Task C (reference TaskC.java:42-43): group-count per nationality. */
+  def taskCGroupCount(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.customer(spark, dir)
+    val nation   = Tables.nation(spark, dir)
+    customer
+      .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Task D (reference TaskD.java:81-106): left-outer repartition join —
+    * every entity appears with its in-degree, zero when no edges arrive
+    * ("Even if count == 0", TaskD.java:101).
+    * Realization: order count per customer, zero-order customers kept.
+    * Count-then-join: the per-customer aggregate is shuffled, not the
+    * raw fact table.
+    */
+  def taskDIndegreeLeftJoin(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.customer(spark, dir)
+    val orders   = Tables.orders(spark, dir)
+    val oc = orders.groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+    customer
+      .join(oc, customer("c_custkey") === oc("o_custkey"), "left")
+      .select(
+        col("c_custkey").as("custkey"),
+        col("c_name").as("name"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+  }
+
+  /** Task E (reference TaskE.java:64-88): COUNT + COUNT(DISTINCT) per
+    * person, persons with zero activity emitted as 0/0 (the reference
+    * reducer emits "name 0 0" when only the NAME: tag arrives).
+    * Realization: total events + distinct event types per customer.
+    */
+  def taskECountDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.customer(spark, dir)
+    val events   = Tables.events(spark, dir)
+    val agg = events
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("total"), countDistinct(col("event_type")).as("n_types"))
+    customer
+      .join(agg, customer("c_custkey") === agg("user_id"), "left")
+      .select(
+        col("c_custkey").as("custkey"),
+        col("c_name").as("name"),
+        coalesce(col("total"), lit(0L)).as("total"),
+        coalesce(col("n_types"), lit(0L)).as("n_types"))
+  }
+
+  /** Task F (reference TaskF.java:95-132): existence anti-join — entities
+    * with ≥1 declared pair that never appears in the "accessed" set.
+    * Realization: suppliers having some (supplier, part) shipping pair
+    * that never shipped with quantity > 25. LEFT ANTI on the composite
+    * key, then distinct + broadcast dim join — the reference's
+    * in-reducer HashSet set-difference, as a relational plan.
+    */
+  def taskFAntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li       = Tables.lineitem(spark, dir)
+    val supplier = Tables.supplier(spark, dir)
+    val pairs = li.select(col("l_suppkey").as("suppkey"), col("l_partkey").as("partkey")).distinct()
+    val big = li.filter(col("l_quantity") > 25)
+      .select(col("l_suppkey").as("suppkey"), col("l_partkey").as("partkey")).distinct()
+    pairs
+      .join(big, Seq("suppkey", "partkey"), "left_anti")
+      .select(col("suppkey")).distinct()
+      .join(broadcast(supplier), col("suppkey") === col("s_suppkey"))
+      .select(col("suppkey"), col("s_name").as("name"))
+  }
+
+  /** Task G (reference TaskG.java:144-155): per-key MAX(timestamp), a
+    * global MAX (the reference smuggles it through a __GLOBAL_MAX__
+    * sentinel key + an HDFS re-read, TaskG.java:162-186), and a ≥14-day
+    * inactivity filter where never-active entities qualify too
+    * (TaskG.java:146-150). Here the global max is a 1-row aggregate
+    * crossJoined into the plan (broadcast NL join) — no sentinel, no
+    * file round-trip, one lazy DAG.
+    * The reference's Duration.toDays() >= 14 truncates whole 24h periods
+    * — equivalent to last_ts <= ref_ts - 14 days, which both Spark and
+    * the DuckDB oracle evaluate identically on timestamps (SURVEY.md
+    * §2.6 note).
+    */
+  def taskGInactive(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.customer(spark, dir)
+    val events   = Tables.events(spark, dir)
+    val last = events.groupBy(col("user_id")).agg(max(col("ts")).as("last_ts"))
+    val ref  = events.agg(max(col("ts")).as("ref_ts"))
+    customer
+      .join(last, customer("c_custkey") === last("user_id"), "left")
+      .crossJoin(broadcast(ref))
+      .filter(col("last_ts").isNull || col("last_ts") <= col("ref_ts") - expr("INTERVAL 14 DAYS"))
+      .select(col("c_custkey").as("custkey"), col("c_name").as("name"))
+  }
+
+  /** Task H (reference TaskH.java:85-109): per-key count compared against
+    * the average of those counts — denominator is keys-with-≥1-edge, not
+    * all keys (computeAverage counts only emitted lines,
+    * TaskH.java:123-133). The scalar average stays IN-PLAN as a 1-row
+    * aggregate crossJoin (the reference re-reads job-1 output from HDFS
+    * and ships the scalar via job Configuration, TaskH.java:114-134,171).
+    * Realization: customers with more orders than the average order
+    * count among customers having orders.
+    */
+  def taskHAboveAvg(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.customer(spark, dir)
+    val orders   = Tables.orders(spark, dir)
+    val oc  = orders.groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+    val avgDf = oc.agg(avg(col("n_orders")).as("avg_orders"))
+    oc.join(customer, col("o_custkey") === col("c_custkey"))
+      .crossJoin(broadcast(avgDf))
+      .filter(col("n_orders") > col("avg_orders"))
+      .select(col("c_custkey").as("custkey"), col("c_name").as("name"), col("n_orders"))
+  }
+
+  /** TPC-H Q1-style pricing summary — the canonical wide-aggregation
+    * bench headline. Money sums go through DECIMAL(18,2) so Spark and
+    * the DuckDB oracle produce bit-identical results regardless of
+    * floating-point accumulation order (SURVEY.md §7.4 risk 2).
+    */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.groupBy(col("l_returnflag").as("returnflag"), col("l_linestatus").as("linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"), // integral-valued: exact in double
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,4)"))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("n_rows"))
+  }
+}
