@@ -14,6 +14,22 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** `events.parquet` stores `ts` as INT64 TIMESTAMP(NANOS) which Spark
+    * cannot read natively (PARQUET_TYPE_ILLEGAL). Read it as a raw long
+    * under the legacy nanosAsLong flag and convert to a microsecond
+    * timestamp in-plan. `ts div 1000` is integer division — going through
+    * double would lose precision (2024 epoch-nanos ≈ 1.7e18 > 2^53).
+    * The testdata's nanos are all whole microseconds, so the conversion
+    * is lossless and agrees exactly with DuckDB's TIMESTAMP_NS→TIMESTAMP
+    * cast on the oracle side.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events").withColumn(
+      "ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
+
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
@@ -21,7 +37,6 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = table(s, d, "events")
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

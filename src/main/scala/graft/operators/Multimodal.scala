@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multimodal column handling: media payloads ride as opaque `BINARY`
+  * columns; decode / feature-extraction runs batch-wise in
+  * `mapPartitions` over a typed Dataset (the Scala analogue of a Pandas
+  * batch UDF) emitting typed metadata.
+  *
+  * The container has no image/audio codecs, so the decode step is a
+  * clearly-marked deterministic STUB (arithmetic over the raw bytes).
+  * Everything around it — binary column, partition-wise batch iteration,
+  * typed output schema — is the real plumbing a codec would drop into.
+  */
+object Multimodal {
+
+  final case class MediaMeta(
+      doc_id: Long, n_bytes: Long, width: Long, height: Long,
+      n_frames: Long, checksum: Long)
+
+  /** Per-byte rolling checksum, modded so the accumulator never exceeds
+    * 31·(1e9+7)+255 — no wraparound, so the DuckDB oracle can evaluate
+    * the identical recurrence (bigint overflow throws there).
+    */
+  private def checksum(bytes: Array[Byte]): Long = {
+    var acc = 1L
+    var k = 0
+    while (k < bytes.length) {
+      acc = (acc * 31 + (bytes(k) & 0xff)) % 1000000007L
+      k += 1
+    }
+    acc
+  }
+
+  /** "Decode" each document's UTF-8 payload as if it were a media blob
+    * and emit typed metadata. STUB: width/height/n_frames are
+    * deterministic functions of the byte length standing in for a real
+    * codec's header parse.
+    */
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val n = bytes.length.toLong
+          // STUB decode — a real implementation parses the media header
+          // here (javax.imageio / ffmpeg bindings absent in this env).
+          MediaMeta(
+            doc_id = id,
+            n_bytes = n,
+            width = 16 + n % 624,
+            height = 16 + (n * 7) % 464,
+            n_frames = 1 + n % 30,
+            checksum = checksum(bytes))
+        }
+      }
+      .toDF()
+  }
+}

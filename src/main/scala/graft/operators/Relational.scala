@@ -41,8 +41,11 @@ object Relational {
     val events   = Tables.events(spark, dir)
     val customer = Tables.customer(spark, dir)
     val counts = events.groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+    // No broadcast hint on customer: it is scale-proportional (15M rows at
+    // sf100), unlike the reference's 20-row pages.csv distributed cache.
+    // AQE picks broadcast when the side is actually small.
     counts
-      .join(broadcast(customer), counts("user_id") === customer("c_custkey"))
+      .join(customer, counts("user_id") === customer("c_custkey"))
       .select(col("c_custkey").as("custkey"), col("c_name").as("name"), col("cnt"))
   }
 
@@ -107,20 +110,22 @@ object Relational {
   /** Task F (reference TaskF.java:95-132): existence anti-join — entities
     * with ≥1 declared pair that never appears in the "accessed" set.
     * Realization: suppliers having some (supplier, part) shipping pair
-    * that never shipped with quantity > 25. LEFT ANTI on the composite
-    * key, then distinct + broadcast dim join — the reference's
-    * in-reducer HashSet set-difference, as a relational plan.
+    * that never shipped with quantity > 25.
+    *
+    * Single-shuffle plan: "pair never shipped with qty > 25" ≡
+    * "max(qty) over the pair ≤ 25", so one groupBy on the composite key
+    * (with map-side partial max) replaces the naive
+    * distinct + distinct + left_anti (three fact-scale exchanges). The
+    * follow-up distinct runs on the already-reduced pair aggregate.
     */
   def taskFAntiJoin(spark: SparkSession, dir: String): DataFrame = {
     val li       = Tables.lineitem(spark, dir)
     val supplier = Tables.supplier(spark, dir)
-    val pairs = li.select(col("l_suppkey").as("suppkey"), col("l_partkey").as("partkey")).distinct()
-    val big = li.filter(col("l_quantity") > 25)
-      .select(col("l_suppkey").as("suppkey"), col("l_partkey").as("partkey")).distinct()
-    pairs
-      .join(big, Seq("suppkey", "partkey"), "left_anti")
+    li.groupBy(col("l_suppkey").as("suppkey"), col("l_partkey").as("partkey"))
+      .agg(max(col("l_quantity")).as("max_qty"))
+      .filter(col("max_qty") <= 25)
       .select(col("suppkey")).distinct()
-      .join(broadcast(supplier), col("suppkey") === col("s_suppkey"))
+      .join(supplier, col("suppkey") === col("s_suppkey"))
       .select(col("suppkey"), col("s_name").as("name"))
   }
 

