@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Dedup
+
+/** Dedup-operator semantics on fixture documents:
+  * doc0 = doc1 (exact dup), doc2 differs in the final token
+  * (bigram-jaccard 38/40 = 0.95), doc3 unrelated, doc4 is a permutation
+  * of doc0 (same token SET → same simhash, but disjoint bigrams →
+  * not a jaccard near-dup).
+  */
+class DedupSpec extends AnyFunSuite with SparkFixture {
+
+  test("dedup_exact groups identical text; keeper is the min doc_id") {
+    val got = Dedup.dedupExact(spark, fixtureDir)
+      .select("keep_id", "n_dups").collect().toSet
+    assert(got === Set(Row(0L, 2L), Row(2L, 1L), Row(3L, 1L), Row(4L, 1L)))
+  }
+
+  test("ngram-jaccard finds exactly the >=0.8 pairs with exact counts") {
+    val got = Dedup.ngramJaccard(spark, fixtureDir).collect().toSet
+    assert(got === Set(
+      Row(0L, 1L, 39L, 39L), // identical: 39 shared bigrams
+      Row(0L, 2L, 38L, 40L), // one-token edit: j = 0.95
+      Row(1L, 2L, 38L, 40L)))
+  }
+
+  test("minhash+LSH finds the same near-dup pairs as the exact inverted index") {
+    val exact = Dedup.ngramJaccard(spark, fixtureDir).collect().toSet
+    val lsh = Dedup.minhashLsh(spark, fixtureDir).collect().toSet
+    assert(lsh === exact) // P(band miss | j>=0.95) < 1e-11 per pair
+  }
+
+  test("simhash: permutation has identical signature; unrelated docs don't pair") {
+    val got = Dedup.simhash(spark, fixtureDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // same token multiset → hamming 0 for (0,1), (0,4), (1,4)
+    assert(Set((0L, 1L, 0L), (0L, 4L, 0L), (1L, 4L, 0L)).subsetOf(got))
+    assert(got.forall(_._3 <= 3))
+    assert(!got.exists(p => p._2 == 3L || p._1 == 3L)) // doc3 unrelated
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Relational
+
+/** Edge-semantics assertions for Tasks A–H (SURVEY.md §5.2): each rule
+  * the reference encodes in reducer branches is pinned against the tiny
+  * fixture tables, so a plan rewrite that silently changes a boundary
+  * (left-join zero-fill, <= vs <, avg denominator) fails here rather
+  * than in the driver's oracle diff.
+  */
+class RelationalSpec extends AnyFunSuite with SparkFixture {
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[Row] =
+    df.collect().toSet
+
+  test("taskA: constant filter + projection keeps only the matching nation") {
+    val got = rows(Relational.taskAFilterProject(spark, fixtureDir))
+    assert(got === Set(Row("alice", "SEG_A"), Row("bob", "SEG_B")))
+  }
+
+  test("taskB: counts join is per-user event counts") {
+    val got = rows(Relational.taskBCountsJoin(spark, fixtureDir))
+    assert(got === Set(Row(1L, "alice", 2L), Row(2L, "bob", 2L)))
+  }
+
+  test("taskC: group-count per nation") {
+    val got = rows(Relational.taskCGroupCount(spark, fixtureDir))
+    assert(got === Set(Row("NATION_7", 2L), Row("NATION_1", 2L)))
+  }
+
+  test("taskD: zero-order customers kept with count 0 (TaskD.java:101)") {
+    val got = rows(Relational.taskDIndegreeLeftJoin(spark, fixtureDir))
+    assert(got === Set(
+      Row(1L, "alice", 3L), Row(2L, "bob", 1L),
+      Row(3L, "carol", 0L), Row(4L, "dave", 0L)))
+  }
+
+  test("taskE: zero-event customers emitted 0/0 (TaskE.java:83-85)") {
+    val got = rows(Relational.taskECountDistinct(spark, fixtureDir))
+    assert(got === Set(
+      Row(1L, "alice", 2L, 2L), Row(2L, "bob", 2L, 2L),
+      Row(3L, "carol", 0L, 0L), Row(4L, "dave", 0L, 0L)))
+  }
+
+  test("taskF: supplier qualifies iff SOME pair has max(qty) <= 25 (TaskF.java:95-132)") {
+    // supplier 1: pair (1,10) max 30 is excluded but pair (1,11) max 20
+    // qualifies; supplier 2's only pair max 30 → out.
+    val got = rows(Relational.taskFAntiJoin(spark, fixtureDir))
+    assert(got === Set(Row(1L, "supp_one")))
+  }
+
+  test("taskG: never-active customers qualify; exactly-14-days is inactive (<=) (TaskG.java:144-155)") {
+    val got = rows(Relational.taskGInactive(spark, fixtureDir))
+    // bob's last event is EXACTLY ref - 14d (boundary in), alice is
+    // active at ref (out), carol/dave have no events (in).
+    assert(got === Set(Row(2L, "bob"), Row(3L, "carol"), Row(4L, "dave")))
+  }
+
+  test("taskH: avg denominator counts only customers WITH orders (TaskH.java:123-133)") {
+    // oc = {alice:3, bob:1} → avg 2.0 over the 2 order-havers (NOT 1.0
+    // over all 4 customers); alice is the only one above it.
+    val got = rows(Relational.taskHAboveAvg(spark, fixtureDir))
+    assert(got === Set(Row(1L, "alice", 3L)))
+  }
+
+  test("q1: pricing summary aggregates over the single (N,O) group") {
+    val got = Relational.q1Agg(spark, fixtureDir).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert(r.getString(0) === "N" && r.getString(1) === "O")
+    assert(r.getDouble(2) === 90.0) // 10+30+20+30
+    assert(r.getLong(5) === 4L)
+  }
+
+  test("events loader converts INT64 nanos to exact microsecond timestamps") {
+    import org.apache.spark.sql.functions._
+    val ts = Tables.events(spark, fixtureDir)
+      .agg(max(col("ts")).cast("string")).collect().head.getString(0)
+    assert(ts === "2024-01-01 00:00:00") // RefTs nanos, UTC session TZ
+  }
+}

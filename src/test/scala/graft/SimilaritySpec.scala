@@ -1,0 +1,35 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Similarity
+
+/** Fixture embeddings are 3 well-separated Gaussian clusters
+  * (label = vec_id % 3), so exact top-5 neighbors must share the
+  * query's cluster, and the LSH path is measured by recall against the
+  * exact result (deterministic: seeded hyperplanes).
+  */
+class SimilaritySpec extends AnyFunSuite with SparkFixture {
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("brute-force top-5 returns 5 same-cluster neighbors per query") {
+    val got = Similarity.topKBrute(spark, fixtureDir).collect()
+    assert(got.length === 50) // 10 queries x 5
+    assert(got.forall(r => r.getLong(0) % 3 === r.getLong(1) % 3))
+    assert(got.forall(r => r.getLong(0) !== r.getLong(1)))
+    assert(got.forall(r => r.getLong(2) >= 1L && r.getLong(2) <= 5L))
+  }
+
+  test("LSH ANN recalls most exact neighbors on clustered data") {
+    val exact = pairs(Similarity.topKBrute(spark, fixtureDir))
+    val ann = Similarity.annLsh(spark, fixtureDir)
+    val annRows = ann.collect()
+    assert(annRows.forall(r => r.getLong(0) !== r.getLong(1)))
+    assert(annRows.forall(r => r.getLong(2) >= 1L && r.getLong(2) <= 5L))
+    val annPairs = annRows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect annPairs).size.toDouble / exact.size
+    info(f"ANN recall vs brute force: $recall%.2f (${annPairs.size} returned)")
+    assert(recall >= 0.5, s"LSH recall $recall too low")
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.TextOps
+
+class TextOpsSpec extends AnyFunSuite with SparkFixture {
+
+  test("wordcount counts tokens across all documents") {
+    val got = TextOps.wordcount(spark, fixtureDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("w1") === 4L) // docs 0, 1, 2, 4
+    assert(got("w40") === 3L) // docs 0, 1, 4 (doc2 replaced it with zz)
+    assert(got("zz") === 1L)
+    assert(got("x7") === 1L)
+    assert(got.values.sum === 200L) // 5 docs x 40 tokens
+  }
+
+  test("text_stats matches hand-computed counts on doc0") {
+    val r = TextOps.textStats(spark, fixtureDir)
+      .filter("doc_id = 0").collect().head
+    val toks = Fixtures.DocA.split("\\s+").filter(_.nonEmpty)
+    assert(r.getLong(1) === Fixtures.DocA.length.toLong)
+    assert(r.getLong(2) === toks.length.toLong)
+    assert(r.getLong(3) === toks.distinct.length.toLong)
+    assert(r.getDouble(4) === toks.map(_.length).sum.toDouble / toks.length)
+  }
+
+  test("text_quality ratios match hand-computed counts on doc0") {
+    val r = TextOps.textQuality(spark, fixtureDir)
+      .filter("doc_id = 0").collect().head
+    val s = Fixtures.DocA
+    assert(r.getDouble(1) === s.count(_.isLetter).toDouble / s.length)
+    assert(r.getDouble(2) === s.count(_.isDigit).toDouble / s.length)
+    assert(r.getDouble(3) === 0.0) // no stopwords in synthetic tokens
+  }
+
+  test("token_count: w<N> tokens split into letter-run + digit-run") {
+    val r = TextOps.tokenCount(spark, fixtureDir)
+      .filter("doc_id = 0").collect().head
+    assert(r.getLong(1) === 80L) // 40 x ("w" + digits)
+    assert(r.getLong(2) === 40L)
+  }
+
+  test("lang_id labels stopword-free synthetic text as 'other'") {
+    val got = TextOps.langId(spark, fixtureDir).collect()
+      .map(_.getString(1)).toSet
+    assert(got === Set("other"))
+  }
+
+  test("doc_fingerprint is order-sensitive: dup matches, permutation differs") {
+    val fp = TextOps.docFingerprint(spark, fixtureDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(0L) === fp(1L)) // identical text
+    assert(fp(0L) !== fp(4L)) // permuted tokens → different rolling hash
+    assert(fp(0L) !== fp(2L))
+  }
+}
