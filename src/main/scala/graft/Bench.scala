@@ -20,6 +20,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Warm the session once (FS/committer init, first codegen, executor
+    // spin-up) so per-query timings measure the query, not JVM startup —
+    // the first query otherwise absorbs ~4s of one-time cost.
+    try Tables.lineitem(spark, sfDir).limit(1000)
+      .write.mode("overwrite").format("noop").save()
+    catch { case _: Throwable => () }
+
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val failed = scala.collection.mutable.ListBuffer[String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

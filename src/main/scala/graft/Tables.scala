@@ -38,5 +38,17 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+
+  /** `documents` spread to full core parallelism. The testdata ships as
+    * one small parquet file = one row group = ONE scan partition, so
+    * every CPU-bound per-document operator (shingling, hashing,
+    * fingerprinting) would otherwise run on a single core. The
+    * round-robin exchange moves only the raw text once and is noise
+    * next to the per-doc compute it parallelizes; on a real multi-TB
+    * corpus the scan already has thousands of row-group splits and this
+    * becomes a cheap rebalance.
+    */
+  def documentsSpread(s: SparkSession, d: String): DataFrame =
+    documents(s, d).repartition(s.sparkContext.defaultParallelism)
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

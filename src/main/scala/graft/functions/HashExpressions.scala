@@ -1,0 +1,254 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.GraftGlue
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the hash-sketch hot paths.
+  *
+  * Spark's array higher-order functions (`transform`/`aggregate`) are
+  * CodegenFallback: every lambda application is an interpreted
+  * `Expression.eval` with boxed longs and a fresh `GenericArrayData`
+  * per element. A 64-permutation MinHash written that way costs
+  * ~64 interpreted evals + 64 array allocations PER ROW. These
+  * expressions run the same math as one tight JVM loop per row —
+  * both `eval` and the generated code call the same static method, so
+  * the whole-stage-codegen span stays unbroken around them.
+  *
+  * Hashing uses Spark's own XXH64 (seed 42), the engine behind
+  * `xxhash64(...)` — same quality, zero new dependencies.
+  */
+object HashOps {
+  final val XxSeed = 42L
+
+  /** MinHash signature banded into `numBands` bucket keys.
+    * signature[i] = min over shingles s of xxh64(xxh64(s), i) — each
+    * variable-length string is hashed once; the per-permutation hashes
+    * run over the fixed 8-byte digest. Band hash chains the band's
+    * signature rows through xxh64.
+    */
+  def minhashBands(arr: ArrayData, numHashes: Int, bandRows: Int): ArrayData = {
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val h = XXH64.hashUTF8String(arr.getUTF8String(i), XxSeed)
+      var j = 0
+      while (j < numHashes) {
+        val hj = XXH64.hashLong(h, j)
+        if (hj < sig(j)) sig(j) = hj
+        j += 1
+      }
+      i += 1
+    }
+    val numBands = numHashes / bandRows
+    val bands = new Array[Long](numBands)
+    var b = 0
+    while (b < numBands) {
+      var acc = XxSeed
+      var r = 0
+      while (r < bandRows) {
+        acc = XXH64.hashLong(sig(b * bandRows + r), acc)
+        r += 1
+      }
+      bands(b) = acc
+      b += 1
+    }
+    new GenericArrayData(bands)
+  }
+
+  /** Distinct word-bigram shingles, first-occurrence order — the
+    * native equivalent of
+    * `array_distinct(transform(sequence(...), concat(tok_i, ' ', tok_i+1)))`.
+    */
+  def bigramShingles(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val seen = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
+    val space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+    var i = 0
+    while (i < n - 1) {
+      seen.add(org.apache.spark.unsafe.types.UTF8String.concat(
+        arr.getUTF8String(i), space, arr.getUTF8String(i + 1)))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray(new Array[AnyRef](seen.size)))
+  }
+
+  /** Ascending-sorted xxh64 digests of each string — the set's
+    * fingerprint under the fixed pseudo-random global order. Sorted
+    * long arrays make prefixes a `slice`, equi-joins a long-key
+    * HashedRelation, and intersections a linear merge.
+    */
+  def sortedHashes(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      hs(i) = XXH64.hashUTF8String(arr.getUTF8String(i), XxSeed)
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    new GenericArrayData(hs)
+  }
+
+  /** |A ∩ B| of two ascending-sorted long arrays by linear merge. */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x < y) i += 1
+      else if (x > y) j += 1
+      else { c += 1; i += 1; j += 1 }
+    }
+    c
+  }
+
+  /** 64-bit SimHash over a token array: per-bit ±1 votes of each
+    * token's xxh64 (seed 42 — bit-identical to the previous
+    * `xxhash64(token)` HOF formulation), sign of the vote → bit.
+    */
+  def simhash64(arr: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val h = XXH64.hashUTF8String(arr.getUTF8String(i), XxSeed)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+}
+
+/** `minhash_bands(shingles, numHashes, bandRows)` → ARRAY<BIGINT> of
+  * per-band bucket keys (length numHashes/bandRows).
+  */
+case class MinHashBands(child: Expression, numHashes: Int, bandRows: Int)
+    extends UnaryExpression {
+  require(numHashes % bandRows == 0, "numHashes must be a multiple of bandRows")
+  override def checkInputDataTypes(): TypeCheckResult =
+    HashExprChecks.requireStringArray(prettyName, child)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_bands"
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.minhashBands(input.asInstanceOf[ArrayData], numHashes, bandRows)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashOps.minhashBands($c, $numHashes, $bandRows);")
+  override protected def withNewChildInternal(newChild: Expression): MinHashBands =
+    copy(child = newChild)
+}
+
+/** `simhash64(tokens)` → BIGINT simhash signature. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    HashExprChecks.requireStringArray(prettyName, child)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.simhash64(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashOps.simhash64($c);")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** `bigram_shingles(tokens)` → ARRAY<STRING> distinct word bigrams. */
+case class BigramShingles(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    HashExprChecks.requireStringArray(prettyName, child)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bigram_shingles"
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.bigramShingles(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashOps.bigramShingles($c);")
+  override protected def withNewChildInternal(newChild: Expression): BigramShingles =
+    copy(child = newChild)
+}
+
+/** `sorted_hashes(strings)` → ARRAY<BIGINT>, ascending xxh64 digests. */
+case class SortedHashes(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    HashExprChecks.requireStringArray(prettyName, child)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "sorted_hashes"
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.sortedHashes(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashOps.sortedHashes($c);")
+  override protected def withNewChildInternal(newChild: Expression): SortedHashes =
+    copy(child = newChild)
+}
+
+/** `sorted_intersect_count(a, b)` → BIGINT merge-count of two
+  * ascending-sorted ARRAY<BIGINT> columns.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two ARRAY<BIGINT> inputs, got ${l.catalogString}, ${r.catalogString}")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sorted_intersect_count"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashOps.sortedIntersectCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.HashOps.sortedIntersectCount($a, $b);")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
+private[functions] object HashExprChecks {
+  def requireStringArray(name: String, child: Expression): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$name requires ARRAY<STRING> input, got ${other.catalogString}")
+    }
+}
+
+/** Column-API entry points for the graft native expressions. */
+object functions {
+  def minhash_bands(c: Column, numHashes: Int, bandRows: Int): Column =
+    GraftGlue.column(MinHashBands(GraftGlue.expression(c), numHashes, bandRows))
+  def simhash64(c: Column): Column =
+    GraftGlue.column(SimHash64(GraftGlue.expression(c)))
+  def bigram_shingles(c: Column): Column =
+    GraftGlue.column(BigramShingles(GraftGlue.expression(c)))
+  def sorted_hashes(c: Column): Column =
+    GraftGlue.column(SortedHashes(GraftGlue.expression(c)))
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    GraftGlue.column(SortedIntersectCount(GraftGlue.expression(a), GraftGlue.expression(b)))
+}

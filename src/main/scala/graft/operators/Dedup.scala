@@ -25,41 +25,96 @@ object Dedup {
       .groupBy(sha2(col("text"), 256).as("text_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** Distinct word-bigram shingles per document. Bigrams (not unigrams)
-    * keep the inverted index selective: a unigram index over a small
-    * vocabulary degenerates into quadratic bucket fanout.
+  /** Distinct word-bigram shingles per document (native
+    * [[graft.functions.BigramShingles]] — one codegen'd loop, not an
+    * interpreted HOF chain). Bigrams (not unigrams) keep the inverted
+    * index selective: a unigram index over a small vocabulary
+    * degenerates into quadratic bucket fanout.
     */
   private[graft] def shingleSets(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.documentsSpread(spark, dir)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
-      .filter(size(col("ts")) >= 2) // sequence(1, size-1) must not descend
-      .select(col("doc_id"), array_distinct(
-        transform(sequence(lit(1), size(col("ts")) - 1),
-          i => concat(element_at(col("ts"), i), lit(" "), element_at(col("ts"), i + 1))))
-        .as("sh"))
+      .filter(size(col("ts")) >= 2)
+      .select(col("doc_id"), graft.functions.functions.bigram_shingles(col("ts")).as("sh"))
 
-  /** Exact n-gram-jaccard near-dup pairs (threshold 0.8) via an inverted
-    * shingle index: explode shingles, self-join on the shingle key,
-    * count intersections per pair, then jaccard = |∩| / (|A|+|B|-|∩|).
-    * All-integer until the final division, so the DuckDB oracle agrees
-    * bit-for-bit. A production run would also drop "stop-shingles" above
-    * a document-frequency cap to bound skew; the testdata doesn't need it.
+  /** Shingle sets with their sorted-hash fingerprint: `hs` is the
+    * ascending xxh64 digest array of `sh`. All candidate generation and
+    * verification downstream runs on the 8-byte digests — prefixes are
+    * a `slice`, the inverted-index join key is a long, and intersection
+    * is a linear merge. A cross-document digest collision would need
+    * ~2⁶⁴ shingles to matter (probability ≲1e-12 at any tested SF).
+    */
+  private def hashedSets(spark: SparkSession, dir: String): DataFrame =
+    shingleSets(spark, dir)
+      .select(col("doc_id"), col("sh"),
+        graft.functions.functions.sorted_hashes(col("sh")).as("hs"))
+      .withColumn("ns", size(col("hs")).cast("long"))
+
+  /** Exact n-gram-jaccard near-dup pairs (threshold 0.8) via a
+    * PPJoin+-style k-prefix-filtered inverted index.
+    *
+    * Naive inverted-index self-join fans out quadratically per frequent
+    * shingle (the synthetic corpus has ~1k distinct bigrams shared by
+    * ~6% of doc pairs — Σdf² ≈ 73M joined rows at sf0.1). Three
+    * lossless filters bound it:
+    *  - **Length filter**: j(A,B) ≥ 0.8 ⇒ 5·|A| ≥ 4·|B| and
+    *    5·|B| ≥ 4·|A| (all-integer, no FP boundary drift).
+    *  - **k-prefix filter** (k=4): order shingles by the fixed
+    *    pseudo-random permutation (xxhash64, shingle) and index only
+    *    each doc's first |S| − ⌈0.8·|S|⌉ + k shingles
+    *    (⌈4n/5⌉ = (4n+4) div 5, integer). If j(A,B) ≥ 0.8 then
+    *    |A∩B| ≥ ⌈0.8·max(|A|,|B|)⌉, and each of the k order-smallest
+    *    elements of A∩B must lie inside BOTH extended prefixes (were m
+    *    of them missing from A's, then |∩| − m ≤ |A| − plen(A) =
+    *    ⌈0.8|A|⌉ − k would force |∩| < 0.8·|A| — contradiction).
+    *  - **Count filter**: a qualifying pair therefore shares at least
+    *    min(k, ⌈0.8|A|⌉, ⌈0.8|B|⌉) prefix shingles — so the candidate
+    *    aggregation keeps only pairs reaching that count, which prunes
+    *    the dense-vocabulary false candidates (expected shared prefix
+    *    elements for a random pair here ≈ 0.2, so P(count ≥ 4) ≈ 1e-5:
+    *    ~1.5M one-collision pairs shrink to ~1k real candidates).
+    *
+    * Candidates are verified with exact set intersection; results are
+    * identical to the full inverted index, so the DuckDB oracle is
+    * unchanged. At 100 TB the shuffle carries prefix shingles and
+    * candidate id-pairs, never documents.
     */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sets = shingleSets(spark, dir)
-    val sh = sets.select(col("doc_id"), explode(col("sh")).as("s"))
-    val n = sets.select(col("doc_id"), size(col("sh")).cast("long").as("ns"))
-    val inter = sh.as("a")
-      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+    val k = 4
+    val sets = hashedSets(spark, dir).drop("sh")
+
+    val pref = sets
+      .withColumn("plen", expr(s"ns - (4*ns + 4) DIV 5 + $k"))
+      .select(
+        col("doc_id"), col("ns"),
+        explode(slice(col("hs"), lit(1), col("plen").cast("int"))).as("h"))
+
+    val cand = pref.as("a")
+      .join(pref.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.ns") * 5 >= col("b.ns") * 4 && col("b.ns") * 5 >= col("a.ns") * 4)
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(n.as("na"), col("doc_a") === col("na.doc_id"))
-      .join(n.as("nb"), col("doc_b") === col("nb.doc_id"))
-      .withColumn("uni", col("na.ns") + col("nb.ns") - col("inter"))
+      .agg(count(lit(1)).as("shared_pref"),
+        first(col("a.ns")).as("pna"), first(col("b.ns")).as("pnb"))
+      .filter(col("shared_pref") >=
+        least(lit(k.toLong), expr("(4*pna + 4) DIV 5"), expr("(4*pnb + 4) DIV 5")))
+      .select(col("doc_a"), col("doc_b"))
+
+    verifyPairs(cand, sets)
+  }
+
+  /** Exact-jaccard verification of candidate (doc_a, doc_b) pairs
+    * against sorted-hash sets: inter by linear merge, threshold 0.8.
+    */
+  private def verifyPairs(cand: DataFrame, sets: DataFrame): DataFrame =
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("ha"), col("ns").as("nsa")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hb"), col("ns").as("nsb")), "doc_b")
+      .withColumn("inter",
+        graft.functions.functions.sorted_intersect_count(col("ha"), col("hb")))
+      .withColumn("uni", col("nsa") + col("nsb") - col("inter"))
       .filter(col("inter").cast("double") / col("uni") >= 0.8)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"))
-  }
 
   /** MinHash + LSH near-dup pairs. 64 MinHash functions (xxhash64 seeded
     * by permutation index) over the bigram shingle set, banded 16×4:
@@ -77,16 +132,13 @@ object Dedup {
     val bandRows = 4
     val numBands = numHashes / bandRows
 
-    val sets = shingleSets(spark, dir)
-    // signature[i] = min over shingles of xxhash64(i, shingle)
-    val sig = sets.withColumn("sig",
-      transform(sequence(lit(0), lit(numHashes - 1)),
-        i => array_min(transform(col("sh"), s => xxhash64(i, s)))))
-
-    val bands = sig.select(
+    val sets = hashedSets(spark, dir)
+    // Signature + banding run in the native MinHashBands expression
+    // (graft.functions.HashExpressions) — one tight codegen'd loop per
+    // row instead of 64 interpreted higher-order-function passes.
+    val bands = sets.select(
       col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(numBands - 1)),
-        b => xxhash64(slice(col("sig"), b * bandRows + 1, lit(bandRows))))))
+      posexplode(graft.functions.functions.minhash_bands(col("sh"), numHashes, bandRows)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
 
@@ -98,13 +150,7 @@ object Dedup {
       .distinct()
 
     // exact-jaccard verification of the candidate set
-    candidates
-      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
-      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
-      .withColumn("uni", size(array_union(col("sha"), col("shb"))).cast("long"))
-      .filter(col("inter").cast("double") / col("uni") >= 0.8)
-      .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"))
+    verifyPairs(candidates, sets.drop("sh"))
   }
 
   /** SimHash near-dup pairs. 64-bit simhash over unigram token hashes
@@ -115,16 +161,12 @@ object Dedup {
     * Spark-hash-specific → ScalaTest-covered, no SQL oracle.
     */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
-      .withColumn("hs", transform(col("ts"), t => xxhash64(t)))
-    // unrolled per-bit vote: bitSum_i = Σ tokens (bit i set ? +1 : -1)
-    val sim = (0 until 64).map { i =>
-      val vote = aggregate(col("hs"), lit(0L),
-        (acc, h) => acc + when((shiftright(h, i).bitwiseAND(lit(1L))) === 1L, 1L).otherwise(-1L))
-      when(vote > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    val hashed = docs.select(col("doc_id"), sim.as("simhash"))
+    // Per-bit votes of each token's xxhash64 run in the native
+    // SimHash64 expression — same bits as the previous HOF
+    // formulation (both hash with XXH64 seed 42), one loop per row.
+    val hashed = Tables.documentsSpread(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.functions.simhash64(TextOps.tokens(col("text"))).as("simhash"))
 
     val chunks = hashed.select(
       col("doc_id"), col("simhash"),

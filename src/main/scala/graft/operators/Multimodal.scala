@@ -41,7 +41,7 @@ object Multimodal {
     */
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
+    Tables.documentsSpread(spark, dir)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>

@@ -30,7 +30,7 @@ object TextOps {
     * automatic.
     */
   def wordcount(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.documentsSpread(spark, dir)
       .select(explode(tokens(col("text"))).as("word"))
       .groupBy("word")
       .agg(count(lit(1)).as("cnt"))
@@ -57,7 +57,7 @@ object TextOps {
     */
   def textQuality(spark: SparkSession, dir: String): DataFrame = {
     val stop = Seq("the", "a", "and", "of", "to", "in", "is", "it")
-    val docs = Tables.documents(spark, dir)
+    val docs = Tables.documentsSpread(spark, dir)
     def classCount(pat: String): Column =
       size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long")
     docs
@@ -79,7 +79,7 @@ object TextOps {
     * to the Java∩RE2 subset for oracle parity.
     */
   def tokenCount(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir).select(
+    Tables.documentsSpread(spark, dir).select(
       col("doc_id"),
       size(regexp_extract_all(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
         .cast("long").as("n_bpeish"),
@@ -115,7 +115,7 @@ object TextOps {
     */
   def docFingerprint(spark: SparkSession, dir: String): DataFrame = {
     val m = 999999999999989L // largest prime < 1e15; 31*m + 255 < 2^63
-    Tables.documents(spark, dir).select(
+    Tables.documentsSpread(spark, dir).select(
       col("doc_id"),
       aggregate(
         transform(sequence(lit(1), length(col("text"))),

@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge between graft's native Catalyst expressions and the public
+  * Column API. `classic.ExpressionUtils` is `private[sql]`, so the
+  * (two-line) accessor lives in this package — the same pattern Spark
+  * extension libraries (e.g. spark-daria, frameless) use.
+  */
+object GraftGlue {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
