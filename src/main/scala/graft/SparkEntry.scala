@@ -52,6 +52,11 @@ object SparkEntry {
     "lang_id"                -> TextOps.langId _,
     "doc_fingerprint"        -> TextOps.docFingerprint _,
     "multimodal_meta"        -> Multimodal.multimodalMeta _,
+    // ---- streaming transforms, batch-run for the oracle (the true
+    // streaming path is exercised in StreamingSpec via MemoryStream) ----
+    "stream_window_counts"   -> graft.streaming.EventStreams.streamWindowCounts _,
+    "stream_session_windows" -> graft.streaming.EventStreams.streamSessionWindows _,
+    "stream_running_counts"  -> graft.streaming.EventStreams.streamRunningCounts _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -185,6 +190,32 @@ object SparkEntry {
                     list_transform(range(1, length(text) + 1), i -> cast(ascii(text[i]) AS BIGINT))),
                   (a, c) -> (a * 31 + c) % 999999999999989) AS fingerprint
          FROM documents""",
+    "stream_window_counts" ->
+      """SELECT date_trunc('hour', ts) AS w_start,
+                date_trunc('hour', ts) + INTERVAL 1 HOUR AS w_end,
+                event_type, count(*) AS cnt,
+                cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+         FROM events GROUP BY 1, 2, 3""",
+    "stream_session_windows" ->
+      """WITH o AS (
+           SELECT user_id, ts,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                       THEN 1 ELSE 0 END AS brk
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         s AS (SELECT user_id, ts,
+                      sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+               FROM o)
+         SELECT user_id, min(ts) AS s_start,
+                max(ts) + INTERVAL 30 MINUTE AS s_end,
+                count(*) AS n_events
+         FROM s GROUP BY user_id, sid""",
+    "stream_running_counts" ->
+      """SELECT user_id, event_id,
+                row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  AS cum_count
+         FROM events""",
     "multimodal_meta" ->
       """SELECT doc_id,
                 cast(octet_length(encode(text)) AS BIGINT) AS n_bytes,

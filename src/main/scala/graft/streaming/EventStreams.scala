@@ -1,0 +1,113 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.Tables
+
+/** Structured-Streaming operators over the `events` stream.
+  *
+  * Each transform is written against an unbounded `DataFrame`/`Dataset`
+  * and runs identically in two modes:
+  *  - **streaming**: `readStream → transform → writeStream` with
+  *    event-time watermarks (late data beyond 2h is dropped, state is
+  *    bounded) — exercised with `MemoryStream` in `StreamingSpec`;
+  *  - **batch**: the same function applied to the static `events`
+  *    table (Catalyst's `EliminateEventTimeWatermark` removes the
+  *    watermark node), which is how the driver's DuckDB oracle checks
+  *    the transform's semantics.
+  *
+  * Scale posture: state per key is O(open windows), never O(events);
+  * the watermark bounds the state store; `flatMapGroupsWithState`
+  * keeps one counter per user.
+  */
+object EventStreams {
+
+  final case class Ev(
+      event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class CumCount(user_id: Long, event_id: Long, cum_count: Long)
+
+  /** File-based streaming source over an events parquet directory —
+    * the production entry (`maxFilesPerTrigger` keeps micro-batches
+    * bounded on backfill).
+    */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = Tables.events(spark, dir).schema
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 16)
+      .parquet(s"$dir/events.parquet")
+  }
+
+  /** Tumbling 1-hour windowed counts + value sums per event type,
+    * 2-hour watermark. The value sum goes through DECIMAL(18,6) so
+    * batch-mode results are bit-identical to the DuckDB oracle
+    * regardless of accumulation order.
+    */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
+      .select(
+        col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("event_type"), col("cnt"), col("total_value"))
+
+  /** Gap-based session windows (30 min) per user via the native
+    * `session_window`: a session closes when no event arrives for the
+    * gap; `s_end` = last event + gap. A new event exactly at
+    * `prev + gap` starts a NEW session (window intervals are
+    * half-open) — the oracle encodes the same `>=` boundary.
+    */
+  def sessionWindows(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"), col("sw.start").as("s_start"),
+        col("sw.end").as("s_end"), col("n_events"))
+
+  /** Custom keyed state via `flatMapGroupsWithState`: a per-user
+    * running event counter that survives across micro-batches. Events
+    * inside a batch are ordered by (ts, event_id) so emissions are
+    * deterministic; the state store carries one Long per user.
+    */
+  def runningCounts(events: Dataset[Ev]): Dataset[CumCount] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, evs: Iterator[Ev], state: GroupState[Long]) => {
+          val sorted = evs.toArray.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+          var c = state.getOption.getOrElse(0L)
+          val out = sorted.map { e => c += 1; CumCount(user, e.event_id, c) }
+          state.update(c)
+          out.iterator
+        })
+  }
+
+  // ---- batch entry points for the driver contract ----
+
+  def streamWindowCounts(spark: SparkSession, dir: String): DataFrame =
+    windowedCounts(Tables.events(spark, dir))
+
+  def streamSessionWindows(spark: SparkSession, dir: String): DataFrame =
+    sessionWindows(Tables.events(spark, dir))
+
+  def streamRunningCounts(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark
+    import s.implicits._
+    runningCounts(
+      Tables.events(spark, dir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .as[Ev])
+      .toDF()
+  }
+}

@@ -1,0 +1,110 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.{CumCount, Ev}
+
+/** True streaming-mode drives of the EventStreams transforms:
+  * micro-batches through MemoryStream, append-mode watermark emission,
+  * and keyed state surviving across batches.
+  */
+class StreamingSpec extends AnyFunSuite with SparkFixture {
+
+  private def ts(h: Int, m: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+
+  private def ev(id: Long, t: Timestamp, user: Long, typ: String = "view"): Ev =
+    Ev(id, t, user, typ, 1.0)
+
+  test("windowedCounts emits a window only after the watermark passes it") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventStreams.windowedCounts(in.toDF())
+      .writeStream.format("memory").queryName("wc").outputMode(OutputMode.Append).start()
+    try {
+      // three events in the 10:00 window; watermark = 0 so far → nothing emitted
+      in.addData(ev(0, ts(10, 5), 1), ev(1, ts(10, 40), 2), ev(2, ts(10, 59), 1))
+      q.processAllAvailable()
+      assert(spark.table("wc").count() === 0)
+
+      // an event at 13:30 advances the watermark to 11:30 > 11:00 → the
+      // 10:00 window closes and is emitted; the 13:00 window stays open
+      in.addData(ev(3, ts(13, 30), 1))
+      q.processAllAvailable()
+      val rows = spark.table("wc").collect()
+      assert(rows.length === 1)
+      val r = rows.head
+      assert(r.getAs[Timestamp]("w_start") === ts(10))
+      assert(r.getAs[Long]("cnt") === 3L)
+      assert(r.getAs[Double]("total_value") === 3.0)
+
+      // a late event INSIDE the watermark still lands (12:00 window),
+      // a late event BEHIND the watermark (10:30) is dropped
+      in.addData(ev(4, ts(12, 0), 2), ev(5, ts(10, 30), 2))
+      in.addData(ev(6, ts(15, 0), 1)) // watermark → 13:00 closes 12:00
+      q.processAllAvailable()
+      val byStart = spark.table("wc").collect()
+        .map(r => r.getAs[Timestamp]("w_start") -> r.getAs[Long]("cnt")).toMap
+      assert(byStart(ts(12)) === 1L) // the dropped 10:30 event never reappears
+      assert(byStart.size === 2)     // 10:00 and 12:00 closed; 13:00/15:00 open
+    } finally q.stop()
+  }
+
+  test("sessionWindows merges events within the gap and closes on silence") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventStreams.sessionWindows(in.toDF())
+      .writeStream.format("memory").queryName("sess").outputMode(OutputMode.Append).start()
+    try {
+      // user 1: events at 10:00, 10:20 (same session), 11:30 (new session)
+      in.addData(ev(0, ts(10, 0), 1), ev(1, ts(10, 20), 1), ev(2, ts(11, 30), 1))
+      in.addData(ev(3, ts(16, 0), 9)) // advance watermark far past both sessions
+      q.processAllAvailable()
+      val rows = spark.table("sess").collect()
+        .filter(_.getAs[Long]("user_id") == 1L)
+        .map(r => (r.getAs[Timestamp]("s_start"), r.getAs[Timestamp]("s_end"),
+          r.getAs[Long]("n_events"))).sortBy(_._1.getTime)
+      assert(rows.toSeq === Seq(
+        (ts(10, 0), ts(10, 50), 2L),  // 10:20 + 30min gap
+        (ts(11, 30), ts(12, 0), 1L)))
+    } finally q.stop()
+  }
+
+  test("runningCounts keeps per-user state across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventStreams.runningCounts(in.toDS())
+      .writeStream.format("memory").queryName("rc").outputMode(OutputMode.Append).start()
+    try {
+      in.addData(ev(10, ts(10, 0), 1), ev(11, ts(10, 5), 1), ev(20, ts(10, 0), 2))
+      q.processAllAvailable()
+      in.addData(ev(12, ts(10, 10), 1)) // second batch: state resumes at 2
+      q.processAllAvailable()
+      val got = spark.table("rc").as[CumCount].collect().toSet
+      assert(got === Set(
+        CumCount(1L, 10L, 1L), CumCount(1L, 11L, 2L), CumCount(1L, 12L, 3L),
+        CumCount(2L, 20L, 1L)))
+    } finally q.stop()
+  }
+
+  test("batch-mode transforms agree with streaming semantics on the fixture") {
+    // the same windowedCounts function runs on the static fixture table
+    val wc = EventStreams.streamWindowCounts(spark, fixtureDir)
+    assert(wc.collect().map(_.getAs[Long]("cnt")).sum === 4L) // all fixture events counted
+    val rc = EventStreams.streamRunningCounts(spark, fixtureDir)
+    val alice = rc.filter("user_id = 1").collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("cum_count")).toMap
+    // alice's events: id 1 at ref-20d, id 0 at ref → ordered by ts
+    assert(alice === Map(1L -> 1L, 0L -> 2L))
+  }
+}
