@@ -10,4 +10,13 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftGlue {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Register a function builder on an ALREADY-RUNNING session (the
+    * config-time path is `spark.sql.extensions=graft.GraftExtensions`).
+    */
+  def registerRuntimeFunction(
+      spark: SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "built-in")
 }
