@@ -40,6 +40,7 @@ object GraftExtensions {
     "bigram_shingles" -> (args => BigramShingles(args.head)),
     "sorted_hashes" -> (args => SortedHashes(args.head)),
     "sorted_intersect_count" -> (args => SortedIntersectCount(args(0), args(1))),
+    "dot_product" -> (args => ArrayDotProduct(args(0), args(1))),
     "minhash_bands" -> (args => MinHashBands(
       args.head,
       intLit(args(1), "minhash_bands", 1),

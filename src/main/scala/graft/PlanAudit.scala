@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Prints formatted physical plans for every registered query — the
+  * "is this the plan you'd want at 100 TB" review loop.
+  * Run: sbt "runMain graft.PlanAudit [queryName...]"
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    names.foreach { name =>
+      println(s"\n===================== $name =====================")
+      SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

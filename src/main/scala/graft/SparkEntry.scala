@@ -46,6 +46,8 @@ object SparkEntry {
     "dedup_simhash"          -> Dedup.simhash _,
     "similarity_topk"        -> Similarity.topKBrute _,
     "similarity_ann_lsh"     -> Similarity.annLsh _,
+    "similarity_ann_ivf"     -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
+    "dedup_embedding"        -> Similarity.dedupEmbeddingQuery _,
     "text_stats"             -> TextOps.textStats _,
     "text_quality"           -> TextOps.textQuality _,
     "token_count"            -> TextOps.tokenCount _,
@@ -151,6 +153,12 @@ object SparkEntry {
                            row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rnk
                     FROM s)
          SELECT qid, neighbor_id, rnk FROM r WHERE rnk <= 5""",
+    "dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v
+                    FROM embeddings)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM e a JOIN e b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.v, b.v) >= 0.35""",
     "text_stats" ->
       """SELECT doc_id,
                 cast(length(text) AS BIGINT) AS n_chars,

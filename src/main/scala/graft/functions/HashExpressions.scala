@@ -112,6 +112,21 @@ object HashOps {
     c
   }
 
+  /** Dot product of two double arrays, element order preserved — the
+    * native equivalent of `aggregate(zip_with(a, b, x*y), 0.0, +)`
+    * with bit-identical IEEE accumulation order.
+    */
+  def dotProduct(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
   /** 64-bit SimHash over a token array: per-bit ±1 votes of each
     * token's xxh64 (seed 42 — bit-identical to the previous
     * `xxhash64(token)` HOF formulation), sign of the vote → bit.
@@ -230,6 +245,28 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `dot_product(a, b)` → DOUBLE over two ARRAY<DOUBLE> columns. */
+case class ArrayDotProduct(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two ARRAY<DOUBLE> inputs, got ${l.catalogString}, ${r.catalogString}")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashOps.dotProduct(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.HashOps.dotProduct($a, $b);")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArrayDotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
 private[functions] object HashExprChecks {
   def requireStringArray(name: String, child: Expression): TypeCheckResult =
     child.dataType match {
@@ -251,4 +288,6 @@ object functions {
     GraftGlue.column(SortedHashes(GraftGlue.expression(c)))
   def sorted_intersect_count(a: Column, b: Column): Column =
     GraftGlue.column(SortedIntersectCount(GraftGlue.expression(a), GraftGlue.expression(b)))
+  def dot_product(a: Column, b: Column): Column =
+    GraftGlue.column(ArrayDotProduct(GraftGlue.expression(a), GraftGlue.expression(b)))
 }

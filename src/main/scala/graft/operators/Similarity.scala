@@ -22,11 +22,14 @@ import graft.Tables
   */
 object Similarity {
 
+  // Native codegen'd dot product (graft.functions.ArrayDotProduct):
+  // same element-order IEEE accumulation as the HOF formulation
+  // `aggregate(zip_with(a,b,x*y), 0.0, +)` it replaces, without the
+  // per-element interpreted-lambda overhead.
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.functions.dot_product(a, b)
 
-  private def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+  private def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Embeddings with double-cast vectors and precomputed norms (one pass,
     * per-row, before any join).
@@ -56,6 +59,82 @@ object Similarity {
       .withColumn("sim", dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id").asc)
     scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("qid"), col("vec_id").as("neighbor_id"), col("rnk"))
+  }
+
+  /** Exact embedding-cosine near-duplicate pairs: upper-triangle
+    * all-pairs scoring, `sim >= threshold`. This is the correctness
+    * baseline the oracle checks (at the registered 0.35 threshold the
+    * synthetic corpus has matching pairs; real dedup runs 0.95). The
+    * 100 TB path generates candidates with [[annLsh]]-style banding or
+    * [[annIvf]] buckets instead of the N² cross join — both verify
+    * against this exact scorer in the test suite.
+    * Output is id pairs only: both engines compute the cosine with
+    * sequential double accumulation, but no float crosses the hash
+    * compare.
+    */
+  def dedupEmbedding(spark: SparkSession, dir: String, threshold: Double = 0.95): DataFrame = {
+    val emb = withNorm(spark, dir)
+    val a = emb.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = emb.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"))
+  }
+
+  /** The registered driver-contract entry (threshold 0.35 — see
+    * [[dedupEmbedding]]).
+    */
+  def dedupEmbeddingQuery(spark: SparkSession, dir: String): DataFrame =
+    dedupEmbedding(spark, dir, threshold = 0.35)
+
+  /** Approximate top-5 via IVF (inverted-file) coarse quantization:
+    * vectors are assigned to their nearest of `nlist` centroids; a
+    * query scores only vectors in its `nprobe` nearest cells. The
+    * centroid set here is the deterministic first-`nlist` vectors (a
+    * k-means init stand-in — the assignment/probe plumbing is identical
+    * once a trained codebook replaces it); collecting it is
+    * metadata-scale, like loading a model, and the cell assignment
+    * itself is a per-row broadcast computation with native dot
+    * products. Approximate by construction → ScalaTest recall check
+    * against [[topKBrute]], no SQL oracle.
+    */
+  def annIvf(spark: SparkSession, dir: String, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val emb = withNorm(spark, dir)
+    val cents: Seq[Seq[Double]] = emb.filter(col("vec_id") < nlist)
+      .orderBy("vec_id").select("v").collect().toSeq.map(_.getSeq[Double](0))
+    val centNorms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
+    val centsLit = typedLit(cents)
+
+    def cellSims(v: Column, nrm: Column): Column = array(
+      (0 until nlist).map(i =>
+        dot(v, element_at(centsLit, i + 1)) / (nrm * centNorms(i))): _*)
+
+    val assigned = emb
+      .withColumn("cs", cellSims(col("v"), col("nrm")))
+      .withColumn("cell", array_position(col("cs"), array_max(col("cs"))).cast("int"))
+      .drop("cs")
+
+    // query → its nprobe highest-similarity cells
+    val qProbes = assigned.filter(col("vec_id") < 10)
+      .withColumn("cs", cellSims(col("v"), col("nrm")))
+      .select(
+        col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"),
+        explode(slice(
+          transform(
+            reverse(array_sort(zip_with(col("cs"), sequence(lit(1), lit(nlist)),
+              (s, i) => struct(s.as("s"), i.as("i"))))),
+            p => p.getField("i")),
+          1, nprobe)).as("cell"))
+
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id").asc)
+    assigned
+      .join(broadcast(qProbes), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("sim", dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= 5)
       .select(col("qid"), col("vec_id").as("neighbor_id"), col("rnk"))

@@ -21,6 +21,25 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(got.forall(r => r.getLong(2) >= 1L && r.getLong(2) <= 5L))
   }
 
+  test("IVF ANN recalls most exact neighbors on clustered data") {
+    val exact = pairs(Similarity.topKBrute(spark, fixtureDir))
+    val ivfRows = Similarity.annIvf(spark, fixtureDir, nlist = 8, nprobe = 2).collect()
+    assert(ivfRows.forall(r => r.getLong(0) !== r.getLong(1)))
+    assert(ivfRows.forall(r => r.getLong(2) >= 1L && r.getLong(2) <= 5L))
+    val ivfPairs = ivfRows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect ivfPairs).size.toDouble / exact.size
+    info(f"IVF recall vs brute force: $recall%.2f (${ivfPairs.size} returned)")
+    assert(recall >= 0.5, s"IVF recall $recall too low")
+  }
+
+  test("embedding dedup finds exactly the same-cluster high-sim pairs the brute scorer finds") {
+    // fixture clusters are tight: same-cluster sims >> cross-cluster.
+    val got = Similarity.dedupEmbedding(spark, fixtureDir, threshold = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.nonEmpty)
+    assert(got.forall { case (a, b) => a % 3 === b % 3 && a < b })
+  }
+
   test("LSH ANN recalls most exact neighbors on clustered data") {
     val exact = pairs(Similarity.topKBrute(spark, fixtureDir))
     val ann = Similarity.annLsh(spark, fixtureDir)
