@@ -54,6 +54,8 @@ object SparkEntry {
     "lang_id"                -> TextOps.langId _,
     "doc_fingerprint"        -> TextOps.docFingerprint _,
     "multimodal_meta"        -> Multimodal.multimodalMeta _,
+    "multimodal_frames"      -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
+    "multimodal_resize"      -> ((s: SparkSession, d: String) => Multimodal.resizePlan(s, d)),
     // ---- streaming transforms, batch-run for the oracle (the true
     // streaming path is exercised in StreamingSpec via MemoryStream) ----
     "stream_window_counts"   -> graft.streaming.EventStreams.streamWindowCounts _,
@@ -198,6 +200,29 @@ object SparkEntry {
                     list_transform(range(1, length(text) + 1), i -> cast(ascii(text[i]) AS BIGINT))),
                   (a, c) -> (a * 31 + c) % 999999999999989) AS fingerprint
          FROM documents""",
+    "multimodal_frames" ->
+      """WITH f AS (SELECT doc_id, text, length(text) // 64 AS n_frames
+                    FROM documents),
+              x AS (SELECT doc_id, unnest(range(0, n_frames, 4)) AS frame_idx, text
+                    FROM f)
+         SELECT doc_id, frame_idx,
+                cast(frame_idx * 64 AS BIGINT) AS off,
+                cast(64 AS BIGINT) AS len,
+                list_reduce(
+                  list_prepend(cast(1 AS BIGINT),
+                    list_transform(range(frame_idx*64 + 1, frame_idx*64 + 65),
+                      i -> cast(ascii(text[i]) AS BIGINT))),
+                  (a, c) -> (a * 31 + c) % 1000000007) AS frame_checksum
+         FROM x""",
+    "multimodal_resize" ->
+      """WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+              d AS (SELECT doc_id, cast(16 + n % 624 AS BIGINT) AS width,
+                           cast(16 + (n * 7) % 464 AS BIGINT) AS height
+                    FROM m)
+         SELECT doc_id, width, height,
+                width * 224 // greatest(width, height) AS out_w,
+                height * 224 // greatest(width, height) AS out_h
+         FROM d""",
     "stream_window_counts" ->
       """SELECT date_trunc('hour', ts) AS w_start,
                 date_trunc('hour', ts) + INTERVAL 1 HOUR AS w_end,

@@ -34,6 +34,51 @@ object Multimodal {
     acc
   }
 
+  final case class Frame(
+      doc_id: Long, frame_idx: Long, off: Long, len: Long, frame_checksum: Long)
+
+  /** Frame sampling: emit every `stride`-th fixed-size frame of each
+    * media payload with its byte range and checksum — the shape of a
+    * video frame-sampler (1→n generator over a binary column, batched
+    * per partition). STUB: "frames" are consecutive `frameBytes`-byte
+    * windows of the payload standing in for codec-delimited frames.
+    */
+  def frameSample(
+      spark: SparkSession, dir: String,
+      frameBytes: Int = 64, stride: Int = 4): DataFrame = {
+    import spark.implicits._
+    Tables.documentsSpread(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val nFrames = bytes.length / frameBytes
+          (0 until nFrames by stride).iterator.map { f =>
+            val off = f * frameBytes
+            var acc = 1L
+            var k = off
+            while (k < off + frameBytes) {
+              acc = (acc * 31 + (bytes(k) & 0xff)) % 1000000007L
+              k += 1
+            }
+            Frame(id, f.toLong, off.toLong, frameBytes.toLong, acc)
+          }
+        }
+      }
+      .toDF()
+  }
+
+  /** Resize planning: fit the stub-decoded (width, height) into a
+    * 224×224 square preserving aspect ratio — all-integer arithmetic
+    * (truncating division) so the oracle agrees bit-for-bit.
+    */
+  def resizePlan(spark: SparkSession, dir: String, target: Int = 224): DataFrame =
+    multimodalMeta(spark, dir)
+      .select(
+        col("doc_id"), col("width"), col("height"),
+        expr(s"width * $target DIV greatest(width, height)").as("out_w"),
+        expr(s"height * $target DIV greatest(width, height)").as("out_h"))
+
   /** "Decode" each document's UTF-8 payload as if it were a media blob
     * and emit typed metadata. STUB: width/height/n_frames are
     * deterministic functions of the byte length standing in for a real

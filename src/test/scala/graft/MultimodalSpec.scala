@@ -18,4 +18,29 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(rows(0L)._5 === expect)
     assert(rows(0L)._5 !== rows(4L)._5) // permutation: different byte order
   }
+
+  test("frame sampling emits every stride-th fixed-size frame with correct ranges") {
+    val frames = Multimodal.frameSample(spark, fixtureDir, frameBytes = 10, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val n = Fixtures.DocA.getBytes("UTF-8").length
+    val doc0 = frames.filter(_._1 == 0L).sortBy(_._2)
+    assert(doc0.map(_._2).toSeq === (0 until n / 10 by 2).map(_.toLong))
+    assert(doc0.forall { case (_, idx, off, len, _) => off === idx * 10 && len === 10L })
+    // per-frame checksum recomputed independently
+    val bytes = Fixtures.DocA.getBytes("UTF-8")
+    val expect0 = bytes.slice(0, 10).foldLeft(1L)((a, b) => (a * 31 + (b & 0xff)) % 1000000007L)
+    assert(doc0.head._5 === expect0)
+    // identical payloads sample identically
+    assert(frames.filter(_._1 == 1L).map(t => t.copy(_1 = 0L)).toSet === doc0.toSet)
+  }
+
+  test("resize plan fits stub dims into 224 preserving aspect with integer math") {
+    val rows = Multimodal.resizePlan(spark, fixtureDir).collect()
+    rows.foreach { r =>
+      val (w, h, ow, oh) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(ow === w * 224 / math.max(w, h))
+      assert(oh === h * 224 / math.max(w, h))
+      assert(math.max(ow, oh) === 224 || math.max(w, h) === 0)
+    }
+  }
 }
