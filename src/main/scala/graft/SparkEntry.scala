@@ -61,6 +61,7 @@ object SparkEntry {
     "stream_window_counts"   -> graft.streaming.EventStreams.streamWindowCounts _,
     "stream_session_windows" -> graft.streaming.EventStreams.streamSessionWindows _,
     "stream_running_counts"  -> graft.streaming.EventStreams.streamRunningCounts _,
+    "stream_dedup_events"    -> graft.streaming.EventStreams.streamDedupEvents _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -200,6 +201,8 @@ object SparkEntry {
                     list_transform(range(1, length(text) + 1), i -> cast(ascii(text[i]) AS BIGINT))),
                   (a, c) -> (a * 31 + c) % 999999999999989) AS fingerprint
          FROM documents""",
+    "stream_dedup_events" ->
+      "SELECT DISTINCT event_id FROM events",
     "multimodal_frames" ->
       """WITH f AS (SELECT doc_id, text, length(text) // 64 AS n_frames
                     FROM documents),

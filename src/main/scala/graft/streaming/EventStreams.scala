@@ -93,6 +93,21 @@ object EventStreams {
         })
   }
 
+  /** Idempotent ingestion: drop events whose `event_id` was already
+    * seen within the watermark horizon — the streaming form of exact
+    * dedup (state holds one entry per key and is evicted once the
+    * watermark passes, so it stays bounded; an unbounded
+    * `dropDuplicates` would leak state forever on an infinite stream).
+    * Batch mode runs the plain `dropDuplicates` (Spark rejects the
+    * watermark variant on bounded inputs, where eviction is moot).
+    */
+  def dedupEvents(events: DataFrame): DataFrame =
+    if (events.isStreaming)
+      events
+        .withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark("event_id")
+    else events.dropDuplicates("event_id")
+
   // ---- batch entry points for the driver contract ----
 
   def streamWindowCounts(spark: SparkSession, dir: String): DataFrame =
@@ -100,6 +115,10 @@ object EventStreams {
 
   def streamSessionWindows(spark: SparkSession, dir: String): DataFrame =
     sessionWindows(Tables.events(spark, dir))
+
+  def streamDedupEvents(spark: SparkSession, dir: String): DataFrame =
+    dedupEvents(Tables.events(spark, dir))
+      .select(col("event_id")) // key set only: which row survives is arbitrary
 
   def streamRunningCounts(spark: SparkSession, dir: String): DataFrame = {
     val s = spark

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+import graft.functions.HashOps
+
+/** Property checks for the native expression kernels — pure functions
+  * over ArrayData, no Spark session needed.
+  */
+object HashOpsProperties extends Properties("HashOps") {
+
+  private def strArr(xs: Seq[String]): GenericArrayData =
+    new GenericArrayData(xs.map(s => UTF8String.fromString(s): AnyRef).toArray)
+
+  private def longArr(xs: Seq[Long]): GenericArrayData =
+    new GenericArrayData(xs.toArray)
+
+  private val tokens: Gen[List[String]] =
+    Gen.listOf(Gen.oneOf(Gen.alphaNumStr.map(_.take(8)), Gen.oneOf("a", "b", "c")))
+
+  property("bigramShingles matches the reference formulation") =
+    forAll(tokens) { ts =>
+      val got = HashOps.bigramShingles(strArr(ts))
+      val expect = ts.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq.distinct
+      got.numElements() == expect.size &&
+        (0 until got.numElements()).forall(i => got.getUTF8String(i).toString == expect(i))
+    }
+
+  property("sortedIntersectCount == |set intersection| on distinct inputs") =
+    forAll(Gen.listOf(Gen.chooseNum(-50L, 50L)), Gen.listOf(Gen.chooseNum(-50L, 50L))) { (a, b) =>
+      val sa = a.distinct.sorted
+      val sb = b.distinct.sorted
+      HashOps.sortedIntersectCount(longArr(sa), longArr(sb)) ==
+        sa.toSet.intersect(sb.toSet).size.toLong
+    }
+
+  property("sortedHashes is sorted, length-preserving, content-determined") =
+    forAll(tokens) { ts =>
+      val h = HashOps.sortedHashes(strArr(ts))
+      val vals = (0 until h.numElements()).map(h.getLong)
+      vals == vals.sorted &&
+        vals.size == ts.size &&
+        vals == {
+          val h2 = HashOps.sortedHashes(strArr(ts))
+          (0 until h2.numElements()).map(h2.getLong)
+        }
+    }
+
+  property("simhash64 is order-invariant over token multisets") =
+    forAll(tokens) { ts =>
+      HashOps.simhash64(strArr(ts)) == HashOps.simhash64(strArr(scala.util.Random.shuffle(ts)))
+    }
+
+  property("identical sets share every minhash band; disjoint-ish sets rarely do") =
+    forAll(tokens.suchThat(_.nonEmpty)) { ts =>
+      val b1 = HashOps.minhashBands(strArr(ts), 64, 4)
+      val b2 = HashOps.minhashBands(strArr(scala.util.Random.shuffle(ts)), 64, 4)
+      (0 until 16).forall(i => b1.getLong(i) == b2.getLong(i))
+    }
+
+  property("dotProduct matches sequential fold") =
+    forAll(Gen.listOf(Gen.chooseNum(-10.0, 10.0))) { xs =>
+      val arr = new GenericArrayData(xs.toArray)
+      val expect = xs.map(x => x * x).foldLeft(0.0)(_ + _)
+      HashOps.dotProduct(arr, arr) == expect
+    }
+
+  property("jaccard-0.8 pairs always share min(k, ceil(0.8n)) prefix hashes (k-prefix soundness)") = {
+    val gen = for {
+      base <- Gen.listOfN(30, Gen.identifier.map(_.take(6))).map(_.distinct)
+      if base.size >= 10
+      drop <- Gen.chooseNum(0, base.size / 10) // <=10% edits keeps j >= 0.8
+    } yield (base, base.drop(drop))
+    forAll(gen) { case (a, b) =>
+      val k = 4
+      def prefix(s: Seq[String]): Set[Long] = {
+        val h = HashOps.sortedHashes(strArr(s))
+        val n = s.size
+        val plen = n - (4 * n + 4) / 5 + k
+        (0 until math.min(plen, n)).map(h.getLong).toSet
+      }
+      val inter = a.toSet.intersect(b.toSet).size.toDouble
+      val uni = a.toSet.union(b.toSet).size.toDouble
+      val j = if (uni == 0) 1.0 else inter / uni
+      val need = math.min(k, math.min(math.ceil(0.8 * a.size), math.ceil(0.8 * b.size))).toInt
+      Prop.collect(f"j=$j%.2f") {
+        j < 0.8 || prefix(a).intersect(prefix(b)).size >= need
+      }
+    }
+  }
+}

@@ -97,6 +97,23 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("dedupEvents drops duplicate event_ids arriving within the watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventStreams.dedupEvents(in.toDF())
+      .writeStream.format("memory").queryName("dd").outputMode(OutputMode.Append).start()
+    try {
+      in.addData(ev(1, ts(10, 0), 1), ev(2, ts(10, 5), 2))
+      q.processAllAvailable()
+      in.addData(ev(1, ts(10, 1), 1), ev(3, ts(10, 10), 3)) // id 1 is a dup across batches
+      q.processAllAvailable()
+      val ids = spark.table("dd").collect().map(_.getAs[Long]("event_id")).sorted
+      assert(ids.toSeq === Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("batch-mode transforms agree with streaming semantics on the fixture") {
     // the same windowedCounts function runs on the static fixture table
     val wc = EventStreams.streamWindowCounts(spark, fixtureDir)
