@@ -29,6 +29,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
+  /** Plan-time arity check: a builder receiving the wrong argument count
+    * raises Spark's standard WRONG_NUM_ARGS AnalysisException (naming
+    * the function), not an opaque NoSuchElement/IndexOutOfBounds.
+    */
+  private def arity(fn: String, n: Int)(
+      mk: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    args =>
+      if (args.length == n) mk(args)
+      else throw GraftGlue.wrongNumArgs(fn, n, args.length)
+
   private def intLit(e: Expression, fn: String, pos: Int): Int = e match {
     case Literal(v: Int, IntegerType) => v
     case other => throw new IllegalArgumentException(
@@ -36,15 +46,21 @@ object GraftExtensions {
   }
 
   private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "simhash64" -> (args => SimHash64(args.head)),
-    "bigram_shingles" -> (args => BigramShingles(args.head)),
-    "sorted_hashes" -> (args => SortedHashes(args.head)),
-    "sorted_intersect_count" -> (args => SortedIntersectCount(args(0), args(1))),
-    "dot_product" -> (args => ArrayDotProduct(args(0), args(1))),
-    "minhash_bands" -> (args => MinHashBands(
-      args.head,
-      intLit(args(1), "minhash_bands", 1),
-      intLit(args(2), "minhash_bands", 2))),
+    "simhash64" -> arity("simhash64", 1)(args => SimHash64(args.head)),
+    "bigram_shingles" -> arity("bigram_shingles", 1)(args => BigramShingles(args.head)),
+    "sorted_hashes" -> arity("sorted_hashes", 1)(args => SortedHashes(args.head)),
+    "sorted_intersect_count" -> arity("sorted_intersect_count", 2)(args =>
+      SortedIntersectCount(args(0), args(1))),
+    "dot_product" -> arity("dot_product", 2)(args => ArrayDotProduct(args(0), args(1))),
+    "minhash_bands" -> arity("minhash_bands", 3)(args => {
+      val numHashes = intLit(args(1), "minhash_bands", 1)
+      val bandRows = intLit(args(2), "minhash_bands", 2)
+      if (bandRows <= 0 || numHashes <= 0 || numHashes % bandRows != 0)
+        throw new IllegalArgumentException(
+          s"minhash_bands: need numHashes > 0, bandRows > 0 and numHashes % bandRows == 0," +
+            s" got numHashes=$numHashes bandRows=$bandRows")
+      MinHashBands(args.head, numHashes, bandRows)
+    }),
   )
 
   /** Install the graft functions on a live session. */

@@ -25,6 +25,11 @@ import org.apache.spark.sql.types._
 object HashOps {
   final val XxSeed = 42L
 
+  // All kernels skip null array elements: the internal call sites never
+  // produce them (TextOps.tokens filters empties, not nulls — but the
+  // functions are on the public SQL surface via GraftExtensions, where
+  // `simhash64(array('a', NULL))` must degrade gracefully, not NPE).
+
   /** MinHash signature banded into `numBands` bucket keys.
     * signature[i] = min over shingles s of xxh64(xxh64(s), i) — each
     * variable-length string is hashed once; the per-permutation hashes
@@ -36,12 +41,14 @@ object HashOps {
     val n = arr.numElements()
     var i = 0
     while (i < n) {
-      val h = XXH64.hashUTF8String(arr.getUTF8String(i), XxSeed)
-      var j = 0
-      while (j < numHashes) {
-        val hj = XXH64.hashLong(h, j)
-        if (hj < sig(j)) sig(j) = hj
-        j += 1
+      if (!arr.isNullAt(i)) {
+        val h = XXH64.hashUTF8String(arr.getUTF8String(i), XxSeed)
+        var j = 0
+        while (j < numHashes) {
+          val hj = XXH64.hashLong(h, j)
+          if (hj < sig(j)) sig(j) = hj
+          j += 1
+        }
       }
       i += 1
     }
@@ -71,8 +78,12 @@ object HashOps {
     val space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
     var i = 0
     while (i < n - 1) {
-      seen.add(org.apache.spark.unsafe.types.UTF8String.concat(
-        arr.getUTF8String(i), space, arr.getUTF8String(i + 1)))
+      // a null token yields no shingle (UTF8String.concat would turn the
+      // whole bigram null, violating the containsNull=false output type)
+      if (!arr.isNullAt(i) && !arr.isNullAt(i + 1)) {
+        seen.add(org.apache.spark.unsafe.types.UTF8String.concat(
+          arr.getUTF8String(i), space, arr.getUTF8String(i + 1)))
+      }
       i += 1
     }
     new GenericArrayData(seen.toArray(new Array[AnyRef](seen.size)))
@@ -87,12 +98,17 @@ object HashOps {
     val n = arr.numElements()
     val hs = new Array[Long](n)
     var i = 0
+    var m = 0
     while (i < n) {
-      hs(i) = XXH64.hashUTF8String(arr.getUTF8String(i), XxSeed)
+      if (!arr.isNullAt(i)) {
+        hs(m) = XXH64.hashUTF8String(arr.getUTF8String(i), XxSeed)
+        m += 1
+      }
       i += 1
     }
-    java.util.Arrays.sort(hs)
-    new GenericArrayData(hs)
+    val out = if (m == n) hs else java.util.Arrays.copyOf(hs, m)
+    java.util.Arrays.sort(out)
+    new GenericArrayData(out)
   }
 
   /** |A ∩ B| of two ascending-sorted long arrays by linear merge. */
@@ -103,11 +119,15 @@ object HashOps {
     var j = 0
     var c = 0L
     while (i < na && j < nb) {
-      val x = a.getLong(i)
-      val y = b.getLong(j)
-      if (x < y) i += 1
-      else if (x > y) j += 1
-      else { c += 1; i += 1; j += 1 }
+      if (a.isNullAt(i)) i += 1
+      else if (b.isNullAt(j)) j += 1
+      else {
+        val x = a.getLong(i)
+        val y = b.getLong(j)
+        if (x < y) i += 1
+        else if (x > y) j += 1
+        else { c += 1; i += 1; j += 1 }
+      }
     }
     c
   }
@@ -121,7 +141,8 @@ object HashOps {
     var acc = 0.0
     var i = 0
     while (i < n) {
-      acc += a.getDouble(i) * b.getDouble(i)
+      // a null element contributes 0 to the sum (null ≡ missing dimension)
+      if (!a.isNullAt(i) && !b.isNullAt(i)) acc += a.getDouble(i) * b.getDouble(i)
       i += 1
     }
     acc
@@ -136,11 +157,13 @@ object HashOps {
     val n = arr.numElements()
     var i = 0
     while (i < n) {
-      val h = XXH64.hashUTF8String(arr.getUTF8String(i), XxSeed)
-      var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-        b += 1
+      if (!arr.isNullAt(i)) {
+        val h = XXH64.hashUTF8String(arr.getUTF8String(i), XxSeed)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
       }
       i += 1
     }
@@ -159,7 +182,9 @@ object HashOps {
   */
 case class MinHashBands(child: Expression, numHashes: Int, bandRows: Int)
     extends UnaryExpression {
-  require(numHashes % bandRows == 0, "numHashes must be a multiple of bandRows")
+  require(numHashes > 0 && bandRows > 0 && numHashes % bandRows == 0,
+    s"minhash_bands: need numHashes > 0, bandRows > 0 and numHashes a multiple of" +
+      s" bandRows, got numHashes=$numHashes bandRows=$bandRows")
   override def checkInputDataTypes(): TypeCheckResult =
     HashExprChecks.requireStringArray(prettyName, child)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

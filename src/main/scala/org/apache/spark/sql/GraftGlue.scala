@@ -11,6 +11,12 @@ object GraftGlue {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Spark's standard WRONG_NUM_ARGS AnalysisException (the thrower is
+    * `private[sql]`, hence surfaced here).
+    */
+  def wrongNumArgs(fn: String, expected: Int, actual: Int): Throwable =
+    errors.QueryCompilationErrors.wrongNumArgsError(fn, Seq(expected), actual)
+
   /** Register a function builder on an ALREADY-RUNNING session (the
     * config-time path is `spark.sql.extensions=graft.GraftExtensions`).
     */

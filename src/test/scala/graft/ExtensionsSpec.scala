@@ -28,6 +28,39 @@ class ExtensionsSpec extends AnyFunSuite with SparkFixture {
     assert(r.getBoolean(1))
   }
 
+  test("null array elements are skipped, never NPE (public SQL surface)") {
+    GraftExtensions.register(spark)
+
+    // each kernel ignores NULL elements: result equals the null-free call
+    val r = spark.sql(
+      """SELECT simhash64(array('a', CAST(NULL AS STRING), 'b')) = simhash64(array('a','b')) AS sh_eq,
+                sorted_hashes(array('a', CAST(NULL AS STRING), 'b')) = sorted_hashes(array('a','b')) AS hs_eq,
+                bigram_shingles(array('a', CAST(NULL AS STRING), 'b')) AS bg,
+                minhash_bands(array('a', CAST(NULL AS STRING), 'b'), 8, 4) =
+                  minhash_bands(array('a','b'), 8, 4) AS mh_eq,
+                dot_product(array(1.0d, CAST(NULL AS DOUBLE), 2.0d),
+                            array(3.0d, 5.0d, 4.0d)) AS dp
+      """).collect().head
+    assert(r.getBoolean(0) && r.getBoolean(1) && r.getBoolean(3))
+    // 'a NULL' and 'NULL b' bigrams are dropped; no null crosses a pair
+    assert(r.getSeq[String](2) === Seq.empty)
+    assert(r.getDouble(4) === 1.0 * 3.0 + 2.0 * 4.0)
+  }
+
+  test("wrong arity / bad band config raise named plan-time errors") {
+    GraftExtensions.register(spark)
+    val e1 = intercept[Exception](spark.sql("SELECT simhash64()").collect())
+    assert(e1.getMessage.contains("simhash64"))
+    val e2 = intercept[Exception](spark.sql("SELECT sorted_intersect_count(array(1L))").collect())
+    assert(e2.getMessage.contains("sorted_intersect_count"))
+    val e3 = intercept[Exception](
+      spark.sql("SELECT minhash_bands(array('a'), 64, 0)").collect())
+    assert(e3.getMessage.contains("minhash_bands"))
+    val e4 = intercept[Exception](
+      spark.sql("SELECT minhash_bands(array('a'), 64, 3)").collect())
+    assert(e4.getMessage.contains("minhash_bands"))
+  }
+
   test("SQL results agree with the Column-API expressions") {
     GraftExtensions.register(spark)
     import org.apache.spark.sql.functions.col

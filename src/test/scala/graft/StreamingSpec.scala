@@ -114,6 +114,34 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("readEventStream reads the nanos-ts parquet as a file-source stream") {
+    // regression: the stream schema must be the RAW file schema (ts as
+    // LONG nanos under nanosAsLong), not Tables.events' post-conversion
+    // TIMESTAMP — the mismatch used to fail at runtime on real files.
+    val stream = EventStreams.readEventStream(spark, fixtureDir)
+    assert(stream.isStreaming)
+    assert(stream.schema("ts").dataType === org.apache.spark.sql.types.TimestampType)
+    val q = EventStreams.windowedCounts(stream)
+      .writeStream.format("memory").queryName("filewc")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      // append mode emits nothing until the watermark passes — the point
+      // here is that the scan itself reads and converts without error.
+      assert(spark.table("filewc").schema.fieldNames.contains("w_start"))
+    } finally q.stop()
+
+    // the converted stream rows equal the batch table rows (complete mode)
+    val q2 = stream.groupBy().max("event_id", "user_id")
+      .writeStream.format("memory").queryName("filemax")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      q2.processAllAvailable()
+      val r = spark.table("filemax").collect().head
+      assert(r.getLong(0) === 3L && r.getLong(1) === 2L)
+    } finally q2.stop()
+  }
+
   test("batch-mode transforms agree with streaming semantics on the fixture") {
     // the same windowedCounts function runs on the static fixture table
     val wc = EventStreams.streamWindowCounts(spark, fixtureDir)
