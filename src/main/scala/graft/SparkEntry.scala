@@ -148,20 +148,38 @@ object SparkEntry {
          SELECT doc_a, doc_b, inter, na.ns + nb.ns - inter AS uni
          FROM i JOIN n na ON doc_a = na.doc_id JOIN n nb ON doc_b = nb.doc_id
          WHERE cast(inter AS DOUBLE) / (na.ns + nb.ns - inter) >= 0.8""",
+    // Cosine is spelled out as the exact sequential dot/norm recurrence
+    // Spark computes (list_reduce is order-defined), not DuckDB's
+    // list_cosine_similarity — its internal accumulation/normalization
+    // could differ at the ulp level and flip a threshold or a rank for
+    // near-ties at other scale factors.
     "similarity_topk" ->
-      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
-              s AS (SELECT qid, vec_id, list_cosine_similarity(qe, embedding) AS sim
-                    FROM embeddings, q WHERE vec_id != qid),
+      """WITH e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v,
+                           sqrt(list_reduce(list_prepend(0.0,
+                             list_transform(cast(embedding AS DOUBLE[]), x -> x*x)),
+                             (a,x) -> a + x)) AS nrm
+                    FROM embeddings),
+              q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM e WHERE vec_id < 10),
+              s AS (SELECT qid, vec_id,
+                           list_reduce(list_prepend(0.0,
+                             list_transform(range(1, len(qv)+1), i -> qv[i]*v[i])),
+                             (acc,x) -> acc + x) / (qnrm * nrm) AS sim
+                    FROM e, q WHERE vec_id != qid),
               r AS (SELECT qid, vec_id AS neighbor_id,
                            row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rnk
                     FROM s)
          SELECT qid, neighbor_id, rnk FROM r WHERE rnk <= 5""",
     "dedup_embedding" ->
-      """WITH e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v
+      """WITH e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v,
+                           sqrt(list_reduce(list_prepend(0.0,
+                             list_transform(cast(embedding AS DOUBLE[]), x -> x*x)),
+                             (a,x) -> a + x)) AS nrm
                     FROM embeddings)
          SELECT a.vec_id AS id_a, b.vec_id AS id_b
          FROM e a JOIN e b ON a.vec_id < b.vec_id
-         WHERE list_cosine_similarity(a.v, b.v) >= 0.35""",
+         WHERE list_reduce(list_prepend(0.0,
+                 list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i])),
+                 (acc,x) -> acc + x) / (a.nrm * b.nrm) >= 0.35""",
     "text_stats" ->
       """SELECT doc_id,
                 cast(length(text) AS BIGINT) AS n_chars,
@@ -203,18 +221,22 @@ object SparkEntry {
          FROM documents""",
     "stream_dedup_events" ->
       "SELECT DISTINCT event_id FROM events",
+    // Frame offsets and checksums run over the UTF-8 BYTE sequence
+    // (hex(encode(text)) decoded pairwise), matching the Spark side's
+    // byte iteration exactly — not ascii(char), which only agrees on
+    // pure-ASCII corpora.
     "multimodal_frames" ->
-      """WITH f AS (SELECT doc_id, text, length(text) // 64 AS n_frames
-                    FROM documents),
-              x AS (SELECT doc_id, unnest(range(0, n_frames, 4)) AS frame_idx, text
-                    FROM f)
+      """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+                           octet_length(encode(text)) // 64 AS n_frames FROM documents),
+              x AS (SELECT doc_id, hx, unnest(range(0, n_frames, 4)) AS frame_idx FROM b)
          SELECT doc_id, frame_idx,
                 cast(frame_idx * 64 AS BIGINT) AS off,
                 cast(64 AS BIGINT) AS len,
                 list_reduce(
                   list_prepend(cast(1 AS BIGINT),
-                    list_transform(range(frame_idx*64 + 1, frame_idx*64 + 65),
-                      i -> cast(ascii(text[i]) AS BIGINT))),
+                    list_transform(range(frame_idx*64, frame_idx*64 + 64), i ->
+                      cast((strpos('0123456789ABCDEF', substr(hx, 2*i+1, 1)) - 1) * 16 +
+                           (strpos('0123456789ABCDEF', substr(hx, 2*i+2, 1)) - 1) AS BIGINT))),
                   (a, c) -> (a * 31 + c) % 1000000007) AS frame_checksum
          FROM x""",
     "multimodal_resize" ->
@@ -252,16 +274,22 @@ object SparkEntry {
                 row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
                   AS cum_count
          FROM events""",
+    // Checksum over UTF-8 bytes (hex-pair decode), same as Spark's byte
+    // loop — agrees on any corpus, not just pure ASCII.
     "multimodal_meta" ->
-      """SELECT doc_id,
-                cast(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-                cast(16 + octet_length(encode(text)) % 624 AS BIGINT) AS width,
-                cast(16 + (octet_length(encode(text)) * 7) % 464 AS BIGINT) AS height,
-                cast(1 + octet_length(encode(text)) % 30 AS BIGINT) AS n_frames,
+      """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+                           octet_length(encode(text)) AS n FROM documents)
+         SELECT doc_id,
+                cast(n AS BIGINT) AS n_bytes,
+                cast(16 + n % 624 AS BIGINT) AS width,
+                cast(16 + (n * 7) % 464 AS BIGINT) AS height,
+                cast(1 + n % 30 AS BIGINT) AS n_frames,
                 list_reduce(
                   list_prepend(cast(1 AS BIGINT),
-                    list_transform(range(1, length(text) + 1), i -> cast(ascii(text[i]) AS BIGINT))),
+                    list_transform(range(0, n), i ->
+                      cast((strpos('0123456789ABCDEF', substr(hx, 2*i+1, 1)) - 1) * 16 +
+                           (strpos('0123456789ABCDEF', substr(hx, 2*i+2, 1)) - 1) AS BIGINT))),
                   (a, c) -> (a * 31 + c) % 1000000007) AS checksum
-         FROM documents""",
+         FROM b""",
   )
 }
