@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.Tables
 
 /** Deduplication operators over the `documents` table — the core of an
@@ -81,7 +82,14 @@ object Dedup {
     */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val k = 4
+    // The sketch table feeds BOTH sides of the prefix self-join and both
+    // verification joins; without persisting it, each consumer re-runs
+    // the full tokenize→shingle→hash pipeline (4× the dominant CPU
+    // cost). Persisting the digests (8 B/shingle, no text) is the
+    // standard "materialize the signature table" step of a 100 TB dedup
+    // run — per-executor storage, never driver-side.
     val sets = hashedSets(spark, dir).drop("sh")
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     val pref = sets
       .withColumn("plen", expr(s"ns - (4*ns + 4) DIV 5 + $k"))
@@ -132,7 +140,11 @@ object Dedup {
     val bandRows = 4
     val numBands = numHashes / bandRows
 
-    val sets = hashedSets(spark, dir)
+    // Persisted twice over: `sets` feeds the band computation and both
+    // verification joins; `bands` feeds both sides of the bucket
+    // self-join. Without the persists each consumer re-runs the
+    // tokenize→shingle→hash (and 64-permutation MinHash) pipeline.
+    val sets = hashedSets(spark, dir).persist(StorageLevel.MEMORY_AND_DISK)
     // Signature + banding run in the native MinHashBands expression
     // (graft.functions.HashExpressions) — one tight codegen'd loop per
     // row instead of 64 interpreted higher-order-function passes.
@@ -141,6 +153,7 @@ object Dedup {
       posexplode(graft.functions.functions.minhash_bands(col("sh"), numHashes, bandRows)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     val candidates = bands.as("x")
       .join(bands.as("y"),
@@ -164,9 +177,12 @@ object Dedup {
     // Per-bit votes of each token's xxhash64 run in the native
     // SimHash64 expression — same bits as the previous HOF
     // formulation (both hash with XXH64 seed 42), one loop per row.
+    // One signature row per doc (16 B) — persisted so the self-join's two
+    // sides share a single tokenize+simhash pass over the corpus.
     val hashed = Tables.documentsSpread(spark, dir)
       .select(col("doc_id"),
         graft.functions.functions.simhash64(TextOps.tokens(col("text"))).as("simhash"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     val chunks = hashed.select(
       col("doc_id"), col("simhash"),
@@ -181,7 +197,11 @@ object Dedup {
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
-      .distinct()
+      // hamming BEFORE distinct: the popcount is a per-row bit op, so
+      // filtering first means only qualifying pairs cross the distinct's
+      // exchange — not every far pair that happens to share one chunk
+      // (a templated corpus makes those collision pairs quadratic-ish).
       .filter(col("hamming") <= 3)
+      .distinct()
   }
 }

@@ -121,7 +121,16 @@ object Relational {
   def taskFAntiJoin(spark: SparkSession, dir: String): DataFrame = {
     val li       = Tables.lineitem(spark, dir)
     val supplier = Tables.supplier(spark, dir)
-    li.groupBy(col("l_suppkey").as("suppkey"), col("l_partkey").as("partkey"))
+    // Explicit hash-repartition on the grouping key: (suppkey, partkey)
+    // pairs are near-unique (~1 row each), so map-side partial agg can't
+    // reduce volume — it only builds a fact-sized hash table inside the
+    // single scan partition (the testdata is one row group). Shuffling
+    // the pruned 3-column rows first costs the same bytes the groupBy
+    // exchange would move anyway and lets the whole aggregate run at
+    // full parallelism; the groupBy then needs no further exchange.
+    li.select(col("l_suppkey"), col("l_partkey"), col("l_quantity"))
+      .repartition(col("l_suppkey"), col("l_partkey"))
+      .groupBy(col("l_suppkey").as("suppkey"), col("l_partkey").as("partkey"))
       .agg(max(col("l_quantity")).as("max_qty"))
       .filter(col("max_qty") <= 25)
       .select(col("suppkey")).distinct()

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.Tables
 
 /** Similarity search over the `embeddings` table (`embedding
@@ -32,12 +33,19 @@ object Similarity {
   private def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Embeddings with double-cast vectors and precomputed norms (one pass,
-    * per-row, before any join).
+    * per-row, before any join). Spread to full parallelism first — the
+    * testdata ships as one row group = one scan partition, which would
+    * serialize every downstream dot product — and persisted, because
+    * every similarity query consumes this table at least twice (query
+    * side + candidate side); the vectors should be cast and normed once,
+    * not once per consumer.
     */
   private def withNorm(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", norm(col("v")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
   /** Exact cosine top-5 for query vectors (vec_id < 10) against the whole
     * corpus. The query side is tiny and explicitly broadcast; the
@@ -117,6 +125,9 @@ object Similarity {
       .withColumn("cs", cellSims(col("v"), col("nrm")))
       .withColumn("cell", array_position(col("cs"), array_max(col("cs"))).cast("int"))
       .drop("cs")
+      // cell assignment (nlist dot products per row) feeds both the probe
+      // side and the candidate side — compute it once
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     // query → its nprobe highest-similarity cells
     val qProbes = assigned.filter(col("vec_id") < 10)
@@ -165,7 +176,9 @@ object Similarity {
     val sigBits = (0 until nBits).map { p =>
       when(dot(col("v"), element_at(planesLit, p + 1)) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
-    val sig = emb.withColumn("sig", sigBits)
+    // signature = nBits hyperplane dot products per row; both the query
+    // and candidate band streams read it, so compute it once
+    val sig = emb.withColumn("sig", sigBits).persist(StorageLevel.MEMORY_AND_DISK)
     val bands = sig.select(
       col("vec_id"), col("v"), col("nrm"),
       posexplode(array((0 until nBands).map(b =>
