@@ -72,7 +72,11 @@ object SparkEntry {
     * the same parquet tables. Omitted (→ rows-only check):
     * pi_montecarlo (seeded RNG), dedup_minhash / dedup_simhash /
     * similarity_ann_lsh (Spark-hash/seed-specific plans; each is
-    * cross-checked in ScalaTest against its exact counterpart).
+    * cross-checked in ScalaTest against its exact or portable
+    * counterpart — dedup_minhash_portable and similarity_ann_ivf ARE
+    * oracled end-to-end), events_value_quantiles_approx (sketch output
+    * is implementation-defined; error-bounded in ScalaTest against the
+    * oracled exact percentiles).
     */
   def oracleSql: Map[String, String] = Map(
     "taskA_filter_project" ->
@@ -225,6 +229,43 @@ object SparkEntry {
          FROM documents""",
     "stream_dedup_events" ->
       "SELECT DISTINCT event_id FROM events",
+    // IVF is approximate-by-construction but fully deterministic (the
+    // codebook is the first-nlist vectors), so the whole
+    // assign→probe→score→rank pipeline replays in SQL: same sequential
+    // dot/norm recurrences, same tie rules (assignment ties → lowest
+    // cell, probe-order ties → highest cell, rank ties → lowest vec_id).
+    "similarity_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v,
+                           sqrt(list_reduce(list_prepend(0.0,
+                             list_transform(cast(embedding AS DOUBLE[]), x -> x*x)),
+                             (a,x) -> a + x)) AS nrm
+                    FROM embeddings),
+              c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM e WHERE vec_id < 16),
+              cs AS (SELECT e.vec_id, c.cid,
+                            list_reduce(list_prepend(0.0,
+                              list_transform(range(1, len(e.v)+1), i -> e.v[i]*c.cv[i])),
+                              (a,x) -> a + x) / (e.nrm * c.cnrm) AS sim
+                     FROM e, c),
+              assigned AS (SELECT vec_id, cell FROM (
+                     SELECT vec_id, cid AS cell,
+                            row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+                     FROM cs) WHERE rn = 1),
+              probes AS (SELECT qid, cell FROM (
+                     SELECT vec_id AS qid, cid AS cell,
+                            row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid DESC) AS rn
+                     FROM cs WHERE vec_id < 10) WHERE rn <= 4),
+              scored AS (SELECT p.qid, a.vec_id,
+                                list_reduce(list_prepend(0.0,
+                                  list_transform(range(1, len(q.v)+1), i -> q.v[i]*t.v[i])),
+                                  (acc,x) -> acc + x) / (q.nrm * t.nrm) AS sim
+                         FROM probes p
+                         JOIN assigned a ON p.cell = a.cell
+                         JOIN e q ON q.vec_id = p.qid
+                         JOIN e t ON t.vec_id = a.vec_id
+                         WHERE a.vec_id != p.qid)
+         SELECT qid, vec_id AS neighbor_id, rnk FROM (
+           SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rnk
+           FROM scored) WHERE rnk <= 5""",
     "events_props_agg" ->
       """SELECT event_type, count(*) AS n_events, count(k) AS n_with_k,
                 sum(k) AS sum_k, min(k) AS min_k, max(k) AS max_k
