@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 import graft.Tables
@@ -53,10 +52,10 @@ object Similarity {
     * Output is rank-only (ints) so the oracle comparison never hashes a
     * floating-point score.
     *
-    * Scale note: the final per-query top-k runs as a window over the
-    * scored stream; with k·N rows per query a per-partition partial
-    * top-k (Aggregator) would cut the shuffle — candidate follow-up once
-    * the bench flags it.
+    * The per-query top-k reduction is the [[graft.functions.TopKBySim]]
+    * typed Aggregator: the k-bounded buffer folds map-side, so the one
+    * exchange carries ≤k rows per (query, partition) instead of the
+    * whole k·N scored stream a window-rank plan would shuffle and sort.
     */
   def topKBrute(spark: SparkSession, dir: String): DataFrame = {
     val emb = withNorm(spark, dir)
@@ -65,11 +64,7 @@ object Similarity {
     val scored = emb.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("sim", dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id").asc)
-    scored
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= 5)
-      .select(col("qid"), col("vec_id").as("neighbor_id"), col("rnk"))
+    graft.functions.TopK.perQuery(scored, 5)
   }
 
   /** Exact embedding-cosine near-duplicate pairs: upper-triangle
@@ -141,14 +136,11 @@ object Similarity {
             p => p.getField("i")),
           1, nprobe)).as("cell"))
 
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id").asc)
-    assigned
+    val scored = assigned
       .join(broadcast(qProbes), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("sim", dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= 5)
-      .select(col("qid"), col("vec_id").as("neighbor_id"), col("rnk"))
+    graft.functions.TopK.perQuery(scored, 5)
   }
 
   /** Approximate top-5 via random-hyperplane LSH: 16 signature bits from
@@ -196,11 +188,8 @@ object Similarity {
       .select(col("qid"), col("qv"), col("qnrm"), col("vec_id"), col("v"), col("nrm"))
       .dropDuplicates("qid", "vec_id")
 
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id").asc)
-    candidates
+    val scored = candidates
       .withColumn("sim", dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= 5)
-      .select(col("qid"), col("vec_id").as("neighbor_id"), col("rnk"))
+    graft.functions.TopK.perQuery(scored, 5)
   }
 }
