@@ -37,6 +37,9 @@ object SparkEntry {
     "taskG_inactive"         -> Relational.taskGInactive _,
     "taskH_above_avg"        -> Relational.taskHAboveAvg _,
     "q1_agg"                 -> Relational.q1Agg _,
+    "q5_regional_revenue"    -> Relational.q5RegionalRevenue _,
+    "rollup_pricing"         -> Relational.rollupPricing _,
+    "parts_never_shipped"    -> Relational.partsNeverShipped _,
     "wordcount"              -> TextOps.wordcount _,
     // ---- LLM-data-pipeline operators (north star) ----
     "pi_montecarlo"          -> MonteCarloPi.piMontecarlo _,
@@ -135,6 +138,29 @@ object SparkEntry {
                 cast(sum(cast(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
                 count(*) AS n_rows
          FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "q5_regional_revenue" ->
+      """SELECT n_name AS nation,
+                cast(sum(cast(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+                count(*) AS n_items
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+         WHERE r_name = 'ASIA'
+         GROUP BY n_name""",
+    "parts_never_shipped" ->
+      """SELECT p_brand AS brand, count(*) AS n_unsold,
+                min(p_partkey) AS min_partkey
+         FROM part
+         WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+         GROUP BY p_brand""",
+    "rollup_pricing" ->
+      """SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+                sum(l_quantity) AS sum_qty, count(*) AS n_rows
+         FROM lineitem
+         GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
     "wordcount" ->
       """SELECT word, count(*) AS cnt
          FROM (SELECT unnest(list_filter(string_split_regex(text, '\s+'), t -> t != '')) AS word

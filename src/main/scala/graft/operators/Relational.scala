@@ -182,6 +182,64 @@ object Relational {
       .select(col("c_custkey").as("custkey"), col("c_name").as("name"), col("n_orders"))
   }
 
+  /** TPC-H Q5-style regional revenue: a six-table join chain
+    * (region → nation → customer → orders → lineitem → supplier) with
+    * the local-supplier condition (supplier in the customer's nation).
+    * Join-order posture for 100 TB: the two bounded dimensions
+    * (region, nation) are broadcast; the fact-side chain joins
+    * customer → orders → lineitem on their keys, then supplier. The
+    * revenue sum goes through DECIMAL for oracle hash-stability.
+    */
+  def q5RegionalRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val region   = Tables.region(spark, dir)
+    val nation   = Tables.nation(spark, dir)
+    val customer = Tables.customer(spark, dir)
+    val orders   = Tables.orders(spark, dir)
+    val li       = Tables.lineitem(spark, dir)
+    val supplier = Tables.supplier(spark, dir)
+    customer
+      .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region.filter(col("r_name") === "ASIA")),
+        nation("n_regionkey") === col("r_regionkey"))
+      .join(orders, customer("c_custkey") === orders("o_custkey"))
+      .join(li, orders("o_orderkey") === li("l_orderkey"))
+      .join(supplier,
+        li("l_suppkey") === supplier("s_suppkey") &&
+          supplier("s_nationkey") === customer("c_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,4)"))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Dimension-side anti-join: parts that never appear in any lineitem,
+    * counted per brand. The anti-join runs directly on the join key —
+    * no pre-distinct pass (anti semantics already dedupe the probe
+    * side), so lineitem contributes one pruned column to one exchange.
+    */
+  def partsNeverShipped(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(spark, dir)
+    val li   = Tables.lineitem(spark, dir)
+    part
+      .join(li, part("p_partkey") === li("l_partkey"), "left_anti")
+      .groupBy(col("p_brand").as("brand"))
+      .agg(count(lit(1)).as("n_unsold"), min(col("p_partkey")).as("min_partkey"))
+  }
+
+  /** Grouping-sets aggregate (ROLLUP over returnflag → linestatus):
+    * per-group, per-flag subtotal, and grand-total rows in ONE pass —
+    * Catalyst expands the rollup into a single Expand + hash aggregate,
+    * not three scans.
+    */
+  def rollupPricing(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.rollup(col("l_returnflag").as("returnflag"), col("l_linestatus").as("linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+  }
+
   /** TPC-H Q1-style pricing summary — the canonical wide-aggregation
     * bench headline. Money sums go through DECIMAL(18,2) so Spark and
     * the DuckDB oracle produce bit-identical results regardless of

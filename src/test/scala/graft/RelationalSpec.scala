@@ -74,6 +74,27 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     assert(r.getLong(5) === 4L)
   }
 
+  test("parts_never_shipped: left-anti keeps only parts absent from lineitem") {
+    val got = rows(Relational.partsNeverShipped(spark, fixtureDir))
+    assert(got === Set(Row("Brand#2", 1L, 12L))) // parts 10/11 shipped
+  }
+
+  test("rollup_pricing emits group, subtotal, and grand-total rows in one pass") {
+    val got = rows(Relational.rollupPricing(spark, fixtureDir))
+    assert(got === Set(
+      Row("N", "O", 90.0, 4L),   // the single (flag, status) group
+      Row("N", null, 90.0, 4L),  // per-flag subtotal
+      Row(null, null, 90.0, 4L)) // grand total
+    )
+  }
+
+  test("q5: region-filtered six-table join runs (fixture has no ASIA orders)") {
+    // fixture: ASIA customers (carol/dave) have no orders, and fixture
+    // lineitem orderkeys don't land in orders — the join chain must
+    // still plan and return empty, not error.
+    assert(Relational.q5RegionalRevenue(spark, fixtureDir).count() === 0L)
+  }
+
   test("events loader converts INT64 nanos to exact microsecond timestamps") {
     import org.apache.spark.sql.functions._
     val ts = Tables.events(spark, fixtureDir)

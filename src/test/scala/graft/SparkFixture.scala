@@ -48,8 +48,19 @@ object Fixtures {
     def w(df: org.apache.spark.sql.DataFrame, name: String): Unit =
       df.coalesce(1).write.mode("overwrite").parquet(s"$dir/$name.parquet")
 
-    w(Seq((0, "NATION_7", 0), (1, "NATION_1", 0))
+    w(Seq((0, "AFRICA"), (2, "ASIA"))
+      .toDF("r_regionkey", "r_name"), "region")
+
+    // nation 1 sits in ASIA so region-filtered joins have a live path
+    w(Seq((0, "NATION_7", 0), (1, "NATION_1", 2))
       .toDF("n_nationkey", "n_name", "n_regionkey"), "nation")
+
+    // part 12 never appears in lineitem (anti-join fixture)
+    w(Seq(
+      (10L, "widget", "Brand#1", "ECONOMY", 1, 1.0),
+      (11L, "gadget", "Brand#1", "STD", 2, 2.0),
+      (12L, "unused", "Brand#2", "STD", 3, 3.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"), "part")
 
     w(Seq(
       (1L, "alice", 0, 10.0, "SEG_A"),
