@@ -311,7 +311,7 @@ object SparkEntry {
       val sigCols = (0 until 16)
         .map(j => s"min(md5('$j:' || s)) AS h$j").mkString(", ")
       val bandCases = (0 until 4)
-        .map(b => s"WHEN $b THEN md5(h${b * 4} || h${b * 4 + 1} || h${b * 4 + 2} || h${b * 4 + 3})")
+        .map(b => s"WHEN $b THEN h${b * 4} || ':' || h${b * 4 + 1} || ':' || h${b * 4 + 2} || ':' || h${b * 4 + 3}")
         .mkString(" ")
       s"""WITH tk AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t != '') AS ts
                       FROM documents),

@@ -50,5 +50,13 @@ object Tables {
     */
   def documentsSpread(s: SparkSession, d: String): DataFrame =
     documents(s, d).repartition(s.sparkContext.defaultParallelism)
+
+  /** `events` spread to full core parallelism — same single-row-group
+    * rationale as [[documentsSpread]], for queries whose per-row compute
+    * (JSON parsing, large per-group state) dominates the scan.
+    */
+  def eventsSpread(s: SparkSession, d: String): DataFrame =
+    events(s, d).repartition(s.sparkContext.defaultParallelism)
+
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

@@ -22,7 +22,7 @@ object Dedup {
     * document body never crosses the exchange.
     */
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.documentsSpread(spark, dir)
       .groupBy(sha2(col("text"), 256).as("text_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
 
@@ -174,9 +174,14 @@ object Dedup {
     *
     * Signature: h_j(doc) = min over shingles s of md5("j:" || s) —
     * md5 hex strings compare lexicographically identically in both
-    * engines (fixed-length lowercase hex). Banding: md5 over the
-    * concatenated band rows. Verification: exact jaccard over the
-    * string shingle sets (array_intersect ≡ list_intersect on
+    * engines (fixed-length lowercase hex), and the 16 per-row digests
+    * stay inside whole-stage codegen. (A Kirsch–Mitzenmacher
+    * double-hash variant — one md5 split into two halves via `conv` —
+    * measured ~1s SLOWER here: the min-agg over 16 derived longs lost
+    * codegen on the hex parse, while 16 codegen'd md5s over 256k
+    * shingle rows cost only ~0.8s.) Banding: the band's signature rows
+    * concatenated into a string bucket key. Verification: exact jaccard
+    * over the string shingle sets (array_intersect ≡ list_intersect on
     * duplicate-free arrays).
     */
   def minhashPortable(spark: SparkSession, dir: String): DataFrame = {
@@ -196,8 +201,8 @@ object Dedup {
     val bandCols = (0 until numBands).map { b =>
       struct(
         lit(b).as("band"),
-        md5(concat_ws("", (b * bandRows until (b + 1) * bandRows)
-          .map(j => col(s"h$j")): _*).cast("binary")).as("band_hash"))
+        concat_ws(":", (b * bandRows until (b + 1) * bandRows)
+          .map(j => col(s"h$j")): _*).as("band_hash"))
     }
     val bands = sig
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))

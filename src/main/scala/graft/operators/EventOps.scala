@@ -26,7 +26,7 @@ object EventOps {
     * string itself never crosses the exchange.
     */
   def eventsPropsAgg(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
+    Tables.eventsSpread(spark, dir)
       .select(
         col("event_type"),
         from_json(col("props"), propsSchema).getField("k").as("k"))
@@ -45,7 +45,7 @@ object EventOps {
     * which is what a 100 TB pipeline would actually run.
     */
   def eventsValueQuantiles(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
+    Tables.eventsSpread(spark, dir)
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n"),
@@ -61,7 +61,7 @@ object EventOps {
     * assertion against [[eventsValueQuantiles]].
     */
   def eventsValueQuantilesApprox(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
+    Tables.eventsSpread(spark, dir)
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n"),

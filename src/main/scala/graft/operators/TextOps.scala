@@ -40,7 +40,7 @@ object TextOps {
     * across engines. Purely narrow (no shuffle).
     */
   def textStats(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.documentsSpread(spark, dir)
       .withColumn("toks", tokens(col("text")))
       .select(
         col("doc_id"),
@@ -93,7 +93,7 @@ object TextOps {
     */
   def langId(spark: SparkSession, dir: String): DataFrame = {
     val markers = Seq("the", "a", "of", "and", "to", "is", "in")
-    val docs = Tables.documents(spark, dir)
+    val docs = Tables.documentsSpread(spark, dir)
     docs
       .withColumn("toks", tokens(col("text")))
       .withColumn("ratio",
