@@ -58,6 +58,9 @@ object SparkEntry {
     "lang_id"                -> TextOps.langId _,
     "doc_fingerprint"        -> TextOps.docFingerprint _,
     "events_props_agg"       -> EventOps.eventsPropsAgg _,
+    "events_window_funcs"    -> EventOps.eventsWindowFuncs _,
+    "events_pivot"           -> EventOps.eventsPivot _,
+    "user_segment_set_ops"   -> EventOps.userSegmentSetOps _,
     "events_value_quantiles" -> EventOps.eventsValueQuantiles _,
     "events_value_quantiles_approx" -> EventOps.eventsValueQuantilesApprox _,
     "multimodal_meta"        -> Multimodal.multimodalMeta _,
@@ -69,6 +72,7 @@ object SparkEntry {
     "stream_session_windows" -> graft.streaming.EventStreams.streamSessionWindows _,
     "stream_running_counts"  -> graft.streaming.EventStreams.streamRunningCounts _,
     "stream_dedup_events"    -> graft.streaming.EventStreams.streamDedupEvents _,
+    "stream_enrich_join"     -> graft.streaming.EventStreams.streamEnrichJoin _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -299,6 +303,35 @@ object SparkEntry {
                       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
                FROM events)
          GROUP BY event_type""",
+    "events_window_funcs" ->
+      """SELECT user_id, event_id,
+                row_number() OVER w AS rn,
+                lag(event_id, 1) OVER w AS prev_event,
+                epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS gap_us,
+                cast(sum(cast(value AS DECIMAL(18,6)))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mv_sum3
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+    "events_pivot" ->
+      """SELECT user_id,
+                nullif(count(*) FILTER (WHERE event_type = 'view'), 0) AS view,
+                nullif(count(*) FILTER (WHERE event_type = 'click'), 0) AS click,
+                nullif(count(*) FILTER (WHERE event_type = 'purchase'), 0) AS purchase,
+                nullif(count(*) FILTER (WHERE event_type = 'signup'), 0) AS signup,
+                nullif(count(*) FILTER (WHERE event_type = 'error'), 0) AS error
+         FROM events GROUP BY user_id""",
+    "user_segment_set_ops" ->
+      """WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+              b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+         SELECT 'click_and_buy' AS segment, user_id FROM (SELECT user_id FROM c INTERSECT SELECT user_id FROM b)
+         UNION ALL
+         SELECT 'click_no_buy' AS segment, user_id FROM (SELECT user_id FROM c EXCEPT SELECT user_id FROM b)
+         UNION ALL
+         SELECT 'buy_no_click' AS segment, user_id FROM (SELECT user_id FROM b EXCEPT SELECT user_id FROM c)""",
+    "stream_enrich_join" ->
+      """SELECT event_id, user_id, c_name AS name, event_type
+         FROM events JOIN customer ON user_id = c_custkey""",
     "events_value_quantiles" ->
       """SELECT event_type, count(*) AS n,
                 quantile_cont(value, 0.25) AS p25,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import graft.Tables
@@ -52,6 +53,52 @@ object EventOps {
         expr("percentile(value, 0.25)").as("p25"),
         expr("percentile(value, 0.5)").as("p50"),
         expr("percentile(value, 0.95)").as("p95"))
+
+  /** Analytic window functions per user session stream: row_number,
+    * lag-based inter-event gap (exact integer microseconds — no float
+    * time arithmetic), and a bounded moving sum over the last 3 events
+    * (decimal-stable). One hash exchange on user_id feeds every window
+    * in the same sort order — Catalyst computes all four functions in a
+    * single Window operator, not one shuffle per function.
+    */
+  def eventsWindowFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wm = w.rowsBetween(-2, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(
+        col("user_id"), col("event_id"),
+        row_number().over(w).cast("long").as("rn"),
+        lag(col("event_id"), 1).over(w).as("prev_event"),
+        (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)).as("gap_us"),
+        sum(col("value").cast("decimal(18,6)")).over(wm).cast("double").as("mv_sum3"))
+  }
+
+  /** Pivot (long→wide reshape): events per user spread into one column
+    * per event type. The type domain is pinned explicitly — at 100 TB a
+    * domain-discovery pass (`pivot(col)` without values) is a full extra
+    * scan-and-collect; a production pipeline pins its vocabulary.
+    */
+  def eventsPivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("view", "click", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+
+  /** Set operations over user segments: INTERSECT / EXCEPT between
+    * "users who clicked" and "users who purchased", each branch tagged
+    * and unioned. Spark plans these as aggregate/anti-join shapes over
+    * the pre-deduped key sets, never materializing a cross product.
+    */
+  def userSegmentSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def usersOf(t: String): DataFrame =
+      ev.filter(col("event_type") === t).select(col("user_id")).distinct()
+    val clickers = usersOf("click")
+    val buyers   = usersOf("purchase")
+    clickers.intersect(buyers).select(lit("click_and_buy").as("segment"), col("user_id"))
+      .unionAll(clickers.except(buyers).select(lit("click_no_buy").as("segment"), col("user_id")))
+      .unionAll(buyers.except(clickers).select(lit("buy_no_click").as("segment"), col("user_id")))
+  }
 
   /** Approximate percentiles via `approx_percentile` (Greenwald-Khanna):
     * bounded-memory mergeable sketches — the scale path, since exact

@@ -118,7 +118,24 @@ object EventStreams {
         .dropDuplicatesWithinWatermark("event_id")
     else events.dropDuplicates("event_id")
 
+  /** Stream-static enrichment join: each micro-batch of the event
+    * stream joins the (slowly-changing) customer dimension — the
+    * canonical streaming-ETL enrich step. No broadcast hint: the static
+    * side is scale-proportional, so the planner picks broadcast only
+    * when it actually fits (the reference's 20-row distributed-cache
+    * rationale does not transfer — see SURVEY.md §2.1 S3).
+    */
+  def enrichJoin(events: DataFrame, customer: DataFrame): DataFrame =
+    events
+      .join(customer, events("user_id") === customer("c_custkey"))
+      .select(
+        col("event_id"), col("user_id"),
+        col("c_name").as("name"), col("event_type"))
+
   // ---- batch entry points for the driver contract ----
+
+  def streamEnrichJoin(spark: SparkSession, dir: String): DataFrame =
+    enrichJoin(Tables.events(spark, dir), Tables.customer(spark, dir))
 
   def streamWindowCounts(spark: SparkSession, dir: String): DataFrame =
     windowedCounts(Tables.events(spark, dir))

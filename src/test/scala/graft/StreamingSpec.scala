@@ -142,6 +142,21 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q2.stop()
   }
 
+  test("stream-static enrich join joins micro-batches against the dimension") {
+    val stream = EventStreams.readEventStream(spark, fixtureDir)
+    val customer = Tables.customer(spark, fixtureDir)
+    val q = EventStreams.enrichJoin(stream, customer)
+      .writeStream.format("memory").queryName("enrich")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("enrich").collect()
+        .map(r => r.getAs[Long]("event_id") -> r.getAs[String]("name")).toMap
+      // fixture: events 0,1 are alice's; 2,3 are bob's
+      assert(rows === Map(0L -> "alice", 1L -> "alice", 2L -> "bob", 3L -> "bob"))
+    } finally q.stop()
+  }
+
   test("batch-mode transforms agree with streaming semantics on the fixture") {
     // the same windowedCounts function runs on the static fixture table
     val wc = EventStreams.streamWindowCounts(spark, fixtureDir)
