@@ -59,6 +59,7 @@ object SparkEntry {
     "doc_fingerprint"        -> TextOps.docFingerprint _,
     "events_props_agg"       -> EventOps.eventsPropsAgg _,
     "events_window_funcs"    -> EventOps.eventsWindowFuncs _,
+    "events_asof_order"      -> EventOps.eventsAsofOrder _,
     "events_pivot"           -> EventOps.eventsPivot _,
     "user_segment_set_ops"   -> EventOps.userSegmentSetOps _,
     "events_value_quantiles" -> EventOps.eventsValueQuantiles _,
@@ -313,6 +314,12 @@ object SparkEntry {
                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mv_sum3
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+    "events_asof_order" ->
+      """WITH o AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+                    FROM orders GROUP BY o_custkey, o_orderdate)
+         SELECT e.user_id, e.event_id, o.o_orderkey AS last_order
+         FROM events e ASOF LEFT JOIN o
+           ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""",
     "events_pivot" ->
       """SELECT user_id,
                 nullif(count(*) FILTER (WHERE event_type = 'view'), 0) AS view,

@@ -73,6 +73,41 @@ object EventOps {
         sum(col("value").cast("decimal(18,6)")).over(wm).cast("double").as("mv_sum3"))
   }
 
+  /** As-of (temporal) join: each event matched to the user's most
+    * recent order at or before the event time — the operator family
+    * Spark lacks natively (financial tick joins, slowly-changing-dim
+    * lookups). Composed as union + ordered window, the distributed
+    * formulation: tag both streams, sort each user's merged timeline
+    * once, and carry the latest order forward with
+    * `last(..., ignoreNulls)`. ONE shuffle on user_id and one
+    * partition-local sort — same cost shape as a sort-merge join, no
+    * per-event probe. Equal-date order ties are pre-collapsed to
+    * max(o_orderkey), and orders sort before events at the same
+    * instant, giving exact `<=` as-of semantics (DuckDB's ASOF JOIN is
+    * the oracle).
+    */
+  def eventsAsofOrder(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val ord = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+    val tagged = ord
+      .select(
+        col("o_custkey").as("user_id"), col("o_orderdate").as("t"),
+        lit(0).as("kind"), lit(null).cast("long").as("event_id"), col("o_orderkey"))
+      .unionByName(ev.select(
+        col("user_id"), col("ts").as("t"), lit(1).as("kind"), col("event_id"),
+        lit(null).cast("long").as("o_orderkey")))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("last_order", last(col("o_orderkey"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("user_id"), col("event_id"), col("last_order"))
+  }
+
   /** Pivot (long→wide reshape): events per user spread into one column
     * per event type. The type domain is pinned explicitly — at 100 TB a
     * domain-discovery pass (`pivot(col)` without values) is a full extra

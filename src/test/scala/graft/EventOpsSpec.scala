@@ -34,6 +34,35 @@ class EventOpsSpec extends AnyFunSuite with SparkFixture {
     assert(got("click") === ((2L, 0L, None)))
   }
 
+  test("as-of join matches each event to the latest order at-or-before it") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-asof").toString
+    val t0 = Fixtures.RefTs / 1000000000L // epoch seconds
+    def ts(offS: Long) = new java.sql.Timestamp((t0 + offS) * 1000L)
+    // user 1: orders at +10s (ok 100) and +30s (ok 101, and a same-instant
+    // tie ok 102 -> max wins); events straddle all boundaries
+    Seq((100L, 1L, ts(10)), (101L, 1L, ts(30)), (102L, 1L, ts(30)))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq(
+      (0L, (t0 + 5) * 1000000000L, 1L, "view", 1.0, "{}"),   // before any order
+      (1L, (t0 + 10) * 1000000000L, 1L, "view", 1.0, "{}"),  // same instant: <= matches
+      (2L, (t0 + 20) * 1000000000L, 1L, "view", 1.0, "{}"),
+      (3L, (t0 + 40) * 1000000000L, 1L, "view", 1.0, "{}"),
+      (4L, (t0 + 40) * 1000000000L, 2L, "view", 1.0, "{}"))  // user w/o orders
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val got = graft.operators.EventOps.eventsAsofOrder(spark, dir).collect()
+      .map(r => r.getAs[Long]("event_id") -> Option(r.getAs[Any]("last_order"))).toMap
+    assert(got === Map(
+      0L -> None,        // no prior order
+      1L -> Some(100L),  // boundary: order at the same instant counts
+      2L -> Some(100L),
+      3L -> Some(102L),  // equal-date tie collapsed to max orderkey
+      4L -> None))       // user with no orders at all
+  }
+
   test("approx quantiles stay within sketch error of the exact percentiles") {
     val exact = EventOps.eventsValueQuantiles(spark, fixtureDir).collect()
       .map(r => r.getAs[String]("event_type") ->
