@@ -62,6 +62,8 @@ object SparkEntry {
     "events_asof_order"      -> EventOps.eventsAsofOrder _,
     "events_pivot"           -> EventOps.eventsPivot _,
     "user_segment_set_ops"   -> EventOps.userSegmentSetOps _,
+    "user_cardinality"       -> EventOps.userCardinality _,
+    "user_cardinality_approx" -> EventOps.userCardinalityApprox _,
     "events_value_quantiles" -> EventOps.eventsValueQuantiles _,
     "events_value_quantiles_approx" -> EventOps.eventsValueQuantilesApprox _,
     "multimodal_meta"        -> Multimodal.multimodalMeta _,
@@ -339,6 +341,10 @@ object SparkEntry {
     "stream_enrich_join" ->
       """SELECT event_id, user_id, c_name AS name, event_type
          FROM events JOIN customer ON user_id = c_custkey""",
+    "user_cardinality" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+                count(*) AS n_events
+         FROM events GROUP BY event_type""",
     "events_value_quantiles" ->
       """SELECT event_type, count(*) AS n,
                 quantile_cont(value, 0.25) AS p25,

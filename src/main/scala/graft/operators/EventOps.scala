@@ -135,6 +135,28 @@ object EventOps {
       .unionAll(buyers.except(clickers).select(lit("buy_no_click").as("segment"), col("user_id")))
   }
 
+  /** Exact distinct-user cardinality per event type — the correctness
+    * baseline for [[userCardinalityApprox]]. Exact distinct is a full
+    * shuffle of the (type, user) key space.
+    */
+  def userCardinality(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+
+  /** HyperLogLog++ distinct-user cardinality: a fixed-size mergeable
+    * sketch per group (map-side partial merge, no key-space shuffle) —
+    * the 100 TB cardinality path. rsd 2% default. Sketch output is
+    * implementation-defined → rows-only check + ScalaTest error bound
+    * against [[userCardinality]].
+    */
+  def userCardinalityApprox(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("n_users"),
+        count(lit(1)).as("n_events"))
+
   /** Approximate percentiles via `approx_percentile` (Greenwald-Khanna):
     * bounded-memory mergeable sketches — the scale path, since exact
     * percentiles need the whole group sorted while the sketch is

@@ -63,6 +63,19 @@ class EventOpsSpec extends AnyFunSuite with SparkFixture {
       4L -> None))       // user with no orders at all
   }
 
+  test("HLL cardinality stays within rsd bounds of exact distinct counts") {
+    val exact = graft.operators.EventOps.userCardinality(spark, fixtureDir)
+      .collect().map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n_users")).toMap
+    val approx = graft.operators.EventOps.userCardinalityApprox(spark, fixtureDir)
+      .collect().map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n_users")).toMap
+    assert(exact.keySet === approx.keySet)
+    exact.foreach { case (t, e) =>
+      // rsd 2%; tiny fixture groups should be spot-on, allow 10% slack
+      assert(math.abs(approx(t) - e) <= math.max(1L, (e * 0.1).toLong),
+        s"$t: exact=$e approx=${approx(t)}")
+    }
+  }
+
   test("approx quantiles stay within sketch error of the exact percentiles") {
     val exact = EventOps.eventsValueQuantiles(spark, fixtureDir).collect()
       .map(r => r.getAs[String]("event_type") ->
