@@ -157,6 +157,45 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("file-source stream resumes from its checkpoint exactly-once") {
+    // exactly-once across restarts: run → stop → new files arrive →
+    // restart with the SAME checkpoint → only the new files process.
+    val root = java.nio.file.Files.createTempDirectory("graft-chk").toString
+    val src = s"$root/src"
+    val out = s"$root/out"
+    val chk = s"$root/chk"
+    // seed the source with the fixture's 4 events (raw nanos ts longs)
+    spark.read.parquet(s"$fixtureDir/events.parquet")
+      .write.mode("overwrite").parquet(s"$src/events.parquet")
+
+    def runOnce(): Unit = {
+      val q = EventStreams.readEventStream(spark, src)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", chk)
+        .outputMode(OutputMode.Append).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    runOnce()
+    assert(spark.read.parquet(out).count() === 4L)
+
+    // late-arriving files: 3 new events appended to the source dir
+    val s = spark
+    import s.implicits._
+    Seq(
+      (10L, Fixtures.RefTs, 3L, "view", 1.0, "{}"),
+      (11L, Fixtures.RefTs, 3L, "click", 1.0, "{}"),
+      (12L, Fixtures.RefTs, 4L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("append").parquet(s"$src/events.parquet")
+
+    runOnce()
+    val ids = spark.read.parquet(out).select("event_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // every event exactly once — the first 4 were NOT reprocessed
+    assert(ids === Seq(0L, 1L, 2L, 3L, 10L, 11L, 12L))
+  }
+
   test("batch-mode transforms agree with streaming semantics on the fixture") {
     // the same windowedCounts function runs on the static fixture table
     val wc = EventStreams.streamWindowCounts(spark, fixtureDir)
