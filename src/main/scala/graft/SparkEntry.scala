@@ -57,6 +57,7 @@ object SparkEntry {
     "token_count"            -> TextOps.tokenCount _,
     "lang_id"                -> TextOps.langId _,
     "doc_fingerprint"        -> TextOps.docFingerprint _,
+    "text_winnow"            -> ((s: SparkSession, d: String) => TextOps.textWinnow(s, d)),
     "events_props_agg"       -> EventOps.eventsPropsAgg _,
     "events_window_funcs"    -> EventOps.eventsWindowFuncs _,
     "events_asof_order"      -> EventOps.eventsAsofOrder _,
@@ -262,6 +263,26 @@ object SparkEntry {
          FROM documents""",
     "stream_dedup_events" ->
       "SELECT DISTINCT event_id FROM events",
+    // k=3, w=4; enc = 44-bit md5-prefix hash * 2^16 + (2^16-1-pos) so
+    // the window min picks the min hash with rightmost-tie position.
+    "text_winnow" ->
+      """WITH tk AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS ts
+                     FROM documents),
+              d AS (SELECT doc_id, ts, len(ts) AS n FROM tk WHERE len(ts) >= 3 + 4 - 1),
+              kg AS (SELECT doc_id, n, i - 1 AS pos,
+                            ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS kg
+                     FROM (SELECT doc_id, ts, n, unnest(range(1, n - 3 + 2)) AS i FROM d)),
+              enc AS (SELECT doc_id, n, pos,
+                             ('0x' || substr(md5(kg), 1, 11))::BIGINT * 65536
+                               + (65535 - pos) AS enc
+                      FROM kg),
+              sel AS (SELECT doc_id, n, pos,
+                             min(enc) OVER (PARTITION BY doc_id ORDER BY pos
+                                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+                      FROM enc)
+         SELECT DISTINCT doc_id, wmin // 65536 AS fp,
+                65535 - (wmin % 65536) AS fp_pos
+         FROM sel WHERE pos <= n - 3 + 1 - 4""",
     // IVF is approximate-by-construction but fully deterministic (the
     // codebook is the first-nlist vectors), so the whole
     // assign→probe→score→rank pipeline replays in SQL: same sequential

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -104,6 +105,46 @@ object TextOps {
         when(col("ratio") >= 0.10, lit("en"))
           .when(col("ratio") >= 0.03, lit("en_low"))
           .otherwise(lit("other")).as("pred_lang"))
+  }
+
+  /** Winnowing fingerprints (the MOSS algorithm): token k-grams are
+    * hashed, and each sliding window of `w` consecutive k-gram hashes
+    * contributes its minimum — rightmost on ties — giving a position-
+    * robust fingerprint set that guarantees any shared substring of
+    * length ≥ w+k-1 tokens produces a shared fingerprint. Plagiarism /
+    * near-dup localization at 100 TB: per-row narrow compute + one
+    * window over in-doc positions, no cross-doc work until fingerprints
+    * are joined.
+    *
+    * Portable construction: 44-bit md5-prefix hash and the classic
+    * "encode (hash, rightmost-tie pos) into one BIGINT" trick —
+    * enc = h·2¹⁶ + (2¹⁶−1−pos), so min(enc) picks min hash with the
+    * RIGHTMOST position on ties, replayable in ANSI SQL. Assumes
+    * < 65536 k-grams per document (raise the 16-bit pos field for
+    * longer docs).
+    */
+  def textWinnow(spark: SparkSession, dir: String, k: Int = 3, w: Int = 4): DataFrame = {
+    val docs = Tables.documentsSpread(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= k + w - 1) // at least one full window
+    val kg = docs.select(
+      col("doc_id"), size(col("ts")).as("n"),
+      posexplode(transform(sequence(lit(0), size(col("ts")) - k),
+        i => concat_ws(" ", (0 until k).map(j => element_at(col("ts"), i + j + 1)): _*))))
+      .withColumnRenamed("col", "kg")
+    val enc = kg.withColumn("enc",
+      conv(substring(md5(col("kg").cast("binary")), 1, 11), 16, 10).cast("long") * 65536L
+        + (lit(65535L) - col("pos")))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    enc
+      .withColumn("wmin", min(col("enc")).over(win))
+      .filter(col("pos") <= col("n") - lit(k) + lit(1) - lit(w)) // full windows only
+      .select(
+        col("doc_id"),
+        expr("wmin DIV 65536").as("fp"),
+        (lit(65535L) - expr("wmin % 65536")).as("fp_pos"))
+      .distinct()
   }
 
   /** Document fingerprint: order-sensitive polynomial rolling hash over

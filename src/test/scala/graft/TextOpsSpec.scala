@@ -55,4 +55,18 @@ class TextOpsSpec extends AnyFunSuite with SparkFixture {
     assert(fp(0L) !== fp(4L)) // permuted tokens → different rolling hash
     assert(fp(0L) !== fp(2L))
   }
+
+  test("winnowing: identical docs share all fingerprints; near-dup shares most") {
+    val fps = TextOps.textWinnow(spark, fixtureDir).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .view.mapValues(_.map(r => (r.getAs[Long]("fp"), r.getAs[Long]("fp_pos"))).toSet)
+      .toMap
+    assert(fps(0L) === fps(1L)) // exact dup: identical fingerprint sets
+    // doc2 differs only in the final token: the guarantee says any
+    // shared token run of >= w+k-1 = 6 yields a shared fingerprint
+    val sharedHashes = fps(0L).map(_._1) intersect fps(2L).map(_._1)
+    assert(sharedHashes.nonEmpty)
+    // unrelated doc3 shares nothing with doc0
+    assert((fps(0L).map(_._1) intersect fps(3L).map(_._1)) === Set.empty)
+  }
 }
