@@ -77,6 +77,8 @@ object SparkEntry {
     "stream_running_counts"  -> graft.streaming.EventStreams.streamRunningCounts _,
     "stream_dedup_events"    -> graft.streaming.EventStreams.streamDedupEvents _,
     "stream_enrich_join"     -> graft.streaming.EventStreams.streamEnrichJoin _,
+    "stream_attribution_join" -> graft.streaming.EventStreams.streamAttributionJoin _,
+    "copurchase_pairs"       -> Relational.copurchasePairs _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -362,6 +364,20 @@ object SparkEntry {
     "stream_enrich_join" ->
       """SELECT event_id, user_id, c_name AS name, event_type
          FROM events JOIN customer ON user_id = c_custkey""",
+    "stream_attribution_join" ->
+      """SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id
+         FROM (SELECT * FROM events WHERE event_type = 'view') v
+         JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+           ON v.user_id = p.user_id
+          AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR""",
+    "copurchase_pairs" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+         SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                count(*) AS n_orders
+         FROM op a JOIN op b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         GROUP BY a.l_partkey, b.l_partkey
+         HAVING count(*) >= 2""",
     "user_cardinality" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users,
                 count(*) AS n_events

@@ -227,6 +227,27 @@ object Relational {
       .agg(count(lit(1)).as("n_unsold"), min(col("p_partkey")).as("min_partkey"))
   }
 
+  /** Market-basket co-occurrence: part pairs appearing in the same
+    * order, counted across orders. The self-join shuffles on the order
+    * key once (the distinct-parts-per-order table is persisted so both
+    * sides share one computation), and the pair fanout is bounded by
+    * order size squared — per-group quadratic, never corpus-quadratic,
+    * which is what keeps basket analysis tractable at 100 TB.
+    */
+  def copurchasePairs(spark: SparkSession, dir: String): DataFrame = {
+    val op = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    op.as("a")
+      .join(op.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= 2)
+  }
+
   /** Grouping-sets aggregate (ROLLUP over returnflag → linestatus):
     * per-group, per-flag subtotal, and grand-total rows in ONE pass —
     * Catalyst expands the rollup into a single Expand + hash aggregate,

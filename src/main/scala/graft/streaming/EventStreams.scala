@@ -118,6 +118,25 @@ object EventStreams {
         .dropDuplicatesWithinWatermark("event_id")
     else events.dropDuplicates("event_id")
 
+  /** Stream-stream interval join: view→purchase attribution — each
+    * purchase matched to the same user's views in the preceding hour.
+    * Both sides carry watermarks and the join condition bounds the time
+    * range, so the state store retains each side only for
+    * watermark + interval and eviction is automatic (an unbounded
+    * stream-stream join would buffer forever). Batch mode: watermarks
+    * erase and it's a plain range join — the oracle's form.
+    */
+  def attributionJoin(views: DataFrame, purchases: DataFrame): DataFrame =
+    views.withWatermark("ts", "2 hours").alias("v")
+      .join(
+        purchases.withWatermark("ts", "2 hours").alias("p"),
+        expr("""v.user_id = p.user_id
+                AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR"""))
+      .select(
+        col("v.event_id").as("view_id"),
+        col("p.event_id").as("purchase_id"),
+        col("v.user_id").as("user_id"))
+
   /** Stream-static enrichment join: each micro-batch of the event
     * stream joins the (slowly-changing) customer dimension — the
     * canonical streaming-ETL enrich step. No broadcast hint: the static
@@ -136,6 +155,13 @@ object EventStreams {
 
   def streamEnrichJoin(spark: SparkSession, dir: String): DataFrame =
     enrichJoin(Tables.events(spark, dir), Tables.customer(spark, dir))
+
+  def streamAttributionJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    attributionJoin(
+      ev.filter(col("event_type") === "view"),
+      ev.filter(col("event_type") === "purchase"))
+  }
 
   def streamWindowCounts(spark: SparkSession, dir: String): DataFrame =
     windowedCounts(Tables.events(spark, dir))

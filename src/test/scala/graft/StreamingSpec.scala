@@ -157,6 +157,34 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("stream-stream attribution join matches purchases to prior-hour views") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val q = EventStreams.attributionJoin(views.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("attr")
+      .outputMode(OutputMode.Append).start()
+    try {
+      views.addData(
+        ev(1, ts(10, 0), 1),   // view at 10:00
+        ev(2, ts(12, 0), 1),   // view at 12:00 (too early for the 13:30 buy)
+        ev(3, ts(10, 30), 2))  // other user
+      purchases.addData(
+        ev(50, ts(10, 40), 1, "purchase"),  // within 1h of view 1
+        ev(51, ts(13, 30), 1, "purchase"))  // >1h after both views
+      // advance both watermarks far enough to emit and evict (distinct
+      // users so the advancing events can't join each other)
+      views.addData(ev(9, ts(20, 0), 8))
+      purchases.addData(ev(99, ts(20, 0), 9, "purchase"))
+      q.processAllAvailable()
+      val got = spark.table("attr").collect()
+        .map(r => (r.getAs[Long]("view_id"), r.getAs[Long]("purchase_id"))).toSet
+      assert(got === Set((1L, 50L))) // only the in-window same-user pair
+    } finally q.stop()
+  }
+
   test("file-source stream resumes from its checkpoint exactly-once") {
     // exactly-once across restarts: run → stop → new files arrive →
     // restart with the SAME checkpoint → only the new files process.
