@@ -1,0 +1,39 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{EventOps, Relational, TextOps}
+import graft.plans.PlanChecks
+
+/** Shuffle-budget regression gate: each query's intended exchange count
+  * is pinned. A rewrite that silently adds a fact-scale shuffle (the
+  * classic 100 TB regression) fails here, on fixture data, immediately.
+  * Counts are upper bounds — fewer is always acceptable.
+  */
+class PlanQualitySpec extends AnyFunSuite with SparkFixture {
+
+  test("taskA filter+project runs with zero shuffles") {
+    assert(PlanChecks.shuffles(Relational.taskAFilterProject(spark, fixtureDir)) === 0)
+  }
+
+  test("taskF runs in at most 2 shuffles (keyed repartition+agg, distinct)") {
+    assert(PlanChecks.shuffles(Relational.taskFAntiJoin(spark, fixtureDir)) <= 2)
+  }
+
+  test("as-of join: one fact-scale shuffle plus the order-dedupe exchange") {
+    assert(PlanChecks.shuffles(EventOps.eventsAsofOrder(spark, fixtureDir)) <= 2)
+  }
+
+  test("window functions compute all four measures over ONE exchange") {
+    assert(PlanChecks.shuffles(EventOps.eventsWindowFuncs(spark, fixtureDir)) === 1)
+  }
+
+  test("wordcount: the spread rebalance plus one aggregation shuffle") {
+    assert(PlanChecks.shuffles(TextOps.wordcount(spark, fixtureDir)) <= 2)
+  }
+
+  test("taskG keeps the global-max scalar in-plan as a broadcast, not a shuffle") {
+    val plan = PlanChecks.executedPlanString(Relational.taskGInactive(spark, fixtureDir))
+    assert(PlanChecks.broadcastCount(plan) >= 1) // 1-row ref-time aggregate
+    assert(PlanChecks.shuffleCount(plan) <= 3)   // last-ts agg + join sides
+  }
+}

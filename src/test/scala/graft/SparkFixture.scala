@@ -72,10 +72,12 @@ object Fixtures {
       .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"), "customer")
 
     // alice: 3 orders, bob: 1, carol/dave: none → avg over order-havers = 2
+    val ots = new java.sql.Timestamp(RefTs / 1000000L)
     w(Seq(
-      (100L, 1L, "O", 10.0), (101L, 1L, "O", 20.0), (102L, 1L, "F", 30.0),
-      (103L, 2L, "O", 40.0))
-      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"), "orders")
+      (100L, 1L, "O", 10.0, ots), (101L, 1L, "O", 20.0, ots),
+      (102L, 1L, "F", 30.0, ots), (103L, 2L, "O", 40.0, ots))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"),
+      "orders")
 
     // ts is raw INT64 nanos, matching the testdata's TIMESTAMP(NANOS)
     // physical type as seen under nanosAsLong.
