@@ -58,6 +58,8 @@ object SparkEntry {
     "lang_id"                -> TextOps.langId _,
     "doc_fingerprint"        -> TextOps.docFingerprint _,
     "text_winnow"            -> ((s: SparkSession, d: String) => TextOps.textWinnow(s, d)),
+    "train_test_split"       -> TextOps.trainTestSplit _,
+    "text_normalize"         -> TextOps.textNormalize _,
     "events_props_agg"       -> EventOps.eventsPropsAgg _,
     "events_window_funcs"    -> EventOps.eventsWindowFuncs _,
     "events_asof_order"      -> EventOps.eventsAsofOrder _,
@@ -265,6 +267,22 @@ object SparkEntry {
          FROM documents""",
     "stream_dedup_events" ->
       "SELECT DISTINCT event_id FROM events",
+    "train_test_split" ->
+      """SELECT doc_id,
+                CASE WHEN b < 80 THEN 'train'
+                     WHEN b < 90 THEN 'valid'
+                     ELSE 'test' END AS split
+         FROM (SELECT doc_id,
+                      ('0x' || substr(md5(doc_id::VARCHAR), 1, 7))::BIGINT % 100 AS b
+               FROM documents)""",
+    "text_normalize" ->
+      """SELECT doc_id, norm_text,
+                CASE WHEN norm_text = '' THEN 0
+                     ELSE len(string_split(norm_text, ' ')) END AS n_norm_tokens
+         FROM (SELECT doc_id,
+                      trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                          ' +', ' ', 'g')) AS norm_text
+               FROM documents)""",
     // k=3, w=4; enc = 44-bit md5-prefix hash * 2^16 + (2^16-1-pos) so
     // the window min picks the min hash with rightmost-tie position.
     "text_winnow" ->

@@ -107,6 +107,42 @@ object TextOps {
           .otherwise(lit("other")).as("pred_lang"))
   }
 
+  /** Deterministic train/valid/test split: bucket = md5(doc_id) mod 100
+    * → 80/10/10. Hash-based (not random) so the assignment is stable
+    * across runs, engines, and re-partitioning — the property a
+    * training pipeline needs for reproducible splits and leak-free
+    * incremental appends. Per-row narrow compute; portable hash so the
+    * oracle replays it.
+    */
+  def trainTestSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        (conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 7), 16, 10)
+          .cast("long") % 100).as("bucket"))
+      .select(
+        col("doc_id"),
+        when(col("bucket") < 80, lit("train"))
+          .when(col("bucket") < 90, lit("valid"))
+          .otherwise(lit("test")).as("split"))
+
+  /** Corpus cleaning / normalization: lowercase, strip non-alphanumeric
+    * (keeping spaces), collapse whitespace runs, trim — the standard
+    * pre-tokenization scrub. Pure per-row column expressions inside
+    * whole-stage codegen; regexes restricted to the Java∩RE2 subset for
+    * oracle parity.
+    */
+  def textNormalize(spark: SparkSession, dir: String): DataFrame =
+    Tables.documentsSpread(spark, dir)
+      .select(
+        col("doc_id"),
+        trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
+          " +", " ")).as("norm_text"))
+      .withColumn("n_norm_tokens",
+        when(col("norm_text") === "", lit(0L))
+          .otherwise(size(split(col("norm_text"), " ")).cast("long")))
+
   /** Winnowing fingerprints (the MOSS algorithm): token k-grams are
     * hashed, and each sliding window of `w` consecutive k-gram hashes
     * contributes its minimum — rightmost on ties — giving a position-
