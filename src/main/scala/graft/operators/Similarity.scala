@@ -109,6 +109,11 @@ object Similarity {
     val emb = withNorm(spark, dir)
     val cents: Seq[Seq[Double]] = emb.filter(col("vec_id") < nlist)
       .orderBy("vec_id").select("v").collect().toSeq.map(_.getSeq[Double](0))
+    if (cents.isEmpty) {
+      // empty corpus → empty codebook → empty result, same schema
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Long)].toDF("qid", "neighbor_id", "rnk")
+    }
     val centNorms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
     val centsLit = typedLit(cents)
 
