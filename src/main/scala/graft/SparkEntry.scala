@@ -340,6 +340,43 @@ object SparkEntry {
          SELECT qid, vec_id AS neighbor_id, rnk FROM (
            SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rnk
            FROM scored) WHERE rnk <= 5""",
+    // Full LSH replay: md5-derived integer plane weights (exact as
+    // doubles), sequential-dot sign bits, 4-bit banding, candidate
+    // dedupe, exact-cosine re-rank — same tie rules as the Spark side.
+    "similarity_ann_lsh" ->
+      """WITH e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v,
+                           sqrt(list_reduce(list_prepend(0.0,
+                             list_transform(cast(embedding AS DOUBLE[]), x -> x*x)),
+                             (a,x) -> a + x)) AS nrm
+                    FROM embeddings),
+              sig AS (SELECT vec_id, v, nrm,
+                             list_transform(range(0, 16), p ->
+                               CASE WHEN list_reduce(list_prepend(0.0,
+                                      list_transform(range(0, 64), j ->
+                                        v[j+1] * cast(('0x' || substr(md5(p || ':' || j), 1, 7))::BIGINT
+                                                      % 2001 - 1000 AS DOUBLE))),
+                                      (a,x) -> a + x) > 0
+                                    THEN 1 ELSE 0 END) AS bits
+                      FROM e),
+              bands AS (SELECT vec_id, band,
+                               bits[4*band+1] + 2*bits[4*band+2]
+                                 + 4*bits[4*band+3] + 8*bits[4*band+4] AS band_val
+                        FROM sig, (SELECT unnest(range(0, 4)) AS band)),
+              cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS vec_id
+                       FROM bands q JOIN bands c
+                         ON q.band = c.band AND q.band_val = c.band_val
+                       WHERE q.vec_id < 10 AND c.vec_id != q.vec_id),
+              scored AS (SELECT cand.qid, cand.vec_id,
+                                list_reduce(list_prepend(0.0,
+                                  list_transform(range(1, len(eq.v)+1), i -> eq.v[i]*ec.v[i])),
+                                  (acc,x) -> acc + x) / (eq.nrm * ec.nrm) AS sim
+                         FROM cand
+                         JOIN e eq ON eq.vec_id = cand.qid
+                         JOIN e ec ON ec.vec_id = cand.vec_id)
+         SELECT qid, vec_id AS neighbor_id, rnk FROM (
+           SELECT qid, vec_id,
+                  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rnk
+           FROM scored) WHERE rnk <= 5""",
     "events_props_agg" ->
       """SELECT event_type, count(*) AS n_events, count(k) AS n_with_k,
                 sum(k) AS sum_k, min(k) AS min_k, max(k) AS max_k

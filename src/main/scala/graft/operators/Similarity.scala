@@ -148,11 +148,24 @@ object Similarity {
     graft.functions.TopK.perQuery(scored, 5)
   }
 
+  /** md5-derived hyperplane weight in [-1000, 1000] — deterministic,
+    * seedless, and replayable in SQL (integer-valued, so the double is
+    * exact), which is what lets the whole LSH pipeline be
+    * oracle-checked end-to-end.
+    */
+  private[operators] def planeWeight(p: Int, j: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$p:$j".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hex.substring(0, 7), 16) % 2001 - 1000).toDouble
+  }
+
   /** Approximate top-5 via random-hyperplane LSH: 16 signature bits from
-    * fixed seeded hyperplanes, banded 4×4. A candidate is scored only if
-    * it shares at least one 4-bit band with the query, then exact cosine
-    * ranks the survivors. Approximate by construction → no SQL oracle;
-    * the ScalaTest suite checks recall against [[topKBrute]].
+    * fixed md5-derived hyperplanes, banded 4×4. A candidate is scored
+    * only if it shares at least one 4-bit band with the query, then
+    * exact cosine ranks the survivors. Deterministic by construction →
+    * the full pipeline (plane weights, sign bits, banding, dedupe,
+    * re-rank) replays in the DuckDB oracle; the ScalaTest suite
+    * additionally checks recall against [[topKBrute]].
     */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
     val nBits = 16
@@ -160,12 +173,8 @@ object Similarity {
     val nBands = nBits / bandBits
     val dim = 64
 
-    // Deterministic pseudo-random hyperplanes (plan-time constants).
     val planes: Seq[Seq[Double]] = (0 until nBits).map { p =>
-      (0 until dim).map { j =>
-        val h = scala.util.hashing.MurmurHash3.productHash((p, j, 20260812))
-        (h.toDouble / Int.MaxValue.toDouble)
-      }
+      (0 until dim).map(j => planeWeight(p, j))
     }
     val planesLit = typedLit(planes)
 
