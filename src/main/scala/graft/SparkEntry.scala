@@ -48,6 +48,7 @@ object SparkEntry {
     "dedup_minhash"          -> Dedup.minhashLsh _,
     "dedup_minhash_portable" -> Dedup.minhashPortable _,
     "dedup_simhash"          -> Dedup.simhash _,
+    "dedup_simhash_portable" -> Dedup.simhashPortable _,
     "similarity_topk"        -> Similarity.topKBrute _,
     "similarity_ann_lsh"     -> Similarity.annLsh _,
     "similarity_ann_ivf"     -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
@@ -443,6 +444,32 @@ object SparkEntry {
                 quantile_cont(value, 0.5) AS p50,
                 quantile_cont(value, 0.95) AS p95
          FROM events GROUP BY event_type""",
+    // Portable simhash: 56-bit md5 token hashes, integer vote sums
+    // (order-independent), sign bits, 4x14-bit chunk banding, exact
+    // hamming <= 3 — end-to-end in SQL.
+    "dedup_simhash_portable" -> {
+      val voteCols = (0 until 56)
+        .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
+        .mkString(", ")
+      val sigExpr = (0 until 56)
+        .map(b => s"CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH tk AS (SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), t -> t != '')) AS tok
+                      FROM documents),
+               hx AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 14))::BIGINT AS h FROM tk),
+               votes AS (SELECT doc_id, $voteCols FROM hx GROUP BY doc_id),
+               sig AS (SELECT doc_id, $sigExpr AS simhash FROM votes),
+               ch AS (SELECT doc_id, simhash, chunk,
+                             (simhash >> (14 * chunk)) & 16383 AS chunk_val
+                      FROM sig, (SELECT unnest(range(0, 4)) AS chunk)),
+               pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                                bit_count(xor(x.simhash, y.simhash)) AS hamming
+                         FROM ch x JOIN ch y
+                           ON x.chunk = y.chunk AND x.chunk_val = y.chunk_val
+                              AND x.doc_id < y.doc_id)
+          SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+          FROM pairs WHERE hamming <= 3"""
+    },
     // The full portable-LSH pipeline: md5 minhash signatures, banding,
     // bucket self-join, exact-jaccard verification — end-to-end in SQL.
     "dedup_minhash_portable" -> {

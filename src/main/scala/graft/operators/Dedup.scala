@@ -226,6 +226,52 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"))
   }
 
+  /** SimHash with an engine-portable hash: 56-bit md5-prefix token
+    * hashes, per-bit ±1 votes summed per document (integer sums are
+    * accumulation-order-independent, so the whole signature is exactly
+    * replayable in SQL), sign → bit, then 4×14-bit chunk banding and
+    * exact hamming ≤ 3 verification — the same pipeline as [[simhash]]
+    * (the xxh64 scale path), but DuckDB-oracle-checked end to end.
+    * Zero-token documents have no signature here (they drop out at the
+    * explode); the native variant keeps them with signature 0.
+    */
+  def simhashPortable(spark: SparkSession, dir: String): DataFrame = {
+    val bits = 56
+    val chunkBits = 14
+    val nChunks = 4
+
+    val toks = Tables.documentsSpread(spark, dir)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .withColumn("h",
+        conv(substring(md5(col("tok").cast("binary")), 1, 14), 16, 10).cast("long"))
+    val voteCols = (0 until bits).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
+        .as(s"v$b"))
+    val sig = toks.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
+      .select(col("doc_id"),
+        (0 until bits).map(b =>
+          when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+          .as("simhash"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val chunks = sig.select(
+      col("doc_id"), col("simhash"),
+      posexplode(array((0 until nChunks).map(c =>
+        shiftright(col("simhash"), chunkBits * c)
+          .bitwiseAND(lit((1L << chunkBits) - 1))): _*)))
+      .withColumnRenamed("pos", "chunk")
+      .withColumnRenamed("col", "chunk_val")
+
+    chunks.as("x")
+      .join(chunks.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.chunk_val") === col("y.chunk_val")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .distinct()
+  }
+
   /** SimHash near-dup pairs. 64-bit simhash over unigram token hashes
     * (per-row, no shuffle), then pairs at hamming distance ≤ 3 found by
     * banding the hash into 4×16-bit chunks: d(a,b) ≤ 3 ⇒ at least one

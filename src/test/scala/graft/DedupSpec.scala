@@ -38,6 +38,17 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(portable === exact)
   }
 
+  test("portable simhash finds the same pair set as the xxh64 variant") {
+    val native = Dedup.simhash(spark, fixtureDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val portable = Dedup.simhashPortable(spark, fixtureDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // different hash families, same similarity structure on the fixture:
+    // identical token multisets pair at hamming 0 in both
+    assert(Set((0L, 1L), (0L, 4L), (1L, 4L)).subsetOf(portable))
+    assert(portable === native)
+  }
+
   test("simhash: permutation has identical signature; unrelated docs don't pair") {
     val got = Dedup.simhash(spark, fixtureDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
