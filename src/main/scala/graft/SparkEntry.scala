@@ -53,6 +53,7 @@ object SparkEntry {
     "similarity_ann_lsh"     -> Similarity.annLsh _,
     "similarity_ann_ivf"     -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
     "dedup_embedding"        -> Similarity.dedupEmbeddingQuery _,
+    "embedding_quantize"     -> Similarity.embeddingQuantize _,
     "text_stats"             -> TextOps.textStats _,
     "text_quality"           -> TextOps.textQuality _,
     "token_count"            -> TextOps.tokenCount _,
@@ -227,6 +228,18 @@ object SparkEntry {
          WHERE list_reduce(list_prepend(0.0,
                  list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i])),
                  (acc,x) -> acc + x) / (a.nrm * b.nrm) >= 0.35""",
+    "embedding_quantize" ->
+      """WITH e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM embeddings),
+              m AS (SELECT vec_id, v,
+                           list_max(list_transform(v, x -> abs(x))) AS ma FROM e),
+              x AS (SELECT vec_id, v, ma,
+                           unnest(range(1, len(v) + 1)) AS i FROM m)
+         SELECT vec_id, cast(i - 1 AS BIGINT) AS dim_idx,
+                CASE WHEN ma = 0.0 THEN 0
+                     ELSE greatest(-127, least(127,
+                            cast(floor(v[i] * 127.0 / ma) AS BIGINT)))
+                END AS q
+         FROM x""",
     "text_stats" ->
       """SELECT doc_id,
                 cast(length(text) AS BIGINT) AS n_chars,

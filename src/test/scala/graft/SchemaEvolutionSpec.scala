@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Schema evolution on the read path: a long-lived 100 TB dataset is
+  * written by many pipeline versions — newer files carry columns older
+  * ones lack. `mergeSchema` reconciles them; missing columns read as
+  * NULL, never as an error.
+  */
+class SchemaEvolutionSpec extends AnyFunSuite with SparkFixture {
+
+  test("mergeSchema unions columns across file generations") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-evo").toString
+    // generation 1: (doc_id, text)
+    Seq((1L, "alpha"), (2L, "beta"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/gen=1")
+    // generation 2 adds a quality score
+    Seq((3L, "gamma", 0.9))
+      .toDF("doc_id", "text", "quality").write.parquet(s"$dir/gen=2")
+
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq === Seq("doc_id", "gen", "quality", "text"))
+    val byId = merged.collect()
+      .map(r => r.getAs[Long]("doc_id") -> Option(r.getAs[Any]("quality"))).toMap
+    assert(byId === Map(1L -> None, 2L -> None, 3L -> Some(0.9)))
+  }
+
+  test("explicit schema subsets old and new files uniformly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-evo2").toString
+    Seq((1L, "a")).toDF("doc_id", "text").write.parquet(s"$dir/p1")
+    Seq((2L, "b", 7L)).toDF("doc_id", "text", "extra").write.parquet(s"$dir/p2")
+    // reading with a pinned schema ignores the extra column entirely
+    val pinned = spark.read
+      .schema("doc_id LONG, text STRING")
+      .parquet(s"$dir/p1", s"$dir/p2")
+    assert(pinned.columns.toSeq === Seq("doc_id", "text"))
+    assert(pinned.count() === 2L)
+  }
+}

@@ -224,6 +224,47 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(ids === Seq(0L, 1L, 2L, 3L, 10L, 11L, 12L))
   }
 
+  test("foreachBatch upsert sink stays idempotent across duplicate batches") {
+    // the custom-sink path: each micro-batch merges into a keyed parquet
+    // "table" (delete-matched + append), so replayed batches (at-least-
+    // once delivery) converge instead of duplicating — the poor man's
+    // MERGE INTO that foreachBatch exists for.
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val target = java.nio.file.Files.createTempDirectory("graft-upsert").toString + "/t"
+
+    def upsert(batch: org.apache.spark.sql.DataFrame, id: Long): Unit = {
+      val existing =
+        try spark.read.parquet(target)
+        catch { case _: Throwable => spark.emptyDataset[Ev].toDF() }
+      val deduped = batch.dropDuplicates("event_id")
+      existing
+        .join(deduped.select("event_id"), Seq("event_id"), "left_anti")
+        .unionByName(deduped)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(target + ".next")
+      // atomic-ish swap for the test; a real deployment uses a table format
+      val fs = new java.io.File(target)
+      org.apache.commons.io.FileUtils.deleteQuietly(fs)
+      new java.io.File(target + ".next").renameTo(fs)
+    }
+
+    val in = MemoryStream[Ev]
+    val q = in.toDF().writeStream.foreachBatch(upsert _)
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(ev(1, ts(10, 0), 1), ev(2, ts(10, 5), 2))
+      q.processAllAvailable()
+      // replay event 1 with a newer value + a fresh event
+      in.addData(ev(1, ts(10, 0), 1, "click"), ev(3, ts(10, 10), 3))
+      q.processAllAvailable()
+      val rows = spark.read.parquet(target).collect()
+        .map(r => r.getAs[Long]("event_id") -> r.getAs[String]("event_type")).toMap
+      assert(rows === Map(1L -> "click", 2L -> "view", 3L -> "view"))
+    } finally q.stop()
+  }
+
   test("batch-mode transforms agree with streaming semantics on the fixture") {
     // the same windowedCounts function runs on the static fixture table
     val wc = EventStreams.streamWindowCounts(spark, fixtureDir)
