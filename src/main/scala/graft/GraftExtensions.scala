@@ -18,13 +18,15 @@ import graft.functions._
   * builders on an already-running session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.builders.foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft.functions.HashOps", name),
         builder))
     }
+    ext.injectOptimizerRule(_ => graft.plans.TokenRewrite)
+  }
 }
 
 object GraftExtensions {
@@ -63,9 +65,13 @@ object GraftExtensions {
     }),
   )
 
-  /** Install the graft functions on a live session. */
-  def register(spark: SparkSession): Unit =
+  /** Install the graft functions + optimizer rules on a live session. */
+  def register(spark: SparkSession): Unit = {
     builders.foreach { case (name, builder) =>
       GraftGlue.registerRuntimeFunction(spark, name, builder)
     }
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.TokenRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.TokenRewrite
+  }
 }

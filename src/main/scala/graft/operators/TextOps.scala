@@ -20,11 +20,15 @@ import graft.Tables
   */
 object TextOps {
 
-  /** Whitespace tokens, empties dropped — shared tokenizer so every text
-    * op agrees with the DuckDB oracle's
+  /** Whitespace tokens, empties dropped — shared tokenizer agreeing with
+    * the DuckDB oracle's
     * `list_filter(string_split_regex(text,'\s+'), t -> t != '')`.
+    * Native one-pass expression (graft.functions.WsTokens) — bit-equal
+    * to `filter(split(c, "\\s+"), t => t =!= "")` (property-tested) but
+    * codegen'd; user-written split+filter gets rewritten to it by
+    * graft.plans.TokenRewrite.
     */
-  def tokens(c: Column): Column = filter(split(c, "\\s+"), t => t =!= "")
+  def tokens(c: Column): Column = graft.functions.TokenFunctions.ws_tokens(c)
 
   /** WordCount (reference WordCount.java:16-46): token → count.
     * explode + hash-agg; partial agg (the reference's combiner) is

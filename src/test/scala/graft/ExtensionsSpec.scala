@@ -61,6 +61,25 @@ class ExtensionsSpec extends AnyFunSuite with SparkFixture {
     assert(e4.getMessage.contains("minhash_bands"))
   }
 
+  test("TokenRewrite rewrites user-written split+filter to ws_tokens") {
+    GraftExtensions.register(spark)
+    // non-foldable input (a parquet scan): literals/VALUES would be
+    // constant-folded into a LocalRelation before extension rules run
+    Tables.documents(spark, fixtureDir).createOrReplaceTempView("docs_tv")
+    val df = spark.sql(
+      """SELECT doc_id, filter(split(text, '\\s+'), t -> t != '') AS toks
+         FROM docs_tv""")
+    assert(df.queryExecution.optimizedPlan.toString.contains("ws_tokens"),
+      df.queryExecution.optimizedPlan.toString)
+    // rewritten plan computes the same tokens as the declarative form
+    val viaRule = df.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(viaRule(0L) === Fixtures.DocA.split("\\s+").toSeq)
+    // a DIFFERENT pattern must NOT be rewritten
+    val other = spark.sql(
+      "SELECT filter(split(text, ','), t -> t != '') AS toks FROM docs_tv")
+    assert(!other.queryExecution.optimizedPlan.toString.contains("ws_tokens"))
+  }
+
   test("SQL results agree with the Column-API expressions") {
     GraftExtensions.register(spark)
     import org.apache.spark.sql.functions.col
