@@ -66,6 +66,64 @@ case class WsTokens(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** BPE-ish pre-tokenizer counting: one scan computing the number of
+  * `[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]` matches (n_bpeish) and of `[0-9]+`
+  * matches (n_numeric) — replaces three regexp_extract_all passes.
+  * Symbol matches count per CODEPOINT (lead bytes; continuation bytes
+  * skipped), which is the regex oracle's RE2 semantics.
+  */
+object BpeishOps {
+  /** Packed counts: (n_bpeish << 32) | n_numeric — both fit 32 bits for
+    * any realistic document.
+    */
+  def count(s: UTF8String): Long = {
+    val b = s.getBytes
+    val n = b.length
+    var bpeish = 0L
+    var numeric = 0L
+    var i = 0
+    while (i < n) {
+      val c = b(i)
+      if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')) {
+        while (i < n && ((b(i) >= 'a' && b(i) <= 'z') || (b(i) >= 'A' && b(i) <= 'Z'))) i += 1
+        bpeish += 1
+      } else if (c >= '0' && c <= '9') {
+        while (i < n && b(i) >= '0' && b(i) <= '9') i += 1
+        bpeish += 1
+        numeric += 1
+      } else if (c == 0x20 || (c >= 0x09 && c <= 0x0d)) {
+        i += 1
+      } else {
+        // one symbol per codepoint: skip the lead byte + continuations
+        i += 1
+        while (i < n && (b(i) & 0xc0) == 0x80) i += 1
+        bpeish += 1
+      }
+    }
+    (bpeish << 32) | numeric
+  }
+}
+
+/** `bpeish_counts(text)` → BIGINT packing (n_bpeish << 32) | n_numeric. */
+case class BpeishCounts(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires STRING input, got ${other.catalogString}")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bpeish_counts"
+  override protected def nullSafeEval(input: Any): Any =
+    BpeishOps.count(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.BpeishOps.count($c);")
+  override protected def withNewChildInternal(newChild: Expression): BpeishCounts =
+    copy(child = newChild)
+}
+
 object TokenFunctions {
   def ws_tokens(c: Column): Column = GraftGlue.column(WsTokens(GraftGlue.expression(c)))
+  def bpeish_counts(c: Column): Column = GraftGlue.column(BpeishCounts(GraftGlue.expression(c)))
 }

@@ -79,17 +79,19 @@ object TextOps {
         (col("n_stop").cast("double") / size(col("toks"))).as("stopword_ratio"))
   }
 
-  /** BPE-ish token counting with a word/number/symbol regex — the
-    * pre-tokenizer split most BPE vocabularies use. Pattern restricted
-    * to the Java∩RE2 subset for oracle parity.
+  /** BPE-ish token counting — the `[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]`
+    * word/number/symbol pre-tokenizer split most BPE vocabularies use.
+    * One native codegen'd scan ([[graft.functions.BpeishCounts]])
+    * computes both counts; equivalence with the regex formulation is
+    * property-tested and the DuckDB oracle still evaluates the regex.
     */
-  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+  def tokenCount(spark: SparkSession, dir: String): DataFrame = {
+    val packed = graft.functions.TokenFunctions.bpeish_counts(col("text"))
     Tables.documentsSpread(spark, dir).select(
       col("doc_id"),
-      size(regexp_extract_all(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
-        .cast("long").as("n_bpeish"),
-      size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)))
-        .cast("long").as("n_numeric"))
+      shiftright(packed, 32).as("n_bpeish"),
+      packed.bitwiseAND(lit(0xffffffffL)).as("n_numeric"))
+  }
 
   /** Language-ID heuristic: ratio of high-frequency English marker tokens,
     * bucketed into a confidence label. (A production n-gram model would

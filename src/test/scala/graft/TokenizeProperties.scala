@@ -36,4 +36,16 @@ object TokenizeProperties extends Properties("TokenizeOps") {
       val t = viaNative(s)
       viaNative(t.mkString(" ")) == t
     }
+
+  property("bpeish_counts equals the regex formulation") =
+    forAll(textGen) { s =>
+      val packed = graft.functions.BpeishOps.count(UTF8String.fromString(s))
+      val viaRegex =
+        "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]".r.findAllIn(s).length
+      val numericViaRegex = "[0-9]+".r.findAllIn(s).length
+      // NOTE: supplementary-plane chars count 2 under Java regex (code
+      // units) but 1 natively (codepoints, = the RE2 oracle); the
+      // generator stays in the BMP so both agree here.
+      (packed >>> 32) == viaRegex && (packed & 0xffffffffL) == numericViaRegex
+    }
 }
