@@ -166,6 +166,63 @@ object Dedup {
     verifyPairs(candidates, sets.drop("sh"))
   }
 
+  /** Connected components over the near-duplicate graph — the cluster
+    * step an LLM dedup pipeline runs AFTER pair generation: vertices
+    * are documents, edges are exact-dup relations (star edges to each
+    * content-hash group's min id — linear, never the m² clique) plus
+    * the ≥0.8-jaccard near-dup pairs; each doc's component label is the
+    * minimum doc_id reachable from it, and `keep = (doc_id == comp)`
+    * marks the canonical survivor per cluster.
+    *
+    * Distributed formulation: Pregel-style min-label propagation —
+    * iterate `label := min(label, min over neighbors' labels)` until a
+    * fixpoint. Each round is one join + one aggregate (shuffle keys are
+    * ids, never documents); the driver only sees the one-row
+    * convergence count. Rounds are bounded by component diameter —
+    * near-dup clusters are shallow (stars + short chains), so this
+    * converges in a handful of rounds at any corpus size.
+    */
+  def dedupComponents(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documentsSpread(spark, dir)
+    // star edges: every doc → its exact-dup group's min doc_id
+    val exactStar = docs
+      .select(col("doc_id"), sha2(col("text"), 256).as("h"))
+      .withColumn("grp_min",
+        min(col("doc_id")).over(org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+      .filter(col("doc_id") =!= col("grp_min"))
+      .select(col("grp_min").as("doc_a"), col("doc_id").as("doc_b"))
+    val nearPairs = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+
+    val undirected = exactStar.unionAll(nearPairs)
+    val edges = undirected
+      .unionAll(undirected.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("src", "dst")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var labels = docs.select(col("doc_id"), col("doc_id").as("comp"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 50) {
+      val next = edges
+        .join(labels, edges("src") === labels("doc_id"))
+        .select(col("dst").as("doc_id"), col("comp"))
+        .unionAll(labels)
+        .groupBy(col("doc_id")).agg(min(col("comp")).as("comp"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
+        .filter(col("n.comp") =!= col("o.comp"))
+        .count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      rounds += 1
+    }
+    labels.select(col("doc_id"), col("comp"),
+      (col("doc_id") === col("comp")).as("keep"))
+  }
+
   /** MinHash + LSH with an engine-portable hash (md5): same
     * signature→band→bucket-join→verify pipeline as [[minhashLsh]], but
     * every step is expressible in ANSI-ish SQL, so the WHOLE LSH

@@ -32,6 +32,18 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(lsh === exact) // P(band miss | j>=0.95) < 1e-11 per pair
   }
 
+  test("connected components cluster exact+near dups; min id survives") {
+    val got = Dedup.dedupComponents(spark, fixtureDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("comp"), r.getAs[Boolean]("keep"))).toMap
+    // {0,1,2}: 0=1 exact, 0~2 near-dup; {3} and {4} are singletons
+    // (the permutation doc 4 shares no bigrams with 0, so it's its own
+    // cluster here — simhash, not jaccard, is the op that links it)
+    assert(got === Map(
+      0L -> ((0L, true)), 1L -> ((0L, false)), 2L -> ((0L, false)),
+      3L -> ((3L, true)), 4L -> ((4L, true))))
+  }
+
   test("portable md5 minhash+LSH agrees with the exact inverted index") {
     val exact = Dedup.ngramJaccard(spark, fixtureDir).collect().toSet
     val portable = Dedup.minhashPortable(spark, fixtureDir).collect().toSet
