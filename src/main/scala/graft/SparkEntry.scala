@@ -45,6 +45,7 @@ object SparkEntry {
     "pi_montecarlo"          -> MonteCarloPi.piMontecarlo _,
     "dedup_exact"            -> Dedup.dedupExact _,
     "dedup_components"       -> Dedup.dedupComponents _,
+    "corpus_curate"          -> Dedup.corpusCurate _,
     "dedup_ngram_jaccard"    -> Dedup.ngramJaccard _,
     "dedup_minhash"          -> Dedup.minhashLsh _,
     "dedup_minhash_portable" -> Dedup.minhashPortable _,
@@ -96,6 +97,34 @@ object SparkEntry {
     * is implementation-defined; error-bounded in ScalaTest against the
     * oracled exact percentiles).
     */
+  /** Shared CTE block: the near-dup graph + reachability used by both
+    * dedup_components and corpus_curate.
+    */
+  private val componentCtes: String =
+    """star AS (SELECT min(doc_id) OVER (PARTITION BY sha256(text)) AS doc_a,
+                       doc_id AS doc_b
+                FROM documents
+                QUALIFY doc_a != doc_b),
+       tk AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS ts
+              FROM documents),
+       se AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])) AS sh
+              FROM tk WHERE len(ts) >= 2),
+       ex AS (SELECT doc_id, unnest(sh) AS s FROM se),
+       n AS (SELECT doc_id, cast(len(sh) AS BIGINT) AS ns FROM se),
+       i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+             FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+             GROUP BY a.doc_id, b.doc_id),
+       near AS (SELECT doc_a, doc_b
+                FROM i JOIN n na ON doc_a = na.doc_id JOIN n nb ON doc_b = nb.doc_id
+                WHERE cast(inter AS DOUBLE) / (na.ns + nb.ns - inter) >= 0.8),
+       und AS (SELECT * FROM star UNION ALL SELECT * FROM near),
+       edges AS (SELECT doc_a AS src, doc_b AS dst FROM und
+                 UNION ALL SELECT doc_b, doc_a FROM und),
+       reach(doc_id, label) AS (
+         SELECT doc_id, doc_id FROM documents
+         UNION
+         SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.doc_id)"""
+
   def oracleSql: Map[String, String] = Map(
     "taskA_filter_project" ->
       """SELECT c_name AS name, c_mktsegment AS mktsegment
@@ -187,32 +216,34 @@ object SparkEntry {
     // Component label = min doc_id reachable over exact-dup star edges +
     // >=0.8-jaccard pairs, via a recursive reachability CTE.
     "dedup_components" ->
-      """WITH RECURSIVE
-              star AS (SELECT min(doc_id) OVER (PARTITION BY sha256(text)) AS doc_a,
-                              doc_id AS doc_b
-                       FROM documents
-                       QUALIFY doc_a != doc_b),
-              tk AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS ts
-                     FROM documents),
-              se AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])) AS sh
-                     FROM tk WHERE len(ts) >= 2),
-              ex AS (SELECT doc_id, unnest(sh) AS s FROM se),
-              n AS (SELECT doc_id, cast(len(sh) AS BIGINT) AS ns FROM se),
-              i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-                    FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-                    GROUP BY a.doc_id, b.doc_id),
-              near AS (SELECT doc_a, doc_b
-                       FROM i JOIN n na ON doc_a = na.doc_id JOIN n nb ON doc_b = nb.doc_id
-                       WHERE cast(inter AS DOUBLE) / (na.ns + nb.ns - inter) >= 0.8),
-              und AS (SELECT * FROM star UNION ALL SELECT * FROM near),
-              edges AS (SELECT doc_a AS src, doc_b AS dst FROM und
-                        UNION ALL SELECT doc_b, doc_a FROM und),
-              reach(doc_id, label) AS (
-                SELECT doc_id, doc_id FROM documents
-                UNION
-                SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.doc_id)
+      s"""WITH RECURSIVE $componentCtes
          SELECT doc_id, min(label) AS comp, doc_id = min(label) AS keep
          FROM reach GROUP BY doc_id""",
+    // The composed curation pipeline: component survivors ∩ quality gate
+    // ⋈ split assignment ⋈ token counts.
+    "corpus_curate" ->
+      s"""WITH RECURSIVE $componentCtes,
+              comp AS (SELECT doc_id FROM (
+                         SELECT doc_id, min(label) AS c FROM reach GROUP BY doc_id)
+                       WHERE doc_id = c),
+              q AS (SELECT doc_id FROM (
+                      SELECT doc_id,
+                             cast(len(regexp_extract_all(text, '[a-zA-Z]')) AS DOUBLE)
+                               / length(text) AS ar
+                      FROM documents)
+                    WHERE ar >= 0.82),
+              sp AS (SELECT doc_id,
+                            CASE WHEN b < 80 THEN 'train'
+                                 WHEN b < 90 THEN 'valid'
+                                 ELSE 'test' END AS split
+                     FROM (SELECT doc_id,
+                                  ('0x' || substr(md5(doc_id::VARCHAR), 1, 7))::BIGINT % 100 AS b
+                           FROM documents)),
+              st AS (SELECT doc_id,
+                            cast(len(list_filter(string_split_regex(text, '\\s+'), t -> t != '')) AS BIGINT) AS n_tokens
+                     FROM documents)
+         SELECT doc_id, split, n_tokens
+         FROM comp JOIN q USING (doc_id) JOIN sp USING (doc_id) JOIN st USING (doc_id)""",
     "dedup_ngram_jaccard" ->
       """WITH tk AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS ts
                      FROM documents),

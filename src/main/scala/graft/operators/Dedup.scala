@@ -223,6 +223,29 @@ object Dedup {
       (col("doc_id") === col("comp")).as("keep"))
   }
 
+  /** End-to-end corpus curation — the composition a training-data run
+    * actually executes, as ONE lazy plan: near-dup clustering keeps the
+    * canonical doc per component ([[dedupComponents]]), a quality gate
+    * drops low-alpha documents, and the survivors get their
+    * deterministic train/valid/test assignment plus token counts. Each
+    * stage is an already-verified operator; this query is the proof
+    * they compose (ids join ids — no document body crosses more than
+    * the first exchange of each branch).
+    */
+  def corpusCurate(spark: SparkSession, dir: String): DataFrame = {
+    val keep = dedupComponents(spark, dir)
+      .filter(col("keep")).select(col("doc_id"))
+    val quality = TextOps.textQuality(spark, dir)
+      .filter(col("alpha_ratio") >= 0.82).select(col("doc_id"))
+    val split = TextOps.trainTestSplit(spark, dir)
+    val stats = TextOps.textStats(spark, dir).select(col("doc_id"), col("n_tokens"))
+    keep
+      .join(quality, "doc_id")
+      .join(split, "doc_id")
+      .join(stats, "doc_id")
+      .select(col("doc_id"), col("split"), col("n_tokens"))
+  }
+
   /** MinHash + LSH with an engine-portable hash (md5): same
     * signature→band→bucket-join→verify pipeline as [[minhashLsh]], but
     * every step is expressible in ANSI-ish SQL, so the WHOLE LSH
