@@ -64,6 +64,8 @@ object SparkEntry {
     "text_winnow"            -> ((s: SparkSession, d: String) => TextOps.textWinnow(s, d)),
     "train_test_split"       -> TextOps.trainTestSplit _,
     "text_normalize"         -> TextOps.textNormalize _,
+    "bigram_counts"          -> TextOps.bigramCounts _,
+    "pack_batches"           -> ((s: SparkSession, d: String) => TextOps.packBatches(s, d)),
     "events_props_agg"       -> EventOps.eventsPropsAgg _,
     "events_window_funcs"    -> EventOps.eventsWindowFuncs _,
     "events_asof_order"      -> EventOps.eventsAsofOrder _,
@@ -342,6 +344,23 @@ object SparkEntry {
          FROM documents""",
     "stream_dedup_events" ->
       "SELECT DISTINCT event_id FROM events",
+    "bigram_counts" ->
+      """SELECT bg AS bigram, count(*) AS cnt
+         FROM (SELECT unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])) AS bg
+               FROM (SELECT list_filter(string_split_regex(text, '\s+'), t -> t != '') AS ts
+                     FROM documents)
+               WHERE len(ts) >= 2)
+         GROUP BY bg""",
+    "pack_batches" ->
+      """SELECT doc_id, n_tokens, shard,
+                shard * 1000000 + (cum_end - n_tokens) // 8192 AS batch_id
+         FROM (SELECT doc_id, n_tokens, shard,
+                      sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                          ROWS UNBOUNDED PRECEDING) AS cum_end
+               FROM (SELECT doc_id,
+                            cast(len(list_filter(string_split_regex(text, '\s+'), t -> t != '')) AS BIGINT) AS n_tokens,
+                            doc_id % 32 AS shard
+                     FROM documents))""",
     "train_test_split" ->
       """SELECT doc_id,
                 CASE WHEN b < 80 THEN 'train'

@@ -113,6 +113,41 @@ object TextOps {
           .otherwise(lit("other")).as("pred_lang"))
   }
 
+  /** Corpus bigram frequency table — the n-gram LM counting workload
+    * (multiset counts, unlike the DISTINCT shingles dedup uses). Pure
+    * explode + hash-agg; partial aggregation bounds the shuffle by
+    * vocabulary², not corpus size.
+    */
+  def bigramCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.documentsSpread(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("ts")) - 1),
+        i => concat_ws(" ", element_at(col("ts"), i), element_at(col("ts"), i + 1))))
+        .as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Sequence packing: assign documents to fixed token-budget batches —
+    * the batching step before training. Docs are sharded by id (so the
+    * running totals parallelize; a single global cumsum would be a
+    * one-partition sort, the classic scale-killer), ordered within the
+    * shard, and each doc lands in the batch its starting token offset
+    * falls in. Deterministic integer math end to end.
+    */
+  def packBatches(spark: SparkSession, dir: String, budget: Long = 8192, shards: Int = 32): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documentsSpread(spark, dir)
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("shard", pmod(col("doc_id"), lit(shards.toLong)))
+      .withColumn("cum_end", sum(col("n_tokens")).over(w))
+      .select(
+        col("doc_id"), col("n_tokens"), col("shard"),
+        (col("shard") * 1000000L +
+          expr(s"(cum_end - n_tokens) DIV $budget")).as("batch_id"))
+  }
+
   /** Deterministic train/valid/test split: bucket = md5(doc_id) mod 100
     * → 80/10/10. Hash-based (not random) so the assignment is stable
     * across runs, engines, and re-partitioning — the property a
