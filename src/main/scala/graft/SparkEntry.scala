@@ -40,6 +40,8 @@ object SparkEntry {
     "q5_regional_revenue"    -> Relational.q5RegionalRevenue _,
     "rollup_pricing"         -> Relational.rollupPricing _,
     "parts_never_shipped"    -> Relational.partsNeverShipped _,
+    "nation_balance_full_outer" -> Relational.nationBalanceFullOuter _,
+    "nations_with_orders_semi"  -> Relational.nationsWithOrdersSemi _,
     "wordcount"              -> TextOps.wordcount _,
     // ---- LLM-data-pipeline operators (north star) ----
     "pi_montecarlo"          -> MonteCarloPi.piMontecarlo _,
@@ -202,6 +204,22 @@ object SparkEntry {
          FROM part
          WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
          GROUP BY p_brand""",
+    "nation_balance_full_outer" ->
+      """SELECT coalesce(c.nk, s.nk) AS nationkey,
+                coalesce(n_customers, 0) AS n_customers,
+                coalesce(n_suppliers, 0) AS n_suppliers
+         FROM (SELECT c_nationkey AS nk, count(*) AS n_customers
+               FROM customer GROUP BY c_nationkey) c
+         FULL OUTER JOIN
+              (SELECT s_nationkey AS nk, count(*) AS n_suppliers
+               FROM supplier GROUP BY s_nationkey) s
+           ON c.nk = s.nk""",
+    "nations_with_orders_semi" ->
+      """SELECT cast(n_nationkey AS BIGINT) AS nationkey, n_name AS name
+         FROM nation
+         WHERE EXISTS (SELECT 1 FROM customer
+                       WHERE c_nationkey = n_nationkey
+                         AND EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey))""",
     "rollup_pricing" ->
       """SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
                 sum(l_quantity) AS sum_qty, count(*) AS n_rows

@@ -227,6 +227,39 @@ object Relational {
       .agg(count(lit(1)).as("n_unsold"), min(col("p_partkey")).as("min_partkey"))
   }
 
+  /** Full-outer reconciliation: per-nation customer and supplier
+    * counts side by side, keeping nations that have only one of the
+    * two (the report shape that audits two fact populations against
+    * each other). Both sides pre-aggregate to one row per nation before
+    * the full join, so the outer join is dimension-sized.
+    */
+  def nationBalanceFullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val cc = Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey").as("nk")).agg(count(lit(1)).as("n_customers"))
+    val sc = Tables.supplier(spark, dir)
+      .groupBy(col("s_nationkey").as("nk")).agg(count(lit(1)).as("n_suppliers"))
+    cc.join(sc, Seq("nk"), "full_outer")
+      .select(
+        col("nk").cast("long").as("nationkey"),
+        coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+        coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"))
+  }
+
+  /** Left-semi existence filter: nations having at least one customer
+    * with an order — semi joins keep the probe side untouched (no
+    * duplication, no columns from the build side), the plan shape for
+    * "EXISTS" at scale.
+    */
+  def nationsWithOrdersSemi(spark: SparkSession, dir: String): DataFrame = {
+    val nation   = Tables.nation(spark, dir)
+    val customer = Tables.customer(spark, dir)
+    val orders   = Tables.orders(spark, dir)
+    val active = customer.join(orders,
+      customer("c_custkey") === orders("o_custkey"), "left_semi")
+    nation.join(active, nation("n_nationkey") === active("c_nationkey"), "left_semi")
+      .select(col("n_nationkey").cast("long").as("nationkey"), col("n_name").as("name"))
+  }
+
   /** Market-basket co-occurrence: part pairs appearing in the same
     * order, counted across orders. The self-join shuffles on the order
     * key once (the distinct-parts-per-order table is persisted so both
