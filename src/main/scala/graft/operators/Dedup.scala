@@ -199,8 +199,19 @@ object Dedup {
       .toDF("src", "dst")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    var labels = docs.select(col("doc_id"), col("doc_id").as("comp"))
+    // Initialize labels at each doc's exact-dup group minimum — that
+    // resolves every exact-dup star in round zero, so the loop only has
+    // to close the near-dup chains.
+    var labels = docs
+      .select(col("doc_id"), sha2(col("text"), 256).as("h"))
+      .withColumn("comp",
+        min(col("doc_id")).over(org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+      .select(col("doc_id"), col("comp"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Labels are monotonically non-increasing per doc, so an unchanged
+    // label SUM is exactly a fixpoint — one scalar aggregate per round
+    // instead of a full old-vs-new join.
+    var prevSum = labels.agg(sum(col("comp"))).head.getLong(0)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 50) {
@@ -210,13 +221,11 @@ object Dedup {
         .unionAll(labels)
         .groupBy(col("doc_id")).agg(min(col("comp")).as("comp"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
-        .filter(col("n.comp") =!= col("o.comp"))
-        .count()
+      val nextSum = next.agg(sum(col("comp"))).head.getLong(0)
       labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = nextSum == prevSum
+      prevSum = nextSum
       rounds += 1
     }
     labels.select(col("doc_id"), col("comp"),
