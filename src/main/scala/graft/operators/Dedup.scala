@@ -211,7 +211,8 @@ object Dedup {
     // Labels are monotonically non-increasing per doc, so an unchanged
     // label SUM is exactly a fixpoint — one scalar aggregate per round
     // instead of a full old-vs-new join.
-    var prevSum = labels.agg(sum(col("comp"))).head.getLong(0)
+    // coalesce: sum over an EMPTY corpus is NULL, not 0
+    var prevSum = labels.agg(coalesce(sum(col("comp")), lit(0L))).head.getLong(0)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 50) {
@@ -221,7 +222,7 @@ object Dedup {
         .unionAll(labels)
         .groupBy(col("doc_id")).agg(min(col("comp")).as("comp"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val nextSum = next.agg(sum(col("comp"))).head.getLong(0)
+      val nextSum = next.agg(coalesce(sum(col("comp")), lit(0L))).head.getLong(0)
       labels.unpersist()
       labels = next
       converged = nextSum == prevSum
