@@ -31,6 +31,18 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
     assert(PlanChecks.shuffles(TextOps.wordcount(spark, fixtureDir)) <= 2)
   }
 
+  test("column pruning reaches the scan: taskA reads only its 3 columns") {
+    val plan = PlanChecks.executedPlanString(
+      Relational.taskAFilterProject(spark, fixtureDir))
+    // customer scan must read name/nationkey/mktsegment — nothing else
+    val read = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(read.exists(s => s.contains("c_name") && s.contains("c_nationkey")
+      && s.contains("c_mktsegment") && !s.contains("c_acctbal")), plan)
+    // the nation-name filter is pushed into the parquet scan
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(n_name,NATION_7)"), plan)
+  }
+
   test("taskG keeps the global-max scalar in-plan as a broadcast, not a shuffle") {
     val plan = PlanChecks.executedPlanString(Relational.taskGInactive(spark, fixtureDir))
     assert(PlanChecks.broadcastCount(plan) >= 1) // 1-row ref-time aggregate
