@@ -29,6 +29,19 @@ class SynthSourceSpec extends AnyFunSuite with SparkFixture {
     assert(!scan.contains("text"), scan)
   }
 
+  test("minhash LSH dedup finds exactly the planted pairs on 20k synth docs") {
+    // per decade of ids {10d, 10d+1 (exact dup), 10d+2 (near dup)}:
+    // pairs (base,dup) j=1.0, (base,near) and (dup,near) j≈0.98 — all
+    // above the 0.8 threshold → exactly 3 pairs per decade.
+    val rows = 20000L
+    val dir = java.nio.file.Files.createTempDirectory("graft-synth-scale").toString
+    synth(rows, parts = 16).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val found = graft.operators.Dedup.minhashLsh(spark, dir).count()
+    // P(band miss | j >= 0.98) < 1e-14 per pair: the count is exact
+    assert(found === 3L * rows / 10)
+  }
+
   test("planted duplicate structure shows up in dedup at 20x testdata scale") {
     val docs = synth(10000, parts = 16)
     // exact dups: doc_id % 10 == 1 repeats doc_id-1 → 1000 pairs of
