@@ -138,9 +138,14 @@ object TextOps {
   def packBatches(spark: SparkSession, dir: String, budget: Long = 8192, shards: Int = 32): DataFrame = {
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documentsSpread(spark, dir)
-      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+    // ONE exchange: hash-partition by shard up front (the window then
+    // needs no further shuffle) and tokenize after it, in parallel —
+    // a spread + shard plan would move the text twice.
+    Tables.documents(spark, dir)
       .withColumn("shard", pmod(col("doc_id"), lit(shards.toLong)))
+      .repartition(col("shard"))
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"),
+        col("shard"))
       .withColumn("cum_end", sum(col("n_tokens")).over(w))
       .select(
         col("doc_id"), col("n_tokens"), col("shard"),
