@@ -74,6 +74,8 @@ object SparkEntry {
     "events_pivot"           -> EventOps.eventsPivot _,
     "user_segment_set_ops"   -> EventOps.userSegmentSetOps _,
     "user_cardinality"       -> EventOps.userCardinality _,
+    "events_funnel"          -> EventOps.eventsFunnel _,
+    "stratified_sample"      -> TextOps.stratifiedSample _,
     "user_cardinality_approx" -> EventOps.userCardinalityApprox _,
     "events_value_quantiles" -> EventOps.eventsValueQuantiles _,
     "events_value_quantiles_approx" -> EventOps.eventsValueQuantilesApprox _,
@@ -549,6 +551,24 @@ object SparkEntry {
       """SELECT event_type, count(DISTINCT user_id) AS n_users,
                 count(*) AS n_events
          FROM events GROUP BY event_type""",
+    "events_funnel" ->
+      """SELECT user_id,
+                CASE WHEN ts_view IS NOT NULL AND ts_click > ts_view
+                          AND ts_purchase > ts_click THEN 'purchased'
+                     WHEN ts_view IS NOT NULL AND ts_click > ts_view THEN 'clicked'
+                     WHEN ts_view IS NOT NULL THEN 'viewed'
+                     ELSE 'none' END AS funnel_stage
+         FROM (SELECT user_id,
+                      min(ts) FILTER (WHERE event_type = 'view') AS ts_view,
+                      min(ts) FILTER (WHERE event_type = 'click') AS ts_click,
+                      min(ts) FILTER (WHERE event_type = 'purchase') AS ts_purchase
+               FROM events GROUP BY user_id)""",
+    "stratified_sample" ->
+      """SELECT doc_id, source
+         FROM (SELECT doc_id, source,
+                      ('0x' || substr(md5(source || ':' || doc_id), 1, 7))::BIGINT % 100 AS b
+               FROM documents)
+         WHERE b < 30""",
     "events_value_quantiles" ->
       """SELECT event_type, count(*) AS n,
                 quantile_cont(value, 0.25) AS p25,

@@ -135,6 +135,28 @@ object EventOps {
       .unionAll(buyers.except(clickers).select(lit("buy_no_click").as("segment"), col("user_id")))
   }
 
+  /** Ordered funnel analysis: per user, did view → click → purchase
+    * happen in strictly increasing event time? One aggregation pass
+    * computes each stage's FIRST timestamp (conditional min — no
+    * per-stage scans or joins), then the strict ordering predicate
+    * labels the user's furthest funnel stage.
+    */
+  def eventsFunnel(spark: SparkSession, dir: String): DataFrame = {
+    def firstTs(t: String) =
+      min(when(col("event_type") === t, col("ts"))).as(s"ts_$t")
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(firstTs("view"), firstTs("click"), firstTs("purchase"))
+      .select(
+        col("user_id"),
+        when(col("ts_view").isNotNull &&
+             col("ts_click") > col("ts_view") &&
+             col("ts_purchase") > col("ts_click"), lit("purchased"))
+          .when(col("ts_view").isNotNull && col("ts_click") > col("ts_view"), lit("clicked"))
+          .when(col("ts_view").isNotNull, lit("viewed"))
+          .otherwise(lit("none")).as("funnel_stage"))
+  }
+
   /** Exact distinct-user cardinality per event type — the correctness
     * baseline for [[userCardinalityApprox]]. Exact distinct is a full
     * shuffle of the (type, user) key space.

@@ -113,6 +113,21 @@ object TextOps {
           .otherwise(lit("other")).as("pred_lang"))
   }
 
+  /** Deterministic stratified sampling: keep a fixed hash-bucket
+    * fraction of documents PER SOURCE stratum (30%), so every stratum
+    * is represented at the same rate regardless of its size — and the
+    * sample is stable across runs/engines/partitionings (hash-based,
+    * not RNG), so downstream experiments are reproducible and
+    * incremental appends never resample old rows.
+    */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("b",
+        conv(substring(md5(concat_ws(":", col("source"), col("doc_id").cast("string"))
+          .cast("binary")), 1, 7), 16, 10).cast("long") % 100)
+      .filter(col("b") < 30)
+      .select(col("doc_id"), col("source"))
+
   /** Corpus bigram frequency table — the n-gram LM counting workload
     * (multiset counts, unlike the DISTINCT shingles dedup uses). Pure
     * explode + hash-agg; partial aggregation bounds the shuffle by

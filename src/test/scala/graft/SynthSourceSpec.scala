@@ -42,6 +42,21 @@ class SynthSourceSpec extends AnyFunSuite with SparkFixture {
     assert(found === 3L * rows / 10)
   }
 
+  test("prefix-filtered inverted index matches LSH exactly on 10k synth docs") {
+    val rows = 10000L
+    val dir = java.nio.file.Files.createTempDirectory("graft-synth-ngram").toString
+    synth(rows, parts = 16).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    // the exact PPJoin-style index and the probabilistic LSH pipeline
+    // must agree pair-for-pair at this duplicate density
+    val exact = graft.operators.Dedup.ngramJaccard(spark, dir)
+      .select("doc_a", "doc_b").collect().toSet
+    assert(exact.size === (3L * rows / 10).toInt)
+    val lsh = graft.operators.Dedup.minhashLsh(spark, dir)
+      .select("doc_a", "doc_b").collect().toSet
+    assert(lsh === exact)
+  }
+
   test("planted duplicate structure shows up in dedup at 20x testdata scale") {
     val docs = synth(10000, parts = 16)
     // exact dups: doc_id % 10 == 1 repeats doc_id-1 → 1000 pairs of
