@@ -80,6 +80,7 @@ object SparkEntry {
     "events_value_quantiles" -> EventOps.eventsValueQuantiles _,
     "events_value_quantiles_approx" -> EventOps.eventsValueQuantilesApprox _,
     "multimodal_meta"        -> Multimodal.multimodalMeta _,
+    "multimodal_channels"    -> ((s: SparkSession, d: String) => Multimodal.channelStats(s, d)),
     "multimodal_frames"      -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
     "multimodal_resize"      -> ((s: SparkSession, d: String) => Multimodal.resizePlan(s, d)),
     // ---- streaming transforms, batch-run for the oracle (the true
@@ -683,6 +684,19 @@ object SparkEntry {
                 row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
                   AS cum_count
          FROM events""",
+    // Per-channel byte sums via the hex-pair decode; channel = byte
+    // index parity.
+    "multimodal_channels" ->
+      """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+                           octet_length(encode(text)) AS n FROM documents),
+              x AS (SELECT doc_id, unnest(range(0, n)) AS i, hx FROM b),
+              v AS (SELECT doc_id, cast(i % 2 AS INT) AS channel,
+                           (strpos('0123456789ABCDEF', substr(hx, 2*i+1, 1)) - 1) * 16 +
+                           (strpos('0123456789ABCDEF', substr(hx, 2*i+2, 1)) - 1) AS val
+                    FROM x)
+         SELECT doc_id, channel, count(*) AS n_samples,
+                cast(sum(val) AS BIGINT) AS sum_val
+         FROM v GROUP BY doc_id, channel""",
     // Checksum over UTF-8 bytes (hex-pair decode), same as Spark's byte
     // loop — agrees on any corpus, not just pure ASCII.
     "multimodal_meta" ->

@@ -79,6 +79,36 @@ object Multimodal {
         expr(s"width * $target DIV greatest(width, height)").as("out_w"),
         expr(s"height * $target DIV greatest(width, height)").as("out_h"))
 
+  final case class Channel(doc_id: Long, channel: Int, n_samples: Long, sum_val: Long)
+
+  /** Channel de-interleaving: treat the payload as interleaved 2-channel
+    * 8-bit samples (L,R,L,R,…) and emit per-channel sample counts and
+    * value sums — the shape of an audio channel-split + feature pass
+    * (1→k generator over a binary column, batched per partition). STUB:
+    * the "samples" are raw bytes standing in for codec-decoded PCM.
+    */
+  def channelStats(spark: SparkSession, dir: String, channels: Int = 2): DataFrame = {
+    import spark.implicits._
+    Tables.documentsSpread(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val counts = new Array[Long](channels)
+          val sums = new Array[Long](channels)
+          var i = 0
+          while (i < bytes.length) {
+            val c = i % channels
+            counts(c) += 1
+            sums(c) += bytes(i) & 0xff
+            i += 1
+          }
+          (0 until channels).iterator.map(c => Channel(id, c, counts(c), sums(c)))
+        }
+      }
+      .toDF()
+  }
+
   /** "Decode" each document's UTF-8 payload as if it were a media blob
     * and emit typed metadata. STUB: width/height/n_frames are
     * deterministic functions of the byte length standing in for a real

@@ -265,6 +265,22 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow drains the backlog in bounded batches, then stops") {
+    // the scheduled-catchup mode: process everything currently in the
+    // source (respecting maxFilesPerTrigger bounds) and terminate — the
+    // nightly-batch shape run through the streaming engine, same code.
+    val out = java.nio.file.Files.createTempDirectory("graft-avnow").toString
+    val q = EventStreams.readEventStream(spark, fixtureDir)
+      .writeStream.format("parquet")
+      .option("path", s"$out/sink").option("checkpointLocation", s"$out/chk")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .outputMode(OutputMode.Append).start()
+    try {
+      assert(q.awaitTermination(60000), "AvailableNow query should self-terminate")
+    } finally q.stop()
+    assert(spark.read.parquet(s"$out/sink").count() === 4L)
+  }
+
   test("batch-mode transforms agree with streaming semantics on the fixture") {
     // the same windowedCounts function runs on the static fixture table
     val wc = EventStreams.streamWindowCounts(spark, fixtureDir)
