@@ -75,6 +75,7 @@ object SparkEntry {
     "user_segment_set_ops"   -> EventOps.userSegmentSetOps _,
     "user_cardinality"       -> EventOps.userCardinality _,
     "events_funnel"          -> EventOps.eventsFunnel _,
+    "events_above_p95"       -> EventOps.eventsAboveP95 _,
     "stratified_sample"      -> TextOps.stratifiedSample _,
     "user_cardinality_approx" -> EventOps.userCardinalityApprox _,
     "events_value_quantiles" -> EventOps.eventsValueQuantiles _,
@@ -552,6 +553,12 @@ object SparkEntry {
       """SELECT event_type, count(DISTINCT user_id) AS n_users,
                 count(*) AS n_events
          FROM events GROUP BY event_type""",
+    "events_above_p95" ->
+      """WITH t AS (SELECT event_type, quantile_cont(value, 0.95) AS p95
+                    FROM events GROUP BY event_type)
+         SELECT event_id, user_id, e.event_type
+         FROM events e JOIN t ON e.event_type = t.event_type
+         WHERE e.value > t.p95""",
     "events_funnel" ->
       """SELECT user_id,
                 CASE WHEN ts_view IS NOT NULL AND ts_click > ts_view

@@ -179,6 +179,20 @@ object EventOps {
       .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("n_users"),
         count(lit(1)).as("n_events"))
 
+  /** Tail-outlier flagging: events whose value exceeds their type's
+    * exact p95 — the data-cleaning pass that precedes aggregation on a
+    * noisy stream. The per-type threshold is a 5-row broadcast joined
+    * back to the stream; no second full pass.
+    */
+  def eventsAboveP95(spark: SparkSession, dir: String): DataFrame = {
+    val thresholds = eventsValueQuantiles(spark, dir)
+      .select(col("event_type"), col("p95"))
+    Tables.events(spark, dir)
+      .join(broadcast(thresholds), "event_type")
+      .filter(col("value") > col("p95"))
+      .select(col("event_id"), col("user_id"), col("event_type"))
+  }
+
   /** Approximate percentiles via `approx_percentile` (Greenwald-Khanna):
     * bounded-memory mergeable sketches — the scale path, since exact
     * percentiles need the whole group sorted while the sketch is
