@@ -76,6 +76,7 @@ object SparkEntry {
     "user_cardinality"       -> EventOps.userCardinality _,
     "events_funnel"          -> EventOps.eventsFunnel _,
     "events_above_p95"       -> EventOps.eventsAboveP95 _,
+    "events_value_histogram" -> ((s: SparkSession, d: String) => EventOps.eventsValueHistogram(s, d)),
     "stratified_sample"      -> TextOps.stratifiedSample _,
     "user_cardinality_approx" -> EventOps.userCardinalityApprox _,
     "events_value_quantiles" -> EventOps.eventsValueQuantiles _,
@@ -96,14 +97,15 @@ object SparkEntry {
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted (→ rows-only check):
-    * pi_montecarlo (seeded RNG), dedup_minhash / dedup_simhash /
-    * similarity_ann_lsh (Spark-hash/seed-specific plans; each is
-    * cross-checked in ScalaTest against its exact or portable
-    * counterpart — dedup_minhash_portable and similarity_ann_ivf ARE
-    * oracled end-to-end), events_value_quantiles_approx (sketch output
-    * is implementation-defined; error-bounded in ScalaTest against the
-    * oracled exact percentiles).
+    * the same parquet tables. Omitted (→ rows-only check), each with a
+    * stronger check elsewhere:
+    *  - pi_montecarlo: seeded RNG — determinism + convergence specs;
+    *  - dedup_minhash / dedup_simhash: xxh64 fast paths — their md5
+    *    "portable" twins run the SAME pipelines fully oracled, and
+    *    ScalaTest pins pair-set agreement between the hash families;
+    *  - events_value_quantiles_approx / user_cardinality_approx:
+    *    sketch outputs are implementation-defined — error-bounded in
+    *    ScalaTest against their oracled exact counterparts.
     */
   /** Shared CTE block: the near-dup graph + reachability used by both
     * dedup_components and corpus_curate.
@@ -553,6 +555,10 @@ object SparkEntry {
       """SELECT event_type, count(DISTINCT user_id) AS n_users,
                 count(*) AS n_events
          FROM events GROUP BY event_type""",
+    "events_value_histogram" ->
+      """SELECT event_type, cast(floor(value / 10.0) AS BIGINT) AS bin,
+                count(*) AS cnt
+         FROM events GROUP BY event_type, bin""",
     "events_above_p95" ->
       """WITH t AS (SELECT event_type, quantile_cont(value, 0.95) AS p95
                     FROM events GROUP BY event_type)

@@ -179,6 +179,18 @@ object EventOps {
       .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("n_users"),
         count(lit(1)).as("n_events"))
 
+  /** Fixed-width value histogram per event type — the distribution
+    * profile pass (drift monitoring, binning for feature engineering).
+    * Bin assignment is `floor(value / width)` — pure integer-exact
+    * double arithmetic, so both engines bin identically; one partial-agg
+    * shuffle keyed by (type, bin).
+    */
+  def eventsValueHistogram(spark: SparkSession, dir: String, width: Double = 10.0): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"), floor(col("value") / width).cast("long").as("bin"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+
   /** Tail-outlier flagging: events whose value exceeds their type's
     * exact p95 — the data-cleaning pass that precedes aggregation on a
     * noisy stream. The per-type threshold is a 5-row broadcast joined
