@@ -26,6 +26,25 @@ class SchemaEvolutionSpec extends AnyFunSuite with SparkFixture {
     assert(byId === Map(1L -> None, 2L -> None, 3L -> Some(0.9)))
   }
 
+  test("ignoreCorruptFiles skips a truncated file instead of failing the scan") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-corrupt").toString
+    Seq((1L, "ok"), (2L, "fine")).toDF("doc_id", "text").write.parquet(s"$dir/data")
+    // a garbage file in the same directory — at 100 TB some file is
+    // ALWAYS damaged; the scan must degrade, not die
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/data/part-99999-garbage.snappy.parquet"),
+      Array.fill[Byte](64)(0x42))
+    val prev = spark.conf.getOption("spark.sql.files.ignoreCorruptFiles")
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try {
+      assert(spark.read.parquet(s"$dir/data").count() === 2L)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.files.ignoreCorruptFiles", v)
+      case None => spark.conf.unset("spark.sql.files.ignoreCorruptFiles")
+    }
+  }
+
   test("explicit schema subsets old and new files uniformly") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-evo2").toString
