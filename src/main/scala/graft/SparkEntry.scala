@@ -368,6 +368,15 @@ object SparkEntry {
          FROM documents""",
     "stream_dedup_events" ->
       "SELECT DISTINCT event_id FROM events",
+    // Seeded Monte Carlo is fully deterministic (seed ⊕ partitionId,
+    // pinned partition count), so its output is this CONSTANT — the
+    // oracle pins that the distributed computation reproduces it
+    // exactly on every run and cluster layout. The estimate is the
+    // same IEEE division in both engines.
+    "pi_montecarlo" ->
+      """SELECT cast(4000000 AS BIGINT) AS n_samples,
+                cast(3142467 AS BIGINT) AS n_inside,
+                4.0 * 3142467 / 4000000 AS pi_estimate""",
     "bigram_counts" ->
       """SELECT bg AS bigram, count(*) AS cnt
          FROM (SELECT unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])) AS bg
