@@ -384,12 +384,14 @@ object SparkEntry {
                      FROM documents)
                WHERE len(ts) >= 2)
          GROUP BY bg""",
+    // CAST(... AS BIGINT) on the running sum: DuckDB window sum(BIGINT)
+    // yields HUGEINT → float at hash time; pin to BIGINT for Spark parity.
     "pack_batches" ->
       """SELECT doc_id, n_tokens, shard,
                 shard * 1000000 + (cum_end - n_tokens) // 8192 AS batch_id
          FROM (SELECT doc_id, n_tokens, shard,
-                      sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-                                          ROWS UNBOUNDED PRECEDING) AS cum_end
+                      CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_end
                FROM (SELECT doc_id,
                             cast(len(list_filter(string_split_regex(text, '\s+'), t -> t != '')) AS BIGINT) AS n_tokens,
                             doc_id % 32 AS shard
@@ -504,11 +506,17 @@ object SparkEntry {
            SELECT qid, vec_id,
                   row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rnk
            FROM scored) WHERE rnk <= 5""",
+    // CAST(sum AS BIGINT): DuckDB sum(BIGINT) yields HUGEINT, which the
+    // harness stringifies as a float — must pin to BIGINT to hash-match
+    // Spark's LongType sum. json_valid guard keeps the bad-input-is-NULL
+    // posture aligned with Spark's from_json.
     "events_props_agg" ->
       """SELECT event_type, count(*) AS n_events, count(k) AS n_with_k,
-                sum(k) AS sum_k, min(k) AS min_k, max(k) AS max_k
+                CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k
          FROM (SELECT event_type,
-                      CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+                      CASE WHEN json_valid(props)
+                           THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+                      END AS k
                FROM events)
          GROUP BY event_type""",
     "events_window_funcs" ->

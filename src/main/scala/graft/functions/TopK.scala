@@ -24,8 +24,18 @@ import org.apache.spark.sql.functions.col
 class TopKBySim(k: Int)
     extends Aggregator[(Long, Long, Double), Seq[(Double, Long)], Seq[(Long, Long)]] {
 
-  // best-first: higher sim wins, ties broken toward the lower id
-  private val ord: Ordering[(Double, Long)] = Ordering.by(t => (-t._1, t._2))
+  // best-first: higher sim wins, ties broken toward the lower id.
+  // NaN sorts FIRST (greatest), matching Spark's descending sort, so a
+  // zero-norm embedding (sim = 0/0) ranks identically to the window
+  // row_number formulation and the DuckDB oracle. Scala's default
+  // Ordering.by(-sim) would sort NaN last instead — hence the explicit
+  // compare (Double.compare treats NaN as greater than everything).
+  private val ord: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
+    def compare(x: (Double, Long), y: (Double, Long)): Int = {
+      val c = java.lang.Double.compare(y._1, x._1) // DESC, NaN first
+      if (c != 0) c else java.lang.Long.compare(x._2, y._2)
+    }
+  }
 
   override def zero: Seq[(Double, Long)] = Nil
 

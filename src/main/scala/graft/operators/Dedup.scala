@@ -229,6 +229,16 @@ object Dedup {
       prevSum = nextSum
       rounds += 1
     }
+    // Silent non-convergence would hand downstream curation WRONG
+    // component labels (keep/drop flips) — fail loudly instead.
+    // Min-label propagation needs one round per hop of component
+    // diameter; dup-graph components are near-cliques (diameter < 10),
+    // so 50 is generous — a corpus that trips this needs the cap raised,
+    // not a silent wrong answer.
+    if (!converged)
+      throw new IllegalStateException(
+        s"dedupComponents: label propagation did not converge after $rounds rounds; " +
+          "component diameter exceeds the cap — raise the round cap for this corpus")
     labels.select(col("doc_id"), col("comp"),
       (col("doc_id") === col("comp")).as("keep"))
   }

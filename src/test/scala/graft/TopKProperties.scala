@@ -14,11 +14,20 @@ object TopKProperties extends Properties("TopKBySim") {
 
   private val k = 5
   private val agg = new TopKBySim(k)
-  private val ord = Ordering.by((t: (Double, Long)) => (-t._1, t._2))
+  // NaN-aware model ordering: NaN first (greatest), matching Spark's
+  // DESC sort — Double.compare, not Ordering.by(-sim).
+  private val ord: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
+    def compare(x: (Double, Long), y: (Double, Long)): Int = {
+      val c = java.lang.Double.compare(y._1, x._1)
+      if (c != 0) c else java.lang.Long.compare(x._2, y._2)
+    }
+  }
 
   private val rowGen: Gen[(Long, Long, Double)] = for {
     id <- Gen.choose(0L, 50L)
-    sim <- Gen.choose(-1.0, 1.0)
+    sim <- Gen.frequency(
+      9 -> Gen.choose(-1.0, 1.0),
+      1 -> Gen.const(Double.NaN)) // zero-norm embedding: sim = 0/0
   } yield (0L, id, sim)
 
   private val rowsGen = Gen.listOf(rowGen)
@@ -36,16 +45,21 @@ object TopKProperties extends Properties("TopKBySim") {
       agg.finish(agg.merge(fold(l), fold(r))) == expected(rows)
     }
 
+  // Scala's numeric == makes NaN != NaN even boxed in tuples — compare
+  // buffers by bit pattern so identical NaN entries count as equal.
+  private def bits(b: Seq[(Double, Long)]): Seq[(Long, Long)] =
+    b.map { case (s, id) => (java.lang.Double.doubleToLongBits(s), id) }
+
   property("merge commutative, zero identity") =
     forAll(rowsGen, rowsGen) { (a, b) =>
       val (ba, bb) = (fold(a), fold(b))
-      agg.merge(ba, bb) == agg.merge(bb, ba) &&
-        agg.merge(agg.zero, ba) == ba.sorted(ord)
+      bits(agg.merge(ba, bb)) == bits(agg.merge(bb, ba)) &&
+        bits(agg.merge(agg.zero, ba)) == bits(ba.sorted(ord))
     }
 
   property("merge associative") =
     forAll(rowsGen, rowsGen, rowsGen) { (a, b, c) =>
       val (ba, bb, bc) = (fold(a), fold(b), fold(c))
-      agg.merge(agg.merge(ba, bb), bc) == agg.merge(ba, agg.merge(bb, bc))
+      bits(agg.merge(agg.merge(ba, bb), bc)) == bits(agg.merge(ba, agg.merge(bb, bc)))
     }
 }

@@ -50,6 +50,17 @@ def main() -> None:
         if len(g) != len(w):
             bad.append((name, f"row count differs: spark={len(g)} oracle={len(w)}"))
             continue
+        # Driver hashes stringified values, so int64-vs-float64 drift
+        # (e.g. DuckDB HUGEINT sums) is a real mismatch even when values
+        # compare equal numerically — check kinds strictly.
+        kind_drift = [
+            (c, str(g[c].dtype), str(w[c].dtype))
+            for c in g.columns
+            if {g[c].dtype.kind, w[c].dtype.kind} in ({"i", "f"}, {"u", "f"})
+        ]
+        if kind_drift:
+            bad.append((name, f"dtype drift (int/float hash hazard): {kind_drift}"))
+            continue
         try:
             pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
             ok.append(name)
