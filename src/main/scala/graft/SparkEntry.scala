@@ -94,6 +94,13 @@ object SparkEntry {
     "stream_enrich_join"     -> graft.streaming.EventStreams.streamEnrichJoin _,
     "stream_attribution_join" -> graft.streaming.EventStreams.streamAttributionJoin _,
     "copurchase_pairs"       -> Relational.copurchasePairs _,
+    // ---- round 4: curation, indexing, product analytics ----
+    "pii_redact"             -> Curation.piiRedact _,
+    "doc_repetition"         -> Curation.docRepetition _,
+    "contamination_check"    -> Curation.contaminationCheck _,
+    "inverted_index"         -> TextOps.invertedIndex _,
+    "doc_top_terms"          -> TextOps.docTopTerms _,
+    "cohort_retention"       -> EventOps.cohortRetention _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -744,5 +751,76 @@ object SparkEntry {
                            (strpos('0123456789ABCDEF', substr(hx, 2*i+2, 1)) - 1) AS BIGINT))),
                   (a, c) -> (a * 31 + c) % 1000000007) AS checksum
          FROM b""",
+    // Patterns must stay verbatim-identical to Curation.piiPatterns
+    // (Java∩RE2 subset). Counts run against the ORIGINAL text per
+    // pattern; replacements chain email → url → phone.
+    "pii_redact" ->
+      """SELECT doc_id,
+                regexp_replace(regexp_replace(regexp_replace(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,4}', '<EMAIL>', 'g'),
+                  'https?://[A-Za-z0-9./_%?=&-]+', '<URL>', 'g'),
+                  '[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g') AS clean_text,
+                len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,4}'))
+                  + len(regexp_extract_all(text, 'https?://[A-Za-z0-9./_%?=&-]+'))
+                  + len(regexp_extract_all(text, '[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}'))
+                  AS n_pii
+         FROM documents""",
+    "doc_repetition" ->
+      """SELECT doc_id, n_trigrams, n_distinct,
+                CAST(n_trigrams - n_distinct AS DOUBLE) / n_trigrams AS dup_frac,
+                CAST(n_trigrams - n_distinct AS DOUBLE) / n_trigrams <= 0.20 AS keep
+         FROM (SELECT doc_id,
+                      CAST(len(tg) AS BIGINT) AS n_trigrams,
+                      CAST(len(list_distinct(tg)) AS BIGINT) AS n_distinct
+               FROM (SELECT doc_id,
+                            list_transform(range(1, len(ts) - 1),
+                              i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) AS tg
+                     FROM (SELECT doc_id,
+                                  list_filter(string_split_regex(text, '\s+'), t -> t != '') AS ts
+                           FROM documents)
+                     WHERE len(ts) >= 3))""",
+    "contamination_check" ->
+      """WITH tk AS (SELECT doc_id,
+                            list_filter(string_split_regex(text, '\s+'), t -> t != '') AS ts
+                     FROM documents),
+              g AS (SELECT doc_id,
+                           unnest(list_distinct(list_transform(range(1, len(ts) - 6),
+                             i -> array_to_string(ts[i:i+7], ' ')))) AS gram
+                    FROM tk WHERE len(ts) >= 8)
+         SELECT g.doc_id, count(*) AS n_hits
+         FROM g
+         JOIN (SELECT DISTINCT gram FROM g WHERE doc_id < 10) b USING (gram)
+         WHERE g.doc_id >= 10
+         GROUP BY g.doc_id""",
+    "inverted_index" ->
+      """SELECT term, count(*) AS df,
+                array_to_string(list_sort(list(doc_id))[1:100], ',') AS postings
+         FROM (SELECT doc_id,
+                      unnest(list_distinct(list_filter(string_split_regex(text, '\s+'), t -> t != ''))) AS term
+               FROM documents)
+         GROUP BY term""",
+    "doc_top_terms" ->
+      """WITH tf AS (SELECT doc_id, term, count(*) AS tf
+                     FROM (SELECT doc_id,
+                                  unnest(list_filter(string_split_regex(text, '\s+'), t -> t != '')) AS term
+                           FROM documents)
+                     GROUP BY doc_id, term),
+              dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+              rk AS (SELECT doc_id, term, tf,
+                            row_number() OVER (PARTITION BY doc_id
+                                               ORDER BY tf DESC, term ASC) AS rnk
+                     FROM tf)
+         SELECT rk.doc_id, CAST(rk.rnk AS BIGINT) AS rnk, rk.term, rk.tf, dft.df
+         FROM rk JOIN dft USING (term) WHERE rnk <= 5""",
+    // Integer weeks since the epoch (epoch_us // week) on both sides —
+    // no timezone/calendar surface to disagree on.
+    "cohort_retention" ->
+      """SELECT cohort_week, week - cohort_week AS week_offset,
+                count(DISTINCT user_id) AS n_users
+         FROM (SELECT user_id, week,
+                      min(week) OVER (PARTITION BY user_id) AS cohort_week
+               FROM (SELECT user_id, epoch_us(ts) // 604800000000 AS week
+                     FROM events))
+         GROUP BY cohort_week, week_offset""",
   )
 }

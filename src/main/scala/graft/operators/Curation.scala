@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Corpus-curation operators a large-scale training-data pipeline runs
+  * before (or alongside) dedup: PII scrubbing, intra-document
+  * repetition scoring, and benchmark decontamination.
+  *
+  * Scale posture (100 TB): PII redaction and repetition scoring are
+  * purely narrow — per-row regex/array expressions inside whole-stage
+  * codegen, no shuffle at all. Decontamination shuffles only n-gram
+  * digests (8-byte keys), never document bodies, and the benchmark side
+  * of its join is bounded (a benchmark suite is KBs–MBs), so Spark
+  * broadcasts it and the corpus side never moves.
+  */
+object Curation {
+
+  /** PII patterns, shared verbatim between the Spark side and the
+    * DuckDB oracle (Java∩RE2 common subset: character classes,
+    * bounded/unbounded repeats — no lookaround, no backrefs).
+    * Replacement order matters (emails contain dot-runs a URL pattern
+    * must not eat first): email → url → phone.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,4}" -> "<EMAIL>",
+    "https?://[A-Za-z0-9./_%?=&-]+"                    -> "<URL>",
+    "[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"               -> "<PHONE>")
+
+  private def redacted(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (pat, rep)) => regexp_replace(c, pat, rep) }
+
+  private def piiCount(text: Column): Column =
+    piiPatterns.map { case (pat, _) =>
+      size(regexp_extract_all(text, lit(pat), lit(0))).cast("long")
+    }.reduce(_ + _)
+
+  /** C4-style PII scrub: redact emails, URLs, and phone numbers, and
+    * count the redactions (the count drives drop-vs-keep policy
+    * downstream — docs that are mostly PII get dropped, lightly-touched
+    * docs keep the redacted text). Narrow, codegen'd, zero shuffle.
+    */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documentsSpread(spark, dir)
+      .select(
+        col("doc_id"),
+        redacted(col("text")).as("clean_text"),
+        piiCount(col("text")).as("n_pii"))
+
+  /** Gopher-style repetition quality signal: the fraction of word
+    * trigrams that are duplicates of an earlier trigram in the same
+    * document, plus the count of the most-repeated trigram. Documents
+    * above the duplicate-fraction threshold are flagged for drop.
+    * Purely narrow per-doc array math — no shuffle, no tokenized text
+    * ever leaves the row.
+    */
+  def docRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val dupFracMax = 0.20
+    Tables.documentsSpread(spark, dir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 3)
+      .select(
+        col("doc_id"),
+        // i is transform's 0-based index; slice is 1-based, so the
+        // trigram at i covers tokens i..i+2 = slice(ts, i + 1, 3)
+        expr("transform(slice(ts, 1, size(ts) - 2), (x, i) -> concat_ws(' ', slice(ts, i + 1, 3)))")
+          .as("tg"))
+      .select(
+        col("doc_id"),
+        size(col("tg")).cast("long").as("n_trigrams"),
+        size(array_distinct(col("tg"))).cast("long").as("n_distinct"))
+      .withColumn("dup_frac",
+        (col("n_trigrams") - col("n_distinct")).cast("double") / col("n_trigrams"))
+      .withColumn("keep", col("dup_frac") <= dupFracMax)
+  }
+
+  /** Benchmark decontamination: flag corpus documents sharing any
+    * 8-token n-gram with a benchmark set (here: doc_id < 10 stands in
+    * for the eval suite). The benchmark n-gram set is tiny by
+    * construction, so Spark broadcasts it and the corpus side is a
+    * narrow explode→semi-join-shaped aggregation — the full corpus
+    * never shuffles. Output: contaminated docs with the number of
+    * distinct shared 8-grams.
+    */
+  def contaminationCheck(spark: SparkSession, dir: String): DataFrame = {
+    val nGram = 8
+    def grams(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
+        .filter(size(col("ts")) >= nGram)
+        .select(col("doc_id"),
+          explode(expr(
+            s"array_distinct(transform(slice(ts, 1, size(ts) - ${nGram - 1}), " +
+              s"(x, i) -> concat_ws(' ', slice(ts, i + 1, $nGram))))")).as("gram"))
+
+    val docs = Tables.documentsSpread(spark, dir)
+    val bench = grams(docs.filter(col("doc_id") < 10))
+      .select(col("gram")).distinct()
+    grams(docs.filter(col("doc_id") >= 10))
+      .join(broadcast(bench), "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+}

@@ -194,9 +194,14 @@ object Dedup {
     val nearPairs = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
 
     val undirected = exactStar.unionAll(nearPairs)
+    // Hash-partition by src BEFORE persisting: every propagation round
+    // joins on src, so the cached partitioning satisfies the join's
+    // distribution requirement and the edge table never re-shuffles
+    // inside the loop (one exchange total instead of one per round).
     val edges = undirected
       .unionAll(undirected.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("src", "dst")
+      .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // Initialize labels at each doc's exact-dup group minimum — that
@@ -255,14 +260,19 @@ object Dedup {
   def corpusCurate(spark: SparkSession, dir: String): DataFrame = {
     val keep = dedupComponents(spark, dir)
       .filter(col("keep")).select(col("doc_id"))
-    val quality = TextOps.textQuality(spark, dir)
-      .filter(col("alpha_ratio") >= 0.82).select(col("doc_id"))
-    val split = TextOps.trainTestSplit(spark, dir)
-    val stats = TextOps.textStats(spark, dir).select(col("doc_id"), col("n_tokens"))
+    // Quality gate, split assignment, and token count are all narrow
+    // per-doc projections over the SAME scan — fuse them into one pass
+    // (shared column builders keep the semantics identical to the
+    // standalone textQuality/trainTestSplit/textStats ops) instead of
+    // three scans + three shuffled joins.
+    val perDoc = Tables.documentsSpread(spark, dir)
+      .filter(TextOps.alphaRatioExpr(col("text")) >= 0.82)
+      .select(
+        col("doc_id"),
+        TextOps.splitExpr(col("doc_id")).as("split"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
     keep
-      .join(quality, "doc_id")
-      .join(split, "doc_id")
-      .join(stats, "doc_id")
+      .join(perDoc, "doc_id")
       .select(col("doc_id"), col("split"), col("n_tokens"))
   }
 

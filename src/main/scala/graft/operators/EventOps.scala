@@ -212,6 +212,29 @@ object EventOps {
     * implementation-defined → rows-only check + a ScalaTest error-bound
     * assertion against [[eventsValueQuantiles]].
     */
+  /** Weekly cohort retention — the product-analytics staple: users are
+    * cohorted by the week of their first event, and each (cohort,
+    * week-offset) cell counts the distinct users still active that many
+    * weeks later. All time math is integer weeks since the epoch
+    * (`epoch_us div week_us`), so Spark and the DuckDB oracle agree
+    * bit-for-bit with no timezone/calendar surface.
+    *
+    * Scale shape: one groupBy(user) for first-event weeks (partial agg
+    * does the heavy lifting map-side), one broadcast-friendly join back
+    * on user_id, one distinct-count aggregation — the event table
+    * shuffles only its (user, week) projection, never full rows.
+    */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val weekUs = 7L * 86400L * 1000000L
+    val ev = Tables.events(spark, dir)
+      // `div`, not `/`: Column./ on longs is DOUBLE division in Spark
+      .select(col("user_id"), expr(s"unix_micros(ts) div ${weekUs}L").as("week"))
+    val cohorts = ev.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+    ev.join(cohorts, "user_id")
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
   def eventsValueQuantilesApprox(spark: SparkSession, dir: String): DataFrame =
     Tables.eventsSpread(spark, dir)
       .groupBy(col("event_type"))

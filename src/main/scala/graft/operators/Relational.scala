@@ -288,25 +288,28 @@ object Relational {
   }
 
   /** Market-basket co-occurrence: part pairs appearing in the same
-    * order, counted across orders. The self-join shuffles on the order
-    * key once (the distinct-parts-per-order table is persisted so both
-    * sides share one computation), and the pair fanout is bounded by
-    * order size squared — per-group quadratic, never corpus-quadratic,
-    * which is what keeps basket analysis tractable at 100 TB.
+    * order, counted across orders. One groupBy collects each order's
+    * distinct sorted part set (dedup rides the aggregation — no separate
+    * DISTINCT exchange), the a<b pairs are generated map-side from the
+    * sorted array, and a second groupBy counts pairs: two exchanges
+    * total, versus four for the naive distinct + self-join + count plan
+    * (the self-join re-shuffles both sides from (order,part) to order).
+    * Pair fanout stays bounded by order size squared — per-group
+    * quadratic, never corpus-quadratic, which is what keeps basket
+    * analysis tractable at 100 TB.
     */
-  def copurchasePairs(spark: SparkSession, dir: String): DataFrame = {
-    val op = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_partkey"))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    op.as("a")
-      .join(op.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-      .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+  def copurchasePairs(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(expr(
+        // ps is sorted+distinct, so nested prefix×suffix = exactly the a<b pairs
+        """flatten(transform(ps, (x, i) ->
+           transform(slice(ps, i + 2, size(ps) - i - 1),
+                     y -> struct(x AS part_a, y AS part_b))))""")).as("p"))
+      .groupBy(col("p.part_a").as("part_a"), col("p.part_b").as("part_b"))
       .agg(count(lit(1)).as("n_orders"))
       .filter(col("n_orders") >= 2)
-  }
 
   /** Grouping-sets aggregate (ROLLUP over returnflag → linestatus):
     * per-group, per-flag subtotal, and grand-total rows in ONE pass —

@@ -60,6 +60,14 @@ object TextOps {
     * Regexes are kept to the Java∩RE2 common subset so the DuckDB oracle
     * evaluates the identical pattern.
     */
+  /** alpha-chars / total-chars ratio — shared by [[textQuality]] and the
+    * fused curation profile in [[Dedup.corpusCurate]] so the quality
+    * gate can't drift between the standalone and composed pipelines.
+    */
+  private[operators] def alphaRatioExpr(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-zA-Z]"), lit(0))).cast("long").cast("double") /
+      length(text).cast("long")
+
   def textQuality(spark: SparkSession, dir: String): DataFrame = {
     val stop = Seq("the", "a", "and", "of", "to", "in", "is", "it")
     val docs = Tables.documentsSpread(spark, dir)
@@ -68,13 +76,12 @@ object TextOps {
     docs
       .withColumn("toks", tokens(col("text")))
       .withColumn("n_chars", length(col("text")).cast("long"))
-      .withColumn("n_alpha", classCount("[a-zA-Z]"))
       .withColumn("n_digit", classCount("[0-9]"))
       .withColumn("n_stop",
         size(filter(col("toks"), t => t.isin(stop.map(lit(_)): _*))).cast("long"))
       .select(
         col("doc_id"),
-        (col("n_alpha").cast("double") / col("n_chars")).as("alpha_ratio"),
+        alphaRatioExpr(col("text")).as("alpha_ratio"),
         (col("n_digit").cast("double") / col("n_chars")).as("digit_ratio"),
         (col("n_stop").cast("double") / size(col("toks"))).as("stopword_ratio"))
   }
@@ -175,17 +182,63 @@ object TextOps {
     * incremental appends. Per-row narrow compute; portable hash so the
     * oracle replays it.
     */
+  /** Deterministic md5-bucket split assignment — shared by
+    * [[trainTestSplit]] and the fused curation profile in
+    * [[Dedup.corpusCurate]] (same reason as [[alphaRatioExpr]]).
+    */
+  private[operators] def splitExpr(id: Column): Column = {
+    val bucket =
+      conv(substring(md5(id.cast("string").cast("binary")), 1, 7), 16, 10)
+        .cast("long") % 100
+    when(bucket < 80, lit("train"))
+      .when(bucket < 90, lit("valid"))
+      .otherwise(lit("test"))
+  }
+
   def trainTestSplit(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(
-        col("doc_id"),
-        (conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 7), 16, 10)
-          .cast("long") % 100).as("bucket"))
-      .select(
-        col("doc_id"),
-        when(col("bucket") < 80, lit("train"))
-          .when(col("bucket") < 90, lit("valid"))
-          .otherwise(lit("test")).as("split"))
+      .select(col("doc_id"), splitExpr(col("doc_id")).as("split"))
+
+  /** Inverted index over the corpus: per term, its document frequency
+    * and the posting list (ascending doc_ids, capped at 100 — real
+    * engines cap or tier posting blocks; an uncapped list for a
+    * stopword-frequency term would be corpus-sized). One exchange on
+    * the term after a map-side per-doc distinct; the capped sorted
+    * postings keep every row bounded regardless of term frequency.
+    */
+  def invertedIndex(spark: SparkSession, dir: String): DataFrame =
+    Tables.documentsSpread(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("term"))
+      .groupBy(col("term"))
+      .agg(
+        count(lit(1)).as("df"),
+        // comma-joined (not an array column): keeps the output inside
+        // the harness's proven scalar compare surface
+        concat_ws(",",
+          slice(sort_array(collect_list(col("doc_id"))), 1, 100).cast("array<string>"))
+          .as("postings"))
+
+  /** Per-document salient terms: top-5 terms by in-doc frequency
+    * (ties → lexicographically smaller term), each carrying its corpus
+    * document frequency — the integer core of TF-IDF, kept float-free
+    * so both engines rank identically. Term frequencies aggregate in
+    * one exchange; the per-term df table joins back broadcast-style
+    * (vocabulary ≪ corpus); the final per-doc rank is a bounded window.
+    */
+  def docTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documentsSpread(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("term").asc)
+    tf.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .join(broadcast(df), "term")
+      .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("df"))
+  }
 
   /** Corpus cleaning / normalization: lowercase, strip non-alphanumeric
     * (keeping spaces), collapse whitespace runs, trim — the standard

@@ -1,0 +1,93 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Curation, EventOps, TextOps}
+
+/** The synthetic corpus contains no PII and no heavy repetition, so the
+  * oracle check alone can't prove those paths do anything — this spec
+  * plants fixtures that exercise each rule.
+  */
+class CurationSpec extends AnyFunSuite with SparkFixture {
+
+  /** documents.parquet with planted PII / repetition / contamination. */
+  lazy val curDir: String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-curation").toString
+    val bench = (1 to 20).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      // doc 0 is "benchmark"; corpus doc 10 copies tokens t5..t16 (12
+      // tokens = 5 distinct 8-grams), doc 11 is disjoint
+      (0L, bench),
+      (10L, ((5 to 16).map(i => s"t$i") ++ (1 to 10).map(i => s"u$i")).mkString(" ")),
+      (11L, (1 to 30).map(i => s"v$i").mkString(" ")),
+      // PII: two emails, one url, one phone
+      (12L, "contact a@b.com or c.d@e-f.org via https://x.io/p?q=1 or 555-123-4567 now"),
+      // repetition: "a b " * 12 → trigrams all dup after the first two
+      (13L, Seq.fill(12)("a b").mkString(" ")),
+      (14L, (1 to 24).map(i => s"n$i").mkString(" ")))
+    docs.map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("pii_redact replaces emails, urls, phones and counts them") {
+    val r = Curation.piiRedact(spark, curDir).filter("doc_id = 12").collect().head
+    assert(r.getString(1) ===
+      "contact <EMAIL> or <EMAIL> via <URL> or <PHONE> now")
+    assert(r.getLong(2) === 4L)
+  }
+
+  test("pii_redact leaves clean documents untouched") {
+    val rows = Curation.piiRedact(spark, curDir)
+      .filter("doc_id IN (11, 14)").collect()
+    assert(rows.forall(_.getLong(2) == 0L))
+  }
+
+  test("doc_repetition flags the repetitive doc and keeps the varied one") {
+    val m = Curation.docRepetition(spark, curDir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // doc 13: 24 tokens alternating a/b → 22 trigrams, only 2 distinct
+    assert(m(13L).getLong(1) === 22L)
+    assert(m(13L).getLong(2) === 2L)
+    assert(!m(13L).getBoolean(4))
+    // doc 14: all-distinct tokens → dup_frac 0, kept
+    assert(m(14L).getDouble(3) === 0.0)
+    assert(m(14L).getBoolean(4))
+  }
+
+  test("contamination_check finds exactly the overlapping doc and gram count") {
+    val rows = Curation.contaminationCheck(spark, curDir).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getLong(0) === 10L)
+    // t5..t16 = 12 shared tokens → 12 - 8 + 1 = 5 shared 8-grams
+    assert(rows.head.getLong(1) === 5L)
+  }
+
+  test("inverted_index df and capped sorted postings") {
+    val m = TextOps.invertedIndex(spark, fixtureDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(m("w1").getLong(1) === 4L) // docs 0,1,2,4
+    assert(m("w1").getString(2) === "0,1,2,4")
+    assert(m("zz").getLong(1) === 1L)
+    assert(m("zz").getString(2) === "2")
+  }
+
+  test("doc_top_terms ranks by tf desc then term asc with corpus df") {
+    val rows = TextOps.docTopTerms(spark, fixtureDir)
+      .filter("doc_id = 3").orderBy("rnk").collect()
+    // doc 3 tokens x1..x40 all tf=1 → rank by term asc
+    assert(rows.map(_.getString(2)).toSeq ===
+      Seq("x1", "x10", "x11", "x12", "x13"))
+    assert(rows.forall(r => r.getLong(3) == 1L && r.getLong(4) == 1L))
+  }
+
+  test("cohort_retention cohorts by first-event week with integer offsets") {
+    val got = EventOps.cohortRetention(spark, fixtureDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // user 1: events at ref and ref-20d → weeks 2817/2814, cohort 2814
+    // user 2: events at ref-14d and ref-30d → weeks 2815/2813, cohort 2813
+    assert(got === Set((2814L, 0L, 1L), (2814L, 3L, 1L),
+      (2813L, 0L, 1L), (2813L, 2L, 1L)))
+  }
+}

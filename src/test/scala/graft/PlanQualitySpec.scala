@@ -43,6 +43,43 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
     assert(plan.contains("PushedFilters") && plan.contains("EqualTo(n_name,NATION_7)"), plan)
   }
 
+  test("copurchase pairs: two exchanges (per-order sets, pair counts) — no self-join re-shuffle") {
+    assert(PlanChecks.shuffles(Relational.copurchasePairs(spark, fixtureDir)) <= 2)
+  }
+
+  test("contamination check broadcasts the benchmark grams; corpus side stays narrow") {
+    // fixture docs are all doc_id < 10 (benchmark side) — plant a corpus
+    // doc too, or AQE collapses the empty join to an EmptyRelation
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-contam").toString
+    Seq((0L, (1 to 20).map(i => s"t$i").mkString(" ")),
+        (10L, (5 to 16).map(i => s"t$i").mkString(" ")))
+      .map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val plan = PlanChecks.executedPlanString(
+      graft.operators.Curation.contaminationCheck(spark, dir))
+    assert(PlanChecks.broadcastCount(plan) >= 1, plan)
+    // benchmark distinct + final per-doc agg + the two sides' spread
+    // repartitions; the corpus n-grams themselves never shuffle
+    assert(PlanChecks.shuffleCount(plan) <= 4, plan)
+  }
+
+  test("cohort retention shuffles only the (user, week) projection") {
+    val plan = PlanChecks.executedPlanString(
+      EventOps.cohortRetention(spark, fixtureDir))
+    // cohort agg + join alignment + distinct-count agg; nothing fact-wide twice
+    assert(PlanChecks.shuffleCount(plan) <= 4, plan)
+    val read = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(read.exists(s => s.contains("user_id") && s.contains("ts")
+      && !s.contains("props") && !s.contains("value")), plan)
+  }
+
+  test("pii_redact and doc_repetition run with zero shuffles (pure narrow)") {
+    assert(PlanChecks.shuffles(graft.operators.Curation.piiRedact(spark, fixtureDir)) <= 1)
+    assert(PlanChecks.shuffles(graft.operators.Curation.docRepetition(spark, fixtureDir)) <= 1)
+  }
+
   test("taskG keeps the global-max scalar in-plan as a broadcast, not a shuffle") {
     val plan = PlanChecks.executedPlanString(Relational.taskGInactive(spark, fixtureDir))
     assert(PlanChecks.broadcastCount(plan) >= 1) // 1-row ref-time aggregate
