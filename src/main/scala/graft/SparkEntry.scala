@@ -101,6 +101,8 @@ object SparkEntry {
     "inverted_index"         -> TextOps.invertedIndex _,
     "doc_top_terms"          -> TextOps.docTopTerms _,
     "cohort_retention"       -> EventOps.cohortRetention _,
+    "events_sessionize"      -> EventOps.eventsSessionize _,
+    "events_value_band_join" -> Intervals.eventsValueBandJoin _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -822,5 +824,39 @@ object SparkEntry {
                FROM (SELECT user_id, epoch_us(ts) // 604800000000 AS week
                      FROM events))
          GROUP BY cohort_week, week_offset""",
+    // CAST on the running sum: DuckDB window sum(BIGINT) is HUGEINT.
+    "events_sessionize" ->
+      """WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
+                           CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                                  OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                                THEN 1 ELSE 0 END AS new_s
+                    FROM events
+                    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+              s AS (SELECT user_id, tus,
+                           CAST(sum(new_s) OVER (PARTITION BY user_id
+                                                 ORDER BY tus, event_id
+                                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                             AS session_idx
+                    FROM o)
+         SELECT user_id, session_idx, count(*) AS n_events,
+                min(tus) AS start_us, max(tus) AS end_us,
+                max(tus) - min(tus) AS duration_us
+         FROM s GROUP BY user_id, session_idx""",
+    // Plain theta join — the oracle doesn't need the bucket
+    // decomposition, only the identical [lo, hi) semantics and sums.
+    "events_value_band_join" ->
+      """WITH bands(band, lo, hi) AS (VALUES
+                ('b0_lt1',      0.0,   1.0),
+                ('b1_1_2p5',    1.0,   2.5),
+                ('b2_2p5_5',    2.5,   5.0),
+                ('b3_5_10',     5.0,  10.0),
+                ('b4_10_25',   10.0,  25.0),
+                ('b5_25_50',   25.0,  50.0),
+                ('b6_50_100',  50.0, 100.0),
+                ('b7_ge100',  100.0, 1e308))
+         SELECT band, count(*) AS n_events,
+                CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         FROM events JOIN bands ON value >= lo AND value < hi
+         GROUP BY band""",
   )
 }

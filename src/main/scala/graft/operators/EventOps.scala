@@ -212,6 +212,35 @@ object EventOps {
     * implementation-defined → rows-only check + a ScalaTest error-bound
     * assertion against [[eventsValueQuantiles]].
     */
+  /** Batch sessionization: gap-based session assignment (new session
+    * when >30 min elapses between a user's consecutive events) and
+    * per-session rollup — the batch twin of the streaming
+    * `session_window` aggregation, for when session ids must attach to
+    * historical data. One exchange on user_id computes the lag and the
+    * running session index in a single Window operator; the per-session
+    * rollup groups on (user_id, session_idx) — a superset of the window
+    * key, but re-partitioning what is now one row per event of three
+    * longs, not full events. All time math is integer microseconds.
+    */
+  def eventsSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val gapUs = 30L * 60L * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"))
+      // first event of a user has no lag → coalesce to "new session"
+      .withColumn("new_s",
+        coalesce((col("tus") - lag(col("tus"), 1).over(w)) > gapUs, lit(true))
+          .cast("long"))
+      .withColumn("session_idx",
+        sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("tus")).as("start_us"),
+        max(col("tus")).as("end_us"))
+      .withColumn("duration_us", col("end_us") - col("start_us"))
+  }
+
   /** Weekly cohort retention — the product-analytics staple: users are
     * cohorted by the week of their first event, and each (cohort,
     * week-offset) cell counts the distinct users still active that many

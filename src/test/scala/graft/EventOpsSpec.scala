@@ -95,4 +95,44 @@ class EventOpsSpec extends AnyFunSuite with SparkFixture {
         s"p50 for $k: exact=$e50 approx=$a50")
     }
   }
+
+  test("sessionize: exactly-30-min gap stays in session; >30 min splits") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-sess").toString
+    val base = Fixtures.RefTs // raw ns, read under nanosAsLong
+    val m30 = 30L * 60L * 1000000000L
+    Seq(
+      (0L, base, 1L, "view", 1.0, "{}"),
+      (1L, base + m30, 1L, "view", 1.0, "{}"),         // gap == 30 min: same session
+      (2L, base + 2 * m30 + 1000L, 1L, "view", 1.0, "{}"), // gap 30min+1µs: new session
+      (3L, base, 2L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = EventOps.eventsSessionize(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(5))).toMap
+    assert(got((1L, 1L)) === (2L, m30 / 1000L)) // events 0+1, 30 min span
+    assert(got((1L, 2L)) === (1L, 0L))          // event 2 alone
+    assert(got((2L, 1L)) === (1L, 0L))
+    assert(got.size === 3)
+  }
+
+  test("band join: lo inclusive, hi exclusive, uneven widths") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-band").toString
+    Seq(
+      (0L, 1L, 1L, "view", 0.0, "{}"),    // b0 lo boundary
+      (1L, 2L, 1L, "view", 0.999, "{}"),  // b0
+      (2L, 3L, 1L, "view", 1.0, "{}"),    // b1 (hi of b0 is exclusive)
+      (3L, 4L, 1L, "view", 2.5, "{}"),    // b2
+      (4L, 5L, 1L, "view", 99.999, "{}"), // b6
+      (5L, 6L, 1L, "view", 100.0, "{}"),  // b7 open tail
+      (6L, 7L, 1L, "view", 5000.0, "{}")) // beyond maxBucket clamp
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.operators.Intervals.eventsValueBandJoin(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("b0_lt1" -> 2L, "b1_1_2p5" -> 1L, "b2_2p5_5" -> 1L,
+      "b6_50_100" -> 1L, "b7_ge100" -> 2L))
+  }
 }
