@@ -103,6 +103,7 @@ object SparkEntry {
     "cohort_retention"       -> EventOps.cohortRetention _,
     "events_sessionize"      -> EventOps.eventsSessionize _,
     "events_value_band_join" -> Intervals.eventsValueBandJoin _,
+    "centroid_update"        -> ((s: SparkSession, d: String) => Similarity.centroidUpdate(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -858,5 +859,38 @@ object SparkEntry {
                 CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
          FROM events JOIN bands ON value >= lo AND value < hi
          GROUP BY band""",
+    // Same assignment CTEs as similarity_ann_ivf (sequential dot/norm,
+    // ties → lowest cell), same quantization as embedding_quantize;
+    // integer sums keep the hash stable, the mean is one int/int
+    // division both engines compute identically.
+    "centroid_update" ->
+      """WITH e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v,
+                           sqrt(list_reduce(list_prepend(0.0,
+                             list_transform(cast(embedding AS DOUBLE[]), x -> x*x)),
+                             (a,x) -> a + x)) AS nrm
+                    FROM embeddings),
+              c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM e WHERE vec_id < 16),
+              cs AS (SELECT e.vec_id, c.cid,
+                            list_reduce(list_prepend(0.0,
+                              list_transform(range(1, len(e.v)+1), i -> e.v[i]*c.cv[i])),
+                              (a,x) -> a + x) / (e.nrm * c.cnrm) AS sim
+                     FROM e, c),
+              assigned AS (SELECT vec_id, cell FROM (
+                     SELECT vec_id, cid AS cell,
+                            row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+                     FROM cs) WHERE rn = 1),
+              m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS ma FROM e),
+              x AS (SELECT vec_id, v, ma, unnest(range(1, len(v) + 1)) AS i FROM m),
+              q AS (SELECT vec_id, cast(i - 1 AS BIGINT) AS dim_idx,
+                           CASE WHEN ma = 0.0 THEN 0
+                                ELSE greatest(-127, least(127,
+                                       cast(floor(v[i] * 127.0 / ma) AS BIGINT)))
+                           END AS q
+                    FROM x)
+         SELECT cell, dim_idx, count(*) AS n,
+                CAST(sum(q.q) AS BIGINT) AS sum_q,
+                CAST(sum(q.q) AS DOUBLE) / count(*) AS mean_q
+         FROM q JOIN assigned USING (vec_id)
+         GROUP BY cell, dim_idx""",
   )
 }

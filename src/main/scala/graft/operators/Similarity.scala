@@ -171,6 +171,48 @@ object Similarity {
     graft.functions.TopK.perQuery(scored, 5)
   }
 
+  /** One k-means/IVF training step — the centroid UPDATE an embedding
+    * pipeline runs to refine the codebook [[annIvf]] consumes: assign
+    * every vector to its nearest centroid (same deterministic
+    * first-`nlist` codebook and tie rule as annIvf), then aggregate the
+    * per-cell, per-dimension mean. The aggregation runs over the int8
+    * quantized codes ([[embeddingQuantize]]) so the sums are exact
+    * integers — hash-stable across engines — with the mean emitted as
+    * the one int/int double both engines compute identically.
+    *
+    * Scale shape: assignment is per-row math against a broadcast
+    * codebook (metadata-scale, like loading a model); the one exchange
+    * carries (cell, dim) partial sums — map-side partial aggregation
+    * reduces each partition to ≤ nlist×dim rows regardless of corpus
+    * size.
+    */
+  def centroidUpdate(spark: SparkSession, dir: String, nlist: Int = 16): DataFrame = {
+    val emb = withNorm(spark, dir)
+    val cents: Seq[Seq[Double]] = emb.filter(col("vec_id") < nlist)
+      .orderBy("vec_id").select("v").collect().toSeq.map(_.getSeq[Double](0))
+    if (cents.isEmpty) {
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Long, Long, Double)]
+        .toDF("cell", "dim_idx", "n", "sum_q", "mean_q")
+    }
+    val centNorms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
+    val centsLit = typedLit(cents)
+    val cellSims = array(
+      cents.indices.map(i =>
+        dot(col("v"), element_at(centsLit, i + 1)) / (col("nrm") * centNorms(i))): _*)
+    // array_position is 1-based and returns the FIRST max — ties break
+    // toward the lower cell id, matching the oracle's (sim DESC, cid ASC)
+    val assigned = emb
+      .withColumn("cs", cellSims)
+      .select(col("vec_id"),
+        (array_position(col("cs"), array_max(col("cs"))) - 1L).as("cell"))
+    embeddingQuantize(spark, dir)
+      .join(assigned, "vec_id")
+      .groupBy(col("cell"), col("dim_idx"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("sum_q"))
+      .withColumn("mean_q", col("sum_q").cast("double") / col("n"))
+  }
+
   /** md5-derived hyperplane weight in [-1000, 1000] — deterministic,
     * seedless, and replayable in SQL (integer-valued, so the double is
     * exact), which is what lets the whole LSH pipeline be

@@ -51,4 +51,15 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     info(f"ANN recall vs brute force: $recall%.2f (${annPairs.size} returned)")
     assert(recall >= 0.5, s"LSH recall $recall too low")
   }
+
+  test("centroid update: every vector lands in one valid cell; means are exact int ratios") {
+    val rows = Similarity.centroidUpdate(spark, fixtureDir).collect()
+    assert(rows.forall(r => r.getLong(0) >= 0L && r.getLong(0) < 16L))
+    assert(rows.map(_.getLong(1)).toSet === (0L until 64L).toSet)
+    // every (dim) slice accounts for all 60 fixture vectors exactly once
+    val perDim = rows.groupBy(_.getLong(1)).view.mapValues(_.map(_.getLong(2)).sum)
+    assert(perDim.values.toSet === Set(60L))
+    assert(rows.forall(r =>
+      r.getDouble(4) === r.getLong(3).toDouble / r.getLong(2)))
+  }
 }
