@@ -104,6 +104,7 @@ object SparkEntry {
     "events_sessionize"      -> EventOps.eventsSessionize _,
     "events_value_band_join" -> Intervals.eventsValueBandJoin _,
     "centroid_update"        -> ((s: SparkSession, d: String) => Similarity.centroidUpdate(s, d)),
+    "zorder_layout"          -> Layout.zorderLayout _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -892,5 +893,16 @@ object SparkEntry {
                 CAST(sum(q.q) AS DOUBLE) / count(*) AS mean_q
          FROM q JOIN assigned USING (vec_id)
          GROUP BY cell, dim_idx""",
+    // Same 16-bit Morton interleave, unrolled via list_reduce.
+    "zorder_layout" ->
+      """SELECT event_id, user_id, vbin,
+                list_reduce(list_transform(range(0, 16), i ->
+                  (((ua >> i) & 1) << (2*i)) | (((vb >> i) & 1) << (2*i+1))),
+                  (x, y) -> x | y) AS z
+         FROM (SELECT event_id, user_id,
+                      CAST(floor(value) AS BIGINT) AS vbin,
+                      user_id & 65535 AS ua,
+                      CAST(floor(value) AS BIGINT) & 65535 AS vb
+               FROM events)""",
   )
 }
