@@ -105,6 +105,9 @@ object SparkEntry {
     "events_value_band_join" -> Intervals.eventsValueBandJoin _,
     "centroid_update"        -> ((s: SparkSession, d: String) => Similarity.centroidUpdate(s, d)),
     "zorder_layout"          -> Layout.zorderLayout _,
+    "corpus_stats"           -> Curation.corpusStats _,
+    "rolling_active_users"   -> EventOps.rollingActiveUsers _,
+    "brand_market_share"     -> Relational.brandMarketShare _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -904,5 +907,27 @@ object SparkEntry {
                       user_id & 65535 AS ua,
                       CAST(floor(value) AS BIGINT) & 65535 AS vb
                FROM events)""",
+    "corpus_stats" ->
+      """SELECT source, lang, count(*) AS n_docs,
+                CAST(sum(len(list_filter(string_split_regex(text, '\s+'), t -> t != ''))) AS BIGINT)
+                  AS n_tokens,
+                count(DISTINCT sha256(text)) AS n_distinct_texts,
+                CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                count(*) - count(DISTINCT sha256(text)) AS dup_docs,
+                CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
+         FROM documents
+         GROUP BY source, lang""",
+    "rolling_active_users" ->
+      """WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+                     FROM events),
+              x AS (SELECT user_id, day + o AS report_day
+                    FROM ud, (SELECT unnest(range(0, 7)) AS o))
+         SELECT report_day, count(DISTINCT user_id) AS active_users
+         FROM x GROUP BY report_day""",
+    "brand_market_share" ->
+      """SELECT brand, n_parts,
+                CAST(n_parts AS DOUBLE) / sum(n_parts) OVER () AS share
+         FROM (SELECT p_brand AS brand, count(*) AS n_parts
+               FROM part GROUP BY p_brand)""",
   )
 }

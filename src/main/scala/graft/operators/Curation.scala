@@ -75,6 +75,23 @@ object Curation {
       .withColumn("keep", col("dup_frac") <= dupFracMax)
   }
 
+  /** Corpus composition report — the dashboard a curation run publishes:
+    * per (source, lang), document and token volumes, within-group
+    * exact-dup counts (docs minus distinct content hashes — the shuffle
+    * key is the 64-char digest, never the text), and mean length as the
+    * one int/int double both engines compute identically.
+    */
+  def corpusStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documentsSpread(spark, dir)
+      .groupBy(col("source"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(TextOps.tokens(col("text"))).cast("long")).as("n_tokens"),
+        countDistinct(sha2(col("text"), 256)).as("n_distinct_texts"),
+        sum(col("n_chars")).as("sum_chars"))
+      .withColumn("dup_docs", col("n_docs") - col("n_distinct_texts"))
+      .withColumn("avg_chars", col("sum_chars").cast("double") / col("n_docs"))
+
   /** Benchmark decontamination: flag corpus documents sharing any
     * 8-token n-gram with a benchmark set (here: doc_id < 10 stands in
     * for the eval suite). The benchmark n-gram set is tiny by

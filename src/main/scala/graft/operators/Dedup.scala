@@ -217,7 +217,7 @@ object Dedup {
     // label SUM is exactly a fixpoint — one scalar aggregate per round
     // instead of a full old-vs-new join.
     // coalesce: sum over an EMPTY corpus is NULL, not 0
-    var prevSum = labels.agg(coalesce(sum(col("comp")), lit(0L))).head.getLong(0)
+    var prevSum = labels.agg(coalesce(sum(col("comp")), lit(0L))).head().getLong(0)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 50) {
@@ -227,7 +227,7 @@ object Dedup {
         .unionAll(labels)
         .groupBy(col("doc_id")).agg(min(col("comp")).as("comp"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val nextSum = next.agg(coalesce(sum(col("comp")), lit(0L))).head.getLong(0)
+      val nextSum = next.agg(coalesce(sum(col("comp")), lit(0L))).head().getLong(0)
       labels.unpersist()
       labels = next
       converged = nextSum == prevSum
@@ -244,6 +244,8 @@ object Dedup {
       throw new IllegalStateException(
         s"dedupComponents: label propagation did not converge after $rounds rounds; " +
           "component diameter exceeds the cap — raise the round cap for this corpus")
+    // operational signal: round count is the corpus's dup-chain depth
+    System.err.println(s"[graft] dedupComponents converged in $rounds rounds")
     labels.select(col("doc_id"), col("comp"),
       (col("doc_id") === col("comp")).as("keep"))
   }

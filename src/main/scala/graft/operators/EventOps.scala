@@ -212,6 +212,24 @@ object EventOps {
     * implementation-defined → rows-only check + a ScalaTest error-bound
     * assertion against [[eventsValueQuantiles]].
     */
+  /** Trailing-7-day distinct active users per day — the rolling-window
+    * distinct count a naive formulation makes quadratic (per-day scans)
+    * or unbounded (distinct over a sliding range frame, which Spark
+    * windows can't do). Scale shape: dedupe events to (user, day) pairs
+    * first (one exchange, partial agg map-side), explode each pair to
+    * the ≤7 report days it contributes to — bounded fanout of slim int
+    * pairs, not events — and distinct-count per report day. Day math is
+    * integer epoch-days on both engines.
+    */
+  def rollingActiveUsers(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+      .select(col("user_id"),
+        explode(sequence(col("day"), col("day") + 6)).as("report_day"))
+      .groupBy(col("report_day"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+
   /** Batch sessionization: gap-based session assignment (new session
     * when >30 min elapses between a user's consecutive events) and
     * per-session rollup — the batch twin of the streaming

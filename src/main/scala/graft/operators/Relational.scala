@@ -311,6 +311,21 @@ object Relational {
       .agg(count(lit(1)).as("n_orders"))
       .filter(col("n_orders") >= 2)
 
+  /** Market-share proportions: per-brand part counts with each brand's
+    * share of the total — the window-after-aggregate shape (a global
+    * window over the already-reduced per-brand rows, so the unpartitioned
+    * window sees #brands rows, never the fact table). Share is one
+    * int/int double division, identical in both engines.
+    */
+  def brandMarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    Tables.part(spark, dir)
+      .groupBy(col("p_brand").as("brand"))
+      .agg(count(lit(1)).as("n_parts"))
+      .withColumn("share",
+        col("n_parts").cast("double") / sum(col("n_parts")).over(w))
+  }
+
   /** Grouping-sets aggregate (ROLLUP over returnflag → linestatus):
     * per-group, per-flag subtotal, and grand-total rows in ONE pass —
     * Catalyst expands the rollup into a single Expand + hash aggregate,

@@ -201,13 +201,24 @@ object Similarity {
       cents.indices.map(i =>
         dot(col("v"), element_at(centsLit, i + 1)) / (col("nrm") * centNorms(i))): _*)
     // array_position is 1-based and returns the FIRST max — ties break
-    // toward the lower cell id, matching the oracle's (sim DESC, cid ASC)
-    val assigned = emb
+    // toward the lower cell id, matching the oracle's (sim DESC, cid ASC).
+    // Quantization (same formula as embeddingQuantize) is fused onto the
+    // same persisted pass, so assignment + codes need ONE scan and no
+    // vec_id join — the row explodes to (cell, dim, q) directly.
+    emb
       .withColumn("cs", cellSims)
-      .select(col("vec_id"),
-        (array_position(col("cs"), array_max(col("cs"))) - 1L).as("cell"))
-    embeddingQuantize(spark, dir)
-      .join(assigned, "vec_id")
+      .select(
+        (array_position(col("cs"), array_max(col("cs"))) - 1L).as("cell"),
+        col("v"),
+        array_max(transform(col("v"), x => abs(x))).as("ma"))
+      .select(col("cell"), col("ma"), posexplode(col("v")))
+      .select(
+        col("cell"),
+        col("pos").cast("long").as("dim_idx"),
+        when(col("ma") === 0.0, lit(0L))
+          .otherwise(greatest(lit(-127L),
+            least(lit(127L), floor(col("col") * 127.0 / col("ma")).cast("long"))))
+          .as("q"))
       .groupBy(col("cell"), col("dim_idx"))
       .agg(count(lit(1)).as("n"), sum(col("q")).as("sum_q"))
       .withColumn("mean_q", col("sum_q").cast("double") / col("n"))

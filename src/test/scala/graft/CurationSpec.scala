@@ -82,6 +82,26 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
     assert(rows.forall(r => r.getLong(3) == 1L && r.getLong(4) == 1L))
   }
 
+  test("corpus_stats counts within-group exact dups and exact token volumes") {
+    val got = Curation.corpusStats(spark, fixtureDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // src0 = docs 0 and 1, both DocA → 2 docs, 1 distinct text, 1 dup
+    val s0 = got("src0")
+    assert(s0.getLong(2) === 2L)
+    assert(s0.getLong(4) === 1L)
+    assert(s0.getAs[Long]("dup_docs") === 1L)
+    assert(s0.getLong(3) === 80L) // 2 docs x 40 tokens
+    // src1 = docs 2 and 3, distinct → no dups
+    assert(got("src1").getAs[Long]("dup_docs") === 0L)
+  }
+
+  test("brand_market_share shares sum to 1 with exact per-brand ratios") {
+    val rows = graft.operators.Relational.brandMarketShare(spark, fixtureDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rows("Brand#1") === ((2L, 2.0 / 3.0)))
+    assert(rows("Brand#2") === ((1L, 1.0 / 3.0)))
+  }
+
   test("cohort_retention cohorts by first-event week with integer offsets") {
     val got = EventOps.cohortRetention(spark, fixtureDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet

@@ -117,6 +117,23 @@ class EventOpsSpec extends AnyFunSuite with SparkFixture {
     assert(got.size === 3)
   }
 
+  test("rolling 7-day active users: each (user, day) feeds exactly 7 report days") {
+    import graft.operators.EventOps
+    val d0 = Fixtures.RefTs / 1000000000L / 86400L // epoch day of ref (ns → s → days)
+    val got = EventOps.rollingActiveUsers(spark, fixtureDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // fixture event days: user1 at d0 and d0-20, user2 at d0-14 and d0-30
+    // report day d0 covers windows from d0-6..d0 → only user1's d0 event
+    assert(got(d0) === 1L)
+    // d0-14 is covered by BOTH user1's d0-20 window and user2's d0-14 event
+    assert(got(d0 - 14) === 2L)
+    // d0-30+6=d0-24: user2 (d0-30) only; d0-20: user1; overlap day d0-14..?
+    assert(got(d0 - 24) === 1L)
+    // every (user,day) pair contributes to exactly 7 report days:
+    // 4 distinct (user,day) pairs → total memberships = 28
+    assert(got.values.sum === 28L)
+  }
+
   test("band join: lo inclusive, hi exclusive, uneven widths") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-band").toString
