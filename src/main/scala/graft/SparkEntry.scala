@@ -108,6 +108,8 @@ object SparkEntry {
     "corpus_stats"           -> Curation.corpusStats _,
     "rolling_active_users"   -> EventOps.rollingActiveUsers _,
     "brand_market_share"     -> Relational.brandMarketShare _,
+    "q3_shipping_priority"   -> Relational.q3ShippingPriority _,
+    "q18_large_orders"       -> Relational.q18LargeOrders _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -929,5 +931,30 @@ object SparkEntry {
                 CAST(n_parts AS DOUBLE) / sum(n_parts) OVER () AS share
          FROM (SELECT p_brand AS brand, count(*) AS n_parts
                FROM part GROUP BY p_brand)""",
+    // DECIMAL revenue keeps the ordering (and the top-10 cut) exact and
+    // engine-identical; dates emit as epoch microseconds.
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey AS orderkey,
+                CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+                  AS revenue,
+                epoch_us(o_orderdate) AS order_us, o_orderpriority
+         FROM customer, orders, lineitem
+         WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+           AND l_orderkey = o_orderkey
+           AND o_orderdate < TIMESTAMP '1998-06-01'
+           AND l_shipdate > TIMESTAMP '1998-06-01'
+         GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         ORDER BY sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) DESC,
+                  l_orderkey
+         LIMIT 10""",
+    // integral-valued quantities → double sums are exact in any order
+    "q18_large_orders" ->
+      """WITH big AS (SELECT l_orderkey, sum(l_quantity) AS total_qty
+                      FROM lineitem GROUP BY l_orderkey
+                      HAVING sum(l_quantity) > 300.0)
+         SELECT c_name, o_orderkey, total_qty
+         FROM big
+         JOIN orders ON o_orderkey = l_orderkey
+         JOIN customer ON c_custkey = o_custkey""",
   )
 }

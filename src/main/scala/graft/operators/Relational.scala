@@ -311,6 +311,59 @@ object Relational {
       .agg(count(lit(1)).as("n_orders"))
       .filter(col("n_orders") >= 2)
 
+  /** TPC-H Q3 shape (shipping priority): segment-filtered customers,
+    * date-bounded orders and lineitems, revenue per order, top-10.
+    * Both date filters push into the parquet scans; the revenue sum is
+    * DECIMAL (exact → deterministic ordering), with l_orderkey as the
+    * tiebreak; the final top-10 compiles to TakeOrderedAndProject, so
+    * nothing is ever globally sorted. Dates are emitted as epoch
+    * microseconds (the proven cross-engine timestamp encoding).
+    */
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    // order/ship dates are TIMESTAMP_NTZ — keep the literal NTZ too
+    val cutoff = lit("1998-06-01").cast("timestamp_ntz")
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < cutoff)
+      .join(cust, col("o_custkey") === col("c_custkey"), "left_semi")
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > cutoff)
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)").as("rev"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(col("rev")).as("rev_dec"))
+      .orderBy(col("rev_dec").desc, col("l_orderkey").asc)
+      .limit(10)
+      .select(
+        col("l_orderkey").as("orderkey"),
+        col("rev_dec").cast("double").as("revenue"),
+        // NTZ → TZ cast is the identity under the UTC session, so this
+        // equals DuckDB's epoch_us over the naive timestamp
+        unix_micros(col("o_orderdate").cast("timestamp")).as("order_us"),
+        col("o_orderpriority"))
+  }
+
+  /** TPC-H Q18 shape (large-volume orders): the aggregate-in-HAVING
+    * pattern — per-order quantity totals filtered on the aggregate,
+    * then enriched with order/customer attributes. The HAVING filter
+    * runs on the reduced per-order rows BEFORE the joins, so the join
+    * inputs are already thousands-fold smaller than the fact table
+    * (quantities are integral-valued doubles → sums are exact).
+    */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > 300.0)
+    big
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("o_orderkey"), col("total_qty"))
+  }
+
   /** Market-share proportions: per-brand part counts with each brand's
     * share of the total — the window-after-aggregate shape (a global
     * window over the already-reduced per-brand rows, so the unpartitioned
