@@ -110,6 +110,7 @@ object SparkEntry {
     "brand_market_share"     -> Relational.brandMarketShare _,
     "q3_shipping_priority"   -> Relational.q3ShippingPriority _,
     "q18_large_orders"       -> Relational.q18LargeOrders _,
+    "copurchase_triangles"   -> Relational.copurchaseTriangles _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -956,5 +957,17 @@ object SparkEntry {
          FROM big
          JOIN orders ON o_orderkey = l_orderkey
          JOIN customer ON c_custkey = o_custkey""",
+    "copurchase_triangles" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+              pairs AS (SELECT a.l_partkey AS a, b.l_partkey AS b
+                        FROM op a JOIN op b
+                          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+                        GROUP BY a.l_partkey, b.l_partkey
+                        HAVING count(*) >= 2)
+         SELECT count(*) AS n_triangles
+         FROM pairs e1
+         JOIN pairs e2 ON e1.b = e2.a
+         WHERE EXISTS (SELECT 1 FROM pairs e3
+                       WHERE e3.a = e1.a AND e3.b = e2.b)""",
   )
 }

@@ -311,6 +311,28 @@ object Relational {
       .agg(count(lit(1)).as("n_orders"))
       .filter(col("n_orders") >= 2)
 
+  /** Triangle count over the co-purchase graph — the classic
+    * distributed graph-analytics kernel. Edges are the a<b co-purchase
+    * pairs (already canonically oriented), so each triangle {a<b<c} is
+    * found exactly once as e(a,b) ⋈ e(b,c) ⋈ e(a,c): the
+    * orientation IS the standard degree-ordering trick that keeps the
+    * wedge join from double-counting and bounds fanout by out-degree.
+    * Scale shape: two hash joins on edge endpoints (never vertices ×
+    * vertices) over the already-thresholded pair table, then a global
+    * count — shuffle keys are ids, volumes are edge-scale.
+    */
+  def copurchaseTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val e = copurchasePairs(spark, dir)
+      .select(col("part_a").as("a"), col("part_b").as("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wedges = e.as("e1")
+      .join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("wa"), col("e1.b").as("wb"), col("e2.b").as("wc"))
+    wedges
+      .join(e.as("e3"), col("wa") === col("e3.a") && col("wc") === col("e3.b"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
   /** TPC-H Q3 shape (shipping priority): segment-filtered customers,
     * date-bounded orders and lineitems, revenue per order, top-10.
     * Both date filters push into the parquet scans; the revenue sum is
