@@ -80,6 +80,30 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
     assert(PlanChecks.shuffles(graft.operators.Curation.docRepetition(spark, fixtureDir)) <= 1)
   }
 
+  test("q3 top-10 compiles to TakeOrderedAndProject — no global sort materialization") {
+    // fixture customers carry no BUILDING segment → plant a q3-live dir
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-q3").toString
+    val early = java.time.LocalDateTime.of(1997, 1, 1, 0, 0)
+    val late = java.time.LocalDateTime.of(1999, 1, 1, 0, 0)
+    Seq((1L, "c1", 0, 1.0, "BUILDING"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq((100L, 1L, "O", 1.0, early, "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((100L, 10L, 1L, 1, 1.0, 100.0, 0.1, 0.0, "N", "O", late))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+        "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val q3 = Relational.q3ShippingPriority(spark, dir)
+    assert(q3.count() === 1L)
+    val plan = PlanChecks.executedPlanString(q3)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("taskG keeps the global-max scalar in-plan as a broadcast, not a shuffle") {
     val plan = PlanChecks.executedPlanString(Relational.taskGInactive(spark, fixtureDir))
     assert(PlanChecks.broadcastCount(plan) >= 1) // 1-row ref-time aggregate

@@ -72,11 +72,14 @@ object Fixtures {
       .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"), "customer")
 
     // alice: 3 orders, bob: 1, carol/dave: none → avg over order-havers = 2
-    val ots = new java.sql.Timestamp(RefTs / 1000000L)
+    // LocalDateTime → TIMESTAMP_NTZ, matching the testdata's physical type
+    val ots = java.time.LocalDateTime.ofEpochSecond(RefTs / 1000000000L, 0,
+      java.time.ZoneOffset.UTC)
     w(Seq(
-      (100L, 1L, "O", 10.0, ots), (101L, 1L, "O", 20.0, ots),
-      (102L, 1L, "F", 30.0, ots), (103L, 2L, "O", 40.0, ots))
-      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"),
+      (100L, 1L, "O", 10.0, ots, "1-URGENT"), (101L, 1L, "O", 20.0, ots, "3-MEDIUM"),
+      (102L, 1L, "F", 30.0, ots, "3-MEDIUM"), (103L, 2L, "O", 40.0, ots, "5-LOW"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate",
+        "o_orderpriority"),
       "orders")
 
     // ts is raw INT64 nanos, matching the testdata's TIMESTAMP(NANOS)
@@ -97,12 +100,13 @@ object Fixtures {
     // supplier 1, part 11: max qty 20 (≤ 25 → supplier 1 qualifies)
     // supplier 2, part 10: max qty 30 (supplier 2 has no qualifying pair)
     w(Seq(
-      (1000L, 10L, 1L, 1, 10.0, 100.0, 0.1, 0.0, "N", "O"),
-      (1000L, 10L, 1L, 2, 30.0, 100.0, 0.1, 0.0, "N", "O"),
-      (1001L, 11L, 1L, 1, 20.0, 100.0, 0.1, 0.0, "N", "O"),
-      (1002L, 10L, 2L, 1, 30.0, 100.0, 0.1, 0.0, "N", "O"))
+      (1000L, 10L, 1L, 1, 10.0, 100.0, 0.1, 0.0, "N", "O", ots),
+      (1000L, 10L, 1L, 2, 30.0, 100.0, 0.1, 0.0, "N", "O", ots),
+      (1001L, 11L, 1L, 1, 20.0, 100.0, 0.1, 0.0, "N", "O", ots),
+      (1002L, 10L, 2L, 1, 30.0, 100.0, 0.1, 0.0, "N", "O", ots))
       .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
-        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus"), "lineitem")
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+        "l_shipdate"), "lineitem")
 
     w(Seq(
       (0L, DocA, "en", "src0", DocA.length.toLong),
