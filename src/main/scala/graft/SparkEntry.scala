@@ -111,6 +111,8 @@ object SparkEntry {
     "q3_shipping_priority"   -> Relational.q3ShippingPriority _,
     "q18_large_orders"       -> Relational.q18LargeOrders _,
     "copurchase_triangles"   -> Relational.copurchaseTriangles _,
+    "ngram_lm_probs"         -> TextOps.ngramLmProbs _,
+    "vocab_build"            -> ((s: SparkSession, d: String) => TextOps.vocabBuild(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -969,5 +971,32 @@ object SparkEntry {
          JOIN pairs e2 ON e1.b = e2.a
          WHERE EXISTS (SELECT 1 FROM pairs e3
                        WHERE e3.a = e1.a AND e3.b = e2.b)""",
+    // tokens are whitespace-split, so the bigram string splits back on
+    // its single interior space exactly; CAST on the context sum pins
+    // DuckDB's HUGEINT to BIGINT.
+    "ngram_lm_probs" ->
+      """WITH b AS (SELECT unnest(list_transform(range(1, len(ts)),
+                             i -> ts[i] || ' ' || ts[i+1])) AS bgm
+                    FROM (SELECT list_filter(string_split_regex(text, '\s+'), t -> t != '') AS ts
+                          FROM documents)
+                    WHERE len(ts) >= 2),
+              bg AS (SELECT split_part(bgm, ' ', 1) AS w1,
+                            split_part(bgm, ' ', 2) AS w2, count(*) AS cnt
+                     FROM b GROUP BY 1, 2),
+              ctx AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS ctx_cnt
+                      FROM bg GROUP BY w1)
+         SELECT bg.w1, w2, cnt, ctx_cnt,
+                CAST(cnt AS DOUBLE) / ctx_cnt AS prob
+         FROM bg JOIN ctx ON bg.w1 = ctx.w1""",
+    "vocab_build" ->
+      """WITH c AS (SELECT token, count(*) AS cnt
+                    FROM (SELECT unnest(list_filter(string_split_regex(text, '\s+'), t -> t != '')) AS token
+                          FROM documents)
+                    GROUP BY token)
+         SELECT token, cnt, tid AS token_id
+         FROM (SELECT token, cnt,
+                      CAST(row_number() OVER (ORDER BY cnt DESC, token ASC) AS BIGINT) - 1 AS tid
+               FROM c)
+         WHERE tid < 1000""",
   )
 }

@@ -150,6 +150,47 @@ object TextOps {
       .groupBy(col("bigram"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Bigram language-model table: P(w2 | w1) = c(w1 w2) / c(w1 ·) as
+    * exact integer counts plus the one int/int double both engines
+    * compute identically. The denominator is the number of bigram
+    * CONTEXTS (tokens with a successor), aggregated from the bigram
+    * table itself — one extra exchange over #distinct-w1 rows, then a
+    * broadcast-sized join back (vocabulary ≪ corpus).
+    */
+  def ngramLmProbs(spark: SparkSession, dir: String): DataFrame = {
+    val bg = Tables.documentsSpread(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("ts")) - 1),
+        i => struct(
+          element_at(col("ts"), i).as("w1"),
+          element_at(col("ts"), i + 1).as("w2")))).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ctx = bg.groupBy(col("w1")).agg(sum(col("cnt")).as("ctx_cnt"))
+    bg.join(broadcast(ctx), "w1")
+      .select(col("w1"), col("w2"), col("cnt"), col("ctx_cnt"),
+        (col("cnt").cast("double") / col("ctx_cnt")).as("prob"))
+  }
+
+  /** Vocabulary construction: the top-K tokens by corpus frequency with
+    * dense ids assigned in (count DESC, token ASC) order — the
+    * tokenizer-training step that turns WordCount output into a model
+    * artifact. The ranking window runs over the already-reduced
+    * per-token counts (vocabulary-scale, not corpus-scale rows).
+    */
+  def vocabBuild(spark: SparkSession, dir: String, topK: Int = 1000): DataFrame = {
+    val w = Window.partitionBy()
+      .orderBy(col("cnt").desc, col("token").asc)
+    Tables.documentsSpread(spark, dir)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("token_id", row_number().over(w).cast("long") - 1L)
+      .filter(col("token_id") < topK)
+  }
+
   /** Sequence packing: assign documents to fixed token-budget batches —
     * the batching step before training. Docs are sharded by id (so the
     * running totals parallelize; a single global cumsum would be a

@@ -69,4 +69,34 @@ class TextOpsSpec extends AnyFunSuite with SparkFixture {
     // unrelated doc3 shares nothing with doc0
     assert((fps(0L).map(_._1) intersect fps(3L).map(_._1)) === Set.empty)
   }
+
+  test("ngram_lm_probs: per-context probabilities sum to 1 with exact counts") {
+    val rows = TextOps.ngramLmProbs(spark, fixtureDir).collect()
+    val byW1 = rows.groupBy(_.getString(0))
+    byW1.foreach { case (w1, rs) =>
+      val ctx = rs.head.getLong(3)
+      assert(rs.map(_.getLong(2)).sum === ctx, s"context total for $w1")
+      assert(math.abs(rs.map(_.getDouble(4)).sum - 1.0) < 1e-9, s"probs for $w1")
+    }
+    // "w1 w2" appears in docs 0, 1 (DocA x2) and 2 (DocC differs only in
+    // its final token); permuted DocE has "w2 w1", reversed
+    val w1w2 = rows.find(r => r.getString(0) == "w1" && r.getString(1) == "w2")
+    assert(w1w2.map(_.getLong(2)) === Some(3L))
+  }
+
+  test("vocab_build: dense ids ranked by count desc then token asc") {
+    val rows = TextOps.vocabBuild(spark, fixtureDir).collect()
+      .sortBy(_.getLong(2))
+    assert(rows.map(_.getLong(2)).toSeq === rows.indices.map(_.toLong))
+    // ordering invariant: counts non-increasing; ties broken by token asc
+    rows.sliding(2).foreach { case Array(a, b) =>
+      val ok = a.getLong(1) > b.getLong(1) ||
+        (a.getLong(1) == b.getLong(1) && a.getString(0) < b.getString(0))
+      assert(ok, s"$a !>= $b")
+    }
+    // w1..w39 appear in 4 docs (0,1,2,4); w40 in 3; x*/zz fewer
+    val m = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("w1") === 4L)
+    assert(m("w40") === 3L)
+  }
 }
