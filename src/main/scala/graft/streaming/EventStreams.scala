@@ -182,4 +182,37 @@ object EventStreams {
         .as[Ev])
       .toDF()
   }
+
+  /** Idempotent micro-batch merge — the `foreachBatch` body of the
+    * production sink pattern: each batch's (possibly updated) window
+    * aggregates OVERWRITE exactly the partitions they touch (dynamic
+    * partition overwrite), so a replayed batch after failure/restart
+    * rewrites the same partitions with the same totals instead of
+    * duplicating rows. At-least-once batch delivery + idempotent merge
+    * = exactly-once table contents — without a transactional table
+    * format. The partition key must be the FULL aggregate key
+    * (window × event_type), not anything coarser: update mode emits
+    * only CHANGED aggregate rows, and a coarser partition would drop
+    * its unchanged siblings on overwrite.
+    */
+  def mergeWindowCounts(batch: DataFrame, outDir: String): Unit = {
+    if (batch.isEmpty) return
+    batch.sparkSession.conf
+      .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    batch
+      .withColumn("w_start_us", expr("unix_micros(w_start)"))
+      .write.mode("overwrite")
+      .partitionBy("w_start_us", "event_type")
+      .parquet(outDir)
+  }
+
+  /** Streaming writer wiring for [[mergeWindowCounts]]: windowed counts
+    * in update mode, each micro-batch merged idempotently.
+    */
+  def upsertWindowCounts(events: DataFrame, outDir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    windowedCounts(events).writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((batch: DataFrame, _: Long) => mergeWindowCounts(batch, outDir))
 }
