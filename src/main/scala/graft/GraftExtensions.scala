@@ -65,7 +65,25 @@ object GraftExtensions {
             s" got numHashes=$numHashes bandRows=$bandRows")
       MinHashBands(args.head, numHashes, bandRows)
     }),
+    // composite (same bit math as Layout.zorder2, built as a direct
+    // catalyst tree — Column-DSL nodes don't resolve inside a function
+    // builder): SQL users write ORDER BY zorder2(a, b) for layout
+    "zorder2" -> arity("zorder2", 2)(args => mortonExpr(args(0), args(1))),
   )
+
+  private def mortonExpr(a0: Expression, b0: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{
+      BitwiseAnd, BitwiseOr, Cast, ShiftLeft, ShiftRight}
+    import org.apache.spark.sql.types.LongType
+    val a = Cast(a0, LongType)
+    val b = Cast(b0, LongType)
+    def term(src: Expression, i: Int, off: Int): Expression =
+      ShiftLeft(BitwiseAnd(ShiftRight(src, Literal(i)), Literal(1L)),
+        Literal(2 * i + off))
+    (0 until 16)
+      .map(i => BitwiseOr(term(a, i, 0), term(b, i, 1)): Expression)
+      .reduce(BitwiseOr(_, _))
+  }
 
   /** Install the graft functions + optimizer rules on a live session. */
   def register(spark: SparkSession): Unit = {

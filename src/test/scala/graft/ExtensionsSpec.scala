@@ -26,6 +26,21 @@ class ExtensionsSpec extends AnyFunSuite with SparkFixture {
       """).collect().head
     assert(r.getLong(0) === 3L)
     assert(r.getBoolean(1))
+
+    // composite zorder2: all-ones halves interleave to the alternating masks
+    val z = spark.sql(
+      "SELECT zorder2(65535L, 0L) AS za, zorder2(0L, 65535L) AS zb, " +
+        "zorder2(12345L, 54321L) AS zc").collect().head
+    assert(z.getLong(0) === 0x55555555L)
+    assert(z.getLong(1) === 0xAAAAAAAAL)
+    // SQL builder ≡ Column implementation (two formulations, one truth)
+    val sess = spark
+    import sess.implicits._
+    val viaColumn = Seq((12345L, 54321L)).toDF("a", "b")
+      .select(graft.operators.Layout.zorder2(org.apache.spark.sql.functions.col("a"),
+        org.apache.spark.sql.functions.col("b")))
+      .collect().head.getLong(0)
+    assert(z.getLong(2) === viaColumn)
   }
 
   test("null array elements are skipped, never NPE (public SQL surface)") {
