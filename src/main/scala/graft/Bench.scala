@@ -6,9 +6,13 @@ import org.apache.spark.sql.SparkSession
   * `SPARK_GRAFT_SF_DIR` and prints ONE JSON line. Failures are loud:
   * a throwing query lands in the `failed` list (and is excluded from
   * `queries`/`value`) instead of being silently recorded as a timing.
+  * Optional args name a subset to time (iteration loop:
+  * `sbt "runMain graft.Bench copurchase_pairs corpus_curate"`).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    val unknown = args.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -35,7 +39,10 @@ object Bench {
     // generated methods (measured: same query swings 2-10x run to run
     // while GC totals ~0.7s and host CPU is stable); the min of two runs
     // is the steady-state figure a real deployment sees.
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    val selected =
+      if (args.isEmpty) SparkEntry.queries.toSeq
+      else SparkEntry.queries.filter { case (k, _) => args.contains(k) }.toSeq
+    selected.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val runs = (1 to 2).map { _ =>
           val t0 = System.nanoTime()
