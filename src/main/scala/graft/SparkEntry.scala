@@ -113,6 +113,7 @@ object SparkEntry {
     "copurchase_triangles"   -> Relational.copurchaseTriangles _,
     "ngram_lm_probs"         -> TextOps.ngramLmProbs _,
     "vocab_build"            -> ((s: SparkSession, d: String) => TextOps.vocabBuild(s, d)),
+    "dedup_incremental"      -> Dedup.dedupIncremental _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -998,5 +999,15 @@ object SparkEntry {
                       CAST(row_number() OVER (ORDER BY cnt DESC, token ASC) AS BIGINT) - 1 AS tid
                FROM c)
          WHERE tid < 1000""",
+    "dedup_incremental" ->
+      """WITH d AS (SELECT doc_id, sha256(text) AS h FROM documents),
+              cut AS (SELECT max(doc_id) * 8 // 10 AS c FROM d),
+              idx AS (SELECT h, min(doc_id) AS existing_id
+                      FROM d, cut WHERE doc_id <= c GROUP BY h),
+              b AS (SELECT doc_id, h FROM d, cut WHERE doc_id > c),
+              bm AS (SELECT h, min(doc_id) AS batch_min FROM b GROUP BY h)
+         SELECT b.doc_id, coalesce(existing_id, batch_min) AS dup_of
+         FROM b JOIN bm USING (h) LEFT JOIN idx USING (h)
+         WHERE existing_id IS NOT NULL OR b.doc_id != batch_min""",
   )
 }

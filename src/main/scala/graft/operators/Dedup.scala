@@ -26,6 +26,33 @@ object Dedup {
       .groupBy(sha2(col("text"), 256).as("text_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Incremental dedup — the production shape: a new ingest batch
+    * (here: the top 20% of doc_ids) is probed against the EXISTING
+    * corpus's content-hash index instead of re-deduping the whole
+    * corpus. At 100 TB the standing index is a materialized
+    * (hash → min doc_id) table; daily batches join against it
+    * (hash-partitioned probe, batch-sized not corpus-sized work) and
+    * within-batch dups collapse in the same pass. Output: each new doc
+    * that is an exact dup, with its canonical existing doc (or the
+    * smallest batch doc_id when the dup is batch-internal only).
+    */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documentsSpread(spark, dir)
+      .select(col("doc_id"), sha2(col("text"), 256).as("h"))
+    val cut = docs.agg(expr("max(doc_id) * 8 div 10").as("c"))
+    val withCut = docs.crossJoin(cut)
+    val index = withCut.filter(col("doc_id") <= col("c"))
+      .groupBy(col("h")).agg(min(col("doc_id")).as("existing_id"))
+    val batch = withCut.filter(col("doc_id") > col("c"))
+    val batchMin = batch.groupBy(col("h")).agg(min(col("doc_id")).as("batch_min"))
+    batch
+      .join(batchMin, "h")
+      .join(index, Seq("h"), "left")
+      .filter(col("existing_id").isNotNull || col("doc_id") =!= col("batch_min"))
+      .select(col("doc_id"),
+        coalesce(col("existing_id"), col("batch_min")).as("dup_of"))
+  }
+
   /** Distinct word-bigram shingles per document (native
     * [[graft.functions.BigramShingles]] — one codegen'd loop, not an
     * interpreted HOF chain). Bigrams (not unigrams) keep the inverted

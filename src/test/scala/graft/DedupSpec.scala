@@ -69,4 +69,21 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(got.forall(_._3 <= 3))
     assert(!got.exists(p => p._2 == 3L || p._1 == 3L)) // doc3 unrelated
   }
+
+  test("incremental dedup: batch probes the existing index; batch-internal dups collapse") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-incr").toString
+    // existing corpus ids 0..4 (cut = 22*8/10 = 17); ingest batch 20..22
+    Seq((0L, "alpha text"), (1L, "beta text"), (2L, "gamma text"),
+      (3L, "delta text"), (4L, "epsilon text"),
+      (20L, "alpha text"),  // dup of existing doc 0
+      (21L, "zeta text"),   // novel — NOT reported
+      (22L, "zeta text"))   // batch-internal dup of 21
+      .map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.dedupIncremental(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(20L -> 0L, 22L -> 21L))
+  }
 }
