@@ -212,10 +212,16 @@ object Dedup {
   def dedupComponents(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documentsSpread(spark, dir)
     // star edges: every doc → its exact-dup group's min doc_id
-    val exactStar = docs
+    // One pass computes the sha-window group-min used BOTH as the
+    // exact-dup star edges and as the initial labels (it used to be two
+    // identical scan+window passes).
+    val grpMin = docs
       .select(col("doc_id"), sha2(col("text"), 256).as("h"))
       .withColumn("grp_min",
         min(col("doc_id")).over(org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+      .select(col("doc_id"), col("grp_min"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val exactStar = grpMin
       .filter(col("doc_id") =!= col("grp_min"))
       .select(col("grp_min").as("doc_a"), col("doc_id").as("doc_b"))
     val nearPairs = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
@@ -234,11 +240,8 @@ object Dedup {
     // Initialize labels at each doc's exact-dup group minimum — that
     // resolves every exact-dup star in round zero, so the loop only has
     // to close the near-dup chains.
-    var labels = docs
-      .select(col("doc_id"), sha2(col("text"), 256).as("h"))
-      .withColumn("comp",
-        min(col("doc_id")).over(org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
-      .select(col("doc_id"), col("comp"))
+    var labels = grpMin
+      .select(col("doc_id"), col("grp_min").as("comp"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // Labels are monotonically non-increasing per doc, so an unchanged
     // label SUM is exactly a fixpoint — one scalar aggregate per round
