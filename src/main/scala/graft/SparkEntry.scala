@@ -114,6 +114,7 @@ object SparkEntry {
     "ngram_lm_probs"         -> TextOps.ngramLmProbs _,
     "vocab_build"            -> ((s: SparkSession, d: String) => TextOps.vocabBuild(s, d)),
     "dedup_incremental"      -> Dedup.dedupIncremental _,
+    "events_salted_user_counts" -> Skew.saltedUserCounts _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1009,5 +1010,11 @@ object SparkEntry {
          SELECT b.doc_id, coalesce(existing_id, batch_min) AS dup_of
          FROM b JOIN bm USING (h) LEFT JOIN idx USING (h)
          WHERE existing_id IS NOT NULL OR b.doc_id != batch_min""",
+    // oracle is the UNSALTED aggregation — the salt is a pure
+    // partitioning refinement the result must be invariant to
+    "events_salted_user_counts" ->
+      """SELECT user_id, count(*) AS n_events,
+                CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+         FROM events GROUP BY user_id""",
   )
 }

@@ -39,4 +39,28 @@ object Skew {
           salted("__salt") === replicated("__salt"))
       .drop("__salt")
   }
+
+  /** Two-stage salted aggregation — the hot-KEY aggregation pattern: a
+    * viral user's events first reduce within `salts` independent
+    * sub-groups (spreading the hot key over that many reducers), then
+    * the tiny per-salt partials reduce to the final per-user row. The
+    * result is exactly the direct groupBy's (sums/counts re-associate;
+    * the DECIMAL value sum keeps re-association bit-exact), which is
+    * what lets the driver oracle-check the salted plan against the
+    * plain SQL aggregation.
+    */
+  def saltedUserCounts(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val salts = 8
+    graft.Tables.events(spark, dir)
+      .withColumn("__salt",
+        pmod(xxhash64(col("event_id")), lit(salts)).cast("int"))
+      .groupBy(col("user_id"), col("__salt"))
+      .agg(
+        count(lit(1)).as("pc"),
+        sum(col("value").cast("decimal(18,6)")).as("pv"))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(col("pc")).as("n_events"),
+        sum(col("pv")).cast("double").as("total_value"))
+  }
 }
