@@ -25,4 +25,15 @@ object Sql {
     }
     GraftExtensions.register(spark)
   }
+
+  /** Additionally expose every registered query as a lazy temp view
+    * (`graft_<name>`), so SQL users can compose over engine results:
+    * `SELECT * FROM graft_dedup_exact WHERE n_dups > 1`. Views are
+    * plans, not materializations — each reference re-optimizes into the
+    * enclosing query.
+    */
+  def registerQueryViews(spark: SparkSession, dir: String): Unit =
+    SparkEntry.queries.foreach { case (name, fn) =>
+      fn(spark, dir).createOrReplaceTempView(s"graft_$name")
+    }
 }

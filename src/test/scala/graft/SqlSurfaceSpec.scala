@@ -33,4 +33,18 @@ class SqlSurfaceSpec extends AnyFunSuite with SparkFixture {
       .collect().head.getLong(0)
     assert(dups === 3L) // (0,1), (0,4), (1,4): same token multisets
   }
+
+  test("every query is composable as a graft_<name> SQL view") {
+    Sql.registerAll(spark, fixtureDir)
+    Sql.registerQueryViews(spark, fixtureDir)
+    // compose OVER an engine result in plain SQL
+    val kept = spark.sql(
+      "SELECT count(*) FROM graft_dedup_exact WHERE n_dups > 1")
+      .collect().head.getLong(0)
+    assert(kept === 1L) // docs 0 and 1 share a text
+    // spot-check a view from each operator family resolves and runs
+    for (v <- Seq("graft_q1_agg", "graft_similarity_topk",
+        "graft_stream_window_counts", "graft_cohort_retention"))
+      spark.sql(s"SELECT * FROM $v").collect()
+  }
 }
