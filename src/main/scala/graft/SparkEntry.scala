@@ -115,6 +115,8 @@ object SparkEntry {
     "vocab_build"            -> ((s: SparkSession, d: String) => TextOps.vocabBuild(s, d)),
     "dedup_incremental"      -> Dedup.dedupIncremental _,
     "events_salted_user_counts" -> Skew.saltedUserCounts _,
+    "orders_scd2"            -> EventOps.ordersScd2 _,
+    "customer_quartiles"     -> Relational.customerQuartiles _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1016,5 +1018,22 @@ object SparkEntry {
       """SELECT user_id, count(*) AS n_events,
                 CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
          FROM events GROUP BY user_id""",
+    "orders_scd2" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+                epoch_us(o_orderdate) AS valid_from_us,
+                lead(epoch_us(o_orderdate)) OVER w AS valid_to_us,
+                lead(epoch_us(o_orderdate)) OVER w IS NULL AS is_current
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey
+                      ORDER BY epoch_us(o_orderdate), o_orderkey)""",
+    "customer_quartiles" ->
+      """SELECT quartile, count(*) AS n_customers,
+                CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
+                min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal
+         FROM (SELECT c_custkey, c_acctbal,
+                      CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT)
+                        AS quartile
+               FROM customer)
+         GROUP BY quartile""",
   )
 }

@@ -212,6 +212,25 @@ object EventOps {
     * implementation-defined → rows-only check + a ScalaTest error-bound
     * assertion against [[eventsValueQuantiles]].
     */
+  /** SCD2 (slowly-changing-dimension type 2) history build: each
+    * customer's order stream becomes validity-interval rows —
+    * valid_from = the order's date, valid_to = the next order's date
+    * (NULL while current). The standard warehouse pattern for
+    * reconstructing "what did this dimension look like at time T";
+    * one exchange on the customer key computes every interval with a
+    * single `lead` window. Ties on (date) are broken by o_orderkey so
+    * both engines emit identical intervals.
+    */
+  def ordersScd2(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("valid_from_us"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("valid_from_us"))
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(w))
+      .withColumn("is_current", col("valid_to_us").isNull)
+  }
+
   /** Trailing-7-day distinct active users per day — the rolling-window
     * distinct count a naive formulation makes quadratic (per-day scans)
     * or unbounded (distinct over a sliding range frame, which Spark

@@ -386,6 +386,30 @@ object Relational {
       .select(col("c_name"), col("o_orderkey"), col("total_qty"))
   }
 
+  /** NTILE quartile profiling: customers ranked into four account-
+    * balance quartiles (deterministic tiebreak on custkey), then
+    * per-quartile population stats. NTILE needs a total order — the
+    * global window sort is the one deliberate global-sort operator in
+    * the library, and the downstream aggregate reduces it immediately
+    * to four rows. (At 100 TB you'd swap the exact NTILE for
+    * percentile-threshold bucketing — `events_above_p95` shows that
+    * shape; this query keeps the exact-rank semantics for parity with
+    * warehouse NTILE reports.)
+    */
+  def customerQuartiles(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_acctbal"))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .groupBy(col("quartile"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("sum_bal"),
+        min(col("c_acctbal")).as("min_bal"),
+        max(col("c_acctbal")).as("max_bal"))
+  }
+
   /** Market-share proportions: per-brand part counts with each brand's
     * share of the total — the window-after-aggregate shape (a global
     * window over the already-reduced per-brand rows, so the unpartitioned
