@@ -117,6 +117,8 @@ object SparkEntry {
     "events_salted_user_counts" -> Skew.saltedUserCounts _,
     "orders_scd2"            -> EventOps.ordersScd2 _,
     "customer_quartiles"     -> Relational.customerQuartiles _,
+    "events_cube"            -> Relational.eventsCube _,
+    "top_brand_per_type"     -> Relational.topBrandPerType _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1035,5 +1037,22 @@ object SparkEntry {
                         AS quartile
                FROM customer)
          GROUP BY quartile""",
+    "events_cube" ->
+      """SELECT event_type, band, count(*) AS cnt,
+                CAST(grouping(event_type) AS BIGINT) AS g_type,
+                CAST(grouping(band) AS BIGINT) AS g_band
+         FROM (SELECT event_type,
+                      CAST(floor(value / 10.0) AS BIGINT) AS band
+               FROM events)
+         GROUP BY CUBE (event_type, band)""",
+    // max(struct) ties → greater brand string, same as this window's
+    // (cnt DESC, brand DESC) rank-1 row
+    "top_brand_per_type" ->
+      """SELECT p_type, brand, cnt FROM (
+           SELECT p_type, p_brand AS brand, count(*) AS cnt,
+                  row_number() OVER (PARTITION BY p_type
+                                     ORDER BY count(*) DESC, p_brand DESC) AS rn
+           FROM part GROUP BY p_type, p_brand)
+         WHERE rn = 1""",
   )
 }

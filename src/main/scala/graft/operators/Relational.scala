@@ -386,6 +386,37 @@ object Relational {
       .select(col("c_name"), col("o_orderkey"), col("total_qty"))
   }
 
+  /** CUBE over (event_type, value-band): all four grouping combinations
+    * (full, per-type, per-band, grand total) in ONE pass — Catalyst
+    * expands the cube into a single Expand + hash aggregate, so the
+    * fact table is scanned once, not 2ⁿ times. NULL group markers are
+    * disambiguated with explicit grouping-ID flags so oracle rows align
+    * even if a real group key were NULL.
+    */
+  def eventsCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"), floor(col("value") / 10.0).cast("long").as("band"))
+      .cube(col("event_type"), col("band"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        grouping(col("event_type")).cast("long").as("g_type"),
+        grouping(col("band")).cast("long").as("g_band"))
+
+  /** Single-pass argmax: the most common brand per part type via
+    * `max(struct(cnt, brand))` — one aggregation instead of a ranking
+    * window over the grouped table (no sort, no second shuffle; ties
+    * break toward the greater brand string, pinned in the oracle's
+    * window formulation). The idiom that replaces "top-1 per group"
+    * windows at scale.
+    */
+  def topBrandPerType(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .groupBy(col("p_type"), col("p_brand"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("p_type"))
+      .agg(max(struct(col("cnt"), col("p_brand"))).as("m"))
+      .select(col("p_type"), col("m.p_brand").as("brand"), col("m.cnt").as("cnt"))
+
   /** NTILE quartile profiling: customers ranked into four account-
     * balance quartiles (deterministic tiebreak on custkey), then
     * per-quartile population stats. NTILE needs a total order — the
