@@ -119,6 +119,7 @@ object SparkEntry {
     "customer_quartiles"     -> Relational.customerQuartiles _,
     "events_cube"            -> Relational.eventsCube _,
     "top_brand_per_type"     -> Relational.topBrandPerType _,
+    "events_props_keys"      -> EventOps.eventsPropsKeys _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1054,5 +1055,12 @@ object SparkEntry {
                                      ORDER BY count(*) DESC, p_brand DESC) AS rn
            FROM part GROUP BY p_type, p_brand)
          WHERE rn = 1""",
+    "events_props_keys" ->
+      """SELECT key, count(*) AS n_events,
+                CAST(sum(TRY_CAST(json_extract_string(props, '$.' || key) AS BIGINT)) AS BIGINT)
+                  AS sum_val
+         FROM (SELECT props, unnest(json_keys(props)) AS key
+               FROM events WHERE json_valid(props))
+         GROUP BY key""",
   )
 }

@@ -212,6 +212,24 @@ object EventOps {
     * implementation-defined → rows-only check + a ScalaTest error-bound
     * assertion against [[eventsValueQuantiles]].
     */
+  /** Semi-structured key discovery: parse `props` as a full MAP (not a
+    * pinned path like [[eventsPropsAgg]]) and profile every key that
+    * occurs — the schema-inference pass run before promoting JSON
+    * payloads to typed columns. Malformed JSON degrades to a NULL map
+    * (dropped by the explode), matching the oracle's json_valid guard;
+    * non-numeric values TRY_CAST to NULL on both engines.
+    */
+  def eventsPropsKeys(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(explode(from_json(col("props"),
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.StringType))).as(Seq("key", "v")))
+      .groupBy(col("key"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("v").cast("long")).as("sum_val"))
+
   /** SCD2 (slowly-changing-dimension type 2) history build: each
     * customer's order stream becomes validity-interval rows —
     * valid_from = the order's date, valid_to = the next order's date

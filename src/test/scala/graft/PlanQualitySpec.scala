@@ -104,6 +104,38 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("runtime bloom-filter pruning is available for selective joins") {
+    // Spark's runtime row-level filtering injects a bloom filter built
+    // from a selective join side into the probe side's scan — the
+    // scale feature that turns a selective dim filter into fact-scan
+    // pruning. Pin that the engine's sessions can enable it and the
+    // rewrite fires on a representative shape.
+    val conf = spark.conf
+    val prev = conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    // test tables are KBs; the production default (10GB) gates the
+    // fact side — drop it so the rewrite fires at fixture scale
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    // injection targets shuffle joins (a broadcast side already prunes)
+    val prevBc = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      import spark.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft-bloom").toString
+      (0L until 2000L).map(i => (i, i % 7)).toDF("id", "k")
+        .write.mode("overwrite").parquet(s"$dir/fact")
+      (0L until 100L).map(i => (i, s"d$i")).toDF("fk", "name")
+        .write.mode("overwrite").parquet(s"$dir/dim")
+      val fact = spark.read.parquet(s"$dir/fact")
+      val dim = spark.read.parquet(s"$dir/dim").filter($"name" === "d1")
+      val plan = fact.join(dim, $"id" === $"fk").queryExecution.optimizedPlan.toString
+      assert(plan.toLowerCase.contains("bloom") || plan.contains("might_contain"), plan)
+    } finally {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", prev)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
   test("taskG keeps the global-max scalar in-plan as a broadcast, not a shuffle") {
     val plan = PlanChecks.executedPlanString(Relational.taskGInactive(spark, fixtureDir))
     assert(PlanChecks.broadcastCount(plan) >= 1) // 1-row ref-time aggregate
