@@ -34,4 +34,18 @@ object Formats {
     */
   def readText(spark: SparkSession, path: String): DataFrame =
     spark.read.text(path)
+
+  /** Opaque binary files (images/audio/video) as rows — the multimodal
+    * ingest path: `path`, `modificationTime`, `length`, `content
+    * BINARY`, which [[graft.operators.Multimodal]] then decodes /
+    * samples / resizes. `pathGlobFilter` keeps mixed directories
+    * ingestable (e.g. `*.png` only); files over
+    * `spark.sql.files.maxPartitionBytes` still land in ONE row, so
+    * payloads must fit executor memory — exactly the contract a 100 TB
+    * media pipeline shards its objects around.
+    */
+  def readBinaryFiles(spark: SparkSession, path: String, glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(path)
 }

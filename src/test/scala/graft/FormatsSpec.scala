@@ -43,4 +43,18 @@ class FormatsSpec extends AnyFunSuite with SparkFixture {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(counts === Map("to" -> 2L, "be" -> 2L, "or" -> 1L, "not" -> 1L))
   }
+
+  test("binaryFile source ingests opaque payloads byte-exactly with glob filtering") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bin").toString
+    val png = Array[Byte](0x50, 0x4E, 0x47, 0x00, 0x7F, -1, 0x42)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.png"), png)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/b.wav"),
+      Array[Byte](0x52, 0x49, 0x46, 0x46))
+    val rows = Formats.readBinaryFiles(spark, dir, glob = "*.png").collect()
+    assert(rows.length === 1) // the .wav is glob-filtered out
+    val r = rows.head
+    assert(r.getAs[String]("path").endsWith("a.png"))
+    assert(r.getAs[Long]("length") === png.length.toLong)
+    assert(r.getAs[Array[Byte]]("content").toSeq === png.toSeq)
+  }
 }
