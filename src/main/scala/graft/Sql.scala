@@ -30,9 +30,11 @@ object Sql {
     * (`graft_<name>`), so SQL users can compose over engine results:
     * `SELECT * FROM graft_dedup_exact WHERE n_dups > 1`. Views are
     * plans, not materializations — each reference re-optimizes into the
-    * enclosing query. (Exception: the IVF/centroid queries load their
+    * enclosing query. (Exceptions: the IVF/centroid queries load their
     * metadata-scale codebook eagerly at registration, like loading a
-    * model.)
+    * model, and the iterative dedup queries (components/curate) run
+    * their label-propagation rounds eagerly — register selectively if
+    * that cost matters.)
     */
   def registerQueryViews(spark: SparkSession, dir: String): Unit =
     SparkEntry.queries.foreach { case (name, fn) =>

@@ -114,10 +114,22 @@ object Multimodal {
     * deterministic functions of the byte length standing in for a real
     * codec's header parse.
     */
-  def multimodalMeta(spark: SparkSession, dir: String): DataFrame = {
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
+    metaFor(
+      Tables.documentsSpread(spark, dir)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob")),
+      "doc_id", "blob")
+
+  /** The same decode over arbitrary `(id, BINARY)` rows — the entry
+    * point for real media ingested via
+    * [[graft.sources.Formats.readBinaryFiles]] (`xxhash64(path)` makes
+    * a stable id for file-sourced payloads).
+    */
+  def metaFor(blobs: DataFrame, idCol: String, contentCol: String): DataFrame = {
+    val spark = blobs.sparkSession
     import spark.implicits._
-    Tables.documentsSpread(spark, dir)
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+    blobs
+      .select(col(idCol).cast("long"), col(contentCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>

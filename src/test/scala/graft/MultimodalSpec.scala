@@ -43,4 +43,21 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
       assert(math.max(ow, oh) === 224 || math.max(w, h) === 0)
     }
   }
+
+  test("binaryFile rows feed the same decode as documents payloads") {
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    val dir = java.nio.file.Files.createTempDirectory("graft-media").toString
+    val payload = Array.tabulate[Byte](100)(i => (i * 3).toByte)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/clip.bin"), payload)
+    val blobs = graft.sources.Formats.readBinaryFiles(spark, dir)
+      .select(xxhash64(col("path")).as("media_id"), col("content"))
+    val meta = Multimodal.metaFor(blobs, "media_id", "content").collect()
+    assert(meta.length === 1)
+    val r = meta.head
+    assert(r.getAs[Long]("n_bytes") === 100L)
+    assert(r.getAs[Long]("width") === 16L + 100 % 624)
+    // checksum matches the reference recurrence over the same bytes
+    val expected = payload.foldLeft(1L)((a, b) => (a * 31 + (b & 0xff)) % 1000000007L)
+    assert(r.getAs[Long]("checksum") === expected)
+  }
 }
