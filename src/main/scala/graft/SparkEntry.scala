@@ -57,6 +57,7 @@ object SparkEntry {
     "similarity_ann_lsh"     -> Similarity.annLsh _,
     "similarity_ann_ivf"     -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
     "dedup_embedding"        -> Similarity.dedupEmbeddingQuery _,
+    "dedup_embedding_ann"    -> ((s: SparkSession, d: String) => Similarity.dedupEmbeddingAnn(s, d)),
     "embedding_quantize"     -> Similarity.embeddingQuantize _,
     "text_stats"             -> TextOps.textStats _,
     "text_quality"           -> TextOps.textQuality _,
@@ -125,10 +126,13 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted (→ rows-only check), each with a
     * stronger check elsewhere:
-    *  - pi_montecarlo: seeded RNG — determinism + convergence specs;
-    *  - dedup_minhash / dedup_simhash: xxh64 fast paths — their md5
-    *    "portable" twins run the SAME pipelines fully oracled, and
-    *    ScalaTest pins pair-set agreement between the hash families;
+    *  - dedup_simhash: the xxh64 fast path's OUTPUT carries the
+    *    signature-derived hamming distance, which is hash-family-
+    *    defined — the md5 "portable" twin runs the SAME pipeline fully
+    *    oracled, and ScalaTest pins the relationship between the two.
+    *    (dedup_minhash's fast path, by contrast, emits only exact
+    *    hash-independent (inter, uni) values, and IS oracled via the
+    *    portable replay — see [[minhashPortableSql]].)
     *  - events_value_quantiles_approx / user_cardinality_approx:
     *    sketch outputs are implementation-defined — error-bounded in
     *    ScalaTest against their oracled exact counterparts.
@@ -160,6 +164,45 @@ object SparkEntry {
          SELECT doc_id, doc_id FROM documents
          UNION
          SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.doc_id)"""
+
+  /** The full portable-LSH minhash pipeline: md5 minhash signatures
+    * (64 hashes banded 16×4 — the same parameters as the xxh64 fast
+    * path), bucket self-join, exact-jaccard verification — end-to-end
+    * in SQL. Shared by `dedup_minhash_portable` (which it replays
+    * hash-for-hash) and `dedup_minhash` (the fast path): the hash
+    * family only affects candidate RECALL, never the verified
+    * `(inter, uni)` values; with matched band parameters both families
+    * miss a j=0.8 pair with P ≈ 3e-4, and their final pair sets are
+    * verified identical at sf0.001/0.01/0.1 (DedupSpec pins the
+    * agreement; the three-SF verify run re-checks it every round).
+    */
+  private val minhashPortableSql: String = {
+    val sigCols = (0 until 64)
+      .map(j => s"min(md5('$j:' || s)) AS h$j").mkString(", ")
+    val bandCases = (0 until 16)
+      .map(b => s"WHEN $b THEN h${b * 4} || ':' || h${b * 4 + 1} || ':' || h${b * 4 + 2} || ':' || h${b * 4 + 3}")
+      .mkString(" ")
+    s"""WITH tk AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t != '') AS ts
+                    FROM documents),
+             se AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])) AS sh
+                    FROM tk WHERE len(ts) >= 2),
+             ex AS (SELECT doc_id, unnest(sh) AS s FROM se),
+             sig AS (SELECT doc_id, $sigCols FROM ex GROUP BY doc_id),
+             bands AS (SELECT doc_id, band,
+                              CASE band $bandCases END AS band_hash
+                       FROM sig, (SELECT unnest(range(0, 16)) AS band)),
+             cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+                      FROM bands x JOIN bands y
+                        ON x.band = y.band AND x.band_hash = y.band_hash
+                           AND x.doc_id < y.doc_id),
+             v AS (SELECT doc_a, doc_b,
+                          cast(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+                          cast(len(a.sh) AS BIGINT) + cast(len(b.sh) AS BIGINT)
+                            - cast(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS uni
+                   FROM cand JOIN se a ON doc_a = a.doc_id JOIN se b ON doc_b = b.doc_id)
+        SELECT doc_a, doc_b, inter, uni FROM v
+        WHERE cast(inter AS DOUBLE) / uni >= 0.8"""
+  }
 
   def oracleSql: Map[String, String] = Map(
     "taskA_filter_project" ->
@@ -341,6 +384,39 @@ object SparkEntry {
          WHERE list_reduce(list_prepend(0.0,
                  list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i])),
                  (acc,x) -> acc + x) / (a.nrm * b.nrm) >= 0.35""",
+    // Full LSH replay (same plane/band CTEs as similarity_ann_lsh),
+    // pair candidates from band-bucket collisions, exact-cosine verify
+    // at the registered 0.35 threshold — deterministic end to end.
+    "dedup_embedding_ann" ->
+      """WITH e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v,
+                           sqrt(list_reduce(list_prepend(0.0,
+                             list_transform(cast(embedding AS DOUBLE[]), x -> x*x)),
+                             (a,x) -> a + x)) AS nrm
+                    FROM embeddings),
+              sig AS (SELECT vec_id, v, nrm,
+                             list_transform(range(0, 16), p ->
+                               CASE WHEN list_reduce(list_prepend(0.0,
+                                      list_transform(range(0, 64), j ->
+                                        v[j+1] * cast(('0x' || substr(md5(p || ':' || j), 1, 7))::BIGINT
+                                                      % 2001 - 1000 AS DOUBLE))),
+                                      (a,x) -> a + x) > 0
+                                    THEN 1 ELSE 0 END) AS bits
+                      FROM e),
+              bands AS (SELECT vec_id, band,
+                               bits[4*band+1] + 2*bits[4*band+2]
+                                 + 4*bits[4*band+3] + 8*bits[4*band+4] AS band_val
+                        FROM sig, (SELECT unnest(range(0, 4)) AS band)),
+              cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+                       FROM bands a JOIN bands b
+                         ON a.band = b.band AND a.band_val = b.band_val
+                       WHERE a.vec_id < b.vec_id)
+         SELECT id_a, id_b
+         FROM cand
+         JOIN e ea ON ea.vec_id = cand.id_a
+         JOIN e eb ON eb.vec_id = cand.id_b
+         WHERE list_reduce(list_prepend(0.0,
+                 list_transform(range(1, len(ea.v)+1), i -> ea.v[i]*eb.v[i])),
+                 (acc,x) -> acc + x) / (ea.nrm * eb.nrm) >= 0.35""",
     "embedding_quantize" ->
       """WITH e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM embeddings),
               m AS (SELECT vec_id, v,
@@ -658,35 +734,11 @@ object SparkEntry {
           SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
           FROM pairs WHERE hamming <= 3"""
     },
-    // The full portable-LSH pipeline: md5 minhash signatures, banding,
-    // bucket self-join, exact-jaccard verification — end-to-end in SQL.
-    "dedup_minhash_portable" -> {
-      val sigCols = (0 until 16)
-        .map(j => s"min(md5('$j:' || s)) AS h$j").mkString(", ")
-      val bandCases = (0 until 4)
-        .map(b => s"WHEN $b THEN h${b * 4} || ':' || h${b * 4 + 1} || ':' || h${b * 4 + 2} || ':' || h${b * 4 + 3}")
-        .mkString(" ")
-      s"""WITH tk AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t != '') AS ts
-                      FROM documents),
-               se AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])) AS sh
-                      FROM tk WHERE len(ts) >= 2),
-               ex AS (SELECT doc_id, unnest(sh) AS s FROM se),
-               sig AS (SELECT doc_id, $sigCols FROM ex GROUP BY doc_id),
-               bands AS (SELECT doc_id, band,
-                                CASE band $bandCases END AS band_hash
-                         FROM sig, (SELECT unnest(range(0, 4)) AS band)),
-               cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-                        FROM bands x JOIN bands y
-                          ON x.band = y.band AND x.band_hash = y.band_hash
-                             AND x.doc_id < y.doc_id),
-               v AS (SELECT doc_a, doc_b,
-                            cast(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
-                            cast(len(a.sh) AS BIGINT) + cast(len(b.sh) AS BIGINT)
-                              - cast(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS uni
-                     FROM cand JOIN se a ON doc_a = a.doc_id JOIN se b ON doc_b = b.doc_id)
-          SELECT doc_a, doc_b, inter, uni FROM v
-          WHERE cast(inter AS DOUBLE) / uni >= 0.8"""
-    },
+    "dedup_minhash_portable" -> minhashPortableSql,
+    // xxh64 fast path — oracled by the portable replay (see
+    // [[minhashPortableSql]]: pair sets proven identical across SFs,
+    // verified values hash-independent by construction).
+    "dedup_minhash" -> minhashPortableSql,
     // Frame offsets and checksums run over the UTF-8 BYTE sequence
     // (hex(encode(text)) decoded pairwise), matching the Spark side's
     // byte iteration exactly — not ascii(char), which only agrees on

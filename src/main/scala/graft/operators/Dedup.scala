@@ -316,24 +316,32 @@ object Dedup {
     *
     * Signature: h_j(doc) = min over shingles s of md5("j:" || s) —
     * md5 hex strings compare lexicographically identically in both
-    * engines (fixed-length lowercase hex), and the 16 per-row digests
+    * engines (fixed-length lowercase hex), and the per-row digests
     * stay inside whole-stage codegen. (A Kirsch–Mitzenmacher
     * double-hash variant — one md5 split into two halves via `conv` —
-    * measured ~1s SLOWER here: the min-agg over 16 derived longs lost
-    * codegen on the hex parse, while 16 codegen'd md5s over 256k
-    * shingle rows cost only ~0.8s.) Banding: the band's signature rows
-    * concatenated into a string bucket key. Verification: exact jaccard
-    * over the string shingle sets (array_intersect ≡ list_intersect on
-    * duplicate-free arrays).
+    * measured ~1s SLOWER here: the min-agg over derived longs lost
+    * codegen on the hex parse, while codegen'd md5s over 256k
+    * shingle rows cost only ~0.05s each.) Banding: the band's signature
+    * rows concatenated into a string bucket key. Verification: exact
+    * jaccard over the string shingle sets (array_intersect ≡
+    * list_intersect on duplicate-free arrays).
+    *
+    * 64 hashes banded 16×4 — the SAME parameters as [[minhashLsh]], so
+    * the two hash families have the same candidate-recall curve
+    * (P(miss | j=0.8) ≈ 3e-4 per pair) and their verified outputs
+    * agree; an earlier 16×(4×4) version of this twin missed a
+    * j=0.818 pair at sf0.1 that the 16-band fast path caught
+    * (P(miss | j=0.82) ≈ 0.11 at 4 bands — band count, not hash
+    * family, was the difference).
     */
   def minhashPortable(spark: SparkSession, dir: String): DataFrame = {
-    val numHashes = 16
+    val numHashes = 64
     val bandRows = 4
     val numBands = numHashes / bandRows
 
     val sh = shingleSets(spark, dir).persist(StorageLevel.MEMORY_AND_DISK)
 
-    // explode once; each shingle row computes all 16 md5s, the per-doc
+    // explode once; each shingle row computes all 64 md5s, the per-doc
     // min folds map-side (partial agg) before the one shuffle
     val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
     val sigCols = (0 until numHashes).map(j =>

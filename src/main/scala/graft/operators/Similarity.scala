@@ -235,20 +235,25 @@ object Similarity {
     (java.lang.Long.parseLong(hex.substring(0, 7), 16) % 2001 - 1000).toDouble
   }
 
-  /** Approximate top-5 via random-hyperplane LSH: 16 signature bits from
-    * fixed md5-derived hyperplanes, banded 4×4. A candidate is scored
-    * only if it shares at least one 4-bit band with the query, then
-    * exact cosine ranks the survivors. Deterministic by construction →
-    * the full pipeline (plane weights, sign bits, banding, dedupe,
-    * re-rank) replays in the DuckDB oracle; the ScalaTest suite
-    * additionally checks recall against [[topKBrute]].
+  /** Banded random-hyperplane LSH signatures for the whole corpus:
+    * one row per (vector, band) with the band's `bandBits`-bit slice of
+    * the signature. Shared candidate-generation machinery for
+    * [[annLsh]] (query → neighbors) and [[dedupEmbeddingAnn]]
+    * (all near-dup pairs): candidates come from bucket collisions on
+    * `(band, band_val)`, never from an N² cross product.
+    *
+    * Scale knobs: `nBits`/`bandBits` set the bucket count
+    * (`nBands × 2^bandBits` distinct join keys) and per-band collision
+    * probability `(1 − θ/π)^bandBits`. The registered queries use
+    * 16 bits banded 4×4 — sized to this fixture's 64-dim synthetic
+    * corpus; at 100 TB you widen bands (e.g. 128 bits, 8×16) so bucket
+    * sizes stay bounded as N grows. The signature (nBits dot products
+    * per row) feeds every band stream, so it is computed once and
+    * persisted.
     */
-  def annLsh(spark: SparkSession, dir: String): DataFrame = {
-    val nBits = 16
-    val bandBits = 4
+  private def lshBands(spark: SparkSession, dir: String,
+                       nBits: Int = 16, bandBits: Int = 4, dim: Int = 64): DataFrame = {
     val nBands = nBits / bandBits
-    val dim = 64
-
     val planes: Seq[Seq[Double]] = (0 until nBits).map { p =>
       (0 until dim).map(j => planeWeight(p, j))
     }
@@ -258,15 +263,25 @@ object Similarity {
     val sigBits = (0 until nBits).map { p =>
       when(dot(col("v"), element_at(planesLit, p + 1)) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
-    // signature = nBits hyperplane dot products per row; both the query
-    // and candidate band streams read it, so compute it once
     val sig = emb.withColumn("sig", sigBits).persist(StorageLevel.MEMORY_AND_DISK)
-    val bands = sig.select(
+    sig.select(
       col("vec_id"), col("v"), col("nrm"),
       posexplode(array((0 until nBands).map(b =>
         shiftright(col("sig"), b * bandBits).bitwiseAND(lit((1L << bandBits) - 1))): _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_val")
+  }
+
+  /** Approximate top-5 via random-hyperplane LSH: 16 signature bits from
+    * fixed md5-derived hyperplanes, banded 4×4. A candidate is scored
+    * only if it shares at least one 4-bit band with the query, then
+    * exact cosine ranks the survivors. Deterministic by construction →
+    * the full pipeline (plane weights, sign bits, banding, dedupe,
+    * re-rank) replays in the DuckDB oracle; the ScalaTest suite
+    * additionally checks recall against [[topKBrute]].
+    */
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val bands = lshBands(spark, dir)
 
     val qBands = bands.filter(col("vec_id") < 10).select(
       col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"),
@@ -281,5 +296,38 @@ object Similarity {
     val scored = candidates
       .withColumn("sim", dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
     graft.functions.TopK.perQuery(scored, 5)
+  }
+
+  /** Embedding near-duplicate pairs via LSH candidate generation — the
+    * scale path [[dedupEmbedding]]'s doc comment promises. Candidate
+    * pairs come from [[lshBands]] bucket collisions (equi-join on
+    * `(band, band_val)`, upper-triangle, deduped across bands), then
+    * EXACT cosine verifies each survivor at the threshold — so every
+    * emitted pair is a true near-dup (precision 1 vs the all-pairs
+    * baseline); only candidate recall is approximate, tunable via the
+    * band width. No N² join anywhere: compute is
+    * O(Σ bucket²) ≪ O(N²) with banding sized to the corpus.
+    *
+    * Deterministic by construction (md5 planes, integer band values,
+    * exact-double cosine) → the whole pipeline replays in the DuckDB
+    * oracle, exactly like [[annLsh]]. The ScalaTest suite additionally
+    * pins precision = 1 and measured recall against the exact
+    * [[dedupEmbedding]] scorer.
+    */
+  def dedupEmbeddingAnn(spark: SparkSession, dir: String, threshold: Double = 0.35): DataFrame = {
+    val bands = lshBands(spark, dir)
+    val a = bands.select(
+      col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"),
+      col("band"), col("band_val"))
+    val b = bands.select(
+      col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"),
+      col("band"), col("band_val"))
+    a.join(b, Seq("band", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      // a pair colliding in several bands is still ONE candidate —
+      // dedupe before the (expensive) exact verification
+      .dropDuplicates("id_a", "id_b")
+      .filter(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
+      .select(col("id_a"), col("id_b"))
   }
 }

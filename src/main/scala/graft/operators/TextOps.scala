@@ -153,12 +153,16 @@ object TextOps {
   /** Bigram language-model table: P(w2 | w1) = c(w1 w2) / c(w1 ·) as
     * exact integer counts plus the one int/int double both engines
     * compute identically. The denominator is the number of bigram
-    * CONTEXTS (tokens with a successor), aggregated from the bigram
-    * table itself — one extra exchange over #distinct-w1 rows, then a
-    * broadcast-sized join back (vocabulary ≪ corpus).
+    * CONTEXTS (tokens with a successor), computed as a
+    * `sum(cnt) OVER (PARTITION BY w1)` window on the already-grouped
+    * bigram table — no second join, no broadcast. At 100× corpus scale
+    * the context table is 10⁷+ rows (every distinct first-token), past
+    * any sane broadcast threshold; the window formulation only ever
+    * moves the vocabulary²-bounded grouped rows, partitioned by w1.
     */
   def ngramLmProbs(spark: SparkSession, dir: String): DataFrame = {
-    val bg = Tables.documentsSpread(spark, dir)
+    val w = Window.partitionBy(col("w1"))
+    Tables.documentsSpread(spark, dir)
       .select(col("doc_id"), tokens(col("text")).as("ts"))
       .filter(size(col("ts")) >= 2)
       .select(explode(transform(sequence(lit(1), size(col("ts")) - 1),
@@ -167,9 +171,7 @@ object TextOps {
           element_at(col("ts"), i + 1).as("w2")))).as("p"))
       .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .agg(count(lit(1)).as("cnt"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val ctx = bg.groupBy(col("w1")).agg(sum(col("cnt")).as("ctx_cnt"))
-    bg.join(broadcast(ctx), "w1")
+      .withColumn("ctx_cnt", sum(col("cnt")).over(w))
       .select(col("w1"), col("w2"), col("cnt"), col("ctx_cnt"),
         (col("cnt").cast("double") / col("ctx_cnt")).as("prob"))
   }
@@ -177,8 +179,16 @@ object TextOps {
   /** Vocabulary construction: the top-K tokens by corpus frequency with
     * dense ids assigned in (count DESC, token ASC) order — the
     * tokenizer-training step that turns WordCount output into a model
-    * artifact. The ranking window runs over the already-reduced
-    * per-token counts (vocabulary-scale, not corpus-scale rows).
+    * artifact.
+    *
+    * Scale shape: the top-K selection is `orderBy(...).limit(topK)`,
+    * which Spark compiles to `TakeOrderedAndProject` — per-partition
+    * k-bounded heaps merged on one node, never a global sort of the
+    * full term table (at 100 TB the vocabulary is 10⁷–10⁹ distinct
+    * tokens; an unpartitioned ranking window would materialize all of
+    * them on a single executor). The dense-id window then runs over
+    * the ≤topK survivors only — bounded by the parameter, not the
+    * corpus.
     */
   def vocabBuild(spark: SparkSession, dir: String, topK: Int = 1000): DataFrame = {
     val w = Window.partitionBy()
@@ -187,8 +197,9 @@ object TextOps {
       .select(explode(tokens(col("text"))).as("token"))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(topK)
       .withColumn("token_id", row_number().over(w).cast("long") - 1L)
-      .filter(col("token_id") < topK)
   }
 
   /** Sequence packing: assign documents to fixed token-budget batches —

@@ -50,6 +50,15 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(portable === exact)
   }
 
+  test("xxh64 minhash fast path emits the identical verified rows as the md5 portable twin") {
+    // this equality is what lets dedup_minhash share the portable
+    // oracle SQL: the hash family only affects candidate recall, and
+    // the verified (inter, uni) values are hash-independent
+    val fast = Dedup.minhashLsh(spark, fixtureDir).collect().toSet
+    val portable = Dedup.minhashPortable(spark, fixtureDir).collect().toSet
+    assert(fast === portable)
+  }
+
   test("portable simhash finds the same pair set as the xxh64 variant") {
     val native = Dedup.simhash(spark, fixtureDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -136,6 +136,38 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  private def finalSection(plan: String): String =
+    plan.indexOf("== Initial Plan ==") match {
+      case -1 => plan
+      case i  => plan.substring(0, i)
+    }
+
+  test("vocab_build selects top-K via TakeOrderedAndProject; the id window runs over ≤K rows") {
+    val plan = finalSection(PlanChecks.executedPlanString(
+      TextOps.vocabBuild(spark, fixtureDir, topK = 10)))
+    // per-partition k-heaps, never a global sort of the full term table
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // the one (bounded) window sits ABOVE the limit — parents print
+    // first, so its string offset must precede TakeOrderedAndProject's
+    val w = plan.indexOf("Window")
+    assert(w >= 0 && w < plan.indexOf("TakeOrderedAndProject"), plan)
+  }
+
+  test("ngram_lm_probs: context sum is a window over the grouped table — no broadcast, no second join") {
+    val plan = PlanChecks.executedPlanString(TextOps.ngramLmProbs(spark, fixtureDir))
+    assert(PlanChecks.broadcastCount(plan) === 0, plan)
+    // spread rebalance + (w1,w2) agg + w1 window — all vocab²-bounded
+    assert(PlanChecks.shuffleCount(plan) <= 3, plan)
+    assert(!finalSection(plan).contains("Join"), plan)
+  }
+
+  test("dedup_embedding_ann: candidates from band-bucket equi-join — no N² nested-loop") {
+    val plan = finalSection(PlanChecks.executedPlanString(
+      graft.operators.Similarity.dedupEmbeddingAnn(spark, fixtureDir)))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("taskG keeps the global-max scalar in-plan as a broadcast, not a shuffle") {
     val plan = PlanChecks.executedPlanString(Relational.taskGInactive(spark, fixtureDir))
     assert(PlanChecks.broadcastCount(plan) >= 1) // 1-row ref-time aggregate

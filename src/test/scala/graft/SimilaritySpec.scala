@@ -52,6 +52,21 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(recall >= 0.5, s"LSH recall $recall too low")
   }
 
+  test("LSH-candidate embedding dedup: precision 1 vs exact all-pairs, high recall on tight clusters") {
+    val exact = pairs(Similarity.dedupEmbedding(spark, fixtureDir, threshold = 0.9))
+    val ann = pairs(Similarity.dedupEmbeddingAnn(spark, fixtureDir, threshold = 0.9))
+    assert(exact.nonEmpty)
+    // every emitted pair passed the exact-cosine verify → strict subset
+    // of the all-pairs baseline at the same threshold (precision = 1)
+    assert(ann.subsetOf(exact), s"ANN emitted non-dup pairs: ${ann diff exact}")
+    assert(ann.forall { case (a, b) => a < b })
+    val recall = (exact intersect ann).size.toDouble / exact.size
+    info(f"LSH-candidate dedup recall vs all-pairs: $recall%.2f (${ann.size}/${exact.size})")
+    // tight clusters → near-parallel vectors → per-band collision
+    // probability ~1; recall must be high here
+    assert(recall >= 0.8, s"dedup ANN recall $recall too low")
+  }
+
   test("centroid update: every vector lands in one valid cell; means are exact int ratios") {
     val rows = Similarity.centroidUpdate(spark, fixtureDir).collect()
     assert(rows.forall(r => r.getLong(0) >= 0L && r.getLong(0) < 16L))
