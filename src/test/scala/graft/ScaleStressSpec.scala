@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{EventOps, Relational}
+import graft.plans.PlanChecks
+
+/** 10×-sf0.1 scale stress for the relational/event headliners — the
+  * same treatment the dedup family already gets from the synthetic
+  * DSv2 source. The tables are generated deterministically (xxhash64
+  * spreading, no RNG) at 6M lineitem / 1.5M orders / 150k customers /
+  * 1M events, written as multi-file parquet so scans parallelize, and
+  * the assertions are the 100 TB ones: the query COMPLETES, the dims
+  * still broadcast when they are 10× larger, no nested-loop join
+  * sneaks in, and the shuffle budget pinned at fixture scale holds.
+  *
+  * This is a plan-stability gate, not a correctness oracle (the
+  * sf0.01 DuckDB compare owns correctness): what it catches is a
+  * broadcast-threshold flip, an AQE strategy change, or an operator
+  * whose memory footprint stops fitting when rows grow 10×.
+  */
+class ScaleStressSpec extends AnyFunSuite with SparkFixture {
+
+  private val Orders = 1500000L
+  private val LinesPerOrder = 4L
+  private val Customers = 150000L
+  private val Suppliers = 10000L
+  private val Parts = 20000L
+  private val Events = 1000000L
+  private val Users = 15000L
+
+  /** Deterministic pseudo-uniform spread of an id column into [0, mod). */
+  private def spread(c: org.apache.spark.sql.Column, mod: Long, salt: Int) =
+    pmod(xxhash64(c, lit(salt)), lit(mod))
+
+  private lazy val scaleDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-scale").toString
+    val s = spark
+    import s.implicits._
+
+    (0 until 5).map(i => (i, Seq("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST")(i)))
+      .toDF("r_regionkey", "r_name")
+      .write.mode("overwrite").parquet(s"$dir/region.parquet")
+    (0 until 25).map(i => (i, s"NATION_$i", i % 5))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+
+    s.range(Customers).select(
+      col("id").as("c_custkey"),
+      concat(lit("c_"), col("id")).as("c_name"),
+      (col("id") % 25).cast("int").as("c_nationkey"),
+      ((col("id") % 1000) / lit(10.0)).as("c_acctbal"),
+      concat(lit("SEG_"), col("id") % 5).as("c_mktsegment"))
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+
+    s.range(Suppliers).select(
+      col("id").as("s_suppkey"),
+      concat(lit("s_"), col("id")).as("s_name"),
+      (col("id") % 25).cast("int").as("s_nationkey"),
+      ((col("id") % 100) / lit(10.0)).as("s_acctbal"))
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+
+    s.range(Orders).select(
+      col("id").as("o_orderkey"),
+      spread(col("id"), Customers, 1).as("o_custkey"),
+      lit("O").as("o_orderstatus"),
+      ((col("id") % 10000) / lit(100.0)).as("o_totalprice"),
+      expr(s"cast(timestamp_micros(${Fixtures.RefTs / 1000}L - (id % 30) * 86400000000L) as timestamp_ntz)")
+        .as("o_orderdate"),
+      lit("3-MEDIUM").as("o_orderpriority"))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+
+    s.range(Orders * LinesPerOrder).select(
+      expr(s"id div $LinesPerOrder").as("l_orderkey"),
+      spread(col("id"), Parts, 2).as("l_partkey"),
+      spread(col("id"), Suppliers, 3).as("l_suppkey"),
+      (col("id") % LinesPerOrder + 1).cast("int").as("l_linenumber"),
+      (col("id") % 50 + 1).cast("double").as("l_quantity"),
+      ((col("id") % 1000 + 1) * lit(1.0)).as("l_extendedprice"),
+      lit(0.05).as("l_discount"),
+      lit(0.0).as("l_tax"),
+      lit("N").as("l_returnflag"),
+      lit("O").as("l_linestatus"),
+      expr(s"cast(timestamp_micros(${Fixtures.RefTs / 1000}L) as timestamp_ntz)").as("l_shipdate"))
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+
+    // ts is raw INT64 nanos — the testdata's physical shape under
+    // nanosAsLong (Tables.events converts in-plan)
+    s.range(Events).select(
+      col("id").as("event_id"),
+      (lit(Fixtures.RefTs) - spread(col("id"), 30L * 86400L, 4) * lit(1000000000L)).as("ts"),
+      spread(col("id"), Users, 5).as("user_id"),
+      element_at(typedLit(Seq("view", "click", "purchase", "signup", "error")),
+        (spread(col("id"), 5, 6) + 1).cast("int")).as("event_type"),
+      ((col("id") % 500) / lit(10.0)).as("value"),
+      lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("q5 at 10x sf0.1: dims still broadcast, no nested-loop, all 5 ASIA nations out") {
+    val df = Relational.q5RegionalRevenue(spark, scaleDir)
+    val rows = df.collect()
+    // region ASIA = regionkey 2 → nations 2,7,12,17,22; customers and
+    // suppliers cover every nation, so all 5 must produce revenue
+    assert(rows.length === 5, rows.mkString(","))
+    assert(rows.forall(_.getAs[Double]("revenue") > 0))
+    val plan = PlanChecks.executedPlanString(df)
+    assert(PlanChecks.broadcastCount(plan) >= 2, plan) // nation + region at least
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("copurchase_pairs at 10x sf0.1: completes inside the 2-exchange budget") {
+    val df = Relational.copurchasePairs(spark, scaleDir)
+    val plan = PlanChecks.executedPlanString(df)
+    assert(PlanChecks.shuffleCount(plan) <= 2, plan)
+    // ~9M candidate pairs over C(20000,2) slots → birthday math says
+    // repeated pairs must exist; zero would mean the pipeline dropped rows
+    assert(df.limit(1).count() === 1L)
+  }
+
+  test("events_sessionize at 10x sf0.1: one fact exchange feeds window AND session agg") {
+    val df = EventOps.eventsSessionize(spark, scaleDir)
+    val plan = PlanChecks.executedPlanString(df)
+    // window partitions by user_id; the (user_id, session_idx) agg
+    // reuses that partitioning — a second fact exchange is a regression
+    assert(PlanChecks.shuffleCount(plan) === 1, plan)
+    assert(df.limit(1).count() === 1L)
+  }
+}
