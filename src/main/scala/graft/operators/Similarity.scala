@@ -324,10 +324,14 @@ object Similarity {
       col("band"), col("band_val"))
     a.join(b, Seq("band", "band_val"))
       .filter(col("id_a") < col("id_b"))
-      // a pair colliding in several bands is still ONE candidate —
-      // dedupe before the (expensive) exact verification
-      .dropDuplicates("id_a", "id_b")
+      // verify each band collision BEFORE deduping: a pair colliding in
+      // k≤nBands bands is scored k times (≈128 redundant flops each),
+      // but the dedupe exchange then carries 16-byte id pairs instead
+      // of both embedding vectors — at scale, moved bytes dominate
+      // re-computed flops (deduping first was a SortAggregate over
+      // vector-carrying rows)
       .filter(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
       .select(col("id_a"), col("id_b"))
+      .distinct()
   }
 }
