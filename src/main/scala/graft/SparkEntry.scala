@@ -113,6 +113,8 @@ object SparkEntry {
     "q18_large_orders"       -> Relational.q18LargeOrders _,
     "copurchase_triangles"   -> Relational.copurchaseTriangles _,
     "ngram_lm_probs"         -> TextOps.ngramLmProbs _,
+    "doc_perplexity"         -> TextOps.docPerplexity _,
+    "corpus_shuffle"         -> ((s: SparkSession, d: String) => TextOps.corpusShuffle(s, d)),
     "vocab_build"            -> ((s: SparkSession, d: String) => TextOps.vocabBuild(s, d)),
     "dedup_incremental"      -> Dedup.dedupIncremental _,
     "events_salted_user_counts" -> Skew.saltedUserCounts _,
@@ -1047,6 +1049,36 @@ object SparkEntry {
          SELECT bg.w1, w2, cnt, ctx_cnt,
                 CAST(cnt AS DOUBLE) / ctx_cnt AS prob
          FROM bg JOIN ctx ON bg.w1 = ctx.w1""",
+    // Per-bigram log-probs quantized to integer micro-nats
+    // (floor(ln(p)*1e6)): ln differs across engines in the last ulp on
+    // ~0.1% of inputs, and a DOUBLE sum is partition-order-dependent —
+    // BIGINT micro-nat sums are exact and order-free. The one double
+    // column is a single division chain over identical operands.
+    "doc_perplexity" ->
+      """WITH b AS (SELECT doc_id,
+                           unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])) AS bgm
+                    FROM (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS ts
+                          FROM documents)
+                    WHERE len(ts) >= 2),
+              pairs AS (SELECT doc_id, split_part(bgm, ' ', 1) AS w1,
+                               split_part(bgm, ' ', 2) AS w2 FROM b),
+              perdoc AS (SELECT doc_id, w1, w2, count(*) AS n FROM pairs GROUP BY 1, 2, 3),
+              bg AS (SELECT w1, w2, count(*) AS cnt FROM pairs GROUP BY 1, 2),
+              ctx AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS ctx_cnt FROM bg GROUP BY w1),
+              lm AS (SELECT w1, w2, CAST(cnt AS DOUBLE) / ctx_cnt AS prob FROM bg JOIN ctx USING (w1)),
+              agg AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+                             CAST(-sum(n * CAST(floor(ln(prob) * 1000000) AS BIGINT)) AS BIGINT) AS nll_micro
+                      FROM perdoc JOIN lm USING (w1, w2) GROUP BY doc_id)
+         SELECT doc_id, n_bigrams, nll_micro,
+                CAST(nll_micro AS DOUBLE) / n_bigrams / 1000000.0 AS avg_nll
+         FROM agg""",
+    "corpus_shuffle" ->
+      """SELECT doc_id, shard,
+                CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+         FROM (SELECT doc_id, h, h % 64 AS shard
+               FROM (SELECT doc_id,
+                            ('0x' || substr(md5('shuf:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+                     FROM documents))""",
     "vocab_build" ->
       """WITH c AS (SELECT token, count(*) AS cnt
                     FROM (SELECT unnest(list_filter(string_split_regex(text, '\s+'), t -> t != '')) AS token

@@ -366,4 +366,69 @@ object TextOps {
         lit(1L),
         (acc, c) => (acc * 31L + c) % m).as("fingerprint"))
   }
+
+  /** CCNet-style LM quality scoring: each document's negative
+    * log-likelihood under the corpus bigram LM ([[ngramLmProbs]]) — the
+    * perplexity filter a training-data pipeline runs after dedup to
+    * rank documents by fluency.
+    *
+    * Cross-engine exactness: `ln` differs from DuckDB's in the last ulp
+    * on ~0.1% of inputs (measured), so per-bigram log-probs are
+    * quantized to integer micro-nats — `floor(ln(p)·10⁶)` flips only
+    * when the value sits within one ulp of the grid (P≈10⁻¹² per row),
+    * and the per-doc BIGINT sums are then exact and order-independent,
+    * unlike a double sum whose value depends on partition order.
+    *
+    * Scale shape: the doc-side of the join is pre-aggregated to per-doc
+    * DISTINCT bigrams with multiplicity (bounding rows by doc
+    * vocabulary, not doc length), then shuffle-hash-joined to the
+    * vocabulary²-bounded LM table on (w1,w2). No broadcast hint: the LM
+    * is corpus-derived and can be 10⁷+ rows at scale; AQE picks
+    * broadcast while it is actually small.
+    */
+  def docPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    val perDoc = Tables.documentsSpread(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(col("doc_id"), explode(transform(sequence(lit(1), size(col("ts")) - 1),
+        i => struct(
+          element_at(col("ts"), i).as("w1"),
+          element_at(col("ts"), i + 1).as("w2")))).as("p"))
+      .groupBy(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("n"))
+    val lm = ngramLmProbs(spark, dir).select(col("w1"), col("w2"), col("prob"))
+    // floor() on a double is LongType in Spark already; the explicit
+    // cast pins the contract the oracle mirrors with CAST(... AS BIGINT)
+    val microNats = floor(log(col("prob")) * lit(1000000.0)).cast("long")
+    perDoc.join(lm, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("n")).as("n_bigrams"),
+        (-sum(col("n") * microNats)).as("nll_micro"))
+      .select(col("doc_id"), col("n_bigrams"), col("nll_micro"),
+        (col("nll_micro").cast("double") / col("n_bigrams") / lit(1000000.0))
+          .as("avg_nll"))
+  }
+
+  /** Deterministic training-order shuffle: every document gets a
+    * (shard, position) from a seeded portable hash — the global
+    * randomized ordering a training run reads, without the global sort.
+    * A naive `ORDER BY hash` is the classic one-partition scale-killer;
+    * here the ranking window is PARTITIONED by shard, so each shard
+    * sorts independently (one hash-exchange, per-shard sorts) and the
+    * consumer reads shards in id order. Reproducible end to end: same
+    * seed string → same order on any cluster layout.
+    */
+  def corpusShuffle(spark: SparkSession, dir: String, shards: Int = 64): DataFrame = {
+    // 15 hex digits < 2^60: fits a long in both engines
+    // (DuckDB replay: ('0x' || substr(md5(..), 1, 15))::BIGINT)
+    val h = conv(substring(md5(concat(lit("shuf:"), col("doc_id").cast("string"))
+      .cast("binary")), 1, 15), 16, 10).cast("long")
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), h.as("h"))
+      .withColumn("shard", pmod(col("h"), lit(shards.toLong)))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
 }
