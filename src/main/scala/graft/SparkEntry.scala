@@ -123,6 +123,12 @@ object SparkEntry {
     "events_cube"            -> Relational.eventsCube _,
     "top_brand_per_type"     -> Relational.topBrandPerType _,
     "events_props_keys"      -> EventOps.eventsPropsKeys _,
+    "dedup_canonical"        -> Dedup.dedupCanonical _,
+    "span_dup_fraction"      -> ((s: SparkSession, d: String) => Dedup.spanDupFraction(s, d)),
+    "dedup_bloom_prefilter"  -> Dedup.dedupBloomPrefilter _,
+    "weighted_sample"        -> ((s: SparkSession, d: String) => TextOps.weightedSample(s, d)),
+    "kmeans_train"           -> ((s: SparkSession, d: String) => Similarity.kmeansTrain(s, d)),
+    "orders_cdc_merge"       -> Relational.ordersCdcMerge _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1146,5 +1152,131 @@ object SparkEntry {
          FROM (SELECT props, unnest(json_keys(props)) AS key
                FROM events WHERE json_valid(props))
          GROUP BY key""",
+    // quality-aware argmax per near-dup component (most chars, ties to
+    // the smaller doc_id) — replayed as the rank-1 window row
+    "dedup_canonical" ->
+      s"""WITH RECURSIVE $componentCtes,
+              lbl AS (SELECT doc_id, min(label) AS comp FROM reach GROUP BY doc_id)
+         SELECT comp, doc_id AS canonical_id, n_chars AS canonical_chars, n_members
+         FROM (SELECT comp, doc_id, n_chars,
+                      row_number() OVER (PARTITION BY comp
+                                         ORDER BY n_chars DESC, doc_id ASC) AS rn,
+                      CAST(count(*) OVER (PARTITION BY comp) AS BIGINT) AS n_members
+               FROM lbl JOIN documents USING (doc_id))
+         WHERE rn = 1""",
+    "span_dup_fraction" ->
+      """WITH tk AS (SELECT doc_id,
+                            list_filter(string_split_regex(text, '\s+'), t -> t != '') AS ts
+                     FROM documents),
+              g AS (SELECT doc_id,
+                           unnest(list_transform(range(1, len(ts) - 6),
+                                                 i -> md5(array_to_string(ts[i:i+7], ' ')))) AS g
+                    FROM tk WHERE len(ts) >= 8),
+              pdg AS (SELECT doc_id, g, count(*) AS n_pos FROM g GROUP BY doc_id, g),
+              df AS (SELECT g, count(*) AS n_docs FROM pdg GROUP BY g)
+         SELECT doc_id,
+                CAST(sum(n_pos) AS BIGINT) AS n_grams,
+                CAST(sum(CASE WHEN n_docs >= 2 THEN n_pos ELSE 0 END) AS BIGINT) AS n_dup_grams,
+                CAST(sum(CASE WHEN n_docs >= 2 THEN n_pos ELSE 0 END) AS DOUBLE)
+                  / CAST(sum(n_pos) AS DOUBLE) AS dup_frac
+         FROM pdg JOIN df USING (g)
+         GROUP BY doc_id""",
+    // the bloom prefilter is exact (no false negatives; positives are
+    // re-checked by the join), so the oracle is the bloom-free probe
+    "dedup_bloom_prefilter" ->
+      """WITH d AS (SELECT doc_id, sha256(text) AS h FROM documents),
+              cut AS (SELECT max(doc_id) * 8 // 10 AS c FROM d),
+              idx AS (SELECT h, min(doc_id) AS existing_id
+                      FROM d, cut WHERE doc_id <= c GROUP BY h)
+         SELECT b.doc_id, existing_id
+         FROM (SELECT doc_id, h FROM d, cut WHERE doc_id > c) b
+         JOIN idx USING (h)""",
+    // all-integer systematic PPS sampling — both engines replay the
+    // identical cumsum + stride arithmetic
+    "weighted_sample" ->
+      """WITH d AS (SELECT doc_id, n_chars, doc_id % 32 AS shard FROM documents),
+              c AS (SELECT doc_id, n_chars, shard,
+                           CAST(sum(n_chars) OVER (PARTITION BY shard
+                                                   ORDER BY doc_id) AS BIGINT) AS cum_in_shard
+                    FROM d),
+              o AS (SELECT shard, CAST(max(cum_in_shard) AS BIGINT) AS shard_total
+                    FROM c GROUP BY shard),
+              o2 AS (SELECT shard,
+                            CAST(coalesce(sum(shard_total)
+                                   OVER (ORDER BY shard
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                                 0) AS BIGINT) AS off
+                     FROM o),
+              t AS (SELECT greatest(CAST(sum(n_chars) AS BIGINT) // 100, 1) AS stride FROM d),
+              j AS (SELECT doc_id, n_chars,
+                           off + cum_in_shard AS cum_end,
+                           off + cum_in_shard - n_chars AS cum_start
+                    FROM c JOIN o2 USING (shard))
+         SELECT doc_id, n_chars, cum_start
+         FROM j, t
+         WHERE ((cum_start + stride - 1) // stride) * stride < cum_end""",
+    // two Lloyd iterations replayed exactly: integer codes, integer
+    // distances, trunc(sum/n) centroid updates
+    "kmeans_train" ->
+      """WITH m AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v,
+                           list_max(list_transform(cast(embedding AS DOUBLE[]),
+                                                   x -> abs(x))) AS ma
+                    FROM embeddings),
+              q AS (SELECT vec_id,
+                           list_transform(v, x -> CASE WHEN ma = 0.0 THEN 0
+                                ELSE greatest(-127, least(127,
+                                       cast(floor(x * 127.0 / ma) AS BIGINT))) END) AS q
+                    FROM m),
+              c0 AS (SELECT vec_id AS cell, q AS c FROM q WHERE vec_id < 8),
+              d1 AS (SELECT q.vec_id, q.q, c0.cell,
+                            list_sum(list_transform(range(1, len(q.q) + 1),
+                              i -> (q.q[i] - c0.c[i]) * (q.q[i] - c0.c[i]))) AS dist
+                     FROM q, c0),
+              a1 AS (SELECT vec_id, q, cell FROM (
+                       SELECT vec_id, q, cell,
+                              row_number() OVER (PARTITION BY vec_id
+                                                 ORDER BY dist, cell) AS rn
+                       FROM d1) WHERE rn = 1),
+              u1 AS (SELECT cell, unnest(q) AS qv,
+                            unnest(range(0, len(q))) AS dim_idx FROM a1),
+              c1 AS (SELECT cell, dim_idx,
+                            CAST(trunc(CAST(sum(qv) AS DOUBLE) / count(*)) AS BIGINT) AS c_q
+                     FROM u1 GROUP BY cell, dim_idx),
+              c1l AS (SELECT cell, list(c_q ORDER BY dim_idx) AS c FROM c1 GROUP BY cell),
+              d2 AS (SELECT q.vec_id, q.q, c1l.cell,
+                            list_sum(list_transform(range(1, len(q.q) + 1),
+                              i -> (q.q[i] - c1l.c[i]) * (q.q[i] - c1l.c[i]))) AS dist
+                     FROM q, c1l),
+              a2 AS (SELECT vec_id, q, cell FROM (
+                       SELECT vec_id, q, cell,
+                              row_number() OVER (PARTITION BY vec_id
+                                                 ORDER BY dist, cell) AS rn
+                       FROM d2) WHERE rn = 1),
+              u2 AS (SELECT cell, unnest(q) AS qv,
+                            unnest(range(0, len(q))) AS dim_idx FROM a2)
+         SELECT cell, CAST(dim_idx AS BIGINT) AS dim_idx,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(trunc(CAST(sum(qv) AS DOUBLE) / count(*)) AS BIGINT) AS c_q
+         FROM u2 GROUP BY cell, dim_idx""",
+    "orders_cdc_merge" ->
+      """WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice,
+                              0 AS version, 'keep' AS op FROM orders),
+              ch AS (
+                SELECT o_orderkey, o_custkey, o_totalprice + 100.0 AS o_totalprice,
+                       1 AS version, 'U' AS op
+                FROM orders WHERE o_orderkey % 10 < 3
+                UNION ALL
+                SELECT o_orderkey, o_custkey, o_totalprice, 1, 'D'
+                FROM orders WHERE o_orderkey % 10 = 5
+                UNION ALL
+                SELECT o_orderkey + 1000000000, o_custkey, o_totalprice, 1, 'I'
+                FROM orders WHERE o_orderkey % 10 IN (3, 4)),
+              merged AS (SELECT * FROM (
+                           SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                                        ORDER BY version DESC) AS rn
+                           FROM (SELECT * FROM base UNION ALL SELECT * FROM ch))
+                         WHERE rn = 1)
+         SELECT o_orderkey, o_custkey, o_totalprice, op
+         FROM merged WHERE op != 'D'""",
   )
 }

@@ -308,6 +308,121 @@ object Dedup {
       .select(col("doc_id"), col("split"), col("n_tokens"))
   }
 
+  /** Quality-aware canonical selection — the keep/drop policy step a
+    * curation pipeline runs AFTER near-dup clustering. Where
+    * [[corpusCurate]] keeps the min-id doc per component (an arbitrary
+    * but deterministic tie-break), production pipelines keep the BEST
+    * member — here: most characters, ties to the smaller doc_id. One
+    * aggregate over the component labels joined with per-doc stats;
+    * the argmax is `max(struct(quality, -id))`, which folds map-side
+    * (partial aggregation) instead of ranking members with a window —
+    * at 100 TB a dup component can be huge (boilerplate pages), and a
+    * bounded agg state beats buffering the member list.
+    */
+  def dedupCanonical(spark: SparkSession, dir: String): DataFrame = {
+    val labels = dedupComponents(spark, dir).select(col("doc_id"), col("comp"))
+    val stats = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
+    labels
+      .join(stats, "doc_id")
+      .groupBy(col("comp"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        max(struct(col("n_chars").as("c"), (-col("doc_id")).as("nid"))).as("best"))
+      .select(
+        col("comp"),
+        (-col("best.nid")).as("canonical_id"),
+        col("best.c").as("canonical_chars"),
+        col("n_members"))
+  }
+
+  /** Duplicated-span fraction — the exact-substring dedup signal of
+    * Lee et al.'s "Deduplicating Training Data Makes Language Models
+    * Better": for every document, the fraction of its token k-gram
+    * positions (k=8) whose k-gram also occurs in at least one OTHER
+    * document. Pipelines drop or trim docs above a dup-frac threshold;
+    * unlike whole-doc near-dup detection this catches boilerplate
+    * shared across otherwise-distinct pages.
+    *
+    * Shape: per-doc k-gram positions collapse to (doc, gram, n_pos)
+    * with map-side partial aggregation BEFORE any corpus-wide step, the
+    * document-frequency table is a second partial-agg'd groupBy, and
+    * the join back moves only 16-byte digests + counts — the document
+    * body never crosses an exchange. A stop-gram (corpus-wide
+    * boilerplate) lands as ONE df row, not a window partition holding
+    * every occurrence, which is why this is aggregate+join rather than
+    * `count() over (partition by gram)`.
+    *
+    * Docs with fewer than k tokens have no k-gram positions and drop
+    * out (no 0/0 row). md5 grams keep the pipeline replayable in SQL.
+    */
+  def spanDupFraction(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val grams = Tables.documentsSpread(spark, dir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= k)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(ts) - ${k - 1}), " +
+          s"i -> md5(cast(concat_ws(' ', slice(ts, i, $k)) as binary)))")).as("g"))
+    // Feeds the df aggregation AND the join back — persist the compact
+    // (doc, gram, count) rows, not the raw exploded positions.
+    val perDocGram = grams
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("n_pos"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val df = perDocGram.groupBy(col("g")).agg(count(lit(1)).as("n_docs"))
+    perDocGram
+      .join(df, "g")
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("n_pos")).as("n_grams"),
+        sum(when(col("n_docs") >= 2, col("n_pos")).otherwise(0L)).as("n_dup_grams"))
+      .select(col("doc_id"), col("n_grams"), col("n_dup_grams"),
+        (col("n_dup_grams").cast("double") / col("n_grams").cast("double")).as("dup_frac"))
+  }
+
+  /** Bloom-prefiltered incremental dedup — [[dedupIncremental]]'s probe
+    * with the scan-side filter a 100 TB ingest actually uses: build a
+    * Bloom filter over the standing corpus's content hashes (Spark's
+    * own `BloomFilterAggregate`, the engine behind runtime join
+    * filters), prefilter the ingest batch to probable dups at the scan
+    * (no shuffle for the ~99% of novel documents), then exact-join only
+    * the survivors against the hash index. Bloom filters have no false
+    * negatives, so the result is EXACT — the oracle is the plain
+    * batch⋈index SQL with no bloom at all; false positives are
+    * discarded by the confirming join.
+    *
+    * The collected filter blob is ~1 MB for 10⁶ items at 8 bits/item
+    * (model-scale, like the IVF codebook — sized by standing-corpus
+    * cardinality, not data bytes) and reaches executors as a literal.
+    * Output: batch docs that exactly duplicate a standing doc.
+    */
+  def dedupBloomPrefilter(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.types.BinaryType
+    import org.apache.spark.sql.GraftGlue
+
+    val docs = Tables.documentsSpread(spark, dir)
+      .select(col("doc_id"), sha2(col("text"), 256).as("h"))
+    val cut = docs.agg(expr("max(doc_id) * 8 div 10").as("c"))
+    val withCut = docs.crossJoin(cut)
+    val standing = withCut.filter(col("doc_id") <= col("c"))
+    val batch = withCut.filter(col("doc_id") > col("c"))
+
+    val bloomAgg = GraftGlue.column(
+      new BloomFilterAggregate(
+        GraftGlue.expression(xxhash64(col("h"))),
+        Literal(1000000L), Literal(8L * 1000000L)).toAggregateExpression())
+    // one row, one small binary — the "collect the trained sketch" step
+    val blob = standing.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]]("bf")
+
+    val index = standing.groupBy(col("h")).agg(min(col("doc_id")).as("existing_id"))
+    val probable =
+      if (blob == null) batch.limit(0) // empty standing corpus -> nothing can be a dup
+      else batch.filter(GraftGlue.column(BloomFilterMightContain(
+        Literal.create(blob, BinaryType),
+        GraftGlue.expression(xxhash64(col("h"))))))
+    probable.join(index, "h").select(col("doc_id"), col("existing_id"))
+  }
+
   /** MinHash + LSH with an engine-portable hash (md5): same
     * signature→band→bucket-join→verify pipeline as [[minhashLsh]], but
     * every step is expressible in ANSI-ish SQL, so the WHOLE LSH

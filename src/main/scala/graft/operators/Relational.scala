@@ -469,6 +469,40 @@ object Relational {
         count(lit(1)).as("n_rows"))
   }
 
+  /** Batch MERGE INTO / CDC apply — the lakehouse upsert: a change
+    * batch (updates, deletes, inserts) merged into a base table with
+    * latest-version-wins semantics. The change feed here is derived
+    * deterministically from `orders` (orderkey mod 10: 0–2 → price
+    * update, 5 → delete, 3–4 → insert under a shifted key), so the
+    * whole merge is oracle-replayable; in production the feed is the
+    * CDC stream and the shape is identical.
+    *
+    * Plan shape: union + per-key `row_number` window (partitioned by
+    * the merge key — parallel at any scale) + filter, which is exactly
+    * how Delta/Iceberg-style MERGE compiles when change batches
+    * overlap base files. No global sort, one exchange on the key.
+    */
+  def ordersCdcMerge(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val base = o
+      .withColumn("version", lit(0L)).withColumn("op", lit("keep"))
+    val updates = o.filter(pmod(col("o_orderkey"), lit(10L)) < 3)
+      .withColumn("o_totalprice", col("o_totalprice") + lit(100.0))
+      .withColumn("version", lit(1L)).withColumn("op", lit("U"))
+    val deletes = o.filter(pmod(col("o_orderkey"), lit(10L)) === 5)
+      .withColumn("version", lit(1L)).withColumn("op", lit("D"))
+    val inserts = o.filter(pmod(col("o_orderkey"), lit(10L)).isin(3L, 4L))
+      .withColumn("o_orderkey", col("o_orderkey") + lit(1000000000L))
+      .withColumn("version", lit(1L)).withColumn("op", lit("I"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderkey")).orderBy(col("version").desc)
+    base.unionAll(updates).unionAll(deletes).unionAll(inserts)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("op"))
+  }
+
   /** TPC-H Q1-style pricing summary — the canonical wide-aggregation
     * bench headline. Money sums go through DECIMAL(18,2) so Spark and
     * the DuckDB oracle produce bit-identical results regardless of

@@ -224,6 +224,76 @@ object Similarity {
       .withColumn("mean_q", col("sum_q").cast("double") / col("n"))
   }
 
+  /** Distributed k-means training — Lloyd's algorithm, the canonical
+    * iterative workload of a large-scale embedding pipeline (IVF
+    * codebook training, semantic-dedup clustering). Two full
+    * assign→update iterations over int8-quantized codes
+    * (the [[embeddingQuantize]] formula), deterministic first-k init.
+    *
+    * Exactness across engines (what makes an ITERATIVE float algorithm
+    * oracle-checkable at all): codes are integer-valued, the squared
+    * L2 distance `q·q − 2·q·c + c·c` is computed in doubles whose
+    * every term is an exact integer (bounded by dims·127² ≪ 2⁵³), and
+    * the centroid update is `trunc(sum/n)` back to integers — so no
+    * accumulation-order or libm drift can flip an argmin anywhere in
+    * the chain, and DuckDB replays both iterations bit-for-bit.
+    *
+    * Scale shape: per-iteration cost is one narrow scan (distances to
+    * k broadcast centroids via the native dot product) plus one
+    * partial-agg'd groupBy on (cell, dim) — ≤ k·dim rows cross the
+    * exchange per partition regardless of corpus size. The collected
+    * intermediate centroids are k·dim longs (model-scale, exactly like
+    * [[annIvf]]'s codebook). Empty cells drop out of the next round,
+    * as in the SQL replay.
+    */
+  def kmeansTrain(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    import spark.implicits._
+    val qd = Tables.embeddings(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("ma", array_max(transform(col("v"), x => abs(x))))
+      .select(col("vec_id"), expr(
+        "transform(v, x -> CASE WHEN ma = 0.0D THEN 0.0D ELSE " +
+          "CAST(greatest(-127L, least(127L, CAST(floor(x * 127.0D / ma) AS BIGINT))) AS DOUBLE) END)")
+        .as("q"))
+      .withColumn("qq", dot(col("q"), col("q")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val init: Seq[(Long, Seq[Double])] = qd.filter(col("vec_id") < k)
+      .orderBy("vec_id").select(col("vec_id"), col("q")).collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    if (init.isEmpty)
+      return Seq.empty[(Long, Long, Long, Long)].toDF("cell", "dim_idx", "n", "c_q")
+
+    // one assign→update round against the given centroids; ties break
+    // to the lowest cell id (array order = ascending cell id)
+    def assignUpdate(cents: Seq[(Long, Seq[Double])]): DataFrame = {
+      val ccs = cents.map { case (_, v) => v.map(x => x * x).sum }
+      val cl = typedLit(cents.map(_._2))
+      val cellIds = typedLit(cents.map(_._1))
+      val dists = array(cents.indices.map(i =>
+        col("qq") - lit(2.0) * dot(col("q"), element_at(cl, i + 1)) + lit(ccs(i))): _*)
+      qd
+        .withColumn("ds", dists)
+        .select(
+          element_at(cellIds,
+            array_position(col("ds"), array_min(col("ds"))).cast("int")).as("cell"),
+          col("q"))
+        .select(col("cell"), posexplode(col("q")))
+        .groupBy(col("cell"), col("pos").cast("long").as("dim_idx"))
+        .agg(count(lit(1)).as("n"), sum(col("col")).cast("long").as("sum_q"))
+        .select(col("cell"), col("dim_idx"), col("n"),
+          (col("sum_q").cast("double") / col("n")).cast("long").as("c_q"))
+    }
+
+    val round1 = assignUpdate(init)
+    val cents1 = round1.select(col("cell"), col("dim_idx"), col("c_q")).collect().toSeq
+      .groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+      .map { case (cell, rows) =>
+        (cell, rows.sortBy(_.getLong(1)).map(_.getLong(2).toDouble)) }
+    assignUpdate(cents1)
+  }
+
   /** md5-derived hyperplane weight in [-1000, 1000] — deterministic,
     * seedless, and replayable in SQL (integer-valued, so the double is
     * exact), which is what lets the whole LSH pipeline be

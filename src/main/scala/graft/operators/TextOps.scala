@@ -227,6 +227,53 @@ object TextOps {
           expr(s"(cum_end - n_tokens) DIV $budget")).as("batch_id"))
   }
 
+  /** Weighted systematic sample: pick ~k documents with probability
+    * proportional to size (`n_chars`) — the data-mixing step that
+    * samples a corpus slice by token budget rather than doc count.
+    * Deterministic and engine-portable: lay all documents end-to-end on
+    * an integer character axis (order = (shard, doc_id)), then keep
+    * every document covering a multiple of `stride = total div k` —
+    * classic systematic PPS sampling, all-integer, no RNG and no
+    * transcendental scores (an exp/log Efraimidis–Spirakis key would
+    * put libm ulp drift on the selection boundary and break the
+    * cross-engine hash compare).
+    *
+    * The global cumulative sum uses the same two-level shape as
+    * [[packBatches]]: per-shard window cumsums in parallel, then a
+    * shard-count-bounded (=32 rows, metadata scale) prefix over the
+    * shard totals broadcast back — never a one-partition global sort.
+    */
+  def weightedSample(spark: SparkSession, dir: String, k: Int = 100, shards: Int = 32): DataFrame = {
+    val inShard = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perDoc = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        pmod(col("doc_id"), lit(shards.toLong)).as("shard"))
+      .repartition(col("shard"))
+      .withColumn("cum_in_shard", sum(col("n_chars")).over(inShard))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // shard totals -> exclusive prefix offsets; `shards` rows total, so
+    // the unpartitioned window is bounded by a parameter, not the data
+    val prevShards = Window.orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = perDoc
+      .groupBy(col("shard")).agg(max(col("cum_in_shard")).as("shard_total"))
+      .select(col("shard"),
+        coalesce(sum(col("shard_total")).over(prevShards), lit(0L)).as("off"))
+    val tot = perDoc.agg(sum(col("n_chars")).as("total"))
+    val stride = greatest(expr(s"total div $k"), lit(1L))
+    perDoc
+      .join(broadcast(offsets), "shard")
+      .crossJoin(tot)
+      .withColumn("cum_end", col("off") + col("cum_in_shard"))
+      .withColumn("cum_start", col("cum_end") - col("n_chars"))
+      .withColumn("stride", stride)
+      // next stride multiple at or after cum_start falls inside the doc
+      .filter(
+        expr("((cum_start + stride - 1) div stride) * stride") < col("cum_end"))
+      .select(col("doc_id"), col("n_chars"), col("cum_start"))
+  }
+
   /** Deterministic train/valid/test split: bucket = md5(doc_id) mod 100
     * → 80/10/10. Hash-based (not random) so the assignment is stable
     * across runs, engines, and re-partitioning — the property a

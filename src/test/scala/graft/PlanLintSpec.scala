@@ -26,7 +26,9 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
     "similarity_topk" -> "10-query broadcast side x streamed candidates (O(kN), k-bounded)",
     "pi_montecarlo" -> "1-row seeded-parameter crossJoin",
     "dedup_incremental" -> "1-row batch-cutoff scalar kept in-plan as a broadcast crossJoin",
-    "contamination_check" -> "bounded benchmark n-gram set broadcast against the corpus"
+    "contamination_check" -> "bounded benchmark n-gram set broadcast against the corpus",
+    "dedup_bloom_prefilter" -> "1-row batch-cutoff scalar kept in-plan as a broadcast crossJoin (the bloom blob itself is a literal)",
+    "weighted_sample" -> "1-row corpus-total scalar kept in-plan as a broadcast crossJoin"
   )
 
   /** Queries allowed a SinglePartition exchange — each is either
@@ -37,7 +39,8 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
     "vocab_build" -> "dense-id window over the <= topK survivors of TakeOrderedAndProject (bounded by the parameter)",
     "taskB_top10" -> "global top-10 limit collect (TakeOrdered merge)",
     "q3_shipping_priority" -> "global top-10 limit collect (TakeOrdered merge)",
-    "q18_large_orders" -> "global top-k limit collect (TakeOrdered merge)"
+    "q18_large_orders" -> "global top-k limit collect (TakeOrdered merge)",
+    "weighted_sample" -> "shard-total prefix window over `shards` (=32) rows — bounded by the parameter, not the data"
   )
 
   test("no registered query plans an undeclared cartesian or nested-loop join") {
