@@ -129,6 +129,9 @@ object SparkEntry {
     "weighted_sample"        -> ((s: SparkSession, d: String) => TextOps.weightedSample(s, d)),
     "kmeans_train"           -> ((s: SparkSession, d: String) => Similarity.kmeansTrain(s, d)),
     "orders_cdc_merge"       -> Relational.ordersCdcMerge _,
+    "dedup_semantic"         -> ((s: SparkSession, d: String) => Similarity.dedupSemantic(s, d)),
+    "bpe_pair_counts"        -> ((s: SparkSession, d: String) => TextOps.bpePairCounts(s, d)),
+    "stream_topk_users"      -> graft.streaming.EventStreams.streamTopkUsers _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -145,6 +148,54 @@ object SparkEntry {
     *    sketch outputs are implementation-defined — error-bounded in
     *    ScalaTest against their oracled exact counterparts.
     */
+  /** Shared CTE chain replaying [[graft.operators.Similarity.kmeansTrain]]'s
+    * two integer-exact Lloyd rounds for a given k: int8 quantize → init
+    * (vec_id < k) → assign/update ×2. Ends exposing `u2` (the round-2
+    * exploded update input) and `c2l` (round-2 centroid lists) — shared
+    * by the kmeans_train and dedup_semantic oracles.
+    */
+  private def kmeansCtes(k: Int): String =
+    s"""m AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v,
+                     list_max(list_transform(cast(embedding AS DOUBLE[]),
+                                             x -> abs(x))) AS ma
+              FROM embeddings),
+        q AS (SELECT vec_id,
+                     list_transform(v, x -> CASE WHEN ma = 0.0 THEN 0
+                          ELSE greatest(-127, least(127,
+                                 cast(floor(x * 127.0 / ma) AS BIGINT))) END) AS q
+              FROM m),
+        c0 AS (SELECT vec_id AS cell, q AS c FROM q WHERE vec_id < $k),
+        d1 AS (SELECT q.vec_id, q.q, c0.cell,
+                      list_sum(list_transform(range(1, len(q.q) + 1),
+                        i -> (q.q[i] - c0.c[i]) * (q.q[i] - c0.c[i]))) AS dist
+               FROM q, c0),
+        a1 AS (SELECT vec_id, q, cell FROM (
+                 SELECT vec_id, q, cell,
+                        row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY dist, cell) AS rn
+                 FROM d1) WHERE rn = 1),
+        u1 AS (SELECT cell, unnest(q) AS qv,
+                      unnest(range(0, len(q))) AS dim_idx FROM a1),
+        c1 AS (SELECT cell, dim_idx,
+                      CAST(trunc(CAST(sum(qv) AS DOUBLE) / count(*)) AS BIGINT) AS c_q
+               FROM u1 GROUP BY cell, dim_idx),
+        c1l AS (SELECT cell, list(c_q ORDER BY dim_idx) AS c FROM c1 GROUP BY cell),
+        d2 AS (SELECT q.vec_id, q.q, c1l.cell,
+                      list_sum(list_transform(range(1, len(q.q) + 1),
+                        i -> (q.q[i] - c1l.c[i]) * (q.q[i] - c1l.c[i]))) AS dist
+               FROM q, c1l),
+        a2 AS (SELECT vec_id, q, cell FROM (
+                 SELECT vec_id, q, cell,
+                        row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY dist, cell) AS rn
+                 FROM d2) WHERE rn = 1),
+        u2 AS (SELECT cell, unnest(q) AS qv,
+                      unnest(range(0, len(q))) AS dim_idx FROM a2),
+        c2 AS (SELECT cell, dim_idx,
+                      CAST(trunc(CAST(sum(qv) AS DOUBLE) / count(*)) AS BIGINT) AS c_q
+               FROM u2 GROUP BY cell, dim_idx),
+        c2l AS (SELECT cell, list(c_q ORDER BY dim_idx) AS c FROM c2 GROUP BY cell)"""
+
   /** Shared CTE block: the near-dup graph + reachability used by both
     * dedup_components and corpus_curate.
     */
@@ -1218,46 +1269,59 @@ object SparkEntry {
     // two Lloyd iterations replayed exactly: integer codes, integer
     // distances, trunc(sum/n) centroid updates
     "kmeans_train" ->
-      """WITH m AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v,
-                           list_max(list_transform(cast(embedding AS DOUBLE[]),
-                                                   x -> abs(x))) AS ma
-                    FROM embeddings),
-              q AS (SELECT vec_id,
-                           list_transform(v, x -> CASE WHEN ma = 0.0 THEN 0
-                                ELSE greatest(-127, least(127,
-                                       cast(floor(x * 127.0 / ma) AS BIGINT))) END) AS q
-                    FROM m),
-              c0 AS (SELECT vec_id AS cell, q AS c FROM q WHERE vec_id < 8),
-              d1 AS (SELECT q.vec_id, q.q, c0.cell,
-                            list_sum(list_transform(range(1, len(q.q) + 1),
-                              i -> (q.q[i] - c0.c[i]) * (q.q[i] - c0.c[i]))) AS dist
-                     FROM q, c0),
-              a1 AS (SELECT vec_id, q, cell FROM (
-                       SELECT vec_id, q, cell,
-                              row_number() OVER (PARTITION BY vec_id
-                                                 ORDER BY dist, cell) AS rn
-                       FROM d1) WHERE rn = 1),
-              u1 AS (SELECT cell, unnest(q) AS qv,
-                            unnest(range(0, len(q))) AS dim_idx FROM a1),
-              c1 AS (SELECT cell, dim_idx,
-                            CAST(trunc(CAST(sum(qv) AS DOUBLE) / count(*)) AS BIGINT) AS c_q
-                     FROM u1 GROUP BY cell, dim_idx),
-              c1l AS (SELECT cell, list(c_q ORDER BY dim_idx) AS c FROM c1 GROUP BY cell),
-              d2 AS (SELECT q.vec_id, q.q, c1l.cell,
-                            list_sum(list_transform(range(1, len(q.q) + 1),
-                              i -> (q.q[i] - c1l.c[i]) * (q.q[i] - c1l.c[i]))) AS dist
-                     FROM q, c1l),
-              a2 AS (SELECT vec_id, q, cell FROM (
-                       SELECT vec_id, q, cell,
-                              row_number() OVER (PARTITION BY vec_id
-                                                 ORDER BY dist, cell) AS rn
-                       FROM d2) WHERE rn = 1),
-              u2 AS (SELECT cell, unnest(q) AS qv,
-                            unnest(range(0, len(q))) AS dim_idx FROM a2)
+      s"""WITH ${kmeansCtes(8)}
          SELECT cell, CAST(dim_idx AS BIGINT) AS dim_idx,
                 CAST(count(*) AS BIGINT) AS n,
                 CAST(trunc(CAST(sum(qv) AS DOUBLE) / count(*)) AS BIGINT) AS c_q
          FROM u2 GROUP BY cell, dim_idx""",
+    // SemDeDup: the full k=64 two-round Lloyd replay, a third (final)
+    // assignment, then exact-cosine pairs WITHIN each cell only
+    "dedup_semantic" ->
+      s"""WITH ${kmeansCtes(64)},
+              d3 AS (SELECT q.vec_id, c2l.cell,
+                            list_sum(list_transform(range(1, len(q.q) + 1),
+                              i -> (q.q[i] - c2l.c[i]) * (q.q[i] - c2l.c[i]))) AS dist
+                     FROM q, c2l),
+              a3 AS (SELECT vec_id, cell FROM (
+                       SELECT vec_id, cell,
+                              row_number() OVER (PARTITION BY vec_id
+                                                 ORDER BY dist, cell) AS rn
+                       FROM d3) WHERE rn = 1),
+              e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v,
+                           sqrt(list_reduce(list_prepend(0.0,
+                             list_transform(cast(embedding AS DOUBLE[]), x -> x*x)),
+                             (a,x) -> a + x)) AS nrm
+                    FROM embeddings),
+              j AS (SELECT e.vec_id, e.v, e.nrm, a3.cell
+                    FROM e JOIN a3 USING (vec_id))
+         SELECT x.vec_id AS id_a, y.vec_id AS id_b
+         FROM j x JOIN j y ON x.cell = y.cell AND x.vec_id < y.vec_id
+         WHERE list_reduce(list_prepend(0.0,
+                 list_transform(range(1, len(x.v)+1), i -> x.v[i]*y.v[i])),
+                 (acc,z) -> acc + z) / (x.nrm * y.nrm) >= 0.35""",
+    "bpe_pair_counts" ->
+      """WITH w AS (SELECT word, count(*) AS wcnt
+                    FROM (SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+                                                    t -> t != '')) AS word
+                          FROM documents)
+                    GROUP BY word),
+              p AS (SELECT unnest(list_transform(range(1, length(word)),
+                                                 i -> substr(word, i, 2))) AS pair,
+                           wcnt
+                    FROM w WHERE length(word) >= 2)
+         SELECT pair, CAST(sum(wcnt) AS BIGINT) AS cnt
+         FROM p GROUP BY pair
+         ORDER BY cnt DESC, pair ASC LIMIT 20""",
+    "stream_topk_users" ->
+      """SELECT w_start, w_end, event_type, user_id, cnt, rank FROM (
+           SELECT date_trunc('hour', ts) AS w_start,
+                  date_trunc('hour', ts) + INTERVAL 1 HOUR AS w_end,
+                  event_type, user_id, count(*) AS cnt,
+                  CAST(row_number() OVER (PARTITION BY date_trunc('hour', ts), event_type
+                                          ORDER BY count(*) DESC, user_id ASC) AS BIGINT)
+                    AS rank
+           FROM events GROUP BY 1, 2, 3, 4)
+         WHERE rank <= 3""",
     "orders_cdc_merge" ->
       """WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice,
                               0 AS version, 'keep' AS op FROM orders),

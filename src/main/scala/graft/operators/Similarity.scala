@@ -246,52 +246,109 @@ object Similarity {
     * [[annIvf]]'s codebook). Empty cells drop out of the next round,
     * as in the SQL replay.
     */
-  def kmeansTrain(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
-    import spark.implicits._
-    val qd = Tables.embeddings(spark, dir)
+  /** int8 codes (the [[embeddingQuantize]] formula, kept as
+    * integer-valued doubles so the native dot product applies) plus the
+    * precomputed self-dot — the working set of the Lloyd iterations.
+    */
+  private def quantizedCodes(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("ma", array_max(transform(col("v"), x => abs(x))))
       .select(col("vec_id"), expr(
         "transform(v, x -> CASE WHEN ma = 0.0D THEN 0.0D ELSE " +
-          "CAST(greatest(-127L, least(127L, CAST(floor(x * 127.0D / ma) AS BIGINT))) AS DOUBLE) END)")
-        .as("q"))
+          "CAST(greatest(-127L, least(127L, CAST(floor(x * 127.0D / ma) AS BIGINT))) AS BIGINT) END)")
+        .cast("array<double>").as("q"))
       .withColumn("qq", dot(col("q"), col("q")))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    val init: Seq[(Long, Seq[Double])] = qd.filter(col("vec_id") < k)
-      .orderBy("vec_id").select(col("vec_id"), col("q")).collect().toSeq
-      .map(r => (r.getLong(0), r.getSeq[Double](1)))
-    if (init.isEmpty)
-      return Seq.empty[(Long, Long, Long, Long)].toDF("cell", "dim_idx", "n", "c_q")
+  /** Nearest-centroid assignment: squared L2 `q·q − 2·q·c + c·c` in
+    * exact integer-valued doubles; ties break to the lowest cell id
+    * (array order = ascending cell id).
+    */
+  private def cellAssign(qd: DataFrame, cents: Seq[(Long, Seq[Double])]): DataFrame = {
+    val ccs = cents.map { case (_, v) => v.map(x => x * x).sum }
+    val cl = typedLit(cents.map(_._2))
+    val cellIds = typedLit(cents.map(_._1))
+    val dists = array(cents.indices.map(i =>
+      col("qq") - lit(2.0) * dot(col("q"), element_at(cl, i + 1)) + lit(ccs(i))): _*)
+    qd
+      .withColumn("ds", dists)
+      .withColumn("cell",
+        element_at(cellIds,
+          array_position(col("ds"), array_min(col("ds"))).cast("int")))
+      .drop("ds")
+  }
 
-    // one assign→update round against the given centroids; ties break
-    // to the lowest cell id (array order = ascending cell id)
-    def assignUpdate(cents: Seq[(Long, Seq[Double])]): DataFrame = {
-      val ccs = cents.map { case (_, v) => v.map(x => x * x).sum }
-      val cl = typedLit(cents.map(_._2))
-      val cellIds = typedLit(cents.map(_._1))
-      val dists = array(cents.indices.map(i =>
-        col("qq") - lit(2.0) * dot(col("q"), element_at(cl, i + 1)) + lit(ccs(i))): _*)
-      qd
-        .withColumn("ds", dists)
-        .select(
-          element_at(cellIds,
-            array_position(col("ds"), array_min(col("ds"))).cast("int")).as("cell"),
-          col("q"))
-        .select(col("cell"), posexplode(col("q")))
-        .groupBy(col("cell"), col("pos").cast("long").as("dim_idx"))
-        .agg(count(lit(1)).as("n"), sum(col("col")).cast("long").as("sum_q"))
-        .select(col("cell"), col("dim_idx"), col("n"),
-          (col("sum_q").cast("double") / col("n")).cast("long").as("c_q"))
-    }
+  /** One assign→update Lloyd round: partial-agg'd (cell, dim) integer
+    * sums, centroid value = trunc(sum/n) back to an integer code.
+    */
+  private def assignUpdate(qd: DataFrame, cents: Seq[(Long, Seq[Double])]): DataFrame =
+    cellAssign(qd, cents)
+      .select(col("cell"), posexplode(col("q")))
+      .groupBy(col("cell"), col("pos").cast("long").as("dim_idx"))
+      .agg(count(lit(1)).as("n"), sum(col("col")).cast("long").as("sum_q"))
+      .select(col("cell"), col("dim_idx"), col("n"),
+        (col("sum_q").cast("double") / col("n")).cast("long").as("c_q"))
 
-    val round1 = assignUpdate(init)
-    val cents1 = round1.select(col("cell"), col("dim_idx"), col("c_q")).collect().toSeq
+  /** Collect a round's (cell, dim, c_q) rows into the centroid seq for
+    * the next round — k·dim longs, model-scale like [[annIvf]]'s
+    * codebook. Cells that lost every member drop out.
+    */
+  private def centsOf(round: DataFrame): Seq[(Long, Seq[Double])] =
+    round.select(col("cell"), col("dim_idx"), col("c_q")).collect().toSeq
       .groupBy(_.getLong(0)).toSeq.sortBy(_._1)
       .map { case (cell, rows) =>
         (cell, rows.sortBy(_.getLong(1)).map(_.getLong(2).toDouble)) }
-    assignUpdate(cents1)
+
+  private def initCents(qd: DataFrame, k: Int): Seq[(Long, Seq[Double])] =
+    qd.filter(col("vec_id") < k)
+      .orderBy("vec_id").select(col("vec_id"), col("q")).collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+
+  def kmeansTrain(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    import spark.implicits._
+    val qd = quantizedCodes(spark, dir)
+    val init = initCents(qd, k)
+    if (init.isEmpty)
+      return Seq.empty[(Long, Long, Long, Long)].toDF("cell", "dim_idx", "n", "c_q")
+    assignUpdate(qd, centsOf(assignUpdate(qd, init)))
+  }
+
+  /** Semantic dedup (SemDeDup): embedding near-dup pairs found by
+    * clustering first and scoring all pairs WITHIN each cluster cell —
+    * never across the corpus. This is the production-scale shape for
+    * embedding dedup: [[kmeansTrain]]'s two exact Lloyd rounds build
+    * the codebook, a final assignment buckets every vector, and the
+    * within-cell exact-cosine join is bounded by cell population
+    * (k grows with the corpus, holding cells at ~√N·density, so the
+    * candidate count is N·cellSize, not N²). Cross-cell near-dups are
+    * missed by construction — the recall/cost trade every semantic
+    * dedup run makes; the spec pins recall against the exact
+    * [[dedupEmbedding]] baseline.
+    *
+    * Deterministic end to end (integer k-means + exact cosine), so the
+    * DuckDB oracle replays the WHOLE pipeline including both Lloyd
+    * rounds.
+    */
+  def dedupSemantic(spark: SparkSession, dir: String, k: Int = 64,
+      threshold: Double = 0.35): DataFrame = {
+    import spark.implicits._
+    val qd = quantizedCodes(spark, dir)
+    val init = initCents(qd, k)
+    if (init.isEmpty) return Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val finalCents = centsOf(assignUpdate(qd, centsOf(assignUpdate(qd, init))))
+    val assigned = cellAssign(qd, finalCents).select(col("vec_id"), col("cell"))
+    val e = withNorm(spark, dir)
+      .join(assigned, "vec_id")
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+    val a = e.select(col("cell"), col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("cell"), col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"))
   }
 
   /** md5-derived hyperplane weight in [-1000, 1000] — deterministic,

@@ -227,6 +227,82 @@ object TextOps {
           expr(s"(cum_end - n_tokens) DIV $budget")).as("batch_id"))
   }
 
+  /** BPE tokenizer training, round 1: adjacent character-pair
+    * frequencies over the corpus vocabulary, weighted by word count —
+    * the statistic every byte-pair-encoding merge step maximizes. The
+    * pair counting runs over the (word, count) VOCABULARY table, not
+    * the corpus (the classic BPE-at-scale trick: corpus-sized work
+    * collapses to vocab-sized work after one wordcount), and the top-K
+    * selection is `orderBy().limit()` → `TakeOrderedAndProject`
+    * (per-partition heaps, no global sort). [[bpeTrain]] iterates this
+    * to an actual merge sequence.
+    */
+  def bpePairCounts(spark: SparkSession, dir: String, topK: Int = 20): DataFrame =
+    Tables.documentsSpread(spark, dir)
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wcnt"))
+      .filter(length(col("word")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")).as("pair"),
+        col("wcnt"))
+      .groupBy(col("pair")).agg(sum(col("wcnt")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(topK)
+
+  /** Iterative BPE training: `rounds` greedy merges. Each round counts
+    * adjacent symbol pairs over the vocabulary (weighted by word
+    * count), collects the single best (cnt desc, pair asc) — one row,
+    * metadata-scale — and rewrites every word's symbol array with the
+    * standard left-to-right non-overlapping merge via a codegen'd-HOF
+    * fold. Driver-side loop, vocab-sized distributed work per round;
+    * returns the merge table. Library + spec surface (the SQL replay
+    * of an N-round merge REWRITE has no clean oracle form;
+    * [[bpePairCounts]] carries the oracle for the counting statistic).
+    */
+  def bpeTrain(spark: SparkSession, dir: String, rounds: Int = 3): Seq[(Int, String, String, Long)] = {
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    var words = Tables.documentsSpread(spark, dir)
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wcnt"))
+      .select(expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))").as("syms"),
+        col("wcnt"))
+      .persist(sl)
+    val merges = scala.collection.mutable.ListBuffer[(Int, String, String, Long)]()
+    var round = 1
+    while (round <= rounds) {
+      val top = words
+        .filter(size(col("syms")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(syms) - 1), " +
+            "i -> struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))")).as("p"),
+          col("wcnt"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("wcnt")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (top.isEmpty) { round = rounds + 1 }
+      else {
+        val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((round, a, b, cnt))
+        // left-to-right non-overlapping merge: fold the symbol array,
+        // gluing x onto the accumulator tail when (tail, x) = (a, b)
+        val merged = aggregate(
+          col("syms"), array().cast("array<string>"),
+          (acc, x) => when(
+            size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+            .otherwise(concat(acc, array(x))))
+        val next = words.select(merged.as("syms"), col("wcnt")).persist(sl)
+        next.count() // materialize before dropping the parent
+        words.unpersist()
+        words = next
+        round += 1
+      }
+    }
+    words.unpersist()
+    merges.toList
+  }
+
   /** Weighted systematic sample: pick ~k documents with probability
     * proportional to size (`n_chars`) — the data-mixing step that
     * samples a corpus slice by token budget rather than doc count.

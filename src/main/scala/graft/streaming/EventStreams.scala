@@ -183,6 +183,39 @@ object EventStreams {
       .toDF()
   }
 
+  /** Per-window per-type user event counts — the stream-maintainable
+    * HALF of a windowed top-k: an incremental watermark-bounded
+    * aggregate (runs in update mode / foreachBatch upsert). The rank
+    * itself is NOT incrementally maintainable in an append stream — a
+    * late count can reorder an already-emitted top list — so the
+    * production pattern is two-phase: this aggregate upserts into a
+    * sink, and [[rankTopK]] is the (cheap, window-partitioned) query
+    * over it. Batch mode fuses both phases into one plan.
+    */
+  def windowedUserCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Top-k users per (window, event_type) over the maintained counts:
+    * rank window partitioned by the aggregate key — parallel at any
+    * scale, deterministic ties (cnt desc, user asc).
+    */
+  def rankTopK(counts: DataFrame, k: Int = 3): DataFrame = {
+    val rw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("w"), col("event_type"))
+      .orderBy(col("cnt").desc, col("user_id").asc)
+    counts
+      .withColumn("rank", row_number().over(rw).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("w.start").as("w_start"), col("w.end").as("w_end"),
+        col("event_type"), col("user_id"), col("cnt"), col("rank"))
+  }
+
+  def streamTopkUsers(spark: SparkSession, dir: String): DataFrame =
+    rankTopK(windowedUserCounts(Tables.events(spark, dir)))
+
   /** Idempotent micro-batch merge — the `foreachBatch` body of the
     * production sink pattern: each batch's (possibly updated) window
     * aggregates OVERWRITE exactly the partitions they touch (dynamic

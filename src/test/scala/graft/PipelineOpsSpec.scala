@@ -111,6 +111,31 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
       Row(1L, 0L, 3L, 15L), Row(1L, 1L, 3L, 127L)))
   }
 
+  test("dedup_semantic recovers every exact embedding near-dup pair on separable clusters") {
+    // fixture embeddings: 60 vectors in 3 well-separated clusters
+    // (label = vec_id % 3); init vectors 0,1,2 land one per cluster, so
+    // the k=3 cells converge onto the labels and the within-cell pairs
+    // are EXACTLY the >=0.9-cosine pairs — recall 1.0 here, by design
+    val exact = Similarity.dedupEmbedding(spark, fixtureDir, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val semantic = Similarity.dedupSemantic(spark, fixtureDir, k = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size === 3 * (20 * 19) / 2) // all within-cluster pairs
+    assert(semantic === exact)
+  }
+
+  test("bpeTrain learns the classic low/lower/lowest merge sequence") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe").toString
+    Seq((0L, "low low low lower lowest", "en", "s", 24L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val merges = TextOps.bpeTrain(spark, dir, rounds = 3)
+    // (l,o) ties (o,w) at 5 → lexicographic; then (lo,w)=5; then (low,e)=2
+    assert(merges === Seq(
+      (1, "l", "o", 5L), (2, "lo", "w", 5L), (3, "low", "e", 2L)))
+  }
+
   test("orders_cdc_merge applies update/delete/insert with latest-version-wins") {
     val orders = Tables.orders(spark, fixtureDir)
       .select("o_orderkey", "o_custkey", "o_totalprice").collect()

@@ -281,6 +281,31 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(spark.read.parquet(s"$out/sink").count() === 4L)
   }
 
+  test("two-phase windowed top-k: streamed counts + rank query match the batch plan") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    // phase 1: the incrementally-maintained aggregate (complete mode
+    // stands in for the foreachBatch-upserted sink table)
+    val q = EventStreams.windowedUserCounts(in.toDF())
+      .writeStream.format("memory").queryName("topk_counts")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      in.addData(
+        ev(0, ts(10, 1), 1), ev(1, ts(10, 10), 1), ev(2, ts(10, 20), 1),
+        ev(3, ts(10, 5), 2), ev(4, ts(10, 30), 2),
+        ev(5, ts(10, 40), 3), ev(6, ts(10, 50), 4))
+      q.processAllAvailable()
+      // phase 2: the rank query over the maintained counts
+      val got = EventStreams.rankTopK(spark.table("topk_counts")).collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("cnt"), r.getAs[Long]("rank")))
+        .toSet
+      // top-3 of the 10:00 window: u1(3), u2(2), tie u3/u4 → u3
+      assert(got === Set((1L, 3L, 1L), (2L, 2L, 2L), (3L, 1L, 3L)))
+    } finally q.stop()
+  }
+
   test("batch-mode transforms agree with streaming semantics on the fixture") {
     // the same windowedCounts function runs on the static fixture table
     val wc = EventStreams.streamWindowCounts(spark, fixtureDir)
