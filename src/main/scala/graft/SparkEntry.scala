@@ -69,6 +69,7 @@ object SparkEntry {
     "text_normalize"         -> TextOps.textNormalize _,
     "bigram_counts"          -> TextOps.bigramCounts _,
     "pack_batches"           -> ((s: SparkSession, d: String) => TextOps.packBatches(s, d)),
+    "doc_chunks"             -> ((s: SparkSession, d: String) => TextOps.docChunks(s, d)),
     "events_props_agg"       -> EventOps.eventsPropsAgg _,
     "events_window_funcs"    -> EventOps.eventsWindowFuncs _,
     "events_asof_order"      -> EventOps.eventsAsofOrder _,
@@ -557,6 +558,23 @@ object SparkEntry {
                             cast(len(list_filter(string_split_regex(text, '\s+'), t -> t != '')) AS BIGINT) AS n_tokens,
                             doc_id % 32 AS shard
                      FROM documents))""",
+    // Window 64 / overlap 16 → stride 48; last chunk = first window to
+    // reach end-of-doc. DuckDB list slice ts[a:b] is 1-based inclusive,
+    // matching Spark's 1-based slice(ts, start, len).
+    "doc_chunks" ->
+      """SELECT doc_id, chunk_idx,
+                doc_id * 1000000 + chunk_idx AS chunk_id,
+                chunk_idx * 48 AS start_tok,
+                CAST(least(n - chunk_idx * 48, 64) AS BIGINT) AS n_chunk_tokens,
+                array_to_string(ts[chunk_idx * 48 + 1 : chunk_idx * 48 + least(n - chunk_idx * 48, 64)], ' ') AS chunk_text
+         FROM (SELECT doc_id, ts, n, unnest(range(0, k + 1)) AS chunk_idx
+               FROM (SELECT doc_id, ts, n,
+                            CASE WHEN n <= 64 THEN 0 ELSE (n - 64 + 47) // 48 END AS k
+                     FROM (SELECT doc_id,
+                                  list_filter(string_split_regex(text, '\s+'), t -> t != '') AS ts,
+                                  CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t != '')) AS BIGINT) AS n
+                           FROM documents)
+                     WHERE n > 0))""",
     "train_test_split" ->
       """SELECT doc_id,
                 CASE WHEN b < 80 THEN 'train'

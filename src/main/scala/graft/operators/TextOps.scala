@@ -227,6 +227,46 @@ object TextOps {
           expr(s"(cum_end - n_tokens) DIV $budget")).as("batch_id"))
   }
 
+  /** Fixed token-window document chunking with overlap — the RAG-indexing
+    * / context-packing primitive. Each doc's whitespace tokens are cut
+    * into windows of `window` tokens advancing by `stride = window -
+    * overlap`; the final window is the one that first reaches the end of
+    * the doc (every chunk contributes at least `stride` new tokens, so a
+    * trailing fragment fully contained in its predecessor is never
+    * emitted). Chunk ids are stable pure-integer `doc_id * 1e6 + idx`.
+    *
+    * Plan shape: tokenize → `explode(sequence(0, k))` → slice — narrow
+    * per-row compute on the spread scan, zero exchanges, fully inside
+    * whole-stage codegen. At 100 TB this is a map-only pass whose output
+    * fans out ~n/stride per doc; no shuffle exists to bottleneck.
+    * Empty docs yield zero chunks; `n <= window` yields exactly one.
+    */
+  def docChunks(spark: SparkSession, dir: String, window: Int = 64, overlap: Int = 16): DataFrame = {
+    require(overlap >= 0 && overlap < window, s"need 0 <= overlap < window, got $overlap/$window")
+    val stride = window - overlap
+    val lenExpr = least(col("n") - col("chunk_idx") * stride, lit(window.toLong))
+    Tables.documentsSpread(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+      .withColumn("n", size(col("ts")).cast("long"))
+      .where(col("n") > 0)
+      // k = index of the last chunk: 0 when the doc fits one window,
+      // else integer-ceil((n - window) / stride). All-integer math.
+      .withColumn("k",
+        when(col("n") <= window, lit(0L))
+          .otherwise(expr(s"(n - $window + ${stride - 1}) DIV $stride")))
+      .select(col("doc_id"), col("ts"), col("n"),
+        explode(sequence(lit(0L), col("k"))).as("chunk_idx"))
+      .select(
+        col("doc_id"),
+        col("chunk_idx"),
+        (col("doc_id") * 1000000L + col("chunk_idx")).as("chunk_id"),
+        (col("chunk_idx") * stride).as("start_tok"),
+        lenExpr.as("n_chunk_tokens"),
+        concat_ws(" ",
+          slice(col("ts"), (col("chunk_idx") * stride + 1L).cast("int"),
+            lenExpr.cast("int"))).as("chunk_text"))
+  }
+
   /** BPE tokenizer training, round 1: adjacent character-pair
     * frequencies over the corpus vocabulary, weighted by word count —
     * the statistic every byte-pair-encoding merge step maximizes. The

@@ -9,10 +9,15 @@ import org.scalatest.funsuite.AnyFunSuite
   * documented justification. Adding a query with an undeclared
   * scale-weak plan fails the suite, not the next judge pass.
   *
-  * The sweep reads `queryExecution.sparkPlan` (post-optimizer,
-  * pre-AQE): AQE can only IMPROVE on what's declared here (e.g. turn a
-  * planned shuffle join into a broadcast), so a clean declared plan is
-  * the conservative gate.
+  * The sweep reads `queryExecution.executedPlan` WITHOUT executing it:
+  * under AQE that prints the fully-prepared initial plan
+  * (`isFinalPlan=false`), i.e. post-`EnsureRequirements` — so
+  * distribution-requirement exchanges (global windows, scalar-agg
+  * finals) are visible. `sparkPlan` (the previous sweep surface) is
+  * pre-exchange-insertion and only ever caught EXPLICIT repartitions —
+  * it missed the global-NTILE single partition entirely. AQE can only
+  * IMPROVE on the initial plan at runtime, so this is the conservative
+  * gate.
   */
 class PlanLintSpec extends AnyFunSuite with SparkFixture {
 
@@ -24,30 +29,50 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
     "taskG_inactive" -> "1-row global-max scalar kept in-plan as a broadcast crossJoin",
     "taskH_above_avg" -> "1-row global-average scalar kept in-plan as a broadcast crossJoin",
     "similarity_topk" -> "10-query broadcast side x streamed candidates (O(kN), k-bounded)",
-    "pi_montecarlo" -> "1-row seeded-parameter crossJoin",
     "dedup_incremental" -> "1-row batch-cutoff scalar kept in-plan as a broadcast crossJoin",
-    "contamination_check" -> "bounded benchmark n-gram set broadcast against the corpus",
     "dedup_bloom_prefilter" -> "1-row batch-cutoff scalar kept in-plan as a broadcast crossJoin (the bloom blob itself is a literal)",
     "weighted_sample" -> "1-row corpus-total scalar kept in-plan as a broadcast crossJoin"
+    // dropped round 7 (stale — plans improved out from under the rows):
+    //   pi_montecarlo: ConvertToLocalRelation folds the seeded-parameter
+    //   crossJoin away entirely; contamination_check: the benchmark-gram
+    //   probe now plans a BroadcastHashJoin on the gram key, not a BNLJ.
   )
 
-  /** Queries allowed a SinglePartition exchange — each is either
-    * semantics (global order) or provably bounded input.
+  /** Queries allowed a SinglePartition exchange. Two benign shapes
+    * dominate: (a) the FINAL pass of a two-phase scalar aggregate,
+    * where the exchange carries one partial-agg row per upstream
+    * partition (bounded by cluster width, not data size); (b) a window
+    * over an already-bounded row set. The one semantic exception is the
+    * global NTILE. Global top-k queries (taskB_top10, q3, q18,
+    * vocab_build) plan `TakeOrderedAndProject` — per-partition heaps, no
+    * single-partition exchange — and so need no row here.
     */
   private val singlePartitionAllowed: Map[String, String] = Map(
     "customer_quartiles" -> "global NTILE sort IS the semantics (README register; scale-safe twin = events_above_p95)",
-    "vocab_build" -> "dense-id window over the <= topK survivors of TakeOrderedAndProject (bounded by the parameter)",
-    "taskB_top10" -> "global top-10 limit collect (TakeOrdered merge)",
-    "q3_shipping_priority" -> "global top-10 limit collect (TakeOrdered merge)",
-    "q18_large_orders" -> "global top-k limit collect (TakeOrdered merge)",
-    "weighted_sample" -> "shard-total prefix window over `shards` (=32) rows — bounded by the parameter, not the data"
+    "weighted_sample" -> "shard-total prefix window over `shards` (=32) rows — bounded by the parameter, not the data",
+    "brand_market_share" -> "final pass of the global-revenue scalar aggregate (denominator): one partial row per upstream partition",
+    "copurchase_triangles" -> "final pass of the global triangle-count scalar aggregate: one partial row per upstream partition",
+    "dedup_bloom_prefilter" -> "final pass of the bloom-blob/batch-cutoff scalar aggregate: one partial row per upstream partition",
+    "dedup_incremental" -> "final pass of the batch-cutoff scalar aggregate: one partial row per upstream partition",
+    "taskG_inactive" -> "final pass of the global-max scalar aggregate: one partial row per upstream partition",
+    "taskH_above_avg" -> "final pass of the global-average scalar aggregate: one partial row per upstream partition"
   )
 
+  // One plan sweep shared by all three tests: name → (plans nested-loop?,
+  // plans single-partition exchange?).
+  private lazy val planFlags: Map[String, (Boolean, Boolean)] =
+    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // executedPlan WITHOUT collect(): the AQE initial plan, post-
+      // EnsureRequirements — see class doc.
+      val plan = fn(spark, fixtureDir).queryExecution.executedPlan.toString
+      name -> (
+        plan.contains("BroadcastNestedLoopJoin") || plan.contains("CartesianProduct"),
+        plan.contains("Exchange SinglePartition"))
+    }.toMap
+
   test("no registered query plans an undeclared cartesian or nested-loop join") {
-    val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val plan = fn(spark, fixtureDir).queryExecution.sparkPlan.toString
-      val nested = plan.contains("BroadcastNestedLoopJoin") || plan.contains("CartesianProduct")
-      if (nested && !nestedLoopAllowed.contains(name)) Some(name) else None
+    val violations = planFlags.collect {
+      case (name, (nested, _)) if nested && !nestedLoopAllowed.contains(name) => name
     }
     assert(violations.isEmpty,
       s"undeclared nested-loop/cartesian plans: ${violations.mkString(", ")} — " +
@@ -55,13 +80,23 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("no registered query plans an undeclared single-partition exchange") {
-    val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val plan = fn(spark, fixtureDir).queryExecution.sparkPlan.toString
-      val single = plan.contains("Exchange SinglePartition")
-      if (single && !singlePartitionAllowed.contains(name)) Some(name) else None
+    val violations = planFlags.collect {
+      case (name, (_, single)) if single && !singlePartitionAllowed.contains(name) => name
     }
     assert(violations.isEmpty,
       s"undeclared single-partition exchanges: ${violations.mkString(", ")} — " +
         "either fix the plan or whitelist it WITH a documented justification")
+  }
+
+  test("every whitelist entry is load-bearing (no stale rows)") {
+    // A whitelist row whose query no longer plans the declared weakness is
+    // stale: it silently widens the gate. Fail so the row gets deleted
+    // (or the plan regression investigated) the round it happens.
+    val staleNested = nestedLoopAllowed.keys.filterNot(n => planFlags(n)._1)
+    val staleSingle = singlePartitionAllowed.keys.filterNot(n => planFlags(n)._2)
+    assert(staleNested.isEmpty && staleSingle.isEmpty,
+      s"stale whitelist rows — nested-loop: ${staleNested.mkString(", ")}; " +
+        s"single-partition: ${staleSingle.mkString(", ")} — the plans no " +
+        "longer exhibit the declared weakness; delete the rows")
   }
 }

@@ -77,4 +77,28 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(rows.forall(r =>
       r.getDouble(4) === r.getLong(3).toDouble / r.getLong(2)))
   }
+
+  test("TopK aggregator matches the window row_number formulation, NaN sims included") {
+    // A zero-norm embedding scores sim = 0/0 = NaN. Spark's DESC sort
+    // ranks NaN first (greatest); the aggregator's explicit
+    // Double.compare ordering must agree with the window plan it
+    // replaces — on the exact output rows, not just counts.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, row_number}
+    import org.apache.spark.sql.expressions.Window
+    val scored = Seq(
+      (0L, 10L, 0.9), (0L, 11L, Double.NaN), (0L, 12L, 0.3),
+      (0L, 13L, Double.NaN), (0L, 14L, 0.7), (0L, 15L, -0.2),
+      (1L, 20L, 0.1), (1L, 21L, Double.NaN), (1L, 22L, 0.1))
+      .toDF("qid", "vec_id", "sim")
+    val viaAgg = graft.functions.TopK.perQuery(scored, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id").asc)
+    val viaWindow = scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= 3).select("qid", "vec_id", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaAgg === viaWindow)
+    // NaN outranks every finite sim in both formulations
+    assert(viaAgg.contains((0L, 11L, 1L)) && viaAgg.contains((0L, 13L, 2L)))
+  }
 }

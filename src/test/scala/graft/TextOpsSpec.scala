@@ -99,4 +99,46 @@ class TextOpsSpec extends AnyFunSuite with SparkFixture {
     assert(m("w1") === 4L)
     assert(m("w40") === 3L)
   }
+
+  test("doc_chunks: boundary docs — empty, sub-window, exact window, exact-multiple, ragged") {
+    import spark.implicits._
+    // window 8, overlap 2 → stride 6. Doc lengths picked to hit every
+    // boundary: 0 (no chunks), 3 (< window: one short chunk), 8
+    // (== window: exactly one full chunk), 20 (8 + 2*6: last chunk
+    // exactly full), 40 (ragged 4-token tail).
+    val dir = java.nio.file.Files.createTempDirectory("graft-chunks").toString
+    def mk(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
+    Seq((0L, "", "en", "s", 0L), (1L, mk(3), "en", "s", 0L),
+      (2L, mk(8), "en", "s", 0L), (3L, mk(20), "en", "s", 0L),
+      (4L, mk(40), "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val W = 8; val S = 6
+    val got = TextOps.docChunks(spark, dir, window = W, overlap = W - S).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5))).toMap
+
+    // reference implementation: plain Scala sliding window
+    val expected = Seq(1 -> 3, 2 -> 8, 3 -> 20, 4 -> 40).flatMap { case (id, n) =>
+      val toks = (1 to n).map(i => s"t$i")
+      val k = if (n <= W) 0 else (n - W + S - 1) / S
+      (0 to k).map { i =>
+        val start = i * S
+        val len = math.min(n - start, W)
+        (id.toLong, i.toLong) ->
+          (id.toLong * 1000000L + i, start.toLong, len.toLong,
+            toks.slice(start, start + len).mkString(" "))
+      }
+    }.toMap
+    assert(got === expected)
+    // empty doc contributes nothing; chunk counts per doc
+    assert(!got.keys.exists(_._1 == 0L))
+    val counts = got.keys.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(counts === Map(1L -> 1, 2L -> 1, 3L -> 3, 4L -> 7))
+    // coverage: chunks tile [0, n) — last chunk ends exactly at n
+    assert(got((3L, 2L))._3 === 8L) // exact-multiple: last chunk full
+    assert(got((4L, 6L))._2 === 36L)
+    assert(got((4L, 6L))._3 === 4L) // ragged tail
+  }
 }
