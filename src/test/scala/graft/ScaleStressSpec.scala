@@ -119,6 +119,34 @@ class ScaleStressSpec extends AnyFunSuite with SparkFixture {
     assert(df.limit(1).count() === 1L)
   }
 
+  test("dedup_semantic at 10x sf0.1: pair count is exactly cell-bounded, no nested-loop") {
+    // 20k vectors (10x the sf0.1 embeddings table) in 64 exactly-
+    // orthogonal planted clusters: vector i = 100·e_{i%64} (one-hot,
+    // dim 64). Same-cluster vectors are identical → every same-cluster
+    // pair scores sim 1.0; cross-cluster pairs score exactly 0.0 < the
+    // 0.35 threshold. So whatever cells k-means lands on, the output
+    // must be EXACTLY the within-cluster pairs: 16 clusters of 313 and
+    // 48 of 312 (20000 = 16·313 + 48·312) — the N·cellSize shape, not
+    // N² (which would be 200M candidate pairs).
+    val dir = java.nio.file.Files.createTempDirectory("graft-sem-scale").toString
+    val n = 20000L
+    spark.range(n).selectExpr(
+      "id AS vec_id",
+      "transform(sequence(0, 63), j -> cast(IF(j = id % 64, 100.0, 0.0) AS float)) AS embedding",
+      "cast(id % 64 AS int) AS label")
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    val df = graft.operators.Similarity.dedupSemantic(spark, dir)
+    val plan = PlanChecks.executedPlanString(df)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+    val expected = (0 until 64).map { c =>
+      val sz = n / 64 + (if (c < (n % 64)) 1 else 0)
+      sz * (sz - 1) / 2
+    }.sum
+    assert(df.count() === expected)
+  }
+
   test("events_sessionize at 10x sf0.1: one fact exchange feeds window AND session agg") {
     val df = EventOps.eventsSessionize(spark, scaleDir)
     val plan = PlanChecks.executedPlanString(df)
