@@ -133,6 +133,9 @@ object SparkEntry {
     "dedup_semantic"         -> ((s: SparkSession, d: String) => Similarity.dedupSemantic(s, d)),
     "bpe_pair_counts"        -> ((s: SparkSession, d: String) => TextOps.bpePairCounts(s, d)),
     "stream_topk_users"      -> graft.streaming.EventStreams.streamTopkUsers _,
+    // ---- round 7: curation classifier + data mixing ----
+    "quality_classifier"     -> Curation.qualityClassifier _,
+    "source_mix_sample"      -> Curation.sourceMixSample _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1360,5 +1363,35 @@ object SparkEntry {
                          WHERE rn = 1)
          SELECT o_orderkey, o_custkey, o_totalprice, op
          FROM merged WHERE op != 'D'""",
+    // hashed linear classifier: md5 feature buckets, Knuth-scrambled
+    // integer weights — all-integer scoring, replayed exactly.
+    // COALESCE: DuckDB list_sum([]) is NULL where Spark's aggregate
+    // fold returns the 0 seed.
+    "quality_classifier" ->
+      """SELECT doc_id,
+                CAST(coalesce(list_sum(list_transform(toks,
+                       t -> ((('0x' || substr(md5(t), 1, 7))::BIGINT % 1024)
+                               * 2654435761) % 2003 - 1001)), 0) AS BIGINT) AS score,
+                coalesce(list_sum(list_transform(toks,
+                  t -> ((('0x' || substr(md5(t), 1, 7))::BIGINT % 1024)
+                          * 2654435761) % 2003 - 1001)), 0) > 0 AS keep
+         FROM (SELECT doc_id,
+                      list_filter(string_split_regex(text, '\s+'), t -> t != '') AS toks
+               FROM documents)""",
+    // temperature-smoothed (τ=0.5) source rebalancing: integer sqrt
+    // weights, integer-division quotas, md5 hash gate — the kept row
+    // set is a pure function of the data
+    "source_mix_sample" ->
+      """WITH counts AS (SELECT source, count(*) AS n_s,
+                                CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS w_s
+                         FROM documents GROUP BY source),
+              tot AS (SELECT CAST(sum(w_s) AS BIGINT) AS w_tot,
+                             CAST(sum(n_s) AS BIGINT) AS n_tot FROM counts),
+              q AS (SELECT source, n_s, ((n_tot // 2) * w_s) // w_tot AS quota
+                    FROM counts, tot)
+         SELECT d.doc_id, d.source
+         FROM documents d JOIN q ON d.source = q.source
+         WHERE (('0x' || substr(md5('mix:' || d.doc_id), 1, 7))::BIGINT % 1000000) * n_s
+               < quota * 1000000""",
   )
 }

@@ -118,4 +118,64 @@ object Curation {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hits"))
   }
+
+  /** Hashed-feature linear quality classifier (the fastText/CCNet
+    * quality-filter shape): every token hashes into one of 1024 feature
+    * buckets via an engine-portable md5 bucket, a fixed deterministic
+    * weight table (Knuth multiplicative scramble of the bucket id,
+    * weights in [-1001, 1001]) stands in for trained coefficients, and
+    * the document score is the plain sum over the token multiset. All
+    * arithmetic is integer, so the DuckDB oracle replays the scoring
+    * exactly. Swapping in real trained weights means replacing
+    * `weightOf` with a 1024-entry literal array — the plan shape does
+    * not change.
+    *
+    * Scale posture: purely narrow — one codegen'd HOF fold per row, the
+    * hashed text never leaves the row, zero shuffle. At 100 TB this is
+    * the cheapest possible full-corpus pass.
+    */
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val buckets = 1024L
+    def weightOf(t: Column): Column = {
+      val b = conv(substring(md5(t.cast("binary")), 1, 7), 16, 10).cast("long") % buckets
+      (b * 2654435761L) % 2003L - 1001L
+    }
+    Tables.documentsSpread(spark, dir)
+      .select(
+        col("doc_id"),
+        aggregate(TextOps.tokens(col("text")), lit(0L), (acc, t) => acc + weightOf(t))
+          .as("score"))
+      .withColumn("keep", col("score") > 0L)
+  }
+
+  /** Source-mix rebalancing sampler — the data-mixing step (Pile/Dolma
+    * mixture weights, multilingual temperature sampling) that reshapes
+    * a corpus toward a target per-source share. Targets are
+    * temperature-smoothed (τ = 0.5): source s gets weight
+    * ⌊√n_s⌋, a half-corpus token budget is split pro-rata by integer
+    * division, and each document passes a deterministic md5 gate with
+    * per-source rate quota_s / n_s (rates above 1 saturate to
+    * keep-everything automatically). The kept row set is a pure
+    * function of the data — identical across engines, runs, and
+    * cluster layouts.
+    *
+    * Scale posture: one partial-agg groupBy bounded by the number of
+    * sources (dozens, not rows), two broadcasts of that tiny table, and
+    * a narrow hash-gate filter over the corpus scan. No per-source
+    * window, no global sort — the 100 TB cost is one pass.
+    */
+  def sourceMixSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+      .withColumn("w_s", floor(sqrt(col("n_s").cast("double"))).cast("long"))
+    val totals = counts.agg(sum(col("w_s")).as("w_tot"), sum(col("n_s")).as("n_tot"))
+    val quotas = counts.crossJoin(broadcast(totals))
+      .withColumn("quota", expr("((n_tot DIV 2) * w_s) DIV w_tot"))
+      .select(col("source"), col("n_s"), col("quota"))
+    val gate = conv(substring(md5(concat_ws(":", lit("mix"), col("doc_id").cast("string"))
+      .cast("binary")), 1, 7), 16, 10).cast("long") % 1000000L
+    docs.join(broadcast(quotas), "source")
+      .filter(gate * col("n_s") < col("quota") * 1000000L)
+      .select(col("doc_id"), col("source"))
+  }
 }

@@ -110,4 +110,67 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
     assert(got === Set((2814L, 0L, 1L), (2814L, 3L, 1L),
       (2813L, 0L, 1L), (2813L, 2L, 1L)))
   }
+
+  // ---- hashed linear quality classifier + source-mix sampler ----
+
+  /** Independent replay of the operators' md5-derived integers: hex md5
+    * via MessageDigest, first 7 hex digits as a 28-bit int.
+    */
+  private def md5Prefix7(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString.take(7), 16)
+  }
+
+  private def tokenWeight(t: String): Long =
+    (md5Prefix7(t) % 1024L) * 2654435761L % 2003L - 1001L
+
+  /** Fixture for the classifier/sampler: one empty-text doc, one
+    * single-token doc, a multi-token doc and its token permutation, and
+    * a 1000-vs-4 source imbalance for the mix gate.
+    */
+  lazy val mixDir: String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-mix").toString
+    val planted = Seq(
+      (0L, "", "big"),
+      (1L, "hello", "big"),
+      (2L, "the quick brown fox jumps", "big"),
+      (3L, "fox jumps the brown quick", "big"))
+    val bulk = (10L until 1010L).map(i => (i, s"filler d$i", "big")) ++
+      (2000L until 2004L).map(i => (i, s"rare r$i", "tiny"))
+    (planted ++ bulk).map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(2).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("quality_classifier score is the exact sum of hashed-bucket weights") {
+    val m = Curation.qualityClassifier(spark, mixDir)
+      .filter("doc_id < 4").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(m(0L) === ((0L, false))) // empty doc: fold seed, not NULL
+    assert(m(1L)._1 === tokenWeight("hello"))
+    val expected2 = "the quick brown fox jumps".split(" ").map(tokenWeight).sum
+    assert(m(2L)._1 === expected2)
+    assert(m(2L)._2 === (expected2 > 0L))
+    // bag-of-words: a token permutation scores identically
+    assert(m(3L)._1 === expected2)
+  }
+
+  test("source_mix_sample saturates starved sources and replays the gate exactly") {
+    val kept = Curation.sourceMixSample(spark, mixDir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // tiny: n_s=4, w=2; big: n_s=1004, w=31; w_tot=33, budget=(1008/2)=504
+    // quota_tiny = 504*2//33 = 30 > 4 → rate saturates, all 4 kept
+    assert((2000L until 2004L).forall(kept.contains))
+    // big side: replay the md5 gate — kept iff h*1004 < quota_big*1e6
+    val quotaBig = 504L * 31L / 33L
+    val bigIds = Seq(0L, 1L, 2L, 3L) ++ (10L until 1010L)
+    val expectBig = bigIds.filter(id =>
+      (md5Prefix7(s"mix:$id") % 1000000L) * 1004L < quotaBig * 1000000L).toSet
+    assert(kept.filter(_._2 == "big").keySet === expectBig)
+    // the rebalance bites: big is downsampled near its quota, not kept whole
+    assert(expectBig.size < 600 && expectBig.size > 300)
+  }
 }
