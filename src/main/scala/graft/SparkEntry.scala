@@ -136,6 +136,10 @@ object SparkEntry {
     // ---- round 7: curation classifier + data mixing ----
     "quality_classifier"     -> Curation.qualityClassifier _,
     "source_mix_sample"      -> Curation.sourceMixSample _,
+    // ---- round 7: span removal, incremental fuzzy dedup, prototype prune ----
+    "dedup_span_remove"      -> ((s: SparkSession, d: String) => Dedup.dedupSpanRemove(s, d)),
+    "dedup_minhash_incremental" -> Dedup.minhashIncremental _,
+    "prototype_prune"        -> ((s: SparkSession, d: String) => Similarity.prototypePrune(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -264,6 +268,40 @@ object SparkEntry {
                             - cast(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS uni
                    FROM cand JOIN se a ON doc_a = a.doc_id JOIN se b ON doc_b = b.doc_id)
         SELECT doc_a, doc_b, inter, uni FROM v
+        WHERE cast(inter AS DOUBLE) / uni >= 0.8"""
+  }
+
+  /** [[minhashPortableSql]]'s pipeline with the incremental split:
+    * standing docs (doc_id ≤ 80% cut) form the band index, batch docs
+    * probe it — batch×standing candidates only, exactly like
+    * [[graft.operators.Dedup.minhashIncremental]].
+    */
+  private val minhashIncrementalSql: String = {
+    val sigCols = (0 until 64)
+      .map(j => s"min(md5('$j:' || s)) AS h$j").mkString(", ")
+    val bandCases = (0 until 16)
+      .map(b => s"WHEN $b THEN h${b * 4} || ':' || h${b * 4 + 1} || ':' || h${b * 4 + 2} || ':' || h${b * 4 + 3}")
+      .mkString(" ")
+    s"""WITH tk AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t != '') AS ts
+                    FROM documents),
+             cut AS (SELECT max(doc_id) * 8 // 10 AS c FROM documents),
+             se AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])) AS sh
+                    FROM tk WHERE len(ts) >= 2),
+             ex AS (SELECT doc_id, unnest(sh) AS s FROM se),
+             sig AS (SELECT doc_id, $sigCols FROM ex GROUP BY doc_id),
+             bands AS (SELECT doc_id, band,
+                              CASE band $bandCases END AS band_hash
+                       FROM sig, (SELECT unnest(range(0, 16)) AS band)),
+             cand AS (SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS dup_of
+                      FROM bands x JOIN bands y
+                        ON x.band = y.band AND x.band_hash = y.band_hash, cut
+                      WHERE x.doc_id > c AND y.doc_id <= c),
+             v AS (SELECT cand.doc_id, dup_of,
+                          cast(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+                          cast(len(a.sh) AS BIGINT) + cast(len(b.sh) AS BIGINT)
+                            - cast(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS uni
+                   FROM cand JOIN se a ON dup_of = a.doc_id JOIN se b ON cand.doc_id = b.doc_id)
+        SELECT doc_id, dup_of, inter, uni FROM v
         WHERE cast(inter AS DOUBLE) / uni >= 0.8"""
   }
 
@@ -1393,5 +1431,53 @@ object SparkEntry {
          FROM documents d JOIN q ON d.source = q.source
          WHERE (('0x' || substr(md5('mix:' || d.doc_id), 1, 7))::BIGINT % 1000000) * n_s
                < quota * 1000000""",
+    // Lee-et-al exact-substring removal: positions covered by any
+    // corpus-duplicated 8-gram (multiplicity >= 2) drop; text is
+    // rebuilt from surviving tokens (whitespace-normalized)
+    "dedup_span_remove" ->
+      """WITH tk AS (SELECT doc_id,
+                            list_filter(string_split_regex(text, '\s+'), t -> t != '') AS ts
+                     FROM documents),
+              g AS (SELECT doc_id, pos, md5(array_to_string(ts[pos:pos+7], ' ')) AS g
+                    FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 6)) AS pos
+                          FROM tk WHERE len(ts) >= 8)),
+              dup AS (SELECT g FROM g GROUP BY g HAVING count(*) >= 2),
+              cov AS (SELECT doc_id, list(DISTINCT pos + off) AS cps
+                      FROM (SELECT doc_id, unnest(starts) AS pos
+                            FROM (SELECT doc_id, list(DISTINCT pos) AS starts
+                                  FROM g JOIN dup USING (g) GROUP BY doc_id))
+                      CROSS JOIN (SELECT unnest(range(0, 8)) AS off)
+                      GROUP BY doc_id),
+              kp AS (SELECT tk.doc_id, ts,
+                            list_filter(range(1, len(ts) + 1),
+                                        p -> NOT list_contains(coalesce(cps, []), p)) AS kp
+                     FROM tk LEFT JOIN cov ON tk.doc_id = cov.doc_id)
+         SELECT doc_id,
+                CAST(len(ts) AS BIGINT) AS n_tokens,
+                CAST(len(kp) AS BIGINT) AS n_kept,
+                coalesce(array_to_string(list_transform(kp, p -> ts[p]), ' '), '')
+                  AS clean_text
+         FROM kp""",
+    "dedup_minhash_incremental" -> minhashIncrementalSql,
+    // full k=64 Lloyd replay + final assignment keeping the winning
+    // squared distance, then the per-cell prototypicality window
+    "prototype_prune" ->
+      s"""WITH ${kmeansCtes(64)},
+              d3 AS (SELECT q.vec_id, c2l.cell,
+                            CAST(list_sum(list_transform(range(1, len(q.q) + 1),
+                              i -> (q.q[i] - c2l.c[i]) * (q.q[i] - c2l.c[i]))) AS BIGINT) AS dist
+                     FROM q, c2l),
+              a3 AS (SELECT vec_id, cell, dist FROM (
+                       SELECT vec_id, cell, dist,
+                              row_number() OVER (PARTITION BY vec_id
+                                                 ORDER BY dist, cell) AS rn
+                       FROM d3) WHERE rn = 1),
+              r AS (SELECT vec_id, cell, dist,
+                           CAST(row_number() OVER (PARTITION BY cell
+                                                   ORDER BY dist, vec_id) AS BIGINT) AS proto_rank,
+                           count(*) OVER (PARTITION BY cell) AS n_cell
+                    FROM a3)
+         SELECT vec_id, cell, dist AS d2, proto_rank
+         FROM r WHERE proto_rank > n_cell // 4""",
   )
 }

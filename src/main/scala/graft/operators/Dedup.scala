@@ -378,6 +378,53 @@ object Dedup {
         (col("n_dup_grams").cast("double") / col("n_grams").cast("double")).as("dup_frac"))
   }
 
+  /** Exact-substring span REMOVAL — the output side of Lee et al.'s
+    * dedup (where [[spanDupFraction]] is the measurement side): every
+    * token position covered by a k-gram (k=8) occurring ≥2 times in
+    * the corpus (counting multiplicity, so within-document repeats
+    * count too) is removed, and the document is reassembled from the
+    * surviving tokens.
+    *
+    * Shape: the only corpus-wide steps move 16-byte gram digests and
+    * integer positions — (doc, pos, gram) explode → gram-frequency
+    * aggregate → join back → per-doc start-position collect. The
+    * covered-position expansion and text rebuild are narrow per-doc
+    * HOFs bounded by document length (exists() over the start list is
+    * O(n·|starts|) with n ~ doc tokens — per-doc work, never a
+    * shuffle). Docs shorter than k tokens have no grams and pass
+    * through unchanged; `clean_text` is whitespace-normalized (tokens
+    * rejoined with single spaces) in both engines.
+    */
+  def dedupSpanRemove(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val tk = Tables.documentsSpread(spark, dir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
+    // feeds both the frequency aggregate and the join back
+    val grams = tk
+      .filter(size(col("ts")) >= k)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(ts) - ${k - 1}), " +
+          s"i -> struct(i AS pos, md5(cast(concat_ws(' ', slice(ts, i, $k)) as binary)) AS g))"))
+        .as("pg"))
+      .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.g").as("g"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dup = grams.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2L).select(col("g"))
+    val starts = grams.join(dup, "g")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("pos"))).as("starts"))
+    tk.join(starts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("ts"),
+        coalesce(col("starts"), expr("CAST(array() AS array<int>)")).as("st"))
+      .withColumn("kp", expr(
+        s"filter(CASE WHEN size(ts) = 0 THEN CAST(array() AS array<int>) " +
+          s"ELSE sequence(1, size(ts)) END, " +
+          s"p -> NOT exists(st, s -> s <= p AND p <= s + ${k - 1}))"))
+      .select(col("doc_id"),
+        size(col("ts")).cast("long").as("n_tokens"),
+        size(col("kp")).cast("long").as("n_kept"),
+        concat_ws(" ", expr("transform(kp, p -> element_at(ts, p))")).as("clean_text"))
+  }
+
   /** Bloom-prefiltered incremental dedup — [[dedupIncremental]]'s probe
     * with the scan-side filter a 100 TB ingest actually uses: build a
     * Bloom filter over the standing corpus's content hashes (Spark's
@@ -489,6 +536,70 @@ object Dedup {
         size(col("sha")).cast("long") + size(col("shb")).cast("long") - col("inter"))
       .filter(col("inter").cast("double") / col("uni") >= 0.8)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"))
+  }
+
+  /** Incremental MinHash+LSH dedup — [[dedupIncremental]]'s standing-
+    * index shape applied to NEAR-dups: the existing corpus (doc_id ≤
+    * 80% cut, same convention as the exact variant) materializes its
+    * band-bucket index once; a new ingest batch computes signatures,
+    * probes ONLY those buckets (batch×standing — batch-internal pairs
+    * are out of scope here, exactly as the standing index would behave
+    * in production), and survivors are verified with exact jaccard
+    * ≥ 0.8. At 100 TB the index is a stored (band, band_hash → doc_id)
+    * table; per-batch cost is signature computation over the batch plus
+    * a hash-partitioned bucket join — batch-sized, never corpus-sized.
+    *
+    * md5 signatures (the [[minhashPortable]] family, same 16×4 banding)
+    * keep the WHOLE pipeline — index build, probe, verify — replayable
+    * in the DuckDB oracle hash-for-hash; swapping in the xxh64 family
+    * of [[minhashLsh]] changes only candidate recall (P(miss | j=0.8)
+    * ≈ 3e-4), never a verified (inter, uni) value.
+    *
+    * Output: (batch doc_id, matched standing doc_id, inter, uni) for
+    * every verified near-dup pair.
+    */
+  def minhashIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val numHashes = 64
+    val bandRows = 4
+    val numBands = numHashes / bandRows
+
+    val sh = shingleSets(spark, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    val cut = Tables.documentsSpread(spark, dir)
+      .agg(expr("max(doc_id) * 8 div 10").as("c"))
+
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val sigCols = (0 until numHashes).map(j =>
+      min(md5(concat_ws(":", lit(j.toString), col("s")).cast("binary"))).as(s"h$j"))
+    val sig = ex.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+
+    val bandCols = (0 until numBands).map { b =>
+      struct(
+        lit(b).as("band"),
+        concat_ws(":", (b * bandRows until (b + 1) * bandRows)
+          .map(j => col(s"h$j")): _*).as("band_hash"))
+    }
+    val bands = sig
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
+      .crossJoin(cut)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val standing = bands.filter(col("doc_id") <= col("c"))
+      .select(col("doc_id").as("dup_of"), col("band"), col("band_hash"))
+    val batch = bands.filter(col("doc_id") > col("c"))
+      .select(col("doc_id"), col("band"), col("band_hash"))
+
+    val cand = batch.join(standing, Seq("band", "band_hash"))
+      .select(col("doc_id"), col("dup_of"))
+      .distinct()
+
+    cand
+      .join(sh.select(col("doc_id"), col("sh").as("shb")), "doc_id")
+      .join(sh.select(col("doc_id").as("dup_of"), col("sh").as("sha")), "dup_of")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .withColumn("uni",
+        size(col("sha")).cast("long") + size(col("shb")).cast("long") - col("inter"))
+      .filter(col("inter").cast("double") / col("uni") >= 0.8)
+      .select(col("doc_id"), col("dup_of"), col("inter"), col("uni"))
   }
 
   /** SimHash with an engine-portable hash: 56-bit md5-prefix token

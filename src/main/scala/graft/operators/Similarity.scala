@@ -277,6 +277,7 @@ object Similarity {
       .withColumn("cell",
         element_at(cellIds,
           array_position(col("ds"), array_min(col("ds"))).cast("int")))
+      .withColumn("d2", array_min(col("ds"))) // winning squared distance (integer-exact)
       .drop("ds")
   }
 
@@ -349,6 +350,40 @@ object Similarity {
       .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"))
+  }
+
+  /** Prototype pruning (SSL-prototypes / D4 shape): after
+    * [[kmeansTrain]]'s two integer-exact Lloyd rounds and a final
+    * assignment, the floor(n/4) vectors CLOSEST to their cell centroid
+    * — the most prototypical, hence most redundant — are dropped; the
+    * survivors (with their cell, exact squared distance, and
+    * within-cell prototypicality rank) are the diversified corpus.
+    * Complements [[dedupSemantic]]: SemDeDup removes pairwise
+    * near-dups, prototype pruning thins dense cluster cores even where
+    * no pair crosses the similarity threshold.
+    *
+    * Scale shape: identical to [[dedupSemantic]] up to assignment
+    * (narrow distance scan against k broadcast centroids); the ranking
+    * is a cell-partitioned window — state bounded by cell population,
+    * which k is chosen to hold at ~√N. Integer distances + (d2, vec_id)
+    * ordering make the kept set deterministic, so the DuckDB oracle
+    * replays the whole pipeline including both Lloyd rounds.
+    */
+  def prototypePrune(spark: SparkSession, dir: String, k: Int = 64): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val qd = quantizedCodes(spark, dir)
+    val init = initCents(qd, k)
+    if (init.isEmpty)
+      return Seq.empty[(Long, Long, Long, Long)].toDF("vec_id", "cell", "d2", "proto_rank")
+    val finalCents = centsOf(assignUpdate(qd, centsOf(assignUpdate(qd, init))))
+    val w = Window.partitionBy(col("cell")).orderBy(col("d2").asc, col("vec_id").asc)
+    cellAssign(qd, finalCents)
+      .select(col("vec_id"), col("cell"), col("d2"))
+      .withColumn("proto_rank", row_number().over(w).cast("long"))
+      .withColumn("n_cell", count(lit(1)).over(Window.partitionBy(col("cell"))))
+      .filter(col("proto_rank") > expr("n_cell div 4"))
+      .select(col("vec_id"), col("cell"), col("d2").cast("long").as("d2"), col("proto_rank"))
   }
 
   /** md5-derived hyperplane weight in [-1000, 1000] — deterministic,

@@ -95,4 +95,63 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === Map(20L -> 0L, 22L -> 21L))
   }
+
+  test("span removal: duplicated 8-gram spans drop from ALL holders; unique tails survive") {
+    val got = Dedup.dedupSpanRemove(spark, fixtureDir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // docs 0,1 identical → every position covered → emptied (not dropped)
+    assert(got(0L) === ((40L, 0L, "")))
+    assert(got(1L) === ((40L, 0L, "")))
+    // doc2 shares w1..w39 with doc0: dup grams start at 1..32, covering
+    // positions 1..39 — only the unique final token survives
+    assert(got(2L) === ((40L, 1L, "zz")))
+    // unrelated / permuted docs share no 8-gram → untouched
+    assert(got(3L) === ((40L, 40L, Fixtures.DocD)))
+    assert(got(4L) === ((40L, 40L, Fixtures.DocE)))
+  }
+
+  test("span removal boundaries: sub-window docs pass through; within-doc repeats count") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-span").toString
+    val periodic = (1 to 3).flatMap(_ => (1 to 8).map(i => s"r$i")).mkString(" ")
+    Seq(
+      (0L, "tiny doc"),          // < 8 tokens: no grams, even though duplicated
+      (1L, "tiny doc"),
+      (2L, periodic),            // period-8 text: every gram repeats WITHIN the doc
+      (3L, ""))                  // empty text: zero tokens
+      .map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.dedupSpanRemove(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(0L) === ((2L, 2L, "tiny doc"))) // exact dup, but sub-window: kept
+    assert(got(1L) === ((2L, 2L, "tiny doc")))
+    assert(got(2L) === ((24L, 0L, "")))        // multiplicity >= 2 inside one doc
+    assert(got(3L) === ((0L, 0L, "")))
+  }
+
+  test("incremental minhash: batch probes the standing band index, batch-internal pairs out of scope") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-minhash-incr").toString
+    val near = ((1 to 39).map(i => s"w$i") :+ "edited").mkString(" ")
+    Seq(
+      (0L, Fixtures.DocA), (1L, Fixtures.DocD),
+      (2L, (1 to 40).map(i => s"y$i").mkString(" ")),
+      (3L, (1 to 40).map(i => s"z$i").mkString(" ")),
+      (4L, (1 to 40).map(i => s"q$i").mkString(" ")),
+      (5L, (1 to 40).map(i => s"u$i").mkString(" ")),
+      (6L, (1 to 40).map(i => s"v$i").mkString(" ")),
+      (7L, (1 to 40).map(i => s"t$i").mkString(" ")),
+      // cut = 9*8 div 10 = 7 → batch is {8, 9}
+      (8L, near),  // j(8,0) = 38/40 ≥ 0.8 → reported against standing doc 0
+      (9L, near))  // exact batch-internal dup of 8 — reported only vs doc 0
+      .map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.minhashIncremental(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === Set((8L, 0L, 38L, 40L), (9L, 0L, 38L, 40L)))
+  }
 }

@@ -101,4 +101,24 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     // NaN outranks every finite sim in both formulations
     assert(viaAgg.contains((0L, 11L, 1L)) && viaAgg.contains((0L, 13L, 2L)))
   }
+
+  test("prototype prune drops the floor(n/4) most-prototypical per cell, deterministically") {
+    val kept = Similarity.prototypePrune(spark, fixtureDir, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // 3 separated clusters of 20 (init = one seed per cluster) → each
+    // cell drops its 5 closest-to-centroid vectors, keeping 15
+    assert(kept.length === 45)
+    val byCell = kept.groupBy(_._2)
+    assert(byCell.size === 3)
+    byCell.foreach { case (_, rows) =>
+      assert(rows.length === 15)
+      // kept ranks are exactly (n/4)+1 .. n — the prototypical head is gone
+      assert(rows.map(_._4).sorted.toSeq === (6L to 20L))
+      // d2 non-decreasing with prototypicality rank
+      val byRank = rows.sortBy(_._4).map(_._3)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a <= b })
+      // well-separated fixture: a cell holds exactly one true cluster
+      assert(rows.map(t => t._1 % 3).distinct.length === 1)
+    }
+  }
 }
