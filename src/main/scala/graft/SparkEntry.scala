@@ -140,6 +140,7 @@ object SparkEntry {
     "dedup_span_remove"      -> ((s: SparkSession, d: String) => Dedup.dedupSpanRemove(s, d)),
     "dedup_minhash_incremental" -> Dedup.minhashIncremental _,
     "prototype_prune"        -> ((s: SparkSession, d: String) => Similarity.prototypePrune(s, d)),
+    "dsir_importance"        -> Curation.dsirImportance _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1479,5 +1480,30 @@ object SparkEntry {
                     FROM a3)
          SELECT vec_id, cell, dist AS d2, proto_rank
          FROM r WHERE proto_rank > n_cell // 4""",
+    // DSIR importance: add-1-smoothed integer bucket ratios, per-doc
+    // sum, keep when floored per-token affinity beats the corpus-wide
+    // floored target/raw ratio — all-integer, engine-exact
+    "dsir_importance" ->
+      """WITH tb AS (SELECT doc_id, source,
+                            ('0x' || substr(md5(t), 1, 7))::BIGINT % 1024 AS b
+                     FROM (SELECT doc_id, source,
+                                  unnest(list_filter(string_split_regex(text, '\s+'),
+                                                     t -> t != '')) AS t
+                           FROM documents)),
+              bt AS (SELECT b, count(*) AS n_raw,
+                            sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS n_tgt
+                     FROM tb GROUP BY b),
+              r AS (SELECT b, (1000000 * (n_tgt + 1)) // (n_raw + 1) AS r FROM bt),
+              tot AS (SELECT CAST(sum(n_raw) AS BIGINT) AS nr,
+                             CAST(sum(n_tgt) AS BIGINT) AS nt FROM bt),
+              ds AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                            CAST(sum(r) AS BIGINT) AS score
+                     FROM tb JOIN r USING (b) GROUP BY doc_id)
+         SELECT d.doc_id,
+                coalesce(n_tokens, 0) AS n_tokens,
+                coalesce(score, 0) AS score,
+                CASE WHEN coalesce(n_tokens, 0) = 0 THEN false
+                     ELSE score // n_tokens > (1000000 * nt) // nr END AS keep
+         FROM documents d LEFT JOIN ds USING (doc_id), tot""",
   )
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.Tables
 
 /** Corpus-curation operators a large-scale training-data pipeline runs
@@ -177,5 +178,57 @@ object Curation {
     docs.join(broadcast(quotas), "source")
       .filter(gate * col("n_s") < col("quota") * 1000000L)
       .select(col("doc_id"), col("source"))
+  }
+
+  /** DSIR-style importance scoring (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling"): documents are scored
+    * by how much their hashed-unigram distribution resembles a TARGET
+    * domain (here the 'src0' source) relative to the raw corpus, and
+    * kept when their per-token affinity beats the corpus average.
+    *
+    * Integer-exact formulation (no log-ratios — libm drift would break
+    * cross-engine replay): tokens hash into 1024 md5 buckets; each
+    * bucket's importance ratio is ⌊SCALE·(n_target+1)/(n_raw+1)⌋
+    * (add-1 smoothed, SCALE = 10⁶, so r ≤ SCALE since target ⊆ raw);
+    * a document's score is the sum of its tokens' bucket ratios, and
+    * keep = ⌊score/n_tokens⌋ > ⌊SCALE·N_target/N_raw⌋ — both sides
+    * floored integer division, identical in every engine. Zero-token
+    * documents surface with score 0, keep = false (left join, not a
+    * silent drop). Headroom: SCALE·N_target stays under 2⁶³ up to
+    * ~9·10¹² target tokens; shard the threshold computation (or drop
+    * SCALE to 10³) beyond that.
+    *
+    * Scale posture: one token-explode pass feeds BOTH the 1024-row
+    * bucket-frequency table (partial-agg'd groupBy, bounded by the
+    * bucket parameter) and the per-doc sum; the ratio table and the
+    * 1-row totals are broadcast (model-scale, like the IVF codebook).
+    * No window, no sort — two bounded shuffles over 8-byte keys.
+    */
+  def dsirImportance(spark: SparkSession, dir: String): DataFrame = {
+    val buckets = 1024L
+    val scale = 1000000L
+    val docs = Tables.documentsSpread(spark, dir)
+    val toks = docs
+      .select(col("doc_id"), col("source"), explode(TextOps.tokens(col("text"))).as("t"))
+      .withColumn("b",
+        conv(substring(md5(col("t").cast("binary")), 1, 7), 16, 10).cast("long") % buckets)
+      .select(col("doc_id"), col("source"), col("b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bt = toks.groupBy(col("b")).agg(
+      count(lit(1)).as("n_raw"),
+      sum(when(col("source") === "src0", 1L).otherwise(0L)).as("n_tgt"))
+    val ratio = bt.withColumn("r", expr(s"($scale * (n_tgt + 1)) DIV (n_raw + 1)"))
+    val tot = bt.agg(sum(col("n_raw")).as("nr"), sum(col("n_tgt")).as("nt"))
+    val perDoc = toks.join(broadcast(ratio.select(col("b"), col("r"))), "b")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("r")).as("score"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("score"), lit(0L)).as("score"),
+        when(coalesce(col("n_tokens"), lit(0L)) === 0L, lit(false))
+          .otherwise(expr(s"score DIV n_tokens > ($scale * nt) DIV nr")).as("keep"))
   }
 }

@@ -173,4 +173,32 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
     // the rebalance bites: big is downsampled near its quota, not kept whole
     assert(expectBig.size < 600 && expectBig.size > 300)
   }
+
+  test("dsir_importance keeps target-vocabulary docs regardless of their source") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dsir").toString
+    val tgtText = (1 to 10).flatMap(_ => Seq("alpha", "beta", "gamma", "delta")).mkString(" ")
+    val rawText = (1 to 10).flatMap(_ => Seq("omega", "sigma", "kappa", "theta")).mkString(" ")
+    Seq(
+      (0L, tgtText, "src0"), // defines the target distribution
+      (1L, tgtText, "src0"),
+      (2L, rawText, "srcX"), // raw-only vocabulary — below-average affinity
+      (3L, rawText, "srcX"),
+      (4L, rawText, "srcX"),
+      (5L, tgtText, "srcX"), // DSIR's point: target-LIKE doc from a raw source
+      (6L, "", "srcX"))      // zero tokens: surfaced, not dropped
+      .map { case (id, t, s) => (id, t, "en", s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Curation.dsirImportance(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got.size === 7)
+    assert(got(6L) === ((0L, 0L, false)))
+    // target-vocab docs beat the corpus-average affinity, raw-only don't
+    assert(Seq(0L, 1L, 5L).forall(got(_)._3 === true))
+    assert(Seq(2L, 3L, 4L).forall(got(_)._3 === false))
+    // scores are bag-of-words sums: identical text → identical score
+    assert(got(0L)._2 === got(5L)._2)
+    assert(got(0L)._1 === 40L)
+  }
 }

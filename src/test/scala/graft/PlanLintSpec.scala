@@ -33,7 +33,8 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
     "dedup_bloom_prefilter" -> "1-row batch-cutoff scalar kept in-plan as a broadcast crossJoin (the bloom blob itself is a literal)",
     "weighted_sample" -> "1-row corpus-total scalar kept in-plan as a broadcast crossJoin",
     "source_mix_sample" -> "1-row budget/weight-total scalar kept in-plan as a broadcast crossJoin against the per-source quota table (bounded by #sources)",
-    "dedup_minhash_incremental" -> "1-row batch-cutoff scalar kept in-plan as a broadcast crossJoin (same shape as dedup_incremental)"
+    "dedup_minhash_incremental" -> "1-row batch-cutoff scalar kept in-plan as a broadcast crossJoin (same shape as dedup_incremental)",
+    "dsir_importance" -> "1-row corpus-totals scalar (target/raw token counts) kept in-plan as a broadcast crossJoin"
     // dropped round 7 (stale — plans improved out from under the rows):
     //   pi_montecarlo: ConvertToLocalRelation folds the seeded-parameter
     //   crossJoin away entirely; contamination_check: the benchmark-gram
@@ -59,7 +60,8 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
     "taskG_inactive" -> "final pass of the global-max scalar aggregate: one partial row per upstream partition",
     "taskH_above_avg" -> "final pass of the global-average scalar aggregate: one partial row per upstream partition",
     "source_mix_sample" -> "final pass of the budget/weight-total scalar aggregate over the per-source count table (≤ #sources rows): one partial row per upstream partition",
-    "dedup_minhash_incremental" -> "final pass of the batch-cutoff scalar aggregate: one partial row per upstream partition"
+    "dedup_minhash_incremental" -> "final pass of the batch-cutoff scalar aggregate: one partial row per upstream partition",
+    "dsir_importance" -> "final pass of the corpus-totals scalar aggregate over the 1024-row bucket table: one partial row per upstream partition"
   )
 
   // One plan sweep shared by all three tests: name → (plans nested-loop?,

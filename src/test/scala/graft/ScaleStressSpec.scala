@@ -147,6 +147,38 @@ class ScaleStressSpec extends AnyFunSuite with SparkFixture {
     assert(df.count() === expected)
   }
 
+  test("dedup_span_remove at 10x sf0.1: shared boilerplate excised exactly, unique text intact") {
+    // 50k docs (100x the SF documents table), 32 tokens each: a
+    // 16-token unique prefix plus either the SAME 16-token boilerplate
+    // (even ids) or 16 more unique tokens (odd ids). The boilerplate's
+    // 9 fully-interior 8-grams repeat 25k times — ONE df row each, the
+    // stop-gram shape — while every prefix/boundary gram is unique. So
+    // the exact output is forced: even docs keep exactly their 16
+    // prefix tokens, odd docs keep all 32.
+    val dir = java.nio.file.Files.createTempDirectory("graft-span-scale").toString
+    val n = 50000L
+    val boiler = (1 to 16).map(i => s"b$i").mkString(" ")
+    spark.range(n).selectExpr(
+      "id AS doc_id",
+      s"""concat_ws(' ',
+            concat_ws(' ', transform(sequence(1, 16), i -> concat('u', id, '_', i))),
+            IF(id % 2 = 0, '$boiler',
+               concat_ws(' ', transform(sequence(17, 32), i -> concat('u', id, '_', i)))))
+         AS text""",
+      "'en' AS lang", "'src' AS source", "cast(0 AS long) AS n_chars")
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val df = graft.operators.Dedup.dedupSpanRemove(spark, dir)
+    val plan = PlanChecks.executedPlanString(df)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+    val byPar = df.groupBy((col("doc_id") % 2).as("par"))
+      .agg(count(lit(1)).as("docs"), sum(col("n_kept")).as("kept")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(byPar(0L) === ((25000L, 25000L * 16)))
+    assert(byPar(1L) === ((25000L, 25000L * 32)))
+  }
+
   test("events_sessionize at 10x sf0.1: one fact exchange feeds window AND session agg") {
     val df = EventOps.eventsSessionize(spark, scaleDir)
     val plan = PlanChecks.executedPlanString(df)
