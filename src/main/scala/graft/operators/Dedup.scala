@@ -496,30 +496,36 @@ object Dedup {
     * (P(miss | j=0.82) ≈ 0.11 at 4 bands — band count, not hash
     * family, was the difference).
     */
-  def minhashPortable(spark: SparkSession, dir: String): DataFrame = {
+  /** md5 minhash band table (doc_id, band, band_hash): 64 hashes banded
+    * 16×4. Explodes shingles once; each shingle row computes all 64
+    * md5s and the per-doc min folds map-side (partial agg) before the
+    * one shuffle. Shared by [[minhashPortable]] and
+    * [[minhashIncremental]] (and the bucketed-index spec — at 100 TB
+    * this is the table a standing index materializes, bucketed by the
+    * band key so batch probes never re-shuffle it).
+    */
+  private[graft] def md5BandTable(sh: DataFrame): DataFrame = {
     val numHashes = 64
     val bandRows = 4
     val numBands = numHashes / bandRows
-
-    val sh = shingleSets(spark, dir).persist(StorageLevel.MEMORY_AND_DISK)
-
-    // explode once; each shingle row computes all 64 md5s, the per-doc
-    // min folds map-side (partial agg) before the one shuffle
     val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
     val sigCols = (0 until numHashes).map(j =>
       min(md5(concat_ws(":", lit(j.toString), col("s")).cast("binary"))).as(s"h$j"))
     val sig = ex.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
-
     val bandCols = (0 until numBands).map { b =>
       struct(
         lit(b).as("band"),
         concat_ws(":", (b * bandRows until (b + 1) * bandRows)
           .map(j => col(s"h$j")): _*).as("band_hash"))
     }
-    val bands = sig
+    sig
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
+  def minhashPortable(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleSets(spark, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    val bands = md5BandTable(sh).persist(StorageLevel.MEMORY_AND_DISK)
 
     val cand = bands.as("x")
       .join(bands.as("y"),
@@ -559,28 +565,10 @@ object Dedup {
     * every verified near-dup pair.
     */
   def minhashIncremental(spark: SparkSession, dir: String): DataFrame = {
-    val numHashes = 64
-    val bandRows = 4
-    val numBands = numHashes / bandRows
-
     val sh = shingleSets(spark, dir).persist(StorageLevel.MEMORY_AND_DISK)
     val cut = Tables.documentsSpread(spark, dir)
       .agg(expr("max(doc_id) * 8 div 10").as("c"))
-
-    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-    val sigCols = (0 until numHashes).map(j =>
-      min(md5(concat_ws(":", lit(j.toString), col("s")).cast("binary"))).as(s"h$j"))
-    val sig = ex.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
-
-    val bandCols = (0 until numBands).map { b =>
-      struct(
-        lit(b).as("band"),
-        concat_ws(":", (b * bandRows until (b + 1) * bandRows)
-          .map(j => col(s"h$j")): _*).as("band_hash"))
-    }
-    val bands = sig
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
+    val bands = md5BandTable(sh)
       .crossJoin(cut)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val standing = bands.filter(col("doc_id") <= col("c"))

@@ -43,6 +43,50 @@ class BucketedJoinSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("minhash standing index stored bucketed by band key: batch probe never re-shuffles it") {
+    import org.apache.spark.sql.functions.{col, concat_ws}
+    import graft.operators.Dedup
+
+    // The production shape behind dedup_minhash_incremental: the
+    // standing corpus's band table is MATERIALIZED bucketed by a single
+    // combined band key, so every future ingest batch probes it with an
+    // exchange on the (small) batch side only. band:band_hash is one
+    // key because bucketing clusters by exactly the join columns.
+    val sh = Dedup.shingleSets(spark, fixtureDir)
+    val withKey = Dedup.md5BandTable(sh)
+      .withColumn("band_key", concat_ws(":", col("band"), col("band_hash")))
+    withKey.filter(col("doc_id") <= 3)
+      .select(col("doc_id").as("existing_id"), col("band_key"))
+      .write.bucketBy(4, "band_key").sortBy("band_key")
+      .mode("overwrite").saveAsTable("band_index")
+
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val probe = withKey.filter(col("doc_id") > 3)
+        .select(col("doc_id"), col("band_key"))
+      val cand = spark.table("band_index").join(probe, "band_key")
+        .select(col("doc_id"), col("existing_id")).distinct()
+      // doc 4 is a token PERMUTATION of 0/1 — disjoint bigram shingles,
+      // so its minhash bands cannot collide with any standing doc
+      assert(cand.count() === 0L)
+      val plan = cand.queryExecution.executedPlan.toString
+      // the join's index branch (join node → the band_index scan, the
+      // FIRST child in the printed tree) must be exchange-free: the scan
+      // reads pre-bucketed. Probe-side signature computation shuffles
+      // (per-doc min agg) — that cost is the batch's, never the index's.
+      val joinAt = plan.indexOf("Join [band_key")
+      val scanAt = plan.indexOf("band_index", joinAt)
+      assert(joinAt >= 0 && scanAt > joinAt, s"unexpected plan shape:\n$plan")
+      assert(!plan.substring(joinAt, scanAt).contains("Exchange"),
+        s"index side must not re-shuffle, got:\n$plan")
+      assert(plan.contains("Bucketed: true"), plan)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS band_index")
+    }
+  }
+
   test("mismatched bucket counts fall back to a shuffle on one side only") {
     import org.apache.spark.sql.functions.col
 
