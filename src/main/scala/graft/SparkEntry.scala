@@ -141,6 +141,7 @@ object SparkEntry {
     "dedup_minhash_incremental" -> Dedup.minhashIncremental _,
     "prototype_prune"        -> ((s: SparkSession, d: String) => Similarity.prototypePrune(s, d)),
     "dsir_importance"        -> Curation.dsirImportance _,
+    "perplexity_buckets"     -> TextOps.perplexityBuckets _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -204,6 +205,27 @@ object SparkEntry {
                       CAST(trunc(CAST(sum(qv) AS DOUBLE) / count(*)) AS BIGINT) AS c_q
                FROM u2 GROUP BY cell, dim_idx),
         c2l AS (SELECT cell, list(c_q ORDER BY dim_idx) AS c FROM c2 GROUP BY cell)"""
+
+  /** Shared CTE chain replaying [[graft.operators.TextOps.docPerplexity]]:
+    * bigram LM probs → per-doc integer micro-nat NLL sums. Ends exposing
+    * `agg` (doc_id, n_bigrams, nll_micro) — shared by the doc_perplexity
+    * and perplexity_buckets oracles.
+    */
+  private val perplexityCtes: String =
+    """b AS (SELECT doc_id,
+                    unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])) AS bgm
+             FROM (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS ts
+                   FROM documents)
+             WHERE len(ts) >= 2),
+       pairs AS (SELECT doc_id, split_part(bgm, ' ', 1) AS w1,
+                        split_part(bgm, ' ', 2) AS w2 FROM b),
+       perdoc AS (SELECT doc_id, w1, w2, count(*) AS n FROM pairs GROUP BY 1, 2, 3),
+       bg AS (SELECT w1, w2, count(*) AS cnt FROM pairs GROUP BY 1, 2),
+       ctx AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS ctx_cnt FROM bg GROUP BY w1),
+       lm AS (SELECT w1, w2, CAST(cnt AS DOUBLE) / ctx_cnt AS prob FROM bg JOIN ctx USING (w1)),
+       agg AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+                      CAST(-sum(n * CAST(floor(ln(prob) * 1000000) AS BIGINT)) AS BIGINT) AS nll_micro
+               FROM perdoc JOIN lm USING (w1, w2) GROUP BY doc_id)"""
 
   /** Shared CTE block: the near-dup graph + reachability used by both
     * dedup_components and corpus_curate.
@@ -1172,23 +1194,32 @@ object SparkEntry {
     // BIGINT micro-nat sums are exact and order-free. The one double
     // column is a single division chain over identical operands.
     "doc_perplexity" ->
-      """WITH b AS (SELECT doc_id,
-                           unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])) AS bgm
-                    FROM (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS ts
-                          FROM documents)
-                    WHERE len(ts) >= 2),
-              pairs AS (SELECT doc_id, split_part(bgm, ' ', 1) AS w1,
-                               split_part(bgm, ' ', 2) AS w2 FROM b),
-              perdoc AS (SELECT doc_id, w1, w2, count(*) AS n FROM pairs GROUP BY 1, 2, 3),
-              bg AS (SELECT w1, w2, count(*) AS cnt FROM pairs GROUP BY 1, 2),
-              ctx AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS ctx_cnt FROM bg GROUP BY w1),
-              lm AS (SELECT w1, w2, CAST(cnt AS DOUBLE) / ctx_cnt AS prob FROM bg JOIN ctx USING (w1)),
-              agg AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
-                             CAST(-sum(n * CAST(floor(ln(prob) * 1000000) AS BIGINT)) AS BIGINT) AS nll_micro
-                      FROM perdoc JOIN lm USING (w1, w2) GROUP BY doc_id)
+      s"""WITH $perplexityCtes
          SELECT doc_id, n_bigrams, nll_micro,
                 CAST(nll_micro AS DOUBLE) / n_bigrams / 1000000.0 AS avg_nll
          FROM agg""",
+    // CCNet head/middle/tail: per-lang tertile thresholds from a
+    // (lang, score) histogram cumulative — integer scores, integer
+    // cross-multiplied rank cuts, ties land low. Replays the full
+    // perplexity chain, then the same threshold arithmetic.
+    "perplexity_buckets" ->
+      s"""WITH $perplexityCtes,
+              sc AS (SELECT agg.doc_id, nll_micro // n_bigrams AS score, lang
+                     FROM agg JOIN documents d ON agg.doc_id = d.doc_id),
+              hist AS (SELECT lang, score, count(*) AS cnt FROM sc GROUP BY lang, score),
+              cum AS (SELECT lang, score,
+                             CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY score) AS BIGINT) AS cum
+                      FROM hist),
+              n AS (SELECT lang, count(*) AS n_docs FROM sc GROUP BY lang),
+              th AS (SELECT lang,
+                            min(CASE WHEN cum * 3 >= n_docs THEN score END) AS t1,
+                            min(CASE WHEN cum * 3 >= n_docs * 2 THEN score END) AS t2
+                     FROM cum JOIN n USING (lang) GROUP BY lang)
+         SELECT doc_id, sc.lang, score,
+                CASE WHEN score <= t1 THEN 'head'
+                     WHEN score <= t2 THEN 'middle'
+                     ELSE 'tail' END AS bucket
+         FROM sc JOIN th ON sc.lang = th.lang""",
     "corpus_shuffle" ->
       """SELECT doc_id, shard,
                 CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1 AS BIGINT) AS pos

@@ -573,6 +573,47 @@ object TextOps {
           .as("avg_nll"))
   }
 
+  /** CCNet-style perplexity bucketing: per language, documents split
+    * into head/middle/tail TERTILES of per-token perplexity (CCNet
+    * keeps "head", samples "middle", drops "tail"). The integer score
+    * is ⌊nll_micro / n_bigrams⌋ — micro-nats per bigram from
+    * [[docPerplexity]], exact in both engines.
+    *
+    * Exact tertiles WITHOUT the global-NTILE shape (the
+    * customer_quartiles weak-register entry this operator is the
+    * scale-safe counterpart to): a (lang, score) histogram collapses
+    * the corpus with map-side partial aggregation, the cumulative
+    * count runs over HISTOGRAM rows (partitioned by lang — orders of
+    * magnitude smaller than the doc table, the same bounded-window
+    * argument as ngram_lm_probs), and the two threshold scores per
+    * language (smallest score whose cumulative count reaches ⌈n/3⌉ /
+    * ⌈2n/3⌉ — integer cross-multiplication, no division) broadcast
+    * back onto a narrow scan. Ties at a threshold all land in the
+    * lower bucket, so the split is deterministic without a row_number
+    * tiebreak. Docs with fewer than 2 tokens have no perplexity and
+    * are out of scope, as in [[docPerplexity]].
+    */
+  def perplexityBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val scored = docPerplexity(spark, dir)
+      .select(col("doc_id"), expr("nll_micro DIV n_bigrams").as("score"))
+      .join(Tables.documentsSpread(spark, dir).select(col("doc_id"), col("lang")), "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hist = scored.groupBy(col("lang"), col("score")).agg(count(lit(1)).as("cnt"))
+    val cum = hist.withColumn("cum",
+      sum(col("cnt")).over(Window.partitionBy(col("lang")).orderBy(col("score"))))
+    val n = scored.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val th = cum.join(n, "lang")
+      .groupBy(col("lang"))
+      .agg(
+        min(when(col("cum") * 3 >= col("n_docs"), col("score"))).as("t1"),
+        min(when(col("cum") * 3 >= col("n_docs") * 2, col("score"))).as("t2"))
+    scored.join(broadcast(th), "lang")
+      .select(col("doc_id"), col("lang"), col("score"),
+        when(col("score") <= col("t1"), lit("head"))
+          .when(col("score") <= col("t2"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
   /** Deterministic training-order shuffle: every document gets a
     * (shard, position) from a seeded portable hash — the global
     * randomized ordering a training run reads, without the global sort.

@@ -141,4 +141,27 @@ class TextOpsSpec extends AnyFunSuite with SparkFixture {
     assert(got((4L, 6L))._2 === 36L)
     assert(got((4L, 6L))._3 === 4L) // ragged tail
   }
+
+  test("perplexity buckets replay the tertile rank cuts; ties land low") {
+    // independent replay: the k-th smallest score, k = ceil(n/3) and
+    // ceil(2n/3), must be the broadcast thresholds (all fixture docs
+    // share lang 'en', so one stratum covers the logic)
+    val scored = TextOps.docPerplexity(spark, fixtureDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2) / r.getLong(1)).toMap
+    val scores = scored.values.toSeq.sorted
+    val n = scores.size
+    val t1 = scores((n + 2) / 3 - 1)
+    val t2 = scores((2 * n + 2) / 3 - 1)
+    val got = TextOps.perplexityBuckets(spark, fixtureDir).collect()
+      .map(r => (r.getLong(0), r.getString(3))).toMap
+    assert(got.keySet === scored.keySet)
+    got.foreach { case (id, b) =>
+      val s = scored(id)
+      val expect = if (s <= t1) "head" else if (s <= t2) "middle" else "tail"
+      assert(b === expect, s"doc $id score $s t1=$t1 t2=$t2")
+    }
+    // exact dups share a score, so a tie at a threshold keeps them in
+    // ONE bucket — no row_number coin flip
+    assert(got(0L) === got(1L))
+  }
 }
