@@ -147,6 +147,37 @@ class ScaleStressSpec extends AnyFunSuite with SparkFixture {
     assert(df.count() === expected)
   }
 
+  test("prototype_prune at 10x sf0.1: per-cell window stays cell-bounded with forced kept counts") {
+    // Same planted geometry as the dedup_semantic stress: 20k one-hot
+    // vectors in 64 orthogonal clusters. All of a cell's members sit at
+    // distance 0 from their centroid, so ranking is pure (d2, vec_id)
+    // tie-break order and the kept count per cell is forced:
+    // sz - sz/4 survivors, ranks exactly sz/4+1 .. sz.
+    val dir = java.nio.file.Files.createTempDirectory("graft-proto-scale").toString
+    val n = 20000L
+    spark.range(n).selectExpr(
+      "id AS vec_id",
+      "transform(sequence(0, 63), j -> cast(IF(j = id % 64, 100.0, 0.0) AS float)) AS embedding",
+      "cast(id % 64 AS int) AS label")
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    val df = graft.operators.Similarity.prototypePrune(spark, dir)
+    val plan = PlanChecks.executedPlanString(df)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("Exchange SinglePartition"), plan) // cell-partitioned, never global
+    val perCell = df.groupBy("cell")
+      .agg(count(lit(1)).as("kept"), min("proto_rank").as("lo"), max("proto_rank").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(perCell.length === 64)
+    perCell.foreach { case (kept, lo, hi) =>
+      val sz = hi // max rank = cell population
+      assert(kept === sz - sz / 4)
+      assert(lo === sz / 4 + 1)
+    }
+    assert(perCell.map(_._3).sum === n) // cells partition all 20k vectors
+  }
+
   test("dedup_span_remove at 10x sf0.1: shared boilerplate excised exactly, unique text intact") {
     // 50k docs (100x the SF documents table), 32 tokens each: a
     // 16-token unique prefix plus either the SAME 16-token boilerplate
