@@ -142,6 +142,7 @@ object SparkEntry {
     "prototype_prune"        -> ((s: SparkSession, d: String) => Similarity.prototypePrune(s, d)),
     "dsir_importance"        -> Curation.dsirImportance _,
     "perplexity_buckets"     -> TextOps.perplexityBuckets _,
+    "kneser_ney_probs"       -> TextOps.kneserNeyProbs _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1220,6 +1221,29 @@ object SparkEntry {
                      WHEN score <= t2 THEN 'middle'
                      ELSE 'tail' END AS bucket
          FROM sc JOIN th ON sc.lang = th.lang""",
+    // interpolated Kneser-Ney, d = 3/4 (exactly representable): the
+    // probability expression mirrors the Spark operation order token
+    // for token, so the doubles are bit-identical
+    "kneser_ney_probs" ->
+      """WITH b AS (SELECT unnest(list_transform(range(1, len(ts)),
+                             i -> ts[i] || ' ' || ts[i+1])) AS bgm
+                    FROM (SELECT list_filter(string_split_regex(text, '\s+'), t -> t != '') AS ts
+                          FROM documents)
+                    WHERE len(ts) >= 2),
+              bg AS (SELECT split_part(bgm, ' ', 1) AS w1,
+                            split_part(bgm, ' ', 2) AS w2, count(*) AS cnt
+                     FROM b GROUP BY 1, 2),
+              st AS (SELECT w1, w2, cnt,
+                            CAST(sum(cnt) OVER (PARTITION BY w1) AS BIGINT) AS ctx_cnt,
+                            CAST(count(*) OVER (PARTITION BY w1) AS BIGINT) AS n1_succ,
+                            CAST(count(*) OVER (PARTITION BY w2) AS BIGINT) AS n1_pred
+                     FROM bg),
+              d AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM bg)
+         SELECT w1, w2, cnt, ctx_cnt, n1_succ, n1_pred, n_types,
+                (CAST(cnt AS DOUBLE) - CAST(0.75 AS DOUBLE)) / ctx_cnt
+                  + (CAST(0.75 AS DOUBLE) * n1_succ / ctx_cnt)
+                    * (CAST(n1_pred AS DOUBLE) / n_types) AS prob_kn
+         FROM st, d""",
     "corpus_shuffle" ->
       """SELECT doc_id, shard,
                 CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1 AS BIGINT) AS pos

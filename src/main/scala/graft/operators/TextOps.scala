@@ -176,6 +176,55 @@ object TextOps {
         (col("cnt").cast("double") / col("ctx_cnt")).as("prob"))
   }
 
+  /** Interpolated Kneser–Ney bigram probabilities — the smoothing
+    * production n-gram LMs (KenLM et al.) actually ship, where
+    * [[ngramLmProbs]] is the raw MLE table:
+    *
+    *   p_KN(w2|w1) = (c(w1,w2) − d)/c(w1·)
+    *               + (d·N1+(w1·)/c(w1·)) · (N1+(·w2)/D)
+    *
+    * with discount d = 3/4, N1+(w1·)/N1+(·w2) the distinct successor/
+    * predecessor counts, and D the distinct-bigram-type total. Every
+    * observed bigram has c ≥ 1 > d, so the max(·,0) clamp is vacuous
+    * and the whole probability is one division chain over exact
+    * integers with an exactly-representable discount — bit-identical
+    * across engines when written in the same operation order (which the
+    * oracle mirrors token for token).
+    *
+    * Scale shape: identical to [[ngramLmProbs]] — all three smoothing
+    * statistics are windows over the ALREADY-GROUPED vocabulary²-
+    * bounded bigram table (partitioned by w1 for context totals and
+    * successor counts, by w2 for predecessor counts); the type total D
+    * is the one whitelisted 1-row scalar. The corpus-sized explode
+    * collapses map-side before any of it.
+    */
+  def kneserNeyProbs(spark: SparkSession, dir: String): DataFrame = {
+    val w1w = Window.partitionBy(col("w1"))
+    val w2w = Window.partitionBy(col("w2"))
+    val bg = Tables.documentsSpread(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("ts")) - 1),
+        i => struct(
+          element_at(col("ts"), i).as("w1"),
+          element_at(col("ts"), i + 1).as("w2")))).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("cnt"))
+      // feeds the smoothing windows AND the type-total scalar — persist
+      // the vocabulary²-bounded grouped rows, not the corpus explode
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bg
+      .withColumn("ctx_cnt", sum(col("cnt")).over(w1w))
+      .withColumn("n1_succ", count(lit(1)).over(w1w))
+      .withColumn("n1_pred", count(lit(1)).over(w2w))
+      .crossJoin(broadcast(bg.agg(count(lit(1)).as("n_types"))))
+      .select(col("w1"), col("w2"), col("cnt"), col("ctx_cnt"),
+        col("n1_succ"), col("n1_pred"), col("n_types"),
+        ((col("cnt").cast("double") - lit(0.75)) / col("ctx_cnt")
+          + (lit(0.75) * col("n1_succ") / col("ctx_cnt"))
+            * (col("n1_pred").cast("double") / col("n_types"))).as("prob_kn"))
+  }
+
   /** Vocabulary construction: the top-K tokens by corpus frequency with
     * dense ids assigned in (count DESC, token ASC) order — the
     * tokenizer-training step that turns WordCount output into a model

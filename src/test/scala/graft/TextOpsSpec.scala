@@ -164,4 +164,28 @@ class TextOpsSpec extends AnyFunSuite with SparkFixture {
     // ONE bucket — no row_number coin flip
     assert(got(0L) === got(1L))
   }
+
+  test("Kneser-Ney probabilities match the hand-computed formula exactly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-kn").toString
+    // bigrams: (a,b)x2, (a,c)x1, (b,c)x1 → ctx a=3 b=1; N1+(a·)=2,
+    // N1+(b·)=1; N1+(·b)=1, N1+(·c)=2; D=3 distinct types
+    Seq((0L, "a b"), (1L, "a b"), (2L, "a c"), (3L, "b c"))
+      .map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextOps.kneserNeyProbs(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+          r.getDouble(7)))).toMap
+    def kn(cnt: Long, ctx: Long, n1f: Long, n1p: Long, d: Long): Double =
+      (cnt.toDouble - 0.75) / ctx + (0.75 * n1f / ctx) * (n1p.toDouble / d)
+    assert(got(("a", "b")) === ((2L, 3L, 2L, 1L, 3L, kn(2, 3, 2, 1, 3))))
+    assert(got(("a", "c")) === ((1L, 3L, 2L, 2L, 3L, kn(1, 3, 2, 2, 3))))
+    assert(got(("b", "c")) === ((1L, 1L, 1L, 2L, 3L, kn(1, 1, 1, 2, 3))))
+    // simplex check: a's observed successors {b, c} are the ENTIRE
+    // continuation vocabulary, so interpolated KN must sum to exactly 1
+    // — the discount mass flows wholly back through p_cont
+    assert(kn(2, 3, 2, 1, 3) + kn(1, 3, 2, 2, 3) === 1.0)
+  }
 }
