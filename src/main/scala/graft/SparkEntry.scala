@@ -143,6 +143,7 @@ object SparkEntry {
     "dsir_importance"        -> Curation.dsirImportance _,
     "perplexity_buckets"     -> TextOps.perplexityBuckets _,
     "kneser_ney_probs"       -> TextOps.kneserNeyProbs _,
+    "gopher_rules"           -> Curation.gopherRules _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1244,6 +1245,31 @@ object SparkEntry {
                   + (CAST(0.75 AS DOUBLE) * n1_succ / ctx_cnt)
                     * (CAST(n1_pred AS DOUBLE) / n_types) AS prob_kn
          FROM st, d""",
+    // Gopher heuristic filters: integer cross-multiplied thresholds
+    "gopher_rules" ->
+      """WITH t AS (SELECT doc_id,
+                           list_filter(string_split_regex(text, '\s+'), x -> x != '') AS ts
+                    FROM documents),
+              m AS (SELECT doc_id,
+                           CAST(len(ts) AS BIGINT) AS n_tokens,
+                           CAST(coalesce(list_sum(list_transform(ts, x -> length(x))), 0)
+                             AS BIGINT) AS sum_token_len,
+                           CAST(len(list_filter(ts, x -> regexp_matches(x, '[a-zA-Z]')))
+                             AS BIGINT) AS n_alpha_words,
+                           CAST(len(list_intersect(list_distinct(ts),
+                             ['the','a','and','of','to','in','is','it'])) AS BIGINT)
+                             AS n_stop_distinct
+                    FROM t)
+         SELECT doc_id, n_tokens, sum_token_len, n_alpha_words, n_stop_distinct,
+                (n_tokens >= 50 AND n_tokens <= 100000) AS r_count,
+                (3 * n_tokens <= sum_token_len AND sum_token_len <= 10 * n_tokens) AS r_len,
+                (5 * n_alpha_words >= 4 * n_tokens) AS r_alpha,
+                (n_stop_distinct >= 2) AS r_stop,
+                ((n_tokens >= 50 AND n_tokens <= 100000)
+                 AND (3 * n_tokens <= sum_token_len AND sum_token_len <= 10 * n_tokens)
+                 AND (5 * n_alpha_words >= 4 * n_tokens)
+                 AND (n_stop_distinct >= 2)) AS keep
+         FROM m""",
     "corpus_shuffle" ->
       """SELECT doc_id, shard,
                 CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1 AS BIGINT) AS pos

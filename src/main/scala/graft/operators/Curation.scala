@@ -180,6 +180,44 @@ object Curation {
       .select(col("doc_id"), col("source"))
   }
 
+  /** Gopher quality rules (Rae et al., "Scaling Language Models:
+    * Methods, Analysis & Insights from Training Gopher", Appendix A) —
+    * the published heuristic filter suite most corpus pipelines start
+    * from. The document-level subset that applies to an unstructured
+    * token stream:
+    *
+    *  - word count in [50, 100_000]
+    *  - mean word length in [3, 10] chars
+    *  - ≥ 80% of words contain at least one alphabetic character
+    *  - at least 2 distinct stopwords present (the "the/of/to" gate
+    *    that kills keyword-stuffing and non-prose)
+    *
+    * Every threshold is an integer cross-multiplication (mean length
+    * bounds become 3·n ≤ Σlen ≤ 10·n), so the rule bits — and the
+    * final keep — replay exactly in the oracle. Purely narrow: one
+    * scan, per-row HOFs, no shuffle at all.
+    */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val stops = Seq("the", "a", "and", "of", "to", "in", "is", "it")
+    Tables.documentsSpread(spark, dir)
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t)).as("sum_token_len"),
+        size(filter(col("toks"), t => t.rlike("[a-zA-Z]"))).cast("long").as("n_alpha_words"),
+        size(array_intersect(array_distinct(col("toks")),
+          typedLit(stops))).cast("long").as("n_stop_distinct"))
+      .withColumn("r_count", col("n_tokens") >= 50L && col("n_tokens") <= 100000L)
+      .withColumn("r_len",
+        lit(3L) * col("n_tokens") <= col("sum_token_len") &&
+          col("sum_token_len") <= lit(10L) * col("n_tokens"))
+      .withColumn("r_alpha", lit(5L) * col("n_alpha_words") >= lit(4L) * col("n_tokens"))
+      .withColumn("r_stop", col("n_stop_distinct") >= 2L)
+      .withColumn("keep",
+        col("r_count") && col("r_len") && col("r_alpha") && col("r_stop"))
+  }
+
   /** DSIR-style importance scoring (Xie et al., "Data Selection for
     * Language Models via Importance Resampling"): documents are scored
     * by how much their hashed-unigram distribution resembles a TARGET

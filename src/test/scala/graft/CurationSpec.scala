@@ -174,6 +174,40 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
     assert(expectBig.size < 600 && expectBig.size > 300)
   }
 
+  test("gopher_rules: each rule trips exactly at its published boundary") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-gopher").toString
+    def doc(words: Seq[String]) = words.mkString(" ")
+    val texts = Seq(
+      // 0: passes everything — 50 words, 2 stopwords, mean len ~3.9
+      0L -> doc(Seq("the", "of") ++ Seq.fill(48)("word")),
+      // 1: 49 words — one below the count floor, everything else fine
+      1L -> doc(Seq("the", "of") ++ Seq.fill(47)("word")),
+      // 2: 12-char words push mean length over 10
+      2L -> doc(Seq("the", "of") ++ Seq.fill(48)("abcdefghijkl")),
+      // 3: exactly 80% alphabetic words — boundary PASSES (>= not >)
+      3L -> doc(Seq("the", "of") ++ Seq.fill(38)("word") ++ Seq.fill(10)("123")),
+      // 4: 78% alphabetic — below the 80% floor
+      4L -> doc(Seq("the", "of") ++ Seq.fill(37)("word") ++ Seq.fill(11)("123")),
+      // 5: only ONE distinct stopword (repeated) — stopword gate fails;
+      //    mean length 3 sits exactly on the lower bound (passes)
+      5L -> doc(Seq.fill(50)("the")))
+    texts.map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Curation.gopherRules(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("r_count"), r.getAs[Boolean]("r_len"),
+          r.getAs[Boolean]("r_alpha"), r.getAs[Boolean]("r_stop"),
+          r.getAs[Boolean]("keep")))).toMap
+    assert(got(0L) === ((true, true, true, true, true)))
+    assert(got(1L) === ((false, true, true, true, false)))
+    assert(got(2L) === ((true, false, true, true, false)))
+    assert(got(3L) === ((true, true, true, true, true)))
+    assert(got(4L) === ((true, true, false, true, false)))
+    assert(got(5L) === ((true, true, true, false, false)))
+  }
+
   test("dsir_importance keeps target-vocabulary docs regardless of their source") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-dsir").toString
