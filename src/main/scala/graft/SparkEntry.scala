@@ -144,6 +144,7 @@ object SparkEntry {
     "perplexity_buckets"     -> TextOps.perplexityBuckets _,
     "kneser_ney_probs"       -> TextOps.kneserNeyProbs _,
     "gopher_rules"           -> Curation.gopherRules _,
+    "encode_tokens"          -> ((s: SparkSession, d: String) => TextOps.encodeTokens(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1270,6 +1271,35 @@ object SparkEntry {
                  AND (5 * n_alpha_words >= 4 * n_tokens)
                  AND (n_stop_distinct >= 2)) AS keep
          FROM m""",
+    // tokenize-to-ids against the vocab_build top-1000 vocabulary;
+    // OOV → -1; ids reassembled in position order
+    "encode_tokens" ->
+      """WITH c AS (SELECT token, count(*) AS cnt
+                    FROM (SELECT unnest(list_filter(string_split_regex(text, '\s+'), t -> t != '')) AS token
+                          FROM documents)
+                    GROUP BY token),
+              v AS (SELECT token, tid AS token_id
+                    FROM (SELECT token,
+                                 CAST(row_number() OVER (ORDER BY cnt DESC, token ASC) AS BIGINT) - 1 AS tid
+                          FROM c)
+                    WHERE tid < 1000),
+              tk AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS ts
+                     FROM documents),
+              e AS (SELECT doc_id, pos, ts[pos] AS t
+                    FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS pos FROM tk)),
+              j AS (SELECT doc_id, pos, coalesce(token_id, -1) AS id,
+                           token_id IS NULL AS oov
+                    FROM e LEFT JOIN v ON e.t = v.token),
+              agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                             CAST(sum(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+                             list(id ORDER BY pos) AS ids
+                      FROM j GROUP BY doc_id)
+         SELECT d.doc_id,
+                coalesce(n_tokens, 0) AS n_tokens,
+                coalesce(n_oov, 0) AS n_oov,
+                coalesce(array_to_string(list_transform(ids, x -> CAST(x AS VARCHAR)), ','), '')
+                  AS ids
+         FROM documents d LEFT JOIN agg USING (doc_id)""",
     "corpus_shuffle" ->
       """SELECT doc_id, shard,
                 CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1 AS BIGINT) AS pos

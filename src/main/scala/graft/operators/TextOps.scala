@@ -251,6 +251,45 @@ object TextOps {
       .withColumn("token_id", row_number().over(w).cast("long") - 1L)
   }
 
+  /** Tokenize-to-ids against the [[vocabBuild]] vocabulary — the encode
+    * step every training pipeline runs before [[packBatches]]:
+    * documents become dense id sequences, out-of-vocabulary tokens map
+    * to −1 (the UNK slot), and `n_oov` carries the coverage signal
+    * vocabulary sizing is tuned on.
+    *
+    * Scale shape: the vocabulary is topK-bounded by the PARAMETER
+    * (model-scale, like the IVF codebook), so it broadcasts and the
+    * corpus-side explode joins without shuffling text; the id
+    * re-assembly is one doc_id-partitioned aggregate whose
+    * `array_sort(struct(pos, id))` makes collect_list's arrival order
+    * irrelevant — bit-identical output on any partitioning. Zero-token
+    * docs surface with an EMPTY id array, not a missing row.
+    */
+  def encodeTokens(spark: SparkSession, dir: String, topK: Int = 1000): DataFrame = {
+    val vocab = vocabBuild(spark, dir, topK).select(col("token"), col("token_id"))
+    val docs = Tables.documentsSpread(spark, dir)
+    val toks = docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "t")))
+    val encoded = toks
+      .join(broadcast(vocab), toks("t") === vocab("token"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("token_id").isNull, 1L).otherwise(0L)).as("n_oov"),
+        expr("transform(array_sort(collect_list(struct(pos, coalesce(token_id, -1L) AS id)))," +
+          " s -> s.id)").as("ids"))
+    docs.select(col("doc_id"))
+      .join(encoded, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        // comma-joined, like inverted_index's postings: the harness
+        // compare canonicalizes rows by sorting every column, which a
+        // raw array column breaks
+        coalesce(expr("array_join(transform(ids, x -> CAST(x AS STRING)), ',')"), lit(""))
+          .as("ids"))
+  }
+
   /** Sequence packing: assign documents to fixed token-budget batches —
     * the batching step before training. Docs are sharded by id (so the
     * running totals parallelize; a single global cumsum would be a

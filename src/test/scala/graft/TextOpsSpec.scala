@@ -188,4 +188,22 @@ class TextOpsSpec extends AnyFunSuite with SparkFixture {
     // — the discount mass flows wholly back through p_cont
     assert(kn(2, 3, 2, 1, 3) + kn(1, 3, 2, 2, 3) === 1.0)
   }
+
+  test("encode_tokens: position-ordered ids, OOV to -1, empty docs surface with []") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-encode").toString
+    // corpus counts: b=3, c=3, a=2. topK=2 with the (cnt DESC,
+    // token ASC) tie-break keeps b -> 0 and c -> 1; a is OOV
+    Seq((0L, "b a c b"), (1L, "c c"), (2L, ""), (3L, "a b"))
+      .map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextOps.encodeTokens(spark, dir, topK = 2).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(0L) === ((4L, 1L, "0,-1,1,0")))
+    assert(got(1L) === ((2L, 0L, "1,1")))
+    assert(got(2L) === ((0L, 0L, "")))
+    assert(got(3L) === ((2L, 1L, "-1,0")))
+  }
 }
