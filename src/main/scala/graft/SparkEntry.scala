@@ -145,6 +145,8 @@ object SparkEntry {
     "kneser_ney_probs"       -> TextOps.kneserNeyProbs _,
     "gopher_rules"           -> Curation.gopherRules _,
     "encode_tokens"          -> ((s: SparkSession, d: String) => TextOps.encodeTokens(s, d)),
+    // ---- round 8: persisted standing index, BPE encode, trigram KN ----
+    "dedup_minhash_standing" -> Dedup.minhashStanding _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1571,6 +1573,11 @@ object SparkEntry {
                   AS clean_text
          FROM kp""",
     "dedup_minhash_incremental" -> minhashIncrementalSql,
+    // the standing-index variant returns the SAME verified rows as the
+    // in-query incremental one (identical cut, hash family, banding) —
+    // what differs is the physical plan (bucketed index read), which the
+    // oracle can't see; BucketedJoinSpec pins that half.
+    "dedup_minhash_standing" -> minhashIncrementalSql,
     // full k=64 Lloyd replay + final assignment keeping the winning
     // squared distance, then the per-cell prototypicality window
     "prototype_prune" ->

@@ -43,47 +43,75 @@ class BucketedJoinSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
-  test("minhash standing index stored bucketed by band key: batch probe never re-shuffles it") {
-    import org.apache.spark.sql.functions.{col, concat_ws}
+  test("dedup_minhash_standing: persisted bucketed index side crosses zero shuffles") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
     import graft.operators.Dedup
 
-    // The production shape behind dedup_minhash_incremental: the
-    // standing corpus's band table is MATERIALIZED bucketed by a single
-    // combined band key, so every future ingest batch probes it with an
-    // exchange on the (small) batch side only. band:band_hash is one
-    // key because bucketing clusters by exactly the join columns.
-    val sh = Dedup.shingleSets(spark, fixtureDir)
-    val withKey = Dedup.md5BandTable(sh)
-      .withColumn("band_key", concat_ws(":", col("band"), col("band_hash")))
-    withKey.filter(col("doc_id") <= 3)
-      .select(col("doc_id").as("existing_id"), col("band_key"))
-      .write.bucketBy(4, "band_key").sortBy("band_key")
-      .mode("overwrite").saveAsTable("band_index")
+    // AQE hides the real tree behind AdaptiveSparkPlanExec/QueryStage
+    // leaf wrappers; inline them so collect() walks the whole executed
+    // plan. (The previous version of this test located the index branch
+    // by string offsets into the printed plan — a build-side reorder
+    // would have silently pointed the Exchange check at the wrong
+    // region. Walking the tree is reorder-proof.)
+    def strip(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => strip(a.executedPlan)
+      case q: QueryStageExec        => strip(q.plan)
+      case other => other.withNewChildren(other.children.map(strip))
+    }
+    def indexScans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case s: FileSourceScanExec
+        if s.tableIdentifier.exists(_.table == "graft_minhash_band_index") => s
+    }
+
+    // DedupSpec's incremental corpus: docs 8,9 are near-dups of standing
+    // doc 0 (j = 38/40) — non-empty candidates keep AQE from folding the
+    // probe join into an EmptyRelation, so the plan shape is inspectable.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-minhash-standing").toString
+    val near = ((1 to 39).map(i => s"w$i") :+ "edited").mkString(" ")
+    (Seq((0L, Fixtures.DocA), (1L, Fixtures.DocD)) ++
+      Seq("y", "z", "q", "u", "v", "t").zipWithIndex.map { case (p, i) =>
+        (i + 2L, (1 to 40).map(j => s"$p$j").mkString(" ")) } ++
+      Seq((8L, near), (9L, near)))
+      .map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
 
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val probe = withKey.filter(col("doc_id") > 3)
-        .select(col("doc_id"), col("band_key"))
-      val cand = spark.table("band_index").join(probe, "band_key")
-        .select(col("doc_id"), col("existing_id")).distinct()
-      // doc 4 is a token PERMUTATION of 0/1 — disjoint bigram shingles,
-      // so its minhash bands cannot collide with any standing doc
-      assert(cand.count() === 0L)
-      val plan = cand.queryExecution.executedPlan.toString
-      // the join's index branch (join node → the band_index scan, the
-      // FIRST child in the printed tree) must be exchange-free: the scan
-      // reads pre-bucketed. Probe-side signature computation shuffles
-      // (per-doc min agg) — that cost is the batch's, never the index's.
-      val joinAt = plan.indexOf("Join [band_key")
-      val scanAt = plan.indexOf("band_index", joinAt)
-      assert(joinAt >= 0 && scanAt > joinAt, s"unexpected plan shape:\n$plan")
-      assert(!plan.substring(joinAt, scanAt).contains("Exchange"),
-        s"index side must not re-shuffle, got:\n$plan")
-      assert(plan.contains("Bucketed: true"), plan)
+      val out = Dedup.minhashStanding(spark, dir)
+      // same verified pairs as the in-query incremental variant — the
+      // physical plan is the only thing that changed
+      val rows = out.collect().map(_.toSeq).toSet
+      assert(rows === Set(Seq(8L, 0L, 38L, 40L), Seq(9L, 0L, 38L, 40L)))
+      val incr = Dedup.minhashIncremental(spark, dir)
+        .collect().map(_.toSeq).toSet
+      assert(rows === incr)
+
+      // execution done → AQE final plan; find the shuffled band_key
+      // probe join whose one side is the persisted index
+      val plan = strip(out.queryExecution.executedPlan)
+      val probeJoins = plan.collect {
+        case j: SortMergeJoinExec    => j: BaseJoinExec
+        case j: ShuffledHashJoinExec => j: BaseJoinExec
+      }.filter(j => j.leftKeys.exists(_.toString.contains("band_key"))
+        && j.children.exists(c => indexScans(c).nonEmpty))
+      assert(probeJoins.nonEmpty,
+        s"no shuffled band_key join over the persisted index found:\n$plan")
+
+      val idxSide = probeJoins.head.children.filter(c => indexScans(c).nonEmpty)
+      val reShuffles = idxSide.flatMap(_.collect { case e: ShuffleExchangeLike => e })
+      assert(reShuffles.isEmpty,
+        s"index side must read pre-bucketed, got exchanges on it:\n$plan")
+      assert(indexScans(plan).exists(_.bucketedScan),
+        s"index scan should be bucketed:\n$plan")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
-      spark.sql("DROP TABLE IF EXISTS band_index")
+      spark.sql("DROP TABLE IF EXISTS graft_minhash_band_index")
     }
   }
 
