@@ -147,6 +147,7 @@ object SparkEntry {
     "encode_tokens"          -> ((s: SparkSession, d: String) => TextOps.encodeTokens(s, d)),
     // ---- round 8: persisted standing index, BPE encode, trigram KN ----
     "dedup_minhash_standing" -> Dedup.minhashStanding _,
+    "bpe_encode"             -> ((s: SparkSession, d: String) => TextOps.bpeEncode(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -331,6 +332,63 @@ object SparkEntry {
                    FROM cand JOIN se a ON dup_of = a.doc_id JOIN se b ON cand.doc_id = b.doc_id)
         SELECT doc_id, dup_of, inter, uni FROM v
         WHERE cast(inter AS DOUBLE) / uni >= 0.8"""
+  }
+
+  /** Full replay of [[graft.operators.TextOps.bpeEncode]]: `rounds`
+    * greedy BPE merges learned over the weighted vocabulary (argmax
+    * pair → fold-rewrite → recount), then the merge sequence applied to
+    * every document token. The fold keeps its accumulator as a
+    * space-joined symbol string (symbols are fragments of
+    * whitespace-split tokens, so they never contain ' '), which is what
+    * lets DuckDB's `list_reduce` — whose accumulator must be
+    * element-typed — replay Spark's array-accumulator `aggregate`
+    * exactly: `list_reduce` seeds with the first element and Spark's
+    * first fold step just appends it, so the two traversals agree.
+    */
+  private def bpeEncodeSql(rounds: Int): String = {
+    // one merge round: pair counts over vN's symbols → argmax → rewrite
+    def round(k: Int): String = {
+      val prev = s"v${k - 1}"
+      s"""p$k AS (SELECT ss[i] AS l, ss[i + 1] AS r, sum(wcnt) AS cnt
+              FROM (SELECT ss, wcnt, unnest(range(1, len(ss))) AS i
+                    FROM (SELECT string_split(s, ' ') AS ss, wcnt FROM $prev))
+              GROUP BY 1, 2),
+         m$k AS (SELECT l, r FROM p$k ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+         v$k AS (SELECT word,
+                        list_reduce(string_split(s, ' '),
+                          (acc, x) -> CASE WHEN string_split(acc, ' ')[-1] = m.l AND x = m.r
+                                           THEN left(acc, len(acc) - len(m.l)) || m.l || m.r
+                                           ELSE acc || ' ' || x END) AS s,
+                        wcnt
+                 FROM $prev, m$k m)"""
+    }
+    s"""WITH wc AS (SELECT word, count(*) AS wcnt
+                    FROM (SELECT unnest(list_filter(string_split_regex(text, '\\s+'), t -> t != '')) AS word
+                          FROM documents)
+                    GROUP BY word),
+             v0 AS (SELECT word,
+                           array_to_string(list_transform(range(1, len(word) + 1),
+                             i -> substring(word, CAST(i AS INT), 1)), ' ') AS s,
+                           wcnt
+                    FROM wc),
+             ${(1 to rounds).map(round).mkString(",\n")},
+             enc AS (SELECT word, s AS enc,
+                            CAST(len(string_split(s, ' ')) AS BIGINT) AS np
+                     FROM v$rounds),
+             tk AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t != '') AS ts
+                    FROM documents),
+             e AS (SELECT doc_id, pos, ts[pos] AS t
+                   FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS pos FROM tk)),
+             agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                            CAST(sum(np) AS BIGINT) AS n_pieces,
+                            array_to_string(list(enc ORDER BY pos), ' ') AS pieces
+                     FROM e JOIN enc ON e.t = enc.word
+                     GROUP BY doc_id)
+        SELECT d.doc_id,
+               coalesce(n_tokens, 0) AS n_tokens,
+               coalesce(n_pieces, 0) AS n_pieces,
+               coalesce(pieces, '') AS pieces
+        FROM documents d LEFT JOIN agg USING (doc_id)"""
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -1578,6 +1636,7 @@ object SparkEntry {
     // what differs is the physical plan (bucketed index read), which the
     // oracle can't see; BucketedJoinSpec pins that half.
     "dedup_minhash_standing" -> minhashIncrementalSql,
+    "bpe_encode" -> bpeEncodeSql(3),
     // full k=64 Lloyd replay + final assignment keeping the winning
     // squared distance, then the per-cell prototypicality window
     "prototype_prune" ->

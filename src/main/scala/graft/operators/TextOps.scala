@@ -431,6 +431,45 @@ object TextOps {
     merges.toList
   }
 
+  /** BPE encode: apply [[bpeTrain]]'s learned merge sequence to every
+    * document — the tokenize step a trained BPE vocabulary exists FOR.
+    * Each token splits to characters and replays the merges in training
+    * order (the same left-to-right non-overlapping fold bpeTrain uses
+    * to rewrite its vocabulary), and the document's piece sequence is
+    * flattened across tokens.
+    *
+    * Scale shape: after training (bounded driver rounds, vocab-sized
+    * work — the model-building cost), the encode itself is ONE narrow
+    * projection: nested codegen'd HOFs (transform → aggregate) applied
+    * per document, zero joins, zero shuffles, no vocabulary broadcast
+    * needed because the merge table is a handful of literals baked into
+    * the expression tree. The fold is deterministic string work, so the
+    * whole train+encode pipeline replays hash-for-hash in the DuckDB
+    * oracle (list_reduce over a space-joined accumulator — symbols
+    * never contain whitespace, ws_tokens guarantees it).
+    */
+  def bpeEncode(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
+    val merges = bpeTrain(spark, dir, rounds).map { case (_, l, r, _) => (l, r) }
+    def foldOnce(syms: Column, a: String, b: String): Column =
+      aggregate(syms, array().cast("array<string>"),
+        (acc, x) => when(
+          size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(x))))
+    val encTok: Column => Column = w => {
+      val chars = transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1)))
+      merges.foldLeft(chars) { case (s, (a, b)) => foldOnce(s, a, b) }
+    }
+    Tables.documentsSpread(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+      .select(col("doc_id"),
+        size(col("ts")).cast("long").as("n_tokens"),
+        flatten(transform(col("ts"), encTok)).as("ps"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("ps")).cast("long").as("n_pieces"),
+        array_join(col("ps"), " ").as("pieces"))
+  }
+
   /** Weighted systematic sample: pick ~k documents with probability
     * proportional to size (`n_chars`) — the data-mixing step that
     * samples a corpus slice by token budget rather than doc count.

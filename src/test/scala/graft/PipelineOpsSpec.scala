@@ -134,6 +134,14 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
     // (l,o) ties (o,w) at 5 → lexicographic; then (lo,w)=5; then (low,e)=2
     assert(merges === Seq(
       (1, "l", "o", 5L), (2, "lo", "w", 5L), (3, "low", "e", 2L)))
+
+    // encode replays the same merges per token: low → [low],
+    // lower → [lowe, r], lowest → [lowe, s, t]
+    val enc = TextOps.bpeEncode(spark, dir, rounds = 3).collect()
+    assert(enc.length === 1)
+    assert(enc(0).getLong(1) === 5L) // n_tokens
+    assert(enc(0).getLong(2) === 8L) // n_pieces: 1+1+1+2+3
+    assert(enc(0).getString(3) === "low low low lowe r lowe s t")
   }
 
   test("orders_cdc_merge applies update/delete/insert with latest-version-wins") {
