@@ -1318,7 +1318,7 @@ object SparkEntry {
                            CAST(len(list_filter(ts, x -> regexp_matches(x, '[a-zA-Z]')))
                              AS BIGINT) AS n_alpha_words,
                            CAST(len(list_intersect(list_distinct(ts),
-                             ['the','a','and','of','to','in','is','it'])) AS BIGINT)
+                             ['the','be','to','of','and','that','have','with'])) AS BIGINT)
                              AS n_stop_distinct
                     FROM t)
          SELECT doc_id, n_tokens, sum_token_len, n_alpha_words, n_stop_distinct,
@@ -1577,17 +1577,20 @@ object SparkEntry {
     // integer weights — all-integer scoring, replayed exactly.
     // COALESCE: DuckDB list_sum([]) is NULL where Spark's aggregate
     // fold returns the 0 seed.
+    // trained-weight replay: the literal coefficient table is the SAME
+    // Scala array the Spark scorer bakes into its plan (QualityWeights),
+    // so the two engines can't drift
     "quality_classifier" ->
-      """SELECT doc_id,
-                CAST(coalesce(list_sum(list_transform(toks,
-                       t -> ((('0x' || substr(md5(t), 1, 7))::BIGINT % 1024)
-                               * 2654435761) % 2003 - 1001)), 0) AS BIGINT) AS score,
-                coalesce(list_sum(list_transform(toks,
-                  t -> ((('0x' || substr(md5(t), 1, 7))::BIGINT % 1024)
-                          * 2654435761) % 2003 - 1001)), 0) > 0 AS keep
+      s"""WITH w AS (SELECT ${QualityWeights.W.mkString("[", ", ", "]")}::BIGINT[] AS a)
+         SELECT doc_id,
+                CAST(${QualityWeights.Bias} + coalesce(list_sum(list_transform(toks,
+                       t -> a[('0x' || substr(md5(t), 1, 7))::BIGINT % 1024 + 1])), 0)
+                     AS BIGINT) AS score,
+                (${QualityWeights.Bias} + coalesce(list_sum(list_transform(toks,
+                   t -> a[('0x' || substr(md5(t), 1, 7))::BIGINT % 1024 + 1])), 0)) > 0 AS keep
          FROM (SELECT doc_id,
-                      list_filter(string_split_regex(text, '\s+'), t -> t != '') AS toks
-               FROM documents)""",
+                      list_filter(string_split_regex(text, '\\s+'), t -> t != '') AS toks
+               FROM documents), w""",
     // temperature-smoothed (τ=0.5) source rebalancing: integer sqrt
     // weights, integer-division quotas, md5 hash gate — the kept row
     // set is a pure function of the data

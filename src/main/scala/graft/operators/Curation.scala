@@ -122,29 +122,32 @@ object Curation {
 
   /** Hashed-feature linear quality classifier (the fastText/CCNet
     * quality-filter shape): every token hashes into one of 1024 feature
-    * buckets via an engine-portable md5 bucket, a fixed deterministic
-    * weight table (Knuth multiplicative scramble of the bucket id,
-    * weights in [-1001, 1001]) stands in for trained coefficients, and
-    * the document score is the plain sum over the token multiset. All
-    * arithmetic is integer, so the DuckDB oracle replays the scoring
-    * exactly. Swapping in real trained weights means replacing
-    * `weightOf` with a 1024-entry literal array — the plan shape does
-    * not change.
+    * buckets via an engine-portable md5 bucket, and the document score
+    * is the trained bias plus the sum of per-bucket coefficients over
+    * the token multiset. The coefficients are [[QualityWeights]] — a
+    * logistic regression fit offline by `tools/train_quality.py`
+    * against Gopher-rule labels on a deterministic prose-vs-junk
+    * corpus, quantized to integers so the DuckDB oracle replays every
+    * keep decision exactly (CurationSpec holds the model to AUC > 0.9
+    * on a held-out corpus).
     *
-    * Scale posture: purely narrow — one codegen'd HOF fold per row, the
-    * hashed text never leaves the row, zero shuffle. At 100 TB this is
-    * the cheapest possible full-corpus pass.
+    * Scale posture: purely narrow — one codegen'd HOF fold per row
+    * against a literal weight array baked into the plan, the hashed
+    * text never leaves the row, zero shuffle. At 100 TB this is the
+    * cheapest possible full-corpus pass.
     */
   def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
-    val buckets = 1024L
+    val arr = typedLit(QualityWeights.W.toSeq)
     def weightOf(t: Column): Column = {
-      val b = conv(substring(md5(t.cast("binary")), 1, 7), 16, 10).cast("long") % buckets
-      (b * 2654435761L) % 2003L - 1001L
+      val b = conv(substring(md5(t.cast("binary")), 1, 7), 16, 10)
+        .cast("long") % QualityWeights.Buckets.toLong
+      element_at(arr, (b + 1L).cast("int"))
     }
     Tables.documentsSpread(spark, dir)
       .select(
         col("doc_id"),
-        aggregate(TextOps.tokens(col("text")), lit(0L), (acc, t) => acc + weightOf(t))
+        (lit(QualityWeights.Bias) +
+          aggregate(TextOps.tokens(col("text")), lit(0L), (acc, t) => acc + weightOf(t)))
           .as("score"))
       .withColumn("keep", col("score") > 0L)
   }
@@ -189,8 +192,9 @@ object Curation {
     *  - word count in [50, 100_000]
     *  - mean word length in [3, 10] chars
     *  - ≥ 80% of words contain at least one alphabetic character
-    *  - at least 2 distinct stopwords present (the "the/of/to" gate
-    *    that kills keyword-stuffing and non-prose)
+    *  - at least 2 distinct stopwords present, from the paper's own
+    *    8-word list (the, be, to, of, and, that, have, with) — the
+    *    gate that kills keyword-stuffing and non-prose
     *
     * Every threshold is an integer cross-multiplication (mean length
     * bounds become 3·n ≤ Σlen ≤ 10·n), so the rule bits — and the
@@ -198,7 +202,7 @@ object Curation {
     * scan, per-row HOFs, no shuffle at all.
     */
   def gopherRules(spark: SparkSession, dir: String): DataFrame = {
-    val stops = Seq("the", "a", "and", "of", "to", "in", "is", "it")
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
     Tables.documentsSpread(spark, dir)
       .withColumn("toks", TextOps.tokens(col("text")))
       .select(
