@@ -148,6 +148,7 @@ object SparkEntry {
     // ---- round 8: persisted standing index, BPE encode, trigram KN ----
     "dedup_minhash_standing" -> Dedup.minhashStanding _,
     "bpe_encode"             -> ((s: SparkSession, d: String) => TextOps.bpeEncode(s, d)),
+    "trigram_kn_probs"       -> TextOps.trigramKnProbs _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1306,6 +1307,40 @@ object SparkEntry {
                   + (CAST(0.75 AS DOUBLE) * n1_succ / ctx_cnt)
                     * (CAST(n1_pred AS DOUBLE) / n_types) AS prob_kn
          FROM st, d""",
+    // trigram KN with continuation backoff: the probability chain is
+    // mirrored operation-for-operation against the Spark expression so
+    // the one double column is bit-identical (same IEEE operation
+    // order over the same exact integers)
+    "trigram_kn_probs" ->
+      """WITH t AS (SELECT unnest(list_transform(range(1, len(ts) - 1),
+                             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS tgm
+                    FROM (SELECT list_filter(string_split_regex(text, '\s+'), t -> t != '') AS ts
+                          FROM documents)
+                    WHERE len(ts) >= 3),
+              tri AS (SELECT split_part(tgm, ' ', 1) AS w1,
+                             split_part(tgm, ' ', 2) AS w2,
+                             split_part(tgm, ' ', 3) AS w3, count(*) AS cnt
+                      FROM t GROUP BY 1, 2, 3),
+              typ AS (SELECT w2, w3, CAST(count(*) AS BIGINT) AS t_cnt
+                      FROM tri GROUP BY 1, 2),
+              typw AS (SELECT w2, w3, t_cnt,
+                              CAST(sum(t_cnt) OVER (PARTITION BY w2) AS BIGINT) AS t_ctx,
+                              CAST(count(*) OVER (PARTITION BY w2) AS BIGINT) AS t_succ,
+                              CAST(count(*) OVER (PARTITION BY w3) AS BIGINT) AS n1_pred
+                       FROM typ),
+              st AS (SELECT w1, w2, w3, cnt,
+                            CAST(sum(cnt) OVER (PARTITION BY w1, w2) AS BIGINT) AS ctx_cnt,
+                            CAST(count(*) OVER (PARTITION BY w1, w2) AS BIGINT) AS n1_succ
+                     FROM tri),
+              dd AS (SELECT CAST(count(*) AS BIGINT) AS n_bg_types FROM typ)
+         SELECT w1, w2, w3, cnt, ctx_cnt, n1_succ, t_cnt, t_ctx, t_succ,
+                n1_pred, n_bg_types,
+                (CAST(cnt AS DOUBLE) - CAST(0.75 AS DOUBLE)) / ctx_cnt
+                  + (CAST(0.75 AS DOUBLE) * n1_succ / ctx_cnt)
+                    * ((CAST(t_cnt AS DOUBLE) - CAST(0.75 AS DOUBLE)) / t_ctx
+                       + (CAST(0.75 AS DOUBLE) * t_succ / t_ctx)
+                         * (CAST(n1_pred AS DOUBLE) / n_bg_types)) AS prob_kn
+         FROM st JOIN typw USING (w2, w3), dd""",
     // Gopher heuristic filters: integer cross-multiplied thresholds
     "gopher_rules" ->
       """WITH t AS (SELECT doc_id,

@@ -225,6 +225,73 @@ object TextOps {
             * (col("n1_pred").cast("double") / col("n_types"))).as("prob_kn"))
   }
 
+  /** Interpolated trigram Kneser–Ney with continuation backoff —
+    * [[kneserNeyProbs]] extended one order, the model production n-gram
+    * stacks (KenLM) build recursively:
+    *
+    *   p_KN(w3|w1,w2) = (c(w1w2w3) − d)/c(w1w2·)
+    *                  + (d·N1+(w1w2·)/c(w1w2·)) · p_cont(w3|w2)
+    *   p_cont(w3|w2)  = (N1+(·w2w3) − d)/N1+(·w2·)
+    *                  + (d·N1+(w2·*)/N1+(·w2·)) · (N1+(·w3)/D)
+    *
+    * with d = 3/4 and — the defining Kneser–Ney move — every
+    * lower-order statistic computed over trigram TYPES, not raw
+    * counts: N1+(·w2w3) is the distinct-predecessor count of the
+    * bigram, N1+(·w2·)/N1+(w2·*) its middle-word context totals, and
+    * D the distinct-bigram-type total. Observed rows have every count
+    * ≥ 1 > d, so the max(·,0) clamps are vacuous and the probability
+    * is one fixed-shape division chain over exact integers, mirrored
+    * operation-for-operation in the DuckDB oracle.
+    *
+    * Scale shape: the corpus-sized explode collapses map-side into the
+    * vocabulary³-bounded trigram table (persisted once — it feeds the
+    * context windows, the type table, and the join); all smoothing
+    * statistics are windows over that grouped table or over the even
+    * smaller (w2,w3) type table, and the only scalar is the whitelisted
+    * 1-row type total. Nothing corpus-sized ever crosses a shuffle
+    * twice.
+    */
+  def trigramKnProbs(spark: SparkSession, dir: String): DataFrame = {
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val ctxW = Window.partitionBy(col("w1"), col("w2"))
+    val midW = Window.partitionBy(col("w2"))
+    val predW = Window.partitionBy(col("w3"))
+    val d = lit(0.75)
+    val tri = Tables.documentsSpread(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 3)
+      .select(explode(transform(sequence(lit(1), size(col("ts")) - 2),
+        i => struct(
+          element_at(col("ts"), i).as("w1"),
+          element_at(col("ts"), i + 1).as("w2"),
+          element_at(col("ts"), i + 2).as("w3")))).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"), col("p.w3").as("w3"))
+      .agg(count(lit(1)).as("cnt"))
+      .persist(sl)
+    // (w2,w3) continuation-type table: t_cnt = N1+(·w2w3); its windows
+    // give the mid-context totals, its row count the scalar D
+    val typ = tri.groupBy(col("w2"), col("w3"))
+      .agg(count(lit(1)).as("t_cnt"))
+      .withColumn("t_ctx", sum(col("t_cnt")).over(midW))
+      .withColumn("t_succ", count(lit(1)).over(midW))
+      .withColumn("n1_pred", count(lit(1)).over(predW))
+      .persist(sl)
+    val pLow =
+      (col("t_cnt").cast("double") - d) / col("t_ctx") +
+        (d * col("t_succ") / col("t_ctx")) *
+          (col("n1_pred").cast("double") / col("n_bg_types"))
+    tri
+      .withColumn("ctx_cnt", sum(col("cnt")).over(ctxW))
+      .withColumn("n1_succ", count(lit(1)).over(ctxW))
+      .join(typ, Seq("w2", "w3"))
+      .crossJoin(broadcast(typ.agg(count(lit(1)).as("n_bg_types"))))
+      .select(col("w1"), col("w2"), col("w3"), col("cnt"), col("ctx_cnt"),
+        col("n1_succ"), col("t_cnt"), col("t_ctx"), col("t_succ"),
+        col("n1_pred"), col("n_bg_types"),
+        ((col("cnt").cast("double") - d) / col("ctx_cnt")
+          + (d * col("n1_succ") / col("ctx_cnt")) * pLow).as("prob_kn"))
+  }
+
   /** Vocabulary construction: the top-K tokens by corpus frequency with
     * dense ids assigned in (count DESC, token ASC) order — the
     * tokenizer-training step that turns WordCount output into a model

@@ -189,6 +189,36 @@ class TextOpsSpec extends AnyFunSuite with SparkFixture {
     assert(kn(2, 3, 2, 1, 3) + kn(1, 3, 2, 2, 3) === 1.0)
   }
 
+  test("trigram Kneser-Ney backoff matches the hand-computed recursion exactly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-kn3").toString
+    // trigrams: (a,b,c)x2, (a,b,d)x1, (b,c,a)x1
+    // ctx(a,b)=3 with 2 successor types; ctx(b,c)=1 with 1
+    // type table N1+(·w2w3): (b,c)=1, (b,d)=1, (c,a)=1 → D=3;
+    // mid-contexts: N1+(·b·)=2 (2 types), N1+(·c·)=1 (1 type);
+    // predecessors: N1+(·c)=N1+(·d)=N1+(·a)=1
+    Seq((0L, "a b c"), (1L, "a b c"), (2L, "a b d"), (3L, "b c a"))
+      .map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextOps.trigramKnProbs(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+          r.getLong(8), r.getLong(9), r.getLong(10), r.getDouble(11)))).toMap
+    def pc(tc: Long, tctx: Long, tsucc: Long, pred: Long, d: Long): Double =
+      (tc.toDouble - 0.75) / tctx + (0.75 * tsucc / tctx) * (pred.toDouble / d)
+    def kn(cnt: Long, ctx: Long, succ: Long, low: Double): Double =
+      (cnt.toDouble - 0.75) / ctx + (0.75 * succ / ctx) * low
+    assert(got(("a", "b", "c")) ===
+      ((2L, 3L, 2L, 1L, 2L, 2L, 1L, 3L, kn(2, 3, 2, pc(1, 2, 2, 1, 3)))))
+    assert(got(("a", "b", "d")) ===
+      ((1L, 3L, 2L, 1L, 2L, 2L, 1L, 3L, kn(1, 3, 2, pc(1, 2, 2, 1, 3)))))
+    assert(got(("b", "c", "a")) ===
+      ((1L, 1L, 1L, 1L, 1L, 1L, 1L, 3L, kn(1, 1, 1, pc(1, 1, 1, 1, 3)))))
+    // more mass on the twice-seen continuation, all probs in (0,1)
+    assert(got(("a", "b", "c"))._9 > got(("a", "b", "d"))._9)
+  }
+
   test("encode_tokens: position-ordered ids, OOV to -1, empty docs surface with []") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-encode").toString
