@@ -149,6 +149,7 @@ object SparkEntry {
     "dedup_minhash_standing" -> Dedup.minhashStanding _,
     "bpe_encode"             -> ((s: SparkSession, d: String) => TextOps.bpeEncode(s, d)),
     "trigram_kn_probs"       -> TextOps.trigramKnProbs _,
+    "similarity_ann_pq"      -> ((s: SparkSession, d: String) => Similarity.annPq(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -813,6 +814,46 @@ object SparkEntry {
            SELECT qid, vec_id,
                   row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rnk
            FROM scored) WHERE rnk <= 5""",
+    // Full PQ-ADC replay: int8 quantize (the kmeans_train formula),
+    // first-16 codebook, per-subspace nearest-centroid encode (8
+    // subspaces × 8 dims, ties to the lowest cid), asymmetric distance
+    // = Σ over subspaces of exact query-subvector→assigned-centroid
+    // squared L2 — every distance an exact integer, so the rank
+    // replays bit-for-bit.
+    "similarity_ann_pq" ->
+      """WITH m AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v,
+                           list_max(list_transform(cast(embedding AS DOUBLE[]),
+                                                   x -> abs(x))) AS ma
+                    FROM embeddings),
+              q AS (SELECT vec_id,
+                           list_transform(v, x -> CASE WHEN ma = 0.0 THEN 0
+                                ELSE greatest(-127, least(127,
+                                       cast(floor(x * 127.0 / ma) AS BIGINT))) END) AS q
+                    FROM m),
+              cb AS (SELECT vec_id AS cid, q AS c FROM q WHERE vec_id < 16),
+              subs AS (SELECT unnest(range(0, 8)) AS sub),
+              d AS (SELECT v.vec_id, s.sub, cb.cid,
+                           list_sum(list_transform(range(1, 9), j ->
+                             (v.q[s.sub*8+j] - cb.c[s.sub*8+j])
+                               * (v.q[s.sub*8+j] - cb.c[s.sub*8+j]))) AS dist
+                    FROM q v, subs s, cb),
+              enc AS (SELECT vec_id, sub, cid AS code FROM (
+                        SELECT vec_id, sub, cid,
+                               row_number() OVER (PARTITION BY vec_id, sub
+                                                  ORDER BY dist, cid) AS rn
+                        FROM d) WHERE rn = 1),
+              qs AS (SELECT vec_id AS qid, q AS qv FROM q WHERE vec_id < 10),
+              adc AS (SELECT qs.qid, e.vec_id,
+                             CAST(sum(list_sum(list_transform(range(1, 9), j ->
+                               (qs.qv[e.sub*8+j] - cb.c[e.sub*8+j])
+                                 * (qs.qv[e.sub*8+j] - cb.c[e.sub*8+j])))) AS BIGINT) AS dist
+                      FROM qs, enc e JOIN cb ON cb.cid = e.code
+                      WHERE e.vec_id != qs.qid
+                      GROUP BY qs.qid, e.vec_id)
+         SELECT qid, vec_id AS neighbor_id, rnk FROM (
+           SELECT qid, vec_id,
+                  row_number() OVER (PARTITION BY qid ORDER BY dist ASC, vec_id ASC) AS rnk
+           FROM adc) WHERE rnk <= 5""",
     // CAST(sum AS BIGINT): DuckDB sum(BIGINT) yields HUGEINT, which the
     // harness stringifies as a float — must pin to BIGINT to hash-match
     // Spark's LongType sum. json_valid guard keeps the bad-input-is-NULL

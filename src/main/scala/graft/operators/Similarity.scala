@@ -386,6 +386,97 @@ object Similarity {
       .select(col("vec_id"), col("cell"), col("d2").cast("long").as("d2"), col("proto_rank"))
   }
 
+  /** Approximate top-5 via Product Quantization with asymmetric
+    * distance computation (ADC) — the memory-bound regime's ANN shape
+    * (IVF-PQ / FAISS style): the 64-dim int8 vector is split into
+    * `m` = 8 subspaces of 8 dims; each subvector is ENCODED as the id
+    * of its nearest subspace centroid, so a stored candidate is m
+    * one-byte codes (64× smaller than the float vector — at 100 TB the
+    * candidate scan reads codes, never embeddings). A query is NOT
+    * encoded (that's the "asymmetric" in ADC): it precomputes one
+    * m×ksub lookup table of exact query-subvector→centroid squared
+    * distances, and each candidate's distance is m table lookups + m
+    * adds — no per-candidate dot products at all.
+    *
+    * The codebook here is the deterministic first-`ksub` vectors'
+    * subvectors (the same k-means-init stand-in as [[annIvf]] — a
+    * [[kmeansTrain]]-refined codebook slots in without touching the
+    * encode/ADC plumbing, which is what this operator demonstrates).
+    * Collecting it is model-scale (ksub×64 ints).
+    *
+    * Integer-exact end to end: codes and centroids are int8 values, so
+    * every squared distance is an exact integer (≤ 64·254² ≪ 2⁵³) and
+    * no accumulation order or libm call can flip an argmin or a rank —
+    * the DuckDB oracle replays quantize → encode → ADC → rank
+    * bit-for-bit. Approximation error (vs [[topKBrute]]) comes only
+    * from the quantization itself; the spec pins recall.
+    */
+  def annPq(spark: SparkSession, dir: String, m: Int = 8, ksub: Int = 16): DataFrame = {
+    import spark.implicits._
+    val dim = 64
+    val dsub = dim / m
+    val qd = quantizedCodes(spark, dir)
+    // codebook: (cid, full int8 vector) — subspace c's centroid is the
+    // vector's dims [ms*dsub, (ms+1)*dsub). cid-ascending order makes
+    // array_position's first-min tie rule = "lowest cid", matching the
+    // oracle's ORDER BY dist, cid.
+    val cents: Seq[(Long, Seq[Double])] = qd.filter(col("vec_id") < ksub)
+      .orderBy("vec_id").select(col("vec_id"), col("q")).collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    if (cents.isEmpty)
+      return Seq.empty[(Long, Long, Long)].toDF("qid", "neighbor_id", "rnk")
+    val kAct = cents.size
+    // Distances are ranked as the PARTIAL squared L2 `c·c − 2·x·c`
+    // (the x·x term is constant per (row, subspace), so every argmin
+    // and every ADC rank — including ties — is identical to the
+    // oracle's full `‖x−c‖²`; dropping it is the standard ADC
+    // decomposition and keeps the expression tree one native dot
+    // product per (subspace, centroid) instead of dsub element_at
+    // branches, which codegen couldn't compile at m·ksub·dsub scale).
+    val centSub: Array[Array[Seq[Double]]] = Array.tabulate(kAct, m) { (c, ms) =>
+      cents(c)._2.slice(ms * dsub, (ms + 1) * dsub)
+    }
+    val centSelf: Array[Array[Double]] = centSub.map(_.map(s => s.map(x => x * x).sum))
+    def partialDist(x: Column, c: Int, ms: Int): Column =
+      lit(centSelf(c)(ms)) - lit(2.0) * dot(x, typedLit(centSub(c)(ms)))
+
+    // per-row subvectors, computed once and reused by all kAct
+    // centroid distances in each subspace
+    val withSubs = qd.withColumn("subs",
+      array((0 until m).map(ms => slice(col("q"), ms * dsub + 1, dsub)): _*))
+
+    // candidates: m codes per vector (1-based codebook positions); the
+    // downstream scan carries ONLY (vec_id, codes).
+    val encoded = withSubs.select(
+      col("vec_id"),
+      array((0 until m).map { ms =>
+        val sub = element_at(col("subs"), ms + 1)
+        val ds = array((0 until kAct).map(c => partialDist(sub, c, ms)): _*)
+        array_position(ds, array_min(ds))
+      }: _*).as("codes"))
+
+    // per-query ADC lookup table: lut[ms·kAct + (code−1)] = partial
+    // distance from the query's ms-subvector to centroid `code` —
+    // computed ONCE per query row, broadcast to the candidate scan.
+    val qlut = withSubs.filter(col("vec_id") < 10).select(
+      col("vec_id").as("qid"),
+      flatten(array((0 until m).map { ms =>
+        val sub = element_at(col("subs"), ms + 1)
+        array((0 until kAct).map(c => partialDist(sub, c, ms)): _*)
+      }: _*)).as("lut"))
+
+    val scored = encoded.crossJoin(broadcast(qlut))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("d", (0 until m).map { ms =>
+        element_at(col("lut"),
+          (lit(ms * kAct) + element_at(col("codes"), ms + 1)).cast("int"))
+      }.reduce(_ + _))
+      // TopK orders (sim DESC, id ASC); distances are exact integers so
+      // negation is exact and the rank equals (d ASC, id ASC).
+      .withColumn("sim", -col("d"))
+    graft.functions.TopK.perQuery(scored, 5)
+  }
+
   /** md5-derived hyperplane weight in [-1000, 1000] — deterministic,
     * seedless, and replayable in SQL (integer-valued, so the double is
     * exact), which is what lets the whole LSH pipeline be

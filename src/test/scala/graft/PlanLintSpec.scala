@@ -37,7 +37,8 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
     "dedup_minhash_standing" -> "1-row batch-cutoff scalar kept in-plan as a broadcast crossJoin on the PROBE side (the standing index reads pre-bucketed, exchange-free)",
     "dsir_importance" -> "1-row corpus-totals scalar (target/raw token counts) kept in-plan as a broadcast crossJoin",
     "kneser_ney_probs" -> "1-row distinct-bigram-type total kept in-plan as a broadcast crossJoin",
-    "trigram_kn_probs" -> "1-row distinct-bigram-type total (backoff denominator D) kept in-plan as a broadcast crossJoin"
+    "trigram_kn_probs" -> "1-row distinct-bigram-type total (backoff denominator D) kept in-plan as a broadcast crossJoin",
+    "similarity_ann_pq" -> "10-query broadcast LUT side x streamed code scan (O(mN) lookups, the ADC shape — same rationale as similarity_topk)"
     // dropped round 7 (stale — plans improved out from under the rows):
     //   pi_montecarlo: ConvertToLocalRelation folds the seeded-parameter
     //   crossJoin away entirely; contamination_check: the benchmark-gram

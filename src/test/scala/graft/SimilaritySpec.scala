@@ -67,6 +67,24 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(recall >= 0.8, s"dedup ANN recall $recall too low")
   }
 
+  test("PQ-ADC ANN: 5 ranked neighbors per query, good recall on clustered data") {
+    val exact = pairs(Similarity.topKBrute(spark, fixtureDir))
+    val pq = Similarity.annPq(spark, fixtureDir).collect()
+    assert(pq.length === 50) // 10 queries x 5
+    assert(pq.forall(r => r.getLong(0) !== r.getLong(1)))
+    assert(pq.forall(r => r.getLong(2) >= 1L && r.getLong(2) <= 5L))
+    val pqPairs = pq.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect pqPairs).size.toDouble / exact.size
+    info(f"PQ-ADC recall vs brute force: $recall%.2f")
+    // tight clusters survive the quantization: the neighbor CLUSTER is
+    // always right (asserted below); within-cluster ranks swap freely
+    // under PQ distortion, so recall@5 is graded against the
+    // random-5-of-19-same-cluster baseline (~0.26), not near-1
+    assert(recall >= 0.35, s"PQ recall $recall not above same-cluster-random baseline")
+    // every approximate neighbor at least lands in the query's cluster
+    assert(pq.forall(r => r.getLong(0) % 3 === r.getLong(1) % 3))
+  }
+
   test("centroid update: every vector lands in one valid cell; means are exact int ratios") {
     val rows = Similarity.centroidUpdate(spark, fixtureDir).collect()
     assert(rows.forall(r => r.getLong(0) >= 0L && r.getLong(0) < 16L))
