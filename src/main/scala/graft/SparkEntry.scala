@@ -150,6 +150,7 @@ object SparkEntry {
     "bpe_encode"             -> ((s: SparkSession, d: String) => TextOps.bpeEncode(s, d)),
     "trigram_kn_probs"       -> TextOps.trigramKnProbs _,
     "similarity_ann_pq"      -> ((s: SparkSession, d: String) => Similarity.annPq(s, d)),
+    "stream_dedup_minhash"   -> graft.streaming.DocStreams.streamDedupMinhash _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -334,6 +335,37 @@ object SparkEntry {
                    FROM cand JOIN se a ON dup_of = a.doc_id JOIN se b ON cand.doc_id = b.doc_id)
         SELECT doc_id, dup_of, inter, uni FROM v
         WHERE cast(inter AS DOUBLE) / uni >= 0.8"""
+  }
+
+  /** [[minhashPortableSql]]'s band pipeline with first-writer-wins
+    * bucket semantics — the batch form of
+    * [[graft.streaming.DocStreams.streamDedupMinhash]]: a doc is kept
+    * iff it is the minimum doc_id in EVERY band bucket it occupies
+    * (docs too short to shingle have no buckets and are kept).
+    */
+  private val streamDedupMinhashSql: String = {
+    val sigCols = (0 until 64)
+      .map(j => s"min(md5('$j:' || s)) AS h$j").mkString(", ")
+    val bandCases = (0 until 16)
+      .map(b => s"WHEN $b THEN h${b * 4} || ':' || h${b * 4 + 1} || ':' || h${b * 4 + 2} || ':' || h${b * 4 + 3}")
+      .mkString(" ")
+    s"""WITH tk AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t != '') AS ts
+                    FROM documents),
+             se AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])) AS sh
+                    FROM tk WHERE len(ts) >= 2),
+             ex AS (SELECT doc_id, unnest(sh) AS s FROM se),
+             sig AS (SELECT doc_id, $sigCols FROM ex GROUP BY doc_id),
+             bands AS (SELECT doc_id, band,
+                              CASE band $bandCases END AS band_hash
+                       FROM sig, (SELECT unnest(range(0, 16)) AS band)),
+             mins AS (SELECT band, band_hash, min(doc_id) AS first_id
+                      FROM bands GROUP BY band, band_hash),
+             lost AS (SELECT DISTINCT b.doc_id
+                      FROM bands b JOIN mins m
+                        ON b.band = m.band AND b.band_hash = m.band_hash
+                      WHERE b.doc_id != m.first_id)
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT doc_id FROM lost)"""
   }
 
   /** Full replay of [[graft.operators.TextOps.bpeEncode]]: `rounds`
@@ -1715,6 +1747,7 @@ object SparkEntry {
     // what differs is the physical plan (bucketed index read), which the
     // oracle can't see; BucketedJoinSpec pins that half.
     "dedup_minhash_standing" -> minhashIncrementalSql,
+    "stream_dedup_minhash" -> streamDedupMinhashSql,
     "bpe_encode" -> bpeEncodeSql(3),
     // full k=64 Lloyd replay + final assignment keeping the winning
     // squared distance, then the per-cell prototypicality window

@@ -1,0 +1,129 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Dedup, TextOps}
+
+/** Streaming near-duplicate filtering over the `documents` stream —
+  * the ingest-time counterpart of the batch MinHash dedup family
+  * ([[graft.operators.Dedup.minhashStanding]] et al.).
+  *
+  * Semantics: documents arrive in `doc_id` order; a document is KEPT
+  * iff none of its 16 md5 minhash band buckets was claimed by any
+  * earlier document (first-writer-wins per bucket). This is the
+  * standard streaming LSH-dedup approximation: collision in ANY band ≈
+  * jaccard above the banding threshold, and chained drops (B dropped
+  * for colliding with A, C dropped for colliding with B) mirror the
+  * transitive-cluster semantics of `dedup_components` — the retained
+  * set is one representative (the first arrival) per band-connected
+  * cluster.
+  *
+  * State posture at 100 TB: corpus dedup state is proportional to the
+  * CORPUS (every band key ever seen), not to a time window — so unlike
+  * the event streams it must NOT live in the watermark-evicted
+  * streaming state store. The production shape is exactly
+  * [[graft.operators.Dedup.minhashStanding]]'s persisted bucketed band
+  * index: each micro-batch probes the index table and appends its own
+  * band keys ([[dedupBatchAgainstIndex]] is that `foreachBatch` body).
+  * Per-batch cost is signature computation over the batch plus one
+  * bucket-join probe — batch-sized, never corpus-sized.
+  */
+object DocStreams {
+
+  /** Band table (doc_id, band, band_hash) for an arbitrary documents
+    * batch — [[graft.operators.Dedup.md5BandTable]] over inlined
+    * bigram shingles (the dir-based `shingleSets` reads the full
+    * table; a micro-batch carries its own rows).
+    */
+  private def bandsOf(docs: DataFrame): DataFrame =
+    Dedup.md5BandTable(
+      docs
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
+        .filter(size(col("ts")) >= 2)
+        .select(col("doc_id"),
+          graft.functions.functions.bigram_shingles(col("ts")).as("sh")))
+
+  /** doc_ids that LOSE first-writer-wins within `bands` itself: some
+    * bucket they occupy has a lower-id occupant. One exchange (the
+    * bucket-key window); per-bucket state is the bucket population.
+    */
+  private def lostWithin(bands: DataFrame): DataFrame =
+    bands
+      .withColumn("first_id",
+        min(col("doc_id")).over(Window.partitionBy(col("band"), col("band_hash"))))
+      .filter(col("doc_id") =!= col("first_id"))
+      .select(col("doc_id"))
+      .distinct()
+
+  /** Batch form of the whole-corpus run (the driver-contract entry):
+    * kept doc_ids after first-writer-wins band dedup over all
+    * documents. Documents too short to shingle (< 2 tokens) have no
+    * bands, collide with nothing, and are kept. Output is the kept key
+    * set only — the streaming runs emit the same set incrementally.
+    */
+  def streamDedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    Tables.documentsSpread(spark, dir)
+      .select(col("doc_id"))
+      .join(lostWithin(bandsOf(Tables.documentsSpread(spark, dir))),
+        Seq("doc_id"), "left_anti")
+
+  /** The `foreachBatch` body: probe one micro-batch of documents
+    * against the standing band index at `indexPath`, return the kept
+    * rows, and append the batch's band keys to the index.
+    *
+    * A batch doc survives iff no index entry with a strictly earlier
+    * doc_id claims one of its buckets AND it wins first-writer-wins
+    * within the batch. The strict `seen_id < doc_id` probe (rather
+    * than mere key presence) is what makes batch REPLAY idempotent:
+    * after a failure the retried batch finds its own band rows in the
+    * index, but none with an earlier id, so the kept set is unchanged
+    * — at-least-once delivery + this probe = exactly-once contents,
+    * the same posture as [[EventStreams.mergeWindowCounts]].
+    *
+    * At 100 TB `indexPath` is the bucketed band-index table
+    * ([[graft.operators.Dedup.minhashStanding]]), so the probe join
+    * arrives pre-partitioned and only the batch side shuffles.
+    */
+  def dedupBatchAgainstIndex(batch: DataFrame, indexPath: String): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val bands = bandsOf(batch).persist()
+    val idxExists = new java.io.File(indexPath).exists()
+    val lostToIndex: DataFrame =
+      if (!idxExists) Seq.empty[Long].toDF("doc_id")
+      else bands
+        .join(spark.read.parquet(indexPath).withColumnRenamed("doc_id", "seen_id"),
+          Seq("band", "band_hash"))
+        .filter(col("seen_id") < col("doc_id"))
+        .select(col("doc_id"))
+        .distinct()
+
+    val kept = batch.select(col("doc_id"))
+      .join(lostWithin(bands).union(lostToIndex), Seq("doc_id"), "left_anti")
+      .persist()
+    // force materialization before the append so the caller normally
+    // reads the cache, not a re-listed index. (Even an eviction-forced
+    // recompute is semantics-identical: post-append, the index probe
+    // additionally sees the batch's OWN band rows, but with the strict
+    // seen_id < doc_id filter those reproduce exactly the in-batch
+    // first-writer losses `lostWithin` already removed.)
+    kept.count()
+    bands.write.mode("append").parquet(indexPath)
+    bands.unpersist()
+    kept
+  }
+
+  /** Streaming writer wiring: a documents stream filtered against the
+    * standing index, kept doc_ids appended to `outPath`.
+    */
+  def upsertDedupDocs(docs: DataFrame, indexPath: String, outPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        dedupBatchAgainstIndex(batch, indexPath)
+          .write.mode("append").parquet(outPath)
+      }
+}

@@ -317,6 +317,56 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(alice === Map(1L -> 1L, 0L -> 2L))
   }
 
+  test("streamed minhash doc dedup matches the batch run and is idempotent under replay") {
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.DocStreams
+    val docs = Tables.documents(spark, fixtureDir)
+    val batchKept = graft.streaming.DocStreams.streamDedupMinhash(spark, fixtureDir)
+      .collect().map(_.getLong(0)).toSet
+    // doc 1 is a byte-identical copy of doc 0 → every bucket already
+    // claimed; the first arrival survives
+    assert(batchKept.contains(0L) && !batchKept.contains(1L))
+
+    // drive the same corpus as 3 doc_id-ordered micro-batches through
+    // the foreachBatch body with a fresh standing index
+    val idx = java.nio.file.Files.createTempDirectory("graft-bandidx").toString + "/idx"
+    val chunks = Seq(Seq(0L, 1L), Seq(2L, 3L), Seq(4L))
+    val chunkKept = chunks.map { ids =>
+      DocStreams.dedupBatchAgainstIndex(docs.filter(col("doc_id").isin(ids: _*)), idx)
+        .collect().map(_.getLong(0)).toSet
+    }
+    assert(chunkKept.reduce(_ union _) === batchKept)
+
+    // redelivered batch (failure replay): the index already holds the
+    // chunk's own band rows, but the strict earlier-id probe keeps the
+    // verdicts unchanged — exactly-once contents
+    val replay = DocStreams
+      .dedupBatchAgainstIndex(docs.filter(col("doc_id").isin(2L, 3L)), idx)
+      .collect().map(_.getLong(0)).toSet
+    assert(replay === chunkKept(1))
+  }
+
+  test("writeStream dedup wiring filters the documents stream against the standing index") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-docstream").toString
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.DocStreams.upsertDedupDocs(
+      in.toDF().toDF("doc_id", "text"), s"$tmp/idx", s"$tmp/out", s"$tmp/chk").start()
+    try {
+      in.addData((0L, "the quick brown fox jumps over the lazy dog"))
+      q.processAllAvailable()
+      // batch 2: an exact copy (dropped) and a fresh doc (kept)
+      in.addData(
+        (1L, "the quick brown fox jumps over the lazy dog"),
+        (2L, "completely different words in this second document here"))
+      q.processAllAvailable()
+      val kept = spark.read.parquet(s"$tmp/out").collect().map(_.getLong(0)).toSet
+      assert(kept === Set(0L, 2L))
+    } finally q.stop()
+  }
+
   test("foreachBatch upsert sink is idempotent under batch replay") {
     val s = spark
     import s.implicits._
