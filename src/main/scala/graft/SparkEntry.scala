@@ -151,6 +151,7 @@ object SparkEntry {
     "trigram_kn_probs"       -> TextOps.trigramKnProbs _,
     "similarity_ann_pq"      -> ((s: SparkSession, d: String) => Similarity.annPq(s, d)),
     "stream_dedup_minhash"   -> graft.streaming.DocStreams.streamDedupMinhash _,
+    "doc_knn_tfidf"          -> ((s: SparkSession, d: String) => TextOps.docKnnTfidf(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1748,6 +1749,30 @@ object SparkEntry {
     // oracle can't see; BucketedJoinSpec pins that half.
     "dedup_minhash_standing" -> minhashIncrementalSql,
     "stream_dedup_minhash" -> streamDedupMinhashSql,
+    // Integer TF-IDF replay: rational idf (N·100 div df), stopword cut
+    // at 10·df ≤ 9·N, unnormalized dot-product scores — every score an
+    // exact BIGINT, ties toward the lower doc_id.
+    "doc_knn_tfidf" ->
+      """WITH tk AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS ts
+                     FROM documents),
+              tfc AS (SELECT doc_id, term, count(*) AS tf
+                      FROM (SELECT doc_id, unnest(ts) AS term FROM tk)
+                      GROUP BY doc_id, term),
+              dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY term),
+              nd AS (SELECT count(*) AS n_docs FROM documents),
+              idf AS (SELECT term, (n_docs * 100) // df AS idf
+                      FROM dfc, nd WHERE df * 10 <= n_docs * 9),
+              wt AS (SELECT doc_id, term, tf * idf AS w
+                     FROM tfc JOIN idf USING (term)),
+              q AS (SELECT doc_id AS qid, term, w AS wq FROM wt WHERE doc_id < 10),
+              sc AS (SELECT qid, wt.doc_id, CAST(sum(w * wq) AS BIGINT) AS score
+                     FROM wt JOIN q USING (term)
+                     WHERE wt.doc_id != qid
+                     GROUP BY qid, wt.doc_id)
+         SELECT qid, doc_id AS neighbor_id, rnk FROM (
+           SELECT qid, doc_id,
+                  row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS rnk
+           FROM sc) WHERE rnk <= 5""",
     "bpe_encode" -> bpeEncodeSql(3),
     // full k=64 Lloyd replay + final assignment keeping the winning
     // squared distance, then the per-cell prototypicality window

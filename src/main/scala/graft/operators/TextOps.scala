@@ -649,6 +649,60 @@ object TextOps {
       .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("df"))
   }
 
+  /** Sparse-vector document k-NN: top-5 most similar documents per
+    * query (doc_id < 10) under an integer TF-IDF dot product computed
+    * through the inverted index — the SPARSE counterpart of the dense
+    * embedding paths ([[Similarity.topKBrute]]/ANN): similarity flows
+    * only through shared terms, so the join touches posting lists, not
+    * document pairs.
+    *
+    * Scale shape: the per-(doc, term) tf aggregate is one exchange; the
+    * df/idf table is vocabulary-bounded and joins back broadcast; terms
+    * in more than 90% of the corpus are pruned (10·df ≤ 9·N, integer
+    * cross-multiplied — the classic stopword cut that keeps
+    * posting-list fanout bounded: without it an every-doc term's
+    * posting list joins against every query. The synthetic corpus's
+    * 31-word vocabulary sits at df ≈ 0.78·N, so a tighter
+    * half-corpus cut would empty the index — real Zipf vocabularies
+    * tolerate far tighter cuts). Query
+    * postings broadcast (k queries × query length); the one remaining
+    * exchange carries (qid, doc_id) partial products with map-side
+    * combine, and the final top-k is the k-bounded
+    * [[graft.functions.TopKBySim]] fold.
+    *
+    * Engine-exact on purpose: idf = (N·100) div df — a rational
+    * integer, monotone in 1/df — rather than ln(N/df), so no libm call
+    * sits on a rank boundary and every score is an exact BIGINT
+    * (headroom: tf·idf ≤ 2³², products sum within 2⁶³ at every tested
+    * SF; a production run at 100 TB swaps in double log-idf weights,
+    * changing nothing in the plan). Scores are unnormalized dot
+    * products (cosine normalization would put a sqrt on the rank
+    * boundary); ties break toward the lower doc_id.
+    */
+  def docKnnTfidf(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val tf = Tables.documentsSpread(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = Tables.documentsSpread(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val idf = df.crossJoin(nDocs)
+      .filter(col("df") * 10 <= col("n_docs") * 9)
+      .select(col("term"), expr("(n_docs * 100) div df").as("idf"))
+    val weighted = tf.join(broadcast(idf), "term")
+      .withColumn("w", col("tf") * col("idf"))
+    val q = weighted.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("qid"), col("term"), col("w").as("wq"))
+    val scored = weighted.join(broadcast(q), "term")
+      .filter(col("doc_id") =!= col("qid"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("w") * col("wq")).as("score"))
+      .select(col("qid"), col("doc_id").as("vec_id"),
+        col("score").cast("double").as("sim"))
+    graft.functions.TopK.perQuery(scored, k)
+  }
+
   /** Corpus cleaning / normalization: lowercase, strip non-alphanumeric
     * (keeping spaces), collapse whitespace runs, trim — the standard
     * pre-tokenization scrub. Pure per-row column expressions inside

@@ -236,4 +236,20 @@ class TextOpsSpec extends AnyFunSuite with SparkFixture {
     assert(got(2L) === ((0L, 0L, "")))
     assert(got(3L) === ((2L, 1L, "-1,0")))
   }
+
+  test("sparse TF-IDF knn: identical copy ranks first, ties to lower id, disjoint docs absent") {
+    val rows = operators.TextOps.docKnnTfidf(spark, fixtureDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byQ = rows.groupBy(_._1)
+    // doc 3 (x-words) shares no term with anyone: no candidates, no rows
+    assert(byQ.keySet === Set(0L, 1L, 2L, 4L))
+    def ranked(q: Long): Seq[Long] = byQ(q).sortBy(_._3).map(_._2).toSeq
+    // docs 0, 1 (copies) and 4 (reversed text = same tf vector) share
+    // all 40 w-terms and tie exactly; doc 2 misses w40 and scores
+    // lower. Equal scores break toward the lower doc_id.
+    assert(ranked(0L) === Seq(1L, 4L, 2L))
+    assert(ranked(1L) === Seq(0L, 4L, 2L))
+    assert(ranked(2L) === Seq(0L, 1L, 4L))
+    assert(ranked(4L) === Seq(0L, 1L, 2L))
+  }
 }
