@@ -152,6 +152,7 @@ object SparkEntry {
     "similarity_ann_pq"      -> ((s: SparkSession, d: String) => Similarity.annPq(s, d)),
     "stream_dedup_minhash"   -> graft.streaming.DocStreams.streamDedupMinhash _,
     "doc_knn_tfidf"          -> ((s: SparkSession, d: String) => TextOps.docKnnTfidf(s, d)),
+    "similarity_ann_ivfpq"   -> ((s: SparkSession, d: String) => Similarity.annIvfPq(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -883,6 +884,65 @@ object SparkEntry {
                       FROM qs, enc e JOIN cb ON cb.cid = e.code
                       WHERE e.vec_id != qs.qid
                       GROUP BY qs.qid, e.vec_id)
+         SELECT qid, vec_id AS neighbor_id, rnk FROM (
+           SELECT qid, vec_id,
+                  row_number() OVER (PARTITION BY qid ORDER BY dist ASC, vec_id ASC) AS rnk
+           FROM adc) WHERE rnk <= 5""",
+    // Full IVF-PQ replay: int8 quantize, first-16 coarse codebook,
+    // residual vs assigned cell, PQ codebook = residuals of vectors
+    // 16..31, per-subspace encode (ties to the lowest codebook id),
+    // nprobe=4 cell probe (ties to the lowest cid), full-residual ADC
+    // — integer distances throughout, every tie replayed.
+    "similarity_ann_ivfpq" ->
+      """WITH m AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v,
+                           list_max(list_transform(cast(embedding AS DOUBLE[]),
+                                                   x -> abs(x))) AS ma
+                    FROM embeddings),
+              q AS (SELECT vec_id,
+                           list_transform(v, x -> CASE WHEN ma = 0.0 THEN 0
+                                ELSE greatest(-127, least(127,
+                                       cast(floor(x * 127.0 / ma) AS BIGINT))) END) AS q
+                    FROM m),
+              cb AS (SELECT vec_id AS cid, q AS c FROM q WHERE vec_id < 16),
+              a0 AS (SELECT vec_id, cell FROM (
+                       SELECT v.vec_id, cb.cid AS cell,
+                              row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                                list_sum(list_transform(range(1, len(v.q) + 1),
+                                  i -> (v.q[i] - cb.c[i]) * (v.q[i] - cb.c[i]))), cb.cid) AS rn
+                       FROM q v, cb) WHERE rn = 1),
+              res AS (SELECT v.vec_id, a0.cell,
+                             list_transform(range(1, len(v.q) + 1),
+                               i -> v.q[i] - cb.c[i]) AS r
+                      FROM q v JOIN a0 USING (vec_id) JOIN cb ON cb.cid = a0.cell),
+              pt AS (SELECT vec_id AS pcid, r AS pr FROM res
+                     WHERE vec_id >= 16 AND vec_id < 32),
+              enc AS (SELECT vec_id, cell, sub, pcid AS code FROM (
+                        SELECT res.vec_id, res.cell, s.sub, pt.pcid,
+                               row_number() OVER (PARTITION BY res.vec_id, s.sub ORDER BY
+                                 list_sum(list_transform(range(1, 9), j ->
+                                   (res.r[s.sub*8+j] - pt.pr[s.sub*8+j])
+                                     * (res.r[s.sub*8+j] - pt.pr[s.sub*8+j]))), pt.pcid) AS rn
+                        FROM res, (SELECT unnest(range(0, 8)) AS sub) s, pt) WHERE rn = 1),
+              probes AS (SELECT qid, cell FROM (
+                           SELECT v.vec_id AS qid, cb.cid AS cell,
+                                  row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                                    list_sum(list_transform(range(1, len(v.q) + 1),
+                                      i -> (v.q[i] - cb.c[i]) * (v.q[i] - cb.c[i]))), cb.cid) AS rn
+                           FROM q v, cb WHERE v.vec_id < 10) WHERE rn <= 4),
+              qres AS (SELECT p.qid, p.cell,
+                              list_transform(range(1, len(v.q) + 1),
+                                i -> v.q[i] - cb.c[i]) AS qr
+                       FROM probes p JOIN q v ON v.vec_id = p.qid
+                       JOIN cb ON cb.cid = p.cell),
+              adc AS (SELECT qres.qid, e.vec_id,
+                             CAST(sum(list_sum(list_transform(range(1, 9), j ->
+                               (qres.qr[e.sub*8+j] - pt.pr[e.sub*8+j])
+                                 * (qres.qr[e.sub*8+j] - pt.pr[e.sub*8+j])))) AS BIGINT) AS dist
+                      FROM qres
+                      JOIN enc e ON e.cell = qres.cell
+                      JOIN pt ON pt.pcid = e.code
+                      WHERE e.vec_id != qres.qid
+                      GROUP BY qres.qid, e.vec_id)
          SELECT qid, vec_id AS neighbor_id, rnk FROM (
            SELECT qid, vec_id,
                   row_number() OVER (PARTITION BY qid ORDER BY dist ASC, vec_id ASC) AS rnk

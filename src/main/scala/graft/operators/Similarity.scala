@@ -477,6 +477,112 @@ object Similarity {
     graft.functions.TopK.perQuery(scored, 5)
   }
 
+  /** Approximate top-5 via IVF-PQ — the composition [[annIvf]] ×
+    * [[annPq]] that billion-vector indexes actually deploy: a coarse
+    * quantizer routes each vector to a cell (inverted file), and PQ
+    * encodes the RESIDUAL vector − cell-centroid (residuals are
+    * centered near zero, so the same code budget quantizes them far
+    * more finely than raw vectors). A query probes its `nprobe`
+    * nearest cells and, PER PROBED CELL, builds the asymmetric lookup
+    * table of its residual against the PQ codebook — candidate cost is
+    * m lookups + m adds, exactly [[annPq]]'s scan shape, but over only
+    * the probed cells' populations.
+    *
+    * Unlike [[annPq]]'s single-table scan, the per-cell LUTs must carry
+    * the FULL squared distance (including the query-residual self-term):
+    * the query's residual differs per probed cell, so the self-term is
+    * not a constant shift across candidates from different cells and
+    * cannot be dropped.
+    *
+    * Codebooks are the deterministic stand-ins of the family: coarse =
+    * first-`nlist` vectors ([[annIvf]]); PQ = residuals of the NEXT
+    * `ksub` vectors (ids nlist..nlist+ksub — the first nlist have zero
+    * residual by construction and would train a degenerate codebook).
+    * Both are model-scale collects; [[kmeansTrain]]-refined versions
+    * slot in without touching the encode/probe/ADC plumbing. Integer-
+    * exact end to end (int8 codes ⇒ integer residuals ⇒ integer
+    * squared distances), so the DuckDB oracle replays the whole
+    * pipeline including every tie.
+    */
+  def annIvfPq(spark: SparkSession, dir: String, nlist: Int = 16, nprobe: Int = 4,
+      m: Int = 8, ksub: Int = 16): DataFrame = {
+    import spark.implicits._
+    val dim = 64
+    val dsub = dim / m
+    val qd = quantizedCodes(spark, dir)
+    val coarse = initCents(qd, nlist)
+    val pqTrain: Seq[Seq[Double]] = qd
+      .filter(col("vec_id") >= nlist && col("vec_id") < (nlist + ksub).toLong)
+      .orderBy("vec_id").select(col("q")).collect().toSeq.map(_.getSeq[Double](0))
+    if (coarse.isEmpty || pqTrain.isEmpty)
+      return Seq.empty[(Long, Long, Long)].toDF("qid", "neighbor_id", "rnk")
+    def sq(v: Seq[Double], c: Seq[Double]): Double =
+      v.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
+    // PQ training residuals: assign each train vector to its nearest
+    // coarse cell (same integer L2 + lowest-cid tie rule as the plan)
+    val pqRes: Seq[Seq[Double]] = pqTrain.map { v =>
+      val (_, cv) = coarse.minBy { case (cid, c) => (sq(v, c), cid) }
+      v.zip(cv).map { case (a, b) => a - b }
+    }
+    val kP = pqRes.size
+    val pqSub: Array[Array[Seq[Double]]] =
+      Array.tabulate(kP, m)((c, ms) => pqRes(c).slice(ms * dsub, (ms + 1) * dsub))
+    val pqSelf: Array[Array[Double]] = pqSub.map(_.map(s => s.map(x => x * x).sum))
+    // partial residual distance c·c − 2·x·c (exact; the x·x self-term
+    // is added only where cross-cell comparability needs it)
+    def pDist(x: Column, c: Int, ms: Int): Column =
+      lit(pqSelf(c)(ms)) - lit(2.0) * dot(x, typedLit(pqSub(c)(ms)))
+    val centMap = typedLit(coarse.toMap)
+    def subsOf(r: Column): Column =
+      array((0 until m).map(ms => slice(r, ms * dsub + 1, dsub)): _*)
+
+    // encode every vector: residual vs its assigned cell, per-subspace
+    // argmin code (1-based codebook positions, ties to the lowest)
+    val encoded = cellAssign(qd, coarse)
+      .withColumn("subs", subsOf(zip_with(col("q"),
+        element_at(centMap, col("cell")), (a, b) => a - b)))
+      .select(col("vec_id"), col("cell"),
+        array((0 until m).map { ms =>
+          val sub = element_at(col("subs"), ms + 1)
+          val ds = array((0 until kP).map(c => pDist(sub, c, ms)): _*)
+          array_position(ds, array_min(ds))
+        }: _*).as("codes"))
+
+    // query → nprobe nearest cells by exact full-vector L2 (ascending
+    // struct sort = ties to the lowest cid), then one full-distance
+    // LUT per (query, probed cell) over the query's residual THERE
+    val cellIds = typedLit(coarse.map(_._1))
+    val ccs = coarse.map { case (_, c) => c.map(x => x * x).sum }
+    val qdists = array(coarse.indices.map(i =>
+      col("qq") - lit(2.0) * dot(col("q"), typedLit(coarse(i)._2)) + lit(ccs(i))): _*)
+    val probes = qd.filter(col("vec_id") < 10)
+      .withColumn("ds", qdists)
+      .select(col("vec_id").as("qid"), col("q").as("qv"),
+        explode(slice(
+          array_sort(zip_with(col("ds"), cellIds,
+            (d, i) => struct(d.as("d"), i.as("i")))),
+          1, nprobe)).as("p"))
+      .select(col("qid"), col("qv"), col("p.i").as("cell"))
+    val qlut = probes
+      .withColumn("subs", subsOf(zip_with(col("qv"),
+        element_at(centMap, col("cell")), (a, b) => a - b)))
+      .select(col("qid"), col("cell"),
+        flatten(array((0 until m).map { ms =>
+          val sub = element_at(col("subs"), ms + 1)
+          val rr = dot(sub, sub)
+          array((0 until kP).map(c => rr + pDist(sub, c, ms)): _*)
+        }: _*)).as("lut"))
+
+    val scored = encoded.join(broadcast(qlut), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("d", (0 until m).map { ms =>
+        element_at(col("lut"),
+          (lit(ms * kP) + element_at(col("codes"), ms + 1)).cast("int"))
+      }.reduce(_ + _))
+      .withColumn("sim", -col("d"))
+    graft.functions.TopK.perQuery(scored, 5)
+  }
+
   /** md5-derived hyperplane weight in [-1000, 1000] — deterministic,
     * seedless, and replayable in SQL (integer-valued, so the double is
     * exact), which is what lets the whole LSH pipeline be
