@@ -153,6 +153,8 @@ object SparkEntry {
     "stream_dedup_minhash"   -> graft.streaming.DocStreams.streamDedupMinhash _,
     "doc_knn_tfidf"          -> ((s: SparkSession, d: String) => TextOps.docKnnTfidf(s, d)),
     "similarity_ann_ivfpq"   -> ((s: SparkSession, d: String) => Similarity.annIvfPq(s, d)),
+    "term_freq_spectrum"     -> TextOps.termFreqSpectrum _,
+    "copurchase_pagerank"    -> Relational.copurchasePagerank _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1009,6 +1011,37 @@ object SparkEntry {
            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
          GROUP BY a.l_partkey, b.l_partkey
          HAVING count(*) >= 2""",
+    // Two unrolled integer PageRank rounds over the symmetrized
+    // co-purchase edges — floor division everywhere, micro-unit ranks.
+    "copurchase_pagerank" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+              pr AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+                     FROM op a JOIN op b
+                       ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+                     GROUP BY a.l_partkey, b.l_partkey
+                     HAVING count(*) >= 2),
+              edges AS (SELECT part_a AS src, part_b AS dst FROM pr
+                        UNION ALL SELECT part_b, part_a FROM pr),
+              deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+              r0 AS (SELECT src AS id, CAST(1000000 AS BIGINT) AS r FROM deg),
+              c1 AS (SELECT e.dst, CAST(sum(r0.r // d.deg) AS BIGINT) AS inflow
+                     FROM edges e JOIN deg d ON d.src = e.src
+                     JOIN r0 ON r0.id = e.src GROUP BY e.dst),
+              r1 AS (SELECT id, CAST(150000 + (850000 * coalesce(inflow, 0)) // 1000000 AS BIGINT) AS r
+                     FROM r0 LEFT JOIN c1 ON c1.dst = r0.id),
+              c2 AS (SELECT e.dst, CAST(sum(r1.r // d.deg) AS BIGINT) AS inflow
+                     FROM edges e JOIN deg d ON d.src = e.src
+                     JOIN r1 ON r1.id = e.src GROUP BY e.dst),
+              r2 AS (SELECT id, CAST(150000 + (850000 * coalesce(inflow, 0)) // 1000000 AS BIGINT) AS r
+                     FROM r1 LEFT JOIN c2 ON c2.dst = r1.id)
+         SELECT id AS part, r AS rank_micro FROM r2""",
+    "term_freq_spectrum" ->
+      """WITH tf AS (SELECT term, count(*) AS freq
+                     FROM (SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+                                                     t -> t != '')) AS term
+                           FROM documents)
+                     GROUP BY term)
+         SELECT freq, count(*) AS n_terms FROM tf GROUP BY freq""",
     "user_cardinality" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users,
                 count(*) AS n_events

@@ -333,6 +333,55 @@ object Relational {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Integer-exact PageRank (damping 0.85, `iters` synchronous rounds)
+    * over an UNDIRECTED edge list — the link-analysis kernel of
+    * web-corpus curation (CommonCrawl-lineage pipelines rank domains
+    * by centrality to gate crawl quality). Ranks are micro-units
+    * (1 000 000 = rank 1.0) and every step is integer: per-edge
+    * contribution `r div deg`, damped update
+    * `150000 + (850000·inflow) div 1000000` — floor division sheds
+    * ≤ 1 micro-unit per term, deterministically, so both engines
+    * compute bit-identical ranks with no float accumulation anywhere
+    * (the standard double formulation cannot cross the oracle's hash
+    * compare; headroom: inflow ≤ deg_max·10⁶, ×850000 ≪ 2⁶³).
+    *
+    * Scale shape (Pregel-in-SQL): the symmetrized edge list is
+    * hash-partitioned by src once and persisted; each round is one
+    * co-partitioned rank join plus one partial-agg'd inflow groupBy —
+    * shuffle volume is edge-scale per round, vertex-scale for the
+    * update, nothing iterates on the driver. Vertices outside the edge
+    * list have no inflow and no outflow; the rank vector covers the
+    * graph's vertex set (isolated ids sit at the teleport floor by
+    * definition and are not materialized).
+    */
+  def pagerank(edges: DataFrame, iters: Int = 2): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val withDeg = sym.join(deg, "src")
+    var ranks = deg.select(col("src").as("id"), lit(1000000L).as("r"))
+    (1 to iters).foreach { _ =>
+      val inflow = withDeg.join(ranks, col("src") === col("id"))
+        .select(col("dst"), expr("r div deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
+      ranks = ranks.select(col("id"), col("r"))
+        .join(inflow, col("id") === col("dst"), "left")
+        .select(col("id"),
+          (lit(150000L) + expr("(850000 * coalesce(inflow, 0L)) div 1000000")).as("r"))
+    }
+    ranks
+  }
+
+  /** PageRank over the co-purchase graph ([[copurchasePairs]] edges):
+    * part centrality in the basket graph, two exact rounds.
+    */
+  def copurchasePagerank(spark: SparkSession, dir: String): DataFrame =
+    pagerank(copurchasePairs(spark, dir)
+      .select(col("part_a").as("src"), col("part_b").as("dst")))
+      .select(col("id").as("part"), col("r").as("rank_micro"))
+
   /** TPC-H Q3 shape (shipping priority): segment-filtered customers,
     * date-bounded orders and lineitems, revenue per order, top-10.
     * Both date filters push into the parquet scans; the revenue sum is

@@ -703,6 +703,20 @@ object TextOps {
     graft.functions.TopK.perQuery(scored, k)
   }
 
+  /** Frequency-of-frequencies spectrum (the Good–Turing table): how
+    * many distinct terms occur exactly `freq` times in the corpus —
+    * the corpus profile behind smoothing estimators, vocabulary-size
+    * planning, and hapax/stopword analysis. Two exchanges: the
+    * vocabulary-bounded term count, then a re-aggregation over the
+    * (≤ distinct-frequency-count, i.e. tiny) spectrum — both partial-
+    * agg'd map-side. Pure integers.
+    */
+  def termFreqSpectrum(spark: SparkSession, dir: String): DataFrame =
+    Tables.documentsSpread(spark, dir)
+      .select(explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+      .groupBy(col("freq")).agg(count(lit(1)).as("n_terms"))
+
   /** Corpus cleaning / normalization: lowercase, strip non-alphanumeric
     * (keeping spaces), collapse whitespace runs, trim — the standard
     * pre-tokenization scrub. Pure per-row column expressions inside

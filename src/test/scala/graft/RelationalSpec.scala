@@ -107,4 +107,17 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
       .agg(max(col("ts")).cast("string")).collect().head.getString(0)
     assert(ts === "2024-01-01 00:00:00") // RefTs nanos, UTC session TZ
   }
+
+  test("integer pagerank reproduces the hand-computed two-round star-graph ranks") {
+    val s = spark
+    import s.implicits._
+    // star 1—2, 1—3: after round 1 the hub holds 1_850_000, the
+    // leaves 575_000; round 2 re-spreads through the hub:
+    //   r2(hub)  = 150000 + 850000·(575000 + 575000) div 10⁶ = 1_127_500
+    //   r2(leaf) = 150000 + 850000·(1850000 div 2)   div 10⁶ =   936_250
+    val edges = Seq((1L, 2L), (1L, 3L)).toDF("src", "dst")
+    val got = operators.Relational.pagerank(edges, iters = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1127500L, 2L -> 936250L, 3L -> 936250L))
+  }
 }

@@ -252,4 +252,11 @@ class TextOpsSpec extends AnyFunSuite with SparkFixture {
     assert(ranked(2L) === Seq(0L, 1L, 4L))
     assert(ranked(4L) === Seq(0L, 1L, 2L))
   }
+
+  test("term frequency spectrum counts hapaxes and shared terms exactly") {
+    val got = operators.TextOps.termFreqSpectrum(spark, fixtureDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // zz + x1..x40 are hapaxes; w40 is in docs 0/1/4; w1..w39 in 0/1/2/4
+    assert(got === Map(1L -> 41L, 3L -> 1L, 4L -> 39L))
+  }
 }
