@@ -155,6 +155,7 @@ object SparkEntry {
     "similarity_ann_ivfpq"   -> ((s: SparkSession, d: String) => Similarity.annIvfPq(s, d)),
     "term_freq_spectrum"     -> TextOps.termFreqSpectrum _,
     "copurchase_pagerank"    -> Relational.copurchasePagerank _,
+    "similarity_ann_standing" -> ((s: SparkSession, d: String) => Similarity.annIvfStanding(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -428,6 +429,42 @@ object SparkEntry {
                coalesce(pieces, '') AS pieces
         FROM documents d LEFT JOIN agg USING (doc_id)"""
   }
+
+  // Shared by similarity_ann_ivf and similarity_ann_standing — the
+  // standing variant changes WHERE the cell assignment lives (a
+  // partitioned table on storage), not what is computed.
+  private val annIvfSql: String =
+    """WITH e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v,
+                           sqrt(list_reduce(list_prepend(0.0,
+                             list_transform(cast(embedding AS DOUBLE[]), x -> x*x)),
+                             (a,x) -> a + x)) AS nrm
+                    FROM embeddings),
+              c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM e WHERE vec_id < 16),
+              cs AS (SELECT e.vec_id, c.cid,
+                            list_reduce(list_prepend(0.0,
+                              list_transform(range(1, len(e.v)+1), i -> e.v[i]*c.cv[i])),
+                              (a,x) -> a + x) / (e.nrm * c.cnrm) AS sim
+                     FROM e, c),
+              assigned AS (SELECT vec_id, cell FROM (
+                     SELECT vec_id, cid AS cell,
+                            row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+                     FROM cs) WHERE rn = 1),
+              probes AS (SELECT qid, cell FROM (
+                     SELECT vec_id AS qid, cid AS cell,
+                            row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid DESC) AS rn
+                     FROM cs WHERE vec_id < 10) WHERE rn <= 4),
+              scored AS (SELECT p.qid, a.vec_id,
+                                list_reduce(list_prepend(0.0,
+                                  list_transform(range(1, len(q.v)+1), i -> q.v[i]*t.v[i])),
+                                  (acc,x) -> acc + x) / (q.nrm * t.nrm) AS sim
+                         FROM probes p
+                         JOIN assigned a ON p.cell = a.cell
+                         JOIN e q ON q.vec_id = p.qid
+                         JOIN e t ON t.vec_id = a.vec_id
+                         WHERE a.vec_id != p.qid)
+         SELECT qid, vec_id AS neighbor_id, rnk FROM (
+           SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rnk
+           FROM scored) WHERE rnk <= 5"""
 
   def oracleSql: Map[String, String] = Map(
     "taskA_filter_project" ->
@@ -781,38 +818,12 @@ object SparkEntry {
     // assign→probe→score→rank pipeline replays in SQL: same sequential
     // dot/norm recurrences, same tie rules (assignment ties → lowest
     // cell, probe-order ties → highest cell, rank ties → lowest vec_id).
-    "similarity_ann_ivf" ->
-      """WITH e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v,
-                           sqrt(list_reduce(list_prepend(0.0,
-                             list_transform(cast(embedding AS DOUBLE[]), x -> x*x)),
-                             (a,x) -> a + x)) AS nrm
-                    FROM embeddings),
-              c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM e WHERE vec_id < 16),
-              cs AS (SELECT e.vec_id, c.cid,
-                            list_reduce(list_prepend(0.0,
-                              list_transform(range(1, len(e.v)+1), i -> e.v[i]*c.cv[i])),
-                              (a,x) -> a + x) / (e.nrm * c.cnrm) AS sim
-                     FROM e, c),
-              assigned AS (SELECT vec_id, cell FROM (
-                     SELECT vec_id, cid AS cell,
-                            row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
-                     FROM cs) WHERE rn = 1),
-              probes AS (SELECT qid, cell FROM (
-                     SELECT vec_id AS qid, cid AS cell,
-                            row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid DESC) AS rn
-                     FROM cs WHERE vec_id < 10) WHERE rn <= 4),
-              scored AS (SELECT p.qid, a.vec_id,
-                                list_reduce(list_prepend(0.0,
-                                  list_transform(range(1, len(q.v)+1), i -> q.v[i]*t.v[i])),
-                                  (acc,x) -> acc + x) / (q.nrm * t.nrm) AS sim
-                         FROM probes p
-                         JOIN assigned a ON p.cell = a.cell
-                         JOIN e q ON q.vec_id = p.qid
-                         JOIN e t ON t.vec_id = a.vec_id
-                         WHERE a.vec_id != p.qid)
-         SELECT qid, vec_id AS neighbor_id, rnk FROM (
-           SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rnk
-           FROM scored) WHERE rnk <= 5""",
+    "similarity_ann_ivf" -> annIvfSql,
+    // The standing-index variant reads the same assignment back from a
+    // cell-partitioned table; array<double> roundtrips parquet exactly,
+    // so the result — and the oracle — is bit-identical to the
+    // in-query plan.
+    "similarity_ann_standing" -> annIvfSql,
     // Full LSH replay: md5-derived integer plane weights (exact as
     // doubles), sequential-dot sign bits, 4-bit banding, candidate
     // dedupe, exact-cosine re-rank — same tie rules as the Spark side.

@@ -171,6 +171,75 @@ object Similarity {
     graft.functions.TopK.perQuery(scored, 5)
   }
 
+  /** [[annIvf]] served from a STANDING index: the cell-assigned corpus
+    * is written once, PARTITIONED BY cell, and the probe phase reads it
+    * back touching only the queries' nprobe cells — the 100 TB ANN
+    * serving shape, where index build is an offline batch job and each
+    * query batch scans `nprobe/nlist` of the corpus instead of all of
+    * it. The probed cell ids are collected to the driver first
+    * (metadata-scale: ≤ queries×nprobe ints, same class as the codebook
+    * loads in README's cache contract) so the `IN (…)` literal prunes
+    * index partitions STATICALLY — `PartitionFilters` in the scan,
+    * pinned by `StandingIndexSpec`; files in unprobed cells are never
+    * opened, let alone read.
+    *
+    * Everything downstream of the pruned scan matches [[annIvf]]
+    * operand-for-operand (same codebook, assignment and probe tie
+    * rules, same exact-cosine re-rank through the k-bounded
+    * [[graft.functions.TopKBySim]] fold), and array<double> survives a
+    * parquet roundtrip bit-exactly, so the result is bit-identical to
+    * the in-query variant and shares its DuckDB oracle.
+    */
+  def annIvfStanding(spark: SparkSession, dir: String, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val emb = withNorm(spark, dir)
+    val cents: Seq[Seq[Double]] = emb.filter(col("vec_id") < nlist)
+      .orderBy("vec_id").select("v").collect().toSeq.map(_.getSeq[Double](0))
+    if (cents.isEmpty) {
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Long)].toDF("qid", "neighbor_id", "rnk")
+    }
+    val centNorms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
+    val centsLit = typedLit(cents)
+    def cellSims(v: Column, nrm: Column): Column = array(
+      cents.indices.map(i =>
+        dot(v, element_at(centsLit, i + 1)) / (nrm * centNorms(i))): _*)
+
+    // Build — in production a once-then-append offline job; overwrite
+    // keeps re-runs idempotent. Partition layout IS the index.
+    val table = "graft_ivf_cell_index"
+    val idxPath = s"${sys.props("java.io.tmpdir")}/$table"
+    emb.withColumn("cs", cellSims(col("v"), col("nrm")))
+      .withColumn("cell", array_position(col("cs"), array_max(col("cs"))).cast("int"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+      .write.partitionBy("cell")
+      .option("path", idxPath)
+      .mode("overwrite").saveAsTable(table)
+
+    // Probe — nprobe highest-similarity cells per query, ties to the
+    // higher cell id (annIvf's reverse-sort rule).
+    val qProbes = emb.filter(col("vec_id") < 10)
+      .withColumn("cs", cellSims(col("v"), col("nrm")))
+      .select(
+        col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"),
+        explode(slice(
+          transform(
+            reverse(array_sort(zip_with(col("cs"), sequence(lit(1), lit(cents.size)),
+              (s, i) => struct(s.as("s"), i.as("i"))))),
+            p => p.getField("i")),
+          1, nprobe)).as("cell"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val probedCells = qProbes.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+
+    val idx = spark.table(table)
+      .filter(col("cell").isin(probedCells: _*))
+    val scored = idx
+      .join(broadcast(qProbes), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("sim", dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+    graft.functions.TopK.perQuery(scored, 5)
+  }
+
   /** One k-means/IVF training step — the centroid UPDATE an embedding
     * pipeline runs to refine the codebook [[annIvf]] consumes: assign
     * every vector to its nearest centroid (same deterministic

@@ -104,6 +104,44 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(recall >= 0.35, s"IVF-PQ recall $recall not above same-cluster-random baseline")
   }
 
+  test("standing IVF index: bit-identical to in-query IVF, probe scan partition-pruned") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+
+    // nlist=16, nprobe=1: the 10 queries ARE centroids (vec_id < 16),
+    // so each probes exactly its own cell — 10 distinct cells of 16,
+    // making the pruning OBSERVABLE. (At nlist=8 every query-centroid
+    // cell union covers all 8 cells by construction; the filter is
+    // still in the plan there, but prunes nothing.)
+    val inQuery = Similarity.annIvf(spark, fixtureDir, nlist = 16, nprobe = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val standing = Similarity.annIvfStanding(spark, fixtureDir, nlist = 16, nprobe = 1)
+    try {
+      val rows = standing.collect()
+      assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet === inQuery)
+
+      // the probe must READ less than the whole index: the cell filter
+      // has to reach the scan as a partition filter, and the selected
+      // partition count has to be the probed-cell count, not nlist
+      def strip(p: SparkPlan): SparkPlan = p match {
+        case a: AdaptiveSparkPlanExec => strip(a.executedPlan)
+        case q: QueryStageExec        => strip(q.plan)
+        case other => other.withNewChildren(other.children.map(strip))
+      }
+      val scans = strip(standing.queryExecution.executedPlan).collect {
+        case s: FileSourceScanExec
+          if s.tableIdentifier.exists(_.table == "graft_ivf_cell_index") => s
+      }
+      assert(scans.nonEmpty, "index scan not found in executed plan")
+      assert(scans.forall(_.partitionFilters.nonEmpty),
+        "cell IN (...) did not reach the index scan as a partition filter")
+      val selected = scans.map(_.selectedPartitions.partitionCount)
+      info(s"index partitions read: ${selected.mkString(",")} of 16 cells")
+      assert(selected.forall(_ < 16),
+        s"probe read every index partition ($selected) — pruning inactive")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_ivf_cell_index")
+  }
+
   test("centroid update: every vector lands in one valid cell; means are exact int ratios") {
     val rows = Similarity.centroidUpdate(spark, fixtureDir).collect()
     assert(rows.forall(r => r.getLong(0) >= 0L && r.getLong(0) < 16L))
