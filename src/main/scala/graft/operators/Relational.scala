@@ -359,7 +359,12 @@ object Relational {
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // deg is vertex-scale and read three times (initial ranks + one
+    // edge join per round) — persist it; the edge⋈deg join itself is
+    // re-executed per round from the two cached inputs, which measures
+    // cheaper than materializing the edge-scale joined table
     val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val withDeg = sym.join(deg, "src")
     var ranks = deg.select(col("src").as("id"), lit(1000000L).as("r"))
     (1 to iters).foreach { _ =>
