@@ -210,6 +210,27 @@ class ScaleStressSpec extends AnyFunSuite with SparkFixture {
     assert(byPar(1L) === ((25000L, 25000L * 32)))
   }
 
+  test("pagerank at 1.1M vertices: planted star-graph ranks exact, no nested-loop") {
+    // 100k disjoint stars, 10 leaves each (1M edges, 1.1M vertices —
+    // ~10x the sf0.1 co-purchase graph). Every vertex's two-round rank
+    // is closed-form: hubs 2_147_500, leaves 885_250 micro-units
+    // (floor-division recurrence, hand-computed). Exactly two distinct
+    // rank values with forced counts proves no row was dropped,
+    // duplicated, or mis-joined at scale.
+    val s = spark
+    import s.implicits._
+    val stars = 100000L
+    val edges = s.range(stars * 10).select(
+      (col("id") / 10).cast("long").as("src"),          // hub: 0..99999
+      (col("id") + stars).as("dst"))                     // leaf ids disjoint
+    val df = Relational.pagerank(edges, iters = 2)
+    val plan = PlanChecks.executedPlanString(df)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+    val byRank = df.groupBy(col("r")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byRank === Map(2147500L -> stars, 885250L -> stars * 10))
+  }
+
   test("events_sessionize at 10x sf0.1: one fact exchange feeds window AND session agg") {
     val df = EventOps.eventsSessionize(spark, scaleDir)
     val plan = PlanChecks.executedPlanString(df)
