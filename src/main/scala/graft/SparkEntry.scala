@@ -156,6 +156,7 @@ object SparkEntry {
     "term_freq_spectrum"     -> TextOps.termFreqSpectrum _,
     "copurchase_pagerank"    -> Relational.copurchasePagerank _,
     "similarity_ann_standing" -> ((s: SparkSession, d: String) => Similarity.annIvfStanding(s, d)),
+    "vocab_coverage"         -> ((s: SparkSession, d: String) => TextOps.vocabCoverage(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1046,6 +1047,23 @@ object SparkEntry {
               r2 AS (SELECT id, CAST(150000 + (850000 * coalesce(inflow, 0)) // 1000000 AS BIGINT) AS r
                      FROM r1 LEFT JOIN c2 ON c2.dst = r1.id)
          SELECT id AS part, r AS rank_micro FROM r2""",
+    // Shared top-20 vocab (cnt desc, token asc cutoff — deterministic
+    // both engines); per-lang occurrence coverage + residual OOV types.
+    // Sums CAST to BIGINT: DuckDB integer sum returns HUGEINT.
+    "vocab_coverage" ->
+      """WITH tok AS (SELECT lang,
+                             unnest(list_filter(string_split_regex(text, '\s+'),
+                                                t -> t != '')) AS t
+                      FROM documents),
+              v AS (SELECT t AS term FROM tok
+                    GROUP BY t ORDER BY count(*) DESC, t ASC LIMIT 20)
+         SELECT lang,
+                count(*) AS n_tokens,
+                CAST(sum(CASE WHEN v.term IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_covered,
+                CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+                count(DISTINCT CASE WHEN v.term IS NULL THEN tok.t END) AS n_oov_types
+         FROM tok LEFT JOIN v ON tok.t = v.term
+         GROUP BY lang""",
     "term_freq_spectrum" ->
       """WITH tf AS (SELECT term, count(*) AS freq
                      FROM (SELECT unnest(list_filter(string_split_regex(text, '\s+'),

@@ -357,6 +357,32 @@ object TextOps {
           .as("ids"))
   }
 
+  /** Per-language coverage of the [[vocabBuild]] vocabulary — the
+    * tokenizer-sizing / multilingual-fairness table: how many token
+    * OCCURRENCES each language's text covers with the shared top-K
+    * vocab, and how many distinct out-of-vocab types remain. Languages
+    * whose coverage lags get vocabulary budget (or their own tokenizer)
+    * — the decision this table drives.
+    *
+    * Scale shape: the vocab is topK-bounded by the PARAMETER so it
+    * broadcasts; the corpus side explodes once and aggregates straight
+    * to one row per language with map-side partial aggregation. The
+    * two count-distincts expand the grouped stream, but both are
+    * bounded (languages × vocabulary types). Pure integers.
+    */
+  def vocabCoverage(spark: SparkSession, dir: String, topK: Int = 20): DataFrame = {
+    val vocab = vocabBuild(spark, dir, topK).select(col("token"))
+    val toks = Tables.documentsSpread(spark, dir)
+      .select(col("lang"), explode(tokens(col("text"))).as("t"))
+    toks.join(broadcast(vocab), toks("t") === vocab("token"), "left")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("token").isNull, 0L).otherwise(1L)).as("n_covered"),
+        sum(when(col("token").isNull, 1L).otherwise(0L)).as("n_oov"),
+        countDistinct(when(col("token").isNull, col("t"))).as("n_oov_types"))
+  }
+
   /** Sequence packing: assign documents to fixed token-budget batches —
     * the batching step before training. Docs are sharded by id (so the
     * running totals parallelize; a single global cumsum would be a

@@ -253,6 +253,18 @@ class TextOpsSpec extends AnyFunSuite with SparkFixture {
     assert(ranked(4L) === Seq(0L, 1L, 2L))
   }
 
+  test("vocab coverage: top-20 vocab covers exactly the 20 smallest cnt-4 types") {
+    // type counts: w1..w39 → 4 (docs 0,1,2,4), w40 → 3, zz/x1..x40 → 1.
+    // (cnt desc, token asc) cutoff at 20 keeps the 20 lexicographically
+    // smallest of w1..w39, each worth 4 occurrences → covered = 80 of
+    // the 200 total; OOV types = 81 − 20 = 61.
+    val got = operators.TextOps.vocabCoverage(spark, fixtureDir).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      === (("en", 200L, 80L, 120L, 61L)))
+  }
+
   test("term frequency spectrum counts hapaxes and shared terms exactly") {
     val got = operators.TextOps.termFreqSpectrum(spark, fixtureDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
