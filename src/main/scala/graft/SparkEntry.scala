@@ -157,6 +157,7 @@ object SparkEntry {
     "copurchase_pagerank"    -> Relational.copurchasePagerank _,
     "similarity_ann_standing" -> ((s: SparkSession, d: String) => Similarity.annIvfStanding(s, d)),
     "vocab_coverage"         -> ((s: SparkSession, d: String) => TextOps.vocabCoverage(s, d)),
+    "dedup_containment"      -> Dedup.containment _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -615,6 +616,24 @@ object SparkEntry {
          SELECT doc_a, doc_b, inter, na.ns + nb.ns - inter AS uni
          FROM i JOIN n na ON doc_a = na.doc_id JOIN n nb ON doc_b = nb.doc_id
          WHERE cast(inter AS DOUBLE) / (na.ns + nb.ns - inter) >= 0.8""",
+    // Exact all-pairs containment: the Spark side's df-ascending prefix
+    // filter is lossless, so the naive relation IS the contract.
+    "dedup_containment" ->
+      """WITH tk AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS ts
+                     FROM documents),
+              se AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])) AS sh
+                     FROM tk WHERE len(ts) >= 2),
+              ex AS (SELECT doc_id, unnest(sh) AS s FROM se),
+              n AS (SELECT doc_id, cast(len(sh) AS BIGINT) AS ns FROM se),
+              i AS (SELECT a.doc_id AS container, b.doc_id AS contained,
+                           cast(count(*) AS BIGINT) AS inter
+                    FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id != b.doc_id
+                    GROUP BY 1, 2)
+         SELECT container, contained, inter, nb.ns AS ns_contained
+         FROM i JOIN n na ON container = na.doc_id
+                JOIN n nb ON contained = nb.doc_id
+         WHERE (na.ns > nb.ns OR (na.ns = nb.ns AND container < contained))
+           AND inter * 10 >= nb.ns * 9""",
     // Cosine is spelled out as the exact sequential dot/norm recurrence
     // Spark computes (list_reduce is order-defined), not DuckDB's
     // list_cosine_similarity — its internal accumulation/normalization

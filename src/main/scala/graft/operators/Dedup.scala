@@ -151,6 +151,65 @@ object Dedup {
       .filter(col("inter").cast("double") / col("uni") >= 0.8)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"))
 
+  /** Asymmetric near-SUBSET pairs: container A ⊇ contained B when
+    * |S_A ∩ S_B| / |S_B| ≥ 0.9 over bigram shingles — the quote /
+    * boilerplate-inclusion case symmetric Jaccard dedup misses BY
+    * CONSTRUCTION (a 20-token doc verbatim inside a 600-token doc has
+    * jaccard ≈ 0.03 but containment 1.0; DedupSpec pins exactly that
+    * pair being found here and skipped by [[ngramJaccard]]).
+    *
+    * Candidate generation is the set-containment-join prefix filter,
+    * df-ascending: if containment ≥ t then B misses at most
+    * ns_b − ⌈t·ns_b⌉ of its shingles in A, so ANY fixed global order
+    * makes B's first (ns_b − ⌈t·ns_b⌉ + 1) shingles hit A at least
+    * once (pigeonhole — lossless). Ordering that prefix by ascending
+    * DOCUMENT FREQUENCY makes it B's rarest shingles, so the probe
+    * joins the shortest posting lists in the index — the containment
+    * analog of PPJoin's rarest-first prefix, and what keeps the
+    * candidate volume Σ(prefix × df_rare) instead of Σ df² (the
+    * boilerplate shingles every doc shares are exactly the ones the
+    * prefix avoids probing). The container side has no length bound
+    * (that asymmetry is the point), so it contributes the full
+    * posting index — linear in corpus shingles, shuffled by an
+    * 8-byte digest, never document text.
+    *
+    * All-integer thresholding (10·inter ≥ 9·ns_b) and an exact
+    * sorted-merge verify on every candidate: output = the exact
+    * all-pairs containment relation, which is what the DuckDB oracle
+    * computes naively.
+    */
+  def containment(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sets = hashedSets(spark, dir).drop("sh")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val posts = sets.select(col("doc_id"), col("ns"), explode(col("hs")).as("h"))
+    val dfByShingle = posts.groupBy(col("h")).agg(count(lit(1)).as("df"))
+
+    // B's rarest-(ns − ceil(0.9·ns) + 1) shingles, df then hash order
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("h").asc)
+    val pref = posts.join(dfByShingle, "h")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= expr("ns - (9*ns + 9) DIV 10 + 1"))
+      .select(col("doc_id"), col("h"))
+
+    val cand = pref.as("b").join(posts.as("a"), Seq("h"))
+      .filter(col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("ha"), col("ns").as("nsa")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hb"), col("ns").as("nsb")), "doc_b")
+      // one orientation per pair: bigger set contains, ties to lower id
+      .filter(col("nsa") > col("nsb") ||
+        (col("nsa") === col("nsb") && col("doc_a") < col("doc_b")))
+      .withColumn("inter",
+        graft.functions.functions.sorted_intersect_count(col("ha"), col("hb")))
+      .filter(col("inter") * 10 >= col("nsb") * 9)
+      .select(col("doc_a").as("container"), col("doc_b").as("contained"),
+        col("inter"), col("nsb").as("ns_contained"))
+  }
+
   /** MinHash + LSH near-dup pairs. 64 MinHash functions (xxhash64 seeded
     * by permutation index) over the bigram shingle set, banded 16×4:
     * a pair lands in a candidate bucket iff one 4-row band matches, so

@@ -26,6 +26,34 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
       Row(1L, 2L, 38L, 40L)))
   }
 
+  test("containment finds the >=0.9 near-subset pairs, one orientation each") {
+    val got = Dedup.containment(spark, fixtureDir).collect().toSet
+    // equal-size near-dups orient ties to the lower id; the reversed
+    // permutation doc 4 shares no bigrams and the unrelated doc 3 none
+    assert(got === Set(
+      Row(0L, 1L, 39L, 39L),
+      Row(0L, 2L, 38L, 39L),
+      Row(1L, 2L, 38L, 39L)))
+  }
+
+  test("containment catches a verbatim quote jaccard dedup misses by construction") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-containment").toString
+    val big = (1 to 100).map(i => s"u$i").mkString(" ")
+    val quote = (20 to 39).map(i => s"u$i").mkString(" ") // verbatim span of big
+    Seq((10L, big), (11L, quote))
+      .map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // all 19 of the quote's bigrams sit inside big's 99: containment 1.0
+    val got = Dedup.containment(spark, dir).collect().toSet
+    assert(got === Set(Row(10L, 11L, 19L, 19L)))
+    // jaccard = 19/99 — far under 0.8, so the symmetric path stays silent
+    assert(Dedup.ngramJaccard(spark, dir).collect().isEmpty)
+  }
+
   test("minhash+LSH finds the same near-dup pairs as the exact inverted index") {
     val exact = Dedup.ngramJaccard(spark, fixtureDir).collect().toSet
     val lsh = Dedup.minhashLsh(spark, fixtureDir).collect().toSet
