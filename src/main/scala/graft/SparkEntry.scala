@@ -621,8 +621,9 @@ object SparkEntry {
     "dedup_containment" ->
       """WITH tk AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS ts
                      FROM documents),
-              se AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])) AS sh
-                     FROM tk WHERE len(ts) >= 2),
+              se AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ts) - 3),
+                              i -> array_to_string(list_slice(ts, i, i + 4), ' '))) AS sh
+                     FROM tk WHERE len(ts) >= 5),
               ex AS (SELECT doc_id, unnest(sh) AS s FROM se),
               n AS (SELECT doc_id, cast(len(sh) AS BIGINT) AS ns FROM se),
               i AS (SELECT a.doc_id AS container, b.doc_id AS contained,

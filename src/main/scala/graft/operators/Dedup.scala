@@ -152,11 +152,20 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"))
 
   /** Asymmetric near-SUBSET pairs: container A ⊇ contained B when
-    * |S_A ∩ S_B| / |S_B| ≥ 0.9 over bigram shingles — the quote /
+    * |S_A ∩ S_B| / |S_B| ≥ 0.9 over 5-gram shingles — the quote /
     * boilerplate-inclusion case symmetric Jaccard dedup misses BY
     * CONSTRUCTION (a 20-token doc verbatim inside a 600-token doc has
     * jaccard ≈ 0.03 but containment 1.0; DedupSpec pins exactly that
     * pair being found here and skipped by [[ngramJaccard]]).
+    *
+    * 5-gram (not bigram) shingles, following the span-dedup
+    * literature's wide-gram choice: the shingle space is vocab⁵, so
+    * posting lists are short and a shared shingle is EVIDENCE of a
+    * shared span, not vocabulary coincidence. (On this corpus's
+    * 31-token vocabulary, bigrams gave every shingle df ≈ corpus/3 and
+    * pushed the candidate set toward all-pairs — measured 6.9 s at
+    * sf0.1; the 5-gram formulation collapses it to the planted
+    * near-dup structure.)
     *
     * Candidate generation is the set-containment-join prefix filter,
     * df-ascending: if containment ≥ t then B misses at most
@@ -180,7 +189,15 @@ object Dedup {
     */
   def containment(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sets = hashedSets(spark, dir).drop("sh")
+    val sets = Tables.documentsSpread(spark, dir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 5)
+      .select(col("doc_id"), expr(
+        "array_distinct(transform(sequence(1, size(ts) - 4)," +
+          " i -> concat_ws(' ', slice(ts, i, 5))))").as("sh"))
+      .select(col("doc_id"),
+        graft.functions.functions.sorted_hashes(col("sh")).as("hs"))
+      .withColumn("ns", size(col("hs")).cast("long"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val posts = sets.select(col("doc_id"), col("ns"), explode(col("hs")).as("h"))
     val dfByShingle = posts.groupBy(col("h")).agg(count(lit(1)).as("df"))

@@ -28,12 +28,14 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
 
   test("containment finds the >=0.9 near-subset pairs, one orientation each") {
     val got = Dedup.containment(spark, fixtureDir).collect().toSet
-    // equal-size near-dups orient ties to the lower id; the reversed
-    // permutation doc 4 shares no bigrams and the unrelated doc 3 none
+    // 40-token docs → 36 5-grams; the one-token edit breaks only the
+    // final gram (35/36 = 0.972). Equal-size near-dups orient ties to
+    // the lower id; the reversed permutation doc 4 shares no grams and
+    // the unrelated doc 3 none
     assert(got === Set(
-      Row(0L, 1L, 39L, 39L),
-      Row(0L, 2L, 38L, 39L),
-      Row(1L, 2L, 38L, 39L)))
+      Row(0L, 1L, 36L, 36L),
+      Row(0L, 2L, 35L, 36L),
+      Row(1L, 2L, 35L, 36L)))
   }
 
   test("containment catches a verbatim quote jaccard dedup misses by construction") {
@@ -47,9 +49,9 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
 
-    // all 19 of the quote's bigrams sit inside big's 99: containment 1.0
+    // all 16 of the quote's 5-grams sit inside big's 96: containment 1.0
     val got = Dedup.containment(spark, dir).collect().toSet
-    assert(got === Set(Row(10L, 11L, 19L, 19L)))
+    assert(got === Set(Row(10L, 11L, 16L, 16L)))
     // jaccard = 19/99 — far under 0.8, so the symmetric path stays silent
     assert(Dedup.ngramJaccard(spark, dir).collect().isEmpty)
   }
