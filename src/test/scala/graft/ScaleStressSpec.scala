@@ -210,6 +210,38 @@ class ScaleStressSpec extends AnyFunSuite with SparkFixture {
     assert(byPar(1L) === ((25000L, 25000L * 32)))
   }
 
+  test("dedup_containment at 50k docs: exactly the planted quote pairs, no nested-loop") {
+    // 25k "big" docs of 64 unique tokens (60 unique 5-grams each, no
+    // gram shared across bigs) + 25k "quote" docs, each a verbatim
+    // 20-token span of its big (16 5-grams, all inside it). The exact
+    // containment relation is forced: one (big, quote, 16, 16) row per
+    // pair and nothing else — so candidate generation provably did not
+    // drop pairs at scale, and the posting join stayed collision-
+    // bounded (every gram's df is 1 or 2 here).
+    val dir = java.nio.file.Files.createTempDirectory("graft-contain-scale").toString
+    val n = 25000L
+    spark.range(2 * n).selectExpr(
+      "id AS doc_id",
+      s"""CASE WHEN id < $n
+            THEN concat_ws(' ', transform(sequence(1, 64), i -> concat('d', id, '_', i)))
+            ELSE concat_ws(' ', transform(sequence(21, 40), i -> concat('d', id - $n, '_', i)))
+          END AS text""",
+      "'en' AS lang", "'src' AS source", "cast(0 AS long) AS n_chars")
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val df = graft.operators.Dedup.containment(spark, dir)
+    val plan = PlanChecks.executedPlanString(df)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+    val agg = df.agg(
+      count(lit(1)),
+      sum(when(col("contained") - col("container") === n &&
+        col("inter") === 16L && col("ns_contained") === 16L, 1L).otherwise(0L))
+    ).collect().head
+    assert(agg.getLong(0) === n)
+    assert(agg.getLong(1) === n) // every row is its big's planted quote
+  }
+
   test("pagerank at 1.1M vertices: planted star-graph ranks exact, no nested-loop") {
     // 100k disjoint stars, 10 leaves each (1M edges, 1.1M vertices —
     // ~10x the sf0.1 co-purchase graph). Every vertex's two-round rank
