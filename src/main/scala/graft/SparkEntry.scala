@@ -158,6 +158,7 @@ object SparkEntry {
     "similarity_ann_standing" -> ((s: SparkSession, d: String) => Similarity.annIvfStanding(s, d)),
     "vocab_coverage"         -> ((s: SparkSession, d: String) => TextOps.vocabCoverage(s, d)),
     "dedup_containment"      -> Dedup.containment _,
+    "dedup_containment_remove" -> Dedup.containmentRemove _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -468,6 +469,26 @@ object SparkEntry {
            SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rnk
            FROM scored) WHERE rnk <= 5"""
 
+  // Shared by dedup_containment (the pair relation) and
+  // dedup_containment_remove (the corpus minus every contained doc).
+  private val containmentCte: String =
+    """WITH tk AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS ts
+                   FROM documents),
+            se AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ts) - 3),
+                            i -> array_to_string(list_slice(ts, i, i + 4), ' '))) AS sh
+                   FROM tk WHERE len(ts) >= 5),
+            ex AS (SELECT doc_id, unnest(sh) AS s FROM se),
+            n AS (SELECT doc_id, cast(len(sh) AS BIGINT) AS ns FROM se),
+            i AS (SELECT a.doc_id AS container, b.doc_id AS contained,
+                         cast(count(*) AS BIGINT) AS inter
+                  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id != b.doc_id
+                  GROUP BY 1, 2),
+            pairs AS (SELECT container, contained, inter, nb.ns AS ns_contained
+                      FROM i JOIN n na ON container = na.doc_id
+                             JOIN n nb ON contained = nb.doc_id
+                      WHERE (na.ns > nb.ns OR (na.ns = nb.ns AND container < contained))
+                        AND inter * 10 >= nb.ns * 9)"""
+
   def oracleSql: Map[String, String] = Map(
     "taskA_filter_project" ->
       """SELECT c_name AS name, c_mktsegment AS mktsegment
@@ -619,22 +640,12 @@ object SparkEntry {
     // Exact all-pairs containment: the Spark side's df-ascending prefix
     // filter is lossless, so the naive relation IS the contract.
     "dedup_containment" ->
-      """WITH tk AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS ts
-                     FROM documents),
-              se AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ts) - 3),
-                              i -> array_to_string(list_slice(ts, i, i + 4), ' '))) AS sh
-                     FROM tk WHERE len(ts) >= 5),
-              ex AS (SELECT doc_id, unnest(sh) AS s FROM se),
-              n AS (SELECT doc_id, cast(len(sh) AS BIGINT) AS ns FROM se),
-              i AS (SELECT a.doc_id AS container, b.doc_id AS contained,
-                           cast(count(*) AS BIGINT) AS inter
-                    FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id != b.doc_id
-                    GROUP BY 1, 2)
-         SELECT container, contained, inter, nb.ns AS ns_contained
-         FROM i JOIN n na ON container = na.doc_id
-                JOIN n nb ON contained = nb.doc_id
-         WHERE (na.ns > nb.ns OR (na.ns = nb.ns AND container < contained))
-           AND inter * 10 >= nb.ns * 9""",
+      s"""$containmentCte
+         SELECT container, contained, inter, ns_contained FROM pairs""",
+    "dedup_containment_remove" ->
+      s"""$containmentCte
+         SELECT doc_id FROM documents
+         WHERE doc_id NOT IN (SELECT contained FROM pairs)""",
     // Cosine is spelled out as the exact sequential dot/norm recurrence
     // Spark computes (list_reduce is order-defined), not DuckDB's
     // list_cosine_similarity — its internal accumulation/normalization

@@ -227,6 +227,22 @@ object Dedup {
         col("inter"), col("nsb").as("ns_contained"))
   }
 
+  /** The curation form of [[containment]]: the corpus with every
+    * near-subset document REMOVED — quotes, excerpts, and (via the
+    * equal-size tie orientation) exact/near duplicates all drop,
+    * keeping the maximal documents. Chains resolve without iteration:
+    * a doc contained in an already-removed doc still has its own
+    * containment row, so one anti-join settles the whole relation —
+    * unlike jaccard clustering, no label propagation is needed.
+    * Sub-5-token documents have no 5-grams, contain nothing and are
+    * contained by nothing measurable, and survive.
+    */
+  def containmentRemove(spark: SparkSession, dir: String): DataFrame =
+    Tables.documentsSpread(spark, dir).select(col("doc_id"))
+      .join(
+        containment(spark, dir).select(col("contained").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+
   /** MinHash + LSH near-dup pairs. 64 MinHash functions (xxhash64 seeded
     * by permutation index) over the bigram shingle set, banded 16×4:
     * a pair lands in a candidate bucket iff one 4-row band matches, so

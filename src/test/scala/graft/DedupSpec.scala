@@ -38,6 +38,13 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
       Row(1L, 2L, 35L, 36L)))
   }
 
+  test("containment removal keeps exactly the maximal + unrelated docs") {
+    // pairs (0,1) (0,2) (1,2) mark 1 and 2 contained; 3, 4 unrelated
+    val kept = Dedup.containmentRemove(spark, fixtureDir).collect()
+      .map(_.getLong(0)).toSet
+    assert(kept === Set(0L, 3L, 4L))
+  }
+
   test("containment catches a verbatim quote jaccard dedup misses by construction") {
     val s = spark
     import s.implicits._
