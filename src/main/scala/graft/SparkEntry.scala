@@ -159,6 +159,7 @@ object SparkEntry {
     "vocab_coverage"         -> ((s: SparkSession, d: String) => TextOps.vocabCoverage(s, d)),
     "dedup_containment"      -> Dedup.containment _,
     "dedup_containment_remove" -> Dedup.containmentRemove _,
+    "event_rate_anomaly"     -> EventOps.eventRateAnomaly _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1413,6 +1414,20 @@ object SparkEntry {
                 CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
          FROM documents
          GROUP BY source, lang""",
+    // Integer cross-multiplied thresholds (spike >= 1.5x, drop <= 2/3,
+    // or a missing day) — the flag frontier replays exactly.
+    "event_rate_anomaly" ->
+      """WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                           count(*) AS cnt
+                    FROM events GROUP BY 1, 2),
+              l AS (SELECT event_type, day, cnt,
+                           lag(day) OVER (PARTITION BY event_type ORDER BY day) AS prev_day,
+                           lag(cnt) OVER (PARTITION BY event_type ORDER BY day) AS prev_cnt
+                    FROM d)
+         SELECT event_type, day, cnt, prev_day, prev_cnt,
+                (prev_day != day - 1 OR cnt * 2 >= prev_cnt * 3
+                 OR cnt * 3 <= prev_cnt * 2) AS is_anomaly
+         FROM l WHERE prev_cnt IS NOT NULL""",
     "rolling_active_users" ->
       """WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
                      FROM events),

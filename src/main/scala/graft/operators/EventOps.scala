@@ -267,6 +267,33 @@ object EventOps {
       .groupBy(col("report_day"))
       .agg(countDistinct(col("user_id")).as("active_users"))
 
+  /** Day-over-day ingest-rate deltas per event type with an anomaly
+    * flag — the pipeline-monitoring table a 100 TB ingest runs daily:
+    * a type whose volume jumps ≥ 1.5×, drops to ≤ ⅔×, or skips a day
+    * entirely (collector outage) gets flagged. Thresholds are integer
+    * cross-multiplied (`2·cnt ≥ 3·prev`, `3·cnt ≤ 2·prev`) so the
+    * flag frontier replays exactly in SQL.
+    *
+    * Scale shape: the fact table collapses to (type, day) counts with
+    * map-side partial aggregation BEFORE the one fact-scale exchange;
+    * the lag window then runs over a types×days-bounded table — per-
+    * partition state is one type's day series, metadata-scale
+    * regardless of corpus size.
+    */
+  def eventRateAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    Tables.events(spark, dir)
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("cnt"))
+      .withColumn("prev_day", lag(col("day"), 1).over(w))
+      .withColumn("prev_cnt", lag(col("cnt"), 1).over(w))
+      .filter(col("prev_cnt").isNotNull)
+      .select(col("event_type"), col("day"), col("cnt"), col("prev_day"), col("prev_cnt"),
+        (col("prev_day") =!= col("day") - 1 ||
+          col("cnt") * 2 >= col("prev_cnt") * 3 ||
+          col("cnt") * 3 <= col("prev_cnt") * 2).as("is_anomaly"))
+  }
+
   /** Batch sessionization: gap-based session assignment (new session
     * when >30 min elapses between a user's consecutive events) and
     * per-session rollup — the batch twin of the streaming

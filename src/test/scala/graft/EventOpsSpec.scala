@@ -15,6 +15,34 @@ class EventOpsSpec extends AnyFunSuite with SparkFixture {
     assert(rows.forall(_.isNullAt(rows.head.fieldIndex("sum_k"))))
   }
 
+  test("event rate anomaly flags the planted spike, drop, and gap days only") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-anomaly").toString
+    val dayNs = 86400L * 1000000000L
+    val d0 = Fixtures.RefTs / dayNs // day number of the reference epoch
+    // (type, day offset, count): a spikes then drops, b skips a day,
+    // c moves 6 -> 7 (inside the [2/3, 3/2) band -> unflagged)
+    val planted = Seq(
+      ("a", 0, 4), ("a", 1, 6), ("a", 2, 2),
+      ("b", 0, 5), ("b", 2, 5),
+      ("c", 0, 6), ("c", 1, 7))
+    val rows = planted.zipWithIndex.flatMap { case ((t, off, n), g) =>
+      (0 until n).map(i =>
+        (g * 100L + i, (d0 + off) * dayNs + i * 1000000L, 1L, t, 1.0, "{}"))
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val got = EventOps.eventRateAnomaly(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5))).toSet
+    assert(got === Set(
+      ("a", d0 + 1, 6L, d0, 4L, true),     // 2*6 >= 3*4: spike (boundary)
+      ("a", d0 + 2, 2L, d0 + 1, 6L, true), // 3*2 <= 2*6: drop
+      ("b", d0 + 2, 5L, d0, 5L, true),     // missing day
+      ("c", d0 + 1, 7L, d0, 6L, false)))
+  }
+
   test("eventsPropsAgg extracts typed values from real JSON payloads") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-props").toString
