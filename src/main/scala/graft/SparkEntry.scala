@@ -160,6 +160,8 @@ object SparkEntry {
     "dedup_containment"      -> Dedup.containment _,
     "dedup_containment_remove" -> Dedup.containmentRemove _,
     "event_rate_anomaly"     -> EventOps.eventRateAnomaly _,
+    "user_cardinality_weekly" -> EventOps.userCardinalityWeekly _,
+    "user_cardinality_rollup" -> EventOps.userCardinalityRollup _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1414,6 +1416,13 @@ object SparkEntry {
                 CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
          FROM documents
          GROUP BY source, lang""",
+    // user_cardinality_rollup carries NO oracle here deliberately (the
+    // HLL sketch binary is engine-specific): driver does a rows-only
+    // check; EventOpsSpec error-bounds it against this exact twin.
+    "user_cardinality_weekly" ->
+      """SELECT event_type, epoch_us(ts) // 86400000000 // 7 AS week,
+                count(DISTINCT user_id) AS n_users
+         FROM events GROUP BY 1, 2""",
     // Integer cross-multiplied thresholds (spike >= 1.5x, drop <= 2/3,
     // or a missing day) — the flag frontier replays exactly.
     "event_rate_anomaly" ->

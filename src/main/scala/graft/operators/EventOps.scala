@@ -179,6 +179,41 @@ object EventOps {
       .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("n_users"),
         count(lit(1)).as("n_events"))
 
+  /** Exact weekly distinct users per event type — the oracled twin the
+    * sketch-rollup ([[userCardinalityRollup]]) is error-bounded
+    * against in ScalaTest. One fact-scale exchange: events collapse to
+    * distinct (type, week, user) with map-side partial aggregation.
+    */
+  def userCardinalityWeekly(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000 div 7").as("week"), col("user_id"))
+      .groupBy(col("event_type"), col("week"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+
+  /** Mergeable-summaries rollup — THE 100 TB pre-aggregation pattern:
+    * per-(type, day) Datasketches HLL sketches are built ONCE over the
+    * fact table, then weekly (or any coarser) cardinalities come from
+    * merging the daily SKETCHES — the events are never rescanned. In a
+    * warehouse this is the daily sketch table that answers every
+    * "distinct users last N days" question at metadata cost; exact
+    * distinct cannot re-aggregate this way (per-day distincts don't
+    * sum), which is the whole point of the sketch column.
+    *
+    * Cross-engine caveat: the sketch binary is Spark-specific, so like
+    * the other two sketch queries this is rows-only at the driver and
+    * error-bounded against [[userCardinalityWeekly]] in EventOpsSpec.
+    */
+  def userCardinalityRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"), col("user_id"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+      .groupBy(col("event_type"), expr("day div 7").as("week"))
+      .agg(count(lit(1)).as("n_days"),
+        expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_users"))
+
   /** Fixed-width value histogram per event type — the distribution
     * profile pass (drift monitoring, binning for feature engineering).
     * Bin assignment is `floor(value / width)` — pure integer-exact

@@ -15,6 +15,21 @@ class EventOpsSpec extends AnyFunSuite with SparkFixture {
     assert(rows.forall(_.isNullAt(rows.head.fieldIndex("sum_k"))))
   }
 
+  test("sketch rollup: weekly HLL-merged cardinality within 5% of the exact twin") {
+    val exact = EventOps.userCardinalityWeekly(spark, fixtureDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val approx = EventOps.userCardinalityRollup(spark, fixtureDir).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2), r.getLong(3)))
+    assert(approx.map(x => x._1).toSet === exact.keySet)
+    approx.foreach { case (key, nDays, est) =>
+      assert(nDays >= 1L)
+      val ex = exact(key)
+      // lgK=14 HLL rse ~0.8%; tiny fixture counts must be near-exact
+      assert(math.abs(est - ex) <= math.max(1L, ex / 20),
+        s"$key: sketch $est vs exact $ex")
+    }
+  }
+
   test("event rate anomaly flags the planted spike, drop, and gap days only") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-anomaly").toString
