@@ -242,6 +242,35 @@ class ScaleStressSpec extends AnyFunSuite with SparkFixture {
     assert(agg.getLong(1) === n) // every row is its big's planted quote
   }
 
+  test("containment under adversarial boilerplate: hot postings never probed, empty result") {
+    // 50k docs, each 16 unique tokens + the SAME 16-token boilerplate:
+    // every boilerplate-interior 5-gram has df = 50k (the posting-list
+    // blowup case), while each doc's unique-prefix grams have df = 1.
+    // The df-ascending prefix picks exactly those df=1 grams — prefix
+    // size = 28 − ceil(0.9·28) + 1 = 3, all unique — so the candidate
+    // join only ever touches df=1 posting lists and the result is
+    // EMPTY (no doc has 90% of its grams inside another's). A naive
+    // posting self-join here would produce 50k² pair rows via the hot
+    // grams; completing in test time IS the assertion, plus the plan
+    // lint.
+    val dir = java.nio.file.Files.createTempDirectory("graft-contain-boiler").toString
+    val n = 50000L
+    val boiler = (1 to 16).map(i => s"b$i").mkString(" ")
+    spark.range(n).selectExpr(
+      "id AS doc_id",
+      s"""concat_ws(' ',
+            concat_ws(' ', transform(sequence(1, 16), i -> concat('u', id, '_', i))),
+            '$boiler') AS text""",
+      "'en' AS lang", "'src' AS source", "cast(0 AS long) AS n_chars")
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val df = graft.operators.Dedup.containment(spark, dir)
+    val plan = PlanChecks.executedPlanString(df)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+    assert(df.count() === 0L)
+  }
+
   test("pagerank at 1.1M vertices: planted star-graph ranks exact, no nested-loop") {
     // 100k disjoint stars, 10 leaves each (1M edges, 1.1M vertices —
     // ~10x the sf0.1 co-purchase graph). Every vertex's two-round rank
