@@ -162,6 +162,7 @@ object SparkEntry {
     "event_rate_anomaly"     -> EventOps.eventRateAnomaly _,
     "user_cardinality_weekly" -> EventOps.userCardinalityWeekly _,
     "user_cardinality_rollup" -> EventOps.userCardinalityRollup _,
+    "frequent_tokens"        -> ((s: SparkSession, d: String) => TextOps.frequentTokens(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1098,6 +1099,16 @@ object SparkEntry {
                 count(DISTINCT CASE WHEN v.term IS NULL THEN tok.t END) AS n_oov_types
          FROM tok LEFT JOIN v ON tok.t = v.term
          GROUP BY lang""",
+    // The MG sketch pass only proposes candidates; the exact re-count +
+    // cnt*64 > N filter makes the result equal the naive relation.
+    "frequent_tokens" ->
+      """WITH tf AS (SELECT token, count(*) AS cnt
+                     FROM (SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+                                                     t -> t != '')) AS token
+                           FROM documents)
+                     GROUP BY token),
+              t AS (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n FROM tf)
+         SELECT token, cnt FROM tf, t WHERE cnt * 64 > n""",
     "term_freq_spectrum" ->
       """WITH tf AS (SELECT term, count(*) AS freq
                      FROM (SELECT unnest(list_filter(string_split_regex(text, '\s+'),

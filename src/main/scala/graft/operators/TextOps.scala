@@ -357,6 +357,36 @@ object TextOps {
           .as("ids"))
   }
 
+  /** Two-pass heavy hitters: corpus tokens with frequency > N/k,
+    * found WITHOUT shuffling the vocabulary. Pass 1 runs the
+    * [[graft.functions.MisraGries]] sketch (k-bounded mergeable state;
+    * the exchange carries ≤ k items per partition — a plain
+    * `groupBy(token)` would shuffle every distinct token to answer the
+    * same question). Pass 2 re-counts ONLY the ≤ k candidates exactly
+    * (map-side `isin` filter, k-bounded shuffle) and applies the true
+    * integer threshold `cnt·k > N`.
+    *
+    * MG guarantees every item with freq > N/(k+1) survives pass 1, so
+    * no true heavy hitter is missed; the exact filter drops the
+    * order-dependent false candidates — the composed result is
+    * DETERMINISTIC and equals the naive full-groupBy relation, which
+    * is what the DuckDB oracle computes.
+    */
+  def frequentTokens(spark: SparkSession, dir: String, k: Int = 64): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documentsSpread(spark, dir)
+      .select(explode(tokens(col("text"))).as("token"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mg = new graft.functions.MisraGries(k).toColumn
+    val candidates: Seq[String] =
+      toks.as[String].select(mg).collect().headOption.getOrElse(Nil)
+    val n: Long = toks.count()
+    toks
+      .filter(col("token").isin(candidates: _*))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * k > n)
+  }
+
   /** Per-language coverage of the [[vocabBuild]] vocabulary — the
     * tokenizer-sizing / multilingual-fairness table: how many token
     * OCCURRENCES each language's text covers with the shared top-K

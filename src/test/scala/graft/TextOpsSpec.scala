@@ -265,6 +265,29 @@ class TextOpsSpec extends AnyFunSuite with SparkFixture {
       === (("en", 200L, 80L, 120L, 61L)))
   }
 
+  test("frequent tokens: exactly the freq-4 types clear the N/64 bar, exact counts") {
+    // N = 200 → threshold cnt > 3.125: w1..w39 (4 each) qualify; w40
+    // (3) and all hapaxes fail. MG guarantees freq > 200/65 ≈ 3.08
+    // survives the sketch, so the 39 winners cannot be missed.
+    val got = operators.TextOps.frequentTokens(spark, fixtureDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === (1 to 39).map(i => s"w$i" -> 4L).toMap)
+  }
+
+  test("misra-gries state never exceeds k and retains a planted majority item") {
+    val mg = new graft.functions.MisraGries(3)
+    // 100 "hot" + 60 onesies across 60 distinct keys, interleaved
+    val stream = (0 until 60).flatMap(i => Seq("hot", s"cold$i") ++
+      (if (i % 3 == 0) Seq("hot") else Nil))
+    val st = stream.foldLeft(mg.zero)(mg.reduce)
+    assert(st.size <= 3)
+    assert(st.contains("hot")) // freq 80 of 140 >> N/(k+1)=35
+    // merge path: two halves merged equal-or-better retention
+    val (l, r) = stream.splitAt(stream.length / 2)
+    val merged = mg.merge(l.foldLeft(mg.zero)(mg.reduce), r.foldLeft(mg.zero)(mg.reduce))
+    assert(merged.size <= 3 && merged.contains("hot"))
+  }
+
   test("term frequency spectrum counts hapaxes and shared terms exactly") {
     val got = operators.TextOps.termFreqSpectrum(spark, fixtureDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
