@@ -47,6 +47,27 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
     assert(PlanChecks.shuffles(Relational.copurchasePairs(spark, fixtureDir)) <= 2)
   }
 
+  test("event rate anomaly: one fact-scale exchange, then the bounded (type,day) window") {
+    // counts exchange + the types-partitioned window exchange; a third
+    // would mean the lag runs over raw events — the scale regression
+    assert(PlanChecks.shuffles(EventOps.eventRateAnomaly(spark, fixtureDir)) <= 2)
+  }
+
+  test("vocab coverage: the top-K vocab reaches the token stream as a broadcast") {
+    val df = TextOps.vocabCoverage(spark, fixtureDir)
+    val plan = PlanChecks.executedPlanString(df)
+    assert(PlanChecks.broadcastCount(plan) >= 1, plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("frequent tokens: the exact re-count pass shuffles candidates only") {
+    // spread rebalance + MG global fold + candidate re-count; the full-
+    // vocabulary groupBy this pattern replaces would add nothing — but
+    // a rewrite that drops the isin prefilter shows up as extra volume
+    // through the same count, so pin the ceiling
+    assert(PlanChecks.shuffles(TextOps.frequentTokens(spark, fixtureDir)) <= 3)
+  }
+
   test("contamination check broadcasts the benchmark grams; corpus side stays narrow") {
     // fixture docs are all doc_id < 10 (benchmark side) — plant a corpus
     // doc too, or AQE collapses the empty join to an EmptyRelation
