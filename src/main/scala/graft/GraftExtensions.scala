@@ -90,6 +90,17 @@ object GraftExtensions {
     builders.foreach { case (name, builder) =>
       GraftGlue.registerRuntimeFunction(spark, name, builder)
     }
+    // Typed-Aggregator UDAF (runtime-registration path only — the
+    // config-time extension injects Expression builders, which an
+    // Aggregator is not): k=64 Misra-Gries candidate pass, the SQL
+    // entry to the two-pass heavy-hitter pattern. Candidates are a
+    // superset of every item with frequency > N/65; re-count exactly
+    // and threshold to get a deterministic answer (TextOps
+    // .frequentTokens is that composition).
+    spark.udf.register("mg_candidates",
+      org.apache.spark.sql.functions.udaf(
+        new graft.functions.MisraGries(64),
+        org.apache.spark.sql.Encoders.STRING))
     if (!spark.experimental.extraOptimizations.contains(graft.plans.TokenRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.TokenRewrite

@@ -43,6 +43,19 @@ class ExtensionsSpec extends AnyFunSuite with SparkFixture {
     assert(z.getLong(2) === viaColumn)
   }
 
+  test("mg_candidates UDAF: SQL heavy-hitter candidates cover every frequent token") {
+    GraftExtensions.register(spark)
+    Sql.registerAll(spark, fixtureDir)
+    val cand = spark.sql(
+      """SELECT mg_candidates(token) AS c
+         FROM (SELECT explode(ws_tokens(text)) AS token FROM documents)""")
+      .collect().head.getSeq[String](0).toSet
+    // MG(64) retains every item with freq > 200/65 ≈ 3.08 — the 39
+    // freq-4 tokens must all be candidates; the state bound caps |c|
+    assert((1 to 39).map(i => s"w$i").toSet.subsetOf(cand), cand)
+    assert(cand.size <= 64)
+  }
+
   test("null array elements are skipped, never NPE (public SQL surface)") {
     GraftExtensions.register(spark)
 
