@@ -163,6 +163,7 @@ object SparkEntry {
     "user_cardinality_weekly" -> EventOps.userCardinalityWeekly _,
     "user_cardinality_rollup" -> EventOps.userCardinalityRollup _,
     "frequent_tokens"        -> ((s: SparkSession, d: String) => TextOps.frequentTokens(s, d)),
+    "dup_rate_by_source"     -> Curation.dupRateBySource _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -603,6 +604,15 @@ object SparkEntry {
       s"""WITH RECURSIVE $componentCtes
          SELECT doc_id, min(label) AS comp, doc_id = min(label) AS keep
          FROM reach GROUP BY doc_id""",
+    // Per-source redundancy under the same transitive clustering.
+    "dup_rate_by_source" ->
+      s"""WITH RECURSIVE $componentCtes,
+              r AS (SELECT doc_id, doc_id = min(label) AS keep
+                    FROM reach GROUP BY doc_id)
+         SELECT source, count(*) AS n_docs,
+                CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dup_docs
+         FROM documents JOIN r USING (doc_id)
+         GROUP BY source""",
     // The composed curation pipeline: component survivors ∩ quality gate
     // ⋈ split assignment ⋈ token counts.
     "corpus_curate" ->

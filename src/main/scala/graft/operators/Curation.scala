@@ -93,6 +93,25 @@ object Curation {
       .withColumn("dup_docs", col("n_docs") - col("n_distinct_texts"))
       .withColumn("avg_chars", col("sum_chars").cast("double") / col("n_docs"))
 
+  /** Per-source near-duplication report: how much of each source's
+    * volume is redundant under the full near-dup clustering
+    * ([[graft.operators.Dedup.dedupComponents]] — exact + jaccard
+    * edges, transitive). THE curation dashboard table for crawl
+    * triage: a source whose dup fraction spikes is a mirror, a
+    * scraper loop, or a re-crawled dump, and gets its acquisition
+    * budget cut. Joining the vertex-scale component table (doc_id,
+    * keep) back to sources is one broadcast-or-shuffle join on ids;
+    * the per-source rollup is partial-agg'd. Pure integer counts —
+    * consumers derive the fraction.
+    */
+  def dupRateBySource(spark: SparkSession, dir: String): DataFrame =
+    Tables.documentsSpread(spark, dir).select(col("doc_id"), col("source"))
+      .join(graft.operators.Dedup.dedupComponents(spark, dir)
+        .select(col("doc_id"), col("keep")), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_dup_docs"))
+
   /** Benchmark decontamination: flag corpus documents sharing any
     * 8-token n-gram with a benchmark set (here: doc_id < 10 stands in
     * for the eval suite). The benchmark n-gram set is tiny by

@@ -9,6 +9,17 @@ import graft.operators.{Curation, EventOps, QualityWeights, TextOps}
   */
 class CurationSpec extends AnyFunSuite with SparkFixture {
 
+  test("dup rate by source: component non-keepers attributed to their source") {
+    // cluster {0,1,2} keeps 0 → doc1 (src0) and doc2 (src1) are dups;
+    // singletons 3 (src1), 4 (src2) keep themselves
+    val got = operators.Curation.dupRateBySource(spark, fixtureDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map(
+      "src0" -> ((2L, 1L)),
+      "src1" -> ((2L, 1L)),
+      "src2" -> ((1L, 0L))))
+  }
+
   /** documents.parquet with planted PII / repetition / contamination. */
   lazy val curDir: String = {
     import spark.implicits._
