@@ -164,6 +164,7 @@ object SparkEntry {
     "user_cardinality_rollup" -> EventOps.userCardinalityRollup _,
     "frequent_tokens"        -> ((s: SparkSession, d: String) => TextOps.frequentTokens(s, d)),
     "dup_rate_by_source"     -> Curation.dupRateBySource _,
+    "kmeans_inertia"         -> ((s: SparkSession, d: String) => Similarity.kmeansInertia(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1416,6 +1417,39 @@ object SparkEntry {
                 CAST(sum(q.q) AS DOUBLE) / count(*) AS mean_q
          FROM q JOIN assigned USING (vec_id)
          GROUP BY cell, dim_idx""",
+    // Same assignment + quantize CTEs as centroid_update; the centroid
+    // codes come from the quantize CTE itself (centroids are corpus
+    // vectors), so inertia is an exact integer on both engines.
+    "kmeans_inertia" ->
+      """WITH e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v,
+                           sqrt(list_reduce(list_prepend(0.0,
+                             list_transform(cast(embedding AS DOUBLE[]), x -> x*x)),
+                             (a,x) -> a + x)) AS nrm
+                    FROM embeddings),
+              c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM e WHERE vec_id < 16),
+              cs AS (SELECT e.vec_id, c.cid,
+                            list_reduce(list_prepend(0.0,
+                              list_transform(range(1, len(e.v)+1), i -> e.v[i]*c.cv[i])),
+                              (a,x) -> a + x) / (e.nrm * c.cnrm) AS sim
+                     FROM e, c),
+              assigned AS (SELECT vec_id, cell FROM (
+                     SELECT vec_id, cid AS cell,
+                            row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+                     FROM cs) WHERE rn = 1),
+              m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS ma FROM e),
+              x AS (SELECT vec_id, v, ma, unnest(range(1, len(v) + 1)) AS i FROM m),
+              q AS (SELECT vec_id, cast(i - 1 AS BIGINT) AS dim_idx,
+                           CASE WHEN ma = 0.0 THEN 0
+                                ELSE greatest(-127, least(127,
+                                       cast(floor(v[i] * 127.0 / ma) AS BIGINT)))
+                           END AS q
+                    FROM x),
+              d AS (SELECT a.vec_id, a.cell, (qm.q - qc.q) * (qm.q - qc.q) AS sq
+                    FROM assigned a
+                    JOIN q qm ON qm.vec_id = a.vec_id
+                    JOIN q qc ON qc.vec_id = a.cell AND qc.dim_idx = qm.dim_idx)
+         SELECT cell, count(DISTINCT vec_id) AS n, CAST(sum(sq) AS BIGINT) AS inertia
+         FROM d GROUP BY cell""",
     // Same 16-bit Morton interleave, unrolled via list_reduce.
     "zorder_layout" ->
       """SELECT event_id, user_id, vbin,

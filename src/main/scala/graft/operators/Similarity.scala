@@ -293,6 +293,61 @@ object Similarity {
       .withColumn("mean_q", col("sum_q").cast("double") / col("n"))
   }
 
+  /** Clustering quality (inertia): per cell, member count and the
+    * EXACT integer within-cell squared L2 over int8-quantized codes —
+    * the metric watched across Lloyd rounds ([[kmeansTrain]]) and the
+    * termination signal of codebook refinement. Same assignment rule
+    * and quantization as [[centroidUpdate]]; the centroid's own code
+    * is the codebook vector quantized by the SAME per-vector formula
+    * (centroids ARE corpus vectors here, so the oracle reads their
+    * codes straight from its quantize CTE — no special case). Squared
+    * diffs are ≤ 254² per dim; ×64 dims ×N members sits far under
+    * 2⁶³.
+    *
+    * Scale shape: one persisted scan computes assignment + codes per
+    * row; the per-row distance folds inside codegen (`zip_with` +
+    * `aggregate` over the broadcast codebook literal); the only
+    * exchange carries nlist partial (n, inertia) rows.
+    */
+  def kmeansInertia(spark: SparkSession, dir: String, nlist: Int = 16): DataFrame = {
+    val emb = withNorm(spark, dir)
+    val cents: Seq[Seq[Double]] = emb.filter(col("vec_id") < nlist)
+      .orderBy("vec_id").select("v").collect().toSeq.map(_.getSeq[Double](0))
+    if (cents.isEmpty) {
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Long)].toDF("cell", "n", "inertia")
+    }
+    val centNorms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
+    val centsLit = typedLit(cents)
+    val cellSims = array(
+      cents.indices.map(i =>
+        dot(col("v"), element_at(centsLit, i + 1)) / (col("nrm") * centNorms(i))): _*)
+    // driver-side replica of the Spark-side quantize (identical IEEE
+    // op order: x * 127.0 / ma, floor) applied to the codebook
+    def quant(v: Seq[Double]): Seq[Long] = {
+      val ma = v.map(math.abs).max
+      if (ma == 0.0) v.map(_ => 0L)
+      else v.map(x =>
+        math.max(-127L, math.min(127L, math.floor(x * 127.0 / ma).toLong)))
+    }
+    val centCodes = typedLit(cents.map(quant))
+    emb
+      .withColumn("cs", cellSims)
+      .withColumn("cell", array_position(col("cs"), array_max(col("cs"))) - 1L)
+      .withColumn("ma", array_max(transform(col("v"), x => abs(x))))
+      .withColumn("qv",
+        when(col("ma") === 0.0, transform(col("v"), _ => lit(0L)))
+          .otherwise(transform(col("v"), x =>
+            greatest(lit(-127L),
+              least(lit(127L), floor(x * 127.0 / col("ma")).cast("long"))))))
+      .withColumn("cc", element_at(centCodes, (col("cell") + 1L).cast("int")))
+      .withColumn("d2",
+        aggregate(zip_with(col("qv"), col("cc"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), sum(col("d2")).as("inertia"))
+  }
+
   /** Distributed k-means training — Lloyd's algorithm, the canonical
     * iterative workload of a large-scale embedding pipeline (IVF
     * codebook training, semantic-dedup clustering). Two full

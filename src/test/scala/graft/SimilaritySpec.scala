@@ -142,6 +142,19 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     } finally spark.sql("DROP TABLE IF EXISTS graft_ivf_cell_index")
   }
 
+  test("kmeans inertia: cells partition all vectors; centroid self-distance is zero") {
+    val rows = Similarity.kmeansInertia(spark, fixtureDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.forall { case (cell, _, _) => cell >= 0L && cell < 16L })
+    assert(rows.map(_._2).sum === 60L) // every fixture vector in exactly one cell
+    assert(rows.forall(_._3 >= 0L))
+    // a centroid is its own cell's member at distance 0, so a cell of
+    // size 1 (centroid alone) must have inertia exactly 0
+    rows.filter(_._2 === 1L).foreach { case (cell, _, in) =>
+      assert(in === 0L, s"singleton cell $cell has nonzero inertia $in")
+    }
+  }
+
   test("centroid update: every vector lands in one valid cell; means are exact int ratios") {
     val rows = Similarity.centroidUpdate(spark, fixtureDir).collect()
     assert(rows.forall(r => r.getLong(0) >= 0L && r.getLong(0) < 16L))
