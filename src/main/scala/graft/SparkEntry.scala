@@ -165,6 +165,7 @@ object SparkEntry {
     "frequent_tokens"        -> ((s: SparkSession, d: String) => TextOps.frequentTokens(s, d)),
     "dup_rate_by_source"     -> Curation.dupRateBySource _,
     "kmeans_inertia"         -> ((s: SparkSession, d: String) => Similarity.kmeansInertia(s, d)),
+    "q10_returned_revenue"   -> Relational.q10ReturnedRevenue _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1520,6 +1521,20 @@ object SparkEntry {
          ORDER BY sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) DESC,
                   l_orderkey
          LIMIT 10""",
+    // DECIMAL revenue keeps the top-20 cut exact (the q3 pattern).
+    "q10_returned_revenue" ->
+      """SELECT c_custkey AS custkey, c_name AS name, n_name AS nation,
+                CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+                  AS revenue
+         FROM customer, orders, lineitem, nation
+         WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+           AND c_nationkey = n_nationkey AND l_returnflag = 'R'
+           AND o_orderdate >= TIMESTAMP '1998-03-01'
+           AND o_orderdate < TIMESTAMP '1998-06-01'
+         GROUP BY c_custkey, c_name, n_name
+         ORDER BY sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) DESC,
+                  c_custkey
+         LIMIT 20""",
     // integral-valued quantities → double sums are exact in any order
     "q18_large_orders" ->
       """WITH big AS (SELECT l_orderkey, sum(l_quantity) AS total_qty

@@ -422,6 +422,40 @@ object Relational {
         col("o_orderpriority"))
   }
 
+  /** TPC-H Q10 shape (returned-item reporting): customers ranked by
+    * revenue lost to returns in a date window — lineitem filtered to
+    * `l_returnflag = 'R'` (pushed to the scan), date-bounded orders,
+    * revenue pre-aggregated per order key BEFORE the customer join, and
+    * the nation dimension broadcast last. DECIMAL(18,4) revenue keeps
+    * the ordering and top-20 cut engine-exact (the q3 pattern).
+    */
+  def q10ReturnedRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1998-03-01").cast("timestamp_ntz")
+    val hi = lit("1998-06-01").cast("timestamp_ntz")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)").as("rev"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("rev")).as("rev_dec"))
+    rev
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .orderBy(col("rev_dec").desc, col("c_custkey").asc)
+      .limit(20)
+      .select(
+        col("c_custkey").as("custkey"),
+        col("c_name").as("name"),
+        col("n_name").as("nation"),
+        col("rev_dec").cast("double").as("revenue"))
+  }
+
   /** TPC-H Q18 shape (large-volume orders): the aggregate-in-HAVING
     * pattern — per-order quantity totals filtered on the aggregate,
     * then enriched with order/customer attributes. The HAVING filter

@@ -108,6 +108,35 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     assert(ts === "2024-01-01 00:00:00") // RefTs nanos, UTC session TZ
   }
 
+  test("q10: returned revenue counts only R-flag lines inside the order-date window") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-q10").toString
+    def w(df: org.apache.spark.sql.DataFrame, name: String): Unit =
+      df.coalesce(1).write.mode("overwrite").parquet(s"$dir/$name.parquet")
+    val in = java.time.LocalDateTime.of(1998, 4, 1, 0, 0)   // inside window
+    val out = java.time.LocalDateTime.of(1998, 1, 1, 0, 0)  // outside
+    w(Seq((0, "NATION_0", 0)).toDF("n_nationkey", "n_name", "n_regionkey"), "nation")
+    w(Seq((1L, "alice", 0, 1.0, "SEG_A"), (2L, "bob", 0, 1.0, "SEG_A"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"), "customer")
+    w(Seq((10L, 1L, "O", 1.0, in, "1-URGENT"), (11L, 2L, "O", 1.0, out, "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority"), "orders")
+    w(Seq(
+      (10L, 10L, 1L, 1, 1.0, 100.0, 0.1, 0.0, "R", "O", in), // counted: 90
+      (10L, 11L, 1L, 2, 1.0, 50.0, 0.0, 0.0, "N", "O", in),  // not returned
+      (11L, 10L, 1L, 1, 1.0, 100.0, 0.0, 0.0, "R", "O", out)) // order outside window
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+        "l_shipdate"), "lineitem")
+
+    val got = operators.Relational.q10ReturnedRevenue(spark, dir).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert((r.getLong(0), r.getString(1), r.getString(2), r.getDouble(3))
+      === ((1L, "alice", "NATION_0", 90.0)))
+  }
+
   test("integer pagerank reproduces the hand-computed two-round star-graph ranks") {
     val s = spark
     import s.implicits._
