@@ -137,6 +137,35 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
       === ((1L, "alice", "NATION_0", 90.0)))
   }
 
+  test("pagerank matches an independent in-memory reference on seeded random multigraphs") {
+    // mirrors the operator's exact integer recurrence: symmetrize
+    // (duplicates and self-loops included), r0 = 1e6, per-round
+    // inflow = sum(r div deg) over incoming edges, damped floor update
+    def ref(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+      val sym = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      val deg = sym.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      var r: Map[Long, Long] = deg.keys.map(_ -> 1000000L).toMap
+      (1 to iters).foreach { _ =>
+        val inflow = sym.groupBy(_._2).view
+          .mapValues(_.map { case (src, _) => r(src) / deg(src) }.sum).toMap
+        r = r.keys.map(id =>
+          id -> (150000L + 850000L * inflow.getOrElse(id, 0L) / 1000000L)).toMap
+      }
+      r
+    }
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(11)
+    (1 to 5).foreach { trial =>
+      val n = 2 + rng.nextInt(7)
+      val edges = Seq.fill(1 + rng.nextInt(12))(
+        (rng.nextInt(n).toLong, rng.nextInt(n).toLong)) // self-loops + dupes allowed
+      val got = operators.Relational.pagerank(edges.toDF("src", "dst"), iters = 2)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === ref(edges, 2), s"trial $trial edges $edges")
+    }
+  }
+
   test("integer pagerank reproduces the hand-computed two-round star-graph ranks") {
     val s = spark
     import s.implicits._
