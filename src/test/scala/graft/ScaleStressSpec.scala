@@ -292,6 +292,26 @@ class ScaleStressSpec extends AnyFunSuite with SparkFixture {
     assert(byRank === Map(2147500L -> stars, 885250L -> stars * 10))
   }
 
+  test("frequent_tokens at 500k tokens: the planted heavy hitter survives MG merges exactly") {
+    // 100k docs of 5 tokens: one shared "hh" + 4 doc-unique tokens.
+    // N = 500k, threshold N/64 ≈ 7812 — only "hh" (freq 100k) clears
+    // it, and MG(64) cannot evict an item at 20% frequency. The exact
+    // re-count must return exactly one row with the exact count, after
+    // real partial-fold + merge trees across 8 input partitions.
+    val dir = java.nio.file.Files.createTempDirectory("graft-hh-scale").toString
+    val n = 100000L
+    spark.range(n).selectExpr(
+      "id AS doc_id",
+      "concat_ws(' ', 'hh', concat('a', id), concat('b', id), concat('c', id), concat('d', id)) AS text",
+      "'en' AS lang", "'src' AS source", "cast(0 AS long) AS n_chars")
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val got = graft.operators.TextOps.frequentTokens(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(got.toSeq === Seq("hh" -> 500000L * 1 / 5)) // 100k exactly
+  }
+
   test("events_sessionize at 10x sf0.1: one fact exchange feeds window AND session agg") {
     val df = EventOps.eventsSessionize(spark, scaleDir)
     val plan = PlanChecks.executedPlanString(df)
