@@ -166,6 +166,7 @@ object SparkEntry {
     "dup_rate_by_source"     -> Curation.dupRateBySource _,
     "kmeans_inertia"         -> ((s: SparkSession, d: String) => Similarity.kmeansInertia(s, d)),
     "q10_returned_revenue"   -> Relational.q10ReturnedRevenue _,
+    "multimodal_dedup"       -> Multimodal.multimodalDedup _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1280,6 +1281,21 @@ object SparkEntry {
                            (strpos('0123456789ABCDEF', substr(hx, 2*i+2, 1)) - 1) AS BIGINT))),
                   (a, c) -> (a * 31 + c) % 1000000007) AS checksum
          FROM b""",
+    // Same rolling checksum as multimodal_meta, grouped — binary
+    // payload dedup by (checksum, length).
+    "multimodal_dedup" ->
+      """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+                           octet_length(encode(text)) AS n FROM documents),
+              m AS (SELECT doc_id, cast(n AS BIGINT) AS n_bytes,
+                           list_reduce(
+                             list_prepend(cast(1 AS BIGINT),
+                               list_transform(range(0, n), i ->
+                                 cast((strpos('0123456789ABCDEF', substr(hx, 2*i+1, 1)) - 1) * 16 +
+                                      (strpos('0123456789ABCDEF', substr(hx, 2*i+2, 1)) - 1) AS BIGINT))),
+                             (a, c) -> (a * 31 + c) % 1000000007) AS checksum
+                    FROM b)
+         SELECT checksum, n_bytes, min(doc_id) AS keep_id, count(*) AS n_copies
+         FROM m GROUP BY checksum, n_bytes""",
     // Patterns must stay verbatim-identical to Curation.piiPatterns
     // (Java∩RE2 subset). Counts run against the ORIGINAL text per
     // pattern; replacements chain email → url → phone.

@@ -120,6 +120,19 @@ object Multimodal {
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob")),
       "doc_id", "blob")
 
+  /** Binary-content exact dedup — the image/audio analog of
+    * `dedup_exact`: payloads grouped by (checksum, n_bytes), keeper =
+    * min id. At 100 TB the groupBy key is 16 bytes per payload — the
+    * media bytes never shuffle (the checksum collapses them scan-side
+    * inside the batched decode pass); a checksum collision would also
+    * need equal lengths to merge groups, and a production build swaps
+    * in a cryptographic digest at the same plan shape.
+    */
+  def multimodalDedup(spark: SparkSession, dir: String): DataFrame =
+    multimodalMeta(spark, dir)
+      .groupBy(col("checksum"), col("n_bytes"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
   /** The same decode over arbitrary `(id, BINARY)` rows — the entry
     * point for real media ingested via
     * [[graft.sources.Formats.readBinaryFiles]] (`xxhash64(path)` makes

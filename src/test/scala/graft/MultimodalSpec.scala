@@ -5,6 +5,14 @@ import graft.operators.Multimodal
 
 class MultimodalSpec extends AnyFunSuite with SparkFixture {
 
+  test("binary dedup groups identical payloads; keeper is the min id") {
+    // docs 0 and 1 carry byte-identical text payloads; 2, 3, 4 unique
+    val got = operators.Multimodal.multimodalDedup(spark, fixtureDir)
+      .select("keep_id", "n_copies").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
   test("multimodal metadata: stub decode is deterministic over the byte payload") {
     val rows = Multimodal.multimodalMeta(spark, fixtureDir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
