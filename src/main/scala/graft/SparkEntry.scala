@@ -1281,21 +1281,14 @@ object SparkEntry {
                            (strpos('0123456789ABCDEF', substr(hx, 2*i+2, 1)) - 1) AS BIGINT))),
                   (a, c) -> (a * 31 + c) % 1000000007) AS checksum
          FROM b""",
-    // Same rolling checksum as multimodal_meta, grouped — binary
-    // payload dedup by (checksum, length).
+    // Binary payload dedup by (sha-256 digest, byte length). DuckDB's
+    // sha256(VARCHAR) hashes the string's UTF-8 bytes — exactly
+    // Spark's sha2(encode(text,'UTF-8'), 256); both emit lowercase hex.
     "multimodal_dedup" ->
-      """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
-                           octet_length(encode(text)) AS n FROM documents),
-              m AS (SELECT doc_id, cast(n AS BIGINT) AS n_bytes,
-                           list_reduce(
-                             list_prepend(cast(1 AS BIGINT),
-                               list_transform(range(0, n), i ->
-                                 cast((strpos('0123456789ABCDEF', substr(hx, 2*i+1, 1)) - 1) * 16 +
-                                      (strpos('0123456789ABCDEF', substr(hx, 2*i+2, 1)) - 1) AS BIGINT))),
-                             (a, c) -> (a * 31 + c) % 1000000007) AS checksum
-                    FROM b)
-         SELECT checksum, n_bytes, min(doc_id) AS keep_id, count(*) AS n_copies
-         FROM m GROUP BY checksum, n_bytes""",
+      """SELECT sha256(text) AS digest,
+                cast(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                min(doc_id) AS keep_id, count(*) AS n_copies
+         FROM documents GROUP BY 1, 2""",
     // Patterns must stay verbatim-identical to Curation.piiPatterns
     // (Java∩RE2 subset). Counts run against the ORIGINAL text per
     // pattern; replacements chain email → url → phone.

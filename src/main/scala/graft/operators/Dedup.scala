@@ -186,6 +186,17 @@ object Dedup {
     * sorted-merge verify on every candidate: output = the exact
     * all-pairs containment relation, which is what the DuckDB oracle
     * computes naively.
+    *
+    * Accepted divergence bound: the verify intersects 64-bit xxhash64
+    * shingle hashes while the oracle intersects the shingle STRINGS,
+    * so a cross-doc hash collision could inflate `inter` (or a
+    * within-doc collision shrink `ns`) and flip a threshold decision.
+    * With ≤ ~10⁶ distinct shingles per comparison universe the
+    * birthday bound puts P(any collision) < 10⁻⁷ per run — accepted
+    * here in exchange for shuffling 8-byte digests instead of
+    * 5-gram strings (the same trade [[minhashLsh]] makes); the
+    * string-exact path, when bit-parity is non-negotiable, is the one
+    * [[ngramJaccard]]'s oracle-parity verify takes.
     */
   def containment(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

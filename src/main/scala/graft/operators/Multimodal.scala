@@ -121,16 +121,19 @@ object Multimodal {
       "doc_id", "blob")
 
   /** Binary-content exact dedup — the image/audio analog of
-    * `dedup_exact`: payloads grouped by (checksum, n_bytes), keeper =
-    * min id. At 100 TB the groupBy key is 16 bytes per payload — the
-    * media bytes never shuffle (the checksum collapses them scan-side
-    * inside the batched decode pass); a checksum collision would also
-    * need equal lengths to merge groups, and a production build swaps
-    * in a cryptographic digest at the same plan shape.
+    * `dedup_exact`: payloads grouped by (sha-256 digest, n_bytes),
+    * keeper = min id. The digest is `sha2(blob, 256)` — a codegen'd
+    * expression evaluated scan-side, so at 100 TB the groupBy key is
+    * the 64-char hex digest plus a long per payload and the media
+    * bytes never cross the exchange. SHA-256 collisions are
+    * cryptographically negligible (and would additionally need equal
+    * byte lengths to merge groups).
     */
   def multimodalDedup(spark: SparkSession, dir: String): DataFrame =
-    multimodalMeta(spark, dir)
-      .groupBy(col("checksum"), col("n_bytes"))
+    Tables.documentsSpread(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+      .groupBy(sha2(col("blob"), 256).as("digest"),
+        length(col("blob")).cast("long").as("n_bytes"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
 
   /** The same decode over arbitrary `(id, BINARY)` rows — the entry

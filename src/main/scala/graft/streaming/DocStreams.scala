@@ -90,7 +90,12 @@ object DocStreams {
     val spark = batch.sparkSession
     import spark.implicits._
     val bands = bandsOf(batch).persist()
-    val idxExists = new java.io.File(indexPath).exists()
+    // Hadoop FileSystem resolution, not java.io.File: indexPath is a
+    // hadoop-scheme URI in production (hdfs://, s3a://) and a local
+    // path in tests — Path#getFileSystem handles both.
+    val hPath = new org.apache.hadoop.fs.Path(indexPath)
+    val idxExists =
+      hPath.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hPath)
     val lostToIndex: DataFrame =
       if (!idxExists) Seq.empty[Long].toDF("doc_id")
       else bands
