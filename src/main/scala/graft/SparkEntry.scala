@@ -167,6 +167,9 @@ object SparkEntry {
     "kmeans_inertia"         -> ((s: SparkSession, d: String) => Similarity.kmeansInertia(s, d)),
     "q10_returned_revenue"   -> Relational.q10ReturnedRevenue _,
     "multimodal_dedup"       -> Multimodal.multimodalDedup _,
+    // ---- round 9: standing-index append lifecycle, ANN recall ----
+    "dedup_minhash_append"   -> Dedup.minhashStandingAppend _,
+    "similarity_ann_append"  -> ((s: SparkSession, d: String) => Similarity.annIvfStandingAppend(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -873,6 +876,9 @@ object SparkEntry {
     // so the result — and the oracle — is bit-identical to the
     // in-query plan.
     "similarity_ann_standing" -> annIvfSql,
+    // append-lifecycle twin: two partitioned writes (even/odd vec_id)
+    // union to the same index contents, probe unchanged → bit-identical.
+    "similarity_ann_append" -> annIvfSql,
     // Full LSH replay: md5-derived integer plane weights (exact as
     // doubles), sequential-dot sign bits, 4-bit banding, candidate
     // dedupe, exact-cosine re-rank — same tie rules as the Spark side.
@@ -2004,6 +2010,9 @@ object SparkEntry {
     // what differs is the physical plan (bucketed index read), which the
     // oracle can't see; BucketedJoinSpec pins that half.
     "dedup_minhash_standing" -> minhashIncrementalSql,
+    // append-lifecycle twin: 60% build + (60,80]% bucketed append is
+    // the same ≤80% standing set — same verified pairs, same oracle.
+    "dedup_minhash_append" -> minhashIncrementalSql,
     "stream_dedup_minhash" -> streamDedupMinhashSql,
     // Integer TF-IDF replay: rational idf (N·100 div df), stopword cut
     // at 10·df ≤ 9·N, unnormalized dot-product scores — every score an

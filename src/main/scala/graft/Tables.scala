@@ -59,4 +59,23 @@ object Tables {
     events(s, d).repartition(s.sparkContext.defaultParallelism)
 
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Catalog name + storage path for a self-managed standing-index
+    * table, scoped by (Spark application id, data dir): two concurrent
+    * sessions on one machine — or one session over two data dirs —
+    * never race on the same catalog entry or directory, and one run's
+    * overwrite can't clobber an index another run is mid-probe on.
+    * Within a session, re-runs resolve to the same name and stay
+    * idempotent via overwrite. The path lives under java.io.tmpdir
+    * because these demo indexes are rebuilt per run; a production
+    * deployment points the same builders at a durable warehouse path
+    * and drops the app-id scoping (the index is then deliberately
+    * shared across ingest runs).
+    */
+  def scopedIndex(s: SparkSession, base: String, d: String): (String, String) = {
+    val app = s.sparkContext.applicationId.toLowerCase.replaceAll("[^a-z0-9]+", "_")
+    val dirTag = java.lang.Integer.toHexString(d.hashCode)
+    val name = s"${base}_${app}_$dirTag"
+    (name, s"${sys.props("java.io.tmpdir")}/$name")
+  }
 }

@@ -716,24 +716,58 @@ object Dedup {
     * the join columns, so the two-column bucket key is folded into one
     * string (md5 hex never contains '#').
     */
-  def minhashStanding(spark: SparkSession, dir: String): DataFrame = {
+  def minhashStanding(spark: SparkSession, dir: String): DataFrame =
+    minhashStandingImpl(spark, dir, appendEpoch = false)
+
+  /** The standing index's APPEND lifecycle, executed: epoch 1 writes
+    * the bucketed band index for the first 60% of the corpus, epoch 2
+    * `mode("append")`s the (60%, 80%] batch's signatures into the SAME
+    * table — no rebuild, just extra files per bucket (Spark validates
+    * the incoming bucket spec against the catalog's, and the bucketed
+    * scan groups all of a bucket id's files into one read partition,
+    * so the layout contract survives the append) — and the probe runs
+    * the final 20% against the grown index. The standing side is then
+    * exactly [[minhashIncremental]]'s ≤ 80% cut, so this returns the
+    * identical verified (doc_id, dup_of, inter, uni) rows and shares
+    * its DuckDB oracle; `BucketedJoinSpec` pins that the post-append
+    * probe plan STILL crosses zero exchanges on the index side. This
+    * is the claim "at 100 TB the index only grows by appended batch
+    * signatures" as a registered, oracled query instead of prose.
+    */
+  def minhashStandingAppend(spark: SparkSession, dir: String): DataFrame =
+    minhashStandingImpl(spark, dir, appendEpoch = true)
+
+  private def minhashStandingImpl(
+      spark: SparkSession, dir: String, appendEpoch: Boolean): DataFrame = {
     val sh = shingleSets(spark, dir).persist(StorageLevel.MEMORY_AND_DISK)
     val cut = Tables.documentsSpread(spark, dir)
-      .agg(expr("max(doc_id) * 8 div 10").as("c"))
+      .agg(expr("max(doc_id) * 8 div 10").as("c"),
+        expr("max(doc_id) * 6 div 10").as("c0"))
     val withKey = md5BandTable(sh)
       .crossJoin(cut)
       .withColumn("band_key", concat_ws("#", col("band"), col("band_hash")))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // Index build — in production this runs once (then appends); the
-    // external path keeps re-runs idempotent via overwrite.
-    val table = "graft_minhash_band_index"
-    val idxPath = s"${sys.props("java.io.tmpdir")}/$table"
-    withKey.filter(col("doc_id") <= col("c"))
-      .select(col("doc_id").as("dup_of"), col("band_key"))
-      .write.bucketBy(8, "band_key").sortBy("band_key")
-      .option("path", idxPath)
-      .mode("overwrite").saveAsTable(table)
+    // Index build — in production this runs once then appends; the
+    // external path keeps re-runs idempotent via overwrite. Name and
+    // path are scoped per (application, data dir) so concurrent
+    // sessions never race on one catalog entry (see Tables.scopedIndex).
+    val base =
+      if (appendEpoch) "graft_minhash_band_appended" else "graft_minhash_band_index"
+    val (table, idxPath) = Tables.scopedIndex(spark, base, dir)
+    def writeEpoch(rows: DataFrame, mode: String): Unit =
+      rows.select(col("doc_id").as("dup_of"), col("band_key"))
+        .write.bucketBy(8, "band_key").sortBy("band_key")
+        .option("path", idxPath)
+        .mode(mode).saveAsTable(table)
+    if (appendEpoch) {
+      writeEpoch(withKey.filter(col("doc_id") <= col("c0")), "overwrite")
+      writeEpoch(
+        withKey.filter(col("doc_id") > col("c0") && col("doc_id") <= col("c")),
+        "append")
+    } else {
+      writeEpoch(withKey.filter(col("doc_id") <= col("c")), "overwrite")
+    }
 
     // Probe — the standing index arrives pre-partitioned from storage.
     val batch = withKey.filter(col("doc_id") > col("c"))

@@ -190,7 +190,26 @@ object Similarity {
     * parquet roundtrip bit-exactly, so the result is bit-identical to
     * the in-query variant and shares its DuckDB oracle.
     */
-  def annIvfStanding(spark: SparkSession, dir: String, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+  def annIvfStanding(spark: SparkSession, dir: String, nlist: Int = 16, nprobe: Int = 4): DataFrame =
+    annIvfStandingImpl(spark, dir, nlist, nprobe, appendEpoch = false)
+
+  /** The IVF partition index's APPEND lifecycle, executed: epoch 1
+    * writes the even-`vec_id` half of the corpus `partitionBy(cell)`,
+    * epoch 2 `mode("append")`s the odd half into the same table — a
+    * partitioned parquet append just adds files under each `cell=k`
+    * directory, so the partition layout (which IS the index) survives
+    * by construction and the probe's static partition pruning works
+    * unchanged on the grown table. The union of the two epochs is the
+    * full corpus, so this is bit-identical to [[annIvfStanding]] /
+    * [[annIvf]] and shares their DuckDB oracle; `StandingIndexSpec`'s
+    * partition-count pin runs against this variant too.
+    */
+  def annIvfStandingAppend(spark: SparkSession, dir: String, nlist: Int = 16, nprobe: Int = 4): DataFrame =
+    annIvfStandingImpl(spark, dir, nlist, nprobe, appendEpoch = true)
+
+  private def annIvfStandingImpl(
+      spark: SparkSession, dir: String, nlist: Int, nprobe: Int,
+      appendEpoch: Boolean): DataFrame = {
     val emb = withNorm(spark, dir)
     val cents: Seq[Seq[Double]] = emb.filter(col("vec_id") < nlist)
       .orderBy("vec_id").select("v").collect().toSeq.map(_.getSeq[Double](0))
@@ -205,15 +224,24 @@ object Similarity {
         dot(v, element_at(centsLit, i + 1)) / (nrm * centNorms(i))): _*)
 
     // Build — in production a once-then-append offline job; overwrite
-    // keeps re-runs idempotent. Partition layout IS the index.
-    val table = "graft_ivf_cell_index"
-    val idxPath = s"${sys.props("java.io.tmpdir")}/$table"
-    emb.withColumn("cs", cellSims(col("v"), col("nrm")))
+    // keeps re-runs idempotent. Partition layout IS the index. Name
+    // and path scoped per (application, data dir) — Tables.scopedIndex.
+    val base =
+      if (appendEpoch) "graft_ivf_cell_appended" else "graft_ivf_cell_index"
+    val (table, idxPath) = Tables.scopedIndex(spark, base, dir)
+    val cells = emb.withColumn("cs", cellSims(col("v"), col("nrm")))
       .withColumn("cell", array_position(col("cs"), array_max(col("cs"))).cast("int"))
       .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
-      .write.partitionBy("cell")
-      .option("path", idxPath)
-      .mode("overwrite").saveAsTable(table)
+    def writeEpoch(rows: DataFrame, mode: String): Unit =
+      rows.write.partitionBy("cell")
+        .option("path", idxPath)
+        .mode(mode).saveAsTable(table)
+    if (appendEpoch) {
+      writeEpoch(cells.filter(pmod(col("vec_id"), lit(2)) === 0), "overwrite")
+      writeEpoch(cells.filter(pmod(col("vec_id"), lit(2)) === 1), "append")
+    } else {
+      writeEpoch(cells, "overwrite")
+    }
 
     // Probe — nprobe highest-similarity cells per query, ties to the
     // higher cell id (annIvf's reverse-sort rule).

@@ -44,6 +44,30 @@ class BucketedJoinSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("dedup_minhash_standing: persisted bucketed index side crosses zero shuffles") {
+    standingIndexProbeCheck("graft_minhash_band_index",
+      graft.operators.Dedup.minhashStanding)
+  }
+
+  test("dedup_minhash_append: appended bucketed index still probes shuffle-free") {
+    // Same check against the APPEND lifecycle: epoch-1 build (≤60%) +
+    // epoch-2 mode("append") of (60%,80%], then the 20% probe. Appends
+    // add files per bucket id; the bucketed scan must still group them
+    // into one partition per bucket and satisfy the join distribution
+    // with zero exchanges — this is the claim that the standing index
+    // "grows by appended batch signatures" without rebuild, executed.
+    standingIndexProbeCheck("graft_minhash_band_appended",
+      graft.operators.Dedup.minhashStandingAppend)
+  }
+
+  /** Shared drive for both standing-index lifecycles: build the
+    * incremental corpus, run `variant`, check verified pairs match the
+    * in-query incremental twin, then walk the executed plan and assert
+    * the index side of the band_key probe join crossed no exchange and
+    * was read as a bucketed scan.
+    */
+  private def standingIndexProbeCheck(
+      indexBase: String,
+      variant: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
@@ -61,9 +85,10 @@ class BucketedJoinSpec extends AnyFunSuite with SparkFixture {
       case q: QueryStageExec        => strip(q.plan)
       case other => other.withNewChildren(other.children.map(strip))
     }
+    // index tables are scoped per (app, dir) — match on the base prefix
     def indexScans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
       case s: FileSourceScanExec
-        if s.tableIdentifier.exists(_.table == "graft_minhash_band_index") => s
+        if s.tableIdentifier.exists(_.table.startsWith(indexBase)) => s
     }
 
     // DedupSpec's incremental corpus: docs 8,9 are near-dups of standing
@@ -83,7 +108,7 @@ class BucketedJoinSpec extends AnyFunSuite with SparkFixture {
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val out = Dedup.minhashStanding(spark, dir)
+      val out = variant(spark, dir)
       // same verified pairs as the in-query incremental variant — the
       // physical plan is the only thing that changed
       val rows = out.collect().map(_.toSeq).toSet
@@ -111,7 +136,7 @@ class BucketedJoinSpec extends AnyFunSuite with SparkFixture {
         s"index scan should be bucketed:\n$plan")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
-      spark.sql("DROP TABLE IF EXISTS graft_minhash_band_index")
+      spark.sql(s"DROP TABLE IF EXISTS ${Tables.scopedIndex(spark, indexBase, dir)._1}")
     }
   }
 

@@ -105,17 +105,36 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
   }
 
   test("standing IVF index: bit-identical to in-query IVF, probe scan partition-pruned") {
+    standingIvfCheck("graft_ivf_cell_index",
+      (s, d) => Similarity.annIvfStanding(s, d, nlist = 16, nprobe = 1))
+  }
+
+  test("appended IVF index: partition layout survives mode(append), pruning unchanged") {
+    // The append lifecycle: even-vec_id half written, odd half appended
+    // into the same cell-partitioned table. Contents union to the full
+    // corpus, so the result must stay bit-identical to the in-query
+    // plan AND the probe's static partition pruning must keep working
+    // over the per-cell file sets the append grew.
+    standingIvfCheck("graft_ivf_cell_appended",
+      (s, d) => Similarity.annIvfStandingAppend(s, d, nlist = 16, nprobe = 1))
+  }
+
+  /** Shared drive for both IVF index lifecycles. nlist=16, nprobe=1:
+    * the 10 queries ARE centroids (vec_id < 16), so each probes exactly
+    * its own cell — 10 distinct cells of 16, making the pruning
+    * OBSERVABLE. (At nlist=8 every query-centroid cell union covers all
+    * 8 cells by construction; the filter is still in the plan there,
+    * but prunes nothing.)
+    */
+  private def standingIvfCheck(
+      indexBase: String,
+      variant: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 
-    // nlist=16, nprobe=1: the 10 queries ARE centroids (vec_id < 16),
-    // so each probes exactly its own cell — 10 distinct cells of 16,
-    // making the pruning OBSERVABLE. (At nlist=8 every query-centroid
-    // cell union covers all 8 cells by construction; the filter is
-    // still in the plan there, but prunes nothing.)
     val inQuery = Similarity.annIvf(spark, fixtureDir, nlist = 16, nprobe = 1).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    val standing = Similarity.annIvfStanding(spark, fixtureDir, nlist = 16, nprobe = 1)
+    val standing = variant(spark, fixtureDir)
     try {
       val rows = standing.collect()
       assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet === inQuery)
@@ -130,7 +149,7 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
       }
       val scans = strip(standing.queryExecution.executedPlan).collect {
         case s: FileSourceScanExec
-          if s.tableIdentifier.exists(_.table == "graft_ivf_cell_index") => s
+          if s.tableIdentifier.exists(_.table.startsWith(indexBase)) => s
       }
       assert(scans.nonEmpty, "index scan not found in executed plan")
       assert(scans.forall(_.partitionFilters.nonEmpty),
@@ -139,7 +158,8 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
       info(s"index partitions read: ${selected.mkString(",")} of 16 cells")
       assert(selected.forall(_ < 16),
         s"probe read every index partition ($selected) — pruning inactive")
-    } finally spark.sql("DROP TABLE IF EXISTS graft_ivf_cell_index")
+    } finally spark.sql(
+      s"DROP TABLE IF EXISTS ${Tables.scopedIndex(spark, indexBase, fixtureDir)._1}")
   }
 
   test("kmeans inertia: cells partition all vectors; centroid self-distance is zero") {
