@@ -170,6 +170,7 @@ object SparkEntry {
     // ---- round 9: standing-index append lifecycle, ANN recall ----
     "dedup_minhash_append"   -> Dedup.minhashStandingAppend _,
     "similarity_ann_append"  -> ((s: SparkSession, d: String) => Similarity.annIvfStandingAppend(s, d)),
+    "copurchase_pagerank_deltas" -> ((s: SparkSession, d: String) => Relational.pagerankDeltas(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1101,6 +1102,37 @@ object SparkEntry {
               r2 AS (SELECT id, CAST(150000 + (850000 * coalesce(inflow, 0)) // 1000000 AS BIGINT) AS r
                      FROM r1 LEFT JOIN c2 ON c2.dst = r1.id)
          SELECT id AS part, r AS rank_micro FROM r2""",
+    // Eight integer PageRank rounds replayed as a recursive CTE (the
+    // working table is exactly the previous round's rank vector; in a
+    // symmetrized graph every deg vertex has inflow every round, so the
+    // aggregate-only recursive term covers the full vector), then
+    // consecutive iterations self-joined for per-round deltas.
+    "copurchase_pagerank_deltas" ->
+      """WITH RECURSIVE
+              op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+              prr AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+                      FROM op a JOIN op b
+                        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+                      GROUP BY a.l_partkey, b.l_partkey
+                      HAVING count(*) >= 2),
+              edges AS (SELECT part_a AS src, part_b AS dst FROM prr
+                        UNION ALL SELECT part_b, part_a FROM prr),
+              deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+              pr AS (
+                SELECT src AS id, CAST(1000000 AS BIGINT) AS r, 0 AS it FROM deg
+                UNION ALL
+                SELECT e.dst AS id,
+                       CAST(150000 + (850000 * sum(p.r // d.deg)) // 1000000 AS BIGINT) AS r,
+                       any_value(p.it) + 1 AS it
+                FROM pr p JOIN edges e ON e.src = p.id JOIN deg d ON d.src = p.id
+                WHERE p.it < 8
+                GROUP BY e.dst
+              )
+         SELECT CAST(b.it AS BIGINT) AS round,
+                CAST(max(abs(b.r - a.r)) AS BIGINT) AS max_delta_micro,
+                CAST(count(*) FILTER (b.r != a.r) AS BIGINT) AS n_changed
+         FROM pr a JOIN pr b ON a.id = b.id AND b.it = a.it + 1
+         GROUP BY 1""",
     // Shared top-20 vocab (cnt desc, token asc cutoff — deterministic
     // both engines); per-lang occurrence coverage + residual OOV types.
     // Sums CAST to BIGINT: DuckDB integer sum returns HUGEINT.

@@ -371,12 +371,82 @@ object Relational {
       val inflow = withDeg.join(ranks, col("src") === col("id"))
         .select(col("dst"), expr("r div deg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
-      ranks = ranks.select(col("id"), col("r"))
+      val next = ranks.select(col("id"), col("r"))
         .join(inflow, col("id") === col("dst"), "left")
         .select(col("id"),
           (lit(150000L) + expr("(850000 * coalesce(inflow, 0L)) div 1000000")).as("r"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // materialize, then drop the previous round's cache: each round
+      // references its predecessor twice (directly + via inflow), so an
+      // unpersisted chain would double its lineage per iteration —
+      // ~2^iters recompute for the iteration counts the signature
+      // invites. One vertex-scale cache per round caps it at linear.
+      next.count()
+      ranks.unpersist()
+      ranks = next
     }
     ranks
+  }
+
+  /** Per-round convergence telemetry for [[pagerank]]: for each of
+    * `rounds` synchronous updates over the co-purchase graph, the max
+    * absolute micro-unit rank change and the number of vertices whose
+    * rank moved — the termination evidence for the fixed-round
+    * formulation (damping 0.85 contracts the update, so
+    * max_delta_micro must shrink ~geometrically; a corpus where it
+    * doesn't is flagged by this query, not silently mis-ranked).
+    *
+    * The rank rounds run exactly [[pagerank]]'s distributed loop
+    * (same persisted edge partitioning, same integer update); each
+    * round adds ONE vertex-scale self-join reduced to a 1-row scalar
+    * aggregate, collected like [[Dedup.dedupComponents]]'s convergence
+    * sums — the result is `rounds` rows of driver-assembled telemetry
+    * while every rank stays distributed. Integer-exact end to end, so
+    * the DuckDB recursive-CTE oracle replays it hash-for-hash.
+    */
+  def pagerankDeltas(spark: SparkSession, dir: String, rounds: Int = 8): DataFrame =
+    pagerankDeltasOf(
+      copurchasePairs(spark, dir)
+        .select(col("part_a").as("src"), col("part_b").as("dst")),
+      rounds)
+
+  private[graft] def pagerankDeltasOf(edges: DataFrame, rounds: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withDeg = sym.join(deg, "src")
+    var ranks = deg.select(col("src").as("id"), lit(1000000L).as("r"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deltas =
+      if (ranks.isEmpty) Seq.empty[(Long, Long, Long)]
+      else (1 to rounds).map { rnd =>
+        val inflow = withDeg.join(ranks, col("src") === col("id"))
+          .select(col("dst"), expr("r div deg").as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
+        val next = ranks.select(col("id"), col("r"))
+          .join(inflow, col("id") === col("dst"), "left")
+          .select(col("id"),
+            (lit(150000L) + expr("(850000 * coalesce(inflow, 0L)) div 1000000")).as("r"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // disjoint column names → unambiguous old-vs-new self-join
+        val row = ranks
+          .join(next.select(col("id").as("id2"), col("r").as("r2")),
+            col("id") === col("id2"))
+          .agg(
+            coalesce(max(abs(col("r2") - col("r"))), lit(0L)).as("md"),
+            coalesce(sum(when(col("r2") =!= col("r"), 1L).otherwise(0L)), lit(0L)).as("nc"))
+          .head()
+        ranks.unpersist()
+        ranks = next
+        (rnd.toLong, row.getLong(0), row.getLong(1))
+      }
+    ranks.unpersist(); deg.unpersist(); sym.unpersist()
+    deltas.toDF("round", "max_delta_micro", "n_changed")
   }
 
   /** PageRank over the co-purchase graph ([[copurchasePairs]] edges):

@@ -521,6 +521,15 @@ object TextOps {
     val merges = scala.collection.mutable.ListBuffer[(Int, String, String, Long)]()
     var round = 1
     while (round <= rounds) {
+      // Best pair = (cnt desc, l asc, r asc) as ONE scalar aggregate:
+      // min over struct(-cnt, l, r) — struct ordering is field-by-field,
+      // so negating cnt turns the mixed-direction argmax into a plain
+      // min. Partial mins fold map-side; the final exchange carries one
+      // 1-row partial per partition — no per-round ordering anywhere,
+      // not even per-partition heaps. The single collected row is both
+      // the round's OUTPUT (the merge-table entry) and the literal the
+      // next rewrite compiles in — driver-state by construction, like
+      // dedupComponents' convergence scalars.
       val top = words
         .filter(size(col("syms")) >= 2)
         .select(explode(expr(
@@ -529,11 +538,12 @@ object TextOps {
           col("wcnt"))
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("wcnt")).as("cnt"))
-        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
-        .limit(1).collect()
-      if (top.isEmpty) { round = rounds + 1 }
+        .agg(min(struct((-col("cnt")).as("negCnt"), col("l"), col("r"))).as("best"))
+        .head()
+      if (top.isNullAt(0)) { round = rounds + 1 }
       else {
-        val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        val best = top.getStruct(0)
+        val (a, b, cnt) = (best.getString(1), best.getString(2), -best.getLong(0))
         merges += ((round, a, b, cnt))
         // left-to-right non-overlapping merge: fold the symbol array,
         // gluing x onto the accumulator tail when (tail, x) = (a, b)

@@ -178,4 +178,26 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === Map(1L -> 1127500L, 2L -> 936250L, 3L -> 936250L))
   }
+
+  test("pagerank deltas: star-graph per-round changes exact, damping contracts them") {
+    val s = spark
+    import s.implicits._
+    // star 1—2, 1—3 (see previous test): round-1 ranks (1850000,
+    // 575000, 575000) → deltas |Δ| = (850000, 425000); round-2 ranks
+    // (1127500, 936250, 936250) → deltas (722500, 361250). max |Δ| per
+    // round: 850000 then 722500, all three vertices moving both rounds.
+    val edges = Seq((1L, 2L), (1L, 3L)).toDF("src", "dst")
+    val got = operators.Relational.pagerankDeltasOf(edges, rounds = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length === 4)
+    assert(got.take(2).toSeq === Seq((1L, 850000L, 3L), (2L, 722500L, 3L)))
+    // 0.85 damping contracts the update map — max delta must shrink
+    // every round (the termination evidence the query exists to surface)
+    got.sliding(2).foreach { case Array((_, a, _), (_, b, _)) =>
+      assert(b < a, s"max delta did not shrink: $a -> $b")
+    }
+    // empty graph → empty telemetry, matching the oracle's empty CTE
+    assert(operators.Relational.pagerankDeltasOf(
+      Seq.empty[(Long, Long)].toDF("src", "dst"), rounds = 4).count() === 0L)
+  }
 }
