@@ -171,6 +171,7 @@ object SparkEntry {
     "dedup_minhash_append"   -> Dedup.minhashStandingAppend _,
     "similarity_ann_append"  -> ((s: SparkSession, d: String) => Similarity.annIvfStandingAppend(s, d)),
     "copurchase_pagerank_deltas" -> ((s: SparkSession, d: String) => Relational.pagerankDeltas(s, d)),
+    "ann_recall"             -> ((s: SparkSession, d: String) => Similarity.annRecall(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -501,7 +502,7 @@ object SparkEntry {
                       WHERE (na.ns > nb.ns OR (na.ns = nb.ns AND container < contained))
                         AND inter * 10 >= nb.ns * 9)"""
 
-  def oracleSql: Map[String, String] = Map(
+  private lazy val oracleSqlBase: Map[String, String] = Map(
     "taskA_filter_project" ->
       """SELECT c_name AS name, c_mktsegment AS mktsegment
          FROM customer JOIN nation ON c_nationkey = n_nationkey
@@ -2117,4 +2118,33 @@ object SparkEntry {
                      ELSE score // n_tokens > (1000000 * nt) // nr END AS keep
          FROM documents d LEFT JOIN ds USING (doc_id), tot""",
   )
+
+  /** recall@5 scoreboard oracle ([[graft.operators.Similarity.annRecall]]):
+    * each ANN variant's full SQL replay — the exact strings that oracle
+    * the variants individually — wrapped as a tagged subquery and
+    * left-joined against the exact top-k replay. Composition of
+    * already-verified SQL; integer hit counts only.
+    */
+  private lazy val annRecallSql: String = {
+    val variants = Seq(
+      "ann_ivf"   -> annIvfSql,
+      "ann_ivfpq" -> oracleSqlBase("similarity_ann_ivfpq"),
+      "ann_lsh"   -> oracleSqlBase("similarity_ann_lsh"),
+      "ann_pq"    -> oracleSqlBase("similarity_ann_pq"))
+    val tagged = variants.map { case (v, sql) =>
+      s"SELECT '$v' AS variant, qid, neighbor_id FROM ($sql)"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH exact AS (SELECT qid, neighbor_id
+                       FROM (${oracleSqlBase("similarity_topk")})),
+            approx AS ($tagged)
+       SELECT a.variant, CAST(5 AS BIGINT) AS k,
+              CAST(count(e.qid) AS BIGINT) AS hits,
+              (SELECT CAST(count(*) AS BIGINT) FROM exact) AS possible
+       FROM approx a
+       LEFT JOIN exact e ON a.qid = e.qid AND a.neighbor_id = e.neighbor_id
+       GROUP BY a.variant"""
+  }
+
+  def oracleSql: Map[String, String] =
+    oracleSqlBase + ("ann_recall" -> annRecallSql)
 }

@@ -371,19 +371,23 @@ object Relational {
       val inflow = withDeg.join(ranks, col("src") === col("id"))
         .select(col("dst"), expr("r div deg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
-      val next = ranks.select(col("id"), col("r"))
+      // localCheckpoint (eager): materializes the round AND truncates
+      // its lineage to an in-memory leaf. Each round references its
+      // predecessor twice (directly + via inflow), so a persist-only
+      // chain keeps a LOGICAL plan that doubles per iteration — the
+      // cache serves execution, but plan construction, canonicalization
+      // and stringification (persist() itself prints the plan for the
+      // cache name) go exponential in the round count. Truncation caps
+      // plan size and recompute at per-round constant; the round RDDs
+      // are vertex-scale and freed by the ContextCleaner as references
+      // drop. (Cluster caveat: localCheckpoint trades executor-loss
+      // recovery for speed — a reliable checkpoint dir restores it at
+      // the same plan shape.)
+      ranks = ranks.select(col("id"), col("r"))
         .join(inflow, col("id") === col("dst"), "left")
         .select(col("id"),
           (lit(150000L) + expr("(850000 * coalesce(inflow, 0L)) div 1000000")).as("r"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // materialize, then drop the previous round's cache: each round
-      // references its predecessor twice (directly + via inflow), so an
-      // unpersisted chain would double its lineage per iteration —
-      // ~2^iters recompute for the iteration counts the signature
-      // invites. One vertex-scale cache per round caps it at linear.
-      next.count()
-      ranks.unpersist()
-      ranks = next
+        .localCheckpoint()
     }
     ranks
   }
@@ -420,8 +424,13 @@ object Relational {
     val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val withDeg = sym.join(deg, "src")
+    // localCheckpoint per round, exactly like [[pagerank]]'s loop: the
+    // delta self-join references BOTH rounds, so a persist-only chain
+    // triples its logical plan per round — at the registered rounds=8
+    // the plan string alone (persist prints it for the cache name) goes
+    // exponential. Truncated leaves keep every round's plan constant.
     var ranks = deg.select(col("src").as("id"), lit(1000000L).as("r"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val deltas =
       if (ranks.isEmpty) Seq.empty[(Long, Long, Long)]
       else (1 to rounds).map { rnd =>
@@ -432,7 +441,7 @@ object Relational {
           .join(inflow, col("id") === col("dst"), "left")
           .select(col("id"),
             (lit(150000L) + expr("(850000 * coalesce(inflow, 0L)) div 1000000")).as("r"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .localCheckpoint()
         // disjoint column names → unambiguous old-vs-new self-join
         val row = ranks
           .join(next.select(col("id").as("id2"), col("r").as("r2")),
@@ -441,11 +450,10 @@ object Relational {
             coalesce(max(abs(col("r2") - col("r"))), lit(0L)).as("md"),
             coalesce(sum(when(col("r2") =!= col("r"), 1L).otherwise(0L)), lit(0L)).as("nc"))
           .head()
-        ranks.unpersist()
         ranks = next
         (rnd.toLong, row.getLong(0), row.getLong(1))
       }
-    ranks.unpersist(); deg.unpersist(); sym.unpersist()
+    deg.unpersist(); sym.unpersist()
     deltas.toDF("round", "max_delta_micro", "n_changed")
   }
 

@@ -845,4 +845,43 @@ object Similarity {
       .select(col("id_a"), col("id_b"))
       .distinct()
   }
+
+  /** Recall@5 scoreboard for the ANN family: every approximate variant
+    * ([[annLsh]], [[annIvf]], [[annPq]], [[annIvfPq]]) scored against
+    * the exact [[topKBrute]] ground truth in one plan — the
+    * quality/performance trade-off as an oracled artifact instead of a
+    * ScalaTest-only assertion. Output is integer hit counts
+    * `(variant, k, hits, possible)`; recall@5 = hits/possible. No
+    * floats cross the hash compare, and every input relation is itself
+    * independently oracled, so the DuckDB replay is a composition of
+    * already-verified SQL.
+    *
+    * Plan shape: the four variant plans union (each keeps its own
+    * candidate-bounded shape — band buckets, probed cells, ADC scans);
+    * the exact top-k result (queries×k = 50 rows) broadcasts into a
+    * hash left-join; hits reduce per variant via partial aggregation;
+    * the 1-row `possible` total rides a broadcast crossJoin. At 100 TB
+    * the expensive sides are the variants themselves — the scoreboard
+    * overhead on top is one broadcast of a k-bounded relation.
+    */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = topKBrute(spark, dir)
+      .select(col("qid"), col("neighbor_id"), lit(1L).as("hit"))
+    val variants: Seq[(String, DataFrame)] = Seq(
+      "ann_ivf"   -> annIvf(spark, dir),
+      "ann_ivfpq" -> annIvfPq(spark, dir),
+      "ann_lsh"   -> annLsh(spark, dir),
+      "ann_pq"    -> annPq(spark, dir))
+    val approx = variants.map { case (name, df) =>
+      df.select(lit(name).as("variant"), col("qid"), col("neighbor_id"))
+    }.reduce(_.unionByName(_))
+    val possible = exact.agg(count(lit(1)).as("possible"))
+    approx
+      .join(broadcast(exact), Seq("qid", "neighbor_id"), "left")
+      .groupBy(col("variant"))
+      // count(hit) counts non-nulls: rows the exact top-k also contains
+      .agg(count(col("hit")).as("hits"))
+      .crossJoin(broadcast(possible))
+      .select(col("variant"), lit(5L).as("k"), col("hits"), col("possible"))
+  }
 }

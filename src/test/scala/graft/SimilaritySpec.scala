@@ -210,6 +210,30 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(viaAgg.contains((0L, 11L, 1L)) && viaAgg.contains((0L, 13L, 2L)))
   }
 
+  test("ann_recall scoreboard matches per-variant intersections computed directly") {
+    val rows = Similarity.annRecall(spark, fixtureDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(rows.map(_._1).sorted === Seq("ann_ivf", "ann_ivfpq", "ann_lsh", "ann_pq"))
+    val exact = pairs(Similarity.topKBrute(spark, fixtureDir))
+    assert(rows.forall(_._4 === exact.size.toLong)) // possible = |exact|
+    assert(rows.forall(_._2 === 5L))
+    // each variant's hits = |variant ∩ exact| recomputed independently
+    val direct = Map(
+      "ann_ivf"   -> pairs(Similarity.annIvf(spark, fixtureDir)),
+      "ann_ivfpq" -> pairs(Similarity.annIvfPq(spark, fixtureDir)),
+      "ann_lsh"   -> pairs(Similarity.annLsh(spark, fixtureDir)),
+      "ann_pq"    -> pairs(Similarity.annPq(spark, fixtureDir)))
+    rows.foreach { case (v, _, hits, possible) =>
+      assert(hits === (direct(v) intersect exact).size.toLong, s"variant $v")
+      assert(hits >= 0L && hits <= possible)
+      info(f"$v recall@5 = ${hits.toDouble / possible}%.2f")
+    }
+    // clustered fixture: the coarse-cell variants should recall well
+    val byV = rows.map(t => t._1 -> t._3).toMap
+    assert(byV("ann_ivf").toDouble / exact.size >= 0.5)
+    assert(byV("ann_lsh").toDouble / exact.size >= 0.5)
+  }
+
   test("prototype prune drops the floor(n/4) most-prototypical per cell, deterministically") {
     val kept = Similarity.prototypePrune(spark, fixtureDir, k = 3).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))

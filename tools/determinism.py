@@ -32,10 +32,14 @@ def main() -> None:
         try:
             a = canon(pd.read_parquet(os.path.join(a_dir, p)))
             b = canon(pd.read_parquet(os.path.join(b_dir, p)))
-            if not a.equals(b):
+            if a.equals(b):
+                print(f"OK {p}: {len(a)} rows identical")
+            else:
                 diff.append(p)
+                print(f"DIFF {p}: outputs differ across runs")
         except Exception as e:  # missing on one side is also a diff
             diff.append(f"{p}: {e}")
+            print(f"DIFF {p}: {e}")
     if diff:
         print("NON-DETERMINISTIC:", ", ".join(diff))
         sys.exit(1)
