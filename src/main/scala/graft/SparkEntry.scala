@@ -2134,15 +2134,24 @@ object SparkEntry {
     val tagged = variants.map { case (v, sql) =>
       s"SELECT '$v' AS variant, qid, neighbor_id FROM ($sql)"
     }.mkString("\nUNION ALL\n")
+    // the left join FROM the literal variant list mirrors the Spark
+    // plan: a variant regressing to zero rows shows up as hits=0, it
+    // does not vanish from the scoreboard
+    val variantRows = variants.map { case (v, _) => s"('$v')" }.mkString(", ")
     s"""WITH exact AS (SELECT qid, neighbor_id
                        FROM (${oracleSqlBase("similarity_topk")})),
-            approx AS ($tagged)
-       SELECT a.variant, CAST(5 AS BIGINT) AS k,
-              CAST(count(e.qid) AS BIGINT) AS hits,
+            approx AS ($tagged),
+            scored AS (
+              SELECT a.variant, CAST(count(e.qid) AS BIGINT) AS hits
+              FROM approx a
+              LEFT JOIN exact e
+                ON a.qid = e.qid AND a.neighbor_id = e.neighbor_id
+              GROUP BY a.variant)
+       SELECT v.variant, CAST(5 AS BIGINT) AS k,
+              CAST(coalesce(s.hits, 0) AS BIGINT) AS hits,
               (SELECT CAST(count(*) AS BIGINT) FROM exact) AS possible
-       FROM approx a
-       LEFT JOIN exact e ON a.qid = e.qid AND a.neighbor_id = e.neighbor_id
-       GROUP BY a.variant"""
+       FROM (VALUES $variantRows) v(variant)
+       LEFT JOIN scored s ON v.variant = s.variant"""
   }
 
   def oracleSql: Map[String, String] =

@@ -354,6 +354,23 @@ object Relational {
     * graph's vertex set (isolated ids sit at the teleport floor by
     * definition and are not materialized).
     */
+  /** Frees the storage blocks of a localCheckpoint'd Dataset
+    * deterministically. `Dataset.unpersist` only clears CacheManager
+    * entries — a local checkpoint's blocks live on the underlying
+    * RDD inside the plan's `LogicalRDD` leaf and are otherwise freed
+    * only when the ContextCleaner GCs the reference, so an iterative
+    * loop would accumulate every round's vertex-scale blocks until an
+    * opportunistic GC. Non-blocking, and a no-op on plans without an
+    * RDD leaf. Callers only pass Datasets this module checkpointed
+    * itself, so the matched RDD is always one of our round outputs.
+    */
+  private def freeLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   def pagerank(edges: DataFrame, iters: Int = 2): DataFrame = {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
@@ -367,6 +384,7 @@ object Relational {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val withDeg = sym.join(deg, "src")
     var ranks = deg.select(col("src").as("id"), lit(1000000L).as("r"))
+    var prevCk: Option[DataFrame] = None
     (1 to iters).foreach { _ =>
       val inflow = withDeg.join(ranks, col("src") === col("id"))
         .select(col("dst"), expr("r div deg").as("c"))
@@ -378,17 +396,21 @@ object Relational {
       // cache serves execution, but plan construction, canonicalization
       // and stringification (persist() itself prints the plan for the
       // cache name) go exponential in the round count. Truncation caps
-      // plan size and recompute at per-round constant; the round RDDs
-      // are vertex-scale and freed by the ContextCleaner as references
-      // drop. (Cluster caveat: localCheckpoint trades executor-loss
-      // recovery for speed — a reliable checkpoint dir restores it at
-      // the same plan shape.)
+      // plan size and recompute at per-round constant. (Cluster caveat:
+      // localCheckpoint trades executor-loss recovery for speed — a
+      // reliable checkpoint dir restores it at the same plan shape.)
       ranks = ranks.select(col("id"), col("r"))
         .join(inflow, col("id") === col("dst"), "left")
         .select(col("id"),
           (lit(150000L) + expr("(850000 * coalesce(inflow, 0L)) div 1000000")).as("r"))
         .localCheckpoint()
+      // the new round is materialized (eager checkpoint), so the
+      // predecessor's blocks are dead — free them now instead of
+      // waiting for the ContextCleaner to notice the dropped reference
+      prevCk.foreach(freeLocalCheckpoint)
+      prevCk = Some(ranks)
     }
+    if (iters > 0) { deg.unpersist(blocking = false); sym.unpersist(blocking = false) }
     ranks
   }
 
@@ -401,12 +423,15 @@ object Relational {
     * doesn't is flagged by this query, not silently mis-ranked).
     *
     * The rank rounds run exactly [[pagerank]]'s distributed loop
-    * (same persisted edge partitioning, same integer update); each
-    * round adds ONE vertex-scale self-join reduced to a 1-row scalar
-    * aggregate, collected like [[Dedup.dedupComponents]]'s convergence
-    * sums — the result is `rounds` rows of driver-assembled telemetry
-    * while every rank stays distributed. Integer-exact end to end, so
-    * the DuckDB recursive-CTE oracle replays it hash-for-hash.
+    * (same persisted edge partitioning, same integer update); the
+    * previous rank rides the round update as a carried column, so the
+    * per-round delta is a 1-row scalar aggregate over a RESCAN of the
+    * round's checkpointed leaf — no old-vs-new self-join, no extra
+    * shuffle. The checkpoint is lazy: the delta aggregate is the one
+    * job that both materializes the round and collects its telemetry
+    * (collected like [[Dedup.dedupComponents]]'s convergence sums) —
+    * every rank stays distributed. Integer-exact end to end, so the
+    * DuckDB recursive-CTE oracle replays it hash-for-hash.
     */
   def pagerankDeltas(spark: SparkSession, dir: String, rounds: Int = 8): DataFrame =
     pagerankDeltasOf(
@@ -437,22 +462,28 @@ object Relational {
         val inflow = withDeg.join(ranks, col("src") === col("id"))
           .select(col("dst"), expr("r div deg").as("c"))
           .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
+        // lazy checkpoint: the delta aggregate below is the first (and
+        // only) job over this plan — it materializes the round's blocks
+        // and collects the telemetry in one pass. `r_prev` rides along
+        // so the delta needs no old-vs-new self-join.
         val next = ranks.select(col("id"), col("r"))
           .join(inflow, col("id") === col("dst"), "left")
           .select(col("id"),
-            (lit(150000L) + expr("(850000 * coalesce(inflow, 0L)) div 1000000")).as("r"))
-          .localCheckpoint()
-        // disjoint column names → unambiguous old-vs-new self-join
-        val row = ranks
-          .join(next.select(col("id").as("id2"), col("r").as("r2")),
-            col("id") === col("id2"))
+            (lit(150000L) + expr("(850000 * coalesce(inflow, 0L)) div 1000000")).as("r"),
+            col("r").as("r_prev"))
+          .localCheckpoint(eager = false)
+        val row = next
           .agg(
-            coalesce(max(abs(col("r2") - col("r"))), lit(0L)).as("md"),
-            coalesce(sum(when(col("r2") =!= col("r"), 1L).otherwise(0L)), lit(0L)).as("nc"))
+            coalesce(max(abs(col("r") - col("r_prev"))), lit(0L)).as("md"),
+            coalesce(sum(when(col("r") =!= col("r_prev"), 1L).otherwise(0L)), lit(0L)).as("nc"))
           .head()
-        ranks = next
+        // the delta row is collected and `next` is materialized — the
+        // old round's checkpoint blocks are dead; free deterministically
+        freeLocalCheckpoint(ranks)
+        ranks = next.select(col("id"), col("r"))
         (rnd.toLong, row.getLong(0), row.getLong(1))
       }
+    freeLocalCheckpoint(ranks) // telemetry is collected; the final rank vector is not returned
     deg.unpersist(); sym.unpersist()
     deltas.toDF("round", "max_delta_micro", "n_changed")
   }

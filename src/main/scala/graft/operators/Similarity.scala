@@ -858,15 +858,25 @@ object Similarity {
     *
     * Plan shape: the four variant plans union (each keeps its own
     * candidate-bounded shape — band buckets, probed cells, ADC scans);
-    * the exact top-k result (queries×k = 50 rows) broadcasts into a
-    * hash left-join; hits reduce per variant via partial aggregation;
-    * the 1-row `possible` total rides a broadcast crossJoin. At 100 TB
-    * the expensive sides are the variants themselves — the scoreboard
-    * overhead on top is one broadcast of a k-bounded relation.
+    * the exact top-k result (queries×k = 50 rows) is localCheckpoint'd
+    * so the O(kN) brute-force scan runs exactly once, then broadcasts
+    * into a hash left-join; hits reduce per variant via partial
+    * aggregation; the 1-row `possible` total rides a broadcast
+    * crossJoin. The final left join FROM the literal 4-row variant
+    * list guarantees a variant whose ANN query regresses to zero rows
+    * still surfaces as a `hits=0` scoreboard row instead of silently
+    * vanishing from the output. At 100 TB the expensive sides are the
+    * variants themselves — the scoreboard overhead on top is one
+    * broadcast of a k-bounded relation.
     */
   def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // eager localCheckpoint: 50 rows, evaluated once — the broadcast
+    // join side and the `possible` scalar both read the materialized
+    // leaf, not two replays of the exact scan
     val exact = topKBrute(spark, dir)
       .select(col("qid"), col("neighbor_id"), lit(1L).as("hit"))
+      .localCheckpoint()
     val variants: Seq[(String, DataFrame)] = Seq(
       "ann_ivf"   -> annIvf(spark, dir),
       "ann_ivfpq" -> annIvfPq(spark, dir),
@@ -876,12 +886,15 @@ object Similarity {
       df.select(lit(name).as("variant"), col("qid"), col("neighbor_id"))
     }.reduce(_.unionByName(_))
     val possible = exact.agg(count(lit(1)).as("possible"))
-    approx
+    val hits = approx
       .join(broadcast(exact), Seq("qid", "neighbor_id"), "left")
       .groupBy(col("variant"))
       // count(hit) counts non-nulls: rows the exact top-k also contains
       .agg(count(col("hit")).as("hits"))
+    variants.map(_._1).toDF("variant")
+      .join(hits, Seq("variant"), "left")
       .crossJoin(broadcast(possible))
-      .select(col("variant"), lit(5L).as("k"), col("hits"), col("possible"))
+      .select(col("variant"), lit(5L).as("k"),
+        coalesce(col("hits"), lit(0L)).as("hits"), col("possible"))
   }
 }
