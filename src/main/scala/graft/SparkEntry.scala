@@ -172,6 +172,9 @@ object SparkEntry {
     "similarity_ann_append"  -> ((s: SparkSession, d: String) => Similarity.annIvfStandingAppend(s, d)),
     "copurchase_pagerank_deltas" -> ((s: SparkSession, d: String) => Relational.pagerankDeltas(s, d)),
     "ann_recall"             -> ((s: SparkSession, d: String) => Similarity.annRecall(s, d)),
+    // ---- round 10: BM25 retrieval, PCA-precursor Gram accumulation ----
+    "bm25_search"            -> ((s: SparkSession, d: String) => TextOps.bm25Search(s, d)),
+    "embedding_covariance"   -> Similarity.embeddingCovariance _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2117,6 +2120,60 @@ object SparkEntry {
                 CASE WHEN coalesce(n_tokens, 0) = 0 THEN false
                      ELSE score // n_tokens > (1000000 * nt) // nr END AS keep
          FROM documents d LEFT JOIN ds USING (doc_id), tot""",
+    // BM25 retrieval: same floor-div milli-unit rationals as the Spark
+    // plan — idf surrogate (N·100)//df, length norm in milli-units
+    // cross-multiplied by total tokens, per-term score floored once
+    "bm25_search" ->
+      """WITH tk AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS ts
+                     FROM documents),
+              tfc AS (SELECT doc_id, term, count(*) AS tf
+                      FROM (SELECT doc_id, unnest(ts) AS term FROM tk)
+                      GROUP BY doc_id, term),
+              dlen AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+                       FROM tfc GROUP BY doc_id),
+              st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                            CAST(sum(dl) AS BIGINT) AS total_tokens FROM dlen),
+              idf AS (SELECT term, (n_docs * 100) // df AS idf, n_docs, total_tokens
+                      FROM (SELECT term, count(*) AS df FROM tfc GROUP BY term), st),
+              q AS (SELECT * FROM (VALUES (0,'fast'),(0,'scan'),(0,'table'),
+                                          (1,'window'),(1,'agg'),(1,'group'),
+                                          (2,'stream'),(2,'join'),(2,'merge')) t(qid, term)),
+              sc AS (SELECT qid, doc_id,
+                            CAST(sum((idf * tf * 2200 * 1000) //
+                                     (tf * 1000 + (1200 * (250 + (750 * dl * n_docs) // total_tokens)) // 1000))
+                                 AS BIGINT) AS score
+                     FROM tfc JOIN q USING (term) JOIN idf USING (term) JOIN dlen USING (doc_id)
+                     GROUP BY qid, doc_id)
+         SELECT CAST(qid AS BIGINT) AS qid, doc_id AS neighbor_id, rnk FROM (
+           SELECT qid, doc_id,
+                  row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS rnk
+           FROM sc) WHERE rnk <= 10""",
+    // PCA-precursor Gram accumulation: embedding_quantize's exact int8
+    // codes, upper-triangle product sums + per-dim sums + count
+    "embedding_covariance" ->
+      """WITH e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM embeddings),
+              m AS (SELECT vec_id, v,
+                           list_max(list_transform(v, x -> abs(x))) AS ma FROM e),
+              x AS (SELECT vec_id, v, ma,
+                           unnest(range(1, len(v) + 1)) AS i FROM m),
+              qt AS (SELECT vec_id, cast(i - 1 AS BIGINT) AS dim_idx,
+                            CASE WHEN ma = 0.0 THEN 0
+                                 ELSE greatest(-127, least(127,
+                                        cast(floor(v[i] * 127.0 / ma) AS BIGINT)))
+                            END AS q
+                     FROM x),
+              ps AS (SELECT a.dim_idx AS dim_i, b.dim_idx AS dim_j,
+                            CAST(sum(a.q * b.q) AS BIGINT) AS sum_qq
+                     FROM qt a JOIN qt b
+                       ON a.vec_id = b.vec_id AND a.dim_idx <= b.dim_idx
+                     GROUP BY 1, 2),
+              ds AS (SELECT dim_idx, CAST(sum(q) AS BIGINT) AS sum_q,
+                            CAST(count(*) AS BIGINT) AS n FROM qt GROUP BY dim_idx)
+         SELECT p.dim_i, p.dim_j, p.sum_qq, di.sum_q AS sum_qi,
+                dj.sum_q AS sum_qj, di.n AS n_vecs
+         FROM ps p
+         JOIN ds di ON p.dim_i = di.dim_idx
+         JOIN ds dj ON p.dim_j = dj.dim_idx""",
   )
 
   /** recall@5 scoreboard oracle ([[graft.operators.Similarity.annRecall]]):

@@ -117,6 +117,61 @@ object Similarity {
           .as("q"))
   }
 
+  /** Integer-exact covariance accumulation over the int8-quantized
+    * embedding codes — the d×d Gram/moment matrix PCA, whitening, and
+    * OPQ rotation training all start from. Output is the upper
+    * triangle (d·(d+1)/2 = 2 080 rows at d = 64): per (dim_i, dim_j)
+    * the raw product sum Σ qᵢ·qⱼ plus the per-dimension sums and the
+    * vector count, so exact centered covariance assembles downstream as
+    * `(sum_qq − sum_qi·sum_qj/n)/n` — model-scale, after the heavy
+    * pass. Quantization is [[embeddingQuantize]]'s exact formula, so
+    * every value is a BIGINT both engines agree on bit-for-bit
+    * (|q| ≤ 127 → per-vector products ≤ 16 129; Σ over 10¹⁰ vectors
+    * still ≪ 2⁶³).
+    *
+    * Scale shape: the upper-triangle pair expansion happens WITHIN each
+    * row (nested codegen'd array transforms — no self-join, nothing
+    * shuffles vectors), partial aggregation folds the d²-bounded keys
+    * map-side, so the one exchange carries ≤ 2 080 rows per upstream
+    * partition regardless of corpus size; the 64-row per-dimension sum
+    * table joins back broadcast. This is the map-side-Gram pattern
+    * distributed PCA uses (compute AᵀA in one pass, eigendecompose the
+    * d×d result on the driver as model-scale work).
+    */
+  def embeddingCovariance(spark: SparkSession, dir: String): DataFrame = {
+    val quant = Tables.embeddings(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("ma", array_max(transform(col("v"), x => abs(x))))
+      .withColumn("qarr", transform(col("v"), x =>
+        when(col("ma") === 0.0, lit(0L))
+          .otherwise(greatest(lit(-127L),
+            least(lit(127L), floor(x * 127.0 / col("ma")).cast("long"))))))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // within-row upper-triangle expansion: for 0-based i, slice(arr,
+    // i+1, d-i) is q_i..q_{d-1}, inner index k ⇒ j = i+k (diagonal in)
+    val pairSums = quant
+      .select(explode(flatten(transform(col("qarr"), (qi, i) =>
+        transform(slice(col("qarr"), i + lit(1), size(col("qarr")) - i),
+          (qj, kk) => struct(
+            i.cast("long").as("dim_i"),
+            (i + kk).cast("long").as("dim_j"),
+            (qi * qj).as("p")))))).as("pr"))
+      .groupBy(col("pr.dim_i").as("dim_i"), col("pr.dim_j").as("dim_j"))
+      .agg(sum(col("pr.p")).as("sum_qq"))
+    val dims = quant
+      .select(posexplode(col("qarr")))
+      .groupBy(col("pos").cast("long").as("dim_idx"))
+      .agg(sum(col("col")).as("sum_q"), count(lit(1)).as("n"))
+    pairSums
+      .join(broadcast(dims.select(col("dim_idx").as("dim_i"),
+        col("sum_q").as("sum_qi"), col("n").as("n_vecs"))), Seq("dim_i"))
+      .join(broadcast(dims.select(col("dim_idx").as("dim_j"),
+        col("sum_q").as("sum_qj"))), Seq("dim_j"))
+      .select(col("dim_i"), col("dim_j"), col("sum_qq"),
+        col("sum_qi"), col("sum_qj"), col("n_vecs"))
+  }
+
   /** Approximate top-5 via IVF (inverted-file) coarse quantization:
     * vectors are assigned to their nearest of `nlist` centroids; a
     * query scores only vectors in its `nprobe` nearest cells. The

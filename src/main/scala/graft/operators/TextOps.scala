@@ -769,6 +769,67 @@ object TextOps {
     graft.functions.TopK.perQuery(scored, k)
   }
 
+  /** BM25 keyword retrieval: top-10 documents per standing query under
+    * the Okapi BM25 ranking function (k1 = 1.2, b = 0.75) — the
+    * full-text-search counterpart of [[docKnnTfidf]]'s doc-to-doc
+    * similarity. The standing query set is a literal (qid, term)
+    * relation — model-scale, broadcast, the shape of a search/eval
+    * harness's fixed query file.
+    *
+    * Engine-exact integers throughout, same discipline as
+    * [[docKnnTfidf]]: idf is the rational surrogate `(N·100) div df`
+    * (monotone in 1/df; production swaps the Robertson log idf in
+    * double, changing nothing in the plan), the length normalization
+    * `1 − b + b·dl/avgdl` is computed in milli-units with floor
+    * division cross-multiplied by total token count (no float avgdl),
+    * and the per-term score is the scaled rational
+    * `(idf · tf · (k1+1)·1000·1000) div (tf·1000 + k1·norm_milli)` —
+    * every intermediate a BIGINT both engines floor identically.
+    *
+    * Scale shape: one (doc, term) tf exchange; doc lengths re-derived
+    * from tf by a partial-agg'd doc_id groupBy (no second corpus
+    * pass); df/idf is vocabulary-bounded; the literal query list and
+    * idf table broadcast into the posting scan, so only postings of
+    * query terms survive to the one (qid, doc) scoring exchange; the
+    * corpus-scalar (N, total_tokens) rides a broadcast crossJoin; the
+    * final top-k is the k-bounded [[graft.functions.TopKBySim]] fold
+    * (scores ≪ 2⁵³, so the double-typed fold is exact). Ties rank the
+    * lower doc_id first. Output is rank-only integers.
+    */
+  def bm25Search(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val queries = Seq(
+      (0L, "fast"), (0L, "scan"), (0L, "table"),
+      (1L, "window"), (1L, "agg"), (1L, "group"),
+      (2L, "stream"), (2L, "join"), (2L, "merge"))
+    val tf = Tables.documentsSpread(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(
+      count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
+    val idf = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+      .select(col("term"), expr("(n_docs * 100) div df").as("idf"),
+        col("n_docs"), col("total_tokens"))
+    val q = queries.toDF("qid", "term")
+    val scored = tf
+      .join(broadcast(q), "term")   // only query-term postings survive
+      .join(broadcast(idf), "term")
+      .join(dl, "doc_id")           // candidate rows ⋈ doc lengths, keyed on doc_id
+      .withColumn("norm_m",
+        lit(250L) + expr("(750 * dl * n_docs) div total_tokens"))
+      .withColumn("s",
+        expr("(idf * tf * 2200 * 1000) div (tf * 1000 + (1200 * norm_m) div 1000)"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("s")).as("score"))
+      .select(col("qid"), col("doc_id").as("vec_id"),
+        col("score").cast("double").as("sim"))
+    graft.functions.TopK.perQuery(scored, k)
+  }
+
   /** Frequency-of-frequencies spectrum (the Good–Turing table): how
     * many distinct terms occur exactly `freq` times in the corpus —
     * the corpus profile behind smoothing estimators, vocabulary-size

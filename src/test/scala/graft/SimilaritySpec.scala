@@ -253,4 +253,34 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
       assert(rows.map(t => t._1 % 3).distinct.length === 1)
     }
   }
+
+  test("embedding covariance matches an in-memory integer reference exactly") {
+    // reference: quantize each vector with the embeddingQuantize
+    // formula, then accumulate the upper-triangle sums in plain Scala
+    val vecs = spark.read.parquet(s"$fixtureDir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val codes = vecs.map { case (_, v) =>
+      val ma = v.map(math.abs).max
+      v.map(x => if (ma == 0.0) 0L
+        else math.max(-127L, math.min(127L, math.floor(x * 127.0 / ma).toLong)))
+    }
+    val d = codes.head.length
+    val expPairs = (for { i <- 0 until d; j <- i until d } yield
+      (i.toLong, j.toLong) -> codes.map(q => q(i) * q(j)).sum).toMap
+    val expDim = (0 until d).map(i => i.toLong -> codes.map(_(i)).sum).toMap
+
+    val got = Similarity.embeddingCovariance(spark, fixtureDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got.size === d * (d + 1) / 2)
+    got.foreach { case ((i, j), (sumQq, sumQi, sumQj, n)) =>
+      assert(sumQq === expPairs((i, j)), s"sum_qq($i,$j)")
+      assert(sumQi === expDim(i) && sumQj === expDim(j), s"dim sums ($i,$j)")
+      assert(n === codes.length.toLong)
+      // raw-moment Cauchy-Schwarz: a violated bound means broken sums
+      assert(sumQq * sumQq <= expPairs((i, i)) * expPairs((j, j)) ||
+        i == j, s"CS($i,$j)")
+    }
+  }
 }

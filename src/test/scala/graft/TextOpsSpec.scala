@@ -294,4 +294,59 @@ class TextOpsSpec extends AnyFunSuite with SparkFixture {
     // zz + x1..x40 are hapaxes; w40 is in docs 0/1/4; w1..w39 in 0/1/2/4
     assert(got === Map(1L -> 41L, 3L -> 1L, 4L -> 39L))
   }
+
+  test("bm25 search matches an in-memory reference and ranks short docs above long ones") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25").toString
+    val corpus = Seq(
+      1L -> "fast scan",                                     // short, two q0 terms
+      2L -> ("fast fast fast scan scan table table " + (1 to 30).map(i => s"n$i").mkString(" ")),
+      3L -> "table",
+      4L -> "noise blah blah noise",                         // no query terms
+      5L -> "window agg group window agg group",
+      6L -> "stream join merge",
+      7L -> "fast scan table")                               // all three q0 terms, short
+    corpus.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // independent reference: same tokenization, same floor-div integer
+    // formula, computed with plain Scala collections
+    val queries = Seq(
+      0L -> Seq("fast", "scan", "table"), 1L -> Seq("window", "agg", "group"),
+      2L -> Seq("stream", "join", "merge"))
+    val toks = corpus.map { case (id, t) => id -> t.split("\\s+").filter(_.nonEmpty).toSeq }.toMap
+    val tf = toks.map { case (id, ts) => id -> ts.groupBy(identity).map { case (w, g) => w -> g.size.toLong } }
+    val df = tf.values.flatMap(_.keys).groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    val dl = toks.map { case (id, ts) => id -> ts.size.toLong }
+    val nDocs = corpus.size.toLong; val total = dl.values.sum
+    def score(qid: Long, docId: Long): Long =
+      queries.toMap.apply(qid).flatMap { term =>
+        tf(docId).get(term).map { f =>
+          val idf = (nDocs * 100L) / df(term)
+          val normM = 250L + (750L * dl(docId) * nDocs) / total
+          (idf * f * 2200L * 1000L) / (f * 1000L + (1200L * normM) / 1000L)
+        }
+      }.sum
+    val expected = queries.map(_._1).flatMap { qid =>
+      corpus.map(_._1).filter(score(qid, _) > 0L)
+        .sortBy(id => (-score(qid, id), id)).take(10).zipWithIndex
+        .map { case (id, i) => (qid, id, i + 1L) }
+    }.toSet
+
+    val got = TextOps.bm25Search(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected)
+    // no-query-term doc never surfaces
+    assert(!got.exists(_._2 == 4L))
+    // length normalization: doc 1 ("fast scan", dl 2) outranks doc 2
+    // (more raw tf for the same terms, dl 37) for query 0
+    val q0 = got.filter(_._1 == 0L).map(t => t._2 -> t._3).toMap
+    assert(q0(1L) < q0(2L))
+  }
+
+  test("bm25 search over a corpus with no query terms is empty") {
+    // fixture docs only contain w*/x*/zz tokens — no standing-query term
+    assert(TextOps.bm25Search(spark, fixtureDir).collect().isEmpty)
+  }
 }
