@@ -194,4 +194,41 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
     assert(PlanChecks.broadcastCount(plan) >= 1) // 1-row ref-time aggregate
     assert(PlanChecks.shuffleCount(plan) <= 3)   // last-ts agg + join sides
   }
+
+  // NOTE (both tests below): the executed plans embed a persisted
+  // InMemoryRelation whose stored plan string carries its own
+  // "== Initial Plan ==" marker, which defeats finalSection-based
+  // counting (it truncates at the FIRST marker) — so these pins match
+  // structural join facts over the full plan string instead.
+
+  test("embedding covariance: within-row pair expansion — no self-join, no sort-merge") {
+    val plan = PlanChecks.executedPlanString(
+      graft.operators.Similarity.embeddingCovariance(spark, fixtureDir))
+    // pairs expand inside the row: a regression to a vec_id self-join
+    // would plan a vector-keyed exchange and a join wider than the two
+    // broadcast dim-sum joins
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2) // dim_i + dim_j sums
+    assert(raw"Exchange hashpartitioning\(vec_id".r.findAllIn(plan).isEmpty,
+      "vector-keyed shuffle — pair expansion left the row")
+  }
+
+  test("bm25 search: query terms and idf broadcast into the posting scan") {
+    import spark.implicits._
+    // fixture docs carry none of the standing query terms (AQE would
+    // collapse the whole plan to EmptyRelation) — pin on a corpus that
+    // exercises the full posting path
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25plan").toString
+    Seq((1L, "fast scan table", "en", "s", 0L), (2L, "window agg group fast", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val plan = PlanChecks.executedPlanString(
+      graft.operators.TextOps.bm25Search(spark, dir))
+    // literal query list + vocabulary-bounded idf join broadcast; the
+    // only nested-loop is the whitelisted 1-row corpus-stats scalar
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2, plan)
+  }
 }
