@@ -241,6 +241,38 @@ object Curation {
         col("r_count") && col("r_len") && col("r_alpha") && col("r_stop"))
   }
 
+  /** Per-source quality dashboard — the acquisition-triage table a
+    * curation run publishes next to [[dupRateBySource]]: for each
+    * source, how many documents pass the Gopher heuristics
+    * ([[gopherRules]]), the trained classifier ([[qualityClassifier]]),
+    * look English ([[graft.operators.TextOps.langId]]), and how much
+    * PII was redacted ([[piiRedact]]). A source whose pass-rates crater
+    * gets its crawl budget cut before dedup ever runs.
+    *
+    * Deliberately a COMPOSITION, not a re-derivation: each signal is
+    * the already-verified per-doc operator, joined id-to-id — in
+    * production these signals are materialized corpus columns, and
+    * this report is exactly the join-and-rollup it would run there
+    * (narrow id-keyed rows through the exchanges; Catalyst prunes the
+    * unused redacted text off the [[piiRedact]] branch). Per-source
+    * integer counts only — consumers derive the rates.
+    */
+  def sourceQualityReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documentsSpread(spark, dir).select(col("doc_id"), col("source"))
+    val g = gopherRules(spark, dir).select(col("doc_id"), col("keep").as("g_keep"))
+    val q = qualityClassifier(spark, dir).select(col("doc_id"), col("keep").as("q_keep"))
+    val l = TextOps.langId(spark, dir).select(col("doc_id"), col("pred_lang"))
+    val p = piiRedact(spark, dir).select(col("doc_id"), col("n_pii"))
+    docs.join(g, "doc_id").join(q, "doc_id").join(l, "doc_id").join(p, "doc_id")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("g_keep"), 1L).otherwise(0L)).as("n_gopher_keep"),
+        sum(when(col("q_keep"), 1L).otherwise(0L)).as("n_quality_keep"),
+        sum(when(col("pred_lang") === "en", 1L).otherwise(0L)).as("n_pred_en"),
+        sum(col("n_pii")).as("n_pii"))
+  }
+
   /** DSIR-style importance scoring (Xie et al., "Data Selection for
     * Language Models via Importance Resampling"): documents are scored
     * by how much their hashed-unigram distribution resembles a TARGET

@@ -383,6 +383,31 @@ object Dedup {
       (col("doc_id") === col("comp")).as("keep"))
   }
 
+  /** Soft dedup: instead of hard-dropping near-dup cluster members
+    * ([[dedupComponents]]'s `keep`), every document gets a sampling
+    * weight 1/cluster_size in micro-units — the reweighting used when
+    * duplicated content should count ONCE in expectation but no single
+    * copy should be trusted as canonical (e.g. boilerplate variants
+    * where each copy has unique surroundings). Downstream samplers
+    * multiply their keep-probability by weight_micro/10⁶; a cluster of
+    * any size then contributes one document's worth of mass. Floor
+    * division in micro-units keeps the weight integer-exact across
+    * engines (error < 1e-6 per doc, bounded by cluster count overall).
+    *
+    * Scale shape: one count window over the vertex-scale (doc_id,
+    * comp) table — a single hash exchange on the component label on
+    * top of the propagation [[dedupComponents]] already ran. Document
+    * bodies are long gone by this point.
+    */
+  def dedupSoftWeights(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("comp"))
+    dedupComponents(spark, dir)
+      .select(col("doc_id"), col("comp"))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .select(col("doc_id"), col("comp"), col("cluster_size"),
+        expr("CAST(1000000 AS BIGINT) DIV cluster_size").as("weight_micro"))
+  }
+
   /** End-to-end corpus curation — the composition a training-data run
     * actually executes, as ONE lazy plan: near-dup clustering keeps the
     * canonical doc per component ([[dedupComponents]]), a quality gate
@@ -607,14 +632,23 @@ object Dedup {
     * this is the table a standing index materializes, bucketed by the
     * band key so batch probes never re-shuffle it).
     */
-  private[graft] def md5BandTable(sh: DataFrame): DataFrame = {
+  /** md5 minhash signature table (doc_id, h0..h63): each shingle row
+    * computes all 64 md5s and the per-doc min folds map-side before the
+    * one doc_id shuffle. Factored out of [[md5BandTable]] so
+    * [[minhashErrorProfile]] can read the raw signature columns.
+    */
+  private[graft] def md5SigTable(sh: DataFrame): DataFrame = {
     val numHashes = 64
-    val bandRows = 4
-    val numBands = numHashes / bandRows
     val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
     val sigCols = (0 until numHashes).map(j =>
       min(md5(concat_ws(":", lit(j.toString), col("s")).cast("binary"))).as(s"h$j"))
-    val sig = ex.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    ex.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  /** 16×4 banding over a [[md5SigTable]] signature relation. */
+  private[graft] def md5Bands(sig: DataFrame): DataFrame = {
+    val bandRows = 4
+    val numBands = 16
     val bandCols = (0 until numBands).map { b =>
       struct(
         lit(b).as("band"),
@@ -625,6 +659,9 @@ object Dedup {
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
   }
+
+  private[graft] def md5BandTable(sh: DataFrame): DataFrame =
+    md5Bands(md5SigTable(sh))
 
   def minhashPortable(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingleSets(spark, dir).persist(StorageLevel.MEMORY_AND_DISK)
@@ -645,6 +682,60 @@ object Dedup {
         size(col("sha")).cast("long") + size(col("shb")).cast("long") - col("inter"))
       .filter(col("inter").cast("double") / col("uni") >= 0.8)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"))
+  }
+
+  /** MinHash estimator calibration scoreboard — grades the minhash
+    * family the way `ann_recall` grades the ANN family: for every
+    * LSH candidate pair, the SIGNATURE-estimated similarity (how many
+    * of the 64 minhashes agree) is bucketed against the EXACT shingle
+    * Jaccard, yielding per-bucket pair counts, true-near-dup counts
+    * (exact j ≥ 0.8 via integer cross-multiplication — no float
+    * compare), and exact (inter, uni) sums. A healthy estimator shows
+    * n_true/n_pairs rising monotonically with the bucket; a skewed
+    * table means the banding parameters (not the verify step — that
+    * stays exact) need retuning for the corpus. All-integer output,
+    * replayed hash-for-hash by the DuckDB oracle (md5 signatures, the
+    * [[minhashPortable]] family).
+    *
+    * Scale shape: candidate volume is LSH-bounded (bucket collisions,
+    * never N²); the 64-column signature join is doc-scale (≈ 2 KB/row,
+    * ids + fixed hex strings — document bodies never join); the final
+    * aggregation collapses to ≤ 9 rows with map-side partials.
+    */
+  def minhashErrorProfile(spark: SparkSession, dir: String): DataFrame = {
+    val numHashes = 64
+    val sh = shingleSets(spark, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    // sig backs both the band table and the two agreement joins of the
+    // returned lazy plan — the cache must outlive this method (eager
+    // unpersist would recompute 64 md5-mins per subtree at action time)
+    val sig = md5SigTable(sh).persist(StorageLevel.MEMORY_AND_DISK)
+    val bands = md5Bands(sig)
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sigA = sig.toDF("doc_a" +: (0 until numHashes).map(j => s"a$j"): _*)
+    val sigB = sig.toDF("doc_b" +: (0 until numHashes).map(j => s"b$j"): _*)
+    val agree = (0 until numHashes)
+      .map(j => when(col(s"a$j") === col(s"b$j"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    cand
+      .join(sigA, "doc_a")
+      .join(sigB, "doc_b")
+      .select(col("doc_a"), col("doc_b"), agree.as("n_agree"))
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .withColumn("uni",
+        size(col("sha")).cast("long") + size(col("shb")).cast("long") - col("inter"))
+      .groupBy(expr("n_agree div 8").as("est_bucket"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("inter") * 10L >= col("uni") * 8L, 1L).otherwise(0L)).as("n_true"),
+        sum(col("inter")).as("sum_inter"),
+        sum(col("uni")).as("sum_uni"))
   }
 
   /** Incremental MinHash+LSH dedup — [[dedupIncremental]]'s standing-

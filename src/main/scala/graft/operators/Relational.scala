@@ -360,12 +360,17 @@ object Relational {
     * RDD inside the plan's `LogicalRDD` leaf and are otherwise freed
     * only when the ContextCleaner GCs the reference, so an iterative
     * loop would accumulate every round's vertex-scale blocks until an
-    * opportunistic GC. Non-blocking, and a no-op on plans without an
-    * RDD leaf. Callers only pass Datasets this module checkpointed
-    * itself, so the matched RDD is always one of our round outputs.
+    * opportunistic GC. Non-blocking. The invariant is structural, not
+    * documentation: only the plan ROOT is matched, which is a
+    * `LogicalRDD` exactly when `df` IS the Dataset `localCheckpoint()`
+    * returned (the checkpoint wraps its RDD as the entire plan). A
+    * derived plan that merely EMBEDS some RDD-backed leaf — where
+    * unpersisting could destroy the only block copy of an unrelated
+    * lineage-truncated RDD still in use elsewhere — has a non-leaf
+    * root and is a no-op here.
     */
   private def freeLocalCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.foreach {
+    df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false)
       case _ => ()
@@ -454,8 +459,9 @@ object Relational {
     // triples its logical plan per round — at the registered rounds=8
     // the plan string alone (persist prints it for the cache name) goes
     // exponential. Truncated leaves keep every round's plan constant.
-    var ranks = deg.select(col("src").as("id"), lit(1000000L).as("r"))
+    var ck = deg.select(col("src").as("id"), lit(1000000L).as("r"))
       .localCheckpoint()
+    var ranks: DataFrame = ck
     val deltas =
       if (ranks.isEmpty) Seq.empty[(Long, Long, Long)]
       else (1 to rounds).map { rnd =>
@@ -478,12 +484,16 @@ object Relational {
             coalesce(sum(when(col("r") =!= col("r_prev"), 1L).otherwise(0L)), lit(0L)).as("nc"))
           .head()
         // the delta row is collected and `next` is materialized — the
-        // old round's checkpoint blocks are dead; free deterministically
-        freeLocalCheckpoint(ranks)
+        // old round's checkpoint blocks are dead; free deterministically.
+        // `ck` is the exact Dataset localCheckpoint() returned (ranks is
+        // a Project over it) — freeLocalCheckpoint's root-match demands
+        // the checkpoint itself, so the loop carries both references.
+        freeLocalCheckpoint(ck)
+        ck = next
         ranks = next.select(col("id"), col("r"))
         (rnd.toLong, row.getLong(0), row.getLong(1))
       }
-    freeLocalCheckpoint(ranks) // telemetry is collected; the final rank vector is not returned
+    freeLocalCheckpoint(ck) // telemetry is collected; the final rank vector is not returned
     deg.unpersist(); sym.unpersist()
     deltas.toDF("round", "max_delta_micro", "n_changed")
   }

@@ -147,6 +147,11 @@ object Similarity {
         when(col("ma") === 0.0, lit(0L))
           .otherwise(greatest(lit(-127L),
             least(lit(127L), floor(x * 127.0 / col("ma")).cast("long"))))))
+      // quant backs BOTH subtrees of the returned lazy plan (pairSums
+      // and dims) — the cache must outlive this method, so no unpersist
+      // here: freeing it eagerly would recompute the quantization per
+      // subtree at action time. The ContextCleaner frees it once the
+      // returned plan is dropped.
       .persist(StorageLevel.MEMORY_AND_DISK)
     // within-row upper-triangle expansion: for 0-based i, slice(arr,
     // i+1, d-i) is q_i..q_{d-1}, inner index k ⇒ j = i+k (diagonal in)

@@ -786,6 +786,19 @@ object TextOps {
     * `(idf · tf · (k1+1)·1000·1000) div (tf·1000 + k1·norm_milli)` —
     * every intermediate a BIGINT both engines floor identically.
     *
+    * Overflow bound (the numerator, not just the result): the largest
+    * intermediate is `idf·tf·2 200 000`, so exactness requires
+    * `idf·tf < 2⁶³/2.2·10⁶ ≈ 2⁴¹·⁹` — conservatively `idf·tf < 2⁴¹`.
+    * Worst case is a hapax term (df = 1 ⇒ idf = N·100) repeated tf
+    * times in one document, i.e. the integer form is valid while
+    * `N·tf_max < 2·10¹⁰` (N = corpus doc count). Every tested SF sits
+    * orders of magnitude inside that; a 100 TB corpus (N ~ 10⁹ docs)
+    * crosses it and must swap the Robertson log-idf double weights
+    * noted above — which removes the product entirely, changes nothing
+    * in the plan shape, and is the production form anyway. Spark would
+    * wrap silently past the bound while DuckDB errors, so the bound is
+    * load-bearing for engine parity, not just precision.
+    *
     * Scale shape: one (doc, term) tf exchange; doc lengths re-derived
     * from tf by a partial-agg'd doc_id groupBy (no second corpus
     * pass); df/idf is vocabulary-bounded; the literal query list and
@@ -802,6 +815,11 @@ object TextOps {
       (0L, "fast"), (0L, "scan"), (0L, "table"),
       (1L, "window"), (1L, "agg"), (1L, "group"),
       (2L, "stream"), (2L, "join"), (2L, "merge"))
+    // tf backs THREE subtrees of the returned lazy plan (postings, dl,
+    // idf) — the cache must outlive this method, so no unpersist here:
+    // an eager unpersist would silently recompute the corpus tokenize
+    // per subtree when the caller finally acts on the result. Freed by
+    // the ContextCleaner once the returned plan is dropped.
     val tf = Tables.documentsSpread(spark, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term"))

@@ -95,7 +95,7 @@ class BucketedJoinSpec extends AnyFunSuite with SparkFixture {
     // doc 0 (j = 38/40) — non-empty candidates keep AQE from folding the
     // probe join into an EmptyRelation, so the plan shape is inspectable.
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft-minhash-standing").toString
+    val dir = scratchDir("graft-minhash-standing")
     val near = ((1 to 39).map(i => s"w$i") :+ "edited").mkString(" ")
     (Seq((0L, Fixtures.DocA), (1L, Fixtures.DocD)) ++
       Seq("y", "z", "q", "u", "v", "t").zipWithIndex.map { case (p, i) =>

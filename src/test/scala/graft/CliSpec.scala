@@ -20,7 +20,7 @@ class CliSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("TaskC via the CLI writes tab-separated part files matching the query") {
-    val out = java.nio.file.Files.createTempDirectory("graft-cli").toString
+    val out = scratchDir("graft-cli")
     TaskRunner.main(Array("TaskC", fixtureDir, out))
     val parts = new java.io.File(out).listFiles()
       .filter(_.getName.startsWith("part-"))
@@ -33,7 +33,7 @@ class CliSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("parquet format round-trips typed") {
-    val out = java.nio.file.Files.createTempDirectory("graft-cli-pq").toString
+    val out = scratchDir("graft-cli-pq")
     TaskRunner.main(Array("wordcount", fixtureDir, out, "--format=parquet"))
     val got = spark.read.parquet(out)
     assert(got.schema.fieldNames.toSeq === Seq("word", "cnt"))

@@ -13,7 +13,7 @@ import graft.sources.Csv
 class CsvSpec extends AnyFunSuite with SparkFixture {
 
   private def writeCsv(name: String, lines: String*): String = {
-    val dir = Files.createTempDirectory("graft-csv")
+    val dir = Paths.get(scratchDir("graft-csv"))
     val f = dir.resolve(name)
     Files.write(f, lines.mkString("\n").getBytes("UTF-8"))
     f.toString
@@ -58,7 +58,7 @@ class CsvSpec extends AnyFunSuite with SparkFixture {
     val df = Csv.friends(spark, path)
     assert(df.collect().map(_.getDate(3).toString).sorted === Array("2023-05-01", "2023-06-02"))
 
-    val out = Files.createTempDirectory("graft-kv").toString + "/out"
+    val out = scratchDir("graft-kv") + "/out"
     Csv.writeKv(df.selectExpr("PersonID", "MyFriend"), out)
     val lines = Files.list(Paths.get(out)).toArray.map(_.toString)
       .filter(_.endsWith(".csv"))

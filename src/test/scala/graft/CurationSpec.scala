@@ -23,7 +23,7 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
   /** documents.parquet with planted PII / repetition / contamination. */
   lazy val curDir: String = {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft-curation").toString
+    val dir = scratchDir("graft-curation")
     val bench = (1 to 20).map(i => s"t$i").mkString(" ")
     val docs = Seq(
       // doc 0 is "benchmark"; corpus doc 10 copies tokens t5..t16 (12
@@ -142,7 +142,7 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
     */
   lazy val mixDir: String = {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft-mix").toString
+    val dir = scratchDir("graft-mix")
     val planted = Seq(
       (0L, "", "big"),
       (1L, "hello", "big"),
@@ -203,7 +203,7 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
       }
       (i.toLong, toks.mkString(" "))
     }
-    val dir = java.nio.file.Files.createTempDirectory("graft-quality-auc").toString
+    val dir = scratchDir("graft-quality-auc")
     docs.map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
@@ -251,7 +251,7 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
 
   test("gopher_rules: each rule trips exactly at its published boundary") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft-gopher").toString
+    val dir = scratchDir("graft-gopher")
     def doc(words: Seq[String]) = words.mkString(" ")
     val texts = Seq(
       // 0: passes everything — 50 words, 2 stopwords, mean len ~3.9
@@ -285,7 +285,7 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
 
   test("dsir_importance keeps target-vocabulary docs regardless of their source") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft-dsir").toString
+    val dir = scratchDir("graft-dsir")
     val tgtText = (1 to 10).flatMap(_ => Seq("alpha", "beta", "gamma", "delta")).mkString(" ")
     val rawText = (1 to 10).flatMap(_ => Seq("omega", "sigma", "kappa", "theta")).mkString(" ")
     Seq(

@@ -48,7 +48,7 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
   test("containment catches a verbatim quote jaccard dedup misses by construction") {
     val s = spark
     import s.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft-containment").toString
+    val dir = scratchDir("graft-containment")
     val big = (1 to 100).map(i => s"u$i").mkString(" ")
     val quote = (20 to 39).map(i => s"u$i").mkString(" ") // verbatim span of big
     Seq((10L, big), (11L, quote))
@@ -118,7 +118,7 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
 
   test("incremental dedup: batch probes the existing index; batch-internal dups collapse") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft-incr").toString
+    val dir = scratchDir("graft-incr")
     // existing corpus ids 0..4 (cut = 22*8/10 = 17); ingest batch 20..22
     Seq((0L, "alpha text"), (1L, "beta text"), (2L, "gamma text"),
       (3L, "delta text"), (4L, "epsilon text"),
@@ -150,7 +150,7 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
 
   test("span removal boundaries: sub-window docs pass through; within-doc repeats count") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft-span").toString
+    val dir = scratchDir("graft-span")
     val periodic = (1 to 3).flatMap(_ => (1 to 8).map(i => s"r$i")).mkString(" ")
     Seq(
       (0L, "tiny doc"),          // < 8 tokens: no grams, even though duplicated
@@ -171,7 +171,7 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
 
   test("incremental minhash: batch probes the standing band index, batch-internal pairs out of scope") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft-minhash-incr").toString
+    val dir = scratchDir("graft-minhash-incr")
     val near = ((1 to 39).map(i => s"w$i") :+ "edited").mkString(" ")
     Seq(
       (0L, Fixtures.DocA), (1L, Fixtures.DocD),

@@ -10,7 +10,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class EmptyInputSpec extends AnyFunSuite with SparkFixture {
 
   private lazy val emptyDir: String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft-empty").toString
+    val dir = scratchDir("graft-empty")
     // write zero-row copies of every fixture table, schemas intact
     for (t <- Seq("region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings")) {

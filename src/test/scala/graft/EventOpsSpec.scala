@@ -32,7 +32,7 @@ class EventOpsSpec extends AnyFunSuite with SparkFixture {
 
   test("event rate anomaly flags the planted spike, drop, and gap days only") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft-anomaly").toString
+    val dir = scratchDir("graft-anomaly")
     val dayNs = 86400L * 1000000000L
     val d0 = Fixtures.RefTs / dayNs // day number of the reference epoch
     // (type, day offset, count): a spikes then drops, b skips a day,
@@ -60,7 +60,7 @@ class EventOpsSpec extends AnyFunSuite with SparkFixture {
 
   test("eventsPropsAgg extracts typed values from real JSON payloads") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft-props").toString
+    val dir = scratchDir("graft-props")
     Seq(
       (0L, 1L, 1L, "view", 1.0, """{"k": 10}"""),
       (1L, 2L, 1L, "view", 1.0, """{"k": 32}"""),
@@ -79,7 +79,7 @@ class EventOpsSpec extends AnyFunSuite with SparkFixture {
 
   test("as-of join matches each event to the latest order at-or-before it") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft-asof").toString
+    val dir = scratchDir("graft-asof")
     val t0 = Fixtures.RefTs / 1000000000L // epoch seconds
     def ts(offS: Long) = new java.sql.Timestamp((t0 + offS) * 1000L)
     // user 1: orders at +10s (ok 100) and +30s (ok 101, and a same-instant
@@ -141,7 +141,7 @@ class EventOpsSpec extends AnyFunSuite with SparkFixture {
 
   test("sessionize: exactly-30-min gap stays in session; >30 min splits") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft-sess").toString
+    val dir = scratchDir("graft-sess")
     val base = Fixtures.RefTs // raw ns, read under nanosAsLong
     val m30 = 30L * 60L * 1000000000L
     Seq(
@@ -179,7 +179,7 @@ class EventOpsSpec extends AnyFunSuite with SparkFixture {
 
   test("band join: lo inclusive, hi exclusive, uneven widths") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft-band").toString
+    val dir = scratchDir("graft-band")
     Seq(
       (0L, 1L, 1L, "view", 0.0, "{}"),    // b0 lo boundary
       (1L, 2L, 1L, "view", 0.999, "{}"),  // b0

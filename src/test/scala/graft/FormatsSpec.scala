@@ -9,7 +9,7 @@ class FormatsSpec extends AnyFunSuite with SparkFixture {
 
   test("JSONL round-trip preserves rows; corrupt lines become null rows") {
     val docs = Tables.documents(spark, fixtureDir).select("doc_id", "text", "lang")
-    val dir = java.nio.file.Files.createTempDirectory("graft-json").toString
+    val dir = scratchDir("graft-json")
     Formats.writeJsonl(docs, s"$dir/docs")
     val back = Formats.readJsonl(spark, s"$dir/docs", docs.schema)
     assert(back.collect().toSet === docs.collect().toSet)
@@ -24,7 +24,7 @@ class FormatsSpec extends AnyFunSuite with SparkFixture {
 
   test("ORC round-trip preserves rows and pushes filters into the scan") {
     val cust = Tables.customer(spark, fixtureDir)
-    val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    val dir = scratchDir("graft-orc")
     Formats.writeOrc(cust, s"$dir/c")
     val back = Formats.readOrc(spark, s"$dir/c")
     assert(back.collect().toSet === cust.collect().toSet)
@@ -34,7 +34,7 @@ class FormatsSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("raw text source feeds the wordcount shape line by line") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-text").toString
+    val dir = scratchDir("graft-text")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$dir/data.txt"), "to be or\nnot to be\n")
     val counts = Formats.readText(spark, s"$dir/data.txt")
@@ -45,7 +45,7 @@ class FormatsSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("binaryFile source ingests opaque payloads byte-exactly with glob filtering") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-bin").toString
+    val dir = scratchDir("graft-bin")
     val png = Array[Byte](0x50, 0x4E, 0x47, 0x00, 0x7F, -1, 0x42)
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.png"), png)
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/b.wav"),

@@ -32,7 +32,7 @@ class LayoutSpec extends AnyFunSuite with SparkFixture {
     val df = grid.toDF("user_id", "vbin")
       .withColumn("z", Layout.zorder2(col("user_id"), col("vbin")))
     val files = 16
-    val zDir = java.nio.file.Files.createTempDirectory("graft-z").toString
+    val zDir = scratchDir("graft-z")
     df.repartitionByRange(files, col("z"))
       .sortWithinPartitions(col("z"))
       .write.mode("overwrite").parquet(zDir)

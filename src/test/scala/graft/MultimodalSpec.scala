@@ -54,7 +54,7 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
 
   test("binaryFile rows feed the same decode as documents payloads") {
     import org.apache.spark.sql.functions.{col, xxhash64}
-    val dir = java.nio.file.Files.createTempDirectory("graft-media").toString
+    val dir = scratchDir("graft-media")
     val payload = Array.tabulate[Byte](100)(i => (i * 3).toByte)
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/clip.bin"), payload)
     val blobs = graft.sources.Formats.readBinaryFiles(spark, dir)

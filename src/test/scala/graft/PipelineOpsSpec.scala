@@ -38,7 +38,7 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
 
   test("dedup_bloom_prefilter flags exactly the batch docs duplicating the standing corpus") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft-bloom").toString
+    val dir = scratchDir("graft-bloom")
     // ids 0..9 → cut = 7: standing {0..7}, batch {8, 9};
     // doc8 duplicates doc0 (and doc5 duplicates doc0 inside standing —
     // the canonical keeper must be the MIN standing id), doc9 is novel
@@ -94,7 +94,7 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
 
   test("kmeans_train runs two exact integer Lloyd iterations") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft-kmeans").toString
+    val dir = scratchDir("graft-kmeans")
     // two clean clusters around (100,0) and (0,100); init = vecs 0,1
     Seq(
       (0L, Seq(100f, 0f), 0), (1L, Seq(0f, 100f), 1),
@@ -126,7 +126,7 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
 
   test("bpeTrain learns the classic low/lower/lowest merge sequence") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft-bpe").toString
+    val dir = scratchDir("graft-bpe")
     Seq((0L, "low low low lower lowest", "en", "s", 24L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")

@@ -72,7 +72,7 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
     // fixture docs are all doc_id < 10 (benchmark side) — plant a corpus
     // doc too, or AQE collapses the empty join to an EmptyRelation
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft-contam").toString
+    val dir = scratchDir("graft-contam")
     Seq((0L, (1 to 20).map(i => s"t$i").mkString(" ")),
         (10L, (5 to 16).map(i => s"t$i").mkString(" ")))
       .map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
@@ -104,7 +104,7 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
   test("q3 top-10 compiles to TakeOrderedAndProject — no global sort materialization") {
     // fixture customers carry no BUILDING segment → plant a q3-live dir
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft-q3").toString
+    val dir = scratchDir("graft-q3")
     val early = java.time.LocalDateTime.of(1997, 1, 1, 0, 0)
     val late = java.time.LocalDateTime.of(1999, 1, 1, 0, 0)
     Seq((1L, "c1", 0, 1.0, "BUILDING"))
@@ -142,7 +142,7 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
     conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       import spark.implicits._
-      val dir = java.nio.file.Files.createTempDirectory("graft-bloom").toString
+      val dir = scratchDir("graft-bloom")
       (0L until 2000L).map(i => (i, i % 7)).toDF("id", "k")
         .write.mode("overwrite").parquet(s"$dir/fact")
       (0L until 100L).map(i => (i, s"d$i")).toDF("fk", "name")
@@ -220,7 +220,7 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
     // fixture docs carry none of the standing query terms (AQE would
     // collapse the whole plan to EmptyRelation) — pin on a corpus that
     // exercises the full posting path
-    val dir = java.nio.file.Files.createTempDirectory("graft-bm25plan").toString
+    val dir = scratchDir("graft-bm25plan")
     Seq((1L, "fast scan table", "en", "s", 0L), (2L, "window agg group fast", "en", "s", 0L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")

@@ -111,7 +111,7 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
   test("q10: returned revenue counts only R-flag lines inside the order-date window") {
     val s = spark
     import s.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft-q10").toString
+    val dir = scratchDir("graft-q10")
     def w(df: org.apache.spark.sql.DataFrame, name: String): Unit =
       df.coalesce(1).write.mode("overwrite").parquet(s"$dir/$name.parquet")
     val in = java.time.LocalDateTime.of(1998, 4, 1, 0, 0)   // inside window

@@ -34,7 +34,7 @@ class ScaleStressSpec extends AnyFunSuite with SparkFixture {
     pmod(xxhash64(c, lit(salt)), lit(mod))
 
   private lazy val scaleDir: String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft-scale").toString
+    val dir = scratchDir("graft-scale")
     val s = spark
     import s.implicits._
 
@@ -128,7 +128,7 @@ class ScaleStressSpec extends AnyFunSuite with SparkFixture {
     // must be EXACTLY the within-cluster pairs: 16 clusters of 313 and
     // 48 of 312 (20000 = 16·313 + 48·312) — the N·cellSize shape, not
     // N² (which would be 200M candidate pairs).
-    val dir = java.nio.file.Files.createTempDirectory("graft-sem-scale").toString
+    val dir = scratchDir("graft-sem-scale")
     val n = 20000L
     spark.range(n).selectExpr(
       "id AS vec_id",
@@ -153,7 +153,7 @@ class ScaleStressSpec extends AnyFunSuite with SparkFixture {
     // distance 0 from their centroid, so ranking is pure (d2, vec_id)
     // tie-break order and the kept count per cell is forced:
     // sz - sz/4 survivors, ranks exactly sz/4+1 .. sz.
-    val dir = java.nio.file.Files.createTempDirectory("graft-proto-scale").toString
+    val dir = scratchDir("graft-proto-scale")
     val n = 20000L
     spark.range(n).selectExpr(
       "id AS vec_id",
@@ -186,7 +186,7 @@ class ScaleStressSpec extends AnyFunSuite with SparkFixture {
     // stop-gram shape — while every prefix/boundary gram is unique. So
     // the exact output is forced: even docs keep exactly their 16
     // prefix tokens, odd docs keep all 32.
-    val dir = java.nio.file.Files.createTempDirectory("graft-span-scale").toString
+    val dir = scratchDir("graft-span-scale")
     val n = 50000L
     val boiler = (1 to 16).map(i => s"b$i").mkString(" ")
     spark.range(n).selectExpr(
@@ -218,7 +218,7 @@ class ScaleStressSpec extends AnyFunSuite with SparkFixture {
     // pair and nothing else — so candidate generation provably did not
     // drop pairs at scale, and the posting join stayed collision-
     // bounded (every gram's df is 1 or 2 here).
-    val dir = java.nio.file.Files.createTempDirectory("graft-contain-scale").toString
+    val dir = scratchDir("graft-contain-scale")
     val n = 25000L
     spark.range(2 * n).selectExpr(
       "id AS doc_id",
@@ -253,7 +253,7 @@ class ScaleStressSpec extends AnyFunSuite with SparkFixture {
     // posting self-join here would produce 50k² pair rows via the hot
     // grams; completing in test time IS the assertion, plus the plan
     // lint.
-    val dir = java.nio.file.Files.createTempDirectory("graft-contain-boiler").toString
+    val dir = scratchDir("graft-contain-boiler")
     val n = 50000L
     val boiler = (1 to 16).map(i => s"b$i").mkString(" ")
     spark.range(n).selectExpr(
@@ -298,7 +298,7 @@ class ScaleStressSpec extends AnyFunSuite with SparkFixture {
     // it, and MG(64) cannot evict an item at 20% frequency. The exact
     // re-count must return exactly one row with the exact count, after
     // real partial-fold + merge trees across 8 input partitions.
-    val dir = java.nio.file.Files.createTempDirectory("graft-hh-scale").toString
+    val dir = scratchDir("graft-hh-scale")
     val n = 100000L
     spark.range(n).selectExpr(
       "id AS doc_id",

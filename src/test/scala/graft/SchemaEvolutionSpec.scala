@@ -11,7 +11,7 @@ class SchemaEvolutionSpec extends AnyFunSuite with SparkFixture {
 
   test("mergeSchema unions columns across file generations") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft-evo").toString
+    val dir = scratchDir("graft-evo")
     // generation 1: (doc_id, text)
     Seq((1L, "alpha"), (2L, "beta"))
       .toDF("doc_id", "text").write.parquet(s"$dir/gen=1")
@@ -28,7 +28,7 @@ class SchemaEvolutionSpec extends AnyFunSuite with SparkFixture {
 
   test("ignoreCorruptFiles skips a truncated file instead of failing the scan") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft-corrupt").toString
+    val dir = scratchDir("graft-corrupt")
     Seq((1L, "ok"), (2L, "fine")).toDF("doc_id", "text").write.parquet(s"$dir/data")
     // a garbage file in the same directory — at 100 TB some file is
     // ALWAYS damaged; the scan must degrade, not die
@@ -47,7 +47,7 @@ class SchemaEvolutionSpec extends AnyFunSuite with SparkFixture {
 
   test("explicit schema subsets old and new files uniformly") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft-evo2").toString
+    val dir = scratchDir("graft-evo2")
     Seq((1L, "a")).toDF("doc_id", "text").write.parquet(s"$dir/p1")
     Seq((2L, "b", 7L)).toDF("doc_id", "text", "extra").write.parquet(s"$dir/p2")
     // reading with a pinned schema ignores the extra column entirely

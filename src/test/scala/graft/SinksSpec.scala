@@ -8,7 +8,7 @@ class SinksSpec extends AnyFunSuite with SparkFixture {
 
   test("writePartitioned produces prunable partition dirs with intact data") {
     val docs = Tables.documents(spark, fixtureDir)
-    val out = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val out = scratchDir("graft-sink")
     Sinks.writePartitioned(docs, s"$out/docs", Seq("source"), Seq("doc_id"))
 
     // hive-style partition directories, one per source value

@@ -13,6 +13,9 @@ trait SparkFixture extends BeforeAndAfterAll { self: Suite =>
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .appName("graft-test")
+    // deliberately NOT scratchDir: the session (and its warehouse of
+    // bucketed catalog tables) is shared across suites — the first
+    // suite's afterAll must not delete it out from under the rest
     .config("spark.sql.warehouse.dir",
       java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
     .config("spark.sql.shuffle.partitions", "4")
@@ -22,13 +25,32 @@ trait SparkFixture extends BeforeAndAfterAll { self: Suite =>
     .getOrCreate()
 
   lazy val fixtureDir: String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft-fixture").toString
+    val dir = scratchDir("graft-fixture")
     Fixtures.writeAll(spark, dir)
     dir
   }
 
+  private val scratchDirs =
+    scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+
+  /** Temp dir for scratch parquet/checkpoints, deleted recursively in
+    * afterAll — keeps repeated test runs from littering the tmpdir.
+    */
+  def scratchDir(prefix: String): String = synchronized {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    scratchDirs += p
+    p.toString
+  }
+
   override def afterAll(): Unit = {
-    // session shared across suites; don't stop it here
+    // session shared across suites; don't stop it here — but every
+    // scratch dir this suite created is dead once its tests finish
+    scratchDirs.foreach { root =>
+      import java.nio.file.{Files, Path}
+      if (Files.exists(root))
+        Files.walk(root).sorted(java.util.Comparator.reverseOrder[Path]())
+          .forEach(f => Files.deleteIfExists(f))
+    }
     super.afterAll()
   }
 }

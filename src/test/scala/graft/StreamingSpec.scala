@@ -188,7 +188,7 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
   test("file-source stream resumes from its checkpoint exactly-once") {
     // exactly-once across restarts: run → stop → new files arrive →
     // restart with the SAME checkpoint → only the new files process.
-    val root = java.nio.file.Files.createTempDirectory("graft-chk").toString
+    val root = scratchDir("graft-chk")
     val src = s"$root/src"
     val out = s"$root/out"
     val chk = s"$root/chk"
@@ -232,7 +232,7 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     val s = spark
     import s.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val target = java.nio.file.Files.createTempDirectory("graft-upsert").toString + "/t"
+    val target = scratchDir("graft-upsert") + "/t"
 
     def upsert(batch: org.apache.spark.sql.DataFrame, id: Long): Unit = {
       val existing =
@@ -269,7 +269,7 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     // the scheduled-catchup mode: process everything currently in the
     // source (respecting maxFilesPerTrigger bounds) and terminate — the
     // nightly-batch shape run through the streaming engine, same code.
-    val out = java.nio.file.Files.createTempDirectory("graft-avnow").toString
+    val out = scratchDir("graft-avnow")
     val q = EventStreams.readEventStream(spark, fixtureDir)
       .writeStream.format("parquet")
       .option("path", s"$out/sink").option("checkpointLocation", s"$out/chk")
@@ -329,7 +329,7 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
 
     // drive the same corpus as 3 doc_id-ordered micro-batches through
     // the foreachBatch body with a fresh standing index
-    val idx = java.nio.file.Files.createTempDirectory("graft-bandidx").toString + "/idx"
+    val idx = scratchDir("graft-bandidx") + "/idx"
     val chunks = Seq(Seq(0L, 1L), Seq(2L, 3L), Seq(4L))
     val chunkKept = chunks.map { ids =>
       DocStreams.dedupBatchAgainstIndex(docs.filter(col("doc_id").isin(ids: _*)), idx)
@@ -350,7 +350,7 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     val s = spark
     import s.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val tmp = java.nio.file.Files.createTempDirectory("graft-docstream").toString
+    val tmp = scratchDir("graft-docstream")
     val in = MemoryStream[(Long, String)]
     val q = graft.streaming.DocStreams.upsertDedupDocs(
       in.toDF().toDF("doc_id", "text"), s"$tmp/idx", s"$tmp/out", s"$tmp/chk").start()
@@ -371,8 +371,8 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     val s = spark
     import s.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val outDir = java.nio.file.Files.createTempDirectory("graft-upsert").toString
-    val chk = java.nio.file.Files.createTempDirectory("graft-upsert-chk").toString
+    val outDir = scratchDir("graft-upsert")
+    val chk = scratchDir("graft-upsert-chk")
     val in = MemoryStream[Ev]
     val q = EventStreams.upsertWindowCounts(in.toDF(), outDir, chk).start()
     try {

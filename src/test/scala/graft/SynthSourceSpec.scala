@@ -34,7 +34,7 @@ class SynthSourceSpec extends AnyFunSuite with SparkFixture {
     // pairs (base,dup) j=1.0, (base,near) and (dup,near) j≈0.98 — all
     // above the 0.8 threshold → exactly 3 pairs per decade.
     val rows = 20000L
-    val dir = java.nio.file.Files.createTempDirectory("graft-synth-scale").toString
+    val dir = scratchDir("graft-synth-scale")
     synth(rows, parts = 16).write.mode("overwrite")
       .parquet(s"$dir/documents.parquet")
     val found = graft.operators.Dedup.minhashLsh(spark, dir).count()
@@ -44,7 +44,7 @@ class SynthSourceSpec extends AnyFunSuite with SparkFixture {
 
   test("prefix-filtered inverted index matches LSH exactly on 10k synth docs") {
     val rows = 10000L
-    val dir = java.nio.file.Files.createTempDirectory("graft-synth-ngram").toString
+    val dir = scratchDir("graft-synth-ngram")
     synth(rows, parts = 16).write.mode("overwrite")
       .parquet(s"$dir/documents.parquet")
     // the exact PPJoin-style index and the probabilistic LSH pipeline

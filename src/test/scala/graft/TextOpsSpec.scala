@@ -106,7 +106,7 @@ class TextOpsSpec extends AnyFunSuite with SparkFixture {
     // boundary: 0 (no chunks), 3 (< window: one short chunk), 8
     // (== window: exactly one full chunk), 20 (8 + 2*6: last chunk
     // exactly full), 40 (ragged 4-token tail).
-    val dir = java.nio.file.Files.createTempDirectory("graft-chunks").toString
+    val dir = scratchDir("graft-chunks")
     def mk(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
     Seq((0L, "", "en", "s", 0L), (1L, mk(3), "en", "s", 0L),
       (2L, mk(8), "en", "s", 0L), (3L, mk(20), "en", "s", 0L),
@@ -167,7 +167,7 @@ class TextOpsSpec extends AnyFunSuite with SparkFixture {
 
   test("Kneser-Ney probabilities match the hand-computed formula exactly") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft-kn").toString
+    val dir = scratchDir("graft-kn")
     // bigrams: (a,b)x2, (a,c)x1, (b,c)x1 → ctx a=3 b=1; N1+(a·)=2,
     // N1+(b·)=1; N1+(·b)=1, N1+(·c)=2; D=3 distinct types
     Seq((0L, "a b"), (1L, "a b"), (2L, "a c"), (3L, "b c"))
@@ -191,7 +191,7 @@ class TextOpsSpec extends AnyFunSuite with SparkFixture {
 
   test("trigram Kneser-Ney backoff matches the hand-computed recursion exactly") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft-kn3").toString
+    val dir = scratchDir("graft-kn3")
     // trigrams: (a,b,c)x2, (a,b,d)x1, (b,c,a)x1
     // ctx(a,b)=3 with 2 successor types; ctx(b,c)=1 with 1
     // type table N1+(·w2w3): (b,c)=1, (b,d)=1, (c,a)=1 → D=3;
@@ -221,7 +221,7 @@ class TextOpsSpec extends AnyFunSuite with SparkFixture {
 
   test("encode_tokens: position-ordered ids, OOV to -1, empty docs surface with []") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft-encode").toString
+    val dir = scratchDir("graft-encode")
     // corpus counts: b=3, c=3, a=2. topK=2 with the (cnt DESC,
     // token ASC) tie-break keeps b -> 0 and c -> 1; a is OOV
     Seq((0L, "b a c b"), (1L, "c c"), (2L, ""), (3L, "a b"))
@@ -297,7 +297,7 @@ class TextOpsSpec extends AnyFunSuite with SparkFixture {
 
   test("bm25 search matches an in-memory reference and ranks short docs above long ones") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft-bm25").toString
+    val dir = scratchDir("graft-bm25")
     val corpus = Seq(
       1L -> "fast scan",                                     // short, two q0 terms
       2L -> ("fast fast fast scan scan table table " + (1 to 30).map(i => s"n$i").mkString(" ")),
