@@ -13,6 +13,8 @@ object PlanAudit {
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
+      // defensive: lets a nanos-encoded events regeneration scan as
+      // LongType; Tables.normalizeTs dispatches on whatever arrives
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -47,6 +47,9 @@ object SparkEntry {
     "pi_montecarlo"          -> MonteCarloPi.piMontecarlo _,
     "dedup_exact"            -> Dedup.dedupExact _,
     "dedup_components"       -> Dedup.dedupComponents _,
+    "dedup_soft_weights"     -> Dedup.dedupSoftWeights _,
+    "minhash_error_profile"  -> Dedup.minhashErrorProfile _,
+    "source_quality_report"  -> Curation.sourceQualityReport _,
     "corpus_curate"          -> Dedup.corpusCurate _,
     "dedup_ngram_jaccard"    -> Dedup.ngramJaccard _,
     "dedup_minhash"          -> Dedup.minhashLsh _,
@@ -299,14 +302,18 @@ object SparkEntry {
     * verified identical at sf0.001/0.01/0.1 (DedupSpec pins the
     * agreement; the three-SF verify run re-checks it every round).
     */
-  private val minhashPortableSql: String = {
+  /** Shared CTE block: shingle sets → md5 signatures → 16×4 bands →
+    * LSH candidate pairs. The prefix of [[minhashPortableSql]], also
+    * the candidate generator `minhash_error_profile` buckets over.
+    */
+  private val minhashCandCtes: String = {
     val sigCols = (0 until 64)
       .map(j => s"min(md5('$j:' || s)) AS h$j").mkString(", ")
     val bandCases = (0 until 16)
       .map(b => s"WHEN $b THEN h${b * 4} || ':' || h${b * 4 + 1} || ':' || h${b * 4 + 2} || ':' || h${b * 4 + 3}")
       .mkString(" ")
-    s"""WITH tk AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t != '') AS ts
-                    FROM documents),
+    s"""tk AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t != '') AS ts
+               FROM documents),
              se AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])) AS sh
                     FROM tk WHERE len(ts) >= 2),
              ex AS (SELECT doc_id, unnest(sh) AS s FROM se),
@@ -317,7 +324,11 @@ object SparkEntry {
              cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
                       FROM bands x JOIN bands y
                         ON x.band = y.band AND x.band_hash = y.band_hash
-                           AND x.doc_id < y.doc_id),
+                           AND x.doc_id < y.doc_id)"""
+  }
+
+  private val minhashPortableSql: String =
+    s"""WITH $minhashCandCtes,
              v AS (SELECT doc_a, doc_b,
                           cast(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
                           cast(len(a.sh) AS BIGINT) + cast(len(b.sh) AS BIGINT)
@@ -325,6 +336,32 @@ object SparkEntry {
                    FROM cand JOIN se a ON doc_a = a.doc_id JOIN se b ON doc_b = b.doc_id)
         SELECT doc_a, doc_b, inter, uni FROM v
         WHERE cast(inter AS DOUBLE) / uni >= 0.8"""
+
+  /** [[graft.operators.Dedup.minhashErrorProfile]]'s calibration
+    * scoreboard, replayed hash-for-hash: per LSH candidate pair the
+    * signature-agreement count buckets (÷8) against exact jaccard;
+    * all-integer aggregates.
+    */
+  private val minhashErrorProfileSql: String = {
+    val agree = (0 until 64)
+      .map(j => s"CASE WHEN a.h$j = b.h$j THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH $minhashCandCtes,
+             agr AS (SELECT doc_a, doc_b, CAST($agree AS BIGINT) AS n_agree
+                     FROM cand JOIN sig a ON doc_a = a.doc_id
+                               JOIN sig b ON doc_b = b.doc_id),
+             v AS (SELECT doc_a, doc_b,
+                          cast(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+                          cast(len(a.sh) AS BIGINT) + cast(len(b.sh) AS BIGINT)
+                            - cast(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS uni
+                   FROM cand JOIN se a ON doc_a = a.doc_id JOIN se b ON doc_b = b.doc_id)
+        SELECT n_agree // 8 AS est_bucket,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(CASE WHEN inter * 10 >= uni * 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+               CAST(sum(inter) AS BIGINT) AS sum_inter,
+               CAST(sum(uni) AS BIGINT) AS sum_uni
+        FROM agr JOIN v USING (doc_a, doc_b)
+        GROUP BY est_bucket"""
   }
 
   /** [[minhashPortableSql]]'s pipeline with the incremental split:
@@ -615,6 +652,18 @@ object SparkEntry {
       s"""WITH RECURSIVE $componentCtes
          SELECT doc_id, min(label) AS comp, doc_id = min(label) AS keep
          FROM reach GROUP BY doc_id""",
+    // Soft-dedup weights over the same transitive clustering: each
+    // cluster contributes one doc's worth of sampling mass, floored
+    // integer micro-units.
+    "dedup_soft_weights" ->
+      s"""WITH RECURSIVE $componentCtes,
+              r AS (SELECT doc_id, min(label) AS comp FROM reach GROUP BY doc_id),
+              cs AS (SELECT comp, CAST(count(*) AS BIGINT) AS cluster_size
+                     FROM r GROUP BY comp)
+         SELECT doc_id, comp, cluster_size,
+                CAST(1000000 AS BIGINT) // cluster_size AS weight_micro
+         FROM r JOIN cs USING (comp)""",
+    "minhash_error_profile" -> minhashErrorProfileSql,
     // Per-source redundancy under the same transitive clustering.
     "dup_rate_by_source" ->
       s"""WITH RECURSIVE $componentCtes,
@@ -1738,6 +1787,59 @@ object SparkEntry {
                  AND (5 * n_alpha_words >= 4 * n_tokens)
                  AND (n_stop_distinct >= 2)) AS keep
          FROM m""",
+    // Per-source acquisition-triage rollup: each signal CTE is the
+    // corresponding single-operator oracle verbatim (gopher_rules,
+    // quality_classifier, lang_id, pii_redact), joined id-to-id and
+    // rolled up — same composition as the Spark plan.
+    "source_quality_report" ->
+      s"""WITH t AS (SELECT doc_id,
+                            list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS ts
+                     FROM documents),
+              m AS (SELECT doc_id,
+                           CAST(len(ts) AS BIGINT) AS n_tokens,
+                           CAST(coalesce(list_sum(list_transform(ts, x -> length(x))), 0)
+                             AS BIGINT) AS sum_token_len,
+                           CAST(len(list_filter(ts, x -> regexp_matches(x, '[a-zA-Z]')))
+                             AS BIGINT) AS n_alpha_words,
+                           CAST(len(list_intersect(list_distinct(ts),
+                             ['the','be','to','of','and','that','have','with'])) AS BIGINT)
+                             AS n_stop_distinct
+                    FROM t),
+              g AS (SELECT doc_id,
+                           ((n_tokens >= 50 AND n_tokens <= 100000)
+                            AND (3 * n_tokens <= sum_token_len AND sum_token_len <= 10 * n_tokens)
+                            AND (5 * n_alpha_words >= 4 * n_tokens)
+                            AND (n_stop_distinct >= 2)) AS g_keep
+                    FROM m),
+              w AS (SELECT ${QualityWeights.W.mkString("[", ", ", "]")}::BIGINT[] AS a),
+              q AS (SELECT doc_id,
+                           (${QualityWeights.Bias} + coalesce(list_sum(list_transform(ts,
+                              x -> a[('0x' || substr(md5(x), 1, 7))::BIGINT % 1024 + 1])), 0)) > 0
+                             AS q_keep
+                    FROM t, w),
+              l AS (SELECT doc_id,
+                           CASE WHEN ratio >= 0.10 THEN 'en'
+                                WHEN ratio >= 0.03 THEN 'en_low'
+                                ELSE 'other' END AS pred_lang
+                    FROM (SELECT doc_id,
+                                 cast(len(list_filter(ts, x -> x IN ('the','a','of','and','to','is','in'))) AS DOUBLE) / len(ts) AS ratio
+                          FROM t)),
+              p AS (SELECT doc_id,
+                           len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,4}'))
+                             + len(regexp_extract_all(text, 'https?://[A-Za-z0-9./_%?=&-]+'))
+                             + len(regexp_extract_all(text, '[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}'))
+                             AS n_pii
+                    FROM documents)
+         SELECT source,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(CASE WHEN g_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher_keep,
+                CAST(sum(CASE WHEN q_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_keep,
+                CAST(sum(CASE WHEN pred_lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_en,
+                CAST(sum(n_pii) AS BIGINT) AS n_pii
+         FROM documents
+           JOIN g USING (doc_id) JOIN q USING (doc_id)
+           JOIN l USING (doc_id) JOIN p USING (doc_id)
+         GROUP BY source""",
     // tokenize-to-ids against the vocab_build top-1000 vocabulary;
     // OOV → -1; ids reassembled in position order
     "encode_tokens" ->

@@ -14,20 +14,39 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.parquet` stores `ts` as INT64 TIMESTAMP(NANOS) which Spark
-    * cannot read natively (PARQUET_TYPE_ILLEGAL). Read it as a raw long
-    * under the legacy nanosAsLong flag and convert to a microsecond
-    * timestamp in-plan. `ts div 1000` is integer division — going through
-    * double would lose precision (2024 epoch-nanos ≈ 1.7e18 > 2^53).
-    * The testdata's nanos are all whole microseconds, so the conversion
-    * is lossless and agrees exactly with DuckDB's TIMESTAMP_NS→TIMESTAMP
-    * cast on the oracle side.
+  /** Normalize an `events`-shaped frame so `ts` is a session-time
+    * TIMESTAMP regardless of how the parquet writer encoded it. The
+    * harness testdata has shipped `ts` two different ways across
+    * regenerations, so dispatch on the scanned type:
+    *  - INT64 TIMESTAMP(NANOS): unreadable natively
+    *    (PARQUET_TYPE_ILLEGAL); surfaces as LongType under the legacy
+    *    `nanosAsLong` flag. Convert with integer `div 1000` (double
+    *    would lose precision: 2024 epoch-nanos ≈ 1.7e18 > 2^53); the
+    *    nanos are whole microseconds so this is lossless and matches
+    *    DuckDB's TIMESTAMP_NS→TIMESTAMP cast.
+    *  - TIMESTAMP_MICROS without UTC adjustment: reads as
+    *    TIMESTAMP_NTZ. The session timezone is pinned UTC everywhere
+    *    (Bench/Verify/TaskRunner/specs), so casting to TIMESTAMP is
+    *    value-preserving and hash-matches DuckDB's plain TIMESTAMP read.
+    *  - TIMESTAMP already: pass through.
+    */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
+  }
+
+  /** `events` with `ts` normalized to TIMESTAMP — see [[normalizeTs]].
+    * `nanosAsLong` is set defensively so a nanos-encoded regeneration
+    * of the testdata scans (as LongType) instead of failing.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events").withColumn(
-      "ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    normalizeTs(table(s, d, "events"))
   }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")

@@ -624,14 +624,6 @@ object Dedup {
     * (P(miss | j=0.82) ≈ 0.11 at 4 bands — band count, not hash
     * family, was the difference).
     */
-  /** md5 minhash band table (doc_id, band, band_hash): 64 hashes banded
-    * 16×4. Explodes shingles once; each shingle row computes all 64
-    * md5s and the per-doc min folds map-side (partial agg) before the
-    * one shuffle. Shared by [[minhashPortable]] and
-    * [[minhashIncremental]] (and the bucketed-index spec — at 100 TB
-    * this is the table a standing index materializes, bucketed by the
-    * band key so batch probes never re-shuffle it).
-    */
   /** md5 minhash signature table (doc_id, h0..h63): each shingle row
     * computes all 64 md5s and the per-doc min folds map-side before the
     * one doc_id shuffle. Factored out of [[md5BandTable]] so
@@ -660,6 +652,14 @@ object Dedup {
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
   }
 
+  /** md5 minhash band table (doc_id, band, band_hash): 64 hashes banded
+    * 16×4. Explodes shingles once; each shingle row computes all 64
+    * md5s and the per-doc min folds map-side (partial agg) before the
+    * one shuffle. Shared by [[minhashPortable]] and
+    * [[minhashIncremental]] (and the bucketed-index spec — at 100 TB
+    * this is the table a standing index materializes, bucketed by the
+    * band key so batch probes never re-shuffle it).
+    */
   private[graft] def md5BandTable(sh: DataFrame): DataFrame =
     md5Bands(md5SigTable(sh))
 
@@ -707,7 +707,10 @@ object Dedup {
     val sh = shingleSets(spark, dir).persist(StorageLevel.MEMORY_AND_DISK)
     // sig backs both the band table and the two agreement joins of the
     // returned lazy plan — the cache must outlive this method (eager
-    // unpersist would recompute 64 md5-mins per subtree at action time)
+    // unpersist would recompute 64 md5-mins per subtree at action time).
+    // Lifecycle contract (same as minhashPortable's sh/bands persists):
+    // the caller owns the caches; both harness mains drop them with
+    // spark.catalog.clearCache() after each query's action.
     val sig = md5SigTable(sh).persist(StorageLevel.MEMORY_AND_DISK)
     val bands = md5Bands(sig)
     val cand = bands.as("x")

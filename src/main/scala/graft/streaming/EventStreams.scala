@@ -36,21 +36,22 @@ object EventStreams {
     * bounded on backfill).
     *
     * The user-specified schema must describe the FILE columns, not the
-    * converted table: `ts` is INT64 TIMESTAMP(NANOS) on disk, which
-    * resolves to LONG under `nanosAsLong` — so the stream is built from
-    * the raw (pre-conversion) schema and the same
-    * `timestamp_micros(ts div 1000)` conversion as `Tables.events` is
-    * applied on top. (Taking the post-conversion schema would make the
-    * scan demand TIMESTAMP from a LONG column and fail at runtime.)
+    * converted table: depending on how the parquet writer encoded `ts`
+    * it scans as LONG (INT64 nanos under `nanosAsLong`) or
+    * TIMESTAMP_NTZ (TIMESTAMP_MICROS) — so the stream is built from
+    * the raw (pre-conversion) schema and the same normalization as
+    * `Tables.events` ([[graft.Tables.normalizeTs]]) is applied on top.
+    * (Taking the post-conversion schema would make the scan demand
+    * TIMESTAMP from a LONG/NTZ column and fail at runtime.)
     */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
-    spark.readStream
-      .schema(rawSchema)
-      .option("maxFilesPerTrigger", 16)
-      .parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    Tables.normalizeTs(
+      spark.readStream
+        .schema(rawSchema)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(s"$dir/events.parquet"))
   }
 
   /** Tumbling 1-hour windowed counts + value sums per event type,

@@ -310,4 +310,33 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
     assert(got(0L)._2 === got(5L)._2)
     assert(got(0L)._1 === 40L)
   }
+
+  test("source quality report reconciles with its four source operators") {
+    import org.apache.spark.sql.functions.col
+    val rep = Curation.sourceQualityReport(spark, fixtureDir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // mixed-source fixture: src0 = {0,1}, src1 = {2,3}, src2 = {4}
+    assert(rep.keySet === Set("src0", "src1", "src2"))
+    assert(rep.values.map(_._1).sum === 5L)
+    // reconcile each column against an independent per-operator rollup
+    val srcOf = Tables.documents(spark, fixtureDir).select("doc_id", "source")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def bySrc(pairs: Seq[(Long, Long)]): Map[String, Long] =
+      pairs.groupBy(p => srcOf(p._1)).view.mapValues(_.map(_._2).sum).toMap.withDefaultValue(0L)
+    val gKeep = bySrc(Curation.gopherRules(spark, fixtureDir).select("doc_id", "keep")
+      .collect().map(r => (r.getLong(0), if (r.getBoolean(1)) 1L else 0L)).toSeq)
+    val qKeep = bySrc(Curation.qualityClassifier(spark, fixtureDir).select("doc_id", "keep")
+      .collect().map(r => (r.getLong(0), if (r.getBoolean(1)) 1L else 0L)).toSeq)
+    val predEn = bySrc(TextOps.langId(spark, fixtureDir).select("doc_id", "pred_lang")
+      .collect().map(r => (r.getLong(0), if (r.getString(1) == "en") 1L else 0L)).toSeq)
+    val nPii = bySrc(Curation.piiRedact(spark, fixtureDir).select("doc_id", "n_pii")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    val nDocs = bySrc(srcOf.keys.map(id => id -> 1L).toSeq)
+    for (s <- rep.keySet) {
+      assert(rep(s) === ((nDocs(s), gKeep(s), qKeep(s), predEn(s), nPii(s))),
+        s"source $s: report ${rep(s)} vs operators " +
+          s"(${nDocs(s)}, ${gKeep(s)}, ${qKeep(s)}, ${predEn(s)}, ${nPii(s)})")
+    }
+  }
 }

@@ -191,4 +191,55 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(got === Set((8L, 0L, 38L, 40L), (9L, 0L, 38L, 40L)))
   }
+
+  test("soft weights: cluster mass splits by size; singletons keep full 10^6") {
+    // fixture clusters: {0,1,2} (exact dup + j=0.95 near-dup), {3}, {4}
+    val got = Dedup.dedupSoftWeights(spark, fixtureDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === Map(
+      0L -> ((0L, 3L, 333333L)), 1L -> ((0L, 3L, 333333L)),
+      2L -> ((0L, 3L, 333333L)),
+      3L -> ((3L, 1L, 1000000L)), // cluster-of-1 boundary: weight exactly 10^6
+      4L -> ((4L, 1L, 1000000L))))
+  }
+
+  test("minhash error profile: buckets calibrate against exact jaccard on a planted corpus") {
+    import spark.implicits._
+    val dir = scratchDir("graft-mh-profile")
+    // per-pair disjoint token prefixes so ONLY planted pairs can pair;
+    // each interior, non-adjacent edit breaks exactly 2 of 39 bigrams:
+    // k edits → j = (39-2k)/(39+2k)
+    def doc(p: String, edits: Set[Int]): String =
+      (1 to 40).map(i => if (edits(i)) s"${p}X$i" else s"$p$i").mkString(" ")
+    val docs = Seq(
+      (0L, doc("a", Set())), (1L, doc("a", Set())),            // j = 1.0
+      (2L, doc("b", Set())), (3L, doc("b", Set(20))),          // j = 37/41 ≈ 0.902
+      (4L, doc("c", Set())), (5L, doc("c", Set(10, 30))),      // j = 35/43 ≈ 0.814
+      (6L, doc("d", Set())), (7L, doc("d", Set(10, 20, 30))),  // j = 33/45 ≈ 0.733
+      (8L, doc("e", Set())), (9L, doc("e", Set(5, 15, 25, 35)))) // j = 31/47 ≈ 0.660
+    docs.map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Dedup.minhashErrorProfile(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    // deterministic (md5): j=0.66 → bucket 5 false; j=0.814 + j=0.733
+    // share bucket 6 (one true); j=0.902 → bucket 7; identical → bucket 8
+    assert(rows.toSeq === Seq(
+      (5L, 1L, 0L, 31L, 47L), (6L, 2L, 1L, 68L, 88L),
+      (7L, 1L, 1L, 37L, 41L), (8L, 1L, 1L, 39L, 39L)))
+    // exactly the j >= 0.8 pairs are true, wherever they bucket
+    assert(rows.map(_._3).sum === 3L)
+    // the identical pair agrees on all 64 hashes → top bucket is true-only
+    val top = rows.last
+    assert(top._1 === 8L && top._3 === top._2)
+    // calibration: true-rate is monotone non-decreasing in the bucket
+    val ratios = rows.map(r => r._3.toDouble / r._2)
+    assert(ratios.zip(ratios.tail).forall { case (lo, hi) => lo <= hi },
+      s"non-monotone true-rate: ${rows.mkString(", ")}")
+    // per-bucket invariants
+    rows.foreach { case (b, nPairs, nTrue, sInter, sUni) =>
+      assert(b >= 0L && b <= 8L && nTrue <= nPairs && sInter <= sUni)
+    }
+  }
 }

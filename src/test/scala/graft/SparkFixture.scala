@@ -47,9 +47,12 @@ trait SparkFixture extends BeforeAndAfterAll { self: Suite =>
     // scratch dir this suite created is dead once its tests finish
     scratchDirs.foreach { root =>
       import java.nio.file.{Files, Path}
-      if (Files.exists(root))
-        Files.walk(root).sorted(java.util.Comparator.reverseOrder[Path]())
+      if (Files.exists(root)) {
+        val walk = Files.walk(root)
+        try walk.sorted(java.util.Comparator.reverseOrder[Path]())
           .forEach(f => Files.deleteIfExists(f))
+        finally walk.close()
+      }
     }
     super.afterAll()
   }
