@@ -50,6 +50,8 @@ object SparkEntry {
     "dedup_soft_weights"     -> Dedup.dedupSoftWeights _,
     "minhash_error_profile"  -> Dedup.minhashErrorProfile _,
     "source_quality_report"  -> Curation.sourceQualityReport _,
+    "ngram_novelty"          -> ((s: SparkSession, d: String) => Curation.ngramNovelty(s, d)),
+    "dup_matrix_by_source"   -> Curation.dupMatrixBySource _,
     "corpus_curate"          -> Dedup.corpusCurate _,
     "dedup_ngram_jaccard"    -> Dedup.ngramJaccard _,
     "dedup_minhash"          -> Dedup.minhashLsh _,
@@ -664,6 +666,42 @@ object SparkEntry {
                 CAST(1000000 AS BIGINT) // cluster_size AS weight_micro
          FROM r JOIN cs USING (comp)""",
     "minhash_error_profile" -> minhashErrorProfileSql,
+    // Cross-source near-dup matrix over the verified portable-minhash
+    // pair set, symmetric cells via least/greatest.
+    "dup_matrix_by_source" ->
+      s"""WITH $minhashCandCtes,
+             v AS (SELECT doc_a, doc_b,
+                          cast(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+                          cast(len(a.sh) AS BIGINT) + cast(len(b.sh) AS BIGINT)
+                            - cast(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS uni
+                   FROM cand JOIN se a ON doc_a = a.doc_id JOIN se b ON doc_b = b.doc_id)
+         SELECT least(da.source, db.source) AS source_a,
+                greatest(da.source, db.source) AS source_b,
+                CAST(count(*) AS BIGINT) AS n_pairs
+         FROM v JOIN documents da ON v.doc_a = da.doc_id
+                JOIN documents db ON v.doc_b = db.doc_id
+         WHERE cast(inter AS DOUBLE) / uni >= 0.8
+         GROUP BY least(da.source, db.source), greatest(da.source, db.source)""",
+    // Per-doc novelty vs the doc_id-ordered prefix corpus: distinct
+    // 8-gram digests, each gram owned by its min doc_id.
+    "ngram_novelty" ->
+      """WITH tk AS (SELECT doc_id,
+                            list_filter(string_split_regex(text, '\s+'), t -> t != '') AS ts
+                     FROM documents),
+              g AS (SELECT doc_id,
+                           unnest(list_distinct(list_transform(range(1, len(ts) - 6),
+                             i -> md5(array_to_string(ts[i:i+7], ' '))))) AS g
+                    FROM tk WHERE len(ts) >= 8),
+              fo AS (SELECT g, min(doc_id) AS first_doc FROM g GROUP BY g),
+              pd AS (SELECT doc_id,
+                            CAST(count(*) AS BIGINT) AS n_grams,
+                            CAST(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+                     FROM g JOIN fo USING (g) GROUP BY doc_id)
+         SELECT d.doc_id,
+                CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+                CAST(coalesce(n_novel, 0) AS BIGINT) AS n_novel,
+                CAST(coalesce((n_novel * CAST(1000000 AS BIGINT)) // n_grams, 0) AS BIGINT) AS novelty_micro
+         FROM documents d LEFT JOIN pd USING (doc_id)""",
     // Per-source redundancy under the same transitive clustering.
     "dup_rate_by_source" ->
       s"""WITH RECURSIVE $componentCtes,

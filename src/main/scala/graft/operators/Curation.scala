@@ -112,6 +112,71 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("keep"), 0L).otherwise(1L)).as("n_dup_docs"))
 
+  /** Per-document n-gram novelty against the doc_id-ordered prefix
+    * corpus: of a document's distinct 8-grams, how many does it
+    * introduce (its doc_id is the gram's minimum owner)? A source whose
+    * novelty collapses is re-crawling content the corpus already has —
+    * the acquisition-ordering signal `dupRateBySource` gives per
+    * source, here at per-document resolution and sensitive to PARTIAL
+    * overlap (a doc that is 40% recycled boilerplate scores 0.6, which
+    * no whole-document dedup notices).
+    *
+    * Scale shape: grams travel as md5 digests, never text — one
+    * gram-keyed exchange computes each gram's min owner with map-side
+    * partial min, the grams→owner join reuses that same hash
+    * partitioning (no extra exchange on the probe side), and the final
+    * per-doc rollup is a doc-scale exchange. Zero/short docs surface
+    * with zero counts via the left join, not a silent drop. Integer
+    * micro-units for the fraction — floored, engine-exact.
+    */
+  def ngramNovelty(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
+    val docs = Tables.documentsSpread(spark, dir)
+    val grams = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"array_distinct(transform(sequence(1, size(ts) - ${n - 1}), " +
+          s"i -> md5(array_join(slice(ts, i, $n), ' '))))")).as("g"))
+    val firstOwner = grams.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
+    val perDoc = grams.join(firstOwner, "g")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L)).as("n_novel"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        coalesce(expr("(n_novel * CAST(1000000 AS BIGINT)) DIV n_grams"), lit(0L))
+          .as("novelty_micro"))
+  }
+
+  /** Cross-source near-duplicate matrix: verified minhash pairs
+    * ([[graft.operators.Dedup.minhashPortable]]) attributed to their
+    * (source, source) cell, symmetric via least/greatest ordering. The
+    * off-diagonal cells are the acquisition findings `dupRateBySource`
+    * cannot express: which two crawls are mirroring EACH OTHER (and
+    * should be deduped jointly or one dropped), vs the diagonal's
+    * within-source redundancy.
+    *
+    * Scale shape: everything downstream of the LSH-bounded pair set is
+    * id-scale — two id→source joins (dimension-sized source map, a
+    * candidate for broadcast at any real corpus/source ratio) and a
+    * rollup to at most |sources|² cells.
+    */
+  def dupMatrixBySource(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documentsSpread(spark, dir).select(col("doc_id"), col("source"))
+    graft.operators.Dedup.minhashPortable(spark, dir)
+      .select(col("doc_a"), col("doc_b"))
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .groupBy(
+        least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Benchmark decontamination: flag corpus documents sharing any
     * 8-token n-gram with a benchmark set (here: doc_id < 10 stands in
     * for the eval suite). The benchmark n-gram set is tiny by

@@ -311,6 +311,36 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
     assert(got(0L)._1 === 40L)
   }
 
+  test("ngram novelty: dup docs score zero, partial overlap scores the shared tail") {
+    import spark.implicits._
+    val dir = scratchDir("graft-novelty")
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (0L, base),                                          // introduces all 33 8-grams
+      (1L, base),                                          // exact dup: novelty 0
+      (2L, ((1 to 39).map(i => s"w$i") :+ "edited").mkString(" ")), // last token edited: 1 novel gram
+      (3L, "one two three"),                               // < 8 tokens: zeros, not dropped
+      (4L, (1 to 12).map(i => s"u$i").mkString(" ")))      // disjoint vocab: all 5 novel
+    docs.map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Curation.ngramNovelty(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === Map(
+      0L -> ((33L, 33L, 1000000L)),
+      1L -> ((33L, 0L, 0L)),
+      2L -> ((33L, 1L, 30303L)), // only the start-33 gram contains the edit
+      3L -> ((0L, 0L, 0L)),
+      4L -> ((5L, 5L, 1000000L))))
+  }
+
+  test("dup matrix: near-dup pairs land in symmetric source cells") {
+    // fixture pairs (0,1),(0,2),(1,2) with sources src0,src0,src1
+    val got = Curation.dupMatrixBySource(spark, fixtureDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === Set(("src0", "src0", 1L), ("src0", "src1", 2L)))
+  }
+
   test("source quality report reconciles with its four source operators") {
     import org.apache.spark.sql.functions.col
     val rep = Curation.sourceQualityReport(spark, fixtureDir).collect()
