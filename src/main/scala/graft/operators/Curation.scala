@@ -121,10 +121,10 @@ object Curation {
     * overlap (a doc that is 40% recycled boilerplate scores 0.6, which
     * no whole-document dedup notices).
     *
-    * Scale shape: grams travel as md5 digests, never text — one
-    * gram-keyed exchange computes each gram's min owner with map-side
-    * partial min, the grams→owner join reuses that same hash
-    * partitioning (no extra exchange on the probe side), and the final
+    * Scale shape: grams travel as md5 digests, never text, and are
+    * computed ONCE — each gram's min owner comes from a window min over
+    * the gram key (one gram-keyed exchange; a groupBy+self-join would
+    * re-run the tokenize+md5 explode for the probe side), and the final
     * per-doc rollup is a doc-scale exchange. Zero/short docs surface
     * with zero counts via the left join, not a silent drop. Integer
     * micro-units for the fraction — floored, engine-exact.
@@ -137,8 +137,9 @@ object Curation {
       .select(col("doc_id"), explode(expr(
         s"array_distinct(transform(sequence(1, size(ts) - ${n - 1}), " +
           s"i -> md5(array_join(slice(ts, i, $n), ' '))))")).as("g"))
-    val firstOwner = grams.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
-    val perDoc = grams.join(firstOwner, "g")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+    val perDoc = grams
+      .withColumn("first_doc", min(col("doc_id")).over(w))
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_grams"),
