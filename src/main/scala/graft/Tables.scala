@@ -30,12 +30,12 @@ object Tables {
     *    value-preserving and hash-matches DuckDB's plain TIMESTAMP read.
     *  - TIMESTAMP already: pass through.
     */
-  def normalizeTs(df: DataFrame): DataFrame = {
+  def normalizeTs(df: DataFrame, c: String = "ts"): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
-    df.schema("ts").dataType match {
-      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+    df.schema(c).dataType match {
+      case LongType         => df.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
+      case TimestampNTZType => df.withColumn(c, col(c).cast(TimestampType))
       case _                => df
     }
   }
@@ -54,8 +54,15 @@ object Tables {
   def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
-  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
-  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  /** `o_orderdate` / `l_shipdate` get the same encoding insurance as
+    * `events.ts` — the testdata regeneration that flipped `ts` could
+    * flip these the same way ([[normalizeTs]]); under the pinned-UTC
+    * session the normalization is value-preserving for every encoding.
+    */
+  def orders(s: SparkSession, d: String): DataFrame =
+    normalizeTs(table(s, d, "orders"), "o_orderdate")
+  def lineitem(s: SparkSession, d: String): DataFrame =
+    normalizeTs(table(s, d, "lineitem"), "l_shipdate")
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
 
   /** `documents` spread to full core parallelism. The testdata ships as

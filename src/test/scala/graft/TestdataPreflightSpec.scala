@@ -92,6 +92,12 @@ class TestdataPreflightSpec extends AnyFunSuite with SparkFixture {
     assert(n > 0, "events scan returned no rows with non-null ts")
   }
 
+  test("orders and lineitem loaders normalize their date columns to TIMESTAMP") {
+    assume(available, s"$sfDir not present on this machine")
+    assert(Tables.orders(spark, sfDir).schema("o_orderdate").dataType === TimestampType)
+    assert(Tables.lineitem(spark, sfDir).schema("l_shipdate").dataType === TimestampType)
+  }
+
   test("normalizeTs dispatches on all three ts encodings") {
     val s = spark
     import s.implicits._
