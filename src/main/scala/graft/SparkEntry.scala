@@ -51,6 +51,8 @@ object SparkEntry {
     "minhash_error_profile"  -> Dedup.minhashErrorProfile _,
     "source_quality_report"  -> Curation.sourceQualityReport _,
     "ngram_novelty"          -> ((s: SparkSession, d: String) => Curation.ngramNovelty(s, d)),
+    "ngram_novelty_incremental" ->
+      ((s: SparkSession, d: String) => Curation.ngramNoveltyIncremental(s, d)),
     "dup_matrix_by_source"   -> Curation.dupMatrixBySource _,
     "corpus_curate"          -> Dedup.corpusCurate _,
     "dedup_ngram_jaccard"    -> Dedup.ngramJaccard _,
@@ -702,6 +704,30 @@ object SparkEntry {
                 CAST(coalesce(n_novel, 0) AS BIGINT) AS n_novel,
                 CAST(coalesce((n_novel * CAST(1000000 AS BIGINT)) // n_grams, 0) AS BIGINT) AS novelty_micro
          FROM documents d LEFT JOIN pd USING (doc_id)""",
+    // Standing-index novelty: batch (doc_id > 80% cut) scored against
+    // the standing corpus's distinct gram-digest set only.
+    "ngram_novelty_incremental" ->
+      """WITH tk AS (SELECT doc_id,
+                            list_filter(string_split_regex(text, '\s+'), t -> t != '') AS ts
+                     FROM documents),
+              g AS (SELECT doc_id,
+                           unnest(list_distinct(list_transform(range(1, len(ts) - 6),
+                             i -> md5(array_to_string(ts[i:i+7], ' '))))) AS g
+                    FROM tk WHERE len(ts) >= 8),
+              cut AS (SELECT max(doc_id) * 8 // 10 AS c FROM documents),
+              standing AS (SELECT DISTINCT gg.g AS g FROM g gg, cut WHERE gg.doc_id <= c),
+              pd AS (SELECT b.doc_id,
+                            CAST(count(*) AS BIGINT) AS n_grams,
+                            CAST(sum(CASE WHEN s.g IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+                     FROM (SELECT gg.doc_id, gg.g FROM g gg, cut WHERE gg.doc_id > c) b
+                       LEFT JOIN standing s ON b.g = s.g
+                     GROUP BY b.doc_id)
+         SELECT d.doc_id,
+                CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+                CAST(coalesce(n_novel, 0) AS BIGINT) AS n_novel,
+                CAST(coalesce((n_novel * CAST(1000000 AS BIGINT)) // n_grams, 0) AS BIGINT) AS novelty_micro
+         FROM documents d CROSS JOIN cut LEFT JOIN pd ON d.doc_id = pd.doc_id
+         WHERE d.doc_id > cut.c""",
     // Per-source redundancy under the same transitive clustering.
     "dup_rate_by_source" ->
       s"""WITH RECURSIVE $componentCtes,

@@ -153,6 +153,49 @@ object Curation {
           .as("novelty_micro"))
   }
 
+  /** [[ngramNovelty]]'s standing-index shape: the existing corpus
+    * (doc_id ≤ 80% cut, the same convention as
+    * [[graft.operators.Dedup.dedupIncremental]]) materializes its
+    * distinct gram-digest set once; an ingest batch scores its novelty
+    * against THAT set only (batch-internal novelty is out of scope,
+    * exactly as the standing index behaves in production — the index
+    * updates after the batch is accepted). The acquisition use: score a
+    * candidate crawl's marginal value BEFORE paying to ingest it.
+    *
+    * Scale shape: the standing side is a stored digest table (bucketed
+    * by digest at 100 TB, making the probe exchange-free); per-batch
+    * cost is the batch's gram explode plus one digest-keyed hash join —
+    * batch-sized, never corpus-sized. Batch docs below the gram window
+    * surface with zeros via the left join.
+    */
+  def ngramNoveltyIncremental(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
+    val docs = Tables.documentsSpread(spark, dir)
+    val cut = docs.agg(expr("max(doc_id) * 8 div 10").as("c"))
+    val grams = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"array_distinct(transform(sequence(1, size(ts) - ${n - 1}), " +
+          s"i -> md5(array_join(slice(ts, i, $n), ' '))))")).as("g"))
+      .crossJoin(cut)
+    val standing = grams.filter(col("doc_id") <= col("c"))
+      .select(col("g")).distinct().withColumn("seen", lit(1L))
+    val scored = grams.filter(col("doc_id") > col("c"))
+      .join(standing, Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+    docs.select(col("doc_id")).crossJoin(cut).filter(col("doc_id") > col("c"))
+      .select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        coalesce(expr("(n_novel * CAST(1000000 AS BIGINT)) DIV n_grams"), lit(0L))
+          .as("novelty_micro"))
+  }
+
   /** Cross-source near-duplicate matrix: verified minhash pairs
     * ([[graft.operators.Dedup.minhashPortable]]) attributed to their
     * (source, source) cell, symmetric via least/greatest ordering. The

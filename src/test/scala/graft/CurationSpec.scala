@@ -334,6 +334,29 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
       4L -> ((5L, 5L, 1000000L))))
   }
 
+  test("incremental novelty: batch scores against the standing gram set only") {
+    import spark.implicits._
+    val dir = scratchDir("graft-novelty-incr")
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    // ids 0..12 → cut = 12*8 div 10 = 9: standing {0..9}, batch {10,11,12}
+    val standing = (0L to 9L).map(i =>
+      (i, if (i == 0L) base else (1 to 10).map(j => s"f${i}_$j").mkString(" ")))
+    val batch = Seq(
+      (10L, base),                                  // copies a standing doc: 0 novel
+      (11L, (1 to 12).map(i => s"v$i").mkString(" ")), // fresh vocab: all 5 novel
+      (12L, "one two three"))                       // sub-window: zeros, still surfaced
+    (standing ++ batch).map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Curation.ngramNoveltyIncremental(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // only batch docs appear; standing docs are not re-scored
+    assert(got === Map(
+      10L -> ((33L, 0L, 0L)),
+      11L -> ((5L, 5L, 1000000L)),
+      12L -> ((0L, 0L, 0L))))
+  }
+
   test("dup matrix: near-dup pairs land in symmetric source cells") {
     // fixture pairs (0,1),(0,2),(1,2) with sources src0,src0,src1
     val got = Curation.dupMatrixBySource(spark, fixtureDir).collect()
