@@ -50,6 +50,7 @@ object SparkEntry {
     "dedup_soft_weights"     -> Dedup.dedupSoftWeights _,
     "minhash_error_profile"  -> Dedup.minhashErrorProfile _,
     "source_quality_report"  -> Curation.sourceQualityReport _,
+    "curation_funnel"        -> Curation.curationFunnel _,
     "ngram_novelty"          -> ((s: SparkSession, d: String) => Curation.ngramNovelty(s, d)),
     "ngram_novelty_incremental" ->
       ((s: SparkSession, d: String) => Curation.ngramNoveltyIncremental(s, d)),
@@ -728,6 +729,64 @@ object SparkEntry {
                 CAST(coalesce((n_novel * CAST(1000000 AS BIGINT)) // n_grams, 0) AS BIGINT) AS novelty_micro
          FROM documents d CROSS JOIN cut LEFT JOIN pd ON d.doc_id = pd.doc_id
          WHERE d.doc_id > cut.c""",
+    // Cumulative keep-decision funnel: each CTE is the corresponding
+    // single-operator oracle verbatim (lang_id, gopher_rules,
+    // doc_repetition, quality_classifier, dedup_components), joined
+    // id-to-id; sub-window repetition docs pass vacuously.
+    "curation_funnel" ->
+      s"""WITH RECURSIVE $componentCtes,
+              k AS (SELECT doc_id, doc_id = min(label) AS dedup_ok FROM reach GROUP BY doc_id),
+              l AS (SELECT doc_id,
+                           (CASE WHEN ratio >= 0.10 THEN 'en'
+                                 WHEN ratio >= 0.03 THEN 'en_low'
+                                 ELSE 'other' END) != 'other' AS lang_ok
+                    FROM (SELECT doc_id,
+                                 cast(len(list_filter(ts, x -> x IN ('the','a','of','and','to','is','in'))) AS DOUBLE) / len(ts) AS ratio
+                          FROM tk)),
+              m AS (SELECT doc_id,
+                           CAST(len(ts) AS BIGINT) AS n_tokens,
+                           CAST(coalesce(list_sum(list_transform(ts, x -> length(x))), 0)
+                             AS BIGINT) AS sum_token_len,
+                           CAST(len(list_filter(ts, x -> regexp_matches(x, '[a-zA-Z]')))
+                             AS BIGINT) AS n_alpha_words,
+                           CAST(len(list_intersect(list_distinct(ts),
+                             ['the','be','to','of','and','that','have','with'])) AS BIGINT)
+                             AS n_stop_distinct
+                    FROM tk),
+              gk AS (SELECT doc_id,
+                            ((n_tokens >= 50 AND n_tokens <= 100000)
+                             AND (3 * n_tokens <= sum_token_len AND sum_token_len <= 10 * n_tokens)
+                             AND (5 * n_alpha_words >= 4 * n_tokens)
+                             AND (n_stop_distinct >= 2)) AS gopher_ok
+                     FROM m),
+              r AS (SELECT doc_id,
+                           CAST(n_trigrams - n_distinct AS DOUBLE) / n_trigrams <= 0.20 AS rep_ok
+                    FROM (SELECT doc_id,
+                                 CAST(len(tg) AS BIGINT) AS n_trigrams,
+                                 CAST(len(list_distinct(tg)) AS BIGINT) AS n_distinct
+                          FROM (SELECT doc_id,
+                                       list_transform(range(1, len(ts) - 1),
+                                         i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) AS tg
+                                FROM tk WHERE len(ts) >= 3))),
+              w AS (SELECT ${QualityWeights.W.mkString("[", ", ", "]")}::BIGINT[] AS a),
+              q AS (SELECT doc_id,
+                           (${QualityWeights.Bias} + coalesce(list_sum(list_transform(ts,
+                              x -> a[('0x' || substr(md5(x), 1, 7))::BIGINT % 1024 + 1])), 0)) > 0
+                             AS cls_ok
+                    FROM tk, w),
+              j AS (SELECT d.doc_id, lang_ok, gopher_ok,
+                           coalesce(rep_ok, true) AS rep_ok, cls_ok, dedup_ok
+                    FROM documents d
+                      JOIN l USING (doc_id) JOIN gk USING (doc_id)
+                      LEFT JOIN r USING (doc_id)
+                      JOIN q USING (doc_id) JOIN k USING (doc_id))
+         SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(CASE WHEN lang_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_after_lang,
+                CAST(sum(CASE WHEN lang_ok AND gopher_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_after_gopher,
+                CAST(sum(CASE WHEN lang_ok AND gopher_ok AND rep_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_after_repetition,
+                CAST(sum(CASE WHEN lang_ok AND gopher_ok AND rep_ok AND cls_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_after_classifier,
+                CAST(sum(CASE WHEN lang_ok AND gopher_ok AND rep_ok AND cls_ok AND dedup_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_after_dedup
+         FROM j""",
     // Per-source redundancy under the same transitive clustering.
     "dup_rate_by_source" ->
       s"""WITH RECURSIVE $componentCtes,

@@ -350,6 +350,50 @@ object Curation {
         col("r_count") && col("r_len") && col("r_alpha") && col("r_stop"))
   }
 
+  /** The end-to-end keep-decision funnel a curation run publishes: how
+    * many documents survive each gate applied in pipeline order —
+    * language (anything but 'other'), Gopher heuristics, repetition
+    * (duplicate-trigram fraction), the trained classifier, and finally
+    * near-dup canonicalization. One row, integer counts; each column is
+    * the CUMULATIVE survivor count, so consecutive differences are the
+    * per-stage attrition the run reports. Documents too short for the
+    * repetition gate (< 3 tokens) pass it vacuously rather than being
+    * silently dropped (left join + coalesce true).
+    *
+    * Scale shape: every signal is the already-verified per-doc operator
+    * joined id-to-id (narrow rows through the exchanges); the rollup is
+    * a scalar aggregate with map-side partials. At 100 TB these signals
+    * are materialized corpus columns and this query is the single scan
+    * + one-row reduce it would be there.
+    */
+  def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documentsSpread(spark, dir).select(col("doc_id"))
+    val l = TextOps.langId(spark, dir)
+      .select(col("doc_id"), (col("pred_lang") =!= "other").as("lang_ok"))
+    val g = gopherRules(spark, dir).select(col("doc_id"), col("keep").as("gopher_ok"))
+    val r = docRepetition(spark, dir).select(col("doc_id"), col("keep").as("rep_ok"))
+    val q = qualityClassifier(spark, dir).select(col("doc_id"), col("keep").as("cls_ok"))
+    val k = graft.operators.Dedup.dedupComponents(spark, dir)
+      .select(col("doc_id"), col("keep").as("dedup_ok"))
+    docs.join(l, "doc_id").join(g, "doc_id")
+      .join(r, Seq("doc_id"), "left").join(q, "doc_id").join(k, "doc_id")
+      .withColumn("rep_ok", coalesce(col("rep_ok"), lit(true)))
+      .select(
+        col("lang_ok").as("s1"),
+        (col("lang_ok") && col("gopher_ok")).as("s2"),
+        (col("lang_ok") && col("gopher_ok") && col("rep_ok")).as("s3"),
+        (col("lang_ok") && col("gopher_ok") && col("rep_ok") && col("cls_ok")).as("s4"),
+        (col("lang_ok") && col("gopher_ok") && col("rep_ok") && col("cls_ok")
+          && col("dedup_ok")).as("s5"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("s1"), 1L).otherwise(0L)).as("n_after_lang"),
+        sum(when(col("s2"), 1L).otherwise(0L)).as("n_after_gopher"),
+        sum(when(col("s3"), 1L).otherwise(0L)).as("n_after_repetition"),
+        sum(when(col("s4"), 1L).otherwise(0L)).as("n_after_classifier"),
+        sum(when(col("s5"), 1L).otherwise(0L)).as("n_after_dedup"))
+  }
+
   /** Per-source quality dashboard — the acquisition-triage table a
     * curation run publishes next to [[dupRateBySource]]: for each
     * source, how many documents pass the Gopher heuristics

@@ -364,6 +364,27 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
     assert(got === Set(("src0", "src0", 1L), ("src0", "src1", 2L)))
   }
 
+  test("curation funnel reconciles with its five gate operators, in order") {
+    val row = Curation.curationFunnel(spark, fixtureDir).collect().head
+    val got = (1 to 5).map(row.getLong) // after lang, gopher, rep, cls, dedup
+    def boolMap(df: org.apache.spark.sql.DataFrame, c: String): Map[Long, Boolean] =
+      df.select("doc_id", c).collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val lang = TextOps.langId(spark, fixtureDir).select("doc_id", "pred_lang")
+      .collect().map(r => r.getLong(0) -> (r.getString(1) != "other")).toMap
+    val gop = boolMap(Curation.gopherRules(spark, fixtureDir), "keep")
+    val rep = boolMap(Curation.docRepetition(spark, fixtureDir), "keep").withDefaultValue(true)
+    val cls = boolMap(Curation.qualityClassifier(spark, fixtureDir), "keep")
+    val ded = boolMap(operators.Dedup.dedupComponents(spark, fixtureDir), "keep")
+    val ids = lang.keySet
+    val stages = List(lang, gop, rep, cls, ded)
+    val want = (1 to 5).map(k =>
+      ids.count(id => stages.take(k).forall(_(id))).toLong)
+    assert(row.getLong(0) === ids.size.toLong)
+    assert(got === want, s"funnel $got vs operator-derived $want")
+    // cumulative: monotone non-increasing
+    assert((row.getLong(0) +: got).sliding(2).forall { case Seq(a, b) => b <= a })
+  }
+
   test("source quality report reconciles with its four source operators") {
     import org.apache.spark.sql.functions.col
     val rep = Curation.sourceQualityReport(spark, fixtureDir).collect()

@@ -64,6 +64,7 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
     "weighted_sample" -> "shard-total prefix window over `shards` (=32) rows — bounded by the parameter, not the data",
     "brand_market_share" -> "final pass of the global-revenue scalar aggregate (denominator): one partial row per upstream partition",
     "copurchase_triangles" -> "final pass of the global triangle-count scalar aggregate: one partial row per upstream partition",
+    "curation_funnel" -> "final pass of the one-row funnel scalar aggregate: one partial row per upstream partition",
     "dedup_bloom_prefilter" -> "final pass of the bloom-blob/batch-cutoff scalar aggregate: one partial row per upstream partition",
     "dedup_incremental" -> "final pass of the batch-cutoff scalar aggregate: one partial row per upstream partition",
     "taskG_inactive" -> "final pass of the global-max scalar aggregate: one partial row per upstream partition",
