@@ -231,4 +231,20 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
     assert(!plan.contains("SortMergeJoin"), plan)
     assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2, plan)
   }
+
+  test("ngram novelty explodes the gram stream exactly once") {
+    // the window-min formulation computes first owners inside the one
+    // gram-keyed exchange; a regression to the groupBy+self-join shape
+    // duplicates the tokenize+md5 Generate for the probe side
+    val plan = PlanChecks.executedPlanString(
+      graft.operators.Curation.ngramNovelty(spark, fixtureDir))
+    // the executed adaptive plan prints final + initial trees; count
+    // the explode in the final tree only
+    val finalTree = plan.indexOf("== Initial Plan ==") match {
+      case -1 => plan; case i => plan.substring(0, i)
+    }
+    assert("Generate".r.findAllIn(finalTree).length === 1, plan)
+    // spread rebalance + gram window exchange + doc rollup (+AQE reads)
+    assert(PlanChecks.shuffles(graft.operators.Curation.ngramNovelty(spark, fixtureDir)) <= 4)
+  }
 }
