@@ -54,6 +54,8 @@ object SparkEntry {
     "ngram_novelty"          -> ((s: SparkSession, d: String) => Curation.ngramNovelty(s, d)),
     "ngram_novelty_incremental" ->
       ((s: SparkSession, d: String) => Curation.ngramNoveltyIncremental(s, d)),
+    "stream_novelty" ->
+      ((s: SparkSession, d: String) => graft.streaming.DocStreams.streamNovelty(s, d)),
     "dup_matrix_by_source"   -> Curation.dupMatrixBySource _,
     "corpus_curate"          -> Dedup.corpusCurate _,
     "dedup_ngram_jaccard"    -> Dedup.ngramJaccard _,
@@ -368,6 +370,30 @@ object SparkEntry {
         FROM agr JOIN v USING (doc_a, doc_b)
         GROUP BY est_bucket"""
   }
+
+  /** Per-doc 8-gram novelty vs the doc_id-ordered prefix corpus —
+    * shared verbatim by `ngram_novelty` (one-shot plan) and
+    * `stream_novelty` (the incremental index lifecycle, which is
+    * proven equivalent by hashing against this same SQL).
+    */
+  private val ngramNoveltySql: String =
+    """WITH tk AS (SELECT doc_id,
+                          list_filter(string_split_regex(text, '\s+'), t -> t != '') AS ts
+                   FROM documents),
+            g AS (SELECT doc_id,
+                         unnest(list_distinct(list_transform(range(1, len(ts) - 6),
+                           i -> md5(array_to_string(ts[i:i+7], ' '))))) AS g
+                  FROM tk WHERE len(ts) >= 8),
+            fo AS (SELECT g, min(doc_id) AS first_doc FROM g GROUP BY g),
+            pd AS (SELECT doc_id,
+                          CAST(count(*) AS BIGINT) AS n_grams,
+                          CAST(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+                   FROM g JOIN fo USING (g) GROUP BY doc_id)
+       SELECT d.doc_id,
+              CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+              CAST(coalesce(n_novel, 0) AS BIGINT) AS n_novel,
+              CAST(coalesce((n_novel * CAST(1000000 AS BIGINT)) // n_grams, 0) AS BIGINT) AS novelty_micro
+       FROM documents d LEFT JOIN pd USING (doc_id)"""
 
   /** [[minhashPortableSql]]'s pipeline with the incremental split:
     * standing docs (doc_id ≤ 80% cut) form the band index, batch docs
@@ -687,24 +713,12 @@ object SparkEntry {
          GROUP BY least(da.source, db.source), greatest(da.source, db.source)""",
     // Per-doc novelty vs the doc_id-ordered prefix corpus: distinct
     // 8-gram digests, each gram owned by its min doc_id.
-    "ngram_novelty" ->
-      """WITH tk AS (SELECT doc_id,
-                            list_filter(string_split_regex(text, '\s+'), t -> t != '') AS ts
-                     FROM documents),
-              g AS (SELECT doc_id,
-                           unnest(list_distinct(list_transform(range(1, len(ts) - 6),
-                             i -> md5(array_to_string(ts[i:i+7], ' '))))) AS g
-                    FROM tk WHERE len(ts) >= 8),
-              fo AS (SELECT g, min(doc_id) AS first_doc FROM g GROUP BY g),
-              pd AS (SELECT doc_id,
-                            CAST(count(*) AS BIGINT) AS n_grams,
-                            CAST(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
-                     FROM g JOIN fo USING (g) GROUP BY doc_id)
-         SELECT d.doc_id,
-                CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
-                CAST(coalesce(n_novel, 0) AS BIGINT) AS n_novel,
-                CAST(coalesce((n_novel * CAST(1000000 AS BIGINT)) // n_grams, 0) AS BIGINT) AS novelty_micro
-         FROM documents d LEFT JOIN pd USING (doc_id)""",
+    "ngram_novelty" -> ngramNoveltySql,
+    // The incremental probe/score/append lifecycle over id-ordered
+    // batches reproduces the one-shot semantics bit-for-bit, so the
+    // SAME batch SQL is its oracle — the lifecycle itself is what the
+    // hash match verifies.
+    "stream_novelty" -> ngramNoveltySql,
     // Standing-index novelty: batch (doc_id > 80% cut) scored against
     // the standing corpus's distinct gram-digest set only.
     "ngram_novelty_incremental" ->

@@ -131,4 +131,103 @@ object DocStreams {
         dedupBatchAgainstIndex(batch, indexPath)
           .write.mode("append").parquet(outPath)
       }
+
+  private def gramExpr(n: Int): String =
+    s"array_distinct(transform(sequence(1, size(ts) - ${n - 1}), " +
+      s"i -> md5(array_join(slice(ts, i, $n), ' '))))"
+
+  /** The novelty `foreachBatch` body: score one micro-batch of
+    * documents against the standing gram-owner index at `indexPath`
+    * ([[graft.operators.Curation.ngramNovelty]]'s semantics applied
+    * incrementally), then append the batch's first-seen grams.
+    *
+    * A batch doc's gram is novel iff no index entry with a strictly
+    * earlier owner claims it AND the doc is the gram's first owner
+    * within the batch. The strict `first_doc < doc_id` probe (rather
+    * than mere key presence) is what makes batch REPLAY idempotent:
+    * a retried batch finds its own grams in the index, but each is
+    * owned by the doc that won it on the first attempt, so the
+    * re-scored output is bit-identical — at-least-once delivery +
+    * this probe = exactly-once contents, the same posture as
+    * [[dedupBatchAgainstIndex]]. The anti-join append keeps the index
+    * one row per gram (the global first owner), so index size is
+    * bounded by distinct corpus grams, never ingest volume.
+    *
+    * At 100 TB `indexPath` is a digest-bucketed table, making the
+    * probe exchange-free on the index side; per-batch cost is the
+    * batch's gram explode plus one digest-keyed join — batch-sized.
+    */
+  def noveltyBatchAgainstIndex(batch: DataFrame, indexPath: String,
+      n: Int = 8): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val grams = batch
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= n)
+      .select(col("doc_id"), explode(expr(gramExpr(n))).as("g"))
+      .persist()
+    val hPath = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val seen: DataFrame =
+      if (!fs.exists(hPath)) Seq.empty[(String, Long)].toDF("g", "seen_first")
+      else spark.read.parquet(indexPath).toDF("g", "seen_first")
+    val scored = grams
+      .withColumn("win_first",
+        min(col("doc_id")).over(Window.partitionBy(col("g"))))
+      .join(seen, Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(
+          (col("seen_first").isNull || col("seen_first") >= col("doc_id"))
+            && col("doc_id") === col("win_first"), 1L).otherwise(0L)).as("n_novel"))
+    // checkpoint BEFORE the append mutates the index this plan reads
+    val out = batch.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        coalesce(expr("(n_novel * CAST(1000000 AS BIGINT)) DIV n_grams"), lit(0L))
+          .as("novelty_micro"))
+      .localCheckpoint(true)
+    grams
+      .groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
+      .join(seen.select(col("g")), Seq("g"), "left_anti")
+      .write.mode("append").parquet(indexPath)
+    grams.unpersist()
+    out
+  }
+
+  /** Batch replay of the incremental novelty lifecycle — the driver-
+    * contract entry: the corpus splits into `nBatches` doc_id-ordered
+    * ingest batches, each scored against (then folded into) a fresh
+    * scoped gram-owner index. Because batches are id-ordered, the
+    * first batch containing a gram holds its global first owner, so
+    * the unioned output is BIT-IDENTICAL to the one-shot
+    * [[graft.operators.Curation.ngramNovelty]] — which is exactly what
+    * the DuckDB oracle replays, making the whole incremental lifecycle
+    * (probe, score, append, next batch) a hash-verified artifact.
+    *
+    * The `max(doc_id)` driver scalar is orchestration metadata (the
+    * batch-boundary assignment a streaming source does by file
+    * listing), not data movement; each per-batch result is
+    * localCheckpoint'd before the append mutates the index its plan
+    * read.
+    */
+  def streamNovelty(spark: SparkSession, dir: String,
+      nBatches: Int = 4, n: Int = 8): DataFrame = {
+    val (_, path) = Tables.scopedIndex(spark, "novelty_gram_idx", dir)
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(hPath)) fs.delete(hPath, true)
+    val docs = Tables.documentsSpread(spark, dir)
+    val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+    (0 until nBatches)
+      .map { b =>
+        noveltyBatchAgainstIndex(
+          docs.filter(
+            expr(s"doc_id * $nBatches div ${maxId + 1}") === lit(b.toLong)), path, n)
+      }
+      .reduce(_ union _)
+  }
 }

@@ -346,6 +346,43 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(replay === chunkKept(1))
   }
 
+  test("streamed novelty matches the one-shot run and is idempotent under replay") {
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.DocStreams
+    val s = spark
+    import s.implicits._
+    val dir = scratchDir("graft-stream-novelty")
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    Seq(
+      (0L, base),                                            // introduces all grams
+      (1L, (1 to 12).map(i => s"u$i").mkString(" ")),        // disjoint vocab
+      (2L, base),                                            // cross-batch copy: 0 novel
+      (3L, (1 to 12).map(i => s"v$i").mkString(" ")),        // fresh
+      (4L, ((1 to 39).map(i => s"w$i") :+ "edited").mkString(" "))) // 1 novel tail gram
+      .map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def toMap(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val oneShot = toMap(operators.Curation.ngramNovelty(spark, dir).collect())
+    assert(oneShot(2L)._2 === 0L && oneShot(4L)._2 === 1L) // the planted shape
+
+    val idx = scratchDir("graft-gramidx") + "/idx"
+    val docs = Tables.documents(spark, dir)
+    val chunks = Seq(Seq(0L, 1L), Seq(2L, 3L), Seq(4L))
+    val streamed = chunks.map { ids =>
+      toMap(DocStreams.noveltyBatchAgainstIndex(
+        docs.filter(col("doc_id").isin(ids: _*)), idx).collect())
+    }
+    assert(streamed.reduce(_ ++ _) === oneShot)
+
+    // redelivered batch (failure replay): its grams are in the index,
+    // but each owned by the doc that won them first — output unchanged
+    val replay = toMap(DocStreams.noveltyBatchAgainstIndex(
+      docs.filter(col("doc_id").isin(2L, 3L)), idx).collect())
+    assert(replay === streamed(1))
+  }
+
   test("writeStream dedup wiring filters the documents stream against the standing index") {
     val s = spark
     import s.implicits._
