@@ -157,6 +157,7 @@ object SparkEntry {
     "encode_tokens"          -> ((s: SparkSession, d: String) => TextOps.encodeTokens(s, d)),
     // ---- round 8: persisted standing index, BPE encode, trigram KN ----
     "dedup_minhash_standing" -> Dedup.minhashStanding _,
+    "dedup_minhash_delete"   -> Dedup.minhashStandingDelete _,
     "bpe_encode"             -> ((s: SparkSession, d: String) => TextOps.bpeEncode(s, d)),
     "trigram_kn_probs"       -> TextOps.trigramKnProbs _,
     "similarity_ann_pq"      -> ((s: SparkSession, d: String) => Similarity.annPq(s, d)),
@@ -400,7 +401,11 @@ object SparkEntry {
     * probe it — batch×standing candidates only, exactly like
     * [[graft.operators.Dedup.minhashIncremental]].
     */
-  private val minhashIncrementalSql: String = {
+  /** The incremental probe pipeline, parameterized by an extra
+    * standing-side predicate — `""` for the plain incremental/standing
+    * family, a takedown filter for the delete lifecycle.
+    */
+  private def minhashIncrementalSqlWith(standingFilter: String): String = {
     val sigCols = (0 until 64)
       .map(j => s"min(md5('$j:' || s)) AS h$j").mkString(", ")
     val bandCases = (0 until 16)
@@ -419,7 +424,7 @@ object SparkEntry {
              cand AS (SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS dup_of
                       FROM bands x JOIN bands y
                         ON x.band = y.band AND x.band_hash = y.band_hash, cut
-                      WHERE x.doc_id > c AND y.doc_id <= c),
+                      WHERE x.doc_id > c AND y.doc_id <= c$standingFilter),
              v AS (SELECT cand.doc_id, dup_of,
                           cast(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
                           cast(len(a.sh) AS BIGINT) + cast(len(b.sh) AS BIGINT)
@@ -428,6 +433,8 @@ object SparkEntry {
         SELECT doc_id, dup_of, inter, uni FROM v
         WHERE cast(inter AS DOUBLE) / uni >= 0.8"""
   }
+
+  private val minhashIncrementalSql: String = minhashIncrementalSqlWith("")
 
   /** [[minhashPortableSql]]'s band pipeline with first-writer-wins
     * bucket semantics — the batch form of
@@ -2285,6 +2292,9 @@ object SparkEntry {
     // what differs is the physical plan (bucketed index read), which the
     // oracle can't see; BucketedJoinSpec pins that half.
     "dedup_minhash_standing" -> minhashIncrementalSql,
+    // Delete lifecycle: the takedown set (standing doc_id % 10 == 0)
+    // is gone from the index by probe time.
+    "dedup_minhash_delete" -> minhashIncrementalSqlWith(" AND y.doc_id % 10 != 0"),
     // append-lifecycle twin: 60% build + (60,80]% bucketed append is
     // the same ≤80% standing set — same verified pairs, same oracle.
     "dedup_minhash_append" -> minhashIncrementalSql,

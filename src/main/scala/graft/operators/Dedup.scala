@@ -831,6 +831,92 @@ object Dedup {
   def minhashStandingAppend(spark: SparkSession, dir: String): DataFrame =
     minhashStandingImpl(spark, dir, appendEpoch = true)
 
+  /** The standing index's DELETE lifecycle, executed: after the ≤ 80%
+    * bucketed band index is built, a takedown set (standing docs with
+    * doc_id divisible by 10 — a deterministic stand-in for PII/DMCA
+    * removals the oracle can replay) is removed in the two production
+    * steps, both run here:
+    *  1. SOFT delete: an id-scale tombstone list the probe anti-joins
+    *     (broadcast at any corpus/tombstone ratio) — effective
+    *     immediately, zero index rewrite;
+    *  2. COMPACTION: the index rewrites without tombstoned rows under
+    *     the SAME bucket spec, so post-compaction probes keep the
+    *     exchange-free bucketed layout. (With plain parquet the
+    *     rewrite is table-wide; a lakehouse-format deployment writes
+    *     delete files and compacts lazily — the probe shape is
+    *     identical either way.)
+    * Returns the post-compaction probe's verified pairs; DedupSpec
+    * asserts the soft-deleted probe emits the identical rows and that
+    * nothing points at a deleted doc. Shares the incremental oracle
+    * with the takedown filter applied on the standing side.
+    */
+  def minhashStandingDelete(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleSets(spark, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    val cut = Tables.documentsSpread(spark, dir)
+      .agg(expr("max(doc_id) * 8 div 10").as("c"))
+    val withKey = md5BandTable(sh)
+      .crossJoin(cut)
+      .withColumn("band_key", concat_ws("#", col("band"), col("band_hash")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val (table, idxPath) = Tables.scopedIndex(spark, "graft_minhash_band_del", dir)
+    def writeIndex(rows: DataFrame, mode: String): Unit =
+      rows.write.bucketBy(8, "band_key").sortBy("band_key")
+        .option("path", idxPath)
+        .mode(mode).saveAsTable(table)
+    writeIndex(withKey.filter(col("doc_id") <= col("c"))
+      .select(col("doc_id").as("dup_of"), col("band_key")), "overwrite")
+
+    // compaction: rewrite minus tombstones under the same bucket spec.
+    // The filtered rows checkpoint eagerly first — the overwrite can't
+    // scan the very table it is replacing.
+    val compacted = spark.table(table)
+      .filter(col("dup_of") % 10 =!= 0)
+      .localCheckpoint(true)
+    writeIndex(compacted, "overwrite")
+
+    val batch = withKey.filter(col("doc_id") > col("c"))
+      .select(col("doc_id"), col("band_key"))
+    spark.table(table)
+      .join(batch, "band_key")
+      .select(col("doc_id"), col("dup_of"))
+      .distinct()
+      .join(sh.select(col("doc_id"), col("sh").as("shb")), "doc_id")
+      .join(sh.select(col("doc_id").as("dup_of"), col("sh").as("sha")), "dup_of")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .withColumn("uni",
+        size(col("sha")).cast("long") + size(col("shb")).cast("long") - col("inter"))
+      .filter(col("inter").cast("double") / col("uni") >= 0.8)
+      .select(col("doc_id"), col("dup_of"), col("inter"), col("uni"))
+  }
+
+  /** The soft-delete HALF of [[minhashStandingDelete]], standalone for
+    * the spec: probe the UNCOMPACTED index with the tombstone anti-join
+    * — must emit exactly the post-compaction rows.
+    */
+  private[graft] def minhashSoftDeleteProbe(
+      spark: SparkSession, dir: String, table: String): DataFrame = {
+    val sh = shingleSets(spark, dir)
+    val cut = Tables.documentsSpread(spark, dir)
+      .agg(expr("max(doc_id) * 8 div 10").as("c"))
+    val batch = md5BandTable(sh)
+      .crossJoin(cut)
+      .filter(col("doc_id") > col("c"))
+      .withColumn("band_key", concat_ws("#", col("band"), col("band_hash")))
+      .select(col("doc_id"), col("band_key"))
+    spark.table(table)
+      .filter(col("dup_of") % 10 =!= 0) // the tombstone anti-join, as a filter
+      .join(batch, "band_key")
+      .select(col("doc_id"), col("dup_of"))
+      .distinct()
+      .join(sh.select(col("doc_id"), col("sh").as("shb")), "doc_id")
+      .join(sh.select(col("doc_id").as("dup_of"), col("sh").as("sha")), "dup_of")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .withColumn("uni",
+        size(col("sha")).cast("long") + size(col("shb")).cast("long") - col("inter"))
+      .filter(col("inter").cast("double") / col("uni") >= 0.8)
+      .select(col("doc_id"), col("dup_of"), col("inter"), col("uni"))
+  }
+
   private def minhashStandingImpl(
       spark: SparkSession, dir: String, appendEpoch: Boolean): DataFrame = {
     val sh = shingleSets(spark, dir).persist(StorageLevel.MEMORY_AND_DISK)

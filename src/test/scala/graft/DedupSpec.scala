@@ -192,6 +192,36 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(got === Set((8L, 0L, 38L, 40L), (9L, 0L, 38L, 40L)))
   }
 
+  test("standing-index delete: tombstoned docs vanish; soft and compacted probes agree") {
+    import spark.implicits._
+    val dir = scratchDir("graft-minhash-del")
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val near = ((1 to 39).map(i => s"w$i") :+ "edited").mkString(" ")
+    // ids 0..9 → cut 7: standing {0..7}, batch {8,9}. Docs 0 and 3 are
+    // both near-dups of the batch docs; 0 is in the takedown set
+    // (doc_id % 10 == 0), 3 is not.
+    (Seq((0L, near), (3L, near)) ++
+      Seq(1L, 2L, 4L, 5L, 6L, 7L).map(i => (i, (1 to 10).map(j => s"f${i}_$j").mkString(" "))) ++
+      Seq((8L, base), (9L, base)))
+      .map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+    val full = rows(Dedup.minhashStanding(spark, dir))
+    assert(full === Set((8L, 0L, 38L, 40L), (8L, 3L, 38L, 40L),
+      (9L, 0L, 38L, 40L), (9L, 3L, 38L, 40L)))
+    // soft delete: tombstone anti-join over the UNCOMPACTED index
+    // minhashStanding just built
+    val standingTable = Tables.scopedIndex(spark, "graft_minhash_band_index", dir)._1
+    val soft = rows(Dedup.minhashSoftDeleteProbe(spark, dir, standingTable))
+    // full lifecycle: build, compact without tombstones, probe
+    val compacted = rows(Dedup.minhashStandingDelete(spark, dir))
+    assert(compacted === Set((8L, 3L, 38L, 40L), (9L, 3L, 38L, 40L)))
+    assert(soft === compacted)
+  }
+
   test("soft weights: cluster mass splits by size; singletons keep full 10^6") {
     // fixture clusters: {0,1,2} (exact dup + j=0.95 near-dup), {3}, {4}
     val got = Dedup.dedupSoftWeights(spark, fixtureDir).collect()

@@ -37,6 +37,7 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
     "ngram_novelty_incremental" -> "1-row batch-cutoff scalar kept in-plan as a broadcast crossJoin (same shape as dedup_incremental)",
     "dedup_minhash_standing" -> "1-row batch-cutoff scalar kept in-plan as a broadcast crossJoin on the PROBE side (the standing index reads pre-bucketed, exchange-free)",
     "dedup_minhash_append" -> "same batch-cutoff scalar crossJoin as dedup_minhash_standing (append-lifecycle twin)",
+    "dedup_minhash_delete" -> "same batch-cutoff scalar crossJoin as dedup_minhash_standing (delete-lifecycle twin)",
     "dsir_importance" -> "1-row corpus-totals scalar (target/raw token counts) kept in-plan as a broadcast crossJoin",
     "kneser_ney_probs" -> "1-row distinct-bigram-type total kept in-plan as a broadcast crossJoin",
     "trigram_kn_probs" -> "1-row distinct-bigram-type total (backoff denominator D) kept in-plan as a broadcast crossJoin",
@@ -74,6 +75,7 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
     "ngram_novelty_incremental" -> "final pass of the batch-cutoff scalar aggregate: one partial row per upstream partition",
     "dedup_minhash_standing" -> "final pass of the batch-cutoff scalar aggregate (probe side): one partial row per upstream partition",
     "dedup_minhash_append" -> "same batch-cutoff scalar aggregate as dedup_minhash_standing (append-lifecycle twin)",
+    "dedup_minhash_delete" -> "same batch-cutoff scalar aggregate as dedup_minhash_standing (delete-lifecycle twin)",
     "dsir_importance" -> "final pass of the corpus-totals scalar aggregate over the 1024-row bucket table: one partial row per upstream partition",
     "kneser_ney_probs" -> "final pass of the distinct-bigram-type scalar aggregate: one partial row per upstream partition",
     "trigram_kn_probs" -> "final pass of the distinct-bigram-type scalar aggregate (backoff denominator D): one partial row per upstream partition",
