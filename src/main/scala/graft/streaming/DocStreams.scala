@@ -221,7 +221,11 @@ object DocStreams {
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(hPath)) fs.delete(hPath, true)
     val docs = Tables.documentsSpread(spark, dir)
-    val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+    val maxRow = docs.agg(max(col("doc_id"))).head
+    // empty corpus: no batches to replay — one empty probe keeps the
+    // output schema (and the index untouched)
+    if (maxRow.isNullAt(0)) return noveltyBatchAgainstIndex(docs, path, n)
+    val maxId = maxRow.getLong(0)
     (0 until nBatches)
       .map { b =>
         noveltyBatchAgainstIndex(
