@@ -186,6 +186,8 @@ object SparkEntry {
     // ---- round 10: BM25 retrieval, PCA-precursor Gram accumulation ----
     "bm25_search"            -> ((s: SparkSession, d: String) => TextOps.bm25Search(s, d)),
     "embedding_covariance"   -> Similarity.embeddingCovariance _,
+    "embedding_pca_project"  ->
+      ((s: SparkSession, d: String) => Similarity.embeddingPcaProject(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2397,6 +2399,9 @@ object SparkEntry {
            SELECT qid, doc_id,
                   row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS rnk
            FROM sc) WHERE rnk <= 10""",
+    // Dominant-eigenvector projection: the integer power iteration
+    // replayed in HUGEINT (both engines truncate division toward zero)
+    "embedding_pca_project" -> embeddingPcaProjectSql,
     // PCA-precursor Gram accumulation: embedding_quantize's exact int8
     // codes, upper-triangle product sums + per-dim sums + count
     "embedding_covariance" ->
@@ -2424,6 +2429,44 @@ object SparkEntry {
          JOIN ds di ON p.dim_i = di.dim_idx
          JOIN ds dj ON p.dim_j = dj.dim_idx""",
   )
+
+  /** [[graft.operators.Similarity.embeddingPcaProject]]'s eight power
+    * iterations, unrolled as CTE pairs over the full int8 Gram.
+    * HUGEINT throughout: the rescale numerator reaches ~10²¹. The
+    * truncating `//` matches Scala BigInt division exactly.
+    */
+  private val embeddingPcaProjectSql: String = {
+    val iterCtes = (1 to 8).map { k =>
+      val prev = if (k == 1) "v0" else s"v${k - 1}"
+      s"""w$k AS (SELECT g.i AS i, sum(g.g::HUGEINT * $prev.val) AS w
+                  FROM g JOIN $prev ON g.j = $prev.i GROUP BY g.i),
+              mx$k AS (SELECT max(abs(w)) AS m FROM w$k),
+              v$k AS (SELECT i, CASE WHEN m = 0 THEN 0::HUGEINT
+                                     ELSE (w * 1000000) // m END AS val
+                      FROM w$k, mx$k)"""
+    }.mkString(",\n              ")
+    s"""WITH e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM embeddings),
+              m AS (SELECT vec_id, v,
+                           list_max(list_transform(v, x -> abs(x))) AS ma FROM e),
+              x AS (SELECT vec_id, v, ma,
+                           unnest(range(1, len(v) + 1)) AS i FROM m),
+              qt AS (SELECT vec_id, cast(i - 1 AS BIGINT) AS dim_idx,
+                            CASE WHEN ma = 0.0 THEN 0
+                                 ELSE greatest(-127, least(127,
+                                        cast(floor(v[i] * 127.0 / ma) AS BIGINT)))
+                            END AS q
+                     FROM x),
+              g AS (SELECT a.dim_idx AS i, b.dim_idx AS j,
+                           CAST(sum(a.q * b.q) AS BIGINT) AS g
+                    FROM qt a JOIN qt b ON a.vec_id = b.vec_id
+                    GROUP BY 1, 2),
+              v0 AS (SELECT unnest(range(0, (SELECT max(dim_idx) + 1 FROM qt))) AS i,
+                            1000000::HUGEINT AS val),
+              $iterCtes
+         SELECT qt.vec_id, CAST(sum(qt.q * v8.val) AS BIGINT) AS proj_micro
+         FROM qt JOIN v8 ON qt.dim_idx = v8.i
+         GROUP BY qt.vec_id"""
+  }
 
   /** recall@5 scoreboard oracle ([[graft.operators.Similarity.annRecall]]):
     * each ANN variant's full SQL replay — the exact strings that oracle

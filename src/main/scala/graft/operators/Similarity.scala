@@ -138,6 +138,70 @@ object Similarity {
     * distributed PCA uses (compute AᵀA in one pass, eigendecompose the
     * d×d result on the driver as model-scale work).
     */
+  /** Dominant principal direction of the int8-quantized embedding
+    * second-moment matrix, plus every vector's projection onto it —
+    * the PCA step a curation pipeline runs for embedding whitening /
+    * outlier screening, kept integer-exact end to end:
+    *  - the dim×dim Gram accumulates from [[embeddingQuantize]]'s
+    *    exact int8 codes (one doc-scale exchange, dim²-bounded output);
+    *  - eight power iterations run on the collected Gram with BigInt
+    *    arithmetic, rescaling to ±10⁶ micro-units each round with
+    *    truncating division — the identical sequence DuckDB replays in
+    *    HUGEINT (both engines truncate toward zero), so the eigenvector
+    *    (sign fixed by the all-ones start) is a hash-exact artifact;
+    *  - the projection broadcasts the 64-long eigenvector literal and
+    *    folds it against each row's codes in one codegen'd pass.
+    * Driver state is dim² Gram cells + the dim-length vector —
+    * model-scale (like IVF centroids), never data-scale. A zero Gram
+    * (all-zero embeddings) fixes the vector at zero in both engines.
+    */
+  def embeddingPcaProject(spark: SparkSession, dir: String, iters: Int = 8): DataFrame = {
+    val quant = Tables.embeddings(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("ma", array_max(transform(col("v"), x => abs(x))))
+      .withColumn("qarr", transform(col("v"), x =>
+        when(col("ma") === 0.0, lit(0L))
+          .otherwise(greatest(lit(-127L),
+            least(lit(127L), floor(x * 127.0 / col("ma")).cast("long"))))))
+      .select(col("vec_id"), col("qarr"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val gram = quant
+      .select(explode(flatten(transform(col("qarr"), (qi, i) =>
+        transform(col("qarr"), (qj, j) => struct(
+          i.cast("long").as("i"), j.cast("long").as("j"), (qi * qj).as("p")))))).as("pr"))
+      .groupBy(col("pr.i").as("i"), col("pr.j").as("j"))
+      .agg(sum(col("pr.p")).as("g"))
+      .collect() // dim²-bounded (64² = 4096 rows): model-scale driver state
+    val scale = BigInt(1000000)
+    val vec: Array[Long] =
+      if (gram.isEmpty) Array.empty
+      else {
+        val dim = (gram.map(_.getLong(0)).max + 1).toInt
+        val g = Array.ofDim[Long](dim, dim)
+        gram.foreach(r => g(r.getLong(0).toInt)(r.getLong(1).toInt) = r.getLong(2))
+        var v = Array.fill(dim)(scale)
+        for (_ <- 1 to iters) {
+          val w = Array.tabulate(dim)(i =>
+            (0 until dim).map(j => BigInt(g(i)(j)) * v(j)).sum)
+          val maxAbs = w.map(_.abs).max
+          // BigInt / truncates toward zero — the same semantics as
+          // DuckDB's integer // (verified), so the replay is exact
+          v = if (maxAbs == 0) Array.fill(dim)(BigInt(0))
+              else w.map(x => (x * scale) / maxAbs)
+        }
+        v.map(_.toLong)
+      }
+    if (vec.isEmpty)
+      quant.select(col("vec_id"), lit(0L).as("proj_micro")).limit(0)
+    else {
+      val vLit = array(vec.map(lit(_)): _*)
+      quant.select(col("vec_id"),
+        aggregate(zip_with(col("qarr"), vLit, (q, vv) => q * vv),
+          lit(0L), (acc, x) => acc + x).as("proj_micro"))
+    }
+  }
+
   def embeddingCovariance(spark: SparkSession, dir: String): DataFrame = {
     val quant = Tables.embeddings(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)

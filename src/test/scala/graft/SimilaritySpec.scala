@@ -283,4 +283,30 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
         i == j, s"CS($i,$j)")
     }
   }
+
+  test("pca projection: power iteration finds the planted dominant axis") {
+    import spark.implicits._
+    val dir = scratchDir("graft-pca")
+    // axis 0 carries 3 vectors (one negative), axis 1 one, plus a
+    // zero vector — the dominant direction is +e0 (all-ones start
+    // fixes the sign), so projections are the axis-0 codes × 10^6
+    Seq(
+      (0L, Array(10f, 0f, 0f, 0f), 0),
+      (1L, Array(-8f, 0f, 0f, 0f), 0),
+      (2L, Array(0f, 1f, 0f, 0f), 0),
+      (3L, Array(3f, 0f, 0f, 0f), 0),
+      (4L, Array(0f, 0f, 0f, 0f), 0)) // all-zero: quantizes to 0, projects to 0
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.embeddingPcaProject(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === 5)
+    assert(got(0L) === 127L * 1000000L)
+    assert(got(1L) === -127L * 1000000L)
+    assert(got(3L) === 127L * 1000000L)
+    assert(got(4L) === 0L)
+    // the off-axis vector's projection decays by ~(1/3)^8 per the
+    // eigenvalue gap — far below the axis-0 magnitude
+    assert(math.abs(got(2L)) < 100000L, s"off-axis leak: ${got(2L)}")
+  }
 }
