@@ -188,6 +188,18 @@ object SparkEntry {
     "embedding_covariance"   -> Similarity.embeddingCovariance _,
     "embedding_pca_project"  ->
       ((s: SparkSession, d: String) => Similarity.embeddingPcaProject(s, d)),
+    // ---- round 12: sequence training data + arrival audit ----
+    "events_to_sequences"    -> ((s: SparkSession, d: String) => EventOps.eventsToSequences(s, d)),
+    "event_transitions"      -> EventOps.eventTransitions _,
+    "events_late_arrivals"   -> EventOps.eventsLateArrivals _,
+    "token_pmi"              -> ((s: SparkSession, d: String) => TextOps.tokenPmi(s, d)),
+    "lexical_diversity"      -> TextOps.lexicalDiversity _,
+    "blocklist_filter"       -> Curation.blocklistFilter _,
+    "output_shard_plan"      -> ((s: SparkSession, d: String) => Layout.outputShardPlan(s, d)),
+    "embedding_outliers"     -> Similarity.embeddingOutliers _,
+    "hilbert_layout"         -> Layout.hilbertLayout _,
+    "dedup_cluster_stats"    -> Dedup.dedupClusterStats _,
+    "quality_calibration"    -> ((s: SparkSession, d: String) => Curation.qualityCalibration(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2428,6 +2440,167 @@ object SparkEntry {
          FROM ps p
          JOIN ds di ON p.dim_i = di.dim_idx
          JOIN ds dj ON p.dim_j = dj.dim_idx""",
+    // Capped per-user sequences: rank BEFORE the string fold on both
+    // sides; string_agg's ORDER BY mirrors the array_sort-by-rn fold.
+    "events_to_sequences" ->
+      """WITH o AS (SELECT user_id, event_type,
+                           row_number() OVER (PARTITION BY user_id
+                                              ORDER BY epoch_us(ts), event_id) AS rn
+                    FROM events)
+         SELECT user_id, count(*) AS seq_len,
+                string_agg(event_type, ',' ORDER BY rn) AS seq
+         FROM o WHERE rn <= 32 GROUP BY user_id""",
+    // Integer micro-unit conditional probabilities: floor division on
+    // both engines; DuckDB's window sum(BIGINT) is HUGEINT → cast.
+    "event_transitions" ->
+      """WITH p AS (SELECT lag(event_type) OVER (PARTITION BY user_id
+                             ORDER BY epoch_us(ts), event_id) AS prev_type,
+                           event_type AS next_type
+                    FROM events),
+              t AS (SELECT prev_type, next_type, count(*) AS cnt
+                    FROM p WHERE prev_type IS NOT NULL
+                    GROUP BY prev_type, next_type)
+         SELECT prev_type, next_type, cnt,
+                CAST(sum(cnt) OVER (PARTITION BY prev_type) AS BIGINT) AS ctx_cnt,
+                CAST((cnt * 1000000) // CAST(sum(cnt) OVER (PARTITION BY prev_type) AS BIGINT)
+                     AS BIGINT) AS prob_micro
+         FROM t""",
+    // Late = an earlier-arriving (smaller event_id) event of the same
+    // user carries a later event time; lateness in exact microseconds.
+    "events_late_arrivals" ->
+      """WITH o AS (SELECT event_type, epoch_us(ts) AS tus,
+                           max(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmax
+                    FROM events)
+         SELECT event_type, count(*) AS n_events,
+                CAST(sum(CASE WHEN runmax > tus THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+                max(CASE WHEN runmax > tus THEN runmax - tus ELSE 0 END) AS max_late_us
+         FROM o GROUP BY event_type""",
+    // PMI lift in integer micro-units: HUGEINT products + one floor
+    // division replay Spark's DECIMAL(38,0) `div` exactly (both
+    // positive, so floor == truncate on both engines).
+    "token_pmi" ->
+      """WITH d AS (SELECT list_filter(string_split_regex(text, '\s+'), t -> t != '') AS ts
+                    FROM documents),
+              uni AS (SELECT t, count(*) AS cnt_t
+                      FROM (SELECT unnest(ts) AS t FROM d) GROUP BY t),
+              bi AS (SELECT w1, w2, count(*) AS cnt_xy
+                     FROM (SELECT unnest(list_transform(range(1, len(ts)),
+                                    i -> struct_pack(w1 := ts[i], w2 := ts[i+1]))) AS p
+                           FROM d WHERE len(ts) >= 2)
+                          , LATERAL (SELECT p.w1 AS w1, p.w2 AS w2)
+                     GROUP BY w1, w2
+                     HAVING count(*) >= 3),
+              tot AS (SELECT (SELECT CAST(sum(cnt_t) AS BIGINT) FROM uni) AS n_tok,
+                             (SELECT CAST(sum(cnt_xy) AS BIGINT) FROM bi) AS n_pairs)
+         SELECT bi.w1, bi.w2, bi.cnt_xy,
+                ux.cnt_t AS cnt_x, uy.cnt_t AS cnt_y,
+                CAST((CAST(bi.cnt_xy AS HUGEINT) * 1000000 * n_tok * n_tok)
+                     // (CAST(n_pairs AS HUGEINT) * ux.cnt_t * uy.cnt_t) AS BIGINT)
+                  AS lift_micro
+         FROM bi JOIN uni ux ON bi.w1 = ux.t
+                 JOIN uni uy ON bi.w2 = uy.t, tot""",
+    "lexical_diversity" ->
+      """SELECT doc_id,
+                CAST(len(ts) AS BIGINT) AS n_tokens,
+                CAST(len(list_distinct(ts)) AS BIGINT) AS n_types,
+                CAST(len(list_distinct(ts)) AS BIGINT) * 1000000 // CAST(len(ts) AS BIGINT)
+                  AS ttr_micro
+         FROM (SELECT doc_id,
+                      list_filter(string_split_regex(text, '\s+'), t -> t != '') AS ts
+               FROM documents)
+         WHERE len(ts) >= 1""",
+    "blocklist_filter" ->
+      """SELECT doc_id,
+                CAST(len(ts) AS BIGINT) AS n_tokens,
+                CAST(len(list_filter(ts, t -> t IN ('dup', 'slow', 'drop'))) AS BIGINT)
+                  AS n_blocked,
+                len(list_filter(ts, t -> t IN ('dup', 'slow', 'drop'))) = 0 AS keep
+         FROM (SELECT doc_id,
+                      list_filter(string_split_regex(text, '\s+'), t -> t != '') AS ts
+               FROM documents)""",
+    // Shard boundary = cumulative chars BEFORE the doc // target, so a
+    // shard always ends at-or-past the target — pack_batches' first-fit
+    // contract at the storage layer.
+    "output_shard_plan" ->
+      """SELECT doc_id, source, n_chars,
+                CAST(coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS BIGINT) // 16384 AS shard
+         FROM documents""",
+    // embedding_quantize's exact int8 codes; centroid = sum div n
+    // (truncating division, identical in both engines including
+    // negatives); the outlier frontier is integer cross-multiplied.
+    "embedding_outliers" ->
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                           cast(embedding AS DOUBLE[]) AS v FROM embeddings),
+              m AS (SELECT vec_id, label, v,
+                           list_max(list_transform(v, x -> abs(x))) AS ma FROM e),
+              x AS (SELECT vec_id, label, v, ma,
+                           unnest(range(1, len(v) + 1)) AS i FROM m),
+              q AS (SELECT vec_id, label, cast(i - 1 AS BIGINT) AS dim_idx,
+                           CASE WHEN ma = 0.0 THEN 0
+                                ELSE greatest(-127, least(127,
+                                       cast(floor(v[i] * 127.0 / ma) AS BIGINT)))
+                           END AS q
+                    FROM x),
+              cent AS (SELECT label, dim_idx,
+                              CAST(sum(q) AS BIGINT) // count(*) AS c
+                       FROM q GROUP BY label, dim_idx),
+              d2 AS (SELECT vec_id, q.label,
+                            CAST(sum((q.q - c) * (q.q - c)) AS BIGINT) AS dist2
+                     FROM q JOIN cent USING (label, dim_idx)
+                     GROUP BY vec_id, q.label),
+              st AS (SELECT label, count(*) AS n_label,
+                            CAST(sum(dist2) AS BIGINT) AS sum_dist2
+                     FROM d2 GROUP BY label)
+         SELECT vec_id, label, dist2,
+                dist2 * n_label * 2 > sum_dist2 * 3 AS is_outlier
+         FROM d2 JOIN st USING (label)""",
+    "hilbert_layout" -> hilbertLayoutSql,
+    // Frequency-of-frequencies over the same transitive clustering the
+    // components/soft-weights oracles replay.
+    "dedup_cluster_stats" ->
+      s"""WITH RECURSIVE $componentCtes,
+              r AS (SELECT doc_id, min(label) AS comp FROM reach GROUP BY doc_id),
+              cs AS (SELECT comp, CAST(count(*) AS BIGINT) AS cluster_size
+                     FROM r GROUP BY comp)
+         SELECT cluster_size, count(*) AS n_clusters
+         FROM cs GROUP BY cluster_size""",
+    // quality_classifier's score CTE joined to gopher_rules' keep CTE,
+    // banded with the same truncating division.
+    "quality_calibration" ->
+      s"""WITH w AS (SELECT ${QualityWeights.W.mkString("[", ", ", "]")}::BIGINT[] AS a),
+              qs AS (SELECT doc_id,
+                            CAST(${QualityWeights.Bias} + coalesce(list_sum(list_transform(toks,
+                                   t -> a[('0x' || substr(md5(t), 1, 7))::BIGINT % 1024 + 1])), 0)
+                                 AS BIGINT) AS score
+                     FROM (SELECT doc_id,
+                                  list_filter(string_split_regex(text, '\\s+'), t -> t != '') AS toks
+                           FROM documents), w),
+              gm AS (SELECT doc_id,
+                            CAST(len(ts) AS BIGINT) AS n_tokens,
+                            CAST(coalesce(list_sum(list_transform(ts, x -> length(x))), 0)
+                              AS BIGINT) AS sum_token_len,
+                            CAST(len(list_filter(ts, x -> regexp_matches(x, '[a-zA-Z]')))
+                              AS BIGINT) AS n_alpha_words,
+                            CAST(len(list_intersect(list_distinct(ts),
+                              ['the','be','to','of','and','that','have','with'])) AS BIGINT)
+                              AS n_stop_distinct
+                     FROM (SELECT doc_id,
+                                  list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS ts
+                           FROM documents)),
+              gk AS (SELECT doc_id,
+                            CASE WHEN (n_tokens >= 50 AND n_tokens <= 100000)
+                                  AND (3 * n_tokens <= sum_token_len AND sum_token_len <= 10 * n_tokens)
+                                  AND (5 * n_alpha_words >= 4 * n_tokens)
+                                  AND (n_stop_distinct >= 2) THEN 1 ELSE 0 END AS g_keep
+                     FROM gm)
+         SELECT score // 500 AS bucket, count(*) AS n_docs,
+                CAST(sum(g_keep) AS BIGINT) AS n_gopher_keep,
+                (CAST(sum(g_keep) AS BIGINT) * 1000000) // count(*) AS keep_rate_micro
+         FROM qs JOIN gk USING (doc_id)
+         GROUP BY score // 500""",
   )
 
   /** [[graft.operators.Similarity.embeddingPcaProject]]'s eight power
@@ -2435,6 +2608,31 @@ object SparkEntry {
     * HUGEINT throughout: the rescale numerator reaches ~10²¹. The
     * truncating `//` matches Scala BigInt division exactly.
     */
+  /** Hilbert index replay ([[graft.operators.Layout.hilbertLayout]]):
+    * the same 16-step Mealy machine over the same two packed LUT
+    * literals, unrolled as chained CTEs — each step folds one bit pair
+    * into the index and advances the orientation state with pure
+    * BIGINT shift/mask arithmetic.
+    */
+  private val hilbertLayoutSql: String = {
+    val dig = graft.operators.Layout.HilbertDigitLut
+    val nxt = graft.operators.Layout.HilbertNextLut
+    val steps = (15 to 0 by -1).zipWithIndex.map { case (b, i) =>
+      val k = s"(st * 4 + ((x >> $b) & 1) * 2 + ((y >> $b) & 1))"
+      s"""s${i + 1} AS (SELECT event_id, user_id, vbin, x, y,
+                   (h * 4) | (($dig >> ($k * 2)) & 3) AS h,
+                   ($nxt >> ($k * 2)) & 3 AS st FROM s$i)"""
+    }.mkString(",\n              ")
+    s"""WITH s0 AS (SELECT event_id, user_id, vbin,
+                           user_id & 65535 AS x, vbin & 65535 AS y,
+                           CAST(0 AS BIGINT) AS h, CAST(0 AS BIGINT) AS st
+                    FROM (SELECT event_id, user_id,
+                                 CAST(floor(value) AS BIGINT) AS vbin
+                          FROM events)),
+              $steps
+         SELECT event_id, user_id, vbin, h FROM s16"""
+  }
+
   private val embeddingPcaProjectSql: String = {
     val iterCtes = (1 to 8).map { k =>
       val prev = if (k == 1) "v0" else s"v${k - 1}"

@@ -450,6 +450,46 @@ object Curation {
     * 1-row totals are broadcast (model-scale, like the IVF codebook).
     * No window, no sort — two bounded shuffles over 8-byte keys.
     */
+  /** Classifier reliability table: bucket the hashed-unigram quality
+    * score ([[qualityClassifier]]) into fixed-width bands and measure,
+    * per band, how often the INDEPENDENT Gopher heuristic gate
+    * ([[gopherRules]]) agrees — the calibration check run before
+    * trusting a learned quality score to gate a 100 TB corpus (a
+    * well-calibrated scorer shows keep-rate rising monotonically with
+    * score band). All integer: truncating `div` for the band, micro-
+    * unit keep rate. One doc_id-keyed join of two id+flag projections
+    * and one band-bounded rollup — document text stays in stage one of
+    * each input operator.
+    */
+  def qualityCalibration(spark: SparkSession, dir: String, width: Long = 500L): DataFrame =
+    qualityClassifier(spark, dir).select(col("doc_id"), col("score"))
+      .join(gopherRules(spark, dir)
+        .select(col("doc_id"), col("keep").cast("long").as("g_keep")), "doc_id")
+      .withColumn("bucket", expr(s"score div ${width}L"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("g_keep")).as("n_gopher_keep"))
+      .withColumn("keep_rate_micro", expr("(n_gopher_keep * 1000000) div n_docs"))
+
+  /** C4-style blocklist gate: a document is dropped when ANY token hits
+    * the banned list (C4 used the "List of Dirty, Naughty …" wordlist;
+    * here the list is a 3-token stand-in over the synthetic
+    * vocabulary). The list is baked as a literal into a `filter` HOF —
+    * per-row codegen'd set membership, zero shuffles, zero joins; a
+    * production list of ~10³ terms stays a literal array, and a
+    * multi-million-entry list would flip to a broadcast join against
+    * the exploded token stream without changing the output contract.
+    */
+  def blocklistFilter(spark: SparkSession, dir: String): DataFrame = {
+    val banned = Seq("dup", "slow", "drop")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
+      .select(col("doc_id"),
+        size(col("ts")).cast("long").as("n_tokens"),
+        size(filter(col("ts"), t => t.isInCollection(banned))).cast("long")
+          .as("n_blocked"))
+      .withColumn("keep", col("n_blocked") === 0L)
+  }
+
   def dsirImportance(spark: SparkSession, dir: String): DataFrame = {
     val buckets = 1024L
     val scale = 1000000L

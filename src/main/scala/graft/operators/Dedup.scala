@@ -408,6 +408,19 @@ object Dedup {
         expr("CAST(1000000 AS BIGINT) DIV cluster_size").as("weight_micro"))
   }
 
+  /** Duplication-cluster size histogram — the dedup observability
+    * report (how much of the corpus is singletons vs mirror farms)
+    * that decides whether hard-drop, soft-weighting, or source
+    * takedown is the right response. Frequency-of-frequencies over the
+    * transitive clustering: two vertex-scale partial-agg exchanges on
+    * top of [[dedupComponents]]' propagation — the second groups a
+    * table bounded by the largest cluster size, metadata-scale.
+    */
+  def dedupClusterStats(spark: SparkSession, dir: String): DataFrame =
+    dedupComponents(spark, dir)
+      .groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+
   /** End-to-end corpus curation — the composition a training-data run
     * actually executes, as ONE lazy plan: near-dup clustering keeps the
     * canonical doc per component ([[dedupComponents]]), a quality gate

@@ -381,6 +381,85 @@ object EventOps {
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** Per-user ordered event-type sequences, capped at `maxLen` — the
+    * log-to-training-data conversion a behavioral sequence model
+    * (next-event prediction, session embedding) ingests. The cap is
+    * applied BEFORE the collect: a power user with 10⁶ events
+    * contributes a bounded row, never an unbounded in-memory array —
+    * the failure mode that kills naive `collect_list` pipelines at
+    * scale. One exchange on user_id feeds both the ranking window and
+    * the per-user fold; `array_sort` over (rn, type) structs makes the
+    * collect order deterministic regardless of partial-aggregation
+    * order, so the joined string replays exactly in SQL.
+    */
+  def eventsToSequences(spark: SparkSession, dir: String, maxLen: Int = 32): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("tus"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= maxLen)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("seq_len"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("rn"), col("event_type")))),
+            x => x.getField("event_type")),
+          ",").as("seq"))
+  }
+
+  /** First-order Markov transition matrix over per-user event streams:
+    * (prev_type → next_type) counts plus the conditional probability in
+    * integer micro-units (`1e6·cnt div ctx_cnt` — exact on both
+    * engines, no float division in the hash). The training table for a
+    * next-event baseline model and the drift monitor for behavioral
+    * change. Scale shape: the lag runs inside the per-user exchange the
+    * sequence extraction already needs, transitions collapse with
+    * map-side partial aggregation to a types²-bounded table, and the
+    * denominator is a window sum over that tiny table — no second scan,
+    * no broadcast of a per-key context map.
+    */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tus"),
+        col("event_id"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("ctx_cnt",
+        sum(col("cnt")).over(Window.partitionBy(col("prev_type"))))
+      .withColumn("prob_micro", expr("(cnt * 1000000) div ctx_cnt"))
+  }
+
+  /** Out-of-order arrival audit: within each user's stream, an event is
+    * "late" when some earlier-ARRIVING event (smaller event_id — the
+    * ingest sequence) carries a LATER event time. The per-type lateness
+    * profile is exactly what calibrates a streaming watermark delay
+    * (`withWatermark`): max_late_us is the smallest delay that would
+    * have dropped nothing. Scale shape: the running max is a window
+    * over the per-user exchange (never a global order — a total
+    * arrival order would serialize the table through one partition),
+    * and the rollup collapses to a types-bounded result with map-side
+    * partials.
+    */
+  def eventsLateArrivals(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tus"))
+      .withColumn("late_us",
+        when(max(col("tus")).over(w) > col("tus"),
+          max(col("tus")).over(w) - col("tus")).otherwise(lit(0L)))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum((col("late_us") > 0).cast("long")).as("n_late"),
+        max(col("late_us")).as("max_late_us"))
+  }
+
   def eventsValueQuantilesApprox(spark: SparkSession, dir: String): DataFrame =
     Tables.eventsSpread(spark, dir)
       .groupBy(col("event_type"))

@@ -44,4 +44,74 @@ object Layout {
       .withColumn("z",
         zorder2(col("user_id").bitwiseAND(lit(65535L)),
           col("vbin").bitwiseAND(lit(65535L))))
+
+  /** Hilbert-curve state machine as two packed 32-bit literals: entry
+    * k = state·4 + xbit·2 + ybit holds the output digit / next state in
+    * bits [2k, 2k+1]. Derived from the classic iterative xy→d rotation
+    * algorithm (4 reachable sub-square orientations); HilbertSpec
+    * re-verifies the table against a plain-loop reference
+    * implementation over the full 8-bit domain.
+    */
+  val HilbertDigitLut: Long = 0x1e369cb4L
+  val HilbertNextLut: Long  = 0xb7ca5c21L
+
+  /** 16-bit × 2 Hilbert curve index: like [[zorder2]] a space-filling
+    * clustering key, but with strictly better locality — the Hilbert
+    * curve never jumps (consecutive indexes are always grid-adjacent,
+    * while the Z-curve teleports across the square at every quadrant
+    * boundary), so per-file min/max envelopes are tighter and data
+    * skipping prunes more. The price is that the digit depends on the
+    * path so far; the classic mutating-loop formulation is re-expressed
+    * as a 16-step Mealy machine over two packed LUT literals — a static
+    * unroll of pure integer shifts/masks that stays inside whole-stage
+    * codegen and replays operator-for-operator in the DuckDB oracle.
+    */
+  def hilbert2(df: DataFrame, xc: String, yc: String, bits: Int = 16): DataFrame = {
+    val d0 = df.withColumn("h_st", lit(0L)).withColumn("h", lit(0L))
+    val stepped = ((bits - 1) to 0 by -1).foldLeft(d0) { (d, b) =>
+      val k = s"(h_st * 4 + (shiftright($xc, $b) & 1) * 2 + (shiftright($yc, $b) & 1))"
+      d.withColumn("h_new",
+          expr(s"(h * 4) | (shiftright(${HilbertDigitLut}L, $k * 2) & 3)"))
+        .withColumn("h_st", expr(s"shiftright(${HilbertNextLut}L, $k * 2) & 3"))
+        .withColumn("h", col("h_new")).drop("h_new")
+    }
+    stepped.drop("h_st")
+  }
+
+  /** Hilbert clustering key over events — [[zorderLayout]]'s twin with
+    * the stronger-locality curve; LayoutSpec compares the two layouts'
+    * per-file envelope tightness head-to-head.
+    */
+  def hilbertLayout(spark: SparkSession, dir: String): DataFrame =
+    hilbert2(
+      Tables.events(spark, dir)
+        .select(
+          col("event_id"),
+          col("user_id"),
+          floor(col("value")).cast("long").as("vbin")),
+      "(user_id & 65535)", "(vbin & 65535)")
+
+  /** Writer shard plan: deterministic size-based sharding of each
+    * source's documents — the "target output file size" assignment a
+    * 100 TB writer needs to avoid both the small-files problem (10⁶
+    * tiny parquet files murder the name node and the scan planner) and
+    * giant unsplittable files. Shard = cumulative bytes BEFORE the doc,
+    * integer-divided by the target size, so every shard except the last
+    * ends at or just past the target — the same first-fit contract as
+    * `pack_batches`' token budgeting but at the storage layer. One
+    * exchange on `source` feeds the running-sum window; a writer then
+    * runs `repartition(source, shard)` + parquet to get one file per
+    * shard row group.
+    */
+  def outputShardPlan(spark: SparkSession, dir: String,
+      targetChars: Long = 16384L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("cum_before", coalesce(sum(col("n_chars")).over(w), lit(0L)))
+      .withColumn("shard", expr(s"cum_before div ${targetChars}L"))
+      .select(col("doc_id"), col("source"), col("n_chars"), col("shard"))
+  }
 }

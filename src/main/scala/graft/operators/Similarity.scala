@@ -117,6 +117,54 @@ object Similarity {
           .as("q"))
   }
 
+  /** Distance-to-centroid outlier screen over the int8-quantized
+    * embedding codes — the per-class prototypicality prune (the
+    * complement of [[prototypePrune]]: that drops the REDUNDANT
+    * nearest-to-prototype vectors, this flags the SUSPECT farthest
+    * ones — mislabeled examples, encoder failures, adversarial junk).
+    * A vector is an outlier when its squared distance to its label's
+    * centroid exceeds 1.5× the label's mean squared distance (the
+    * tail of the observed max/mean ≈ 1.4–1.8 spread on the synthetic
+    * clusters); both sides of that frontier are integer
+    * cross-multiplied (`2·dist2·n > 3·sum_dist2`), so the flag
+    * replays exactly in SQL.
+    * Centroid codes are `sum(q) div n` — truncating integer division,
+    * identical in Spark and DuckDB (`//`) including negatives.
+    *
+    * Scale shape: the quantized (vec_id, label, dim, q) stream is a
+    * dim-bounded explode of the one embeddings scan; the centroid
+    * table is labels×dim (model-scale) and joins back broadcast; the
+    * per-vector rollup and the per-label stats are partial-agg'd
+    * exchanges of slim integer rows. Headroom: dist2 ≤ dim·254², so
+    * dist2·n stays under 2⁶³ beyond 10¹² vectors.
+    */
+  def embeddingOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("ma", array_max(transform(col("v"), x => abs(x))))
+    val q = emb
+      .select(col("vec_id"), col("label"), col("ma"), posexplode(col("v")))
+      .select(col("vec_id"), col("label"), col("pos").cast("long").as("dim_idx"),
+        when(col("ma") === 0.0, lit(0L))
+          .otherwise(greatest(lit(-127L),
+            least(lit(127L), floor(col("col") * 127.0 / col("ma")).cast("long"))))
+          .as("q"))
+    val cent = q.groupBy(col("label"), col("dim_idx"))
+      .agg(sum(col("q")).as("sum_q"), count(lit(1)).as("n"))
+      .select(col("label"), col("dim_idx"), expr("sum_q div n").as("c"))
+    val d2 = q.join(broadcast(cent), Seq("label", "dim_idx"))
+      .withColumn("dq", col("q") - col("c"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum(col("dq") * col("dq")).as("dist2"))
+    val stats = d2.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_label"), sum(col("dist2")).as("sum_dist2"))
+    d2.join(broadcast(stats), "label")
+      .select(col("vec_id"), col("label"), col("dist2"),
+        (col("dist2") * col("n_label") * 2 > col("sum_dist2") * 3).as("is_outlier"))
+  }
+
   /** Integer-exact covariance accumulation over the int8-quantized
     * embedding codes — the d×d Gram/moment matrix PCA, whitening, and
     * OPQ rotation training all start from. Output is the upper

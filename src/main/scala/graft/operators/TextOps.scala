@@ -1030,6 +1030,67 @@ object TextOps {
     * consumer reads shards in id order. Reproducible end to end: same
     * seed string → same order on any cluster layout.
     */
+  /** Bigram PMI lift: how much more often a token pair co-occurs than
+    * independence predicts — the collocation / multi-word-expression
+    * signal a tokenizer-vocabulary builder and a phrase-mining pass
+    * both consume. Emitted as integer micro-units of the ratio
+    * p(xy)/(p(x)·p(y)) = cnt_xy·N² / (N_pairs·cnt_x·cnt_y), computed
+    * with DECIMAL(38,0) products (cnt_xy·N²·10⁶ overflows a 64-bit long
+    * at ~10⁵ tokens) and one integral division — `div` on decimals is
+    * exact in Spark and replays as HUGEINT `//` in DuckDB, so the hash
+    * carries no float rounding. `minCount` prunes the long tail, which
+    * also bounds the output to frequent-pair rows.
+    *
+    * Scale shape: unigram and bigram tables are vocabulary-bounded
+    * after map-side partial aggregation; the corpus totals are a 1-row
+    * broadcast crossJoin (whitelisted scalar pattern), and the two
+    * count lookups are broadcast joins against vocabulary-bounded
+    * tables — at 10⁹-token vocabularies those become shuffle joins on
+    * the token key with no plan rewrite.
+    */
+  def tokenPmi(spark: SparkSession, dir: String, minCount: Int = 3): DataFrame = {
+    val toks = Tables.documentsSpread(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+    val uni = toks
+      .select(explode(col("ts")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("cnt_t"))
+    val bi = toks
+      .filter(size(col("ts")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("ts")) - 1),
+        i => struct(
+          element_at(col("ts"), i).as("w1"),
+          element_at(col("ts"), i + 1).as("w2")))).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("cnt_xy"))
+      .filter(col("cnt_xy") >= minCount)
+    val tot = uni.agg(sum(col("cnt_t")).as("n_tok"))
+      .crossJoin(bi.agg(sum(col("cnt_xy")).as("n_pairs")))
+    bi
+      .join(broadcast(uni.select(col("t").as("w1"), col("cnt_t").as("cnt_x"))), "w1")
+      .join(broadcast(uni.select(col("t").as("w2"), col("cnt_t").as("cnt_y"))), "w2")
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("cnt_xy"), col("cnt_x"), col("cnt_y"),
+        expr("""(cast(cnt_xy as decimal(38,0)) * 1000000 * n_tok * n_tok)
+                div (cast(n_pairs as decimal(38,0)) * cnt_x * cnt_y)""")
+          .as("lift_micro"))
+  }
+
+  /** Type-token ratio per document — the lexical-diversity gate that
+    * catches keyword-stuffed and template-generated text (low TTR at
+    * high length). Narrow per-doc expressions only: tokenize once,
+    * `array_distinct` for the type count, integer micro-units for the
+    * ratio. Zero shuffles — the whole operator is one codegen'd
+    * projection over the pruned (doc_id, text) scan.
+    */
+  def lexicalDiversity(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 1)
+      .select(col("doc_id"),
+        size(col("ts")).cast("long").as("n_tokens"),
+        size(array_distinct(col("ts"))).cast("long").as("n_types"))
+      .withColumn("ttr_micro", expr("(n_types * 1000000) div n_tokens"))
+
   def corpusShuffle(spark: SparkSession, dir: String, shards: Int = 64): DataFrame = {
     // 15 hex digits < 2^60: fits a long in both engines
     // (DuckDB replay: ('0x' || substr(md5(..), 1, 15))::BIGINT)

@@ -413,4 +413,42 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
           s"(${nDocs(s)}, ${gKeep(s)}, ${qKeep(s)}, ${predEn(s)}, ${nPii(s)})")
     }
   }
+
+  test("quality calibration reconciles against its two source operators") {
+    val scores = Curation.qualityClassifier(spark, curDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gKeep = Curation.gopherRules(spark, curDir)
+      .select("doc_id", "keep").collect()
+      .map(r => r.getLong(0) -> (if (r.getBoolean(1)) 1L else 0L)).toMap
+    val expected = scores.keys.groupBy(id => {
+      val s = scores(id); s / 500L // same truncating division as the operator
+    }).map { case (b, ids) =>
+      val n = ids.size.toLong
+      val k = ids.map(gKeep).sum
+      b -> ((n, k, k * 1000000L / n))
+    }
+    val got = Curation.qualityCalibration(spark, curDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === expected)
+    assert(got.values.map(_._1).sum === scores.size.toLong) // every doc banded once
+  }
+
+  test("blocklist filter: any banned token drops the doc, clean docs keep") {
+    import spark.implicits._
+    val dir = scratchDir("graft-block")
+    Seq(
+      (1L, "clean text only here"),
+      (2L, "one dup token sinks it"),
+      (3L, "slow and dup both present"),
+      (4L, "dupster is not dup-like")) // substring ≠ token: must keep
+      .map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Curation.blocklistFilter(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got(1L) === ((4L, 0L, true)))
+    assert(got(2L) === ((5L, 1L, false)))
+    assert(got(3L) === ((5L, 2L, false)))
+    assert(got(4L) === ((4L, 0L, true)))
+  }
 }

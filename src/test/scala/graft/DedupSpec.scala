@@ -233,6 +233,12 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
       4L -> ((4L, 1L, 1000000L))))
   }
 
+  test("cluster stats: fixture histogram is one 3-cluster plus two singletons") {
+    val got = Dedup.dedupClusterStats(spark, fixtureDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(3L -> 1L, 1L -> 2L))
+  }
+
   test("minhash error profile: buckets calibrate against exact jaccard on a planted corpus") {
     import spark.implicits._
     val dir = scratchDir("graft-mh-profile")

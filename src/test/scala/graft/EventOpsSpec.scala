@@ -177,6 +177,60 @@ class EventOpsSpec extends AnyFunSuite with SparkFixture {
     assert(got.values.sum === 28L)
   }
 
+  test("sequences: event-time order (not arrival order), cap applied before collect") {
+    import spark.implicits._
+    val dir = scratchDir("graft-seq")
+    val base = Fixtures.RefTs
+    // user 1 arrives out of order: event_id 10 carries the EARLIEST ts;
+    // user 2 has 1 event; cap=2 must keep the two earliest by event time
+    Seq(
+      (10L, base, 1L, "purchase", 1.0, "{}"),
+      (11L, base - 2000000000L, 1L, "view", 1.0, "{}"),
+      (12L, base - 1000000000L, 1L, "click", 1.0, "{}"),
+      (13L, base, 2L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val full = EventOps.eventsToSequences(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(full(1L) === ((3L, "view,click,purchase")))
+    assert(full(2L) === ((1L, "view")))
+    val capped = EventOps.eventsToSequences(spark, dir, maxLen = 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(capped(1L) === ((2L, "view,click")))
+  }
+
+  test("transitions: per-user lag pairs with exact integer micro-probabilities") {
+    import spark.implicits._
+    val dir = scratchDir("graft-trans")
+    val base = Fixtures.RefTs
+    // user 1: view->click->view->click  user 2: view->purchase
+    // context 'view': 2x ->click, 1x ->purchase; 'click': 1x ->view
+    val evs = Seq(
+      (0L, "view", 1L), (1L, "click", 1L), (2L, "view", 1L), (3L, "click", 1L),
+      (4L, "view", 2L), (5L, "purchase", 2L))
+    evs.map { case (i, t, u) => (i, base + i * 1000000000L, u, t, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = EventOps.eventTransitions(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got(("view", "click")) === ((2L, 3L, 666666L)))     // 2/3 floored
+    assert(got(("view", "purchase")) === ((1L, 3L, 333333L)))  // 1/3 floored
+    assert(got(("click", "view")) === ((1L, 1L, 1000000L)))
+    assert(got.size === 3)
+  }
+
+  test("late arrivals: fixture's out-of-order events flagged with exact lateness") {
+    val dayUs = 86400L * 1000000L
+    val got = EventOps.eventsLateArrivals(spark, fixtureDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // user 1: click (event 1) arrives after view (event 0) but is 20
+    // days earlier in event time; user 2: error is 16 days behind view
+    assert(got("click") === ((1L, 1L, 20 * dayUs)))
+    assert(got("error") === ((1L, 1L, 16 * dayUs)))
+    assert(got("view") === ((2L, 0L, 0L)))
+  }
+
   test("band join: lo inclusive, hi exclusive, uneven widths") {
     import spark.implicits._
     val dir = scratchDir("graft-band")

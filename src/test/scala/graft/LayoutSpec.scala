@@ -54,4 +54,80 @@ class LayoutSpec extends AnyFunSuite with SparkFixture {
         r.getAs[Long]("vhi") - r.getAs[Long]("vlo") <= 32)
     assert(tight >= 12, s"only $tight/16 files dimension-bounded: ${spans.mkString("\n")}")
   }
+
+  /** Plain-loop Hilbert xy→d (the classic rotate-and-recurse
+    * formulation) — the independent reference the LUT machine is
+    * checked against.
+    */
+  private def hilbertRef(bits: Int, x0: Long, y0: Long): Long = {
+    var x = x0; var y = y0; var d = 0L; var s = 1L << (bits - 1)
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
+  test("hilbert2 LUT machine matches the loop reference over the full 8-bit grid") {
+    import spark.implicits._
+    val grid = for (x <- 0L until 256L; y <- 0L until 256L) yield (x, y)
+    val got = Layout.hilbert2(grid.toDF("x", "y"), "x", "y", bits = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    grid.foreach { case (x, y) =>
+      assert(got((x, y)) === hilbertRef(8, x, y), s"($x, $y)")
+    }
+    // the curve is a bijection onto [0, 2^16)
+    assert(got.values.toSet.size === 65536)
+    assert(got.values.min === 0L && got.values.max === 65535L)
+  }
+
+  test("hilbert layout prunes at least as tightly as z-order on the same grid") {
+    import spark.implicits._
+    def tightCount(keyed: org.apache.spark.sql.DataFrame, key: String): Int = {
+      val dirOut = scratchDir(s"graft-$key")
+      keyed.repartitionByRange(16, col(key)).sortWithinPartitions(col(key))
+        .write.mode("overwrite").parquet(dirOut)
+      spark.read.parquet(dirOut)
+        .withColumn("f", input_file_name())
+        .groupBy("f")
+        .agg(min("x").as("xlo"), max("x").as("xhi"),
+          min("y").as("ylo"), max("y").as("yhi"))
+        .collect()
+        .count(r => r.getAs[Long]("xhi") - r.getAs[Long]("xlo") <= 32 &&
+          r.getAs[Long]("yhi") - r.getAs[Long]("ylo") <= 32)
+    }
+    val grid = for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y)
+    val base = grid.toDF("x", "y")
+    val hTight = tightCount(Layout.hilbert2(base, "x", "y"), "h")
+    val zTight = tightCount(base.withColumn("z",
+      Layout.zorder2(col("x"), col("y"))), "z")
+    // Hilbert's no-jump property: its per-file envelopes are never
+    // looser than the Z-curve's on an identical grid + file budget
+    assert(hTight >= zTight, s"hilbert $hTight < zorder $zTight")
+    assert(hTight >= 12, s"only $hTight/16 hilbert files dimension-bounded")
+  }
+
+  test("output shard plan: shards end at-or-past the target, per source") {
+    import spark.implicits._
+    import graft.operators.Layout
+    val dir = scratchDir("graft-shard")
+    // source A: 4 docs × 10000 chars, target 16384:
+    //   cum-before 0 / 10000 / 20000 / 30000 → shards 0, 0, 1, 1
+    // source B: one huge doc lands alone in shard 0
+    Seq(
+      (1L, "A", 10000L), (2L, "A", 10000L), (3L, "A", 10000L), (4L, "A", 10000L),
+      (5L, "B", 50000L), (6L, "B", 10L))
+      .map { case (id, s, n) => (id, "t", "en", s, n) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Layout.outputShardPlan(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got === Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 0L, 6L -> 3L))
+  }
 }

@@ -44,7 +44,8 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
     "similarity_ann_pq" -> "10-query broadcast LUT side x streamed code scan (O(mN) lookups, the ADC shape — same rationale as similarity_topk)",
     "doc_knn_tfidf" -> "1-row corpus-count scalar kept in-plan as a broadcast crossJoin against the vocabulary-bounded df table",
     "ann_recall" -> "inherits similarity_topk's 10-query broadcast side and similarity_ann_pq's LUT shape (both whitelisted), plus a 1-row possible-total scalar crossJoin",
-    "bm25_search" -> "1-row corpus-stats scalar (N, total tokens) kept in-plan as a broadcast crossJoin against the vocabulary-bounded df table (same shape as doc_knn_tfidf)"
+    "bm25_search" -> "1-row corpus-stats scalar (N, total tokens) kept in-plan as a broadcast crossJoin against the vocabulary-bounded df table (same shape as doc_knn_tfidf)",
+    "token_pmi" -> "1-row corpus-totals scalar (token/pair counts) kept in-plan as a broadcast crossJoin against the vocabulary²-bounded bigram table"
     // dropped round 7 (stale — plans improved out from under the rows):
     //   pi_montecarlo: ConvertToLocalRelation folds the seeded-parameter
     //   crossJoin away entirely; contamination_check: the benchmark-gram
@@ -81,7 +82,8 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
     "trigram_kn_probs" -> "final pass of the distinct-bigram-type scalar aggregate (backoff denominator D): one partial row per upstream partition",
     "doc_knn_tfidf" -> "final pass of the corpus-count scalar aggregate (idf numerator N): one partial row per upstream partition",
     "ann_recall" -> "final pass of the possible-total scalar aggregate over the queries×k exact top-k rows: one partial row per upstream partition",
-    "bm25_search" -> "final pass of the corpus-stats scalar aggregate (N, total tokens) over the doc-length table: one partial row per upstream partition"
+    "bm25_search" -> "final pass of the corpus-stats scalar aggregate (N, total tokens) over the doc-length table: one partial row per upstream partition",
+    "token_pmi" -> "final pass of the corpus-totals scalar aggregate over the vocabulary-bounded unigram/bigram tables: one partial row per upstream partition"
   )
 
   // One plan sweep shared by all three tests: name → (plans nested-loop?,

@@ -309,4 +309,32 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     // eigenvalue gap — far below the axis-0 magnitude
     assert(math.abs(got(2L)) < 100000L, s"off-axis leak: ${got(2L)}")
   }
+
+  test("embedding outliers: closed-form flag on a planted off-axis vector") {
+    import spark.implicits._
+    val dir = scratchDir("graft-outl")
+    // label 0: three e0-axis vectors (q=[127,0,0,0]) + one e1-axis
+    // (q=[0,127,0,0]). centroid = [381,127,0,0] div 4 = [95,31,0,0];
+    // inlier dist2 = 32²+31² = 1985, off-axis dist2 = 95²+96² = 18241;
+    // sum = 3·1985+18241 = 24196 → flag iff 2·dist2·4 > 3·24196=72588:
+    // only the off-axis vector (145928). label 1: two identical
+    // vectors → dist2 0 each, sum 0: 0 > 0 false — nobody flagged.
+    Seq(
+      (0L, Array(5f, 0f, 0f, 0f), 0),
+      (1L, Array(9f, 0f, 0f, 0f), 0),
+      (2L, Array(2f, 0f, 0f, 0f), 0),
+      (3L, Array(0f, 4f, 0f, 0f), 0),
+      (4L, Array(1f, 1f, 0f, 0f), 1),
+      (5L, Array(3f, 3f, 0f, 0f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.embeddingOutliers(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got(0L) === ((0L, 1985L, false)))
+    assert(got(1L) === ((0L, 1985L, false)))
+    assert(got(2L) === ((0L, 1985L, false)))
+    assert(got(3L) === ((0L, 18241L, true)))
+    assert(got(4L) === ((1L, 0L, false)))
+    assert(got(5L) === ((1L, 0L, false)))
+  }
 }

@@ -349,4 +349,36 @@ class TextOpsSpec extends AnyFunSuite with SparkFixture {
     // fixture docs only contain w*/x*/zz tokens — no standing-query term
     assert(TextOps.bm25Search(spark, fixtureDir).collect().isEmpty)
   }
+
+  test("token PMI: closed-form lift on a planted two-doc corpus") {
+    import spark.implicits._
+    val dir = scratchDir("graft-pmi")
+    // doc1 "a b a b a b": bigrams a·b ×3, b·a ×2; doc2 "c c c c": c·c ×3
+    // N = 10 tokens; pairs surviving minCount=3: a·b (3) and c·c (3) → n_pairs 6
+    Seq((1L, "a b a b a b"), (2L, "c c c c"))
+      .map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextOps.tokenPmi(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // lift(a,b) = 1e6·3·10² / (6·3·3) = 5555555 (floored)
+    assert(got(("a", "b")) === ((3L, 3L, 3L, 5555555L)))
+    // lift(c,c) = 1e6·3·10² / (6·4·4) = 3125000 exactly
+    assert(got(("c", "c")) === ((3L, 4L, 4L, 3125000L)))
+    assert(got.size === 2) // b·a (cnt 2) pruned by minCount
+  }
+
+  test("lexical diversity: all-distinct doc scores exactly 1e6, repeats floor down") {
+    import spark.implicits._
+    val dir = scratchDir("graft-ttr")
+    Seq((1L, "a a b"), (2L, "x y z"))
+      .map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextOps.lexicalDiversity(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) === ((3L, 2L, 666666L)))
+    assert(got(2L) === ((3L, 3L, 1000000L)))
+  }
 }
