@@ -200,6 +200,9 @@ object SparkEntry {
     "hilbert_layout"         -> Layout.hilbertLayout _,
     "dedup_cluster_stats"    -> Dedup.dedupClusterStats _,
     "quality_calibration"    -> ((s: SparkSession, d: String) => Curation.qualityCalibration(s, d)),
+    "hot_keys"               -> ((s: SparkSession, d: String) => Skew.hotKeys(s, d)),
+    "split_leakage"          -> Curation.splitLeakage _,
+    "kanon_suppression"      -> ((s: SparkSession, d: String) => EventOps.kanonSuppression(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2601,6 +2604,53 @@ object SparkEntry {
                 (CAST(sum(g_keep) AS BIGINT) * 1000000) // count(*) AS keep_rate_micro
          FROM qs JOIN gk USING (doc_id)
          GROUP BY score // 500""",
+    // Exact-count replay of the two-pass heavy-hitter diagnostic: the
+    // MG candidate pass is a lossless superset of the final exact
+    // filter, so plain counts + the same threshold reproduce it.
+    "hot_keys" ->
+      """WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
+              t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c)
+         SELECT user_id, cnt,
+                (cnt * 1000000) // n AS share_micro,
+                greatest(1, (cnt * 32 + n - 1) // n) AS salt_fanout
+         FROM c, t WHERE cnt * 128 > n""",
+    // Same md5 split gate as train_test_split, same 8-gram digests as
+    // the novelty family; train membership via EXISTS over the
+    // gram-join (the window-max trick needs no SQL equivalent — the
+    // relation is identical).
+    "split_leakage" ->
+      """WITH tk AS (SELECT doc_id,
+                            list_filter(string_split_regex(text, '\s+'), t -> t != '') AS ts
+                     FROM documents),
+              sp AS (SELECT doc_id,
+                            CASE WHEN b < 80 THEN 'train'
+                                 WHEN b < 90 THEN 'valid'
+                                 ELSE 'test' END AS split
+                     FROM (SELECT doc_id,
+                                  ('0x' || substr(md5(doc_id::VARCHAR), 1, 7))::BIGINT % 100 AS b
+                           FROM documents)),
+              g AS (SELECT doc_id,
+                           unnest(list_distinct(list_transform(range(1, len(ts) - 6),
+                             i -> md5(array_to_string(ts[i:i+7], ' '))))) AS g
+                    FROM tk WHERE len(ts) >= 8),
+              tr AS (SELECT DISTINCT g.g AS g
+                     FROM g JOIN sp USING (doc_id) WHERE split = 'train')
+         SELECT g.doc_id, count(*) AS n_grams,
+                CAST(sum(CASE WHEN tr.g IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_leaked,
+                (CAST(sum(CASE WHEN tr.g IS NULL THEN 0 ELSE 1 END) AS BIGINT) * 1000000)
+                  // count(*) AS leak_micro
+         FROM g JOIN sp USING (doc_id) LEFT JOIN tr ON g.g = tr.g
+         WHERE split = 'test'
+         GROUP BY g.doc_id""",
+    "kanon_suppression" ->
+      """SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                CAST(floor(value / 10.0) AS BIGINT) AS vband,
+                count(DISTINCT user_id) AS n_users,
+                count(*) AS n_events,
+                count(DISTINCT user_id) < 5 AS suppressed
+         FROM events
+         GROUP BY event_type, epoch_us(ts) // 86400000000,
+                  CAST(floor(value / 10.0) AS BIGINT)""",
   )
 
   /** [[graft.operators.Similarity.embeddingPcaProject]]'s eight power

@@ -450,6 +450,41 @@ object Curation {
     * 1-row totals are broadcast (model-scale, like the IVF codebook).
     * No window, no sort — two bounded shuffles over 8-byte keys.
     */
+  /** Train→test split-leakage audit: for every TEST-split document, how
+    * many of its distinct 8-grams also occur in any TRAIN-split
+    * document — [[contaminationCheck]] pointed at the pipeline's OWN
+    * split boundary instead of an external benchmark (near-dups that
+    * straddle a random split silently inflate eval scores; this table
+    * is the pre-training check that catches it). Same deterministic
+    * md5 split gate as `train_test_split`, so the audited boundary is
+    * exactly the one the training run will use.
+    *
+    * Scale shape: ONE tokenize+explode pass (grams as 32-char md5
+    * digests, never text); train-membership is a window max over the
+    * gram-keyed exchange that the per-doc rollup needs anyway — the
+    * ngram_novelty window-owner trick, avoiding a second gram explode
+    * for the probe side. No broadcast: the train gram set is
+    * corpus-scale, unlike contamination_check's benchmark side.
+    */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val nGram = 8
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+    Tables.documentsSpread(spark, dir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
+      .withColumn("split", TextOps.splitExpr(col("doc_id")))
+      .filter(size(col("ts")) >= nGram)
+      .select(col("doc_id"), col("split"),
+        explode(expr(
+          s"array_distinct(transform(slice(ts, 1, size(ts) - ${nGram - 1}), " +
+            s"(x, i) -> md5(concat_ws(' ', slice(ts, i + 1, $nGram)))))")).as("g"))
+      .withColumn("in_train",
+        max(when(col("split") === "train", 1L).otherwise(0L)).over(w))
+      .filter(col("split") === "test")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("in_train")).as("n_leaked"))
+      .withColumn("leak_micro", expr("(n_leaked * 1000000) div n_grams"))
+  }
+
   /** Classifier reliability table: bucket the hashed-unigram quality
     * score ([[qualityClassifier]]) into fixed-width bands and measure,
     * per band, how often the INDEPENDENT Gopher heuristic gate

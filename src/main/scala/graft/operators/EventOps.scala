@@ -460,6 +460,28 @@ object EventOps {
         max(col("late_us")).as("max_late_us"))
   }
 
+  /** K-anonymity suppression gate over an aggregate release: per
+    * (event_type, day, value-band) cell, the exact distinct-user count
+    * and a `suppressed` flag for cells below k=5 users — the privacy
+    * pre-check run before publishing per-segment statistics from a
+    * behavioral table (a cell backed by 2 users leaks those users'
+    * activity; the release keeps only `suppressed = false` rows).
+    * Complements `pii_redact`: that scrubs identifiers from CONTENT,
+    * this bounds re-identification from AGGREGATES. Integer day / band
+    * math; one partial-agg'd exchange on the cell key (the distinct
+    * expands to (cell, user) first — still slim integer rows).
+    */
+  def kanonSuppression(spark: SparkSession, dir: String, k: Long = 5L): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        floor(col("value") / 10.0).cast("long").as("vband"),
+        col("user_id"))
+      .groupBy(col("event_type"), col("day"), col("vband"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .withColumn("suppressed", col("n_users") < k)
+
   def eventsValueQuantilesApprox(spark: SparkSession, dir: String): DataFrame =
     Tables.eventsSpread(spark, dir)
       .groupBy(col("event_type"))

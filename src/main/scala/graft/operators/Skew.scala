@@ -63,4 +63,41 @@ object Skew {
         sum(col("pc")).as("n_events"),
         sum(col("pv")).cast("double").as("total_value"))
   }
+
+  /** Join-key skew diagnostic — the report run BEFORE deciding whether
+    * [[saltedJoin]]/[[saltedUserCounts]]-style mitigation is needed:
+    * which keys exceed a 1/k share of the fact table, each with its
+    * exact share and the salt fan-out that would spread it across
+    * `parallelism` reducers (`ceil(cnt·P/n)`, floor 1 — the number of
+    * sub-keys that caps every sub-group at ~n/P rows).
+    *
+    * Two-pass heavy-hitter shape like `frequent_tokens`: a Misra-Gries
+    * candidate sketch (≤ k counters per partition crossing one
+    * single-partition exchange of metadata, run eagerly at plan
+    * construction) followed by an exact re-count of candidates only —
+    * the key space itself never shuffles, which is the point at 10⁹
+    * distinct keys. The exact filter makes the composed result
+    * deterministic despite the sketch's merge-order dependence.
+    */
+  def hotKeys(spark: org.apache.spark.sql.SparkSession, dir: String,
+      k: Int = 128, parallelism: Long = 32L): DataFrame = {
+    val s = spark
+    import s.implicits._
+    val keys = graft.Tables.events(spark, dir)
+      .select(col("user_id").cast("string").as("key"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mg = new graft.functions.MisraGries(k).toColumn
+    val candidates: Seq[String] =
+      keys.as[String].select(mg).collect().headOption.getOrElse(Nil)
+    val n: Long = keys.count()
+    keys
+      .filter(col("key").isin(candidates: _*))
+      .groupBy(col("key").cast("long").as("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * k > n)
+      .select(col("user_id"), col("cnt"),
+        expr(s"(cnt * 1000000) div ${n}L").as("share_micro"),
+        greatest(lit(1L), expr(s"(cnt * $parallelism + ${n}L - 1) div ${n}L"))
+          .as("salt_fanout"))
+  }
 }

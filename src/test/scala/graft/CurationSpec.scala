@@ -433,6 +433,27 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
     assert(got.values.map(_._1).sum === scores.size.toLong) // every doc banded once
   }
 
+  test("split leakage: test docs score their train-gram overlap; valid docs excluded") {
+    import spark.implicits._
+    val dir = scratchDir("graft-leak")
+    // md5 split gate: doc 0 → train, 8 & 27 → test, 19 → valid.
+    // doc 8 copies tokens t1..t12 from train doc 0 (5 fully-covered
+    // 8-grams); doc 27 is disjoint; doc 19 would leak but is valid-split
+    val docs = Seq(
+      (0L, (1 to 20).map(i => s"t$i").mkString(" ")),
+      (8L, (1 to 12).map(i => s"t$i").mkString(" ")),
+      (27L, (1 to 12).map(i => s"u$i").mkString(" ")),
+      (19L, (1 to 12).map(i => s"t$i").mkString(" ")))
+    docs.map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Curation.splitLeakage(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === Map(
+      8L -> ((5L, 5L, 1000000L)),
+      27L -> ((5L, 0L, 0L))))
+  }
+
   test("blocklist filter: any banned token drops the doc, clean docs keep") {
     import spark.implicits._
     val dir = scratchDir("graft-block")

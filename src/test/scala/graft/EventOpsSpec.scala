@@ -231,6 +231,25 @@ class EventOpsSpec extends AnyFunSuite with SparkFixture {
     assert(got("view") === ((2L, 0L, 0L)))
   }
 
+  test("k-anonymity: cells under 5 distinct users flagged, others released") {
+    import spark.implicits._
+    val dir = scratchDir("graft-kanon")
+    val base = Fixtures.RefTs
+    // band 0 (value 5.0): 3 distinct users over 4 events → suppressed;
+    // band 1 (value 15.0): 6 distinct users → released
+    val rows =
+      Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 3L)).map { case (e, u) =>
+        (e, base + e * 1000L, u, "view", 5.0, "{}")
+      } ++ (0 until 6).map(i => (10L + i, base + i * 1000L, 10L + i, "view", 15.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = EventOps.kanonSuppression(spark, dir).collect()
+      .map(r => r.getLong(2) -> ((r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(got === Map(
+      0L -> ((3L, 4L, true)),
+      1L -> ((6L, 6L, false))))
+  }
+
   test("band join: lo inclusive, hi exclusive, uneven widths") {
     import spark.implicits._
     val dir = scratchDir("graft-band")

@@ -35,4 +35,19 @@ class SkewSpec extends AnyFunSuite with SparkFixture {
     assert(out.groupBy("event_id").count().collect()
       .forall(_.getAs[Long]("count") === 1L))
   }
+
+  test("hot keys: only the planted heavy key surfaces, with exact share and fanout") {
+    import spark.implicits._
+    val dir = scratchDir("graft-hotkey")
+    // user 7 holds 100 of 150 rows; 50 singleton users stay below the
+    // 1/128 share threshold (cnt 1, n 150: 1·128 ≤ 150)
+    val rows = (0 until 100).map(i => (i.toLong, Fixtures.RefTs + i, 7L, "view", 1.0, "{}")) ++
+      (0 until 50).map(i => (1000L + i, Fixtures.RefTs + i, 100L + i, "view", 1.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(2).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Skew.hotKeys(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+    // share = 100/150 → 666666 micro; fanout = ceil(100·32/150) = 22
+    assert(got.toSeq === Seq(7L -> ((100L, 666666L, 22L))))
+  }
 }
