@@ -203,6 +203,9 @@ object SparkEntry {
     "hot_keys"               -> ((s: SparkSession, d: String) => Skew.hotKeys(s, d)),
     "split_leakage"          -> Curation.splitLeakage _,
     "kanon_suppression"      -> ((s: SparkSession, d: String) => EventOps.kanonSuppression(s, d)),
+    "stream_kanon"           -> graft.streaming.EventStreams.streamKanon _,
+    "tokenizer_fertility"    -> TextOps.tokenizerFertility _,
+    "minhash_cardinality"    -> ((s: SparkSession, d: String) => Dedup.minhashCardinality(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2651,6 +2654,47 @@ object SparkEntry {
          FROM events
          GROUP BY event_type, epoch_us(ts) // 86400000000,
                   CAST(floor(value / 10.0) AS BIGINT)""",
+    // The maintained (streaming) form of kanon_suppression: same cells,
+    // distinct-user counts via the dedup→count composition.
+    "stream_kanon" ->
+      """SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                CAST(floor(value / 10.0) AS BIGINT) AS vband,
+                count(DISTINCT user_id) AS n_users,
+                count(DISTINCT user_id) < 5 AS suppressed
+         FROM events
+         GROUP BY event_type, epoch_us(ts) // 86400000000,
+                  CAST(floor(value / 10.0) AS BIGINT)""",
+    // bpe_encode's per-doc piece counts rolled up per language.
+    "tokenizer_fertility" ->
+      s"""WITH bp AS (${bpeEncodeSql(3)})
+         SELECT lang, count(*) AS n_docs,
+                CAST(sum(bp.n_tokens) AS BIGINT) AS n_words,
+                CAST(sum(bp.n_pieces) AS BIGINT) AS n_pieces,
+                (CAST(sum(bp.n_pieces) AS BIGINT) * 1000000)
+                  // CAST(sum(bp.n_tokens) AS BIGINT) AS fertility_micro
+         FROM bp JOIN documents d USING (doc_id)
+         GROUP BY lang
+         HAVING CAST(sum(bp.n_tokens) AS BIGINT) > 0""",
+    // KMV estimator over the same distinct-bigram-shingle sets the
+    // minhash family oracles; 60-bit md5 digests, all-integer.
+    "minhash_cardinality" ->
+      """WITH tk AS (SELECT doc_id,
+                            list_filter(string_split_regex(text, '\s+'), t -> t != '') AS ts
+                     FROM documents),
+              se AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ts)),
+                              i -> ts[i] || ' ' || ts[i+1])) AS sh
+                     FROM tk WHERE len(ts) >= 2),
+              hv AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_exact,
+                            list_sort(list_transform(sh,
+                              s -> ('0x' || substr(md5(s), 1, 14))::BIGINT)) AS hv
+                     FROM se),
+              e AS (SELECT doc_id, n_exact,
+                           CASE WHEN len(hv) < 16 THEN CAST(len(hv) AS BIGINT)
+                                ELSE (15 * 72057594037927936) // hv[16] END AS est
+                    FROM hv)
+         SELECT doc_id, n_exact, est,
+                (abs(est - n_exact) * 1000000) // n_exact AS err_micro
+         FROM e""",
   )
 
   /** [[graft.operators.Similarity.embeddingPcaProject]]'s eight power

@@ -408,6 +408,35 @@ object Dedup {
         expr("CAST(1000000 AS BIGINT) DIV cluster_size").as("weight_micro"))
   }
 
+  /** KMV (k-minimum-values) distinct-shingle cardinality estimate per
+    * document, scored against the exact count — the sketch that lets a
+    * 100 TB dedup pipeline size its shingle sets WITHOUT materializing
+    * them (the estimate needs only the k smallest digests, a bounded
+    * per-doc state mergeable across partitions; the exact count here
+    * exists purely as the calibration baseline, like `ann_recall` for
+    * the ANN family). Estimator: n̂ = (k−1)·M / m_k over a 56-bit md5
+    * digest space (14 hex chars — (k−1)·2⁵⁶ ≈ 1.1·10¹⁸ stays inside a
+    * long, uniform, engine-portable); docs with fewer than k shingles
+    * report exactly.
+    * Expected relative error 1/√(k−2) ≈ 27% at k=16 — the planted
+    * spec pins the observed error envelope. All arithmetic integer, so
+    * estimate AND error replay bit-for-bit in the oracle.
+    */
+  def minhashCardinality(spark: SparkSession, dir: String, k: Int = 16): DataFrame = {
+    val big = 72057594037927936L // 2^56 digest space
+    shingleSets(spark, dir)
+      .select(col("doc_id"),
+        size(col("sh")).cast("long").as("n_exact"),
+        sort_array(transform(col("sh"),
+          s => conv(substring(md5(s.cast("binary")), 1, 14), 16, 10).cast("long")))
+          .as("hv"))
+      .withColumn("est",
+        when(size(col("hv")) < k, size(col("hv")).cast("long"))
+          .otherwise(expr(s"(${k - 1}L * ${big}L) div element_at(hv, $k)")))
+      .select(col("doc_id"), col("n_exact"), col("est"),
+        expr("(abs(est - n_exact) * 1000000) div n_exact").as("err_micro"))
+  }
+
   /** Duplication-cluster size histogram — the dedup observability
     * report (how much of the corpus is singletons vs mirror farms)
     * that decides whether hard-drop, soft-weighting, or source

@@ -603,6 +603,26 @@ object TextOps {
         array_join(col("ps"), " ").as("pieces"))
   }
 
+  /** Tokenizer fertility per language: BPE pieces emitted per
+    * whitespace word — the multilingual-fairness metric (a language
+    * whose fertility runs high pays more sequence length per sentence,
+    * trains on fewer effective documents per token budget, and is the
+    * first candidate for more vocab or its own tokenizer). Rides the
+    * verified [[bpeEncode]] per-doc counts: one doc_id join to recover
+    * `lang`, one languages-bounded rollup, integer micro-unit ratio.
+    * Languages with zero encodable words are dropped rather than
+    * dividing by zero.
+    */
+  def tokenizerFertility(spark: SparkSession, dir: String): DataFrame =
+    bpeEncode(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_words"),
+        sum(col("n_pieces")).as("n_pieces"))
+      .filter(col("n_words") > 0L)
+      .withColumn("fertility_micro", expr("(n_pieces * 1000000) div n_words"))
+
   /** Weighted systematic sample: pick ~k documents with probability
     * proportional to size (`n_chars`) — the data-mixing step that
     * samples a corpus slice by token budget rather than doc count.

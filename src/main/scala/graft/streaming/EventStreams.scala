@@ -119,6 +119,33 @@ object EventStreams {
         .dropDuplicatesWithinWatermark("event_id")
     else events.dropDuplicates("event_id")
 
+  /** Streaming k-anonymity maintenance: the release-gate cell counts
+    * ([[graft.operators.EventOps.kanonSuppression]]) kept current as
+    * events arrive. Two chained stateful operators: a watermark-bounded
+    * (cell, user) dedup — one state row per distinct pair inside the
+    * horizon — feeding an incremental count per cell; a cell flips from
+    * `suppressed` to releasable the moment its 5th distinct user
+    * arrives (update mode / foreachBatch upsert). The batch form of the
+    * same code is the plain distinct + count the DuckDB oracle replays;
+    * StreamingSpec drives the streaming form through MemoryStream and
+    * pins cross-batch dedup of re-arriving users.
+    */
+  def kanonCells(events: DataFrame, k: Long = 5L): DataFrame = {
+    val cells = events.select(col("ts"), col("event_type"),
+      expr("unix_micros(ts) div 86400000000").as("day"),
+      floor(col("value") / 10.0).cast("long").as("vband"),
+      col("user_id"))
+    val distinctPairs =
+      if (events.isStreaming)
+        cells.withWatermark("ts", "2 hours")
+          .dropDuplicatesWithinWatermark("event_type", "day", "vband", "user_id")
+      else cells.dropDuplicates("event_type", "day", "vband", "user_id")
+    distinctPairs
+      .groupBy(col("event_type"), col("day"), col("vband"))
+      .agg(count(lit(1)).as("n_users"))
+      .withColumn("suppressed", col("n_users") < k)
+  }
+
   /** Stream-stream interval join: view→purchase attribution — each
     * purchase matched to the same user's views in the preceding hour.
     * Both sides carry watermarks and the join condition bounds the time
@@ -169,6 +196,9 @@ object EventStreams {
 
   def streamSessionWindows(spark: SparkSession, dir: String): DataFrame =
     sessionWindows(Tables.events(spark, dir))
+
+  def streamKanon(spark: SparkSession, dir: String): DataFrame =
+    kanonCells(Tables.events(spark, dir))
 
   def streamDedupEvents(spark: SparkSession, dir: String): DataFrame =
     dedupEvents(Tables.events(spark, dir))

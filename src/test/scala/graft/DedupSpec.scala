@@ -233,6 +233,27 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
       4L -> ((4L, 1L, 1000000L))))
   }
 
+  test("KMV cardinality: exact under k shingles, bounded error above") {
+    import spark.implicits._
+    val dir = scratchDir("graft-kmv")
+    // doc 1: 11 tokens → 10 distinct shingles < k=16 → exact report
+    // doc 2: 500 distinct tokens → 499 shingles → estimator kicks in
+    val docs = Seq(
+      (1L, (1 to 11).map(i => s"a$i").mkString(" ")),
+      (2L, (1 to 500).map(i => s"b$i").mkString(" ")))
+    docs.map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.minhashCardinality(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) === ((10L, 10L, 0L)))
+    val (n2, est2, err2) = got(2L)
+    assert(n2 === 499L)
+    // KMV rse = 1/sqrt(k-2) ~ 27% at k=16; allow a 2-sigma envelope
+    assert(err2 < 600000L, s"estimate $est2 off by $err2 micro from $n2")
+    assert(est2 > 150L && est2 < 1500L)
+  }
+
   test("cluster stats: fixture histogram is one 3-cluster plus two singletons") {
     val got = Dedup.dedupClusterStats(spark, fixtureDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -114,6 +114,39 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("kanonCells dedups re-arriving users across batches before counting") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventStreams.kanonCells(in.toDF())
+      .writeStream.format("memory").queryName("kanon")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // band 1 (value 15.0), one day-cell: two users
+      in.addData(ev(1, ts(10, 0), 1).copy(value = 15.0),
+        ev(2, ts(10, 1), 2).copy(value = 15.0))
+      q.processAllAvailable()
+      // user 2 re-arrives (must NOT double-count) + four new users
+      in.addData(
+        ev(3, ts(10, 2), 2).copy(value = 15.0),
+        ev(4, ts(10, 3), 3).copy(value = 15.0),
+        ev(5, ts(10, 4), 4).copy(value = 15.0),
+        ev(6, ts(10, 5), 5).copy(value = 15.0),
+        ev(7, ts(10, 6), 6).copy(value = 15.0))
+      q.processAllAvailable()
+      val updates = spark.table("kanon").collect()
+        .map(r => (r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      val finalUsers = updates.map(_._2).max
+      // 6 distinct users despite 7 events (user 2 arrived twice)
+      assert(finalUsers === 6L)
+      // the cell crossed the k=5 frontier: early updates suppressed,
+      // the final one released
+      assert(updates.exists(u => u._2 < 5 && u._3))
+      assert(updates.exists(u => u._2 === 6L && !u._3))
+    } finally q.stop()
+  }
+
   test("readEventStream reads the nanos-ts parquet as a file-source stream") {
     // regression: the stream schema must be the RAW file schema (ts as
     // LONG nanos under nanosAsLong), not Tables.events' post-conversion

@@ -350,6 +350,27 @@ class TextOpsSpec extends AnyFunSuite with SparkFixture {
     assert(TextOps.bm25Search(spark, fixtureDir).collect().isEmpty)
   }
 
+  test("tokenizer fertility reconciles with the per-doc BPE encode counts") {
+    val langOf = graft.Tables.documents(spark, fixtureDir)
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val perDoc = TextOps.bpeEncode(spark, fixtureDir).collect()
+      .map(r => (langOf(r.getLong(0)), r.getLong(1), r.getLong(2)))
+    val expected = perDoc.groupBy(_._1).map { case (lang, rows) =>
+      val words = rows.map(_._2).sum
+      val pieces = rows.map(_._3).sum
+      lang -> ((rows.size.toLong, words, pieces, pieces * 1000000L / words))
+    }
+    val got = TextOps.tokenizerFertility(spark, fixtureDir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === expected)
+    // pieces >= words always: every word is at least one piece
+    got.values.foreach { case (_, words, pieces, f) =>
+      assert(pieces >= words); assert(f >= 1000000L)
+    }
+  }
+
   test("token PMI: closed-form lift on a planted two-doc corpus") {
     import spark.implicits._
     val dir = scratchDir("graft-pmi")
