@@ -206,6 +206,8 @@ object SparkEntry {
     "stream_kanon"           -> graft.streaming.EventStreams.streamKanon _,
     "tokenizer_fertility"    -> TextOps.tokenizerFertility _,
     "minhash_cardinality"    -> ((s: SparkSession, d: String) => Dedup.minhashCardinality(s, d)),
+    "q7_volume_shipping"     -> Relational.q7VolumeShipping _,
+    "curriculum_order"       -> TextOps.curriculumOrder _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2695,6 +2697,50 @@ object SparkEntry {
          SELECT doc_id, n_exact, est,
                 (abs(est - n_exact) * 1000000) // n_exact AS err_micro
          FROM e""",
+    // Q7 bilateral trade: same decimal-revenue convention as q5.
+    "q7_volume_shipping" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                cast(sum(cast(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+                count(*) AS n_items
+         FROM lineitem
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation sn ON s_nationkey = sn.n_nationkey
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation cn ON c_nationkey = cn.n_nationkey
+         WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+           AND cn.n_name IN ('NATION_1', 'NATION_2')
+           AND sn.n_name != cn.n_name
+         GROUP BY sn.n_name, cn.n_name, year(l_shipdate)""",
+    // perplexity tertile stages joined to the deterministic shuffle
+    // order — both replays are the verified single-operator oracles.
+    "curriculum_order" ->
+      s"""WITH $perplexityCtes,
+              sc AS (SELECT agg.doc_id, nll_micro // n_bigrams AS score, lang
+                     FROM agg JOIN documents d ON agg.doc_id = d.doc_id),
+              hist AS (SELECT lang, score, count(*) AS cnt FROM sc GROUP BY lang, score),
+              cum AS (SELECT lang, score,
+                             CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY score) AS BIGINT) AS cum
+                      FROM hist),
+              n AS (SELECT lang, count(*) AS n_docs FROM sc GROUP BY lang),
+              th AS (SELECT lang,
+                            min(CASE WHEN cum * 3 >= n_docs THEN score END) AS t1,
+                            min(CASE WHEN cum * 3 >= n_docs * 2 THEN score END) AS t2
+                     FROM cum JOIN n USING (lang) GROUP BY lang),
+              st AS (SELECT doc_id,
+                            CASE WHEN score <= t1 THEN 0
+                                 WHEN score <= t2 THEN 1
+                                 ELSE 2 END AS stage
+                     FROM sc JOIN th ON sc.lang = th.lang),
+              ord AS (SELECT doc_id, shard,
+                             CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+                      FROM (SELECT doc_id, h, h % 64 AS shard
+                            FROM (SELECT doc_id,
+                                         ('0x' || substr(md5('shuf:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+                                  FROM documents)))
+         SELECT st.doc_id, CAST(stage AS BIGINT) AS stage, shard, pos
+         FROM st JOIN ord ON st.doc_id = ord.doc_id""",
   )
 
   /** [[graft.operators.Similarity.embeddingPcaProject]]'s eight power

@@ -240,6 +240,39 @@ object Relational {
         count(lit(1)).as("n_items"))
   }
 
+  /** TPC-H Q7 volume shipping: bilateral trade between two nations,
+    * per (supplier nation, customer nation, ship year). Both nation
+    * dimensions pre-filter to the two parties BEFORE touching facts —
+    * the broadcast joins then act as semi-join reducers on lineitem
+    * and customer, so only the two nations' rows ever reach the
+    * fact-fact joins (at 25 nations that is a ~99% fact-row kill
+    * before any shuffle). The yearly rollup groups a 2×2×years-bounded
+    * key; revenue sums in DECIMAL for hash-stable doubles.
+    */
+  def q7VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    val parties = Seq("NATION_1", "NATION_2")
+    def nations(kc: String, nc: String) =
+      Tables.nation(spark, dir).filter(col("n_name").isin(parties: _*))
+        .select(col("n_nationkey").as(kc), col("n_name").as(nc))
+    val li   = Tables.lineitem(spark, dir)
+    val sup  = Tables.supplier(spark, dir)
+    val ord  = Tables.orders(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    li
+      .join(sup, li("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(nations("s_nk", "supp_nation")), col("s_nationkey") === col("s_nk"))
+      .join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(nations("c_nk", "cust_nation")), col("c_nationkey") === col("c_nk"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .select(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate").cast("timestamp")).cast("long").as("l_year"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)").as("vol"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(sum(col("vol")).cast("double").as("revenue"), count(lit(1)).as("n_items"))
+  }
+
   /** Dimension-side anti-join: parts that never appear in any lineitem,
     * counted per brand. The anti-join runs directly on the join key —
     * no pre-distinct pass (anti semantics already dedupe the probe

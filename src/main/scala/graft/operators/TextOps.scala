@@ -603,6 +603,26 @@ object TextOps {
         array_join(col("ps"), " ").as("pieces"))
   }
 
+  /** Curriculum training schedule: easiest-first staging composed from
+    * two verified operators — CCNet perplexity tertiles
+    * ([[perplexityBuckets]]: head = most fluent) become stages 0/1/2,
+    * and WITHIN a stage the deterministic [[corpusShuffle]] (shard,
+    * pos) randomizes read order. A trainer consumes stage ascending,
+    * then (shard, pos) — curriculum learning's staged easy→hard
+    * schedule without any global sort: the only new operation on top
+    * of the two inputs is a doc_id join of id-scale rows. Docs the
+    * perplexity model can't score (< 2 tokens, no bigrams) are
+    * excluded — matching the bucket operator's domain.
+    */
+  def curriculumOrder(spark: SparkSession, dir: String): DataFrame =
+    perplexityBuckets(spark, dir)
+      .select(col("doc_id"),
+        when(col("bucket") === "head", 0L)
+          .when(col("bucket") === "middle", 1L)
+          .otherwise(2L).as("stage"))
+      .join(corpusShuffle(spark, dir), "doc_id")
+      .select(col("doc_id"), col("stage"), col("shard"), col("pos"))
+
   /** Tokenizer fertility per language: BPE pieces emitted per
     * whitespace word — the multilingual-fairness metric (a language
     * whose fertility runs high pays more sequence length per sentence,

@@ -200,4 +200,45 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     assert(operators.Relational.pagerankDeltasOf(
       Seq.empty[(Long, Long)].toDF("src", "dst"), rounds = 4).count() === 0L)
   }
+
+  test("q7: bilateral pairs only — same-nation and third-party trades excluded") {
+    import spark.implicits._
+    val dir = scratchDir("graft-q7")
+    val ots = java.time.LocalDateTime.ofEpochSecond(
+      Fixtures.RefTs / 1000000000L, 0, java.time.ZoneOffset.UTC) // 2024-01-01
+    Seq((1, "NATION_1", 0), (2, "NATION_2", 0), (3, "NATION_3", 0))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    Seq((1L, "c1", 1, 0.0, "S"), (2L, "c2", 2, 0.0, "S"), (3L, "c3", 3, 0.0, "S"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq((10L, "s_n2", 2, 0.0), (11L, "s_n1", 1, 0.0), (12L, "s_n3", 3, 0.0))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    Seq((100L, 1L, "O", 1.0, ots, "1-URGENT"),   // customer in NATION_1
+      (101L, 2L, "O", 1.0, ots, "1-URGENT"),     // customer in NATION_2
+      (102L, 3L, "O", 1.0, ots, "1-URGENT"))     // customer in NATION_3
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate",
+        "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq(
+      // N2 supplier -> N1 customer: kept, revenue 100·0.9 = 90
+      (100L, 10L, 10L, 1, 1.0, 100.0, 0.1, 0.0, "N", "O", ots),
+      // N1 supplier -> N1 customer: same nation, excluded
+      (100L, 10L, 11L, 2, 1.0, 50.0, 0.0, 0.0, "N", "O", ots),
+      // N1 supplier -> N2 customer: kept, reverse direction, 50
+      (101L, 10L, 11L, 1, 1.0, 50.0, 0.0, 0.0, "N", "O", ots),
+      // N3 supplier -> N3 customer: third party, excluded
+      (102L, 10L, 12L, 1, 1.0, 70.0, 0.0, 0.0, "N", "O", ots))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+        "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = operators.Relational.q7VolumeShipping(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)) ->
+        ((r.getDouble(3), r.getLong(4)))).toMap
+    assert(got === Map(
+      ("NATION_2", "NATION_1", 2024L) -> ((90.0, 1L)),
+      ("NATION_1", "NATION_2", 2024L) -> ((50.0, 1L))))
+  }
 }

@@ -350,6 +350,22 @@ class TextOpsSpec extends AnyFunSuite with SparkFixture {
     assert(TextOps.bm25Search(spark, fixtureDir).collect().isEmpty)
   }
 
+  test("curriculum order reconciles with perplexity stages and the shuffle order") {
+    val stages = TextOps.perplexityBuckets(spark, fixtureDir).collect()
+      .map(r => r.getLong(0) -> (r.getString(3) match {
+        case "head" => 0L; case "middle" => 1L; case _ => 2L
+      })).toMap
+    val order = TextOps.corpusShuffle(spark, fixtureDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val got = TextOps.curriculumOrder(spark, fixtureDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet === stages.keySet) // scoreable docs only
+    got.foreach { case (id, (stage, shard, pos)) =>
+      assert(stage === stages(id))
+      assert((shard, pos) === order(id))
+    }
+  }
+
   test("tokenizer fertility reconciles with the per-doc BPE encode counts") {
     val langOf = graft.Tables.documents(spark, fixtureDir)
       .select("doc_id", "lang").collect()
