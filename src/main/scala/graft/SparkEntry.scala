@@ -208,6 +208,8 @@ object SparkEntry {
     "minhash_cardinality"    -> ((s: SparkSession, d: String) => Dedup.minhashCardinality(s, d)),
     "q7_volume_shipping"     -> Relational.q7VolumeShipping _,
     "curriculum_order"       -> TextOps.curriculumOrder _,
+    "q6_forecast_revenue"    -> Relational.q6ForecastRevenue _,
+    "q19_discounted_revenue" -> Relational.q19DiscountedRevenue _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2741,6 +2743,25 @@ object SparkEntry {
                                   FROM documents)))
          SELECT st.doc_id, CAST(stage AS BIGINT) AS stage, shard, pos
          FROM st JOIN ord ON st.doc_id = ord.doc_id""",
+    // Q6: identical double literals on both sides — the comparisons see
+    // the same parquet doubles, so the row set matches bit-for-bit.
+    "q6_forecast_revenue" ->
+      """SELECT cast(sum(cast(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+                count(*) AS n_items
+         FROM lineitem
+         WHERE year(l_shipdate) = 1997
+           AND l_discount BETWEEN 0.05 AND 0.07
+           AND l_quantity < 24.0""",
+    "q19_discounted_revenue" ->
+      """SELECT p_brand AS brand,
+                cast(sum(cast(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+                count(*) AS n_items
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+                AND l_quantity BETWEEN 1.0 AND 20.0)
+            OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 30
+                AND l_quantity BETWEEN 10.0 AND 35.0)
+         GROUP BY p_brand""",
   )
 
   /** [[graft.operators.Similarity.embeddingPcaProject]]'s eight power

@@ -240,6 +240,49 @@ object Relational {
         count(lit(1)).as("n_items"))
   }
 
+  /** TPC-H Q6 forecasting revenue change: the pure scan-filter-agg
+    * probe — every predicate (ship-year window, discount band, quantity
+    * cap) sits directly on scan columns, so the whole query is one
+    * pushed-down filtered scan plus a two-phase scalar aggregate;
+    * `.explain` shows the three predicates inside `PushedFilters`. The
+    * query the reference's map-only jobs approximate, with zero reduce
+    * work beyond one partial row per partition.
+    */
+  def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(
+        year(col("l_shipdate").cast("timestamp")) === 1997 &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24.0)
+      .agg(
+        sum((col("l_extendedprice") * col("l_discount")).cast("decimal(18,4)"))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** TPC-H Q19-shaped disjunctive-predicate revenue: OR-of-ANDs over
+    * brand × size × quantity bands — the optimizer stress case where a
+    * naive engine evaluates each branch as its own scan+union. Planned
+    * here as ONE part⋈lineitem join with the disjunction as a single
+    * residual filter: the shared conjuncts (join key) stay factored,
+    * the branch predicates on `part` columns prune the broadcast side,
+    * and the fact table is read once.
+    */
+  def q19DiscountedRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val part = Tables.part(spark, dir)
+    li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1.0, 20.0)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(10, 30) &&
+            col("l_quantity").between(10.0, 35.0)))
+      .groupBy(col("p_brand").as("brand"))
+      .agg(
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   /** TPC-H Q7 volume shipping: bilateral trade between two nations,
     * per (supplier nation, customer nation, ship year). Both nation
     * dimensions pre-filter to the two parties BEFORE touching facts —

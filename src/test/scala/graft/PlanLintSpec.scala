@@ -83,7 +83,8 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
     "doc_knn_tfidf" -> "final pass of the corpus-count scalar aggregate (idf numerator N): one partial row per upstream partition",
     "ann_recall" -> "final pass of the possible-total scalar aggregate over the queries×k exact top-k rows: one partial row per upstream partition",
     "bm25_search" -> "final pass of the corpus-stats scalar aggregate (N, total tokens) over the doc-length table: one partial row per upstream partition",
-    "token_pmi" -> "final pass of the corpus-totals scalar aggregate over the vocabulary-bounded unigram/bigram tables: one partial row per upstream partition"
+    "token_pmi" -> "final pass of the corpus-totals scalar aggregate over the vocabulary-bounded unigram/bigram tables: one partial row per upstream partition",
+    "q6_forecast_revenue" -> "final pass of the Q6 scalar aggregate: one partial row per upstream partition (the query IS a global sum)"
   )
 
   // One plan sweep shared by all three tests: name → (plans nested-loop?,

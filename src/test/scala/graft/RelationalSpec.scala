@@ -201,6 +201,35 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
       Seq.empty[(Long, Long)].toDF("src", "dst"), rounds = 4).count() === 0L)
   }
 
+  test("q19: disjunctive branch predicates keep exactly their band intersections") {
+    // fixture: part 10 = Brand#1 size 1, part 11 = Brand#1 size 2.
+    // branch 1 (Brand#1, size 1-15, qty 1-20) keeps lines qty 10 and 20;
+    // the qty-30 line fails the band; Brand#3 has no parts at all
+    val got = operators.Relational.q19DiscountedRevenue(spark, fixtureDir).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(got === Map("Brand#1" -> ((180.0, 2L))))
+  }
+
+  test("q6: every predicate must hold simultaneously") {
+    import spark.implicits._
+    val dir = scratchDir("graft-q6")
+    val d1997 = java.time.LocalDateTime.of(1997, 6, 1, 0, 0)
+    val d1998 = java.time.LocalDateTime.of(1998, 6, 1, 0, 0)
+    Seq(
+      (1L, 1L, 1L, 1, 10.0, 100.0, 0.06, 0.0, "N", "O", d1997), // kept: 6.0
+      (2L, 1L, 1L, 1, 30.0, 100.0, 0.06, 0.0, "N", "O", d1997), // qty too high
+      (3L, 1L, 1L, 1, 10.0, 100.0, 0.04, 0.0, "N", "O", d1997), // discount low
+      (4L, 1L, 1L, 1, 10.0, 100.0, 0.06, 0.0, "N", "O", d1998), // wrong year
+      (5L, 1L, 1L, 1, 23.0, 200.0, 0.05, 0.0, "N", "O", d1997)) // kept: 10.0
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+        "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = operators.Relational.q6ForecastRevenue(spark, dir).collect().head
+    assert(r.getDouble(0) === 16.0)
+    assert(r.getLong(1) === 2L)
+  }
+
   test("q7: bilateral pairs only — same-nation and third-party trades excluded") {
     import spark.implicits._
     val dir = scratchDir("graft-q7")
