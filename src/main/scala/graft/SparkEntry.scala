@@ -210,6 +210,8 @@ object SparkEntry {
     "curriculum_order"       -> TextOps.curriculumOrder _,
     "q6_forecast_revenue"    -> Relational.q6ForecastRevenue _,
     "q19_discounted_revenue" -> Relational.q19DiscountedRevenue _,
+    "packing_efficiency"     -> ((s: SparkSession, d: String) => TextOps.packingEfficiency(s, d)),
+    "dedup_threshold_sweep"  -> Similarity.dedupThresholdSweep _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2762,6 +2764,62 @@ object SparkEntry {
             OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 30
                 AND l_quantity BETWEEN 10.0 AND 35.0)
          GROUP BY p_brand""",
+    // pack_batches' assignment rolled up twice: per-batch totals, then
+    // a fill-decile histogram (all integer floor division).
+    "packing_efficiency" ->
+      """WITH p AS (SELECT doc_id, n_tokens, shard,
+                           shard * 1000000 + (cum_end - n_tokens) // 8192 AS batch_id
+                    FROM (SELECT doc_id, n_tokens, shard,
+                                 CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_end
+                          FROM (SELECT doc_id,
+                                       cast(len(list_filter(string_split_regex(text, '\s+'), t -> t != '')) AS BIGINT) AS n_tokens,
+                                       doc_id % 32 AS shard
+                                FROM documents))),
+              b AS (SELECT batch_id, count(*) AS n_docs,
+                           CAST(sum(n_tokens) AS BIGINT) AS batch_tokens
+                    FROM p GROUP BY batch_id)
+         SELECT (batch_tokens * 10) // 8192 AS fill_decile,
+                count(*) AS n_batches,
+                CAST(sum(batch_tokens) AS BIGINT) AS sum_tokens,
+                CAST(sum(n_docs) AS BIGINT) AS sum_docs
+         FROM b GROUP BY (batch_tokens * 10) // 8192""",
+    // Same LSH candidate CTEs as dedup_embedding_ann, cosine computed
+    // once per pair, fanned to the thresholds it clears.
+    "dedup_threshold_sweep" ->
+      """WITH e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v,
+                           sqrt(list_reduce(list_prepend(0.0,
+                             list_transform(cast(embedding AS DOUBLE[]), x -> x*x)),
+                             (a,x) -> a + x)) AS nrm
+                    FROM embeddings),
+              sig AS (SELECT vec_id, v, nrm,
+                             list_transform(range(0, 16), p ->
+                               CASE WHEN list_reduce(list_prepend(0.0,
+                                      list_transform(range(0, 64), j ->
+                                        v[j+1] * cast(('0x' || substr(md5(p || ':' || j), 1, 7))::BIGINT
+                                                      % 2001 - 1000 AS DOUBLE))),
+                                      (a,x) -> a + x) > 0
+                                    THEN 1 ELSE 0 END) AS bits
+                      FROM e),
+              bands AS (SELECT vec_id, band,
+                               bits[4*band+1] + 2*bits[4*band+2]
+                                 + 4*bits[4*band+3] + 8*bits[4*band+4] AS band_val
+                        FROM sig, (SELECT unnest(range(0, 4)) AS band)),
+              cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+                       FROM bands a JOIN bands b
+                         ON a.band = b.band AND a.band_val = b.band_val
+                       WHERE a.vec_id < b.vec_id),
+              sc AS (SELECT id_a, id_b,
+                            list_reduce(list_prepend(0.0,
+                              list_transform(range(1, len(ea.v)+1), i -> ea.v[i]*eb.v[i])),
+                              (acc,x) -> acc + x) / (ea.nrm * eb.nrm) AS cos
+                     FROM cand
+                     JOIN e ea ON ea.vec_id = cand.id_a
+                     JOIN e eb ON eb.vec_id = cand.id_b)
+         SELECT CAST(t AS BIGINT) AS threshold_micro, count(*) AS n_pairs
+         FROM sc, (SELECT unnest([250000, 350000, 500000, 700000]) AS t)
+         WHERE cos >= CAST(t AS DOUBLE) / 1000000.0
+         GROUP BY t""",
   )
 
   /** [[graft.operators.Similarity.embeddingPcaProject]]'s eight power

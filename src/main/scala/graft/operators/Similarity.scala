@@ -1018,6 +1018,38 @@ object Similarity {
       .distinct()
   }
 
+  /** Near-dup threshold sweep: pair counts through the SAME LSH
+    * candidate set at several cosine thresholds — the tuning table for
+    * [[dedupEmbeddingAnn]]'s one free parameter (too low merges
+    * unrelated docs, too high keeps mirror farms; the elbow in this
+    * curve is where a corpus's duplicate mass sits). Candidates are
+    * scored once, deduped as slim (id, id, cos) rows, and each pair
+    * fans out to the ≤ 4 threshold rows it clears — no per-threshold
+    * re-scan, no crossJoin. Thresholds ride as integer micro-units; the
+    * double compare `cos ≥ t/10⁶` is the identical IEEE expression in
+    * both engines.
+    */
+  def dedupThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    val ths = Seq(250000L, 350000L, 500000L, 700000L)
+    val bands = lshBands(spark, dir)
+    val a = bands.select(
+      col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"),
+      col("band"), col("band_val"))
+    val b = bands.select(
+      col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"),
+      col("band"), col("band_val"))
+    a.join(b, Seq("band", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+      .distinct()
+      .select(col("cos"),
+        explode(array(ths.map(lit): _*)).as("threshold_micro"))
+      .filter(col("cos") >= col("threshold_micro").cast("double") / 1000000.0)
+      .groupBy(col("threshold_micro"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Recall@5 scoreboard for the ANN family: every approximate variant
     * ([[annLsh]], [[annIvf]], [[annPq]], [[annIvfPq]]) scored against
     * the exact [[topKBrute]] ground truth in one plan — the

@@ -438,6 +438,24 @@ object TextOps {
           expr(s"(cum_end - n_tokens) DIV $budget")).as("batch_id"))
   }
 
+  /** Packing-efficiency histogram over [[packBatches]]' assignment: per
+    * fill decile (`batch_tokens·10 div budget`), how many batches land
+    * there and how many tokens they carry — the utilization report
+    * that tunes the token budget and shard count (a spike at low
+    * deciles means tail batches waste accelerator steps; deciles > 10
+    * are batches a straddling document pushed past the budget). Two
+    * bounded rollups on top of the verified packing plan: batches are
+    * corpus/budget-scale, deciles are ≤ a dozen rows.
+    */
+  def packingEfficiency(spark: SparkSession, dir: String, budget: Long = 8192): DataFrame =
+    packBatches(spark, dir, budget)
+      .groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("batch_tokens"))
+      .groupBy(expr(s"(batch_tokens * 10) div $budget").as("fill_decile"))
+      .agg(count(lit(1)).as("n_batches"),
+        sum(col("batch_tokens")).as("sum_tokens"),
+        sum(col("n_docs")).as("sum_docs"))
+
   /** Fixed token-window document chunking with overlap — the RAG-indexing
     * / context-packing primitive. Each doc's whitespace tokens are cut
     * into windows of `window` tokens advancing by `stride = window -

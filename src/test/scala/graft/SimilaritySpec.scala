@@ -310,6 +310,18 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(got(2L)) < 100000L, s"off-axis leak: ${got(2L)}")
   }
 
+  test("threshold sweep: monotone pair counts, 0.35 row equals the ANN dedup pair set") {
+    val sweep = Similarity.dedupThresholdSweep(spark, fixtureDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // higher threshold can only drop pairs
+    val ordered = Seq(250000L, 350000L, 500000L, 700000L).flatMap(sweep.get)
+    assert(ordered === ordered.sorted.reverse)
+    // the 0.35 row IS dedupEmbeddingAnn's pair count (same candidates,
+    // same verify predicate)
+    val annPairs = Similarity.dedupEmbeddingAnn(spark, fixtureDir).count()
+    assert(sweep.getOrElse(350000L, 0L) === annPairs)
+  }
+
   test("embedding outliers: closed-form flag on a planted off-axis vector") {
     import spark.implicits._
     val dir = scratchDir("graft-outl")

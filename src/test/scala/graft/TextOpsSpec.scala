@@ -350,6 +350,21 @@ class TextOpsSpec extends AnyFunSuite with SparkFixture {
     assert(TextOps.bm25Search(spark, fixtureDir).collect().isEmpty)
   }
 
+  test("packing efficiency histogram reconciles with the per-batch rollup") {
+    val batches = TextOps.packBatches(spark, fixtureDir).collect()
+      .map(r => (r.getLong(3), r.getLong(1)))
+      .groupBy(_._1).map { case (b, rows) => (b, rows.map(_._2).sum, rows.size.toLong) }
+    val expected = batches.groupBy { case (_, toks, _) => toks * 10 / 8192 }
+      .map { case (dec, bs) =>
+        dec -> ((bs.size.toLong, bs.map(_._2).sum, bs.map(_._3).sum))
+      }
+    val got = TextOps.packingEfficiency(spark, fixtureDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === expected)
+    // conservation: every doc and token lands in exactly one decile row
+    assert(got.values.map(_._3).sum === 5L)
+  }
+
   test("curriculum order reconciles with perplexity stages and the shuffle order") {
     val stages = TextOps.perplexityBuckets(spark, fixtureDir).collect()
       .map(r => r.getLong(0) -> (r.getString(3) match {
