@@ -212,6 +212,7 @@ object SparkEntry {
     "q19_discounted_revenue" -> Relational.q19DiscountedRevenue _,
     "packing_efficiency"     -> ((s: SparkSession, d: String) => TextOps.packingEfficiency(s, d)),
     "dedup_threshold_sweep"  -> Similarity.dedupThresholdSweep _,
+    "dedup_modality_agreement" -> Dedup.dedupModalityAgreement _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -360,6 +361,42 @@ object SparkEntry {
                         ON x.band = y.band AND x.band_hash = y.band_hash
                            AND x.doc_id < y.doc_id)"""
   }
+
+  /** [[graft.operators.Similarity.dedupEmbeddingAnn]]'s full replay —
+    * hyperplane signs, band buckets, candidate pairs, exact-cosine
+    * verify. Shared by the dedup_embedding_ann entry and the
+    * modality-agreement composition.
+    */
+  private val dedupEmbeddingAnnSql: String =
+    """WITH e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v,
+                           sqrt(list_reduce(list_prepend(0.0,
+                             list_transform(cast(embedding AS DOUBLE[]), x -> x*x)),
+                             (a,x) -> a + x)) AS nrm
+                    FROM embeddings),
+              sig AS (SELECT vec_id, v, nrm,
+                             list_transform(range(0, 16), p ->
+                               CASE WHEN list_reduce(list_prepend(0.0,
+                                      list_transform(range(0, 64), j ->
+                                        v[j+1] * cast(('0x' || substr(md5(p || ':' || j), 1, 7))::BIGINT
+                                                      % 2001 - 1000 AS DOUBLE))),
+                                      (a,x) -> a + x) > 0
+                                    THEN 1 ELSE 0 END) AS bits
+                      FROM e),
+              bands AS (SELECT vec_id, band,
+                               bits[4*band+1] + 2*bits[4*band+2]
+                                 + 4*bits[4*band+3] + 8*bits[4*band+4] AS band_val
+                        FROM sig, (SELECT unnest(range(0, 4)) AS band)),
+              cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+                       FROM bands a JOIN bands b
+                         ON a.band = b.band AND a.band_val = b.band_val
+                       WHERE a.vec_id < b.vec_id)
+         SELECT id_a, id_b
+         FROM cand
+         JOIN e ea ON ea.vec_id = cand.id_a
+         JOIN e eb ON eb.vec_id = cand.id_b
+         WHERE list_reduce(list_prepend(0.0,
+                 list_transform(range(1, len(ea.v)+1), i -> ea.v[i]*eb.v[i])),
+                 (acc,x) -> acc + x) / (ea.nrm * eb.nrm) >= 0.35"""
 
   private val minhashPortableSql: String =
     s"""WITH $minhashCandCtes,
@@ -925,36 +962,17 @@ object SparkEntry {
     // Full LSH replay (same plane/band CTEs as similarity_ann_lsh),
     // pair candidates from band-bucket collisions, exact-cosine verify
     // at the registered 0.35 threshold — deterministic end to end.
-    "dedup_embedding_ann" ->
-      """WITH e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v,
-                           sqrt(list_reduce(list_prepend(0.0,
-                             list_transform(cast(embedding AS DOUBLE[]), x -> x*x)),
-                             (a,x) -> a + x)) AS nrm
-                    FROM embeddings),
-              sig AS (SELECT vec_id, v, nrm,
-                             list_transform(range(0, 16), p ->
-                               CASE WHEN list_reduce(list_prepend(0.0,
-                                      list_transform(range(0, 64), j ->
-                                        v[j+1] * cast(('0x' || substr(md5(p || ':' || j), 1, 7))::BIGINT
-                                                      % 2001 - 1000 AS DOUBLE))),
-                                      (a,x) -> a + x) > 0
-                                    THEN 1 ELSE 0 END) AS bits
-                      FROM e),
-              bands AS (SELECT vec_id, band,
-                               bits[4*band+1] + 2*bits[4*band+2]
-                                 + 4*bits[4*band+3] + 8*bits[4*band+4] AS band_val
-                        FROM sig, (SELECT unnest(range(0, 4)) AS band)),
-              cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-                       FROM bands a JOIN bands b
-                         ON a.band = b.band AND a.band_val = b.band_val
-                       WHERE a.vec_id < b.vec_id)
-         SELECT id_a, id_b
-         FROM cand
-         JOIN e ea ON ea.vec_id = cand.id_a
-         JOIN e eb ON eb.vec_id = cand.id_b
-         WHERE list_reduce(list_prepend(0.0,
-                 list_transform(range(1, len(ea.v)+1), i -> ea.v[i]*eb.v[i])),
-                 (acc,x) -> acc + x) / (ea.nrm * eb.nrm) >= 0.35""",
+    "dedup_embedding_ann" -> dedupEmbeddingAnnSql,
+    "dedup_modality_agreement" ->
+      s"""WITH lex AS ($minhashPortableSql),
+              sem AS ($dedupEmbeddingAnnSql),
+              j AS (SELECT CASE WHEN lex.doc_a IS NOT NULL AND sem.id_a IS NOT NULL
+                                  THEN 'both'
+                                WHEN lex.doc_a IS NOT NULL THEN 'lexical_only'
+                                ELSE 'semantic_only' END AS category
+                    FROM lex FULL OUTER JOIN sem
+                      ON lex.doc_a = sem.id_a AND lex.doc_b = sem.id_b)
+         SELECT category, count(*) AS n_pairs FROM j GROUP BY category""",
     "embedding_quantize" ->
       """WITH e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM embeddings),
               m AS (SELECT vec_id, v,

@@ -408,6 +408,31 @@ object Dedup {
         expr("CAST(1000000 AS BIGINT) DIV cluster_size").as("weight_micro"))
   }
 
+  /** Lexical-vs-semantic dedup agreement audit: the verified MinHash
+    * near-dup pair set (text jaccard ≥ 0.8) set-compared against the
+    * verified embedding near-dup pair set (LSH candidates, cosine ≥
+    * 0.35) over the shared id space — the cross-modality health check
+    * a dual-signal dedup runs before trusting either alone ("both"
+    * pairs are safe drops; a large "semantic_only" bucket means
+    * paraphrase mass the lexical pass misses; "lexical_only" flags
+    * templated text whose embeddings diverge). Three integer counts
+    * from one full-outer join of two id-pair sets — both inputs are
+    * already-oracled operators, nothing document-sized moves.
+    */
+  def dedupModalityAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val lex = minhashPortable(spark, dir)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("lex"))
+    val sem = graft.operators.Similarity.dedupEmbeddingAnn(spark, dir)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), lit(1L).as("sem"))
+    lex.join(sem, Seq("doc_a", "doc_b"), "full_outer")
+      .select(
+        when(col("lex").isNotNull && col("sem").isNotNull, "both")
+          .when(col("lex").isNotNull, "lexical_only")
+          .otherwise("semantic_only").as("category"))
+      .groupBy(col("category"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** KMV (k-minimum-values) distinct-shingle cardinality estimate per
     * document, scored against the exact count — the sketch that lets a
     * 100 TB dedup pipeline size its shingle sets WITHOUT materializing

@@ -233,6 +233,19 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
       4L -> ((4L, 1L, 1000000L))))
   }
 
+  test("modality agreement partitions the union of lexical and semantic pair sets") {
+    val lex = Dedup.minhashPortable(spark, fixtureDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sem = graft.operators.Similarity.dedupEmbeddingAnn(spark, fixtureDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Dedup.dedupModalityAgreement(spark, fixtureDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.getOrElse("both", 0L) === (lex & sem).size.toLong)
+    assert(got.getOrElse("lexical_only", 0L) === (lex -- sem).size.toLong)
+    assert(got.getOrElse("semantic_only", 0L) === (sem -- lex).size.toLong)
+    assert(got.values.sum === (lex ++ sem).size.toLong)
+  }
+
   test("KMV cardinality: exact under k shingles, bounded error above") {
     import spark.implicits._
     val dir = scratchDir("graft-kmv")
