@@ -121,7 +121,14 @@ object SparkEntry {
     "rolling_active_users"   -> EventOps.rollingActiveUsers _,
     "brand_market_share"     -> Relational.brandMarketShare _,
     "q3_shipping_priority"   -> Relational.q3ShippingPriority _,
+    "q4_priority_exists"     -> Relational.q4PriorityExists _,
+    "q8_market_share"        -> Relational.q8MarketShare _,
+    "q13_custdist"           -> Relational.q13Custdist _,
+    "q15_top_supplier"       -> Relational.q15TopSupplier _,
+    "q17_small_qty_revenue"  -> Relational.q17SmallQtyRevenue _,
     "q18_large_orders"       -> Relational.q18LargeOrders _,
+    "q22_idle_customers"     -> Relational.q22IdleCustomers _,
+    "mixture_temperature"    -> Curation.mixtureTemperature _,
     "copurchase_triangles"   -> Relational.copurchaseTriangles _,
     "ngram_lm_probs"         -> TextOps.ngramLmProbs _,
     "doc_perplexity"         -> TextOps.docPerplexity _,
@@ -1823,6 +1830,106 @@ object SparkEntry {
          ORDER BY sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) DESC,
                   c_custkey
          LIMIT 20""",
+    "q4_priority_exists" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+         FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+         GROUP BY o_orderpriority""",
+    // DECIMAL sums are exact in any order; the one double division per
+    // year row runs over identical operands on both engines.
+    "q8_market_share" ->
+      """WITH rev AS (
+           SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+                  CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)) AS rev,
+                  n_name AS supp_nation
+           FROM lineitem, orders, customer, supplier, nation
+           WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+             AND l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+             AND l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+             AND c_nationkey IN (SELECT n2.n_nationkey FROM nation n2, region
+                                 WHERE n2.n_regionkey = r_regionkey AND r_name = 'ASIA')
+             AND o_orderdate >= TIMESTAMP '1997-01-01'
+             AND o_orderdate < TIMESTAMP '1999-01-01')
+         SELECT o_year,
+                CAST(sum(CASE WHEN supp_nation = 'NATION_12' THEN rev
+                              ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                  AS nation_revenue,
+                CAST(sum(rev) AS DOUBLE) AS total_revenue,
+                CAST(sum(CASE WHEN supp_nation = 'NATION_12' THEN rev
+                              ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                  / CAST(sum(rev) AS DOUBLE) AS mkt_share
+         FROM rev GROUP BY o_year""",
+    "q13_custdist" ->
+      """WITH pc AS (SELECT o_custkey, count(*) AS c_count
+                     FROM orders GROUP BY o_custkey)
+         SELECT coalesce(c_count, 0) AS c_count, count(*) AS custdist
+         FROM customer LEFT JOIN pc ON c_custkey = o_custkey
+         GROUP BY 1""",
+    // DECIMAL revenue makes the `= max` selection exact on both engines.
+    "q15_top_supplier" ->
+      """WITH rev AS (SELECT l_suppkey,
+                             sum(CAST(l_extendedprice * (1.0 - l_discount)
+                                      AS DECIMAL(18,4))) AS total_rev
+                      FROM lineitem
+                      WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+                        AND l_shipdate < TIMESTAMP '1998-04-01'
+                      GROUP BY l_suppkey)
+         SELECT s_suppkey AS suppkey, s_name AS name,
+                CAST(total_rev AS DOUBLE) AS total_revenue
+         FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         WHERE total_rev = (SELECT max(total_rev) FROM rev)""",
+    // threshold cross-multiplied (5·qty·cnt < sum): no division inside
+    // the filter, so no engine-specific rounding can flip a row
+    "q17_small_qty_revenue" ->
+      """WITH li AS (SELECT l_partkey, l_quantity, l_extendedprice
+                     FROM lineitem
+                     WHERE l_partkey IN (SELECT p_partkey FROM part
+                                         WHERE p_brand = 'Brand#11')),
+              pp AS (SELECT l_partkey AS ap, sum(l_quantity) AS qty_sum,
+                            count(*) AS qty_cnt
+                     FROM li GROUP BY 1)
+         SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+                  AS avg_yearly
+         FROM li JOIN pp ON l_partkey = ap
+         WHERE l_quantity * 5.0 * qty_cnt < qty_sum""",
+    // avg-balance threshold cross-multiplied in DECIMAL (bal·cnt > total)
+    "q22_idle_customers" ->
+      """WITH cust AS (SELECT c_custkey, c_nationkey,
+                              CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+                       FROM customer),
+              pa AS (SELECT sum(bal) AS pos_total, count(*) AS pos_cnt
+                     FROM cust WHERE bal > 0)
+         SELECT CAST(c_nationkey AS INT) AS nationkey, count(*) AS numcust,
+                CAST(sum(bal) AS DOUBLE) AS totacctbal
+         FROM cust, pa
+         WHERE bal * pos_cnt > pos_total
+           AND NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_orderdate >= TIMESTAMP '2000-01-01')
+         GROUP BY 1""",
+    // sqrt(sqrt(n)) is correctly rounded on both engines (pow is not);
+    // the weight total sums integer micro-units so it is order-free.
+    "mixture_temperature" ->
+      """WITH ps AS (SELECT source,
+                            CAST(sum(len(list_filter(
+                              string_split_regex(text, '\s+'), t -> t != '')))
+                              AS BIGINT) AS n_tokens
+                     FROM documents GROUP BY source),
+              w AS (SELECT source, n_tokens,
+                           CAST(floor(sqrt(sqrt(CAST(n_tokens AS DOUBLE)))
+                                      * 1000000.0) AS BIGINT) AS wq
+                    FROM ps),
+              tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS corpus_tokens,
+                             CAST(sum(wq) AS BIGINT) AS w_tot
+                      FROM w)
+         SELECT source, n_tokens,
+                CAST(n_tokens AS DOUBLE) / CAST(corpus_tokens AS DOUBLE)
+                  AS natural_p,
+                CAST(wq AS DOUBLE) / CAST(w_tot AS DOUBLE) AS mix_q,
+                CAST(wq AS DOUBLE) / CAST(w_tot AS DOUBLE) * 1000000.0
+                  / CAST(n_tokens AS DOUBLE) AS epochs_at_budget
+         FROM w, tot""",
     // integral-valued quantities → double sums are exact in any order
     "q18_large_orders" ->
       """WITH big AS (SELECT l_orderkey, sum(l_quantity) AS total_qty

@@ -552,4 +552,46 @@ object Curation {
         when(coalesce(col("n_tokens"), lit(0L)) === 0L, lit(false))
           .otherwise(expr(s"score DIV n_tokens > ($scale * nt) DIV nr")).as("keep"))
   }
+
+  /** Temperature-scaled source mixture (the multilingual-sampling rule
+    * from Conneau et al., "Unsupervised Cross-lingual Representation
+    * Learning at Scale" §3.1: sample source i with q_i ∝ p_i^α): given
+    * per-source token counts, the sampling weight each source gets in
+    * the training mixture at α = 0.25, plus the number of epochs over
+    * that source a 1M-token budget implies (how much a small source is
+    * up-sampled / a big one down-sampled).
+    *
+    * α = 0.25 is computed as sqrt(sqrt(n)) — IEEE-754 sqrt is
+    * correctly rounded on every engine, so unlike pow(n, 0.25) the
+    * per-source weight is bit-identical in Spark and the DuckDB
+    * oracle. The weight is then quantized to integer micro-units
+    * (floor(w·10⁶)) BEFORE the cross-source total: a double sum over
+    * sources would be accumulation-order-dependent, a BIGINT sum is
+    * exact in any order, and every emitted double is a single
+    * division chain over those exact integers. Scale posture: one
+    * partial-agg groupBy bounded by the source count (dozens of
+    * rows), then a broadcast of that tiny aggregate — the corpus is
+    * scanned once and only (source, count) pairs move.
+    */
+  def mixtureTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 1000000.0
+    val perSource = Tables.documents(spark, dir)
+      .select(col("source"), TextOps.tokens(col("text")).as("ts"))
+      .select(col("source"), size(col("ts")).cast("long").as("n"))
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("n_tokens"))
+      .withColumn("wq",
+        floor(sqrt(sqrt(col("n_tokens").cast("double"))) * lit(1000000.0)).cast("long"))
+    val tot = perSource.agg(
+      sum(col("n_tokens")).as("corpus_tokens"), sum(col("wq")).as("w_tot"))
+    perSource.crossJoin(broadcast(tot))
+      .select(
+        col("source"),
+        col("n_tokens"),
+        (col("n_tokens").cast("double") / col("corpus_tokens").cast("double"))
+          .as("natural_p"),
+        (col("wq").cast("double") / col("w_tot").cast("double")).as("mix_q"),
+        (col("wq").cast("double") / col("w_tot").cast("double") * lit(budget)
+          / col("n_tokens").cast("double")).as("epochs_at_budget"))
+  }
 }

@@ -801,4 +801,172 @@ object Relational {
           .cast("double").as("sum_disc_price"),
         count(lit(1)).as("n_rows"))
   }
+
+  /** TPC-H Q4 shape (order priority checking): orders with at least one
+    * LATE line (shipped after the order date), counted per priority.
+    * The EXISTS subquery is a LEFT SEMI hash join on `l_orderkey` with
+    * the non-equi lateness predicate evaluated inside the join — the
+    * fact table is never materialized per-order, and the post-semi
+    * aggregate runs on the already-reduced order rows. At 100 TB both
+    * sides shuffle once on the shared order key; nothing re-expands.
+    */
+  def q4PriorityExists(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+    ord
+      .join(li,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  /** TPC-H Q8 shape (national market share): for PROMO-type parts sold
+    * into the ASIA region during 1997–1998, the share of revenue
+    * supplied by NATION_12, per order year. The fact table is reduced
+    * FIRST (part-type semi filter + date-bounded orders), every
+    * dimension (part, supplier, nation, customer→region) broadcasts,
+    * and the share is a conditional-sum / sum over one aggregate pass.
+    * DECIMAL(18,4) revenue keeps both sums engine-exact; the single
+    * double division happens once per year row.
+    */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1997-01-01").cast("timestamp_ntz")
+    val hi = lit("1999-01-01").cast("timestamp_ntz")
+    val nat = Tables.nation(spark, dir)
+    val promoParts = Tables.part(spark, dir)
+      .filter(col("p_type") === "PROMO").select(col("p_partkey"))
+    val asiaCust = Tables.customer(spark, dir)
+      .join(broadcast(nat
+          .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"))),
+        col("c_nationkey") === col("n_nationkey"), "left_semi")
+      .select(col("c_custkey"))
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .join(asiaCust, col("o_custkey") === col("c_custkey"), "left_semi")
+      .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+    val suppNation = Tables.supplier(spark, dir)
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(promoParts), col("l_partkey") === col("p_partkey"), "left_semi")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)").as("rev"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === "NATION_12", col("rev"))
+          .otherwise(lit(0).cast("decimal(18,4)"))).as("nation_rev_dec"),
+        sum(col("rev")).as("total_rev_dec"))
+      .select(
+        col("o_year"),
+        col("nation_rev_dec").cast("double").as("nation_revenue"),
+        col("total_rev_dec").cast("double").as("total_revenue"),
+        (col("nation_rev_dec").cast("double") / col("total_rev_dec").cast("double"))
+          .as("mkt_share"))
+  }
+
+  /** TPC-H Q13 shape (customer order-count distribution): how many
+    * customers placed exactly N orders, including N = 0. Orders are
+    * pre-aggregated per customer BEFORE the join — the left join then
+    * carries one row per customer, not one per order — and the outer
+    * distribution aggregate runs over |customers| rows grouped by a
+    * small-cardinality count. Both shuffles hash on the customer key.
+    */
+  def q13Custdist(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("c_count"))
+    Tables.customer(spark, dir).select(col("c_custkey"))
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("c_count"), lit(0L)).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  /** TPC-H Q15 shape (top supplier): per-supplier revenue over one
+    * quarter, keeping the supplier(s) whose revenue equals the global
+    * maximum. The max is a 1-row aggregate broadcast back over the
+    * per-supplier rows (the reference's Task-H temp-file re-read,
+    * SURVEY §2 S5, done in-plan) — no driver round-trip, no second
+    * scan of the fact table. DECIMAL revenue makes the `= max` exact;
+    * a double compare could drop or duplicate the top row.
+    */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1998-01-01").cast("timestamp_ntz")
+    val hi = lit("1998-04-01").cast("timestamp_ntz")
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .groupBy(col("l_suppkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(18,4)")).as("total_rev_dec"))
+    val mx = rev.agg(max(col("total_rev_dec")).as("max_rev"))
+    rev
+      .crossJoin(broadcast(mx))
+      .filter(col("total_rev_dec") === col("max_rev"))
+      .join(broadcast(Tables.supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey").as("suppkey"), col("s_name").as("name"),
+        col("total_rev_dec").cast("double").as("total_revenue"))
+  }
+
+  /** TPC-H Q17 shape (small-quantity-order revenue): for one brand's
+    * parts, revenue from lines whose quantity is below 20% of that
+    * part's average quantity. The correlated scalar subquery
+    * decorrelates into a per-part aggregate joined back to the fact
+    * rows — one shuffle on `l_partkey` feeds BOTH the average and the
+    * join probe. The threshold compare cross-multiplies
+    * (5·qty·cnt < sum) in exact arithmetic instead of dividing, so no
+    * engine-specific double rounding can flip a boundary row.
+    */
+  def q17SmallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val brandParts = Tables.part(spark, dir)
+      .filter(col("p_brand") === "Brand#11").select(col("p_partkey"))
+    val li = Tables.lineitem(spark, dir)
+      .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"), "left_semi")
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    val perPart = li.groupBy(col("l_partkey").as("ap_partkey"))
+      .agg(sum(col("l_quantity")).as("qty_sum"), count(lit(1)).as("qty_cnt"))
+    li.join(perPart, col("l_partkey") === col("ap_partkey"))
+      // l_quantity < 0.2 * (qty_sum / qty_cnt), exactly:
+      .filter(col("l_quantity") * lit(5.0) * col("qty_cnt") < col("qty_sum"))
+      .agg((sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double") / lit(7.0))
+        .as("avg_yearly"))
+  }
+
+  /** TPC-H Q22 shape (global sales opportunity): lapsed customers —
+    * no orders since 2000-01-01 — whose balance beats the average
+    * positive balance, counted per nation. (The classic "no orders
+    * ever" predicate is vacuous on this data: every customer has
+    * orders, so the anti-join is date-bounded instead; the date filter
+    * pushes into the orders scan before the single-column anti probe.)
+    * The average-threshold compare is cross-multiplied in DECIMAL
+    * (bal·cnt > total) so no double-rounding flips a boundary
+    * customer, and the "no recent orders" test is a LEFT ANTI hash
+    * join (the reference's Task-F composition, SURVEY §2 J4).
+    */
+  def q22IdleCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("2000-01-01").cast("timestamp_ntz")
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"),
+        col("c_acctbal").cast("decimal(18,2)").as("bal"))
+    val posAvg = cust.filter(col("bal") > 0)
+      .agg(sum(col("bal")).as("pos_total"), count(lit(1)).as("pos_cnt"))
+    cust
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderdate") >= cutoff).select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .crossJoin(broadcast(posAvg))
+      .filter(col("bal") * col("pos_cnt") > col("pos_total"))
+      .groupBy(col("c_nationkey").cast("int").as("nationkey"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(col("bal")).cast("double").as("totacctbal"))
+  }
 }

@@ -472,4 +472,21 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
     assert(got(3L) === ((5L, 2L, false)))
     assert(got(4L) === ((4L, 0L, true)))
   }
+
+  test("mixture temperature: α=0.25 up-samples the small source; weights sum to 1") {
+    // shared fixture token counts per source: src0 = 80 (two 40-token
+    // docs), src1 = 80, src2 = 40
+    def wq(n: Long): Long =
+      math.floor(math.sqrt(math.sqrt(n.toDouble)) * 1e6).toLong
+    val wTot = (wq(80) * 2 + wq(40)).toDouble
+    val got = Curation.mixtureTemperature(spark, fixtureDir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got("src0") === ((80L, 0.4, wq(80) / wTot, wq(80) / wTot * 1e6 / 80.0)))
+    assert(got("src2") === ((40L, 0.2, wq(40) / wTot, wq(40) / wTot * 1e6 / 40.0)))
+    // flattening: the small source's mixture share exceeds its natural
+    // share, the big ones' fall below theirs
+    assert(got("src2")._3 > 0.2 && got("src0")._3 < 0.4)
+    assert(math.abs(got.values.map(_._3).sum - 1.0) < 1e-12)
+  }
 }

@@ -270,4 +270,133 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
       ("NATION_2", "NATION_1", 2024L) -> ((90.0, 1L)),
       ("NATION_1", "NATION_2", 2024L) -> ((50.0, 1L))))
   }
+
+  private val liCols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+    "l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+    "l_linestatus", "l_shipdate")
+  private val ordCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority")
+
+  test("q4: one count per late order, not per late line; ship==order date is on time") {
+    import spark.implicits._
+    val dir = scratchDir("graft-q4")
+    val d0 = java.time.LocalDateTime.of(1997, 6, 1, 0, 0)
+    Seq((1L, 1L, "O", 10.0, d0, "1-URGENT"),
+        (2L, 1L, "O", 10.0, d0, "5-LOW"))
+      .toDF(ordCols: _*).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq(
+      // order 1: TWO late lines and an early one → counts exactly once
+      (1L, 1L, 1L, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", d0.plusDays(3)),
+      (1L, 1L, 1L, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", d0.plusDays(5)),
+      (1L, 1L, 1L, 3, 1.0, 1.0, 0.0, 0.0, "N", "O", d0.minusDays(1)),
+      // order 2: shipped the order day — strict > means NOT late
+      (2L, 1L, 1L, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", d0))
+      .toDF(liCols: _*).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = rows(Relational.q4PriorityExists(spark, dir))
+    assert(got === Set(Row("1-URGENT", 1L)))
+  }
+
+  test("q13: distribution includes the zero-order bucket") {
+    // shared fixture: alice 3 orders, bob 1, carol+dave 0
+    val got = rows(Relational.q13Custdist(spark, fixtureDir))
+    assert(got === Set(Row(3L, 1L), Row(1L, 1L), Row(0L, 2L)))
+  }
+
+  test("q15: revenue ties at the max keep BOTH suppliers; out-of-window revenue ignored") {
+    import spark.implicits._
+    val dir = scratchDir("graft-q15")
+    val in = java.time.LocalDateTime.of(1998, 2, 1, 0, 0)
+    val out = java.time.LocalDateTime.of(1998, 6, 1, 0, 0)
+    Seq((1L, "s_one", 0, 0.0), (2L, "s_two", 0, 0.0), (3L, "s_three", 0, 0.0))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    Seq(
+      (1L, 1L, 1L, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", in),   // supp 1: 10
+      (2L, 1L, 2L, 1, 1.0, 4.0, 0.0, 0.0, "N", "O", in),    // supp 2: 4 + 6 = 10 (tie)
+      (3L, 1L, 2L, 1, 1.0, 6.0, 0.0, 0.0, "N", "O", in),
+      (4L, 1L, 3L, 1, 1.0, 5.0, 0.0, 0.0, "N", "O", in),    // supp 3: below max
+      (5L, 1L, 3L, 1, 1.0, 99.0, 0.0, 0.0, "N", "O", out))  // outside the quarter
+      .toDF(liCols: _*).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = rows(Relational.q15TopSupplier(spark, dir))
+    assert(got === Set(Row(1L, "s_one", 10.0), Row(2L, "s_two", 10.0)))
+  }
+
+  test("q17: only lines under 20% of their part's average quantity contribute") {
+    import spark.implicits._
+    val dir = scratchDir("graft-q17")
+    val d = java.time.LocalDateTime.of(1997, 6, 1, 0, 0)
+    Seq((1L, "a", "Brand#11", "STD", 1, 1.0),
+        (2L, "b", "Brand#11", "STD", 1, 1.0),
+        (3L, "c", "Brand#99", "STD", 1, 1.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    Seq(
+      // part 1: qtys 1,10,10 → avg 7, threshold 1.4 → only qty 1 (price 700)
+      (1L, 1L, 1L, 1, 1.0, 700.0, 0.0, 0.0, "N", "O", d),
+      (2L, 1L, 1L, 1, 10.0, 5.0, 0.0, 0.0, "N", "O", d),
+      (3L, 1L, 1L, 1, 10.0, 5.0, 0.0, 0.0, "N", "O", d),
+      // part 2: qtys 5,5 → threshold 1.0 → nothing qualifies
+      (4L, 2L, 1L, 1, 5.0, 50.0, 0.0, 0.0, "N", "O", d),
+      (5L, 2L, 1L, 1, 5.0, 50.0, 0.0, 0.0, "N", "O", d),
+      // wrong brand: excluded even at tiny quantity
+      (6L, 3L, 1L, 1, 0.5, 9999.0, 0.0, 0.0, "N", "O", d))
+      .toDF(liCols: _*).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = Relational.q17SmallQtyRevenue(spark, dir).collect().head
+    assert(r.getDouble(0) === 100.0) // 700 / 7.0
+  }
+
+  test("q8: share = NATION_12 revenue over ASIA-promo revenue, per order year") {
+    import spark.implicits._
+    val dir = scratchDir("graft-q8")
+    Seq((2, "ASIA"), (0, "AFRICA"))
+      .toDF("r_regionkey", "r_name").write.mode("overwrite").parquet(s"$dir/region.parquet")
+    Seq((5, "NATION_12", 2), (6, "NATION_1", 2), (7, "NATION_3", 0))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    Seq((1L, "asia_cust", 5, 0.0, "SEG_A"), (2L, "africa_cust", 7, 0.0, "SEG_A"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq((1L, "s12", 5, 0.0), (2L, "s1", 6, 0.0))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    Seq((1L, "p", "Brand#1", "PROMO", 1, 1.0), (2L, "q", "Brand#1", "ECONOMY", 1, 1.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val d97 = java.time.LocalDateTime.of(1997, 5, 1, 0, 0)
+    val d98 = java.time.LocalDateTime.of(1998, 5, 1, 0, 0)
+    Seq((10L, 1L, "O", 1.0, d97, "1-URGENT"),
+        (11L, 1L, "O", 1.0, d98, "1-URGENT"),
+        (12L, 2L, "O", 1.0, d97, "1-URGENT")) // non-ASIA customer
+      .toDF(ordCols: _*).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq(
+      (10L, 1L, 1L, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", d97), // 1997 NATION_12: 10
+      (10L, 1L, 2L, 1, 1.0, 30.0, 0.0, 0.0, "N", "O", d97), // 1997 other supp: 30
+      (10L, 2L, 1L, 1, 1.0, 999.0, 0.0, 0.0, "N", "O", d97), // non-promo part: out
+      (11L, 1L, 1L, 1, 1.0, 7.0, 0.0, 0.0, "N", "O", d98),  // 1998 NATION_12: 7
+      (12L, 1L, 1L, 1, 1.0, 888.0, 0.0, 0.0, "N", "O", d97)) // non-ASIA order: out
+      .toDF(liCols: _*).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = Relational.q8MarketShare(spark, dir).collect()
+      .map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got === Map(
+      1997 -> ((10.0, 40.0, 0.25)),
+      1998 -> ((7.0, 7.0, 1.0))))
+  }
+
+  test("q22: only lapsed customers above the positive-balance average; negatives never qualify") {
+    import spark.implicits._
+    val dir = scratchDir("graft-q22")
+    Seq((1L, "recent", 0, 10.0, "SEG_A"),  // active after cutoff → excluded
+        (2L, "lapsed_hi", 0, 8.0, "SEG_A"), // idle, 8 > avg 20/3 → kept
+        (3L, "lapsed_lo", 1, 2.0, "SEG_A"), // idle, below avg
+        (4L, "negative", 1, -4.0, "SEG_A")) // excluded from avg AND below it
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val recent = java.time.LocalDateTime.of(2001, 1, 1, 0, 0)
+    val old = java.time.LocalDateTime.of(1999, 1, 1, 0, 0)
+    Seq((1L, 1L, "O", 1.0, recent, "1-URGENT"),
+        (2L, 2L, "O", 1.0, old, "1-URGENT"))
+      .toDF(ordCols: _*).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = rows(Relational.q22IdleCustomers(spark, dir))
+    assert(got === Set(Row(0, 1L, 8.0)))
+  }
 }
