@@ -129,6 +129,11 @@ object SparkEntry {
     "q18_large_orders"       -> Relational.q18LargeOrders _,
     "q22_idle_customers"     -> Relational.q22IdleCustomers _,
     "mixture_temperature"    -> Curation.mixtureTemperature _,
+    "orders_delta_agg"       -> Relational.ordersDeltaAgg _,
+    "events_incident_overlap" -> EventOps.eventsIncidentOverlap _,
+    "user_cms_topk"          -> EventOps.userCmsTopk _,
+    "embedding_random_projection" ->
+      ((s: SparkSession, d: String) => Similarity.embeddingRandomProjection(s, d)),
     "copurchase_triangles"   -> Relational.copurchaseTriangles _,
     "ngram_lm_probs"         -> TextOps.ngramLmProbs _,
     "doc_perplexity"         -> TextOps.docPerplexity _,
@@ -1930,6 +1935,108 @@ object SparkEntry {
                 CAST(wq AS DOUBLE) / CAST(w_tot AS DOUBLE) * 1000000.0
                   / CAST(n_tokens AS DOUBLE) AS epochs_at_budget
          FROM w, tot""",
+    // DECIMAL merge keeps the maintained total identical to a
+    // from-scratch recompute
+    "orders_delta_agg" ->
+      """WITH base AS (SELECT o_custkey, count(*) AS n_base,
+                              sum(CAST(o_totalprice AS DECIMAL(18,2))) AS t_base
+                       FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01'
+                       GROUP BY o_custkey),
+              delta AS (SELECT o_custkey, count(*) AS n_delta,
+                               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS t_delta
+                        FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+                        GROUP BY o_custkey)
+         SELECT coalesce(base.o_custkey, delta.o_custkey) AS o_custkey,
+                coalesce(n_base, 0) AS n_base,
+                coalesce(n_delta, 0) AS n_delta,
+                coalesce(n_base, 0) + coalesce(n_delta, 0) AS n_total,
+                CAST(coalesce(t_base, CAST(0 AS DECIMAL(18,2)))
+                     + coalesce(t_delta, CAST(0 AS DECIMAL(18,2))) AS DOUBLE)
+                  AS total_price
+         FROM base FULL OUTER JOIN delta ON base.o_custkey = delta.o_custkey""",
+    // sessions × incident-days: the theta interval join replayed
+    // directly; the Spark plan's day-bucket equi-join is exactly
+    // equivalent for closed day-aligned incident intervals
+    "events_incident_overlap" ->
+      """WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
+                           CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                                  OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                                THEN 1 ELSE 0 END AS new_s
+                    FROM events
+                    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+              sx AS (SELECT user_id, tus,
+                            CAST(sum(new_s) OVER (PARTITION BY user_id
+                                                  ORDER BY tus, event_id
+                                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                              AS session_idx
+                     FROM o),
+              sess AS (SELECT user_id, session_idx,
+                              min(tus) AS s0, max(tus) AS s1
+                       FROM sx GROUP BY user_id, session_idx),
+              pd AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                            count(*) AS cnt
+                     FROM events GROUP BY 1, 2),
+              pt AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS tot,
+                            count(*) AS n_days
+                     FROM pd GROUP BY 1),
+              inc AS (SELECT pd.event_type,
+                             day * 86400000000 AS i0,
+                             (day + 1) * 86400000000 - 1 AS i1
+                      FROM pd JOIN pt ON pd.event_type = pt.event_type
+                      WHERE cnt * n_days * 100 >= tot * 115)
+         SELECT user_id, event_type,
+                count(*) AS n_session_day_pairs,
+                count(DISTINCT session_idx) AS n_sessions,
+                CAST(sum(least(s1, i1) - greatest(s0, i0)) AS BIGINT)
+                  AS sum_overlap_us
+         FROM sess JOIN inc ON s0 <= i1 AND i0 <= s1
+         GROUP BY user_id, event_type""",
+    // the sketch is replayed counter-for-counter: same md5 row hashes,
+    // same 3×64 grid, min over rows; overcount ≥ 0 by construction
+    "user_cms_topk" ->
+      """WITH ev AS (SELECT user_id FROM events),
+              keyed AS (SELECT r,
+                               ('0x' || substr(md5('cms:' || r || ':' || user_id),
+                                               1, 7))::BIGINT % 64 AS b
+                        FROM ev, (SELECT unnest([0, 1, 2]) AS r)),
+              counters AS (SELECT r, b, count(*) AS c FROM keyed GROUP BY r, b),
+              exact AS (SELECT user_id, count(*) AS exact_cnt
+                        FROM ev GROUP BY user_id),
+              tot AS (SELECT CAST(sum(exact_cnt) AS BIGINT) AS n_tot,
+                             count(*) AS n_users FROM exact),
+              heavy AS (SELECT user_id, exact_cnt FROM exact, tot
+                        WHERE exact_cnt * n_users * 10 >= n_tot * 12),
+              probes AS (SELECT user_id, exact_cnt, r,
+                                ('0x' || substr(md5('cms:' || r || ':' || user_id),
+                                                1, 7))::BIGINT % 64 AS b
+                         FROM heavy, (SELECT unnest([0, 1, 2]) AS r))
+         SELECT user_id, exact_cnt,
+                CAST(min(c) AS BIGINT) AS cms_est,
+                CAST(min(c) - exact_cnt AS BIGINT) AS overcount
+         FROM probes JOIN counters USING (r, b)
+         GROUP BY user_id, exact_cnt""",
+    // ±1 signs from md5 parity of (i, j); BIGINT projections are exact
+    "embedding_random_projection" ->
+      """WITH e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM embeddings),
+              m AS (SELECT vec_id, v,
+                           list_max(list_transform(v, x -> abs(x))) AS ma FROM e),
+              x AS (SELECT vec_id, v, ma,
+                           unnest(range(1, len(v) + 1)) AS i FROM m),
+              q AS (SELECT vec_id, cast(i - 1 AS INT) AS i,
+                           CASE WHEN ma = 0.0 THEN 0
+                                ELSE greatest(-127, least(127,
+                                       cast(floor(v[i] * 127.0 / ma) AS BIGINT)))
+                           END AS qi
+                    FROM x),
+              s AS (SELECT i, j,
+                           CASE WHEN ('0x' || substr(md5('jl:' || i || ':' || j),
+                                                     1, 7))::BIGINT % 2 = 0
+                                THEN 1 ELSE -1 END AS s
+                    FROM (SELECT DISTINCT i FROM q),
+                         (SELECT cast(unnest(range(0, 16)) AS INT) AS j))
+         SELECT q.vec_id, s.j, CAST(sum(qi * s) AS BIGINT) AS y
+         FROM q JOIN s ON q.i = s.i
+         GROUP BY q.vec_id, s.j""",
     // integral-valued quantities → double sums are exact in any order
     "q18_large_orders" ->
       """WITH big AS (SELECT l_orderkey, sum(l_quantity) AS total_qty

@@ -493,4 +493,98 @@ object EventOps {
         col("qs").getItem(0).as("p25"),
         col("qs").getItem(1).as("p50"),
         col("qs").getItem(2).as("p95"))
+
+  /** Interval-overlap join: user sessions (the 30-min-gap rule of
+    * [[eventsSessionize]]) × per-type "incident days" (days whose
+    * event count is ≥ 1.15× that type's daily mean, cross-multiplied
+    * in integers so the threshold is scale-free and engine-exact),
+    * rolled up per (user, incident type). The generic time-interval
+    * theta join — `a.start ≤ b.end AND b.start ≤ a.end` — is executed
+    * as a DAY-BUCKET EQUI-JOIN: each session explodes to the days it
+    * spans (bounded: a 30-min-gap session is hours long, so 1–2 rows)
+    * and day buckets hash-join against the broadcast incident table.
+    * With closed day-aligned incident intervals the bucket match is
+    * EXACTLY the overlap predicate — no post-filter, no O(n·m) range
+    * scan, no interval skew. At 100 TB the sessions side shuffles once
+    * on user_id (the window), the incident side is type×day bounded
+    * (KBs), and the join is broadcast: the canonical scalable
+    * interval-join shape. All time math is integer microseconds.
+    */
+  def eventsIncidentOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400L * 1000000L
+    val gapUs = 30L * 60L * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+    val sessions = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"))
+      .withColumn("new_s",
+        coalesce((col("tus") - lag(col("tus"), 1).over(w)) > gapUs, lit(true))
+          .cast("long"))
+      .withColumn("session_idx",
+        sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(min(col("tus")).as("s0"), max(col("tus")).as("s1"))
+    val perDay = Tables.events(spark, dir)
+      .select(col("event_type"), expr(s"unix_micros(ts) div ${dayUs}L").as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("cnt"))
+    val perType = perDay.groupBy(col("event_type"))
+      .agg(sum(col("cnt")).as("tot"), count(lit(1)).as("n_days"))
+    val incidents = perDay.join(perType, "event_type")
+      .filter(col("cnt") * col("n_days") * lit(100L) >= col("tot") * lit(115L))
+      .select(col("event_type"), col("day"),
+        (col("day") * dayUs).as("i0"),
+        ((col("day") + 1) * dayUs - 1).as("i1"))
+    sessions
+      .withColumn("day",
+        explode(sequence(expr(s"s0 div ${dayUs}L"), expr(s"s1 div ${dayUs}L"))))
+      .join(broadcast(incidents), "day")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_session_day_pairs"),
+        countDistinct(col("session_idx")).as("n_sessions"),
+        sum(least(col("s1"), col("i1")) - greatest(col("s0"), col("i0")))
+          .as("sum_overlap_us"))
+  }
+
+  /** Count–min sketch frequency estimation (Cormode & Muthukrishnan,
+    * "An Improved Data Stream Summary: The Count-Min Sketch and its
+    * Applications"): per-user event counts estimated from a 3×64
+    * counter grid (md5 row hashes), scored against the exact counts
+    * for every heavy user (≥ 1.2× the mean user volume,
+    * cross-multiplied). The estimate is min over the 3 row counters —
+    * ≥ exact by construction, so `overcount` is the per-key collision
+    * error the sketch's ε·N bound caps. Every number is a BIGINT the
+    * DuckDB oracle replays hash-for-hash.
+    *
+    * Scale shape: the counter grid aggregates 192 keys with map-side
+    * partial aggregation (the sketch IS the mergeable per-partition
+    * state — this is how a streaming topology keeps per-key counts in
+    * O(w·d) memory), the probe side joins against the broadcast grid,
+    * and the heavy-user gate needs only the exact per-user aggregate
+    * this query already computes as its ground truth.
+    */
+  def userCmsTopk(spark: SparkSession, dir: String): DataFrame = {
+    val width = 64L
+    val depths = Seq(0, 1, 2)
+    val ev = Tables.events(spark, dir).select(col("user_id"))
+    def bucket(r: Int) =
+      conv(substring(md5(concat_ws(":", lit("cms"), lit(r.toString),
+        col("user_id").cast("string")).cast("binary")), 1, 7), 16, 10)
+        .cast("long") % width
+    val counters = depths.map(r => ev.select(lit(r).as("r"), bucket(r).as("b")))
+      .reduce(_ unionAll _)
+      .groupBy(col("r"), col("b")).agg(count(lit(1)).as("c"))
+    val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("exact_cnt"))
+    val tot = exact.agg(sum(col("exact_cnt")).as("n_tot"), count(lit(1)).as("n_users"))
+    val heavy = exact.crossJoin(broadcast(tot))
+      .filter(col("exact_cnt") * col("n_users") * lit(10L) >= col("n_tot") * lit(12L))
+      .select(col("user_id"), col("exact_cnt"))
+    depths.map(r => heavy.select(col("user_id"), col("exact_cnt"),
+        lit(r).as("r"), bucket(r).as("b")))
+      .reduce(_ unionAll _)
+      .join(broadcast(counters), Seq("r", "b"))
+      .groupBy(col("user_id"), col("exact_cnt"))
+      .agg(min(col("c")).as("cms_est"))
+      .select(col("user_id"), col("exact_cnt"), col("cms_est"),
+        (col("cms_est") - col("exact_cnt")).as("overcount"))
+  }
 }

@@ -802,6 +802,42 @@ object Relational {
         count(lit(1)).as("n_rows"))
   }
 
+  /** Incremental aggregate maintenance — the materialized-view pattern
+    * behind every "daily refresh" pipeline: a standing per-customer
+    * aggregate (orders before the 2000-01-01 cutoff) is combined with
+    * the aggregate of JUST the new delta batch via a FULL OUTER merge
+    * on the group key, never rescanning the base facts. Count merge is
+    * addition; sum merges in DECIMAL so the maintained total is
+    * bit-identical to a from-scratch recompute (the invariant that
+    * makes incremental maintenance trustworthy). At 100 TB the base
+    * side is a pre-aggregated standing table (customers-scale, not
+    * orders-scale) and only the delta batch is scanned and shuffled —
+    * both aggregates and the merge hash on the same key, so AQE plans
+    * one co-partitioned exchange chain.
+    */
+  def ordersDeltaAgg(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("2000-01-01").cast("timestamp_ntz")
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_totalprice"), col("o_orderdate"))
+    val base = ord.filter(col("o_orderdate") < cutoff)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_base"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("t_base"))
+    val delta = ord.filter(col("o_orderdate") >= cutoff)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_delta"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("t_delta"))
+    val zero = lit(0).cast("decimal(18,2)")
+    base.join(delta, Seq("o_custkey"), "full_outer")
+      .select(col("o_custkey"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_delta"), lit(0L)).as("n_delta"),
+        (coalesce(col("n_base"), lit(0L)) + coalesce(col("n_delta"), lit(0L)))
+          .as("n_total"),
+        (coalesce(col("t_base"), zero) + coalesce(col("t_delta"), zero))
+          .cast("double").as("total_price"))
+  }
+
   /** TPC-H Q4 shape (order priority checking): orders with at least one
     * LATE line (shipped after the order date), counted per priority.
     * The EXISTS subquery is a LEFT SEMI hash join on `l_orderkey` with

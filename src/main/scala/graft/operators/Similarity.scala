@@ -1101,4 +1101,45 @@ object Similarity {
       .select(col("variant"), lit(5L).as("k"),
         coalesce(col("hits"), lit(0L)).as("hits"), col("possible"))
   }
+
+  /** Johnson–Lindenstrauss random projection (Achlioptas,
+    * "Database-friendly random projections": Rademacher ±1 entries
+    * preserve pairwise distances like Gaussian ones): each int8-
+    * quantized embedding is projected to k = 16 dimensions,
+    * y_j = Σᵢ qᵢ·s(i,j), with the sign matrix derived from md5 parity
+    * of (i, j) — deterministic, shared by every row, and replayed
+    * verbatim by the DuckDB oracle. Projections stay BIGINT-exact
+    * (|q| ≤ 127, dim ≤ 10⁵ ⇒ |y| ≪ 2⁶³), so the output is
+    * hash-comparable and safe to feed the ANN family as a cheaper
+    * vector column.
+    *
+    * Scale shape: no collect anywhere — the sign matrix materializes
+    * as a dim×k DataFrame (1 024 rows at d=64) built FROM the data's
+    * own dimension ids and broadcast; the per-vector expansion
+    * (posexplode → sign join → groupBy (vec, j)) partially aggregates
+    * map-side back to n·k rows before the one exchange, so the
+    * shuffled volume is the OUTPUT size, not the d×k intermediate.
+    */
+  def embeddingRandomProjection(spark: SparkSession, dir: String, k: Int = 16): DataFrame = {
+    val q = Tables.embeddings(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("ma", array_max(transform(col("v"), x => abs(x))))
+      .select(col("vec_id"), expr(
+        "transform(v, x -> CASE WHEN ma = 0.0D THEN 0L ELSE " +
+          "greatest(-127L, least(127L, CAST(floor(x * 127.0D / ma) AS BIGINT))) END)")
+        .as("qarr"))
+    val dimIds = q.select(posexplode(col("qarr")).as(Seq("i", "qi")))
+      .select(col("i")).distinct()
+    val signs = dimIds
+      .crossJoin(spark.range(k.toLong).select(col("id").cast("int").as("j")))
+      .withColumn("s",
+        when(conv(substring(md5(concat_ws(":", lit("jl"), col("i").cast("string"),
+          col("j").cast("string")).cast("binary")), 1, 7), 16, 10)
+          .cast("long") % 2 === 0, lit(1L)).otherwise(lit(-1L)))
+    q.select(col("vec_id"), posexplode(col("qarr")).as(Seq("i", "qi")))
+      .join(broadcast(signs), "i")
+      .groupBy(col("vec_id"), col("j"))
+      .agg(sum(col("qi") * col("s")).as("y"))
+  }
 }

@@ -268,4 +268,55 @@ class EventOpsSpec extends AnyFunSuite with SparkFixture {
     assert(got === Map("b0_lt1" -> 2L, "b1_1_2p5" -> 1L, "b2_2p5_5" -> 1L,
       "b6_50_100" -> 1L, "b7_ge100" -> 2L))
   }
+
+  test("incident overlap: burst day only; cross-midnight session overlaps exactly to the day edge") {
+    import spark.implicits._
+    val dir = scratchDir("graft-incident")
+    val d0 = Fixtures.RefTs // 2024-01-01 00:00 UTC in ns — a UTC midnight
+    val h = 3600L * 1000000000L; val m = 60L * 1000000000L
+    Seq(
+      // u1: three errors on day0 within one session (10-min gaps)
+      (0L, d0 + 10 * h, 1L, "error", 1.0, "{}"),
+      (1L, d0 + 10 * h + 10 * m, 1L, "error", 1.0, "{}"),
+      (2L, d0 + 10 * h + 20 * m, 1L, "error", 1.0, "{}"),
+      // u1: lone error on day1 — separate session, day1 is NOT an incident
+      (3L, d0 + 24 * h + 5 * h, 1L, "error", 1.0, "{}"),
+      // u2: one session CROSSING midnight (23:50 → 00:05, 15-min gap)
+      (4L, d0 + 23 * h + 50 * m, 2L, "error", 1.0, "{}"),
+      (5L, d0 + 24 * h + 5 * m, 2L, "error", 1.0, "{}"),
+      // u3: views, uniform 1/day → view never reaches the burst threshold
+      (6L, d0 + 1 * h, 3L, "view", 1.0, "{}"),
+      (7L, d0 + 24 * h + 1 * h, 3L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // error counts: day0 = 4, day1 = 2, mean 3 → only day0 ≥ 1.15×mean.
+    // Sessions meet incidents by time alone (u3's view-only session on
+    // the burst day is a zero-duration point touch) — the join asks
+    // "who was on during the incident", not "who emitted its events".
+    val got = EventOps.eventsIncidentOverlap(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === Map(
+      (1L, "error") -> ((1L, 1L, 20L * 60L * 1000000L)), // within-day session: s1−s0
+      (2L, "error") -> ((1L, 1L, 10L * 60L * 1000000L - 1L)), // clipped at day edge
+      (3L, "error") -> ((1L, 1L, 0L)))) // point session: zero overlap, still a touch
+  }
+
+  test("count-min estimate never undercounts, is ≤ total, and gates on 1.2× mean volume") {
+    import spark.implicits._
+    val dir = scratchDir("graft-cms")
+    val base = Fixtures.RefTs
+    val evs = (0 until 12).map(i => (i.toLong, base + i * 1000000000L, 1L, "view", 1.0, "{}")) ++
+      (0 until 2).map(i => (100L + i, base + i * 1000000000L, 2L, "view", 1.0, "{}")) ++
+      (0 until 2).map(i => (200L + i, base + i * 1000000000L, 3L, "view", 1.0, "{}"))
+    evs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // mean = 16/3 ≈ 5.33; only u1 (12) clears the 1.2× gate
+    val got = EventOps.userCmsTopk(spark, dir).collect()
+    assert(got.map(_.getLong(0)).toSet === Set(1L))
+    val r = got.head
+    assert(r.getLong(1) === 12L)
+    assert(r.getLong(2) >= 12L && r.getLong(2) <= 16L) // admissible, ≤ stream length
+    assert(r.getLong(3) === r.getLong(2) - 12L)
+  }
 }

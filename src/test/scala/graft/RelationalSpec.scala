@@ -382,6 +382,24 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
       1998 -> ((7.0, 7.0, 1.0))))
   }
 
+  test("delta-agg maintenance: base-only, delta-only, and mixed keys all merge; cutoff day is delta") {
+    import spark.implicits._
+    val dir = scratchDir("graft-deltaagg")
+    def d(y: Int, m: Int): java.time.LocalDateTime = java.time.LocalDateTime.of(y, m, 1, 0, 0)
+    Seq(
+      (1L, 1L, "O", 10.0, d(1999, 3), "1-URGENT"), // c1 base
+      (2L, 1L, "O", 20.0, d(1999, 6), "1-URGENT"), // c1 base
+      (3L, 1L, "O", 5.0, d(2001, 1), "1-URGENT"),  // c1 delta
+      (4L, 2L, "O", 7.0, d(1998, 1), "1-URGENT"),  // c2 base only
+      (5L, 3L, "O", 3.0, d(2000, 1), "1-URGENT"))  // c3: exactly the cutoff → delta
+      .toDF(ordCols: _*).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = rows(Relational.ordersDeltaAgg(spark, dir))
+    assert(got === Set(
+      Row(1L, 2L, 1L, 3L, 35.0),
+      Row(2L, 1L, 0L, 1L, 7.0),
+      Row(3L, 0L, 1L, 1L, 3.0)))
+  }
+
   test("q22: only lapsed customers above the positive-balance average; negatives never qualify") {
     import spark.implicits._
     val dir = scratchDir("graft-q22")

@@ -349,4 +349,31 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(got(4L) === ((1L, 0L, false)))
     assert(got(5L) === ((1L, 0L, false)))
   }
+
+  test("JL projection: hand-computed signs/quantization reproduce exactly; zero vector projects to zero") {
+    import spark.implicits._
+    val dir = scratchDir("graft-jl")
+    Seq(
+      (1L, Seq(1.0f, -1.0f, 0.5f, -0.25f), 0),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // mirror the operator: q = [127, -127, 63, -32]; s(i,j) from md5 parity
+    val q = Seq(127L, -127L, 63L, -32L)
+    def sign(i: Int, j: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"jl:$i:$j".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(7)
+      if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1L else -1L
+    }
+    val expected = (0 until 16).map(j =>
+      j -> q.zipWithIndex.map { case (qi, i) => qi * sign(i, j) }.sum).toMap
+    val got = Similarity.embeddingRandomProjection(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got.size === 32) // 2 vectors × k=16
+    (0 until 16).foreach { j =>
+      assert(got((1L, j)) === expected(j), s"j=$j")
+      assert(got((2L, j)) === 0L)
+    }
+  }
 }
