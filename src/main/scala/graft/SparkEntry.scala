@@ -128,6 +128,21 @@ object SparkEntry {
     "q17_small_qty_revenue"  -> Relational.q17SmallQtyRevenue _,
     "q18_large_orders"       -> Relational.q18LargeOrders _,
     "q22_idle_customers"     -> Relational.q22IdleCustomers _,
+    "q2_min_cost_supplier"   -> Relational.q2MinCostSupplier _,
+    "q9_profit_by_nation"    -> Relational.q9ProfitByNation _,
+    "q11_important_parts"    -> Relational.q11ImportantParts _,
+    "q12_priority_classes"   -> Relational.q12PriorityClasses _,
+    "q14_promo_revenue"      -> Relational.q14PromoRevenue _,
+    "q16_supplier_cnt"       -> Relational.q16SupplierCnt _,
+    "q20_excess_suppliers"   -> Relational.q20ExcessSuppliers _,
+    "q21_waiting_suppliers"  -> Relational.q21WaitingSuppliers _,
+    "events_user_lifespan"   -> EventOps.eventsUserLifespan _,
+    "events_dwell_time"      -> EventOps.eventsDwellTime _,
+    "token_zipf_fit"         -> ((s: SparkSession, d: String) => TextOps.tokenZipfFit(s, d)),
+    "vocab_growth_curve"     -> TextOps.vocabGrowthCurve _,
+    "group_reservoir_sample" -> ((s: SparkSession, d: String) => Curation.groupReservoirSample(s, d)),
+    "moments_by_source"      -> Curation.momentsBySource _,
+    "part_pair_lift"         -> Relational.partPairLift _,
     "mixture_temperature"    -> Curation.mixtureTemperature _,
     "orders_delta_agg"       -> Relational.ordersDeltaAgg _,
     "events_incident_overlap" -> EventOps.eventsIncidentOverlap _,
@@ -1898,6 +1913,218 @@ object SparkEntry {
                   AS avg_yearly
          FROM li JOIN pp ON l_partkey = ap
          WHERE l_quantity * 5.0 * qty_cnt < qty_sum""",
+    // unit price is a single IEEE double division — bit-identical on
+    // both engines — and MIN over doubles is order-free
+    "q2_min_cost_supplier" ->
+      """WITH offers AS (
+           SELECT l_partkey, l_suppkey,
+                  min(l_extendedprice / l_quantity) AS unit_price
+           FROM lineitem
+           WHERE l_quantity > 0
+             AND l_partkey IN (SELECT p_partkey FROM part
+                               WHERE p_type = 'LARGE' AND p_size <= 10)
+           GROUP BY 1, 2),
+              best AS (SELECT l_partkey AS bp, min(unit_price) AS bprice
+                       FROM offers GROUP BY 1)
+         SELECT l_partkey AS partkey, s_name AS supp_name,
+                n_name AS supp_nation, unit_price
+         FROM offers
+         JOIN best ON l_partkey = bp AND unit_price = bprice
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey""",
+    "q9_profit_by_nation" ->
+      """SELECT n_name AS nation, CAST(year(l_shipdate) AS INT) AS o_year,
+                CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                              AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
+         FROM lineitem, supplier, nation
+         WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+           AND l_partkey IN (SELECT p_partkey FROM part
+                             WHERE p_type = 'STANDARD')
+         GROUP BY 1, 2""",
+    // fraction threshold cross-multiplied in DECIMAL (value·1000 > total)
+    "q11_important_parts" ->
+      """WITH pp AS (
+           SELECT l_partkey AS partkey,
+                  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS value_dec
+           FROM lineitem
+           WHERE l_suppkey IN (SELECT s_suppkey FROM supplier, nation
+                               WHERE s_nationkey = n_nationkey
+                                 AND n_name = 'NATION_3')
+           GROUP BY 1)
+         SELECT partkey, CAST(value_dec AS DOUBLE) AS value
+         FROM pp
+         WHERE value_dec * 1000 > (SELECT sum(value_dec) FROM pp)""",
+    "q12_priority_classes" ->
+      """SELECT l_returnflag,
+                CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+           AND l_shipdate < TIMESTAMP '1998-01-01'
+         GROUP BY 1""",
+    // promo/total both accumulate in DECIMAL inside one aggregate; the
+    // single division happens on the final 1-row result
+    "q14_promo_revenue" ->
+      """SELECT 100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                  THEN CAST(l_extendedprice * (1.0 - l_discount)
+                            AS DECIMAL(18,4))
+                  ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                / CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                               AS DECIMAL(18,4))) AS DOUBLE)
+                  AS promo_revenue_pct
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+           AND l_shipdate < TIMESTAMP '1998-01-01'""",
+    "q16_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size, count(*) AS supplier_cnt
+         FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+         JOIN part ON l_partkey = p_partkey
+         WHERE p_brand <> 'Brand#11'
+         GROUP BY 1, 2, 3""",
+    // avg threshold cross-multiplied in DECIMAL (qty·n > total)
+    "q20_excess_suppliers" ->
+      """WITH ps AS (
+           SELECT l_suppkey,
+                  sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty_dec
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+             AND l_shipdate < TIMESTAMP '1998-01-01'
+             AND l_partkey IN (SELECT p_partkey FROM part
+                               WHERE p_type = 'PROMO')
+           GROUP BY 1),
+              tot AS (SELECT sum(qty_dec) AS qty_total, count(*) AS n_supp
+                      FROM ps)
+         SELECT s_name AS supp_name, n_name AS supp_nation,
+                CAST(qty_dec AS DOUBLE) AS promo_qty
+         FROM ps, tot, supplier, nation
+         WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+           AND qty_dec * n_supp > qty_total""",
+    "events_user_lifespan" ->
+      """WITH pu AS (SELECT user_id, min(day) AS first_day, max(day) AS last_day,
+                            CAST(count(DISTINCT day) AS BIGINT) AS active_days
+                     FROM (SELECT user_id, epoch_us(ts) // 86400000000 AS day
+                           FROM events)
+                     GROUP BY user_id)
+         SELECT last_day - first_day AS lifespan_days, count(*) AS n_users,
+                CAST(sum(active_days) AS BIGINT) AS sum_active_days
+         FROM pu GROUP BY 1""",
+    // gaps are non-negative, so truncating div == floor div
+    "events_dwell_time" ->
+      """WITH g AS (
+           SELECT event_type, (us - prev_us) // 1000000 AS gap_s
+           FROM (SELECT event_type, epoch_us(ts) AS us,
+                        lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id) AS prev_us
+                 FROM events)
+           WHERE prev_us IS NOT NULL)
+         SELECT event_type, count(*) AS n_gaps,
+                CAST(sum(gap_s) AS BIGINT) AS sum_gap_s,
+                CAST(sum(gap_s) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_gap_s
+         FROM g GROUP BY 1""",
+    // both logs quantize to micro-nat BIGINTs before any aggregation
+    // (ln differs across engines in the last ulp); the slope ratio is
+    // one double expression over exact integer sums
+    "token_zipf_fit" ->
+      """WITH c AS (SELECT token, count(*) AS cnt
+                    FROM (SELECT unnest(list_filter(string_split_regex(text, '\s+'), t -> t != '')) AS token
+                          FROM documents)
+                    GROUP BY token
+                    ORDER BY cnt DESC, token LIMIT 500),
+              r AS (SELECT CAST(floor(ln(CAST(row_number() OVER (ORDER BY cnt DESC, token) AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+                           CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1000000) AS BIGINT) AS y
+                    FROM c),
+              s AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+                           CAST(sum(y) AS BIGINT) AS sy,
+                           CAST(sum(x * y) AS BIGINT) AS sxy,
+                           CAST(sum(x * x) AS BIGINT) AS sxx
+                    FROM r)
+         SELECT n, (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS zipf_slope
+         FROM s""",
+    "vocab_growth_curve" ->
+      """WITH m AS (SELECT CAST(unnest([16, 64, 256, 1024, 4096, 16384]) AS BIGINT) AS milestone),
+              pd AS (SELECT doc_id,
+                            CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t != '')) AS BIGINT) AS n_toks
+                     FROM documents),
+              vol AS (SELECT milestone, count(*) AS n_docs,
+                             CAST(sum(n_toks) AS BIGINT) AS total_tokens
+                      FROM pd JOIN m ON doc_id <= milestone GROUP BY 1),
+              fo AS (SELECT token, min(doc_id) AS first_doc
+                     FROM (SELECT doc_id,
+                                  unnest(list_distinct(list_filter(string_split_regex(text, '\s+'), t -> t != ''))) AS token
+                           FROM documents)
+                     GROUP BY token),
+              voc AS (SELECT milestone, count(*) AS distinct_tokens
+                      FROM fo JOIN m ON first_doc <= milestone GROUP BY 1)
+         SELECT vol.milestone, n_docs, total_tokens, distinct_tokens
+         FROM vol JOIN voc ON vol.milestone = voc.milestone""",
+    // phase-2 ordering over the phase-1 survivors equals the global
+    // per-source ordering restricted to them, so the two-phase plan and
+    // this direct window agree exactly
+    "group_reservoir_sample" ->
+      """WITH d AS (SELECT doc_id, source,
+                           ('0x' || substr(md5('rsv:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+                    FROM documents),
+              p1 AS (SELECT doc_id, source, h,
+                            row_number() OVER (PARTITION BY source, h % 16
+                                               ORDER BY h, doc_id) AS r1
+                     FROM d),
+              p2 AS (SELECT source, doc_id,
+                            CAST(row_number() OVER (PARTITION BY source
+                                                    ORDER BY h, doc_id) AS BIGINT) AS rank
+                     FROM p1 WHERE r1 <= 50)
+         SELECT source, rank, doc_id FROM p2 WHERE rank <= 50""",
+    // mean/variance derive from the exact integer power sums with the
+    // same operation order on both engines
+    "moments_by_source" ->
+      """SELECT source, count(*) AS n,
+                CAST(sum(n_chars) AS BIGINT) AS sum_len,
+                CAST(sum(n_chars * n_chars) AS BIGINT) AS sum_len2,
+                min(n_chars) AS min_len, max(n_chars) AS max_len,
+                CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_len,
+                (CAST(count(*) AS DOUBLE) * CAST(sum(n_chars * n_chars) AS DOUBLE)
+                 - CAST(sum(n_chars) AS DOUBLE) * CAST(sum(n_chars) AS DOUBLE))
+                / (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE)) AS var_len
+         FROM documents GROUP BY source""",
+    // lift stays integer (n_ab·N, n_a·n_b) until the final ratio
+    "part_pair_lift" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+              pp AS (SELECT l_partkey AS pk, count(*) AS n_part
+                     FROM op GROUP BY 1),
+              tot AS (SELECT count(*) AS n_orders_total
+                      FROM (SELECT DISTINCT l_orderkey FROM op)),
+              pairs AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                               count(*) AS n_ab
+                        FROM op a JOIN op b
+                          ON a.l_orderkey = b.l_orderkey
+                         AND a.l_partkey < b.l_partkey
+                        GROUP BY 1, 2
+                        HAVING count(*) >= 3)
+         SELECT part_a, part_b, n_ab, pa.n_part AS n_a, pb.n_part AS n_b,
+                CAST(n_ab * n_orders_total AS DOUBLE)
+                / CAST(pa.n_part * pb.n_part AS DOUBLE) AS lift
+         FROM pairs, tot
+         JOIN pp pa ON part_a = pa.pk
+         JOIN pp pb ON part_b = pb.pk""",
+    // EXISTS / NOT EXISTS decorrelated into per-order integer counts
+    // over the deduped (order, supplier) pair table
+    "q21_waiting_suppliers" ->
+      """WITH pairs AS (
+           SELECT l_orderkey, l_suppkey,
+                  max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS ret
+           FROM lineitem GROUP BY 1, 2),
+              po AS (SELECT l_orderkey AS ok, count(*) AS n_supp,
+                            sum(ret) AS n_ret
+                     FROM pairs GROUP BY 1)
+         SELECT s_name AS supp_name, count(*) AS numwait
+         FROM pairs JOIN po ON l_orderkey = ok
+         JOIN supplier ON l_suppkey = s_suppkey
+         WHERE ret = 1 AND n_supp > 1 AND n_ret = 1
+         GROUP BY 1""",
     // avg-balance threshold cross-multiplied in DECIMAL (bal·cnt > total)
     "q22_idle_customers" ->
       """WITH cust AS (SELECT c_custkey, c_nationkey,

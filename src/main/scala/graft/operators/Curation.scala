@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 import graft.Tables
@@ -594,4 +595,57 @@ object Curation {
         (col("wq").cast("double") / col("w_tot").cast("double") * lit(budget)
           / col("n_tokens").cast("double")).as("epochs_at_budget"))
   }
+
+  /** Exact-k deterministic reservoir per source: the k documents with
+    * the smallest salted hash in each stratum — a fixed-size,
+    * engine-reproducible eval/inspection sample (unlike
+    * [[graft.operators.TextOps.stratifiedSample]]'s fixed-RATE gate).
+    * Two-phase so no single stratum ever serializes a window over its
+    * full membership: phase 1 ranks within (source, hash-bucket) — 16
+    * buckets split each stratum's window across the cluster — and
+    * keeps k per bucket; phase 2 re-ranks the surviving ≤ 16·k rows
+    * per source. The second window's partitions are parameter-bounded
+    * (16·k rows), so the classic per-group-window skew cliff never
+    * materializes at 100 TB.
+    */
+  def groupReservoirSample(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    val buckets = 16L
+    val h = conv(substring(md5(concat_ws(":", lit("rsv"),
+      col("doc_id").cast("string")).cast("binary")), 1, 15), 16, 10).cast("long")
+    val w1 = Window.partitionBy(col("source"), col("b"))
+      .orderBy(col("h"), col("doc_id"))
+    val w2 = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), h.as("h"))
+      .withColumn("b", pmod(col("h"), lit(buckets)))
+      .withColumn("r1", row_number().over(w1))
+      .filter(col("r1") <= k)
+      .withColumn("rank", row_number().over(w2).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("source"), col("rank"), col("doc_id"))
+  }
+
+  /** Mergeable per-source moments: the (n, Σ, Σx², min, max) tuple
+    * over document length that any partial can fold into any other —
+    * THE shape distributed telemetry must take, because mean/variance
+    * of partials don't merge but raw power sums do. All five
+    * accumulators are exact integers (n_chars ≤ ~10⁵ keeps Σx² far
+    * under 2⁶³ through petabyte corpora at this row width); the
+    * derived mean and variance are per-row divisions on the final
+    * #sources-row result, computed from the exact sums so every
+    * engine lands the same doubles.
+    */
+  def momentsBySource(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), col("n_chars"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_len"),
+        sum(col("n_chars") * col("n_chars")).as("sum_len2"),
+        min(col("n_chars")).as("min_len"), max(col("n_chars")).as("max_len"))
+      .select(col("source"), col("n"), col("sum_len"), col("sum_len2"),
+        col("min_len"), col("max_len"),
+        (col("sum_len").cast("double") / col("n").cast("double")).as("mean_len"),
+        ((col("n").cast("double") * col("sum_len2").cast("double")
+          - col("sum_len").cast("double") * col("sum_len").cast("double"))
+          / (col("n").cast("double") * col("n").cast("double"))).as("var_len"))
 }

@@ -587,4 +587,48 @@ object EventOps {
       .select(col("user_id"), col("exact_cnt"), col("cms_est"),
         (col("cms_est") - col("exact_cnt")).as("overcount"))
   }
+
+  /** User-lifespan histogram: how many users were active for exactly N
+    * distinct calendar days between their first and last event. The
+    * per-user rollup (first/last/active-day spread) is ONE hash
+    * aggregate keyed on user_id — min, max and the distinct-day count
+    * all ride the same exchange because days dedupe inside a collected
+    * set bounded by the observation window (≤ a few hundred distinct
+    * days), not by event volume. The outer histogram groups ≤ window
+    * days' worth of keys. All integer day arithmetic; no timestamp
+    * subtraction leaves the exact domain.
+    */
+  def eventsUserLifespan(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400L * 1000000L
+    Tables.events(spark, dir)
+      .select(col("user_id"), expr(s"unix_micros(ts) div ${dayUs}L").as("day"))
+      .groupBy(col("user_id"))
+      .agg(min(col("day")).as("first_day"), max(col("day")).as("last_day"),
+        size(collect_set(col("day"))).cast("long").as("active_days"))
+      .groupBy((col("last_day") - col("first_day")).as("lifespan_days"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("active_days")).as("sum_active_days"))
+  }
+
+  /** Inter-event dwell time per event type: the gap (whole seconds)
+    * between a user's consecutive events, rolled up by the type of the
+    * LATER event. The lag window partitions by user_id — a keyed,
+    * data-parallel window, not a global sort — and orders by
+    * (ts, event_id) so same-timestamp rows break ties
+    * deterministically. Gaps accumulate as exact integer seconds; the
+    * mean is one int/int double division per 6-row output.
+    */
+  def eventsDwellTime(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_us", lag(expr("unix_micros(ts)"), 1).over(w))
+      .filter(col("prev_us").isNotNull)
+      .select(col("event_type"),
+        expr("(unix_micros(ts) - prev_us) div 1000000L").as("gap_s"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"), sum(col("gap_s")).as("sum_gap_s"))
+      .withColumn("avg_gap_s",
+        col("sum_gap_s").cast("double") / col("n_gaps").cast("double"))
+  }
 }

@@ -387,6 +387,42 @@ object Relational {
       .agg(count(lit(1)).as("n_orders"))
       .filter(col("n_orders") >= 2)
 
+  /** Association lift over the co-purchase pairs: how much more often
+    * parts a and b share an order than independence predicts,
+    * lift = P(ab) / (P(a)·P(b)) = n_ab·N / (n_a·n_b). Everything but
+    * the final ratio stays in exact integers: the pair table reuses
+    * [[copurchasePairs]]' sorted-set explode, per-part order counts
+    * come off the same per-order part sets, and the order total N is a
+    * 1-row broadcast scalar. n_ab·N tops out near |orders|² — under
+    * 2⁶³ until ~3·10⁹ orders, far past this schema's realistic reach.
+    * The per-part count table joins twice (once per endpoint); both
+    * probes are key-partitioned hash joins on the part id.
+    */
+  def partPairLift(spark: SparkSession, dir: String): DataFrame = {
+    val orderSets = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+    val perPart = orderSets.select(explode(col("ps")).as("pk"))
+      .groupBy(col("pk")).agg(count(lit(1)).as("n_part"))
+    val total = orderSets.agg(count(lit(1)).as("n_orders_total"))
+    orderSets
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+           transform(slice(ps, i + 2, size(ps) - i - 1),
+                     y -> struct(x AS part_a, y AS part_b))))""")).as("p"))
+      .groupBy(col("p.part_a").as("part_a"), col("p.part_b").as("part_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 3)
+      .join(perPart.withColumnRenamed("n_part", "n_a"), col("part_a") === col("pk"))
+      .drop("pk")
+      .join(perPart.withColumnRenamed("n_part", "n_b"), col("part_b") === col("pk"))
+      .drop("pk")
+      .crossJoin(broadcast(total))
+      .select(col("part_a"), col("part_b"), col("n_ab"), col("n_a"), col("n_b"),
+        ((col("n_ab") * col("n_orders_total")).cast("double")
+          / (col("n_a") * col("n_b")).cast("double")).as("lift"))
+  }
+
   /** Triangle count over the co-purchase graph — the classic
     * distributed graph-analytics kernel. Edges are the a<b co-purchase
     * pairs (already canonically oriented), so each triangle {a<b<c} is
@@ -988,6 +1024,210 @@ object Relational {
     * customer, and the "no recent orders" test is a LEFT ANTI hash
     * join (the reference's Task-F composition, SURVEY §2 J4).
     */
+  /** TPC-H Q2 shape (min-cost supplier): for each part of one
+    * size/type family, the supplier(s) offering the lowest unit price.
+    * The testdata has no `partsupp`, so the offer book is derived from
+    * observed lineitem rows: unit price = l_extendedprice / l_quantity
+    * (IEEE double division — bit-identical on both engines), MIN'd per
+    * (part, supplier) and then per part. Ties keep every tied supplier,
+    * as the real Q2 does. One shuffle on (part, supp) feeds the offer
+    * aggregate; the per-part MIN is a window over the part prefix of
+    * the same key, and the 10-row supplier+nation dim broadcasts.
+    */
+  def q2MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.part(spark, dir)
+      .filter(col("p_type") === "LARGE" && col("p_size") <= 10)
+      .select(col("p_partkey"))
+    val offers = Tables.lineitem(spark, dir)
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"), "left_semi")
+      .filter(col("l_quantity") > 0)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_price"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("l_partkey"))
+    val suppNation = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+    offers
+      .withColumn("best", min(col("unit_price")).over(w))
+      .filter(col("unit_price") === col("best"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_partkey").as("partkey"), col("s_name").as("supp_name"),
+        col("n_name").as("supp_nation"), col("unit_price"))
+  }
+
+  /** TPC-H Q9 shape (product-type profit by nation and year): revenue
+    * from one part family, rolled up by the supplying nation and ship
+    * year. Without `partsupp` the profit term is plain discounted
+    * revenue. The part filter broadcasts as a semi join ahead of the
+    * fact scan (only matching lines survive to the agg), supplier →
+    * nation is a broadcast dim, and the single wide shuffle is the
+    * (nation, year) rollup with map-side partials over DECIMAL.
+    */
+  def q9ProfitByNation(spark: SparkSession, dir: String): DataFrame = {
+    val stdParts = Tables.part(spark, dir)
+      .filter(col("p_type") === "STANDARD").select(col("p_partkey"))
+    val suppNation = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(stdParts), col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("n_name").as("nation"), year(col("l_shipdate")).as("o_year"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(18,4)")).cast("double").as("sum_profit"))
+  }
+
+  /** TPC-H Q11 shape (important stock): parts whose total traded value
+    * through one nation's suppliers exceeds a fixed fraction of that
+    * nation's total. `partsupp` value is stood in by summed
+    * l_extendedprice. The fraction threshold is cross-multiplied in
+    * DECIMAL (value · 1000 > total) so no double rounding flips a
+    * boundary part. The per-part aggregate is the one real shuffle;
+    * the national total is a 1-row broadcast back over it — the
+    * reference's Task-H temp-file scalar re-read done in-plan.
+    */
+  def q11ImportantParts(spark: SparkSession, dir: String): DataFrame = {
+    val natSupp = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir).filter(col("n_name") === "NATION_3")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val perPart = Tables.lineitem(spark, dir)
+      .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("l_partkey").as("partkey"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("value_dec"))
+    val total = perPart.agg(sum(col("value_dec")).as("total_dec"))
+    perPart.crossJoin(broadcast(total))
+      .filter(col("value_dec") * 1000 > col("total_dec"))
+      .select(col("partkey"), col("value_dec").cast("double").as("value"))
+  }
+
+  /** TPC-H Q12 shape (shipping-priority audit): per lineitem class
+    * (return flag stands in for the missing ship mode), how many 1997
+    * lines belong to critical-priority orders vs not. Orders project to
+    * (key, 1-bit priority) before the join, so the orderkey shuffle
+    * moves two narrow columns; the final rollup has 3 groups.
+    */
+  def q12PriorityClasses(spark: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1997-01-01").cast("timestamp_ntz")
+    val hi = lit("1998-01-01").cast("timestamp_ntz")
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("is_high"))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .select(col("l_orderkey"), col("l_returnflag"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("is_high"), 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(col("is_high"), 0L).otherwise(1L)).as("low_line_count"))
+  }
+
+  /** TPC-H Q14 shape (promotion effect): the percentage of one year's
+    * revenue earned by PROMO-type parts. Numerator and denominator
+    * accumulate in DECIMAL inside ONE aggregate over the
+    * part-classified fact rows (no second scan); the 100·promo/total
+    * division happens once, on the final 1-row result. The part dim
+    * broadcasts with just (key, is-promo bit).
+    */
+  def q14PromoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1997-01-01").cast("timestamp_ntz")
+    val hi = lit("1998-01-01").cast("timestamp_ntz")
+    val partKind = Tables.part(spark, dir)
+      .select(col("p_partkey"), (col("p_type") === "PROMO").as("is_promo"))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .join(broadcast(partKind), col("l_partkey") === col("p_partkey"))
+      .select((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(18,4)").as("rev"), col("is_promo"))
+      .agg(
+        sum(when(col("is_promo"), col("rev"))
+          .otherwise(lit(0).cast("decimal(18,4)"))).as("promo_dec"),
+        sum(col("rev")).as("total_dec"))
+      .select((lit(100.0) * col("promo_dec").cast("double")
+        / col("total_dec").cast("double")).as("promo_revenue_pct"))
+  }
+
+  /** TPC-H Q16 shape (part/supplier relationship count): how many
+    * distinct suppliers have shipped each (brand, type, size) family,
+    * excluding one brand. Supplier evidence comes from lineitem (no
+    * `partsupp`): the (part, supp) pairs dedupe in a first aggregate
+    * keyed on the pair — map-side partials collapse the fact table's
+    * repetition before the exchange — and the count-distinct then
+    * rolls up by the part attributes with plain COUNT.
+    */
+  def q16SupplierCnt(spark: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.part(spark, dir)
+      .filter(col("p_brand") =!= "Brand#11")
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(count(lit(1)).as("supplier_cnt"))
+  }
+
+  /** TPC-H Q20 shape (excess shippers): suppliers whose 1997 shipped
+    * quantity of PROMO parts beats the cross-supplier average —
+    * `partsupp.availqty` stood in by observed shipments. The average
+    * threshold is cross-multiplied (qty · n > total) over exact
+    * DECIMAL sums; the 1-row global aggregate broadcasts back over the
+    * 10-row per-supplier frame, and supplier + nation names resolve
+    * from broadcast dims.
+    */
+  def q20ExcessSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1997-01-01").cast("timestamp_ntz")
+    val hi = lit("1998-01-01").cast("timestamp_ntz")
+    val promoParts = Tables.part(spark, dir)
+      .filter(col("p_type") === "PROMO").select(col("p_partkey"))
+    val perSupp = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .join(broadcast(promoParts), col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("qty_dec"))
+    val avg = perSupp.agg(sum(col("qty_dec")).as("qty_total"),
+      count(lit(1)).as("n_supp"))
+    val suppNation = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+    perSupp.crossJoin(broadcast(avg))
+      .filter(col("qty_dec") * col("n_supp") > col("qty_total"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_name").as("supp_name"), col("n_name").as("supp_nation"),
+        col("qty_dec").cast("double").as("promo_qty"))
+  }
+
+  /** TPC-H Q21 shape (suppliers who kept orders waiting): with no
+    * commit/receipt dates in this schema, the "at fault" marker is a
+    * returned line (l_returnflag = 'R'). A supplier waits-counts an
+    * order when it returned a line there, at least one OTHER supplier
+    * participated, and NO other supplier returned. Both existence
+    * tests run on the deduped (order, supplier) pair table — one
+    * aggregate keyed on the pair collapses the fact rows, then a
+    * per-order rollup (suppliers seen / suppliers who returned) turns
+    * the correlated EXISTS / NOT EXISTS into two integer compares,
+    * joined back orderkey-to-orderkey. No self-join fanout.
+    */
+  def q21WaitingSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("ret"))
+    val perOrder = pairs.groupBy(col("l_orderkey").as("ok"))
+      .agg(count(lit(1)).as("n_supp"), sum(col("ret")).as("n_ret"))
+    pairs.filter(col("ret") === 1)
+      .join(perOrder, col("l_orderkey") === col("ok"))
+      // someone else participated, and this supplier is the ONLY returner
+      .filter(col("n_supp") > 1 && col("n_ret") === 1)
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(Tables.supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_name").as("supp_name"), col("numwait"))
+  }
+
   def q22IdleCustomers(spark: SparkSession, dir: String): DataFrame = {
     val cutoff = lit("2000-01-01").cast("timestamp_ntz")
     val cust = Tables.customer(spark, dir)

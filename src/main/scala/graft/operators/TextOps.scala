@@ -1161,4 +1161,65 @@ object TextOps {
       .withColumn("pos", (row_number().over(w) - 1).cast("long"))
       .select(col("doc_id"), col("shard"), col("pos"))
   }
+
+  /** Zipf-slope fit over the top-500 token frequencies: least-squares
+    * slope of ln(freq) against ln(rank) — the corpus-health scalar
+    * (natural text ≈ −1) a curation run tracks per snapshot. The top-k
+    * select is a `TakeOrderedAndProject` (per-partition heaps, no
+    * global sort); ranks come from a row_number over the 500 surviving
+    * rows. Both logs quantize to exact micro-nat BIGINTs
+    * (floor(ln·10⁶) — the [[docPerplexity]] trick, since ln can differ
+    * across engines in the last ulp) so every aggregate is an exact
+    * integer sum; the one double expression is the final slope ratio
+    * over those integer sums.
+    */
+  def tokenZipfFit(spark: SparkSession, dir: String, k: Int = 500): DataFrame = {
+    val top = Tables.documentsSpread(spark, dir)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(k)
+    val w = Window.orderBy(col("cnt").desc, col("token"))
+    top
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(
+        floor(log(col("rank").cast("double")) * lit(1000000.0)).cast("long").as("x"),
+        floor(log(col("cnt").cast("double")) * lit(1000000.0)).cast("long").as("y"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("n"),
+        ((col("n").cast("double") * col("sxy").cast("double")
+          - col("sx").cast("double") * col("sy").cast("double"))
+          / (col("n").cast("double") * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double")))
+          .as("zipf_slope"))
+  }
+
+  /** Heaps'-law vocabulary growth curve: distinct-token and total-token
+    * counts at doc-id milestones (16 … 16384) — the saturation curve
+    * that tells a pipeline whether more data still buys vocabulary.
+    * Each token's FIRST document (min doc_id, one hash aggregate on the
+    * token key) is the only corpus-sized state; milestone membership
+    * then explodes from a 6-element literal array filtered per row —
+    * no join against a milestone table, ≤ 6× fanout of two narrow
+    * aggregates, and the final milestone⋈milestone stitch is 6 rows a
+    * side.
+    */
+  def vocabGrowthCurve(spark: SparkSession, dir: String): DataFrame = {
+    val milestones = Seq(16L, 64L, 256L, 1024L, 4096L, 16384L)
+    val ms = typedLit(milestones)
+    def reached(c: Column) = explode(filter(ms, m => c <= m)).as("milestone")
+    val perDoc = Tables.documentsSpread(spark, dir)
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_toks"))
+    val volume = perDoc
+      .select(reached(col("doc_id")), col("n_toks"))
+      .groupBy(col("milestone"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("total_tokens"))
+    val vocab = Tables.documentsSpread(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("token"))
+      .groupBy(col("token")).agg(min(col("doc_id")).as("first_doc"))
+      .select(reached(col("first_doc")))
+      .groupBy(col("milestone"))
+      .agg(count(lit(1)).as("distinct_tokens"))
+    volume.join(vocab, Seq("milestone"))
+  }
 }

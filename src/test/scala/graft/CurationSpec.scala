@@ -489,4 +489,37 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
     assert(got("src2")._3 > 0.2 && got("src0")._3 < 0.4)
     assert(math.abs(got.values.map(_._3).sum - 1.0) < 1e-12)
   }
+
+  test("groupReservoirSample: k beyond a stratum's size keeps the whole stratum with contiguous ranks") {
+    // fixture strata: src0 = {0,1}, src1 = {2,3}, src2 = {4}; k = 50
+    // exceeds every stratum so ALL docs survive — and each stratum's
+    // ranks must be exactly 1..n (the two-phase rank must not skip)
+    val rows = operators.Curation.groupReservoirSample(spark, fixtureDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(t => (t._1, t._3)).toSet ===
+      Set(("src0", 0L), ("src0", 1L), ("src1", 2L), ("src1", 3L), ("src2", 4L)))
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      assert(g.map(_._2).sorted.toSeq === (1L to g.length.toLong))
+    }
+    // exact-k: k=1 keeps exactly one doc per stratum
+    val k1 = operators.Curation.groupReservoirSample(spark, fixtureDir, k = 1)
+      .collect()
+    assert(k1.length === 3 && k1.forall(_.getLong(1) === 1L))
+  }
+
+  test("momentsBySource: power sums are exact and the derived moments match hand math") {
+    val la = Fixtures.DocA.length.toLong
+    val lc = Fixtures.DocC.length.toLong
+    val ld = Fixtures.DocD.length.toLong
+    val got = operators.Curation.momentsBySource(spark, fixtureDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val s0 = got("src0") // two DocA copies: zero variance
+    assert(s0.getLong(1) === 2L && s0.getLong(2) === 2 * la)
+    assert(s0.getLong(3) === 2 * la * la)
+    assert(s0.getDouble(6) === la.toDouble && s0.getDouble(7) === 0.0)
+    val s1 = got("src1") // DocC, DocD
+    assert(s1.getLong(4) === math.min(lc, ld) && s1.getLong(5) === math.max(lc, ld))
+    val mean = (lc + ld).toDouble / 2.0
+    assert(math.abs(s1.getDouble(6) - mean) < 1e-12)
+  }
 }

@@ -319,4 +319,22 @@ class EventOpsSpec extends AnyFunSuite with SparkFixture {
     assert(r.getLong(2) >= 12L && r.getLong(2) <= 16L) // admissible, ≤ stream length
     assert(r.getLong(3) === r.getLong(2) - 12L)
   }
+
+  test("eventsUserLifespan: last-first day spread with distinct active days") {
+    // user 1: events at ref and ref-20d → lifespan 20, 2 active days;
+    // user 2: ref-14d and ref-30d → lifespan 16, 2 active days
+    val got = EventOps.eventsUserLifespan(spark, fixtureDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map(20L -> ((1L, 2L)), 16L -> ((1L, 2L))))
+  }
+
+  test("eventsDwellTime: gaps attribute to the LATER event's type in exact seconds") {
+    // user 1: click(-20d) → view(ref): 20d gap under "view";
+    // user 2: error(-30d) → view(-14d): 16d gap under "view"
+    val got = EventOps.eventsDwellTime(spark, fixtureDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    val day = 86400L
+    assert(got === Map("view" -> ((2L, 36L * day, 18.0 * day))))
+  }
 }

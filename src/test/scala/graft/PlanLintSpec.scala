@@ -45,7 +45,14 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
     "doc_knn_tfidf" -> "1-row corpus-count scalar kept in-plan as a broadcast crossJoin against the vocabulary-bounded df table",
     "ann_recall" -> "inherits similarity_topk's 10-query broadcast side and similarity_ann_pq's LUT shape (both whitelisted), plus a 1-row possible-total scalar crossJoin",
     "bm25_search" -> "1-row corpus-stats scalar (N, total tokens) kept in-plan as a broadcast crossJoin against the vocabulary-bounded df table (same shape as doc_knn_tfidf)",
-    "token_pmi" -> "1-row corpus-totals scalar (token/pair counts) kept in-plan as a broadcast crossJoin against the vocabulary²-bounded bigram table"
+    "token_pmi" -> "1-row corpus-totals scalar (token/pair counts) kept in-plan as a broadcast crossJoin against the vocabulary²-bounded bigram table",
+    "q22_idle_customers" -> "1-row positive-balance-average scalar kept in-plan as a broadcast crossJoin (the reference's Task-H temp-file scalar, SURVEY §2 S5)",
+    "user_cms_topk" -> "1-row corpus-total scalar (heavy-hitter gate) kept in-plan as a broadcast crossJoin; the CMS grid itself broadcasts as a 3x64 hash join",
+    "mixture_temperature" -> "1-row weight/corpus-total scalar kept in-plan as a broadcast crossJoin against the per-source table (bounded by #sources)",
+    "embedding_random_projection" -> "dim x k sign-matrix cartesian: |dims| x 16 rows, bounded by the embedding dimension, not the data",
+    "q11_important_parts" -> "1-row national-total scalar kept in-plan as a broadcast crossJoin over the per-part value table",
+    "q20_excess_suppliers" -> "1-row cross-supplier total/count scalar kept in-plan as a broadcast crossJoin over the supplier-bounded quantity table",
+    "part_pair_lift" -> "1-row order-total scalar (the lift numerator's N) kept in-plan as a broadcast crossJoin over the thresholded pair table"
     // dropped round 7 (stale — plans improved out from under the rows):
     //   pi_montecarlo: ConvertToLocalRelation folds the seeded-parameter
     //   crossJoin away entirely; contamination_check: the benchmark-gram
@@ -84,7 +91,16 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
     "ann_recall" -> "final pass of the possible-total scalar aggregate over the queries×k exact top-k rows: one partial row per upstream partition",
     "bm25_search" -> "final pass of the corpus-stats scalar aggregate (N, total tokens) over the doc-length table: one partial row per upstream partition",
     "token_pmi" -> "final pass of the corpus-totals scalar aggregate over the vocabulary-bounded unigram/bigram tables: one partial row per upstream partition",
-    "q6_forecast_revenue" -> "final pass of the Q6 scalar aggregate: one partial row per upstream partition (the query IS a global sum)"
+    "q6_forecast_revenue" -> "final pass of the Q6 scalar aggregate: one partial row per upstream partition (the query IS a global sum)",
+    "q11_important_parts" -> "final pass of the national-total scalar aggregate over the per-part value table: one partial row per upstream partition",
+    "q14_promo_revenue" -> "final pass of the promo/total scalar aggregate (the query IS a global ratio): one partial row per upstream partition",
+    "q15_top_supplier" -> "final pass of the global-max scalar aggregate over the supplier-bounded revenue table: one partial row per upstream partition",
+    "q17_small_qty_revenue" -> "final pass of the avg_yearly scalar aggregate (the query IS a global sum): one partial row per upstream partition",
+    "q20_excess_suppliers" -> "final pass of the cross-supplier total/count scalar aggregate over the supplier-bounded quantity table: one partial row per upstream partition",
+    "q22_idle_customers" -> "final pass of the positive-balance-average scalar aggregate: one partial row per upstream partition",
+    "user_cms_topk" -> "final pass of the corpus-total scalar aggregate (heavy-hitter gate): one partial row per upstream partition",
+    "mixture_temperature" -> "final pass of the weight/corpus-total scalar aggregate over the per-source table (≤ #sources rows): one partial row per upstream partition",
+    "part_pair_lift" -> "final pass of the order-total scalar aggregate: one partial row per upstream partition"
   )
 
   // One plan sweep shared by all three tests: name → (plans nested-loop?,

@@ -417,4 +417,123 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     val got = rows(Relational.q22IdleCustomers(spark, dir))
     assert(got === Set(Row(0, 1L, 8.0)))
   }
+
+  test("q2: unit-price ties at a part's minimum keep BOTH suppliers") {
+    import spark.implicits._
+    val dir = scratchDir("graft-q2")
+    val d = java.time.LocalDateTime.of(1997, 6, 1, 0, 0)
+    Seq((1L, "a", "Brand#1", "LARGE", 5, 1.0),   // in family
+        (2L, "b", "Brand#1", "LARGE", 50, 1.0))  // size > 10 → out
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    Seq((1L, "s_one", 0, 0.0), (2L, "s_two", 0, 0.0), (3L, "s_three", 0, 0.0))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    Seq((0, "NATION_0", 0)).toDF("n_nationkey", "n_name", "n_regionkey")
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    Seq(
+      // part 1: supp 1 offers 2.0 (4/2), supp 2 ties at 2.0 (6/3 and a
+      // worse 5.0 offer that the per-supplier MIN discards), supp 3 at 3.0
+      (1L, 1L, 1L, 1, 2.0, 4.0, 0.0, 0.0, "N", "O", d),
+      (2L, 1L, 2L, 1, 3.0, 6.0, 0.0, 0.0, "N", "O", d),
+      (3L, 1L, 2L, 1, 1.0, 5.0, 0.0, 0.0, "N", "O", d),
+      (4L, 1L, 3L, 1, 1.0, 3.0, 0.0, 0.0, "N", "O", d),
+      // excluded part: cheap offer must not leak in
+      (5L, 2L, 3L, 1, 1.0, 0.5, 0.0, 0.0, "N", "O", d))
+      .toDF(liCols: _*).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = rows(Relational.q2MinCostSupplier(spark, dir))
+    assert(got === Set(
+      Row(1L, "s_one", "NATION_0", 2.0), Row(1L, "s_two", "NATION_0", 2.0)))
+  }
+
+  test("q21: a supplier waits-counts only multi-supplier orders where it is the SOLE returner") {
+    import spark.implicits._
+    val dir = scratchDir("graft-q21")
+    val d = java.time.LocalDateTime.of(1997, 6, 1, 0, 0)
+    Seq((1L, "s_one", 0, 0.0), (2L, "s_two", 0, 0.0))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    Seq(
+      // order 1: supp 1 returns, supp 2 clean → supp 1 counts it
+      (1L, 1L, 1L, 1, 1.0, 1.0, 0.0, 0.0, "R", "O", d),
+      (1L, 1L, 2L, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", d),
+      // order 2: both return → neither is the sole returner
+      (2L, 1L, 1L, 1, 1.0, 1.0, 0.0, 0.0, "R", "O", d),
+      (2L, 1L, 2L, 2, 1.0, 1.0, 0.0, 0.0, "R", "O", d),
+      // order 3: supp 2 returns but is the ONLY supplier → no wait
+      (3L, 1L, 2L, 1, 1.0, 1.0, 0.0, 0.0, "R", "O", d),
+      // order 4: supp 2 returns on one line, is clean on another, supp 1
+      // clean → per-pair dedup must still count supp 2 exactly once
+      (4L, 1L, 2L, 1, 1.0, 1.0, 0.0, 0.0, "R", "O", d),
+      (4L, 1L, 2L, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", d),
+      (4L, 1L, 1L, 3, 1.0, 1.0, 0.0, 0.0, "N", "O", d))
+      .toDF(liCols: _*).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = rows(Relational.q21WaitingSuppliers(spark, dir))
+    assert(got === Set(Row("s_one", 1L), Row("s_two", 1L)))
+  }
+
+  test("q16: supplier count dedupes repeat shipments and excludes the blocked brand") {
+    import spark.implicits._
+    val dir = scratchDir("graft-q16")
+    val d = java.time.LocalDateTime.of(1997, 6, 1, 0, 0)
+    Seq((1L, "a", "Brand#1", "LARGE", 5, 1.0),
+        (2L, "b", "Brand#11", "LARGE", 5, 1.0)) // blocked brand
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    Seq(
+      // part 1 shipped twice by supp 1, once by supp 2 → 2 suppliers
+      (1L, 1L, 1L, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", d),
+      (2L, 1L, 1L, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", d),
+      (3L, 1L, 2L, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", d),
+      // blocked brand must not appear at all
+      (4L, 2L, 1L, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", d))
+      .toDF(liCols: _*).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = rows(Relational.q16SupplierCnt(spark, dir))
+    assert(got === Set(Row("Brand#1", "LARGE", 5, 2L)))
+  }
+
+  test("q11: the value threshold is strict and scoped to the chosen nation's suppliers") {
+    import spark.implicits._
+    val dir = scratchDir("graft-q11")
+    val d = java.time.LocalDateTime.of(1997, 6, 1, 0, 0)
+    Seq((1L, "s_in", 3, 0.0), (2L, "s_out", 0, 0.0))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    Seq((3, "NATION_3", 0), (0, "NATION_0", 0))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    Seq(
+      // nation-3 supplier: part 1 value 999000, part 2 value 1000 →
+      // total 10**6; threshold value·1000 > total keeps ONLY part 1
+      // (part 2 sits exactly AT the boundary: 1000·1000 = 10**6)
+      (1L, 1L, 1L, 1, 1.0, 999000.0, 0.0, 0.0, "N", "O", d),
+      (2L, 2L, 1L, 1, 1.0, 1000.0, 0.0, 0.0, "N", "O", d),
+      // other-nation supplier's huge line must not count
+      (3L, 2L, 2L, 1, 1.0, 5e6, 0.0, 0.0, "N", "O", d))
+      .toDF(liCols: _*).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = rows(Relational.q11ImportantParts(spark, dir))
+    assert(got === Set(Row(1L, 999000.0)))
+  }
+
+  test("partPairLift: lift is n_ab·N / (n_a·n_b) over deduped order part-sets") {
+    import spark.implicits._
+    val dir = scratchDir("graft-lift")
+    val d = java.time.LocalDateTime.of(1997, 6, 1, 0, 0)
+    // orders: {1,2} ×3 (one with a duplicate line of part 1 — the set
+    // dedupes it), {1,3} ×1 → pair (1,2) n_ab=3 survives the ≥3 gate;
+    // (1,3) n_ab=1 does not. N=4, n_1=4, n_2=3 → lift = 3·4/(4·3) = 1.
+    Seq(
+      (1L, 1L, 1L, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", d),
+      (1L, 1L, 1L, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", d), // dup line
+      (1L, 2L, 1L, 3, 1.0, 1.0, 0.0, 0.0, "N", "O", d),
+      (2L, 1L, 1L, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", d),
+      (2L, 2L, 1L, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", d),
+      (3L, 1L, 1L, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", d),
+      (3L, 2L, 1L, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", d),
+      (4L, 1L, 1L, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", d),
+      (4L, 3L, 1L, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", d))
+      .toDF(liCols: _*).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = rows(Relational.partPairLift(spark, dir))
+    assert(got === Set(Row(1L, 2L, 3L, 4L, 3L, 1.0)))
+  }
 }

@@ -433,4 +433,25 @@ class TextOpsSpec extends AnyFunSuite with SparkFixture {
     assert(got(1L) === ((3L, 2L, 666666L)))
     assert(got(2L) === ((3L, 3L, 1000000L)))
   }
+
+  test("tokenZipfFit: negative slope over the fixture's skewed frequencies") {
+    // fixture vocabulary: w1..w39 ×4, w40 ×3, zz + x1..x40 ×1 → 81
+    // distinct tokens, frequencies strictly decreasing in rank
+    val r = TextOps.tokenZipfFit(spark, fixtureDir).collect().head
+    assert(r.getLong(0) === 81L)
+    val slope = r.getDouble(1)
+    assert(slope < 0.0 && slope > -5.0)
+  }
+
+  test("vocabGrowthCurve: all fixture docs fall inside every milestone") {
+    // doc_ids 0..4 ≤ 16 → each milestone sees the whole corpus:
+    // 5 docs, 200 tokens, 81 distinct
+    val rows = TextOps.vocabGrowthCurve(spark, fixtureDir).collect()
+    assert(rows.length === 6)
+    rows.foreach { r =>
+      assert(r.getLong(1) === 5L)
+      assert(r.getLong(2) === 200L)
+      assert(r.getLong(3) === 81L)
+    }
+  }
 }
