@@ -143,6 +143,11 @@ object SparkEntry {
     "group_reservoir_sample" -> ((s: SparkSession, d: String) => Curation.groupReservoirSample(s, d)),
     "moments_by_source"      -> Curation.momentsBySource _,
     "part_pair_lift"         -> Relational.partPairLift _,
+    "event_rate_mad"         -> EventOps.eventRateMad _,
+    "ab_test_chi2"           -> EventOps.abTestChi2 _,
+    "event_trigram_paths"    -> EventOps.eventTrigramPaths _,
+    "price_quantity_ols"     -> Relational.priceQuantityOls _,
+    "referential_integrity_audit" -> Relational.referentialIntegrityAudit _,
     "mixture_temperature"    -> Curation.mixtureTemperature _,
     "orders_delta_agg"       -> Relational.ordersDeltaAgg _,
     "events_incident_overlap" -> EventOps.eventsIncidentOverlap _,
@@ -2090,6 +2095,121 @@ object SparkEntry {
                  - CAST(sum(n_chars) AS DOUBLE) * CAST(sum(n_chars) AS DOUBLE))
                 / (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE)) AS var_len
          FROM documents GROUP BY source""",
+    // counts are exact integer doubles and 0.5 is exactly
+    // representable, so both interpolated medians replay exactly
+    "event_rate_mad" ->
+      """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                               count(*) AS cnt
+                        FROM events GROUP BY 1, 2),
+              med AS (SELECT event_type AS t1, quantile_cont(cnt, 0.5) AS med
+                      FROM daily GROUP BY 1),
+              dev AS (SELECT event_type, abs(CAST(cnt AS DOUBLE) - med) AS dev,
+                             med
+                      FROM daily JOIN med ON event_type = t1),
+              mad AS (SELECT event_type AS t2, quantile_cont(dev, 0.5) AS mad
+                      FROM dev GROUP BY 1)
+         SELECT event_type, count(*) AS n_days, max(med) AS med,
+                max(mad) AS mad,
+                CAST(sum(CASE WHEN dev > 3.0 * mad THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_anomalous_days
+         FROM dev JOIN mad ON event_type = t2
+         GROUP BY 1""",
+    // χ² computed IN double from the four exact integer cells:
+    // (ad−bc)² overflows BIGINT past ~10⁹ users
+    "ab_test_chi2" ->
+      """WITH ev AS (SELECT ('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 7))::BIGINT % 2 AS variant,
+                            CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p
+                     FROM events),
+              cells AS (
+           SELECT CAST(sum(CASE WHEN variant = 0 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                  CAST(sum(CASE WHEN variant = 0 AND p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+                  CAST(sum(CASE WHEN variant = 1 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+                  CAST(sum(CASE WHEN variant = 1 AND p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+           FROM ev)
+         SELECT a, b, c, d,
+                CASE WHEN CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+                          * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE) <> 0.0
+                     THEN CAST(a + b + c + d AS DOUBLE)
+                          * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                             - CAST(b AS DOUBLE) * CAST(c AS DOUBLE))
+                          * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                             - CAST(b AS DOUBLE) * CAST(c AS DOUBLE))
+                          / (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+                             * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE))
+                     END AS chi2
+         FROM cells""",
+    "event_trigram_paths" ->
+      """SELECT t1 || '>' || t2 || '>' || event_type AS path, count(*) AS n
+         FROM (SELECT event_type,
+                      lag(event_type, 2) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id) AS t1,
+                      lag(event_type, 1) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id) AS t2
+               FROM events)
+         WHERE t1 IS NOT NULL
+         GROUP BY 1""",
+    // both coordinates quantize to exact integers before aggregation;
+    // slope/intercept are per-row double expressions over BIGINT sums
+    "price_quantity_ols" ->
+      """WITH pts AS (SELECT p_brand, CAST(l_quantity AS BIGINT) AS x,
+                             CAST(floor(l_extendedprice * 100.0) AS BIGINT) AS y
+                      FROM lineitem JOIN part ON l_partkey = p_partkey),
+              s AS (SELECT p_brand, count(*) AS n,
+                           CAST(sum(x) AS BIGINT) AS sx,
+                           CAST(sum(y) AS BIGINT) AS sy,
+                           CAST(sum(x * y) AS BIGINT) AS sxy,
+                           CAST(sum(x * x) AS BIGINT) AS sxx
+                    FROM pts GROUP BY 1)
+         SELECT p_brand, n,
+                (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  AS slope_cents_per_unit,
+                (CAST(sy AS DOUBLE)
+                 - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   * CAST(sx AS DOUBLE))
+                / CAST(n AS DOUBLE) AS intercept_cents
+         FROM s""",
+    "referential_integrity_audit" ->
+      """SELECT 'lineitem.orderkey->orders' AS edge,
+                count(DISTINCT l_orderkey) AS n_keys,
+                CAST(count(DISTINCT CASE WHEN o_orderkey IS NULL
+                                         THEN l_orderkey END) AS BIGINT) AS n_orphans
+         FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+         UNION ALL
+         SELECT 'lineitem.partkey->part', count(DISTINCT l_partkey),
+                CAST(count(DISTINCT CASE WHEN p_partkey IS NULL
+                                         THEN l_partkey END) AS BIGINT)
+         FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+         UNION ALL
+         SELECT 'lineitem.suppkey->supplier', count(DISTINCT l_suppkey),
+                CAST(count(DISTINCT CASE WHEN s_suppkey IS NULL
+                                         THEN l_suppkey END) AS BIGINT)
+         FROM lineitem LEFT JOIN supplier ON l_suppkey = s_suppkey
+         UNION ALL
+         SELECT 'orders.custkey->customer', count(DISTINCT o_custkey),
+                CAST(count(DISTINCT CASE WHEN c_custkey IS NULL
+                                         THEN o_custkey END) AS BIGINT)
+         FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+         UNION ALL
+         SELECT 'customer.nationkey->nation', count(DISTINCT c_nationkey),
+                CAST(count(DISTINCT CASE WHEN n_nationkey IS NULL
+                                         THEN c_nationkey END) AS BIGINT)
+         FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+         UNION ALL
+         SELECT 'supplier.nationkey->nation', count(DISTINCT s_nationkey),
+                CAST(count(DISTINCT CASE WHEN n_nationkey IS NULL
+                                         THEN s_nationkey END) AS BIGINT)
+         FROM supplier LEFT JOIN nation ON s_nationkey = n_nationkey
+         UNION ALL
+         SELECT 'nation.regionkey->region', count(DISTINCT n_regionkey),
+                CAST(count(DISTINCT CASE WHEN r_regionkey IS NULL
+                                         THEN n_regionkey END) AS BIGINT)
+         FROM nation LEFT JOIN region ON n_regionkey = r_regionkey""",
     // lift stays integer (n_ab·N, n_a·n_b) until the final ratio
     "part_pair_lift" ->
       """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

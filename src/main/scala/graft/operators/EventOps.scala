@@ -610,6 +610,94 @@ object EventOps {
         sum(col("active_days")).as("sum_active_days"))
   }
 
+  /** Robust per-type rate anomaly via median absolute deviation — the
+    * outlier-resistant twin of [[eventRateAnomaly]]'s z-score (one bad
+    * day inflates a stddev but barely moves the MAD). Daily counts per
+    * type are the only corpus-sized aggregate; the median and MAD
+    * passes run over the ≤ types × days summary (hundreds of rows).
+    * Counts are exact integer doubles and 0.5 is exactly
+    * representable, so the interpolated medians — and the 3·MAD
+    * gate — replay bit-for-bit in the oracle's quantile_cont.
+    */
+  def eventRateMad(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400L * 1000000L
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"), expr(s"unix_micros(ts) div ${dayUs}L").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val med = daily.groupBy(col("event_type").as("t1"))
+      .agg(percentile(col("cnt"), lit(0.5)).as("med"))
+    val withDev = daily.join(broadcast(med), col("event_type") === col("t1"))
+      .withColumn("dev", abs(col("cnt").cast("double") - col("med")))
+    val mad = withDev.groupBy(col("event_type").as("t2"))
+      .agg(percentile(col("dev"), lit(0.5)).as("mad"))
+    withDev.join(broadcast(mad), col("event_type") === col("t2"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), max(col("med")).as("med"),
+        max(col("mad")).as("mad"),
+        sum(when(col("dev") > lit(3.0) * col("mad"), 1L).otherwise(0L))
+          .as("n_anomalous_days"))
+  }
+
+  /** Two-variant A/B readout with a chi-square independence statistic:
+    * users split by a deterministic hash gate, outcome = whether each
+    * event is a purchase (event-level, not per-user conversion — on
+    * this data every user eventually purchases, which would collapse
+    * one margin of a per-user table to zero). The 2×2 cells are one
+    * hash aggregate; the χ² is a single double expression over the
+    * four exact integer cells (each < 2⁵³, so the int→double
+    * conversions are exact — the products are computed IN double
+    * because (ad−bc)² overflows BIGINT past ~10⁹ events). A
+    * degenerate margin yields NULL, not a divide-by-zero abort.
+    */
+  def abTestChi2(spark: SparkSession, dir: String): DataFrame = {
+    val variant = pmod(conv(substring(md5(concat_ws(":", lit("ab"),
+      col("user_id").cast("string")).cast("binary")), 1, 7), 16, 10)
+      .cast("long"), lit(2L))
+    val denom =
+      (col("a") + col("b")).cast("double") * (col("c") + col("d")).cast("double") *
+        (col("a") + col("c")).cast("double") * (col("b") + col("d")).cast("double")
+    val delta = col("a").cast("double") * col("d").cast("double") -
+      col("b").cast("double") * col("c").cast("double")
+    Tables.events(spark, dir)
+      .select(variant.as("variant"),
+        (col("event_type") === "purchase").cast("long").as("p"))
+      .groupBy(col("variant"), col("p"))
+      .agg(count(lit(1)).as("n"))
+      .agg(
+        sum(when(col("variant") === 0 && col("p") === 1, col("n"))
+          .otherwise(0L)).as("a"),
+        sum(when(col("variant") === 0 && col("p") === 0, col("n"))
+          .otherwise(0L)).as("b"),
+        sum(when(col("variant") === 1 && col("p") === 1, col("n"))
+          .otherwise(0L)).as("c"),
+        sum(when(col("variant") === 1 && col("p") === 0, col("n"))
+          .otherwise(0L)).as("d"))
+      .select(col("a"), col("b"), col("c"), col("d"),
+        when(denom =!= 0.0,
+          (col("a") + col("b") + col("c") + col("d")).cast("double")
+            * delta * delta / denom).as("chi2"))
+  }
+
+  /** Third-order behavioral paths: every 3-step event-type sequence a
+    * user walks, counted corpus-wide — the sequence-mining rollup one
+    * order above [[eventTransitions]]' Markov matrix. Two lags over
+    * the keyed per-user window produce each window in place (no
+    * self-joins); the path vocabulary is ≤ |types|³, so the final
+    * count-by-path aggregate is parameter-bounded regardless of
+    * event volume.
+    */
+  def eventTrigramPaths(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("t1", lag(col("event_type"), 2).over(w))
+      .withColumn("t2", lag(col("event_type"), 1).over(w))
+      .filter(col("t1").isNotNull)
+      .groupBy(concat_ws(">", col("t1"), col("t2"), col("event_type")).as("path"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Inter-event dwell time per event type: the gap (whole seconds)
     * between a user's consecutive events, rolled up by the type of the
     * LATER event. The lag window partitions by user_id — a keyed,

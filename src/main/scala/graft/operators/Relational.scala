@@ -423,6 +423,75 @@ object Relational {
           / (col("n_a") * col("n_b")).cast("double")).as("lift"))
   }
 
+  /** Per-brand price~quantity OLS: slope and intercept of extended
+    * price (exact cents) against quantity, fitted independently per
+    * brand — the closed-form regression a pricing pipeline publishes
+    * nightly. Both coordinates quantize to exact integers BEFORE any
+    * aggregation (quantity is integral in this schema; price → cents
+    * via floor·100), so the five power sums are order-free BIGINTs and
+    * the slope/intercept are two deterministic double expressions per
+    * output row. Σxy tops out near qty·cents·rows ≈ 5·10¹⁴ at sf0.1 —
+    * room for ~10⁴× more rows before BIGINT pressure. One shuffle
+    * (brand rollup), part dim broadcast.
+    */
+  def priceQuantityOls(spark: SparkSession, dir: String): DataFrame = {
+    val brands = Tables.part(spark, dir).select(col("p_partkey"), col("p_brand"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("x"),
+        floor(col("l_extendedprice") * lit(100.0)).cast("long").as("y"))
+      .join(broadcast(brands), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .withColumn("slope_cents_per_unit",
+        (col("n").cast("double") * col("sxy").cast("double")
+          - col("sx").cast("double") * col("sy").cast("double"))
+          / (col("n").cast("double") * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double")))
+      .withColumn("intercept_cents",
+        (col("sy").cast("double") - col("slope_cents_per_unit")
+          * col("sx").cast("double")) / col("n").cast("double"))
+      .select(col("p_brand"), col("n"), col("slope_cents_per_unit"),
+        col("intercept_cents"))
+  }
+
+  /** Referential-integrity audit across every FK edge in the star
+    * schema: per edge, how many distinct FK values exist and how many
+    * dangle (no match on the PK side) — the ingest-gate report that
+    * catches a truncated dim load before queries silently drop rows.
+    * Each edge distincts the FK column FIRST (the aggregate collapses
+    * fact-table volume to key cardinality before any join) and probes
+    * the dim with a LEFT ANTI join; dims broadcast. The seven 1-row
+    * summaries union into one narrow report.
+    */
+  def referentialIntegrityAudit(spark: SparkSession, dir: String): DataFrame = {
+    def edge(name: String, fk: DataFrame, fkCol: String,
+             pk: DataFrame, pkCol: String): DataFrame = {
+      val keys = fk.select(col(fkCol)).distinct()
+      val orphans = keys.join(broadcast(pk.select(col(pkCol))),
+        col(fkCol) === col(pkCol), "left_anti")
+      keys.agg(count(lit(1)).as("n_keys"))
+        .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+        .select(lit(name).as("edge"), col("n_keys"), col("n_orphans"))
+    }
+    val li = Tables.lineitem(spark, dir)
+    val ord = Tables.orders(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    val supp = Tables.supplier(spark, dir)
+    val nat = Tables.nation(spark, dir)
+    Seq(
+      edge("lineitem.orderkey->orders", li, "l_orderkey", ord, "o_orderkey"),
+      edge("lineitem.partkey->part", li, "l_partkey",
+        Tables.part(spark, dir), "p_partkey"),
+      edge("lineitem.suppkey->supplier", li, "l_suppkey", supp, "s_suppkey"),
+      edge("orders.custkey->customer", ord, "o_custkey", cust, "c_custkey"),
+      edge("customer.nationkey->nation", cust, "c_nationkey", nat, "n_nationkey"),
+      edge("supplier.nationkey->nation", supp, "s_nationkey", nat, "n_nationkey"),
+      edge("nation.regionkey->region", nat, "n_regionkey",
+        Tables.region(spark, dir), "r_regionkey"))
+      .reduce(_ unionAll _)
+  }
+
   /** Triangle count over the co-purchase graph — the classic
     * distributed graph-analytics kernel. Edges are the a<b co-purchase
     * pairs (already canonically oriented), so each triangle {a<b<c} is

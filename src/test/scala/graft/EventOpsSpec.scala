@@ -337,4 +337,44 @@ class EventOpsSpec extends AnyFunSuite with SparkFixture {
     val day = 86400L
     assert(got === Map("view" -> ((2L, 36L * day, 18.0 * day))))
   }
+
+  test("eventRateMad: uniform daily rates give zero MAD and zero anomalies") {
+    // every fixture (type, day) count is 1 → median 1, all deviations 0,
+    // MAD 0, and the strict > gate flags nothing
+    val got = EventOps.eventRateMad(spark, fixtureDir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))).toMap
+    assert(got === Map(
+      "view" -> ((2L, 1.0, 0.0, 0L)),
+      "click" -> ((1L, 1.0, 0.0, 0L)),
+      "error" -> ((1L, 1.0, 0.0, 0L))))
+  }
+
+  test("abTestChi2: a zero purchase margin yields NULL chi2, not an abort") {
+    // fixture has no purchase events → a = c = 0 → the (a+c) margin is
+    // zero and chi2 must be NULL (the guard), never a divide-by-zero
+    val r = EventOps.abTestChi2(spark, fixtureDir).collect().head
+    assert(r.getLong(0) === 0L && r.getLong(2) === 0L)
+    assert(r.getLong(1) + r.getLong(3) === 4L)
+    assert(r.isNullAt(4))
+  }
+
+  test("eventTrigramPaths: windows shorter than 3 yield nothing; paths order by time") {
+    // fixture users have 2 events each → no trigrams at all
+    assert(EventOps.eventTrigramPaths(spark, fixtureDir).collect().isEmpty)
+    // 4-event user: exactly the two overlapping trigrams, in ts order
+    import spark.implicits._
+    val dir = scratchDir("graft-tri")
+    val t0 = java.time.LocalDateTime.of(2024, 1, 1, 0, 0)
+    Seq(
+      (0L, t0, 9L, "view", 1.0, "{}"),
+      (1L, t0.plusMinutes(1), 9L, "click", 1.0, "{}"),
+      (2L, t0.plusMinutes(2), 9L, "purchase", 1.0, "{}"),
+      (3L, t0.plusMinutes(3), 9L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = EventOps.eventTrigramPaths(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("view>click>purchase" -> 1L, "click>purchase>view" -> 1L))
+  }
 }

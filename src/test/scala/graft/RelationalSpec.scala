@@ -536,4 +536,36 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     val got = rows(Relational.partPairLift(spark, dir))
     assert(got === Set(Row(1L, 2L, 3L, 4L, 3L, 1.0)))
   }
+
+  test("priceQuantityOls: a perfect line recovers slope and intercept exactly") {
+    import spark.implicits._
+    val dir = scratchDir("graft-ols")
+    val d = java.time.LocalDateTime.of(1997, 6, 1, 0, 0)
+    Seq((1L, "a", "Brand#1", "STD", 1, 1.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    // price = quantity dollars exactly → slope 100 cents/unit, intercept 0;
+    // the integer power sums make both land as exact doubles
+    Seq(
+      (1L, 1L, 1L, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", d),
+      (2L, 1L, 1L, 1, 2.0, 2.0, 0.0, 0.0, "N", "O", d),
+      (3L, 1L, 1L, 1, 3.0, 3.0, 0.0, 0.0, "N", "O", d))
+      .toDF(liCols: _*).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = rows(Relational.priceQuantityOls(spark, dir))
+    assert(got === Set(Row("Brand#1", 3L, 100.0, 0.0)))
+  }
+
+  test("referentialIntegrityAudit: dangling FKs counted per edge, intact edges report zero") {
+    // fixture lineitem orderkeys 1000-1002 have no orders rows → all 3
+    // dangle; every other edge is intact
+    val got = rows(Relational.referentialIntegrityAudit(spark, fixtureDir))
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got("lineitem.orderkey->orders") === ((3L, 3L)))
+    assert(got("lineitem.partkey->part") === ((2L, 0L)))
+    assert(got("lineitem.suppkey->supplier") === ((2L, 0L)))
+    assert(got("orders.custkey->customer") === ((2L, 0L)))
+    assert(got("customer.nationkey->nation") === ((2L, 0L)))
+    assert(got("supplier.nationkey->nation") === ((1L, 0L)))
+    assert(got("nation.regionkey->region") === ((2L, 0L)))
+  }
 }
