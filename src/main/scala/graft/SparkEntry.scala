@@ -148,6 +148,10 @@ object SparkEntry {
     "event_trigram_paths"    -> EventOps.eventTrigramPaths _,
     "price_quantity_ols"     -> Relational.priceQuantityOls _,
     "referential_integrity_audit" -> Relational.referentialIntegrityAudit _,
+    "doc_token_entropy"      -> TextOps.docTokenEntropy _,
+    "events_value_ecdf"      -> EventOps.eventsValueEcdf _,
+    "user_activity_log2_bands" -> EventOps.userActivityLog2Bands _,
+    "stream_moments"         -> graft.streaming.EventStreams.streamMoments _,
     "mixture_temperature"    -> Curation.mixtureTemperature _,
     "orders_delta_agg"       -> Relational.ordersDeltaAgg _,
     "events_incident_overlap" -> EventOps.eventsIncidentOverlap _,
@@ -2095,6 +2099,51 @@ object SparkEntry {
                  - CAST(sum(n_chars) AS DOUBLE) * CAST(sum(n_chars) AS DOUBLE))
                 / (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE)) AS var_len
          FROM documents GROUP BY source""",
+    // H = ln n − (Σ c·ln c)/n with both logs micro-nat quantized
+    // before aggregation and an integer final division
+    "doc_token_entropy" ->
+      """WITH tc AS (SELECT doc_id, token, count(*) AS c
+                     FROM (SELECT doc_id,
+                                  unnest(list_filter(string_split_regex(text, '\s+'), t -> t != '')) AS token
+                           FROM documents)
+                     GROUP BY 1, 2),
+              pd AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                            CAST(sum(c * CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT)) AS BIGINT) AS s
+                     FROM tc GROUP BY 1)
+         SELECT doc_id, n_tokens,
+                CAST(floor(ln(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT)
+                  - s // n_tokens AS entropy_micro
+         FROM pd""",
+    "events_value_ecdf" ->
+      """WITH tot AS (SELECT count(*) AS n_total FROM events),
+              hits AS (SELECT probe, count(*) AS n_le
+                       FROM events,
+                            (SELECT unnest([0.5, 1.0, 2.0, 5.0, 10.0, 20.0, 50.0, 100.0]) AS probe)
+                       WHERE value <= probe
+                       GROUP BY 1)
+         SELECT probe, n_le,
+                CAST(n_le AS DOUBLE) / CAST(n_total AS DOUBLE) AS ecdf
+         FROM hits, tot""",
+    // band = binary digit count of the exact integer, never a
+    // floating log2 (log2(2^k) can land a hair under k in libm)
+    "user_activity_log2_bands" ->
+      """WITH pu AS (SELECT user_id, count(*) AS n_events
+                     FROM events GROUP BY 1)
+         SELECT CAST(len(bin(n_events)) - 1 AS BIGINT) AS band,
+                count(*) AS n_users,
+                min(n_events) AS min_events, max(n_events) AS max_events
+         FROM pu GROUP BY 1""",
+    // Σv in DECIMAL, Σv² as floor-quantized integer micro-units —
+    // both order-free; floor(double) is bit-identical on both engines
+    "stream_moments" ->
+      """SELECT date_trunc('hour', ts) AS w_start, event_type,
+                count(*) AS n,
+                CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_v,
+                CAST(sum(CAST(floor(value * value * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_v2_micro,
+                min(value) AS min_v, max(value) AS max_v,
+                CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE) AS mean_v
+         FROM events GROUP BY 1, 2""",
     // counts are exact integer doubles and 0.5 is exactly
     // representable, so both interpolated medians replay exactly
     "event_rate_mad" ->

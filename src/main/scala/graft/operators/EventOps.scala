@@ -610,6 +610,46 @@ object EventOps {
         sum(col("active_days")).as("sum_active_days"))
   }
 
+  /** Exact empirical CDF of `value` at fixed probe points — the
+    * distribution telemetry that needs NO sort and NO quantile state:
+    * each event contributes to the probes it falls under via a
+    * filtered literal-array explode (≤ |probes|× fanout inside
+    * codegen, no join), and the ≤ |probes|-row rollup plus one
+    * broadcast total turn into exact fractions. The scale-robust dual
+    * of [[eventsValueQuantiles]]: quantiles ask "what value sits at
+    * p?", the ECDF asks "what mass sits under v?" — only the latter
+    * is embarrassingly parallel with exact results.
+    */
+  def eventsValueEcdf(spark: SparkSession, dir: String): DataFrame = {
+    val probes = Seq(0.5, 1.0, 2.0, 5.0, 10.0, 20.0, 50.0, 100.0)
+    val ev = Tables.events(spark, dir).select(col("value"))
+    val total = ev.agg(count(lit(1)).as("n_total"))
+    ev
+      .select(explode(filter(typedLit(probes), p => col("value") <= p)).as("probe"))
+      .groupBy(col("probe"))
+      .agg(count(lit(1)).as("n_le"))
+      .crossJoin(broadcast(total))
+      .select(col("probe"), col("n_le"),
+        (col("n_le").cast("double") / col("n_total").cast("double")).as("ecdf"))
+  }
+
+  /** Log2-banded user activity histogram: users bucketed by
+    * floor(log2(event count)) — the scale-free engagement pyramid
+    * (1, 2-3, 4-7, 8-15, … events). The band comes from the BINARY
+    * DIGIT COUNT of the exact integer count (`length(bin(n)) - 1`),
+    * never from a floating log2 — log2(2^k) can land a hair under k
+    * in libm and misband every power of two. One keyed aggregate per
+    * user, then a ≤ 64-row rollup.
+    */
+  def userActivityLog2Bands(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy((length(bin(col("n_events"))) - 1).cast("long").as("band"))
+      .agg(count(lit(1)).as("n_users"),
+        min(col("n_events")).as("min_events"),
+        max(col("n_events")).as("max_events"))
+
   /** Robust per-type rate anomaly via median absolute deviation — the
     * outlier-resistant twin of [[eventRateAnomaly]]'s z-score (one bad
     * day inflates a stddev but barely moves the MAD). Daily counts per

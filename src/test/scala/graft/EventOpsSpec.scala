@@ -377,4 +377,24 @@ class EventOpsSpec extends AnyFunSuite with SparkFixture {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got === Map("view>click>purchase" -> 1L, "click>purchase>view" -> 1L))
   }
+
+  test("eventsValueEcdf: probe counts are cumulative and boundary values count (<=)") {
+    // fixture values 1.0, 1.0, 2.0, 0.5 → 0.5 catches one (boundary
+    // inclusive), 1.0 three, 2.0 and beyond all four
+    val got = EventOps.eventsValueEcdf(spark, fixtureDir).collect()
+      .map(r => r.getDouble(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(0.5) === ((1L, 0.25)))
+    assert(got(1.0) === ((3L, 0.75)))
+    Seq(2.0, 5.0, 10.0, 20.0, 50.0, 100.0).foreach { p =>
+      assert(got(p) === ((4L, 1.0)))
+    }
+  }
+
+  test("userActivityLog2Bands: band is the exact binary digit count minus one") {
+    // both fixture users have 2 events → band 1 (binary '10')
+    val got = EventOps.userActivityLog2Bands(spark, fixtureDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got === Map(1L -> ((2L, 2L, 2L))))
+  }
 }

@@ -53,7 +53,8 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
     "q11_important_parts" -> "1-row national-total scalar kept in-plan as a broadcast crossJoin over the per-part value table",
     "q20_excess_suppliers" -> "1-row cross-supplier total/count scalar kept in-plan as a broadcast crossJoin over the supplier-bounded quantity table",
     "part_pair_lift" -> "1-row order-total scalar (the lift numerator's N) kept in-plan as a broadcast crossJoin over the thresholded pair table",
-    "referential_integrity_audit" -> "seven 1-row × 1-row crossJoins stitching each edge's key-count and orphan-count scalars into its report row"
+    "referential_integrity_audit" -> "seven 1-row × 1-row crossJoins stitching each edge's key-count and orphan-count scalars into its report row",
+    "events_value_ecdf" -> "1-row event-total scalar (the ECDF denominator) kept in-plan as a broadcast crossJoin over the ≤ |probes|-row hit table"
     // dropped round 7 (stale — plans improved out from under the rows):
     //   pi_montecarlo: ConvertToLocalRelation folds the seeded-parameter
     //   crossJoin away entirely; contamination_check: the benchmark-gram
@@ -103,7 +104,8 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
     "mixture_temperature" -> "final pass of the weight/corpus-total scalar aggregate over the per-source table (≤ #sources rows): one partial row per upstream partition",
     "part_pair_lift" -> "final pass of the order-total scalar aggregate: one partial row per upstream partition",
     "referential_integrity_audit" -> "final passes of the fourteen per-edge key/orphan count scalar aggregates: one partial row per upstream partition each",
-    "ab_test_chi2" -> "final pass of the 2×2 cell scalar aggregate over the 4-row variant×outcome table: one partial row per upstream partition"
+    "ab_test_chi2" -> "final pass of the 2×2 cell scalar aggregate over the 4-row variant×outcome table: one partial row per upstream partition",
+    "events_value_ecdf" -> "final pass of the event-total scalar aggregate (the ECDF denominator): one partial row per upstream partition"
   )
 
   // One plan sweep shared by all three tests: name → (plans nested-loop?,

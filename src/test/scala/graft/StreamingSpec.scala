@@ -20,6 +20,35 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
   private def ev(id: Long, t: Timestamp, user: Long, typ: String = "view"): Ev =
     Ev(id, t, user, typ, 1.0)
 
+  test("windowedMoments merges power sums across triggers before the window closes") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventStreams.windowedMoments(in.toDF())
+      .writeStream.format("memory").queryName("wm").outputMode(OutputMode.Append).start()
+    try {
+      // the 10:00 window's rows arrive over TWO triggers: the sums the
+      // closed window emits must equal a single-pass computation
+      in.addData(Ev(0, ts(10, 5), 1, "view", 2.0))
+      q.processAllAvailable()
+      in.addData(Ev(1, ts(10, 40), 2, "view", 3.0))
+      q.processAllAvailable()
+      assert(spark.table("wm").count() === 0) // window still open
+      in.addData(Ev(2, ts(13, 30), 1, "view", 1.0)) // watermark → 11:30
+      q.processAllAvailable()
+      val rows = spark.table("wm").collect()
+      assert(rows.length === 1)
+      val r = rows.head
+      assert(r.getAs[Timestamp]("w_start") === ts(10))
+      assert(r.getAs[Long]("n") === 2L)
+      assert(r.getAs[Double]("sum_v") === 5.0)
+      assert(r.getAs[Long]("sum_v2_micro") === 13000000L) // 4 + 9 in micro
+      assert(r.getAs[Double]("min_v") === 2.0 && r.getAs[Double]("max_v") === 3.0)
+      assert(r.getAs[Double]("mean_v") === 2.5)
+    } finally q.stop()
+  }
+
   test("windowedCounts emits a window only after the watermark passes it") {
     val s = spark
     import s.implicits._

@@ -443,6 +443,16 @@ class TextOpsSpec extends AnyFunSuite with SparkFixture {
     assert(slope < 0.0 && slope > -5.0)
   }
 
+  test("docTokenEntropy: all-distinct tokens give exactly ln(n) micro-nats; repeats reduce it") {
+    // every fixture doc has 40 distinct tokens once → Σ c·lnMicro(c) = 0
+    // and entropy = floor(ln(40)·10⁶) exactly
+    val ln40 = math.floor(math.log(40.0) * 1e6).toLong
+    val got = TextOps.docTokenEntropy(spark, fixtureDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.size === 5)
+    got.values.foreach { case (n, h) => assert(n === 40L && h === ln40) }
+  }
+
   test("vocabGrowthCurve: all fixture docs fall inside every milestone") {
     // doc_ids 0..4 ≤ 16 → each milestone sees the whole corpus:
     // 5 docs, 200 tokens, 81 distinct
