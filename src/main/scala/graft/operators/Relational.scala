@@ -1276,20 +1276,24 @@ object Relational {
     * participated, and NO other supplier returned. Both existence
     * tests run on the deduped (order, supplier) pair table — one
     * aggregate keyed on the pair collapses the fact rows, then a
-    * per-order rollup (suppliers seen / suppliers who returned) turns
-    * the correlated EXISTS / NOT EXISTS into two integer compares,
-    * joined back orderkey-to-orderkey. No self-join fanout.
+    * window over the ORDER prefix of the same key (suppliers seen /
+    * suppliers who returned) turns the correlated EXISTS / NOT EXISTS
+    * into two integer compares computed in place. The window
+    * formulation matters at scale: a groupBy-then-join-back rollup
+    * re-evaluates the pair subtree — two fact scans and two pair
+    * aggregates (verified in the physical plan) — where the window
+    * re-exchanges only the key-cardinality pair table.
     */
   def q21WaitingSuppliers(spark: SparkSession, dir: String): DataFrame = {
     val pairs = Tables.lineitem(spark, dir)
       .groupBy(col("l_orderkey"), col("l_suppkey"))
       .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("ret"))
-    val perOrder = pairs.groupBy(col("l_orderkey").as("ok"))
-      .agg(count(lit(1)).as("n_supp"), sum(col("ret")).as("n_ret"))
-    pairs.filter(col("ret") === 1)
-      .join(perOrder, col("l_orderkey") === col("ok"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("l_orderkey"))
+    pairs
+      .withColumn("n_supp", count(lit(1)).over(w))
+      .withColumn("n_ret", sum(col("ret")).over(w))
       // someone else participated, and this supplier is the ONLY returner
-      .filter(col("n_supp") > 1 && col("n_ret") === 1)
+      .filter(col("ret") === 1 && col("n_supp") > 1 && col("n_ret") === 1)
       .groupBy(col("l_suppkey"))
       .agg(count(lit(1)).as("numwait"))
       .join(broadcast(Tables.supplier(spark, dir)),
