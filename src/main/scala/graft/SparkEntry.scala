@@ -152,6 +152,10 @@ object SparkEntry {
     "events_value_ecdf"      -> EventOps.eventsValueEcdf _,
     "user_activity_log2_bands" -> EventOps.userActivityLog2Bands _,
     "stream_moments"         -> graft.streaming.EventStreams.streamMoments _,
+    "revenue_bootstrap"      -> Relational.revenueBootstrap _,
+    "nation_revenue_share"   -> Relational.nationRevenueShare _,
+    "events_burstiness"      -> EventOps.eventsBurstiness _,
+    "events_autocorr_lag1"   -> EventOps.eventsAutocorrLag1 _,
     "mixture_temperature"    -> Curation.mixtureTemperature _,
     "orders_delta_agg"       -> Relational.ordersDeltaAgg _,
     "events_incident_overlap" -> EventOps.eventsIncidentOverlap _,
@@ -2099,6 +2103,86 @@ object SparkEntry {
                  - CAST(sum(n_chars) AS DOUBLE) * CAST(sum(n_chars) AS DOUBLE))
                 / (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE)) AS var_len
          FROM documents GROUP BY source""",
+    // Poisson(1) weights by CDF inversion of a uniform md5 hash —
+    // deterministic on both engines; DECIMAL replicate sums
+    "revenue_bootstrap" ->
+      """WITH reps AS (SELECT CAST(unnest(range(0, 32)) AS BIGINT) AS rep),
+              draws AS (
+           SELECT rep,
+                  CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)) AS rev,
+                  ('0x' || substr(md5('boot:' || CAST(rep AS VARCHAR) || ':'
+                                      || CAST(l_orderkey AS VARCHAR) || ':'
+                                      || CAST(l_linenumber AS VARCHAR)), 1, 7))::BIGINT
+                    % 1000000 AS u
+           FROM lineitem, reps)
+         SELECT rep,
+                CAST(sum(rev * CASE WHEN u < 367879 THEN 0
+                                    WHEN u < 735758 THEN 1
+                                    WHEN u < 919698 THEN 2
+                                    WHEN u < 980947 THEN 3
+                                    WHEN u < 996259 THEN 4
+                                    WHEN u < 999999 THEN 5
+                                    ELSE 6 END) AS DOUBLE) AS boot_revenue
+         FROM draws GROUP BY rep""",
+    "nation_revenue_share" ->
+      """WITH nr AS (SELECT r_name, n_name,
+                            sum(CAST(o_totalprice AS DECIMAL(18,2))) AS nation_rev
+                     FROM orders, customer, nation, region
+                     WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+                       AND n_regionkey = r_regionkey
+                     GROUP BY 1, 2)
+         SELECT r_name, n_name,
+                CAST(nation_rev AS DOUBLE) AS nation_revenue,
+                CAST(sum(nation_rev) OVER (PARTITION BY r_name) AS DOUBLE)
+                  AS region_revenue,
+                CAST(nation_rev AS DOUBLE)
+                  / CAST(sum(nation_rev) OVER (PARTITION BY r_name) AS DOUBLE)
+                  AS share
+         FROM nr""",
+    // Fano factor as an integer cross-multiplication in micro-units;
+    // single-day users carry no dispersion evidence → NULL
+    "events_burstiness" ->
+      """WITH dc AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+                            count(*) AS c
+                     FROM events GROUP BY 1, 2),
+              pu AS (SELECT user_id, count(*) AS n_days,
+                            CAST(sum(c) AS BIGINT) AS n_events,
+                            CAST(sum(c * c) AS BIGINT) AS s2
+                     FROM dc GROUP BY 1)
+         SELECT user_id, n_days, n_events,
+                CASE WHEN n_days > 1
+                     THEN ((n_days * s2 - n_events * n_events) * 1000000)
+                          // (n_days * n_events) END AS fano_micro
+         FROM pu""",
+    // exact BIGINT sums over the observed adjacent-day pairs; the one
+    // non-exact step is the final Pearson ratio (sqrt is correctly
+    // rounded per IEEE 754)
+    "events_autocorr_lag1" ->
+      """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                               count(*) AS c
+                        FROM events GROUP BY 1, 2),
+              pairs AS (SELECT event_type, c,
+                               lag(c) OVER (PARTITION BY event_type
+                                            ORDER BY day) AS c_prev
+                        FROM daily),
+              s AS (SELECT event_type, count(*) AS m,
+                           CAST(sum(c_prev) AS BIGINT) AS sx,
+                           CAST(sum(c) AS BIGINT) AS sy,
+                           CAST(sum(c_prev * c) AS BIGINT) AS sxy,
+                           CAST(sum(c_prev * c_prev) AS BIGINT) AS sxx,
+                           CAST(sum(c * c) AS BIGINT) AS syy
+                    FROM pairs WHERE c_prev IS NOT NULL
+                    GROUP BY 1)
+         SELECT event_type, m,
+                CASE WHEN m * sxx - sx * sx > 0 AND m * syy - sy * sy > 0
+                     THEN (CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                          / sqrt((CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                                 * (CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+                                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                     END AS autocorr_lag1
+         FROM s""",
     // H = ln n − (Σ c·ln c)/n with both logs micro-nat quantized
     // before aggregation and an integer final division
     "doc_token_entropy" ->

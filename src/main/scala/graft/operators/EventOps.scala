@@ -610,6 +610,69 @@ object EventOps {
         sum(col("active_days")).as("sum_active_days"))
   }
 
+  /** Per-user burstiness (Fano factor of daily event counts, in exact
+    * micro-units): dispersion index = variance/mean, > 1 flags users
+    * whose activity clumps into bursts — bot/incident forensics a
+    * plain rate can't see. Day counts are exact integers, the power
+    * sums are one keyed aggregate over the (user, day) rollup, and
+    * the factor is an integer cross-multiplication
+    * ((n·Σc² − (Σc)²)·10⁶) div (n·Σc) — fully order-free. Users seen
+    * on a single day carry no dispersion evidence and report NULL.
+    */
+  def eventsBurstiness(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400L * 1000000L
+    Tables.events(spark, dir)
+      .select(col("user_id"), expr(s"unix_micros(ts) div ${dayUs}L").as("day"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_days"), sum(col("c")).as("n_events"),
+        sum(col("c") * col("c")).as("s2"))
+      .select(col("user_id"), col("n_days"), col("n_events"),
+        when(col("n_days") > 1,
+          expr("((n_days * s2 - n_events * n_events) * 1000000L) div (n_days * n_events)"))
+          .as("fano_micro"))
+  }
+
+  /** Lag-1 autocorrelation of each type's daily rate series — "does a
+    * busy day predict a busy tomorrow": the cheapest time-series
+    * memory diagnostic, and the statistic that decides whether naive
+    * day-over-day alerting double-fires. Adjacent days pair up via a
+    * lag window over the ≤ types × days count table (bounded, keyed by
+    * type); every sum is an exact BIGINT over integer counts, and the
+    * one non-exact step is the final Pearson ratio (sqrt is correctly
+    * rounded per IEEE 754, so even that replays). Day gaps pair
+    * whatever days are adjacent IN THE OBSERVED SERIES — both engines
+    * see the identical series, so the pairing is identical.
+    */
+  def eventsAutocorrLag1(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400L * 1000000L
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"), expr(s"unix_micros(ts) div ${dayUs}L").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    daily
+      .withColumn("c_prev", lag(col("c"), 1).over(w))
+      .filter(col("c_prev").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("m"),
+        sum(col("c_prev")).as("sx"), sum(col("c")).as("sy"),
+        sum(col("c_prev") * col("c")).as("sxy"),
+        sum(col("c_prev") * col("c_prev")).as("sxx"),
+        sum(col("c") * col("c")).as("syy"))
+      .select(col("event_type"), col("m"),
+        when((col("m") * col("sxx") - col("sx") * col("sx")) > 0 &&
+            (col("m") * col("syy") - col("sy") * col("sy")) > 0,
+          (col("m").cast("double") * col("sxy").cast("double")
+            - col("sx").cast("double") * col("sy").cast("double"))
+            / sqrt((col("m").cast("double") * col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double"))
+              * (col("m").cast("double") * col("syy").cast("double")
+                - col("sy").cast("double") * col("sy").cast("double"))))
+          .as("autocorr_lag1"))
+  }
+
   /** Exact empirical CDF of `value` at fixed probe points — the
     * distribution telemetry that needs NO sort and NO quantile state:
     * each event contributes to the probes it falls under via a

@@ -492,6 +492,69 @@ object Relational {
       .reduce(_ unionAll _)
   }
 
+  /** Deterministic Poisson bootstrap of total revenue: 32 resampled
+    * totals whose spread IS the standard error of the headline number —
+    * the only way to put error bars on a 100 TB aggregate without a
+    * second pass or distributional assumptions. Each (row, replicate)
+    * draws a Poisson(1) weight by inverting the CDF against a
+    * uniform md5 hash — deterministic, engine-reproducible, and
+    * embarrassingly parallel (the classic streaming-bootstrap trick;
+    * a true multinomial resample would need global coordination).
+    * Replicate fanout is a 32-element literal explode inside codegen;
+    * the rollup is 32 groups of DECIMAL sums.
+    */
+  def revenueBootstrap(spark: SparkSession, dir: String): DataFrame = {
+    val reps = 32
+    // P(Poisson(1) ≤ k)·10⁶ for k = 0..5 (≥6 treated as 6: the tail
+    // above 10⁻⁴ of mass is irrelevant to a variance estimate)
+    val cdf = Seq(367879L, 735758L, 919698L, 980947L, 996259L, 999999L)
+    val u = conv(substring(md5(concat_ws(":", lit("boot"), col("rep").cast("string"),
+      col("l_orderkey").cast("string"), col("l_linenumber").cast("string"))
+      .cast("binary")), 1, 7), 16, 10).cast("long") % 1000000L
+    val weight = cdf.zipWithIndex.foldRight(
+      lit(6L): org.apache.spark.sql.Column) {
+      case ((p: Long, k: Int), rest) => when(u < p, k.toLong).otherwise(rest)
+    }
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)").as("rev"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("rev"),
+        explode(typedLit((0 until reps).map(_.toLong))).as("rep"))
+      .groupBy(col("rep"))
+      .agg(sum(col("rev") * weight).cast("double").as("boot_revenue"))
+  }
+
+  /** Ratio-to-parent revenue share: each nation's slice of its
+    * region's revenue, computed with a window sum over the region
+    * prefix of the already-aggregated (region, nation) rollup — the
+    * OLAP share-of-parent idiom with NO second aggregate and NO join
+    * back. The window re-partitions only the ≤ |nations|-row summary;
+    * the one fact-scale exchange is the rollup itself. DECIMAL
+    * revenue; the share divides once per output row.
+    */
+  def nationRevenueShare(spark: SparkSession, dir: String): DataFrame = {
+    val natRegion = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"), col("r_name"))
+    val custNation = Tables.customer(spark, dir)
+      .join(broadcast(natRegion), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"), col("r_name"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("r_name"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_totalprice").cast("decimal(18,2)").as("rev"))
+      .join(custNation, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(col("rev")).as("nation_rev"))
+      .withColumn("region_rev", sum(col("nation_rev")).over(w))
+      .select(col("r_name"), col("n_name"),
+        col("nation_rev").cast("double").as("nation_revenue"),
+        col("region_rev").cast("double").as("region_revenue"),
+        (col("nation_rev").cast("double") / col("region_rev").cast("double"))
+          .as("share"))
+  }
+
   /** Triangle count over the co-purchase graph — the classic
     * distributed graph-analytics kernel. Edges are the a<b co-purchase
     * pairs (already canonically oriented), so each triangle {a<b<c} is

@@ -390,6 +390,35 @@ class EventOpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("eventsBurstiness: one-event-per-day users have zero dispersion; single-day users NULL") {
+    // both fixture users: 2 days, 1 event each day → Fano = 0 exactly
+    val got = EventOps.eventsBurstiness(spark, fixtureDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.get(3)))).toMap
+    assert(got === Map(1L -> ((2L, 2L, 0L)), 2L -> ((2L, 2L, 0L))))
+  }
+
+  test("eventsAutocorrLag1: a perfectly alternating series gives r = -1; 1-pair series NULL") {
+    // fixture 'view' has two days → one pair → zero variance → NULL;
+    // 'click'/'error' have one day → no pairs → no row
+    val fix = EventOps.eventsAutocorrLag1(spark, fixtureDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.get(2)))).toMap
+    assert(fix === Map("view" -> ((1L, null))))
+    // alternating 1,2,1,2 over four days → lag-1 r = -1 exactly
+    import spark.implicits._
+    val dir = scratchDir("graft-ac")
+    val t0 = java.time.LocalDateTime.of(2024, 1, 1, 0, 0)
+    val rows = (0 until 4).flatMap { d =>
+      val n = if (d % 2 == 0) 1 else 2
+      (0 until n).map(i =>
+        ((d * 10 + i).toLong, t0.plusDays(d).plusMinutes(i), 1L, "x", 1.0, "{}"))
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = EventOps.eventsAutocorrLag1(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got === Map("x" -> ((3L, -1.0))))
+  }
+
   test("userActivityLog2Bands: band is the exact binary digit count minus one") {
     // both fixture users have 2 events → band 1 (binary '10')
     val got = EventOps.userActivityLog2Bands(spark, fixtureDir).collect()

@@ -555,6 +555,31 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     assert(got === Set(Row("Brand#1", 3L, 100.0, 0.0)))
   }
 
+  test("revenueBootstrap: 32 deterministic replicates, each an integer multiple of the row revenue") {
+    // fixture lineitem: 4 rows, each rev = 100·0.9 = 90 → every replicate
+    // total is 90 × (sum of its four integer Poisson weights)
+    val got = Relational.revenueBootstrap(spark, fixtureDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.size === 32)
+    got.values.foreach { b =>
+      assert(b >= 0.0 && (b / 90.0) === math.rint(b / 90.0))
+    }
+    // deterministic: a second run reproduces every replicate exactly
+    val again = Relational.revenueBootstrap(spark, fixtureDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(again === got)
+    // the replicate mean should sit near the true total (360): Poisson(1)
+    // weights have mean 1, so a wild mean means the CDF table is wrong
+    val mean = got.values.sum / 32.0
+    assert(mean > 180.0 && mean < 540.0)
+  }
+
+  test("nationRevenueShare: share is nation revenue over its region's window total") {
+    // all fixture orders belong to nation 0 (AFRICA): 10+20+30+40 = 100
+    val got = rows(Relational.nationRevenueShare(spark, fixtureDir))
+    assert(got === Set(Row("AFRICA", "NATION_7", 100.0, 100.0, 1.0)))
+  }
+
   test("referentialIntegrityAudit: dangling FKs counted per edge, intact edges report zero") {
     // fixture lineitem orderkeys 1000-1002 have no orders rows → all 3
     // dangle; every other edge is intact
