@@ -156,6 +156,10 @@ object SparkEntry {
     "nation_revenue_share"   -> Relational.nationRevenueShare _,
     "events_burstiness"      -> EventOps.eventsBurstiness _,
     "events_autocorr_lag1"   -> EventOps.eventsAutocorrLag1 _,
+    "boilerplate_prefixes"   -> TextOps.boilerplatePrefixes _,
+    "customer_rfm"           -> Relational.customerRfm _,
+    "events_hour_profile"    -> EventOps.eventsHourProfile _,
+    "source_lang_kl"         -> Curation.sourceLangKl _,
     "mixture_temperature"    -> Curation.mixtureTemperature _,
     "orders_delta_agg"       -> Relational.ordersDeltaAgg _,
     "events_incident_overlap" -> EventOps.eventsIncidentOverlap _,
@@ -2103,6 +2107,56 @@ object SparkEntry {
                  - CAST(sum(n_chars) AS DOUBLE) * CAST(sum(n_chars) AS DOUBLE))
                 / (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE)) AS var_len
          FROM documents GROUP BY source""",
+    "boilerplate_prefixes" ->
+      """WITH p AS (SELECT array_to_string(
+                            list_filter(string_split_regex(text, '\s+'), t -> t != '')[1:8],
+                            ' ') AS prefix
+                    FROM documents
+                    WHERE len(list_filter(string_split_regex(text, '\s+'), t -> t != '')) >= 8),
+              tot AS (SELECT count(*) AS n_total FROM p)
+         SELECT prefix, count(*) AS n_docs,
+                CAST(count(*) AS DOUBLE) / CAST(n_total AS DOUBLE) AS corpus_share
+         FROM p, tot
+         GROUP BY prefix, n_total
+         HAVING count(*) >= 2""",
+    // every coordinate bands by exact binary digit count; monetary in
+    // floor-quantized cents
+    "customer_rfm" ->
+      """WITH pc AS (SELECT o_custkey, max(o_orderdate) AS last_order,
+                            count(*) AS frequency,
+                            CAST(sum(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS monetary_cents
+                     FROM orders GROUP BY 1),
+              mx AS (SELECT max(last_order) AS corpus_max FROM pc)
+         SELECT CAST(len(bin((epoch_us(corpus_max) - epoch_us(last_order)) // 86400000000 + 1)) - 1 AS VARCHAR)
+                || '-' || CAST(len(bin(frequency)) - 1 AS VARCHAR)
+                || '-' || CAST(len(bin(monetary_cents)) - 1 AS VARCHAR) AS segment,
+                count(*) AS n_customers,
+                CAST(sum(monetary_cents) AS BIGINT) AS segment_cents
+         FROM pc, mx GROUP BY 1""",
+    "events_hour_profile" ->
+      """WITH c AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,
+                           count(*) AS cnt
+                    FROM events GROUP BY 1, 2)
+         SELECT event_type, hr, cnt,
+                CAST(cnt AS DOUBLE)
+                  / CAST(sum(cnt) OVER (PARTITION BY event_type) AS DOUBLE)
+                  AS share
+         FROM c""",
+    // each cell's log-ratio quantizes to micro-nats before the
+    // per-source integer rollup
+    "source_lang_kl" ->
+      """WITH cells AS (SELECT source, lang, count(*) AS c_sl
+                        FROM documents GROUP BY 1, 2),
+              m AS (SELECT source, lang, c_sl,
+                           CAST(sum(c_sl) OVER (PARTITION BY source) AS BIGINT) AS c_s,
+                           CAST(sum(c_sl) OVER (PARTITION BY lang) AS BIGINT) AS c_l,
+                           (SELECT CAST(sum(c_sl) AS BIGINT) FROM cells) AS c_tot
+                    FROM cells)
+         SELECT source, max(c_s) AS n_docs,
+                CAST(sum(c_sl * CAST(floor(ln(CAST(c_sl * c_tot AS DOUBLE)
+                                             / CAST(c_s * c_l AS DOUBLE)) * 1000000)
+                                     AS BIGINT)) AS BIGINT) // max(c_s) AS kl_micro
+         FROM m GROUP BY source""",
     // Poisson(1) weights by CDF inversion of a uniform md5 hash —
     // deterministic on both engines; DECIMAL replicate sums
     "revenue_bootstrap" ->

@@ -596,6 +596,38 @@ object Curation {
           / col("n_tokens").cast("double")).as("epochs_at_budget"))
   }
 
+  /** Per-source language drift: KL divergence of each source's
+    * language mix against the corpus mix, in exact micro-nats — the
+    * acquisition alarm that fires when one crawl's composition slides
+    * away from the corpus it feeds. Works over the labeled `lang`
+    * column. All four marginals live on the ≤ sources×langs count
+    * table: source and language totals are window sums over it, the
+    * corpus total is a 1-row broadcast, and each cell's
+    * ln((c_sl·c)/(c_s·c_l)) quantizes to micro-nats before the
+    * per-source rollup (integer sums, integer final division).
+    */
+  def sourceLangKl(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documents(spark, dir)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("c_sl"))
+    val ws = Window.partitionBy(col("source"))
+    val wl = Window.partitionBy(col("lang"))
+    val total = cells.agg(sum(col("c_sl")).as("c_tot"))
+    cells
+      .withColumn("c_s", sum(col("c_sl")).over(ws))
+      .withColumn("c_l", sum(col("c_sl")).over(wl))
+      .crossJoin(broadcast(total))
+      .withColumn("lr_micro",
+        floor(log((col("c_sl") * col("c_tot")).cast("double")
+          / (col("c_s") * col("c_l")).cast("double")) * lit(1000000.0))
+          .cast("long"))
+      .groupBy(col("source"))
+      .agg(max(col("c_s")).as("n_docs"),
+        sum(col("c_sl") * col("lr_micro")).as("weighted"))
+      .select(col("source"), col("n_docs"),
+        expr("weighted div n_docs").as("kl_micro"))
+  }
+
   /** Exact-k deterministic reservoir per source: the k documents with
     * the smallest salted hash in each stratum — a fixed-size,
     * engine-reproducible eval/inspection sample (unlike

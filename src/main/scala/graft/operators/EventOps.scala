@@ -610,6 +610,25 @@ object EventOps {
         sum(col("active_days")).as("sum_active_days"))
   }
 
+  /** Diurnal profile: hour-of-day event histogram per type with each
+    * hour's share of its type — the seasonality fingerprint that
+    * separates human-driven types (daytime hump) from machine traffic
+    * (flat). One ≤ types×24-group aggregate; the share normalizes
+    * with a window sum over the type prefix of the finished rollup,
+    * never a second scan.
+    */
+  def eventsHourProfile(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+    Tables.events(spark, dir)
+      .select(col("event_type"), hour(col("ts")).cast("long").as("hr"))
+      .groupBy(col("event_type"), col("hr"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("type_total", sum(col("cnt")).over(w))
+      .select(col("event_type"), col("hr"), col("cnt"),
+        (col("cnt").cast("double") / col("type_total").cast("double"))
+          .as("share"))
+  }
+
   /** Per-user burstiness (Fano factor of daily event counts, in exact
     * micro-units): dispersion index = variance/mean, > 1 flags users
     * whose activity clumps into bursts — bot/incident forensics a

@@ -525,6 +525,34 @@ object Relational {
       .agg(sum(col("rev") * weight).cast("double").as("boot_revenue"))
   }
 
+  /** RFM customer segmentation on exact integer coordinates: recency
+    * (days since last order, against the corpus max date), frequency
+    * (order count) and monetary (total cents) each band by BINARY
+    * DIGIT COUNT — the log2 pyramid that needs no quantile sort and
+    * never moves with corpus growth, unlike percentile-edged bands
+    * that re-segment every customer when the distribution shifts. One
+    * keyed customer rollup; the corpus max date is a 1-row broadcast;
+    * the segment report groups ≤ r·f·m band combinations.
+    */
+  def customerRfm(spark: SparkSession, dir: String): DataFrame = {
+    def band(c: org.apache.spark.sql.Column) = (length(bin(c)) - 1).cast("long")
+    val perCust = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("frequency"),
+        sum(floor(col("o_totalprice") * lit(100.0)).cast("long"))
+          .as("monetary_cents"))
+    val maxDate = perCust.agg(max(col("last_order")).as("corpus_max"))
+    perCust.crossJoin(broadcast(maxDate))
+      .withColumn("recency_days",
+        expr("(unix_micros(corpus_max) - unix_micros(last_order)) div 86400000000L"))
+      .groupBy(concat_ws("-",
+          band(col("recency_days") + 1), band(col("frequency")),
+          band(col("monetary_cents"))).as("segment"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("monetary_cents")).as("segment_cents"))
+  }
+
   /** Ratio-to-parent revenue share: each nation's slice of its
     * region's revenue, computed with a window sum over the region
     * prefix of the already-aggregated (region, nation) rollup — the

@@ -1218,6 +1218,30 @@ object TextOps {
         (lnMicro(col("n_tokens")) - expr("s div n_tokens")).as("entropy_micro"))
   }
 
+  /** Shared-opening detection: 8-token document prefixes appearing in
+    * two or more documents, with their corpus share — the boilerplate
+    * radar (headers, templates, scraped navigation) that whole-doc
+    * fingerprints miss because the BODIES differ. One narrow aggregate
+    * on the prefix string; the corpus total rides a 1-row broadcast.
+    * At 100 TB the prefix table is ≤ corpus cardinality but
+    * Zipf-concentrated, and the ≥ 2 gate drops the unique long tail
+    * before anything wide happens.
+    */
+  def boilerplatePrefixes(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documentsSpread(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 8)
+      .select(concat_ws(" ", slice(col("ts"), 1, 8)).as("prefix"))
+    val total = docs.agg(count(lit(1)).as("n_total"))
+    docs.groupBy(col("prefix"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .crossJoin(broadcast(total))
+      .select(col("prefix"), col("n_docs"),
+        (col("n_docs").cast("double") / col("n_total").cast("double"))
+          .as("corpus_share"))
+  }
+
   /** Heaps'-law vocabulary growth curve: distinct-token and total-token
     * counts at doc-id milestones (16 … 16384) — the saturation curve
     * that tells a pipeline whether more data still buys vocabulary.

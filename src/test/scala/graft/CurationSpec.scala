@@ -507,6 +507,14 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
     assert(k1.length === 3 && k1.forall(_.getLong(1) === 1L))
   }
 
+  test("sourceLangKl: a source matching the corpus mix diverges by exactly zero") {
+    // every fixture doc is lang=en → each source's distribution IS the
+    // corpus distribution → all log-ratios are ln(1) = 0
+    val got = operators.Curation.sourceLangKl(spark, fixtureDir).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got === Map("src0" -> 0L, "src1" -> 0L, "src2" -> 0L))
+  }
+
   test("momentsBySource: power sums are exact and the derived moments match hand math") {
     val la = Fixtures.DocA.length.toLong
     val lc = Fixtures.DocC.length.toLong

@@ -390,6 +390,16 @@ class EventOpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("eventsHourProfile: midnight-only fixture concentrates every type's share at hour 0") {
+    val got = EventOps.eventsHourProfile(spark, fixtureDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got === Map(
+      ("view", 0L) -> ((2L, 1.0)),
+      ("click", 0L) -> ((1L, 1.0)),
+      ("error", 0L) -> ((1L, 1.0))))
+  }
+
   test("eventsBurstiness: one-event-per-day users have zero dispersion; single-day users NULL") {
     // both fixture users: 2 days, 1 event each day → Fano = 0 exactly
     val got = EventOps.eventsBurstiness(spark, fixtureDir).collect()

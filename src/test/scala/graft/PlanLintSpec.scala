@@ -54,7 +54,10 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
     "q20_excess_suppliers" -> "1-row cross-supplier total/count scalar kept in-plan as a broadcast crossJoin over the supplier-bounded quantity table",
     "part_pair_lift" -> "1-row order-total scalar (the lift numerator's N) kept in-plan as a broadcast crossJoin over the thresholded pair table",
     "referential_integrity_audit" -> "seven 1-row × 1-row crossJoins stitching each edge's key-count and orphan-count scalars into its report row",
-    "events_value_ecdf" -> "1-row event-total scalar (the ECDF denominator) kept in-plan as a broadcast crossJoin over the ≤ |probes|-row hit table"
+    "events_value_ecdf" -> "1-row event-total scalar (the ECDF denominator) kept in-plan as a broadcast crossJoin over the ≤ |probes|-row hit table",
+    "boilerplate_prefixes" -> "1-row corpus-total scalar (the share denominator) kept in-plan as a broadcast crossJoin over the thresholded prefix table",
+    "customer_rfm" -> "1-row corpus-max-date scalar (the recency anchor) kept in-plan as a broadcast crossJoin over the per-customer rollup",
+    "source_lang_kl" -> "1-row corpus-total scalar (the KL denominator) kept in-plan as a broadcast crossJoin over the ≤ sources×langs cell table"
     // dropped round 7 (stale — plans improved out from under the rows):
     //   pi_montecarlo: ConvertToLocalRelation folds the seeded-parameter
     //   crossJoin away entirely; contamination_check: the benchmark-gram
@@ -105,7 +108,10 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
     "part_pair_lift" -> "final pass of the order-total scalar aggregate: one partial row per upstream partition",
     "referential_integrity_audit" -> "final passes of the fourteen per-edge key/orphan count scalar aggregates: one partial row per upstream partition each",
     "ab_test_chi2" -> "final pass of the 2×2 cell scalar aggregate over the 4-row variant×outcome table: one partial row per upstream partition",
-    "events_value_ecdf" -> "final pass of the event-total scalar aggregate (the ECDF denominator): one partial row per upstream partition"
+    "events_value_ecdf" -> "final pass of the event-total scalar aggregate (the ECDF denominator): one partial row per upstream partition",
+    "boilerplate_prefixes" -> "final pass of the corpus-total scalar aggregate (the share denominator): one partial row per upstream partition",
+    "customer_rfm" -> "final pass of the corpus-max-date scalar aggregate (the recency anchor): one partial row per upstream partition",
+    "source_lang_kl" -> "final pass of the corpus-total scalar aggregate (the KL denominator) over the ≤ sources×langs cell table: one partial row per upstream partition"
   )
 
   // One plan sweep shared by all three tests: name → (plans nested-loop?,

@@ -580,6 +580,13 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     assert(got === Set(Row("AFRICA", "NATION_7", 100.0, 100.0, 1.0)))
   }
 
+  test("customerRfm: log2 bands from exact integers; same-day orders give recency band 0") {
+    // all fixture orders share one date → recency_days 0 → band(1) = 0.
+    // alice: 3 orders, 6000 cents → '0-1-12'; bob: 1 order, 4000 → '0-0-11'
+    val got = rows(Relational.customerRfm(spark, fixtureDir))
+    assert(got === Set(Row("0-1-12", 1L, 6000L), Row("0-0-11", 1L, 4000L)))
+  }
+
   test("referentialIntegrityAudit: dangling FKs counted per edge, intact edges report zero") {
     // fixture lineitem orderkeys 1000-1002 have no orders rows → all 3
     // dangle; every other edge is intact

@@ -453,6 +453,15 @@ class TextOpsSpec extends AnyFunSuite with SparkFixture {
     got.values.foreach { case (n, h) => assert(n === 40L && h === ln40) }
   }
 
+  test("boilerplatePrefixes: docs sharing an 8-token opening cluster; unique openings drop") {
+    // docs 0, 1 (DocA) and 2 (DocC) all open with w1..w8; DocD and the
+    // reversed DocE open differently and are singletons
+    val got = TextOps.boilerplatePrefixes(spark, fixtureDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val prefix = (1 to 8).map(i => s"w$i").mkString(" ")
+    assert(got === Map(prefix -> ((3L, 0.6))))
+  }
+
   test("vocabGrowthCurve: all fixture docs fall inside every milestone") {
     // doc_ids 0..4 ≤ 16 → each milestone sees the whole corpus:
     // 5 docs, 200 tokens, 81 distinct
