@@ -160,6 +160,9 @@ object SparkEntry {
     "customer_rfm"           -> Relational.customerRfm _,
     "events_hour_profile"    -> EventOps.eventsHourProfile _,
     "source_lang_kl"         -> Curation.sourceLangKl _,
+    "session_duration_bands" -> EventOps.sessionDurationBands _,
+    "order_fulfillment_lag"  -> Relational.orderFulfillmentLag _,
+    "supplier_share_hhi"     -> Relational.supplierShareHhi _,
     "mixture_temperature"    -> Curation.mixtureTemperature _,
     "orders_delta_agg"       -> Relational.ordersDeltaAgg _,
     "events_incident_overlap" -> EventOps.eventsIncidentOverlap _,
@@ -2107,6 +2110,59 @@ object SparkEntry {
                  - CAST(sum(n_chars) AS DOUBLE) * CAST(sum(n_chars) AS DOUBLE))
                 / (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE)) AS var_len
          FROM documents GROUP BY source""",
+    // band = binary digit count of exact whole seconds (+1 for
+    // zero-length single-event sessions)
+    "session_duration_bands" ->
+      """WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
+                           CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                                  OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                                THEN 1 ELSE 0 END AS new_s
+                    FROM events
+                    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+              s AS (SELECT user_id, tus,
+                           CAST(sum(new_s) OVER (PARTITION BY user_id
+                                                 ORDER BY tus, event_id
+                                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                             AS session_idx
+                    FROM o),
+              sess AS (SELECT user_id, session_idx, count(*) AS n_events,
+                              (max(tus) - min(tus)) // 1000000 AS dur_s
+                       FROM s GROUP BY 1, 2)
+         SELECT CAST(len(bin(dur_s + 1)) - 1 AS BIGINT) AS band,
+                count(*) AS n_sessions,
+                CAST(sum(n_events) AS BIGINT) AS sum_events,
+                max(dur_s) AS max_duration_s
+         FROM sess GROUP BY 1""",
+    // truncating day division: Spark `div` and DuckDB `//` agree on
+    // negative operands (both truncate toward zero)
+    "order_fulfillment_lag" ->
+      """WITH lag_t AS (
+           SELECT o_orderpriority,
+                  (epoch_us(l_shipdate) - epoch_us(o_orderdate)) // 86400000000
+                    AS lag_days
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+         SELECT o_orderpriority, count(*) AS n_lines,
+                min(lag_days) AS min_lag_days, max(lag_days) AS max_lag_days,
+                CAST(sum(lag_days) AS BIGINT) AS sum_lag_days,
+                CAST(sum(CASE WHEN lag_days < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_early,
+                CAST(sum(lag_days) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                  AS mean_lag_days
+         FROM lag_t GROUP BY 1""",
+    // Σq and Σq² exact BIGINTs; the HHI ratio is one double expression
+    "supplier_share_hhi" ->
+      """WITH ts AS (SELECT p_type, l_suppkey,
+                            CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qs
+                     FROM lineitem JOIN part ON l_partkey = p_partkey
+                     GROUP BY 1, 2),
+              t AS (SELECT p_type, count(*) AS n_suppliers,
+                           CAST(sum(qs) AS BIGINT) AS total_qty,
+                           CAST(sum(qs * qs) AS BIGINT) AS s2
+                    FROM ts GROUP BY 1)
+         SELECT p_type, n_suppliers,
+                CAST(s2 AS DOUBLE)
+                  / (CAST(total_qty AS DOUBLE) * CAST(total_qty AS DOUBLE)) AS hhi
+         FROM t""",
     "boilerplate_prefixes" ->
       """WITH p AS (SELECT array_to_string(
                             list_filter(string_split_regex(text, '\s+'), t -> t != '')[1:8],

@@ -358,6 +358,22 @@ object EventOps {
       .withColumn("duration_us", col("end_us") - col("start_us"))
   }
 
+  /** Session-duration pyramid: the [[eventsSessionize]] sessions banded
+    * by log2 of their whole-second duration — the engagement-depth
+    * readout (bounce / skim / engaged / marathon) that a raw duration
+    * list can't publish at scale. The band is the binary digit count
+    * of the exact integer seconds (+1 so zero-length single-event
+    * sessions band at 0), never a floating log2; the rollup on top of
+    * the session table is ≤ 64 groups.
+    */
+  def sessionDurationBands(spark: SparkSession, dir: String): DataFrame =
+    eventsSessionize(spark, dir)
+      .groupBy((length(bin(expr("duration_us div 1000000L") + 1)) - 1)
+        .cast("long").as("band"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("sum_events"),
+        max(expr("duration_us div 1000000L")).as("max_duration_s"))
+
   /** Weekly cohort retention — the product-analytics staple: users are
     * cohorted by the week of their first event, and each (cohort,
     * week-offset) cell counts the distinct users still active that many

@@ -525,6 +525,59 @@ object Relational {
       .agg(sum(col("rev") * weight).cast("double").as("boot_revenue"))
   }
 
+  /** Fulfillment-lag profile per order priority: ship date minus order
+    * date in whole days, rolled up with exact integer sums plus an
+    * early-ship anomaly count (negative lags — data-quality signal in
+    * this synthetic feed, SLA breach radar in a real one). Day lags
+    * use truncating integer division, which Spark's `div` and
+    * DuckDB's `//` agree on for NEGATIVE operands too (both
+    * truncate toward zero — verified, not assumed). One orderkey
+    * join; orders project to (key, priority, date) before it.
+    */
+  def orderFulfillmentLag(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        unix_micros(col("o_orderdate")).as("order_us"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), unix_micros(col("l_shipdate")).as("ship_us"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        expr("(ship_us - order_us) div 86400000000L").as("lag_days"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        min(col("lag_days")).as("min_lag_days"),
+        max(col("lag_days")).as("max_lag_days"),
+        sum(col("lag_days")).as("sum_lag_days"),
+        sum(when(col("lag_days") < 0, 1L).otherwise(0L)).as("n_early"))
+      .withColumn("mean_lag_days",
+        col("sum_lag_days").cast("double") / col("n_lines").cast("double"))
+  }
+
+  /** Supplier-concentration HHI per part type: Σ(supplier share)² of
+    * shipped quantity — the market-concentration scalar (1/n_suppliers
+    * = perfectly spread, 1.0 = single-sourced) a supply-chain review
+    * reads before a part family becomes a single point of failure.
+    * Quantities are integral in this schema, so Σq and Σq² are exact
+    * BIGINTs off one (type, supplier) aggregate; the HHI is one
+    * deterministic double expression per ≤ |types| output row.
+    */
+  def supplierShareHhi(spark: SparkSession, dir: String): DataFrame = {
+    val kinds = Tables.part(spark, dir).select(col("p_partkey"), col("p_type"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity").cast("long").as("q"))
+      .join(broadcast(kinds), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_type"), col("l_suppkey"))
+      .agg(sum(col("q")).as("qs"))
+      .groupBy(col("p_type"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("qs")).as("total_qty"),
+        sum(col("qs") * col("qs")).as("s2"))
+      .select(col("p_type"), col("n_suppliers"),
+        (col("s2").cast("double")
+          / (col("total_qty").cast("double") * col("total_qty").cast("double")))
+          .as("hhi"))
+  }
+
   /** RFM customer segmentation on exact integer coordinates: recency
     * (days since last order, against the corpus max date), frequency
     * (order count) and monetary (total cents) each band by BINARY

@@ -390,6 +390,15 @@ class EventOpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("sessionDurationBands: single-event sessions band at 0 via the +1 shift") {
+    // fixture events are days apart → four 1-event sessions, duration 0
+    // → bin(0+1)='1' → band 0
+    val got = EventOps.sessionDurationBands(spark, fixtureDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got === Map(0L -> ((4L, 4L, 0L))))
+  }
+
   test("eventsHourProfile: midnight-only fixture concentrates every type's share at hour 0") {
     val got = EventOps.eventsHourProfile(spark, fixtureDir).collect()
       .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3))))

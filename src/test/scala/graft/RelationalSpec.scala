@@ -580,6 +580,37 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     assert(got === Set(Row("AFRICA", "NATION_7", 100.0, 100.0, 1.0)))
   }
 
+  test("orderFulfillmentLag: negative lags truncate toward zero and count as early") {
+    import spark.implicits._
+    val dir = scratchDir("graft-lag")
+    val od = java.time.LocalDateTime.of(1997, 6, 10, 0, 0)
+    Seq((1L, 1L, "O", 1.0, od, "1-URGENT"))
+      .toDF(ordCols: _*).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq(
+      // +3 days, then 36 hours EARLY: -1.5 days must truncate to -1
+      (1L, 1L, 1L, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", od.plusDays(3)),
+      (1L, 1L, 1L, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", od.minusHours(36)))
+      .toDF(liCols: _*).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = rows(Relational.orderFulfillmentLag(spark, dir))
+    assert(got === Set(Row("1-URGENT", 2L, -1L, 3L, 2L, 1L, 1.0)))
+  }
+
+  test("supplierShareHhi: single-sourced types score 1, even splits score 1/n") {
+    import spark.implicits._
+    val dir = scratchDir("graft-hhi")
+    val d = java.time.LocalDateTime.of(1997, 6, 1, 0, 0)
+    Seq((1L, "a", "B", "SOLO", 1, 1.0), (2L, "b", "B", "SPLIT", 1, 1.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    Seq(
+      (1L, 1L, 1L, 1, 5.0, 1.0, 0.0, 0.0, "N", "O", d),  // SOLO: all supp 1
+      (2L, 2L, 1L, 1, 4.0, 1.0, 0.0, 0.0, "N", "O", d),  // SPLIT: 4 + 4
+      (3L, 2L, 2L, 1, 4.0, 1.0, 0.0, 0.0, "N", "O", d))
+      .toDF(liCols: _*).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = rows(Relational.supplierShareHhi(spark, dir))
+    assert(got === Set(Row("SOLO", 1L, 1.0), Row("SPLIT", 2L, 0.5)))
+  }
+
   test("customerRfm: log2 bands from exact integers; same-day orders give recency band 0") {
     // all fixture orders share one date → recency_days 0 → band(1) = 0.
     // alice: 3 orders, 6000 cents → '0-1-12'; bob: 1 order, 4000 → '0-0-11'
