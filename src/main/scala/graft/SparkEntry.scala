@@ -163,6 +163,8 @@ object SparkEntry {
     "session_duration_bands" -> EventOps.sessionDurationBands _,
     "order_fulfillment_lag"  -> Relational.orderFulfillmentLag _,
     "supplier_share_hhi"     -> Relational.supplierShareHhi _,
+    "graph_degree_hist"      -> Relational.graphDegreeHist _,
+    "stream_value_ecdf"      -> graft.streaming.EventStreams.streamValueEcdf _,
     "mixture_temperature"    -> Curation.mixtureTemperature _,
     "orders_delta_agg"       -> Relational.ordersDeltaAgg _,
     "events_incident_overlap" -> EventOps.eventsIncidentOverlap _,
@@ -2110,6 +2112,30 @@ object SparkEntry {
                  - CAST(sum(n_chars) AS DOUBLE) * CAST(sum(n_chars) AS DOUBLE))
                 / (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE)) AS var_len
          FROM documents GROUP BY source""",
+    "graph_degree_hist" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+              e AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+                    FROM op a JOIN op b
+                      ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+                    GROUP BY 1, 2
+                    HAVING count(*) >= 2),
+              d AS (SELECT pk, count(*) AS degree
+                    FROM (SELECT part_a AS pk FROM e
+                          UNION ALL SELECT part_b FROM e)
+                    GROUP BY 1)
+         SELECT CAST(len(bin(degree)) - 1 AS BIGINT) AS band,
+                count(*) AS n_parts,
+                min(degree) AS min_degree, max(degree) AS max_degree
+         FROM d GROUP BY 1""",
+    // probe counters are monotone and mergeable across triggers —
+    // that is why the ECDF is stream-maintainable and a quantile not
+    "stream_value_ecdf" ->
+      """SELECT date_trunc('hour', ts) AS w_start, probe, count(*) AS n_le
+         FROM events,
+              (SELECT unnest([0.5, 1.0, 2.0, 5.0, 10.0, 20.0, 50.0, 100.0]) AS probe)
+         WHERE value <= probe
+         GROUP BY 1, 2""",
     // band = binary digit count of exact whole seconds (+1 for
     // zero-length single-event sessions)
     "session_duration_bands" ->

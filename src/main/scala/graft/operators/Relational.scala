@@ -525,6 +525,24 @@ object Relational {
       .agg(sum(col("rev") * weight).cast("double").as("boot_revenue"))
   }
 
+  /** Degree distribution of the co-purchase graph, log2-banded — the
+    * first thing to read before ANY graph algorithm runs at scale:
+    * the top band's width bounds triangle/PageRank fanout, and a
+    * drifting histogram flags when a super-node is forming. Each
+    * canonical a<b edge contributes one degree to both endpoints via
+    * a 2-element struct-array explode (no union-of-two-scans); bands
+    * come from exact binary digit counts.
+    */
+  def graphDegreeHist(spark: SparkSession, dir: String): DataFrame =
+    copurchasePairs(spark, dir)
+      .select(explode(array(col("part_a"), col("part_b"))).as("pk"))
+      .groupBy(col("pk"))
+      .agg(count(lit(1)).as("degree"))
+      .groupBy((length(bin(col("degree"))) - 1).cast("long").as("band"))
+      .agg(count(lit(1)).as("n_parts"),
+        min(col("degree")).as("min_degree"),
+        max(col("degree")).as("max_degree"))
+
   /** Fulfillment-lag profile per order priority: ship date minus order
     * date in whole days, rolled up with exact integer sums plus an
     * early-ship anomaly count (negative lags — data-quality signal in

@@ -102,6 +102,31 @@ object EventStreams {
   def streamMoments(spark: SparkSession, dir: String): DataFrame =
     windowedMoments(Tables.events(spark, dir))
 
+  /** Watermark-windowed ECDF at fixed probes — the distribution
+    * telemetry that IS stream-maintainable, where a quantile is not: a
+    * late row increments a handful of probe counters (monotone,
+    * mergeable across triggers), while the value at p could reorder
+    * everything already emitted. Per (hour window, probe): rows under
+    * the probe via the filtered literal-array explode, plus the
+    * window total carried on a sentinel probe-of-infinity row so the
+    * fraction needs no second aggregate or stream-stream join.
+    */
+  def windowedEcdf(events: DataFrame): DataFrame = {
+    val probes = Seq(0.5, 1.0, 2.0, 5.0, 10.0, 20.0, 50.0, 100.0)
+    val withInf = probes :+ Double.MaxValue
+    events
+      .withWatermark("ts", "2 hours")
+      .select(col("ts"),
+        explode(filter(typedLit(withInf), p => col("value") <= p)).as("probe"))
+      .groupBy(window(col("ts"), "1 hour"), col("probe"))
+      .agg(count(lit(1)).as("n_le"))
+      .select(col("window.start").as("w_start"), col("probe"), col("n_le"))
+  }
+
+  def streamValueEcdf(spark: SparkSession, dir: String): DataFrame =
+    windowedEcdf(Tables.events(spark, dir))
+      .filter(col("probe") =!= Double.MaxValue)
+
   /** Gap-based session windows (30 min) per user via the native
     * `session_window`: a session closes when no event arrives for the
     * gap; `s_end` = last event + gap. A new event exactly at

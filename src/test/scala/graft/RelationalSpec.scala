@@ -611,6 +611,26 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     assert(got === Set(Row("SOLO", 1L, 1.0), Row("SPLIT", 2L, 0.5)))
   }
 
+  test("graphDegreeHist: both endpoints of each kept edge gain one degree") {
+    import spark.implicits._
+    val dir = scratchDir("graft-deg")
+    val d = java.time.LocalDateTime.of(1997, 6, 1, 0, 0)
+    // edges kept at n>=2: (1,2) from orders 1,2 and (1,3) from orders 3,4
+    // → part 1 degree 2 (band 1), parts 2 and 3 degree 1 (band 0)
+    Seq(
+      (1L, 1L, 1L, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", d),
+      (1L, 2L, 1L, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", d),
+      (2L, 1L, 1L, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", d),
+      (2L, 2L, 1L, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", d),
+      (3L, 1L, 1L, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", d),
+      (3L, 3L, 1L, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", d),
+      (4L, 1L, 1L, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", d),
+      (4L, 3L, 1L, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", d))
+      .toDF(liCols: _*).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = rows(Relational.graphDegreeHist(spark, dir))
+    assert(got === Set(Row(1L, 1L, 2L, 2L), Row(0L, 2L, 1L, 1L)))
+  }
+
   test("customerRfm: log2 bands from exact integers; same-day orders give recency band 0") {
     // all fixture orders share one date → recency_days 0 → band(1) = 0.
     // alice: 3 orders, 6000 cents → '0-1-12'; bob: 1 order, 4000 → '0-0-11'

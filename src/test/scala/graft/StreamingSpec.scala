@@ -49,6 +49,31 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("windowedEcdf: probe counters accumulate across triggers; the sentinel row carries the total") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventStreams.windowedEcdf(in.toDF())
+      .writeStream.format("memory").queryName("we").outputMode(OutputMode.Append).start()
+    try {
+      // two triggers feed the 10:00 window: values 0.4 and 3.0
+      in.addData(Ev(0, ts(10, 5), 1, "view", 0.4))
+      q.processAllAvailable()
+      in.addData(Ev(1, ts(10, 40), 2, "view", 3.0))
+      q.processAllAvailable()
+      in.addData(Ev(2, ts(13, 30), 1, "view", 1.0)) // close 10:00
+      q.processAllAvailable()
+      val got = spark.table("we").collect()
+        .filter(_.getAs[Timestamp]("w_start") === ts(10))
+        .map(r => r.getAs[Double]("probe") -> r.getAs[Long]("n_le")).toMap
+      // 0.4 counts under every probe; 3.0 only from 5.0 up
+      assert(got(0.5) === 1L && got(1.0) === 1L && got(2.0) === 1L)
+      assert(got(5.0) === 2L && got(100.0) === 2L)
+      assert(got(Double.MaxValue) === 2L) // the in-band window total
+    } finally q.stop()
+  }
+
   test("windowedCounts emits a window only after the watermark passes it") {
     val s = spark
     import s.implicits._
