@@ -165,6 +165,9 @@ object SparkEntry {
     "supplier_share_hhi"     -> Relational.supplierShareHhi _,
     "graph_degree_hist"      -> Relational.graphDegreeHist _,
     "stream_value_ecdf"      -> graft.streaming.EventStreams.streamValueEcdf _,
+    "embedding_dim_stats"    -> Similarity.embeddingDimStats _,
+    "orders_wow_growth"      -> Relational.ordersWowGrowth _,
+    "values_welch_t"         -> EventOps.valuesWelchT _,
     "mixture_temperature"    -> Curation.mixtureTemperature _,
     "orders_delta_agg"       -> Relational.ordersDeltaAgg _,
     "events_incident_overlap" -> EventOps.eventsIncidentOverlap _,
@@ -2112,6 +2115,77 @@ object SparkEntry {
                  - CAST(sum(n_chars) AS DOUBLE) * CAST(sum(n_chars) AS DOUBLE))
                 / (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE)) AS var_len
          FROM documents GROUP BY source""",
+    // values micro-quantize BEFORE the rollup; derived moments come
+    // off the exact sums
+    "embedding_dim_stats" ->
+      """WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              ix AS (SELECT v, unnest(range(1, len(v) + 1)) AS i FROM e),
+              x AS (SELECT CAST(i - 1 AS BIGINT) AS dim,
+                           CAST(floor(v[i] * 1000000) AS BIGINT) AS xm
+                    FROM ix),
+              s AS (SELECT dim, count(*) AS n,
+                           CAST(sum(xm) AS BIGINT) AS sum_micro,
+                           CAST(sum(xm * xm) AS BIGINT) AS sum2,
+                           min(xm) AS min_micro, max(xm) AS max_micro
+                    FROM x GROUP BY 1)
+         SELECT dim, n, sum_micro, min_micro, max_micro,
+                CAST(sum_micro AS DOUBLE) / CAST(n AS DOUBLE) / 1e6 AS mean,
+                (CAST(n AS DOUBLE) * CAST(sum2 AS DOUBLE)
+                 - CAST(sum_micro AS DOUBLE) * CAST(sum_micro AS DOUBLE))
+                / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 1e12 AS variance
+         FROM s""",
+    // growth in exact basis points ((cur−prev)·10⁴ div prev); first
+    // week NULL, not zero
+    "orders_wow_growth" ->
+      """WITH wk AS (SELECT epoch_us(o_orderdate) // 604800000000 AS week,
+                            count(*) AS n_orders,
+                            sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+                     FROM orders GROUP BY 1)
+         SELECT week, n_orders, CAST(rev_dec AS DOUBLE) AS revenue,
+                CASE WHEN lag(n_orders) OVER (ORDER BY week) IS NOT NULL
+                     THEN ((n_orders - lag(n_orders) OVER (ORDER BY week)) * 10000)
+                          // lag(n_orders) OVER (ORDER BY week) END AS growth_bps
+         FROM wk""",
+    // both groups' power sums in one conditional aggregate over
+    // micro-quantized values; t is one double expression
+    "values_welch_t" ->
+      """WITH a AS (
+           SELECT CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                  CAST(sum(CASE WHEN event_type = 'purchase'
+                                THEN CAST(floor(value * 1000.0) AS BIGINT) ELSE 0 END) AS BIGINT) AS s1,
+                  CAST(sum(CASE WHEN event_type = 'purchase'
+                                THEN CAST(floor(value * 1000.0) AS BIGINT)
+                                     * CAST(floor(value * 1000.0) AS BIGINT) ELSE 0 END) AS BIGINT) AS q1,
+                  CAST(sum(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END) AS BIGINT) AS n2,
+                  CAST(sum(CASE WHEN event_type = 'purchase' THEN 0
+                                ELSE CAST(floor(value * 1000.0) AS BIGINT) END) AS BIGINT) AS s2,
+                  CAST(sum(CASE WHEN event_type = 'purchase' THEN 0
+                                ELSE CAST(floor(value * 1000.0) AS BIGINT)
+                                     * CAST(floor(value * 1000.0) AS BIGINT) END) AS BIGINT) AS q2
+           FROM events),
+              v AS (
+           SELECT n1, n2, s1, s2, q1, q2,
+                  CASE WHEN n1 > 1 THEN
+                    (CAST(n1 AS DOUBLE) * CAST(q1 AS DOUBLE)
+                     - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                    / (CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)
+                       * (CAST(n1 AS DOUBLE) - 1.0)) / 1e6 END AS v1,
+                  CASE WHEN n2 > 1 THEN
+                    (CAST(n2 AS DOUBLE) * CAST(q2 AS DOUBLE)
+                     - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+                    / (CAST(n2 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                       * (CAST(n2 AS DOUBLE) - 1.0)) / 1e6 END AS v2
+           FROM a)
+         SELECT n1, n2,
+                CASE WHEN n1 > 0 THEN CAST(s1 AS DOUBLE) / 1e3 / CAST(n1 AS DOUBLE) END
+                  AS mean_purchase,
+                CASE WHEN n2 > 0 THEN CAST(s2 AS DOUBLE) / 1e3 / CAST(n2 AS DOUBLE) END
+                  AS mean_other,
+                CASE WHEN n1 > 1 AND n2 > 1 AND v1 + v2 > 0.0
+                     THEN (CAST(s1 AS DOUBLE) / 1e3 / CAST(n1 AS DOUBLE)
+                           - CAST(s2 AS DOUBLE) / 1e3 / CAST(n2 AS DOUBLE))
+                          / sqrt(v1 + v2) END AS welch_t
+         FROM v""",
     "graph_degree_hist" ->
       """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
               e AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
@@ -624,6 +624,49 @@ object EventOps {
       .groupBy((col("last_day") - col("first_day")).as("lifespan_days"))
       .agg(count(lit(1)).as("n_users"),
         sum(col("active_days")).as("sum_active_days"))
+  }
+
+  /** Welch's t statistic between purchase and non-purchase event
+    * values — the unequal-variance two-sample test (never pooled:
+    * group sizes and variances both differ here). Each group's
+    * (n, Σ, Σx²) accumulates as exact micro-quantized BIGINTs inside
+    * ONE conditional aggregate — no second scan, no join of two
+    * filtered subqueries — and the t statistic is a single double
+    * expression over the six integer sums (sqrt is IEEE-exact).
+    * Degenerate groups (empty, or zero combined variance) yield NULL.
+    */
+  def valuesWelchT(spark: SparkSession, dir: String): DataFrame = {
+    def m(c: Column) = c.cast("double") / lit(1e3)
+    val agg = Tables.events(spark, dir)
+      .select((col("event_type") === "purchase").as("is_p"),
+        floor(col("value") * lit(1000.0)).cast("long").as("vm"))
+      .agg(
+        sum(when(col("is_p"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("is_p"), col("vm")).otherwise(0L)).as("s1"),
+        sum(when(col("is_p"), col("vm") * col("vm")).otherwise(0L)).as("q1"),
+        sum(when(col("is_p"), 0L).otherwise(1L)).as("n2"),
+        sum(when(col("is_p"), 0L).otherwise(col("vm"))).as("s2"),
+        sum(when(col("is_p"), 0L).otherwise(col("vm") * col("vm"))).as("q2"))
+    // sample-variance-over-n from the exact sums:
+    // (n·Σx² − (Σx)²) / (n²·(n−1)), descaled from micro² units
+    // n > 1 guard INSIDE the helper: ANSI division is eager under
+    // non-short-circuiting And, so the n²(n−1) denominator must never
+    // be zero even when the outer branch won't be taken
+    def vOverN(n: Column, s: Column, q: Column): Column =
+      when(n > 1,
+        (n.cast("double") * q.cast("double") - s.cast("double") * s.cast("double")) /
+          (n.cast("double") * n.cast("double") * (n.cast("double") - 1.0)) / lit(1e6))
+    val se2 = vOverN(col("n1"), col("s1"), col("q1")) +
+      vOverN(col("n2"), col("s2"), col("q2"))
+    agg.select(col("n1"), col("n2"),
+      when(col("n1") > 0, m(col("s1")) / col("n1").cast("double"))
+        .as("mean_purchase"),
+      when(col("n2") > 0, m(col("s2")) / col("n2").cast("double"))
+        .as("mean_other"),
+      when(col("n1") > 1 && col("n2") > 1 && se2 > 0.0,
+        (m(col("s1")) / col("n1").cast("double")
+          - m(col("s2")) / col("n2").cast("double")) / sqrt(se2))
+        .as("welch_t"))
   }
 
   /** Diurnal profile: hour-of-day event histogram per type with each

@@ -529,6 +529,30 @@ object Relational {
       .agg(sum(col("rev") * weight).cast("double").as("boot_revenue"))
   }
 
+  /** Week-over-week growth accounting: weekly order counts and DECIMAL
+    * revenue with the previous week's figures carried by a lag window
+    * over the ≤ |weeks|-row rollup, plus integer-basis-point growth
+    * ((cur−prev)·10⁴ div prev — exact, no float drift in the headline
+    * metric). First week reports NULL growth rather than a fake 0.
+    * One fact-scale aggregate; everything after is bounded by the
+    * calendar.
+    */
+  def ordersWowGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val weekUs = 7L * 86400L * 1000000L
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("week"))
+    Tables.orders(spark, dir)
+      .select(expr(s"unix_micros(o_orderdate) div ${weekUs}L").as("week"),
+        col("o_totalprice").cast("decimal(18,2)").as("rev"))
+      .groupBy(col("week"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("rev")).as("rev_dec"))
+      .withColumn("prev_orders", lag(col("n_orders"), 1).over(w))
+      .select(col("week"), col("n_orders"),
+        col("rev_dec").cast("double").as("revenue"),
+        when(col("prev_orders").isNotNull,
+          expr("((n_orders - prev_orders) * 10000L) div prev_orders"))
+          .as("growth_bps"))
+  }
+
   /** Degree distribution of the co-purchase graph, log2-banded — the
     * first thing to read before ANY graph algorithm runs at scale:
     * the top band's width bounds triangle/PageRank fanout, and a

@@ -22,6 +22,34 @@ import graft.Tables
   */
 object Similarity {
 
+  /** Per-dimension embedding health: n, exact micro-quantized power
+    * sums, min/max and the derived mean/variance for each of the
+    * `dim` coordinates — the dead/saturated-dimension radar an
+    * embedding pipeline checks before PCA or quantization assumes
+    * every axis carries signal. Values quantize to exact integer
+    * micro-units (floor(x·10⁶) — bit-identical on both engines)
+    * BEFORE the posexplode rollup, so the sums are order-free; the
+    * output is dim-bounded (64 rows) with derived doubles computed
+    * from the exact sums.
+    */
+  def embeddingDimStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+      .select(col("dim").cast("long").as("dim"),
+        floor(col("x") * lit(1000000.0)).cast("long").as("xm"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("xm")).as("sum_micro"),
+        sum(col("xm") * col("xm")).as("sum2_micro2"),
+        min(col("xm")).as("min_micro"), max(col("xm")).as("max_micro"))
+      .select(col("dim"), col("n"), col("sum_micro"), col("min_micro"),
+        col("max_micro"),
+        (col("sum_micro").cast("double") / col("n").cast("double") / lit(1e6))
+          .as("mean"),
+        ((col("n").cast("double") * col("sum2_micro2").cast("double")
+          - col("sum_micro").cast("double") * col("sum_micro").cast("double"))
+          / (col("n").cast("double") * col("n").cast("double")) / lit(1e12))
+          .as("variance"))
+
   // Native codegen'd dot product (graft.functions.ArrayDotProduct):
   // same element-order IEEE accumulation as the HOF formulation
   // `aggregate(zip_with(a,b,x*y), 0.0, +)` it replaces, without the

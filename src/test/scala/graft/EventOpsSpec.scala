@@ -399,6 +399,25 @@ class EventOpsSpec extends AnyFunSuite with SparkFixture {
     assert(got === Map(0L -> ((4L, 4L, 0L))))
   }
 
+  test("valuesWelchT: missing group yields NULLs; closed-form t on a planted split") {
+    // fixture has zero purchase events → n1 = 0 → purchase mean and t NULL
+    val fix = EventOps.valuesWelchT(spark, fixtureDir).collect().head
+    assert(fix.getLong(0) === 0L && fix.isNullAt(2) && fix.isNullAt(4))
+    assert(fix.getDouble(3) === 1.125) // (1 + 1 + 2 + 0.5) / 4
+    // purchases {1,3} vs others {0,0}: v1 = 1, v2 = 0 → t = 2/√1 = 2
+    import spark.implicits._
+    val dir = scratchDir("graft-welch")
+    val t0 = java.time.LocalDateTime.of(2024, 1, 1, 0, 0)
+    Seq(
+      (0L, t0, 1L, "purchase", 1.0, "{}"), (1L, t0, 1L, "purchase", 3.0, "{}"),
+      (2L, t0, 2L, "view", 0.0, "{}"), (3L, t0, 2L, "view", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = EventOps.valuesWelchT(spark, dir).collect().head
+    assert(r.getDouble(2) === 2.0 && r.getDouble(3) === 0.0)
+    assert(r.getDouble(4) === 2.0)
+  }
+
   test("eventsHourProfile: midnight-only fixture concentrates every type's share at hour 0") {
     val got = EventOps.eventsHourProfile(spark, fixtureDir).collect()
       .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3))))

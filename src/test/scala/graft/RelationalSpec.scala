@@ -611,6 +611,22 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     assert(got === Set(Row("SOLO", 1L, 1.0), Row("SPLIT", 2L, 0.5)))
   }
 
+  test("ordersWowGrowth: basis-point growth from the previous week; first week NULL") {
+    import spark.implicits._
+    val dir = scratchDir("graft-wow")
+    val w1 = java.time.LocalDateTime.of(2024, 1, 1, 0, 0)  // a Monday
+    val w2 = w1.plusDays(7)
+    Seq(
+      (1L, 1L, "O", 10.0, w1, "1-URGENT"), (2L, 1L, "O", 10.0, w1, "1-URGENT"),
+      (3L, 1L, "O", 10.0, w2, "1-URGENT"), (4L, 1L, "O", 10.0, w2, "1-URGENT"),
+      (5L, 1L, "O", 10.0, w2, "1-URGENT"))
+      .toDF(ordCols: _*).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = Relational.ordersWowGrowth(spark, dir).collect()
+      .map(r => r.getLong(1) -> ((r.getDouble(2), r.get(3)))).toMap
+    // weeks keyed by count: 2 orders then 3 → +50% = 5000 bps
+    assert(got === Map(2L -> ((20.0, null)), 3L -> ((30.0, 5000L))))
+  }
+
   test("graphDegreeHist: both endpoints of each kept edge gain one degree") {
     import spark.implicits._
     val dir = scratchDir("graft-deg")

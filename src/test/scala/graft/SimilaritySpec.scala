@@ -376,4 +376,18 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
       assert(got((2L, j)) === 0L)
     }
   }
+
+  test("embeddingDimStats: one row per dimension with consistent exact sums") {
+    val rows = operators.Similarity.embeddingDimStats(spark, fixtureDir).collect()
+    assert(rows.length === 64)
+    rows.foreach { r =>
+      assert(r.getLong(1) === 60L) // every dim sees every vector
+      val (n, sum, mn, mx) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(mn <= mx)
+      assert(sum >= n * mn && sum <= n * mx) // exact-sum sanity envelope
+      assert(r.getDouble(6) >= 0.0) // variance non-negative
+      // derived mean reconstructs from the exact sum
+      assert(r.getDouble(5) === sum.toDouble / n.toDouble / 1e6)
+    }
+  }
 }
