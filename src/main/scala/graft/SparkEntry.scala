@@ -168,6 +168,9 @@ object SparkEntry {
     "embedding_dim_stats"    -> Similarity.embeddingDimStats _,
     "orders_wow_growth"      -> Relational.ordersWowGrowth _,
     "values_welch_t"         -> EventOps.valuesWelchT _,
+    "events_time_to_convert" -> EventOps.eventsTimeToConvert _,
+    "user_stickiness"        -> EventOps.userStickiness _,
+    "activity_powerlaw_alpha" -> EventOps.activityPowerlawAlpha _,
     "mixture_temperature"    -> Curation.mixtureTemperature _,
     "orders_delta_agg"       -> Relational.ordersDeltaAgg _,
     "events_incident_overlap" -> EventOps.eventsIncidentOverlap _,
@@ -2115,6 +2118,52 @@ object SparkEntry {
                  - CAST(sum(n_chars) AS DOUBLE) * CAST(sum(n_chars) AS DOUBLE))
                 / (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE)) AS var_len
          FROM documents GROUP BY source""",
+    "events_time_to_convert" ->
+      """WITH pu AS (SELECT user_id,
+                            min(CASE WHEN event_type = 'view'
+                                     THEN epoch_us(ts) END) AS v_us,
+                            min(CASE WHEN event_type = 'purchase'
+                                     THEN epoch_us(ts) END) AS p_us
+                     FROM events GROUP BY 1),
+              d AS (SELECT (p_us - v_us) // 3600000000 AS hours
+                    FROM pu WHERE v_us IS NOT NULL AND p_us > v_us)
+         SELECT CAST(len(bin(hours + 1)) - 1 AS BIGINT) AS band,
+                count(*) AS n_users,
+                min(hours) AS min_hours, max(hours) AS max_hours
+         FROM d GROUP BY 1""",
+    // (user, day) dedup happens before either rollup; the ratio is
+    // one division over exact BIGINTs per month row
+    "user_stickiness" ->
+      """WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+                     FROM events),
+              udm AS (SELECT user_id, day, day // 30 AS month FROM ud),
+              dau AS (SELECT month, count(*) AS n_days,
+                             CAST(sum(n_active) AS BIGINT) AS sum_dau
+                      FROM (SELECT month, day, count(*) AS n_active
+                            FROM udm GROUP BY 1, 2)
+                      GROUP BY 1),
+              mau AS (SELECT month, count(*) AS mau
+                      FROM (SELECT DISTINCT month, user_id FROM udm)
+                      GROUP BY 1)
+         SELECT mau.month, n_days, sum_dau, mau,
+                CAST(sum_dau AS DOUBLE) / CAST(n_days * mau AS DOUBLE)
+                  AS stickiness
+         FROM mau JOIN dau ON mau.month = dau.month""",
+    // each log quantizes to micro-nats before the sum (x_min = 2,
+    // continuous-MLE approximation with the −½ offset)
+    "activity_powerlaw_alpha" ->
+      """WITH t AS (SELECT CAST(floor(ln(CAST(count(*) AS DOUBLE) / 1.5) * 1000000)
+                               AS BIGINT) AS lnr
+                    FROM events GROUP BY user_id
+                    HAVING count(*) >= 2),
+              s AS (SELECT count(*) AS n_tail_users,
+                           CAST(sum(lnr) AS BIGINT) AS sum_ln_micro
+                    FROM t)
+         SELECT n_tail_users, sum_ln_micro,
+                CASE WHEN sum_ln_micro > 0
+                     THEN 1.0 + CAST(n_tail_users AS DOUBLE) * 1e6
+                          / CAST(sum_ln_micro AS DOUBLE) END AS alpha
+         FROM s""",
     // values micro-quantize BEFORE the rollup; derived moments come
     // off the exact sums
     "embedding_dim_stats" ->

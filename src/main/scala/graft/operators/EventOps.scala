@@ -626,6 +626,76 @@ object EventOps {
         sum(col("active_days")).as("sum_active_days"))
   }
 
+  /** Time-to-convert pyramid: for users whose first purchase follows
+    * their first view, the view→purchase delay banded by log2 of whole
+    * hours (+1) — the funnel-velocity readout behind "how long does
+    * conversion take". Both firsts come from ONE conditional-min
+    * aggregate per user (no per-stage scans), the delay is exact
+    * integer microseconds, and the band is a binary digit count. The
+    * histogram rollup is ≤ 64 groups.
+    */
+  def eventsTimeToConvert(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "view", unix_micros(col("ts")))).as("v_us"),
+        min(when(col("event_type") === "purchase", unix_micros(col("ts"))))
+          .as("p_us"))
+      .filter(col("v_us").isNotNull && col("p_us") > col("v_us"))
+      .select(expr("(p_us - v_us) div 3600000000L").as("hours"))
+      .groupBy((length(bin(col("hours") + 1)) - 1).cast("long").as("band"))
+      .agg(count(lit(1)).as("n_users"),
+        min(col("hours")).as("min_hours"), max(col("hours")).as("max_hours"))
+
+  /** Monthly stickiness (DAU/MAU): mean daily actives over monthly
+    * actives — the engagement ratio every growth report leads with
+    * (1.0 = everyone active every day). Exact integer formulation:
+    * Σ daily-distinct over the month and 30.5-free month windows as
+    * epoch months; the one division per output row runs over exact
+    * BIGINTs. Distinct-day dedup happens in a (user, day) aggregate
+    * BEFORE either rollup, so no count-distinct crosses month scope.
+    */
+  def userStickiness(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400L * 1000000L
+    val userDays = Tables.events(spark, dir)
+      .select(col("user_id"), expr(s"unix_micros(ts) div ${dayUs}L").as("day"))
+      .distinct()
+      .withColumn("month", expr("day div 30L"))
+    val dau = userDays.groupBy(col("month"), col("day"))
+      .agg(count(lit(1)).as("n_active"))
+      .groupBy(col("month").as("m1"))
+      .agg(count(lit(1)).as("n_days"), sum(col("n_active")).as("sum_dau"))
+    val mau = userDays.select(col("month"), col("user_id")).distinct()
+      .groupBy(col("month"))
+      .agg(count(lit(1)).as("mau"))
+    mau.join(dau, col("month") === col("m1"))
+      .select(col("month"), col("n_days"), col("sum_dau"), col("mau"),
+        (col("sum_dau").cast("double")
+          / (col("n_days") * col("mau")).cast("double")).as("stickiness"))
+  }
+
+  /** Discrete power-law exponent of the user-activity distribution
+    * (continuous-MLE approximation, Clauset et al.):
+    * α = 1 + n / Σ ln(cᵢ / (x_min − ½)) over users with cᵢ ≥ x_min —
+    * the one-number answer to "how heavy is the heavy tail" that
+    * decides salting and partition budgets. Per-user counts are
+    * exact; each log quantizes to micro-nats before the sum, so the
+    * estimate replays exactly. x_min = 2 (singleton users carry no
+    * tail information).
+    */
+  def activityPowerlawAlpha(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+      .select(floor(log(col("c").cast("double") / lit(1.5)) * lit(1000000.0))
+        .cast("long").as("lnr"))
+      .agg(count(lit(1)).as("n_tail_users"), sum(col("lnr")).as("sum_ln_micro"))
+      .select(col("n_tail_users"), col("sum_ln_micro"),
+        when(col("sum_ln_micro") > 0,
+          lit(1.0) + col("n_tail_users").cast("double") * lit(1e6)
+            / col("sum_ln_micro").cast("double")).as("alpha"))
+
   /** Welch's t statistic between purchase and non-purchase event
     * values — the unequal-variance two-sample test (never pooled:
     * group sizes and variances both differ here). Each group's

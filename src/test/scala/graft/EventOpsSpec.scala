@@ -399,6 +399,44 @@ class EventOpsSpec extends AnyFunSuite with SparkFixture {
     assert(got === Map(0L -> ((4L, 4L, 0L))))
   }
 
+  test("eventsTimeToConvert: only first-view-before-first-purchase users count") {
+    // fixture has no purchases → empty
+    assert(EventOps.eventsTimeToConvert(spark, fixtureDir).collect().isEmpty)
+    import spark.implicits._
+    val dir = scratchDir("graft-ttc")
+    val t0 = java.time.LocalDateTime.of(2024, 1, 1, 0, 0)
+    Seq(
+      (0L, t0, 1L, "view", 1.0, "{}"),                    // converts after 5h
+      (1L, t0.plusHours(5), 1L, "purchase", 1.0, "{}"),
+      (2L, t0.plusHours(1), 2L, "purchase", 1.0, "{}"),   // purchase BEFORE view
+      (3L, t0.plusHours(2), 2L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = EventOps.eventsTimeToConvert(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // 5 hours → bin(6)='110' → band 2; user 2 excluded
+    assert(got === Map(2L -> ((1L, 5L, 5L))))
+  }
+
+  test("userStickiness: DAU/MAU from exact per-month integer sums") {
+    // month 657 (ref day): 1 day, 1 user → 1.0;
+    // month 656 (days -14/-20/-30): 3 active days over 2 users → 0.5
+    val got = EventOps.userStickiness(spark, fixtureDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    assert(got === Map(
+      657L -> ((1L, 1L, 1L, 1.0)),
+      656L -> ((3L, 3L, 2L, 0.5))))
+  }
+
+  test("activityPowerlawAlpha: closed form on the two-events-per-user fixture") {
+    val r = EventOps.activityPowerlawAlpha(spark, fixtureDir).collect().head
+    val lnr = math.floor(math.log(2.0 / 1.5) * 1e6).toLong
+    assert(r.getLong(0) === 2L && r.getLong(1) === 2 * lnr)
+    assert(r.getDouble(2) === 1.0 + 2.0 * 1e6 / (2 * lnr).toDouble)
+  }
+
   test("valuesWelchT: missing group yields NULLs; closed-form t on a planted split") {
     // fixture has zero purchase events → n1 = 0 → purchase mean and t NULL
     val fix = EventOps.valuesWelchT(spark, fixtureDir).collect().head

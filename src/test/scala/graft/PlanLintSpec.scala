@@ -113,7 +113,8 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
     "customer_rfm" -> "final pass of the corpus-max-date scalar aggregate (the recency anchor): one partial row per upstream partition",
     "source_lang_kl" -> "final pass of the corpus-total scalar aggregate (the KL denominator) over the ≤ sources×langs cell table: one partial row per upstream partition",
     "orders_wow_growth" -> "global lag window over the calendar-bounded weekly rollup (≤ |weeks| rows) — the WoW series IS a total order over weeks",
-    "values_welch_t" -> "final pass of the two-group power-sum scalar aggregate (the query IS one global statistic): one partial row per upstream partition"
+    "values_welch_t" -> "final pass of the two-group power-sum scalar aggregate (the query IS one global statistic): one partial row per upstream partition",
+    "activity_powerlaw_alpha" -> "final pass of the tail-sum scalar aggregate (the query IS one global exponent): one partial row per upstream partition"
   )
 
   // One plan sweep shared by all three tests: name → (plans nested-loop?,
