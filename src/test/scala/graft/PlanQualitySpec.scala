@@ -247,4 +247,40 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
     // spread rebalance + gram window exchange + doc rollup (+AQE reads)
     assert(PlanChecks.shuffles(graft.operators.Curation.ngramNovelty(spark, fixtureDir)) <= 4)
   }
+
+  test("q21: ONE lineitem scan — the existence tests are a window, not a join-back") {
+    // the decorrelated groupBy+join formulation re-evaluates the pair
+    // subtree (two fact scans); the window formulation must keep one
+    val plan = PlanChecks.executedPlanString(
+      Relational.q21WaitingSuppliers(spark, fixtureDir))
+    val finalTree = plan.indexOf("== Initial Plan ==") match {
+      case -1 => plan; case i => plan.substring(0, i)
+    }
+    // ≤, not ==: AQE may collapse the fixture's empty result to an
+    // EmptyRelation with zero scans — the regression is TWO scans
+    assert("lineitem\\.parquet".r.findAllIn(finalTree).length <= 1, plan)
+    // fact exchange + pair-table order re-exchange + supplier rollup
+    assert(PlanChecks.shuffles(Relational.q21WaitingSuppliers(spark, fixtureDir)) <= 3)
+  }
+
+  test("group_reservoir_sample: rank-limit pushes top-k heaps to BOTH sides of each exchange") {
+    val plan = PlanChecks.executedPlanString(
+      graft.operators.Curation.groupReservoirSample(spark, fixtureDir))
+    val finalTree = plan.indexOf("== Initial Plan ==") match {
+      case -1 => plan; case i => plan.substring(0, i)
+    }
+    // two windows → four WindowGroupLimit heaps (partial + final each);
+    // losing them means every stratum gets fully sorted and shipped
+    assert("WindowGroupLimit".r.findAllIn(finalTree).length === 4, plan)
+  }
+
+  test("events_value_ecdf: probe fanout stays inside the scan stage (no join for membership)") {
+    val plan = PlanChecks.executedPlanString(
+      EventOps.eventsValueEcdf(spark, fixtureDir))
+    // membership via filtered literal-array explode: exactly one
+    // Generate, and no hash/sort-merge join anywhere (the only join is
+    // the 1-row total's broadcast nested loop)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"), plan)
+    assert(PlanChecks.shuffles(EventOps.eventsValueEcdf(spark, fixtureDir)) <= 2)
+  }
 }
