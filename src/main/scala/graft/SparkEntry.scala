@@ -171,6 +171,8 @@ object SparkEntry {
     "events_time_to_convert" -> EventOps.eventsTimeToConvert _,
     "user_stickiness"        -> EventOps.userStickiness _,
     "activity_powerlaw_alpha" -> EventOps.activityPowerlawAlpha _,
+    "values_benford_digits"  -> EventOps.valuesBenfordDigits _,
+    "events_seasonal_residuals" -> EventOps.eventsSeasonalResiduals _,
     "mixture_temperature"    -> Curation.mixtureTemperature _,
     "orders_delta_agg"       -> Relational.ordersDeltaAgg _,
     "events_incident_overlap" -> EventOps.eventsIncidentOverlap _,
@@ -2118,6 +2120,47 @@ object SparkEntry {
                  - CAST(sum(n_chars) AS DOUBLE) * CAST(sum(n_chars) AS DOUBLE))
                 / (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE)) AS var_len
          FROM documents GROUP BY source""",
+    // expected shares are the same hardcoded micro literals the Spark
+    // plan carries; digit from the integer's string, not log10
+    "values_benford_digits" ->
+      """WITH d AS (SELECT CAST(regexp_extract(CAST(CAST(floor(value * 1000.0) AS BIGINT) AS VARCHAR),
+                                               '^([1-9])', 1) AS BIGINT) AS digit
+                    FROM events
+                    WHERE CAST(floor(value * 1000.0) AS BIGINT) > 0),
+              c AS (SELECT digit, count(*) AS n_obs FROM d GROUP BY 1),
+              t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_total FROM c),
+              e AS (SELECT digit, n_obs, n_total,
+                           CASE digit WHEN 1 THEN 301029 WHEN 2 THEN 176091
+                                      WHEN 3 THEN 124938 WHEN 4 THEN 96910
+                                      WHEN 5 THEN 79181 WHEN 6 THEN 66946
+                                      WHEN 7 THEN 57991 WHEN 8 THEN 51152
+                                      ELSE 45757 END AS exp_micro
+                    FROM c, t)
+         SELECT digit, n_obs,
+                CAST(n_obs AS DOUBLE) / CAST(n_total AS DOUBLE) AS obs_share,
+                CAST(exp_micro AS DOUBLE) / 1e6 AS exp_share,
+                (CAST(n_obs AS DOUBLE)
+                 - CAST(n_total AS DOUBLE) * CAST(exp_micro AS DOUBLE) / 1e6)
+                * (CAST(n_obs AS DOUBLE)
+                   - CAST(n_total AS DOUBLE) * CAST(exp_micro AS DOUBLE) / 1e6)
+                / (CAST(n_total AS DOUBLE) * CAST(exp_micro AS DOUBLE) / 1e6)
+                  AS chi2_term
+         FROM e""",
+    // weekday baseline via window sums on the bounded (type, day)
+    // table; residual is an exact cross-multiplied basis-point integer
+    "events_seasonal_residuals" ->
+      """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                               count(*) AS c
+                        FROM events GROUP BY 1, 2),
+              m AS (SELECT event_type, day, day % 7 AS weekday, c,
+                           count(*) OVER (PARTITION BY event_type, day % 7)
+                             AS n_wd,
+                           CAST(sum(c) OVER (PARTITION BY event_type, day % 7)
+                                AS BIGINT) AS s_wd
+                    FROM daily)
+         SELECT event_type, day, CAST(weekday AS BIGINT) AS weekday, c,
+                ((c * n_wd - s_wd) * 10000) // s_wd AS residual_bps
+         FROM m""",
     "events_time_to_convert" ->
       """WITH pu AS (SELECT user_id,
                             min(CASE WHEN event_type = 'view'

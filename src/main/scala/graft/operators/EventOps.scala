@@ -696,6 +696,71 @@ object EventOps {
           lit(1.0) + col("n_tail_users").cast("double") * lit(1e6)
             / col("sum_ln_micro").cast("double")).as("alpha"))
 
+  /** Benford first-digit audit of the value column — the
+    * forensic-accounting screen: organically-generated magnitudes
+    * follow P(d) = log10(1+1/d); fabricated or clipped feeds don't.
+    * The first significant digit comes from the STRING of the exact
+    * milli-quantized integer (regexp for the leading non-zero digit —
+    * no log10 in the digit path, whose last-ulp could flip a power of
+    * ten), and the expected shares are Scala-computed literals baked
+    * identically into both engines. One 9-row rollup plus the 1-row
+    * total; the per-digit χ² contribution is a double expression over
+    * exact counts.
+    */
+  def valuesBenfordDigits(spark: SparkSession, dir: String): DataFrame = {
+    // floor(log10(1+1/d)·10⁶), hardcoded (not recomputed via libm) so
+    // the Spark plan and the oracle SQL carry the SAME literals
+    val expectedMicro: Map[Int, Long] = Map(
+      1 -> 301029L, 2 -> 176091L, 3 -> 124938L, 4 -> 96910L, 5 -> 79181L,
+      6 -> 66946L, 7 -> 57991L, 8 -> 51152L, 9 -> 45757L)
+    val expCol = expectedMicro.toSeq.sortBy(_._1).foldRight(lit(0L): Column) {
+      case ((d, p), rest) => when(col("digit") === d.toLong, p).otherwise(rest)
+    }
+    val digits = Tables.events(spark, dir)
+      .select(floor(col("value") * lit(1000.0)).cast("long").as("vm"))
+      .filter(col("vm") > 0)
+      .select(regexp_extract(col("vm").cast("string"), "^([1-9])", 1)
+        .cast("long").as("digit"))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("n_obs"))
+    val total = digits.agg(sum(col("n_obs")).as("n_total"))
+    digits.crossJoin(broadcast(total))
+      .withColumn("exp_micro", expCol)
+      .select(col("digit"), col("n_obs"),
+        (col("n_obs").cast("double") / col("n_total").cast("double"))
+          .as("obs_share"),
+        (col("exp_micro").cast("double") / lit(1e6)).as("exp_share"),
+        ((col("n_obs").cast("double")
+          - col("n_total").cast("double") * col("exp_micro").cast("double") / lit(1e6))
+          * (col("n_obs").cast("double")
+            - col("n_total").cast("double") * col("exp_micro").cast("double") / lit(1e6))
+          / (col("n_total").cast("double") * col("exp_micro").cast("double") / lit(1e6)))
+          .as("chi2_term"))
+  }
+
+  /** Weekday-adjusted rate residuals: each (type, day) count against
+    * the mean of ITS OWN weekday for that type — the seasonal
+    * adjustment that stops Monday-vs-Sunday variation from drowning
+    * real anomalies in [[eventRateAnomaly]]'s flat z-score. The
+    * weekday baseline is a window sum over the bounded (type, day)
+    * count table; the residual is an exact cross-multiplied
+    * basis-point integer ((c·n_wd − s_wd)·10⁴ div s_wd) — no float
+    * in the flagging path.
+    */
+  def eventsSeasonalResiduals(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400L * 1000000L
+    val w = Window.partitionBy(col("event_type"), col("weekday"))
+    Tables.events(spark, dir)
+      .select(col("event_type"), expr(s"unix_micros(ts) div ${dayUs}L").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("weekday", pmod(col("day"), lit(7L)))
+      .withColumn("n_wd", count(lit(1)).over(w))
+      .withColumn("s_wd", sum(col("c")).over(w))
+      .select(col("event_type"), col("day"), col("weekday"), col("c"),
+        expr("((c * n_wd - s_wd) * 10000L) div s_wd").as("residual_bps"))
+  }
+
   /** Welch's t statistic between purchase and non-purchase event
     * values — the unequal-variance two-sample test (never pooled:
     * group sizes and variances both differ here). Each group's

@@ -437,6 +437,26 @@ class EventOpsSpec extends AnyFunSuite with SparkFixture {
     assert(r.getDouble(2) === 1.0 + 2.0 * 1e6 / (2 * lnr).toDouble)
   }
 
+  test("valuesBenfordDigits: digits from milli-integer strings; shares against baked literals") {
+    // fixture values 1.0, 1.0, 2.0, 0.5 → milli 1000, 1000, 2000, 500
+    // → first digits 1, 1, 2, 5
+    val got = EventOps.valuesBenfordDigits(spark, fixtureDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(got(1L) === ((2L, 0.5, 0.301029)))
+    assert(got(2L) === ((1L, 0.25, 0.176091)))
+    assert(got(5L) === ((1L, 0.25, 0.079181)))
+    assert(got.size === 3)
+  }
+
+  test("eventsSeasonalResiduals: a flat series has zero residual everywhere") {
+    // every fixture (type, day) count is 1 → each day equals its own
+    // weekday mean exactly
+    val rows = EventOps.eventsSeasonalResiduals(spark, fixtureDir).collect()
+    assert(rows.length === 4)
+    rows.foreach(r => assert(r.getLong(4) === 0L))
+  }
+
   test("valuesWelchT: missing group yields NULLs; closed-form t on a planted split") {
     // fixture has zero purchase events → n1 = 0 → purchase mean and t NULL
     val fix = EventOps.valuesWelchT(spark, fixtureDir).collect().head

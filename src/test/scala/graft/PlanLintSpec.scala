@@ -57,7 +57,8 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
     "events_value_ecdf" -> "1-row event-total scalar (the ECDF denominator) kept in-plan as a broadcast crossJoin over the ≤ |probes|-row hit table",
     "boilerplate_prefixes" -> "1-row corpus-total scalar (the share denominator) kept in-plan as a broadcast crossJoin over the thresholded prefix table",
     "customer_rfm" -> "1-row corpus-max-date scalar (the recency anchor) kept in-plan as a broadcast crossJoin over the per-customer rollup",
-    "source_lang_kl" -> "1-row corpus-total scalar (the KL denominator) kept in-plan as a broadcast crossJoin over the ≤ sources×langs cell table"
+    "source_lang_kl" -> "1-row corpus-total scalar (the KL denominator) kept in-plan as a broadcast crossJoin over the ≤ sources×langs cell table",
+    "values_benford_digits" -> "1-row digit-total scalar (the share/χ² denominator) kept in-plan as a broadcast crossJoin over the 9-row digit table"
     // dropped round 7 (stale — plans improved out from under the rows):
     //   pi_montecarlo: ConvertToLocalRelation folds the seeded-parameter
     //   crossJoin away entirely; contamination_check: the benchmark-gram
@@ -114,7 +115,8 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
     "source_lang_kl" -> "final pass of the corpus-total scalar aggregate (the KL denominator) over the ≤ sources×langs cell table: one partial row per upstream partition",
     "orders_wow_growth" -> "global lag window over the calendar-bounded weekly rollup (≤ |weeks| rows) — the WoW series IS a total order over weeks",
     "values_welch_t" -> "final pass of the two-group power-sum scalar aggregate (the query IS one global statistic): one partial row per upstream partition",
-    "activity_powerlaw_alpha" -> "final pass of the tail-sum scalar aggregate (the query IS one global exponent): one partial row per upstream partition"
+    "activity_powerlaw_alpha" -> "final pass of the tail-sum scalar aggregate (the query IS one global exponent): one partial row per upstream partition",
+    "values_benford_digits" -> "final pass of the digit-total scalar aggregate over the 9-row digit table: one partial row per upstream partition"
   )
 
   // One plan sweep shared by all three tests: name → (plans nested-loop?,
