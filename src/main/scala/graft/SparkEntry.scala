@@ -173,6 +173,7 @@ object SparkEntry {
     "activity_powerlaw_alpha" -> EventOps.activityPowerlawAlpha _,
     "values_benford_digits"  -> EventOps.valuesBenfordDigits _,
     "events_seasonal_residuals" -> EventOps.eventsSeasonalResiduals _,
+    "fingerprint_collisions" -> TextOps.fingerprintCollisions _,
     "mixture_temperature"    -> Curation.mixtureTemperature _,
     "orders_delta_agg"       -> Relational.ordersDeltaAgg _,
     "events_incident_overlap" -> EventOps.eventsIncidentOverlap _,
@@ -2120,6 +2121,15 @@ object SparkEntry {
                  - CAST(sum(n_chars) AS DOUBLE) * CAST(sum(n_chars) AS DOUBLE))
                 / (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE)) AS var_len
          FROM documents GROUP BY source""",
+    "fingerprint_collisions" ->
+      """WITH h AS (SELECT md5(text) AS h FROM documents),
+              e AS (SELECT w, substr(h, 1, w) AS fp
+                    FROM h, (SELECT unnest([6, 8, 12]) AS w))
+         SELECT CAST(w * 4 AS BIGINT) AS width_bits,
+                count(*) AS n_docs,
+                CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct,
+                count(*) - CAST(count(DISTINCT fp) AS BIGINT) AS n_collided
+         FROM e GROUP BY 1""",
     // expected shares are the same hardcoded micro literals the Spark
     // plan carries; digit from the integer's string, not log10
     "values_benford_digits" ->

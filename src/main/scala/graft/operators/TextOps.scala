@@ -1242,6 +1242,26 @@ object TextOps {
           .as("corpus_share"))
   }
 
+  /** Fingerprint-width collision telemetry: how many documents collide
+    * under 24-, 32- and 48-bit content fingerprints — the measured
+    * birthday-problem curve that decides how wide a dedup hash must be
+    * BEFORE a too-narrow fingerprint silently merges distinct
+    * documents at the next scale-up. Each doc hashes once; the three
+    * widths explode from a literal array (prefix truncation of the
+    * same md5, so wider columns are strict refinements); per width,
+    * one count-distinct aggregate.
+    */
+  def fingerprintCollisions(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(md5(col("text").cast("binary")).as("h"))
+      .select(explode(typedLit(Seq(6, 8, 12))).as("w"), col("h"))
+      .select((col("w") * 4).cast("long").as("width_bits"),
+        expr("substring(h, 1, w)").as("fp"))
+      .groupBy(col("width_bits"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("n_distinct"))
+      .withColumn("n_collided", col("n_docs") - col("n_distinct"))
+
   /** Heaps'-law vocabulary growth curve: distinct-token and total-token
     * counts at doc-id milestones (16 … 16384) — the saturation curve
     * that tells a pipeline whether more data still buys vocabulary.

@@ -453,6 +453,23 @@ class TextOpsSpec extends AnyFunSuite with SparkFixture {
     got.values.foreach { case (n, h) => assert(n === 40L && h === ln40) }
   }
 
+  test("fingerprintCollisions: exact duplicates collide at every width; widths refine") {
+    // fixture: docs 0 and 1 share identical text → at least one
+    // collision at every width; distinct counts can only grow (or
+    // hold) as the fingerprint widens
+    val got = TextOps.fingerprintCollisions(spark, fixtureDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got.keySet === Set(24L, 32L, 48L))
+    got.values.foreach { case (n, d, c) =>
+      assert(n === 5L && c === n - d && c >= 1L)
+    }
+    assert(got(24L)._2 <= got(32L)._2 && got(32L)._2 <= got(48L)._2)
+    // the two identical docs collide even at full width: 48-bit
+    // distinct is at most 4 of 5
+    assert(got(48L)._2 <= 4L)
+  }
+
   test("boilerplatePrefixes: docs sharing an 8-token opening cluster; unique openings drop") {
     // docs 0, 1 (DocA) and 2 (DocC) all open with w1..w8; DocD and the
     // reversed DocE open differently and are singletons
