@@ -174,6 +174,8 @@ object SparkEntry {
     "values_benford_digits"  -> EventOps.valuesBenfordDigits _,
     "events_seasonal_residuals" -> EventOps.eventsSeasonalResiduals _,
     "fingerprint_collisions" -> TextOps.fingerprintCollisions _,
+    "user_behavior_entropy"  -> EventOps.userBehaviorEntropy _,
+    "markov_entropy_rate"    -> EventOps.markovEntropyRate _,
     "mixture_temperature"    -> Curation.mixtureTemperature _,
     "orders_delta_agg"       -> Relational.ordersDeltaAgg _,
     "events_incident_overlap" -> EventOps.eventsIncidentOverlap _,
@@ -2121,6 +2123,37 @@ object SparkEntry {
                  - CAST(sum(n_chars) AS DOUBLE) * CAST(sum(n_chars) AS DOUBLE))
                 / (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE)) AS var_len
          FROM documents GROUP BY source""",
+    // H = ln n − (Σ c·ln c)/n per user, micro-nat quantized logs
+    "user_behavior_entropy" ->
+      """WITH tc AS (SELECT user_id, event_type, count(*) AS c
+                     FROM events GROUP BY 1, 2),
+              pu AS (SELECT user_id, count(*) AS n_types,
+                            CAST(sum(c) AS BIGINT) AS n_events,
+                            CAST(sum(c * CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT)) AS BIGINT) AS s
+                     FROM tc GROUP BY 1)
+         SELECT user_id, n_types, n_events,
+                CAST(floor(ln(CAST(n_events AS DOUBLE)) * 1000000) AS BIGINT)
+                  - s // n_events AS entropy_micro
+         FROM pu""",
+    // H(next|cur) = Σ c_cn·(ln c_c − ln c_cn) / N, exact micro-nats
+    "markov_entropy_rate" ->
+      """WITH tr AS (SELECT cur, event_type AS nxt, count(*) AS c_cn
+                     FROM (SELECT event_type,
+                                  lag(event_type) OVER (PARTITION BY user_id
+                                                        ORDER BY ts, event_id) AS cur
+                           FROM events)
+                     WHERE cur IS NOT NULL
+                     GROUP BY 1, 2),
+              m AS (SELECT c_cn,
+                           CAST(sum(c_cn) OVER (PARTITION BY cur) AS BIGINT) AS c_c
+                    FROM tr),
+              s AS (SELECT CAST(sum(c_cn) AS BIGINT) AS n_trans,
+                           CAST(sum(c_cn * (CAST(floor(ln(CAST(c_c AS DOUBLE)) * 1000000) AS BIGINT)
+                                            - CAST(floor(ln(CAST(c_cn AS DOUBLE)) * 1000000) AS BIGINT)))
+                                AS BIGINT) AS weighted
+                    FROM m)
+         SELECT n_trans, weighted // n_trans AS entropy_rate_micro
+         FROM s""",
     "fingerprint_collisions" ->
       """WITH h AS (SELECT md5(text) AS h FROM documents),
               e AS (SELECT w, substr(h, 1, w) AS fp

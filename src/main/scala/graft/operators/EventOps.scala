@@ -696,6 +696,59 @@ object EventOps {
           lit(1.0) + col("n_tail_users").cast("double") * lit(1e6)
             / col("sum_ln_micro").cast("double")).as("alpha"))
 
+  /** Per-user behavioral entropy: Shannon entropy of each user's
+    * event-type distribution in exact micro-nats — the third leg of
+    * the bot-forensics triad next to [[eventsBurstiness]] (timing) and
+    * [[activityPowerlawAlpha]] (volume): scripted traffic repeats one
+    * action (entropy → 0), humans mix. Same decomposition as
+    * [[graft.operators.TextOps.docTokenEntropy]]:
+    * H = ln n − (Σ c·ln c)/n over the ≤ |types| per-user counts, logs
+    * micro-quantized before any sum, integer final division.
+    */
+  def userBehaviorEntropy(spark: SparkSession, dir: String): DataFrame = {
+    def lnMicro(c: Column) =
+      floor(log(c.cast("double")) * lit(1000000.0)).cast("long")
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_types"), sum(col("c")).as("n_events"),
+        sum(col("c") * lnMicro(col("c"))).as("s"))
+      .select(col("user_id"), col("n_types"), col("n_events"),
+        (lnMicro(col("n_events")) - expr("s div n_events")).as("entropy_micro"))
+  }
+
+  /** Entropy rate of the event-type Markov chain,
+    * H(next | current) = Σ p(c,n)·ln(c(c,·)/c(c,n)) in exact
+    * micro-nats — how predictable the NEXT action is given the
+    * current one, the single number that says whether
+    * [[eventTransitions]]' matrix carries real sequential signal
+    * (rate ≪ the stationary entropy) or the chain is i.i.d. (rate ≈
+    * it). Transition counts come off one lag window; the row
+    * marginals are window sums over the ≤ |types|² count table; the
+    * weighted log-ratio sum divides once by the total transition
+    * count.
+    */
+  def markovEntropyRate(spark: SparkSession, dir: String): DataFrame = {
+    def lnMicro(c: Column) =
+      floor(log(c.cast("double")) * lit(1000000.0)).cast("long")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val trans = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("cur", lag(col("event_type"), 1).over(w))
+      .filter(col("cur").isNotNull)
+      .groupBy(col("cur"), col("event_type").as("nxt"))
+      .agg(count(lit(1)).as("c_cn"))
+    val wc = Window.partitionBy(col("cur"))
+    trans
+      .withColumn("c_c", sum(col("c_cn")).over(wc))
+      .agg(sum(col("c_cn")).as("n_trans"),
+        sum(col("c_cn") * (lnMicro(col("c_c")) - lnMicro(col("c_cn"))))
+          .as("weighted"))
+      .select(col("n_trans"),
+        expr("weighted div n_trans").as("entropy_rate_micro"))
+  }
+
   /** Benford first-digit audit of the value column — the
     * forensic-accounting screen: organically-generated magnitudes
     * follow P(d) = log10(1+1/d); fabricated or clipped feeds don't.

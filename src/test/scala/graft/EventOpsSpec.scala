@@ -437,6 +437,23 @@ class EventOpsSpec extends AnyFunSuite with SparkFixture {
     assert(r.getDouble(2) === 1.0 + 2.0 * 1e6 / (2 * lnr).toDouble)
   }
 
+  test("userBehaviorEntropy: two-type users land exactly ln(2) micro-nats") {
+    // both fixture users: one event of each of two types → Σ c·ln c = 0,
+    // entropy = floor(ln(2)·10⁶)
+    val ln2 = math.floor(math.log(2.0) * 1e6).toLong
+    val got = EventOps.userBehaviorEntropy(spark, fixtureDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got === Map(1L -> ((2L, 2L, ln2)), 2L -> ((2L, 2L, ln2))))
+  }
+
+  test("markovEntropyRate: deterministic chains have zero entropy rate") {
+    // fixture: each user contributes one transition whose current state
+    // fully determines the next → every c_cn equals its c_c → rate 0
+    val r = EventOps.markovEntropyRate(spark, fixtureDir).collect().head
+    assert(r.getLong(0) === 2L && r.getLong(1) === 0L)
+  }
+
   test("valuesBenfordDigits: digits from milli-integer strings; shares against baked literals") {
     // fixture values 1.0, 1.0, 2.0, 0.5 → milli 1000, 1000, 2000, 500
     // → first digits 1, 1, 2, 5

@@ -116,7 +116,8 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
     "orders_wow_growth" -> "global lag window over the calendar-bounded weekly rollup (≤ |weeks| rows) — the WoW series IS a total order over weeks",
     "values_welch_t" -> "final pass of the two-group power-sum scalar aggregate (the query IS one global statistic): one partial row per upstream partition",
     "activity_powerlaw_alpha" -> "final pass of the tail-sum scalar aggregate (the query IS one global exponent): one partial row per upstream partition",
-    "values_benford_digits" -> "final pass of the digit-total scalar aggregate over the 9-row digit table: one partial row per upstream partition"
+    "values_benford_digits" -> "final pass of the digit-total scalar aggregate over the 9-row digit table: one partial row per upstream partition",
+    "markov_entropy_rate" -> "final pass of the weighted log-ratio scalar aggregate over the ≤ |types|² transition table (the query IS one global rate): one partial row per upstream partition"
   )
 
   // One plan sweep shared by all three tests: name → (plans nested-loop?,
