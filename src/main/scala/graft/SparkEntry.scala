@@ -176,6 +176,7 @@ object SparkEntry {
     "fingerprint_collisions" -> TextOps.fingerprintCollisions _,
     "user_behavior_entropy"  -> EventOps.userBehaviorEntropy _,
     "markov_entropy_rate"    -> EventOps.markovEntropyRate _,
+    "orders_cohort_ltv"      -> Relational.ordersCohortLtv _,
     "mixture_temperature"    -> Curation.mixtureTemperature _,
     "orders_delta_agg"       -> Relational.ordersDeltaAgg _,
     "events_incident_overlap" -> EventOps.eventsIncidentOverlap _,
@@ -2123,6 +2124,25 @@ object SparkEntry {
                  - CAST(sum(n_chars) AS DOUBLE) * CAST(sum(n_chars) AS DOUBLE))
                 / (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE)) AS var_len
          FROM documents GROUP BY source""",
+    // DECIMAL revenue; the cumulative sum runs over the bounded
+    // (cohort, offset) curve table
+    "orders_cohort_ltv" ->
+      """WITH o AS (SELECT o_custkey, epoch_us(o_orderdate) // 2592000000000 AS m,
+                           CAST(o_totalprice AS DECIMAL(18,2)) AS rev
+                    FROM orders),
+              ch AS (SELECT o_custkey AS ck, min(m) AS cohort_month
+                     FROM o GROUP BY 1),
+              cell AS (SELECT cohort_month, m - cohort_month AS month_offset,
+                              count(*) AS n_orders, sum(rev) AS rev_dec
+                       FROM o JOIN ch ON o_custkey = ck
+                       GROUP BY 1, 2)
+         SELECT cohort_month, month_offset, n_orders,
+                CAST(rev_dec AS DOUBLE) AS revenue,
+                CAST(sum(rev_dec) OVER (PARTITION BY cohort_month
+                                        ORDER BY month_offset
+                                        ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                  AS cumulative_revenue
+         FROM cell""",
     // H = ln n − (Σ c·ln c)/n per user, micro-nat quantized logs
     "user_behavior_entropy" ->
       """WITH tc AS (SELECT user_id, event_type, count(*) AS c

@@ -529,6 +529,34 @@ object Relational {
       .agg(sum(col("rev") * weight).cast("double").as("boot_revenue"))
   }
 
+  /** Cohort LTV curves: cumulative revenue per first-order cohort by
+    * month offset — the unit-economics table behind "when does a
+    * cohort pay back". Cohorts key on the epoch-month of each
+    * customer's FIRST order (one keyed min aggregate); revenue rolls
+    * up per (cohort, offset) in DECIMAL and accumulates with a
+    * running window over the calendar-bounded curve table. Integer
+    * month math end to end — no date truncation surface.
+    */
+  def ordersCohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val monthUs = 30L * 86400L * 1000000L
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        expr(s"unix_micros(o_orderdate) div ${monthUs}L").as("m"),
+        col("o_totalprice").cast("decimal(18,2)").as("rev"))
+    val cohorts = o.groupBy(col("o_custkey").as("ck"))
+      .agg(min(col("m")).as("cohort_month"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cohort_month")).orderBy(col("month_offset"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    o.join(cohorts, col("o_custkey") === col("ck"))
+      .groupBy(col("cohort_month"), (col("m") - col("cohort_month")).as("month_offset"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("rev")).as("rev_dec"))
+      .withColumn("cum_rev_dec", sum(col("rev_dec")).over(w))
+      .select(col("cohort_month"), col("month_offset"), col("n_orders"),
+        col("rev_dec").cast("double").as("revenue"),
+        col("cum_rev_dec").cast("double").as("cumulative_revenue"))
+  }
+
   /** Week-over-week growth accounting: weekly order counts and DECIMAL
     * revenue with the previous week's figures carried by a lag window
     * over the ≤ |weeks|-row rollup, plus integer-basis-point growth

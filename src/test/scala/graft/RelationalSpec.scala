@@ -611,6 +611,26 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     assert(got === Set(Row("SOLO", 1L, 1.0), Row("SPLIT", 2L, 0.5)))
   }
 
+  test("ordersCohortLtv: cumulative revenue accumulates within each cohort by offset") {
+    import spark.implicits._
+    val dir = scratchDir("graft-ltv")
+    val m0 = java.time.LocalDateTime.of(2024, 1, 1, 0, 0)
+    val m1 = m0.plusDays(30)
+    Seq(
+      (1L, 1L, "O", 10.0, m0, "1-URGENT"),  // cust 1 cohort m0: 10 then 20
+      (2L, 1L, "O", 20.0, m1, "1-URGENT"),
+      (3L, 2L, "O", 5.0, m1, "1-URGENT"))   // cust 2 cohort m1: 5
+      .toDF(ordCols: _*).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = Relational.ordersCohortLtv(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val c0 = got.keys.map(_._1).min
+    assert(got((c0, 0L)) === ((1L, 10.0, 10.0)))
+    assert(got((c0, 1L)) === ((1L, 20.0, 30.0)))   // cumulative 10+20
+    assert(got((c0 + 1, 0L)) === ((1L, 5.0, 5.0))) // cust 2's own cohort
+    assert(got.size === 3)
+  }
+
   test("ordersWowGrowth: basis-point growth from the previous week; first week NULL") {
     import spark.implicits._
     val dir = scratchDir("graft-wow")
