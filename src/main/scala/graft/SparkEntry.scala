@@ -177,6 +177,7 @@ object SparkEntry {
     "user_behavior_entropy"  -> EventOps.userBehaviorEntropy _,
     "markov_entropy_rate"    -> EventOps.markovEntropyRate _,
     "orders_cohort_ltv"      -> Relational.ordersCohortLtv _,
+    "langid_nb_confusion"    -> TextOps.langidNbConfusion _,
     "mixture_temperature"    -> Curation.mixtureTemperature _,
     "orders_delta_agg"       -> Relational.ordersDeltaAgg _,
     "events_incident_overlap" -> EventOps.eventsIncidentOverlap _,
@@ -2124,6 +2125,36 @@ object SparkEntry {
                  - CAST(sum(n_chars) AS DOUBLE) * CAST(sum(n_chars) AS DOUBLE))
                 / (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE)) AS var_len
          FROM documents GROUP BY source""",
+    // every score is an exact BIGINT of micro-nats; argmax ties break
+    // deterministically by lang
+    "langid_nb_confusion" ->
+      """WITH toks AS (SELECT doc_id, lang AS true_lang,
+                              unnest(list_filter(string_split_regex(text, '\s+'), t -> t != '')) AS token
+                       FROM documents),
+              dt AS (SELECT doc_id, true_lang, token, count(*) AS c_dt
+                     FROM toks GROUP BY 1, 2, 3),
+              model AS (SELECT true_lang AS lang_m, token, count(*) AS c_lt
+                        FROM toks GROUP BY 1, 2),
+              lt AS (SELECT true_lang AS lang_m, count(*) AS n_l
+                     FROM toks GROUP BY 1),
+              vc AS (SELECT count(DISTINCT token) AS v FROM toks),
+              sc AS (SELECT dt.doc_id, dt.true_lang, lt.lang_m,
+                            CAST(sum(c_dt *
+                              (CAST(floor(ln(CAST(coalesce(c_lt, 0) + 1 AS DOUBLE)) * 1000000) AS BIGINT)
+                               - CAST(floor(ln(CAST(n_l + v AS DOUBLE)) * 1000000) AS BIGINT)))
+                              AS BIGINT) AS score
+                     FROM dt CROSS JOIN lt CROSS JOIN vc
+                     LEFT JOIN model ON model.lang_m = lt.lang_m
+                                    AND model.token = dt.token
+                     GROUP BY 1, 2, 3),
+              pred AS (SELECT true_lang, lang_m AS pred_lang,
+                              row_number() OVER (PARTITION BY doc_id
+                                                 ORDER BY score DESC, lang_m DESC)
+                                AS rk
+                       FROM sc)
+         SELECT true_lang, pred_lang, count(*) AS n_docs
+         FROM pred WHERE rk = 1
+         GROUP BY 1, 2""",
     // DECIMAL revenue; the cumulative sum runs over the bounded
     // (cohort, offset) curve table
     "orders_cohort_ltv" ->

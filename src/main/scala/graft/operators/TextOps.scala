@@ -1242,6 +1242,50 @@ object TextOps {
           .as("corpus_share"))
   }
 
+  /** Naive-Bayes language ID trained and evaluated on the corpus's own
+    * labeled `lang` column, reported as a confusion matrix — the
+    * eval-loop query behind every learned curation gate: train
+    * per-class token counts, score every document against every
+    * class, and cross-tabulate predictions against truth. Laplace
+    * smoothing keeps unseen (token, lang) cells finite; every score
+    * is an exact BIGINT of micro-nats (each log is floor(ln(int)·10⁶)
+    * of an exact integer), so argmax — broken deterministically by
+    * lang on ties via one keyed window — replays exactly. Shapes: the
+    * model is vocabulary×langs-bounded; scoring joins the doc-token
+    * table to it on the token key (one fact-scale exchange) after a
+    * |langs|-row broadcast fanout; the confusion rollup is
+    * |langs|²-bounded.
+    */
+  def langidNbConfusion(spark: SparkSession, dir: String): DataFrame = {
+    def lnMicro(c: Column) =
+      floor(log(c.cast("double")) * lit(1000000.0)).cast("long")
+    val docs = Tables.documentsSpread(spark, dir)
+      .select(col("doc_id"), col("lang").as("true_lang"),
+        explode(tokens(col("text"))).as("token"))
+    val docTokens = docs.groupBy(col("doc_id"), col("true_lang"), col("token"))
+      .agg(count(lit(1)).as("c_dt"))
+    val model = docs.groupBy(col("true_lang").as("lang_m"), col("token"))
+      .agg(count(lit(1)).as("c_lt"))
+    val langTotals = docs.groupBy(col("true_lang").as("lang_m"))
+      .agg(count(lit(1)).as("n_l"))
+    val vocab = docs.select(col("token")).distinct()
+      .agg(count(lit(1)).as("v"))
+    val scored = docTokens
+      .crossJoin(broadcast(langTotals.crossJoin(vocab)))
+      .join(model, Seq("lang_m", "token"), "left")
+      .withColumn("c_lt", coalesce(col("c_lt"), lit(0L)))
+      .groupBy(col("doc_id"), col("true_lang"), col("lang_m"))
+      .agg(sum(col("c_dt") * (lnMicro(col("c_lt") + 1)
+        - lnMicro(col("n_l") + col("v")))).as("score"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("lang_m").desc)
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .groupBy(col("true_lang"), col("lang_m").as("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   /** Fingerprint-width collision telemetry: how many documents collide
     * under 24-, 32- and 48-bit content fingerprints — the measured
     * birthday-problem curve that decides how wide a dedup hash must be

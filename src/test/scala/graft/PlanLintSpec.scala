@@ -58,7 +58,8 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
     "boilerplate_prefixes" -> "1-row corpus-total scalar (the share denominator) kept in-plan as a broadcast crossJoin over the thresholded prefix table",
     "customer_rfm" -> "1-row corpus-max-date scalar (the recency anchor) kept in-plan as a broadcast crossJoin over the per-customer rollup",
     "source_lang_kl" -> "1-row corpus-total scalar (the KL denominator) kept in-plan as a broadcast crossJoin over the ≤ sources×langs cell table",
-    "values_benford_digits" -> "1-row digit-total scalar (the share/χ² denominator) kept in-plan as a broadcast crossJoin over the 9-row digit table"
+    "values_benford_digits" -> "1-row digit-total scalar (the share/χ² denominator) kept in-plan as a broadcast crossJoin over the 9-row digit table",
+    "langid_nb_confusion" -> "|langs|-row class-fanout (langTotals × 1-row vocab scalar) broadcast-crossJoined onto the doc-token table — bounded by the class count, not the data"
     // dropped round 7 (stale — plans improved out from under the rows):
     //   pi_montecarlo: ConvertToLocalRelation folds the seeded-parameter
     //   crossJoin away entirely; contamination_check: the benchmark-gram
@@ -117,7 +118,8 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
     "values_welch_t" -> "final pass of the two-group power-sum scalar aggregate (the query IS one global statistic): one partial row per upstream partition",
     "activity_powerlaw_alpha" -> "final pass of the tail-sum scalar aggregate (the query IS one global exponent): one partial row per upstream partition",
     "values_benford_digits" -> "final pass of the digit-total scalar aggregate over the 9-row digit table: one partial row per upstream partition",
-    "markov_entropy_rate" -> "final pass of the weighted log-ratio scalar aggregate over the ≤ |types|² transition table (the query IS one global rate): one partial row per upstream partition"
+    "markov_entropy_rate" -> "final pass of the weighted log-ratio scalar aggregate over the ≤ |types|² transition table (the query IS one global rate): one partial row per upstream partition",
+    "langid_nb_confusion" -> "final pass of the vocabulary-size scalar aggregate (the Laplace denominator): one partial row per upstream partition"
   )
 
   // One plan sweep shared by all three tests: name → (plans nested-loop?,

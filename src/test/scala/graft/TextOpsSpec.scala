@@ -453,6 +453,24 @@ class TextOpsSpec extends AnyFunSuite with SparkFixture {
     got.values.foreach { case (n, h) => assert(n === 40L && h === ln40) }
   }
 
+  test("langidNbConfusion: a single-class corpus predicts that class for every doc") {
+    // fixture docs are all lang=en → one (en, en, 5) cell
+    val got = TextOps.langidNbConfusion(spark, fixtureDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === Map(("en", "en") -> 5L))
+    // planted two-class corpus with disjoint vocabularies: perfect diagonal
+    import spark.implicits._
+    val dir = scratchDir("graft-nb")
+    Seq(
+      (0L, "aa bb aa bb aa", "xx", "s", 14L), (1L, "bb aa aa bb bb", "xx", "s", 14L),
+      (2L, "cc dd cc dd cc", "yy", "s", 14L), (3L, "dd cc cc dd dd", "yy", "s", 14L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val m = TextOps.langidNbConfusion(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(m === Map(("xx", "xx") -> 2L, ("yy", "yy") -> 2L))
+  }
+
   test("fingerprintCollisions: exact duplicates collide at every width; widths refine") {
     // fixture: docs 0 and 1 share identical text → at least one
     // collision at every width; distinct counts can only grow (or
