@@ -178,6 +178,8 @@ object SparkEntry {
     "markov_entropy_rate"    -> EventOps.markovEntropyRate _,
     "orders_cohort_ltv"      -> Relational.ordersCohortLtv _,
     "langid_nb_confusion"    -> TextOps.langidNbConfusion _,
+    "brand_type_chi2"        -> Relational.brandTypeChi2 _,
+    "events_value_drift_psi" -> EventOps.eventsValueDriftPsi _,
     "mixture_temperature"    -> Curation.mixtureTemperature _,
     "orders_delta_agg"       -> Relational.ordersDeltaAgg _,
     "events_incident_overlap" -> EventOps.eventsIncidentOverlap _,
@@ -2125,6 +2127,50 @@ object SparkEntry {
                  - CAST(sum(n_chars) AS DOUBLE) * CAST(sum(n_chars) AS DOUBLE))
                 / (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE)) AS var_len
          FROM documents GROUP BY source""",
+    "brand_type_chi2" ->
+      """WITH c AS (SELECT p_brand, p_type, count(*) AS n_obs
+                    FROM part GROUP BY 1, 2),
+              m AS (SELECT p_brand, p_type, n_obs,
+                           CAST(sum(n_obs) OVER (PARTITION BY p_brand) AS BIGINT) AS n_brand,
+                           CAST(sum(n_obs) OVER (PARTITION BY p_type) AS BIGINT) AS n_type,
+                           (SELECT CAST(sum(n_obs) AS BIGINT) FROM c) AS n_total
+                    FROM c)
+         SELECT p_brand, p_type, n_obs,
+                CAST(n_brand AS DOUBLE) * CAST(n_type AS DOUBLE)
+                  / CAST(n_total AS DOUBLE) AS expected,
+                (CAST(n_obs AS DOUBLE)
+                 - CAST(n_brand AS DOUBLE) * CAST(n_type AS DOUBLE)
+                   / CAST(n_total AS DOUBLE))
+                * (CAST(n_obs AS DOUBLE)
+                   - CAST(n_brand AS DOUBLE) * CAST(n_type AS DOUBLE)
+                     / CAST(n_total AS DOUBLE))
+                / (CAST(n_brand AS DOUBLE) * CAST(n_type AS DOUBLE)
+                   / CAST(n_total AS DOUBLE)) AS chi2_term
+         FROM m""",
+    // log2 value bins, integer midpoint split, Laplace-smoothed
+    // shares; the one log quantizes to micro-nats before the product
+    "events_value_drift_psi" ->
+      """WITH ev AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                            CAST(floor(value * 1000.0) AS BIGINT) AS vm
+                     FROM events
+                     WHERE CAST(floor(value * 1000.0) AS BIGINT) >= 0),
+              mid AS (SELECT (min(day) + max(day)) // 2 AS mid_day FROM ev),
+              b AS (SELECT CAST(len(bin(vm + 1)) - 1 AS BIGINT) AS bin,
+                           CAST(sum(CASE WHEN day <= mid_day THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                           CAST(sum(CASE WHEN day <= mid_day THEN 0 ELSE 1 END) AS BIGINT) AS n2
+                    FROM ev, mid GROUP BY 1),
+              t AS (SELECT CAST(sum(n1) AS BIGINT) AS t1,
+                           CAST(sum(n2) AS BIGINT) AS t2,
+                           count(*) AS n_bins
+                    FROM b),
+              p AS (SELECT bin, n1, n2,
+                           CAST(n1 + 1 AS DOUBLE) / CAST(t1 + n_bins AS DOUBLE) AS p1,
+                           CAST(n2 + 1 AS DOUBLE) / CAST(t2 + n_bins AS DOUBLE) AS p2
+                    FROM b, t)
+         SELECT bin, n1, n2,
+                (p2 - p1) * CAST(CAST(floor(ln(p2 / p1) * 1000000) AS BIGINT) AS DOUBLE)
+                  / 1e6 AS psi_term
+         FROM p""",
     // every score is an exact BIGINT of micro-nats; argmax ties break
     // deterministically by lang
     "langid_nb_confusion" ->

@@ -749,6 +749,46 @@ object EventOps {
         expr("weighted div n_trans").as("entropy_rate_micro"))
   }
 
+  /** Population Stability Index of the value distribution between the
+    * first and second half of the observation window — the standard
+    * ML-monitoring drift score (PSI < 0.1 stable, > 0.25 retrain).
+    * Bins are log2 bands of the exact milli-quantized value (no
+    * quantile edges to drift with the data); the halves split at the
+    * integer midpoint of the observed day range (1-row broadcast);
+    * each bin's ln(p2/p1) evaluates on exact integer ratios with
+    * Laplace +1 on both counts so empty bins stay finite. Output is
+    * one row per bin with its PSI contribution; Σ is the headline.
+    */
+  def eventsValueDriftPsi(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400L * 1000000L
+    val ev = Tables.events(spark, dir)
+      .select(expr(s"unix_micros(ts) div ${dayUs}L").as("day"),
+        floor(col("value") * lit(1000.0)).cast("long").as("vm"))
+      .filter(col("vm") >= 0)
+    val mid = ev.agg(((min(col("day")) + max(col("day"))) / 2).cast("long")
+      .as("mid_day"))
+    val binned = ev.crossJoin(broadcast(mid))
+      .select((length(bin(col("vm") + 1)) - 1).cast("long").as("bin"),
+        (col("day") <= col("mid_day")).as("first_half"))
+      .groupBy(col("bin"))
+      .agg(sum(when(col("first_half"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("first_half"), 0L).otherwise(1L)).as("n2"))
+    val totals = binned.agg(sum(col("n1")).as("t1"), sum(col("n2")).as("t2"),
+      count(lit(1)).as("n_bins"))
+    binned.crossJoin(broadcast(totals))
+      // Laplace-smoothed shares: p = (n+1)/(t+bins)
+      .withColumn("p1", (col("n1") + 1).cast("double")
+        / (col("t1") + col("n_bins")).cast("double"))
+      .withColumn("p2", (col("n2") + 1).cast("double")
+        / (col("t2") + col("n_bins")).cast("double"))
+      // the one log quantizes to micro-nats (floor·10⁶) before the
+      // product — raw ln can differ across engines in the last ulp
+      .select(col("bin"), col("n1"), col("n2"),
+        ((col("p2") - col("p1"))
+          * floor(log(col("p2") / col("p1")) * lit(1000000.0)).cast("long")
+            .cast("double") / lit(1e6)).as("psi_term"))
+  }
+
   /** Benford first-digit audit of the value column — the
     * forensic-accounting screen: organically-generated magnitudes
     * follow P(d) = log10(1+1/d); fabricated or clipped feeds don't.

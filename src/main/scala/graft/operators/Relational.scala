@@ -529,6 +529,34 @@ object Relational {
       .agg(sum(col("rev") * weight).cast("double").as("boot_revenue"))
   }
 
+  /** Brand × type independence test: the R×C chi-square over the part
+    * catalog's contingency table — "is brand mix independent of type"
+    * generalizes the 2×2 A/B readout to arbitrary categorical pairs.
+    * Margins are window sums over the |brands|·|types|-bounded cell
+    * table, the grand total a 1-row broadcast; each cell emits its
+    * exact observed count plus the double expected/χ² terms, computed
+    * identically on both engines from exact integers.
+    */
+  def brandTypeChi2(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.part(spark, dir)
+      .groupBy(col("p_brand"), col("p_type"))
+      .agg(count(lit(1)).as("n_obs"))
+    val wb = org.apache.spark.sql.expressions.Window.partitionBy(col("p_brand"))
+    val wt = org.apache.spark.sql.expressions.Window.partitionBy(col("p_type"))
+    val total = cells.agg(sum(col("n_obs")).as("n_total"))
+    cells
+      .withColumn("n_brand", sum(col("n_obs")).over(wb))
+      .withColumn("n_type", sum(col("n_obs")).over(wt))
+      .crossJoin(broadcast(total))
+      .withColumn("expected",
+        col("n_brand").cast("double") * col("n_type").cast("double")
+          / col("n_total").cast("double"))
+      .select(col("p_brand"), col("p_type"), col("n_obs"), col("expected"),
+        ((col("n_obs").cast("double") - col("expected"))
+          * (col("n_obs").cast("double") - col("expected")) / col("expected"))
+          .as("chi2_term"))
+  }
+
   /** Cohort LTV curves: cumulative revenue per first-order cohort by
     * month offset — the unit-economics table behind "when does a
     * cohort pay back". Cohorts key on the epoch-month of each

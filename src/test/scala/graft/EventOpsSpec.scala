@@ -437,6 +437,22 @@ class EventOpsSpec extends AnyFunSuite with SparkFixture {
     assert(r.getDouble(2) === 1.0 + 2.0 * 1e6 / (2 * lnr).toDouble)
   }
 
+  test("eventsValueDriftPsi: unchanged bins contribute zero; shifted mass is symmetric") {
+    // fixture split at mid-day 19708: first half vm {1000, 500},
+    // second {1000, 2000} → bin 9 unchanged (psi 0), bin 8 loses the
+    // mass bin 10 gains (symmetric ± terms)
+    val got = EventOps.eventsValueDriftPsi(spark, fixtureDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got(9L) === ((1L, 1L, 0.0)))
+    val (a1, a2, lossTerm) = got(8L)
+    val (b1, b2, gainTerm) = got(10L)
+    assert((a1, a2) === ((1L, 0L)) && (b1, b2) === ((0L, 1L)))
+    assert(lossTerm > 0.0 && gainTerm > 0.0) // both directions penalize
+    // |ln(1/2)| and |ln(2)| micro-floors differ by 1 → near-equal terms
+    assert(math.abs(lossTerm - gainTerm) < 1e-6)
+  }
+
   test("userBehaviorEntropy: two-type users land exactly ln(2) micro-nats") {
     // both fixture users: one event of each of two types → Σ c·ln c = 0,
     // entropy = floor(ln(2)·10⁶)

@@ -611,6 +611,21 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     assert(got === Set(Row("SOLO", 1L, 1.0), Row("SPLIT", 2L, 0.5)))
   }
 
+  test("brandTypeChi2: margins and expected counts match hand math on the fixture catalog") {
+    // cells: (B1,ECONOMY,1) (B1,STD,1) (B2,STD,1) → margins B1=2, B2=1,
+    // ECONOMY=1, STD=2, total 3
+    val got = rows(Relational.brandTypeChi2(spark, fixtureDir))
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    def close(a: Double, b: Double) = math.abs(a - b) < 1e-12
+    val (n1, e1, t1) = got(("Brand#1", "ECONOMY"))
+    assert(n1 === 1L && close(e1, 2.0 / 3) && close(t1, 1.0 / 6))
+    val (n2, e2, t2) = got(("Brand#1", "STD"))
+    assert(n2 === 1L && close(e2, 4.0 / 3) && close(t2, 1.0 / 12))
+    val (n3, e3, t3) = got(("Brand#2", "STD"))
+    assert(n3 === 1L && close(e3, 2.0 / 3) && close(t3, 1.0 / 6))
+  }
+
   test("ordersCohortLtv: cumulative revenue accumulates within each cohort by offset") {
     import spark.implicits._
     val dir = scratchDir("graft-ltv")
