@@ -180,6 +180,8 @@ object SparkEntry {
     "langid_nb_confusion"    -> TextOps.langidNbConfusion _,
     "brand_type_chi2"        -> Relational.brandTypeChi2 _,
     "events_value_drift_psi" -> EventOps.eventsValueDriftPsi _,
+    "basket_size_hist"       -> Relational.basketSizeHist _,
+    "customer_revenue_topn_share" -> Relational.customerRevenueTopnShare _,
     "mixture_temperature"    -> Curation.mixtureTemperature _,
     "orders_delta_agg"       -> Relational.ordersDeltaAgg _,
     "events_incident_overlap" -> EventOps.eventsIncidentOverlap _,
@@ -2127,6 +2129,31 @@ object SparkEntry {
                  - CAST(sum(n_chars) AS DOUBLE) * CAST(sum(n_chars) AS DOUBLE))
                 / (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE)) AS var_len
          FROM documents GROUP BY source""",
+    // Σ b·(b−1)/2 is integer-valued; double addition of exact integers
+    // below 2⁵³ is order-free
+    "basket_size_hist" ->
+      """WITH pb AS (SELECT l_orderkey,
+                            CAST(count(DISTINCT l_partkey) AS BIGINT) AS b
+                     FROM lineitem GROUP BY 1)
+         SELECT CAST(len(bin(b)) - 1 AS BIGINT) AS band,
+                count(*) AS n_orders, max(b) AS max_basket,
+                CAST(sum(b * (b - 1) / 2) AS BIGINT) AS pair_budget
+         FROM pb GROUP BY 1""",
+    // top side is a deterministic top-10 (revenue desc, custkey asc);
+    // DECIMAL sums, one double division
+    "customer_revenue_topn_share" ->
+      """WITH pc AS (SELECT o_custkey,
+                            sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+                     FROM orders GROUP BY 1),
+              tot AS (SELECT sum(rev_dec) AS total_dec FROM pc),
+              top AS (SELECT rev_dec FROM pc
+                      ORDER BY rev_dec DESC, o_custkey LIMIT 10)
+         SELECT count(*) AS n_top,
+                CAST(sum(rev_dec) AS DOUBLE) AS top_revenue,
+                CAST(total_dec AS DOUBLE) AS total_revenue,
+                CAST(sum(rev_dec) AS DOUBLE) / CAST(total_dec AS DOUBLE)
+                  AS top_share
+         FROM top, tot GROUP BY total_dec""",
     "brand_type_chi2" ->
       """WITH c AS (SELECT p_brand, p_type, count(*) AS n_obs
                     FROM part GROUP BY 1, 2),

@@ -609,6 +609,48 @@ object Relational {
           .as("growth_bps"))
   }
 
+  /** Basket-size histogram with the pair-fanout budget: orders banded
+    * by log2 of their distinct-part count, each band carrying the
+    * Σ b·(b−1)/2 pair contributions its orders would explode into —
+    * the EXACT row count [[copurchasePairs]]' flatten-transform emits,
+    * read BEFORE running it. A drifting top band is the early warning
+    * that a mega-basket is about to quadratically dominate the
+    * pair/triangle pipeline. One (order) aggregate; ≤ 64-row rollup.
+    */
+  def basketSizeHist(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_partkey")).as("b"))
+      .groupBy((length(bin(col("b"))) - 1).cast("long").as("band"))
+      .agg(count(lit(1)).as("n_orders"),
+        max(col("b")).as("max_basket"),
+        sum(col("b") * (col("b") - 1) / 2).cast("long").as("pair_budget"))
+
+  /** Revenue concentration in the top-10 customers: the whale share
+    * that decides whether per-customer partitioning needs salting and
+    * how much one churned account moves the topline. The top side is
+    * a `TakeOrderedAndProject` (per-partition heaps — no global
+    * sort); deterministic under revenue ties by the customer-key
+    * tiebreak; the denominator is the usual 1-row broadcast scalar.
+    * DECIMAL sums end to end, one double division in the report.
+    */
+  def customerRevenueTopnShare(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev_dec"))
+    val total = perCust.agg(sum(col("rev_dec")).as("total_dec"))
+    perCust
+      .orderBy(col("rev_dec").desc, col("o_custkey"))
+      .limit(10)
+      .agg(count(lit(1)).as("n_top"), sum(col("rev_dec")).as("top_dec"))
+      .crossJoin(broadcast(total))
+      .select(col("n_top"),
+        col("top_dec").cast("double").as("top_revenue"),
+        col("total_dec").cast("double").as("total_revenue"),
+        (col("top_dec").cast("double") / col("total_dec").cast("double"))
+          .as("top_share"))
+  }
+
   /** Degree distribution of the co-purchase graph, log2-banded — the
     * first thing to read before ANY graph algorithm runs at scale:
     * the top band's width bounds triangle/PageRank fanout, and a

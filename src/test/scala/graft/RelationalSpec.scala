@@ -611,6 +611,31 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     assert(got === Set(Row("SOLO", 1L, 1.0), Row("SPLIT", 2L, 0.5)))
   }
 
+  test("basketSizeHist: pair budget is exactly b(b-1)/2 per order, summed per band") {
+    // fixture orders: 1000 → {10} (b=1), 1001 → {11} (b=1), 1002 → {10}
+    // (b=1) → band 0, 3 orders, zero pair budget
+    val got = rows(Relational.basketSizeHist(spark, fixtureDir))
+    assert(got === Set(Row(0L, 3L, 1L, 0L)))
+    // planted 3-part basket: budget 3 = 3·2/2
+    import spark.implicits._
+    val dir = scratchDir("graft-basket")
+    val d = java.time.LocalDateTime.of(1997, 6, 1, 0, 0)
+    Seq(
+      (1L, 1L, 1L, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", d),
+      (1L, 2L, 1L, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", d),
+      (1L, 3L, 1L, 3, 1.0, 1.0, 0.0, 0.0, "N", "O", d),
+      (1L, 3L, 1L, 4, 1.0, 1.0, 0.0, 0.0, "N", "O", d)) // dup part dedupes
+      .toDF(liCols: _*).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    assert(rows(Relational.basketSizeHist(spark, dir)) === Set(Row(1L, 1L, 3L, 3L)))
+  }
+
+  test("customerRevenueTopnShare: fewer than N customers puts the whole corpus in the top") {
+    // fixture has 2 ordering customers (alice 60, bob 40) → top-10
+    // covers everyone, share exactly 1
+    val got = rows(Relational.customerRevenueTopnShare(spark, fixtureDir))
+    assert(got === Set(Row(2L, 100.0, 100.0, 1.0)))
+  }
+
   test("brandTypeChi2: margins and expected counts match hand math on the fixture catalog") {
     // cells: (B1,ECONOMY,1) (B1,STD,1) (B2,STD,1) → margins B1=2, B2=1,
     // ECONOMY=1, STD=2, total 3
