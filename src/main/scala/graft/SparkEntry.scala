@@ -182,6 +182,8 @@ object SparkEntry {
     "events_value_drift_psi" -> EventOps.eventsValueDriftPsi _,
     "basket_size_hist"       -> Relational.basketSizeHist _,
     "customer_revenue_topn_share" -> Relational.customerRevenueTopnShare _,
+    "customer_balance_pctrank" -> Relational.customerBalancePctrank _,
+    "orders_trailing_7d_revenue" -> Relational.ordersTrailing7dRevenue _,
     "mixture_temperature"    -> Curation.mixtureTemperature _,
     "orders_delta_agg"       -> Relational.ordersDeltaAgg _,
     "events_incident_overlap" -> EventOps.eventsIncidentOverlap _,
@@ -2129,6 +2131,30 @@ object SparkEntry {
                  - CAST(sum(n_chars) AS DOUBLE) * CAST(sum(n_chars) AS DOUBLE))
                 / (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE)) AS var_len
          FROM documents GROUP BY source""",
+    // percent_rank/cume_dist are exact rationals of integer ranks;
+    // the rn column pins the deterministic tiebreak
+    "customer_balance_pctrank" ->
+      """SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nationkey, c_acctbal,
+                percent_rank() OVER (PARTITION BY c_nationkey
+                                     ORDER BY c_acctbal) AS pct_rank,
+                cume_dist() OVER (PARTITION BY c_nationkey
+                                  ORDER BY c_acctbal) AS cum_dist,
+                CAST(row_number() OVER (PARTITION BY c_nationkey
+                                        ORDER BY c_acctbal, c_custkey) AS BIGINT)
+                  AS rn
+         FROM customer""",
+    // RANGE frame over the exact integer epoch-day; DECIMAL sums
+    "orders_trailing_7d_revenue" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey,
+                           epoch_us(o_orderdate) // 86400000000 AS day,
+                           CAST(o_totalprice AS DECIMAL(18,2)) AS rev
+                    FROM orders)
+         SELECT o_orderkey, o_custkey, day,
+                CAST(rev AS DOUBLE) AS revenue,
+                CAST(sum(rev) OVER (PARTITION BY o_custkey ORDER BY day
+                                    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+                     AS DOUBLE) AS trailing_7d_revenue
+         FROM o""",
     // Σ b·(b−1)/2 is integer-valued; double addition of exact integers
     // below 2⁵³ is order-free
     "basket_size_hist" ->

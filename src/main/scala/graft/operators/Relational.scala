@@ -609,6 +609,52 @@ object Relational {
           .as("growth_bps"))
   }
 
+  /** Relative standing of each customer's balance WITHIN its nation:
+    * percent_rank (share of peers strictly below) and cume_dist
+    * (share at-or-below) over the nation-keyed window — the two rank
+    * normalizations a fair per-segment comparison needs, and the two
+    * whose ≤-vs-< boundary semantics silently differ (ties share a
+    * percent_rank but advance cume_dist together; the spec pins
+    * both). Both are exact rational values of integer ranks — no
+    * estimator, no sort beyond the keyed partition.
+    */
+  def customerBalancePctrank(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_nationkey")).orderBy(col("c_acctbal"), col("c_custkey"))
+    val wt = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_nationkey")).orderBy(col("c_acctbal"))
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey").cast("long").as("nationkey"),
+        col("c_acctbal"),
+        percent_rank().over(wt).as("pct_rank"),
+        cume_dist().over(wt).as("cum_dist"),
+        row_number().over(w).cast("long").as("rn"))
+  }
+
+  /** Trailing-7-day revenue per order via a RANGE window frame — the
+    * frame type ROWS can't express: "everything within 7 calendar
+    * days", however many orders that is. The frame is keyed per
+    * customer and ordered by the exact integer epoch-day, so the
+    * range bound is integer arithmetic; revenue accumulates in
+    * DECIMAL inside the frame. Same-day orders all see the same
+    * trailing total (RANGE groups peers — the semantics ROWS would
+    * get wrong), which is what makes the oracle comparison exact.
+    */
+  def ordersTrailing7dRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400L * 1000000L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey")).orderBy(col("day"))
+      .rangeBetween(-6, 0)
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        expr(s"unix_micros(o_orderdate) div ${dayUs}L").as("day"),
+        col("o_totalprice").cast("decimal(18,2)").as("rev"))
+      .withColumn("trailing_7d_dec", sum(col("rev")).over(w))
+      .select(col("o_orderkey"), col("o_custkey"), col("day"),
+        col("rev").cast("double").as("revenue"),
+        col("trailing_7d_dec").cast("double").as("trailing_7d_revenue"))
+  }
+
   /** Basket-size histogram with the pair-fanout budget: orders banded
     * by log2 of their distinct-part count, each band carrying the
     * Σ b·(b−1)/2 pair contributions its orders would explode into —

@@ -611,6 +611,40 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     assert(got === Set(Row("SOLO", 1L, 1.0), Row("SPLIT", 2L, 0.5)))
   }
 
+  test("customerBalancePctrank: ties share percent_rank but advance cume_dist together") {
+    import spark.implicits._
+    val dir = scratchDir("graft-pctr")
+    Seq((1L, "a", 0, 5.0, "S"), (2L, "b", 0, 5.0, "S"),
+        (3L, "c", 0, 9.0, "S"), (4L, "d", 1, 1.0, "S"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val got = Relational.customerBalancePctrank(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(3), r.getDouble(4), r.getLong(5))))
+      .toMap
+    // nation 0: tied 5.0s share pct_rank 0 but BOTH sit at cume 2/3
+    assert(got(1L) === ((0.0, 2.0 / 3, 1L)))
+    assert(got(2L) === ((0.0, 2.0 / 3, 2L)))
+    assert(got(3L) === ((1.0, 1.0, 3L)))
+    // single-row nation: percent_rank degenerates to 0, cume to 1
+    assert(got(4L) === ((0.0, 1.0, 1L)))
+  }
+
+  test("ordersTrailing7dRevenue: RANGE includes same-day peers and the 7-day boundary drops out") {
+    import spark.implicits._
+    val dir = scratchDir("graft-trail")
+    val d0 = java.time.LocalDateTime.of(2024, 1, 1, 0, 0)
+    Seq(
+      (1L, 1L, "O", 10.0, d0, "1-URGENT"),
+      (2L, 1L, "O", 20.0, d0, "1-URGENT"),             // same-day peer
+      (3L, 1L, "O", 5.0, d0.plusDays(6), "1-URGENT"),  // inside the frame
+      (4L, 1L, "O", 1.0, d0.plusDays(7), "1-URGENT"))  // day 0 just aged out
+      .toDF(ordCols: _*).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = Relational.ordersTrailing7dRevenue(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    // RANGE peers: both day-0 orders see 30; day 6 sees 35; day 7 sees 6
+    assert(got === Map(1L -> 30.0, 2L -> 30.0, 3L -> 35.0, 4L -> 6.0))
+  }
+
   test("basketSizeHist: pair budget is exactly b(b-1)/2 per order, summed per band") {
     // fixture orders: 1000 → {10} (b=1), 1001 → {11} (b=1), 1002 → {10}
     // (b=1) → band 0, 3 orders, zero pair budget
