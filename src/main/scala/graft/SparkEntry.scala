@@ -184,6 +184,8 @@ object SparkEntry {
     "customer_revenue_topn_share" -> Relational.customerRevenueTopnShare _,
     "customer_balance_pctrank" -> Relational.customerBalancePctrank _,
     "orders_trailing_7d_revenue" -> Relational.ordersTrailing7dRevenue _,
+    "orders_grouping_sets"   -> Relational.ordersGroupingSets _,
+    "stopword_candidates"    -> TextOps.stopwordCandidates _,
     "mixture_temperature"    -> Curation.mixtureTemperature _,
     "orders_delta_agg"       -> Relational.ordersDeltaAgg _,
     "events_incident_overlap" -> EventOps.eventsIncidentOverlap _,
@@ -2131,6 +2133,28 @@ object SparkEntry {
                  - CAST(sum(n_chars) AS DOUBLE) * CAST(sum(n_chars) AS DOUBLE))
                 / (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE)) AS var_len
          FROM documents GROUP BY source""",
+    // grouping() bitmask disambiguates aggregated-out NULLs; both
+    // engines use leftmost-column-is-MSB
+    "orders_grouping_sets" ->
+      """SELECT o_orderpriority, o_orderstatus,
+                CAST(grouping(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+                count(*) AS n_orders,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                  AS revenue
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())""",
+    // DF from per-doc DISTINCT tokens; the >50% gate cross-multiplies
+    // in integers
+    "stopword_candidates" ->
+      """WITH dt AS (SELECT DISTINCT doc_id, unnest(list_distinct(
+                              list_filter(string_split_regex(text, '\s+'), t -> t != ''))) AS token
+                     FROM documents),
+              n AS (SELECT count(*) AS n_docs FROM documents)
+         SELECT token, count(*) AS df,
+                CAST(count(*) AS DOUBLE) / CAST(n_docs AS DOUBLE) AS df_share
+         FROM dt, n
+         GROUP BY token, n_docs
+         HAVING count(*) * 2 > n_docs""",
     // percent_rank/cume_dist are exact rationals of integer ranks;
     // the rn column pins the deterministic tiebreak
     "customer_balance_pctrank" ->

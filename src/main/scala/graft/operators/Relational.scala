@@ -609,6 +609,29 @@ object Relational {
           .as("growth_bps"))
   }
 
+  /** Mixed-granularity revenue report via GROUPING SETS — the exact
+    * construct CUBE and ROLLUP can't express: per-priority totals,
+    * per-status totals, and the grand total in ONE pass, but NOT the
+    * priority×status cross that a CUBE would needlessly compute.
+    * `grouping_id` disambiguates aggregated-out NULLs from data
+    * NULLs. One scan, one partial-aggregated exchange — Spark expands
+    * the sets map-side, so the shuffle carries one partial row per
+    * (set, key), not one pass per set.
+    */
+  def ordersGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.createOrReplaceTempView("orders_gs")
+    o.sparkSession.sql(
+      """SELECT o_orderpriority, o_orderstatus,
+               CAST(grouping_id(o_orderpriority, o_orderstatus) AS BIGINT)
+                 AS gid,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS revenue
+         FROM orders_gs
+         GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())""")
+  }
+
   /** Relative standing of each customer's balance WITHIN its nation:
     * percent_rank (share of peers strictly below) and cume_dist
     * (share at-or-below) over the nation-keyed window — the two rank

@@ -1242,6 +1242,27 @@ object TextOps {
           .as("corpus_share"))
   }
 
+  /** Stopword-candidate audit: tokens present in over half the corpus
+    * — the data-driven stopword list a new-domain pipeline derives
+    * before reusing anyone else's, with document frequency and its
+    * corpus share. DF comes from per-doc DISTINCT tokens (multiset
+    * counts would let one spammy doc promote a token); the >50% gate
+    * cross-multiplies in integers against the 1-row doc-count
+    * broadcast, so no boundary token flips on a float share.
+    */
+  def stopwordCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val docTok = Tables.documentsSpread(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text"))))
+        .as("token"))
+    val nDocs = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    docTok.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") * 2 > col("n_docs"))
+      .select(col("token"), col("df"),
+        (col("df").cast("double") / col("n_docs").cast("double")).as("df_share"))
+  }
+
   /** Naive-Bayes language ID trained and evaluated on the corpus's own
     * labeled `lang` column, reported as a confusion matrix — the
     * eval-loop query behind every learned curation gate: train

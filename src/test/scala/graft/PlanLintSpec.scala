@@ -62,7 +62,8 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
     "langid_nb_confusion" -> "|langs|-row class-fanout (langTotals × 1-row vocab scalar) broadcast-crossJoined onto the doc-token table — bounded by the class count, not the data",
     "brand_type_chi2" -> "1-row grand-total scalar kept in-plan as a broadcast crossJoin over the |brands|·|types|-bounded cell table",
     "events_value_drift_psi" -> "two 1-row scalars (integer midpoint split; bin totals) kept in-plan as broadcast crossJoins over the ≤64-row bin table",
-    "customer_revenue_topn_share" -> "1-row revenue-total scalar (the share denominator) kept in-plan as a broadcast crossJoin over the 1-row top-10 aggregate"
+    "customer_revenue_topn_share" -> "1-row revenue-total scalar (the share denominator) kept in-plan as a broadcast crossJoin over the 1-row top-10 aggregate",
+    "stopword_candidates" -> "1-row doc-count scalar (the DF-gate denominator) kept in-plan as a broadcast crossJoin over the vocabulary-bounded DF table"
     // dropped round 7 (stale — plans improved out from under the rows):
     //   pi_montecarlo: ConvertToLocalRelation folds the seeded-parameter
     //   crossJoin away entirely; contamination_check: the benchmark-gram
@@ -125,7 +126,8 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
     "langid_nb_confusion" -> "final pass of the vocabulary-size scalar aggregate (the Laplace denominator): one partial row per upstream partition",
     "brand_type_chi2" -> "final pass of the grand-total scalar aggregate over the bounded cell table: one partial row per upstream partition",
     "events_value_drift_psi" -> "final passes of the midpoint and bin-total scalar aggregates: one partial row per upstream partition each",
-    "customer_revenue_topn_share" -> "final passes of the revenue-total and top-10 scalar aggregates (the top side is already a 10-row TakeOrdered): one partial row per upstream partition each"
+    "customer_revenue_topn_share" -> "final passes of the revenue-total and top-10 scalar aggregates (the top side is already a 10-row TakeOrdered): one partial row per upstream partition each",
+    "stopword_candidates" -> "final pass of the doc-count scalar aggregate (the DF-gate denominator): one partial row per upstream partition"
   )
 
   // One plan sweep shared by all three tests: name → (plans nested-loop?,

@@ -611,6 +611,21 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     assert(got === Set(Row("SOLO", 1L, 1.0), Row("SPLIT", 2L, 0.5)))
   }
 
+  test("ordersGroupingSets: three granularities in one pass, no priority-by-status cross") {
+    // fixture orders: priorities 1-URGENT(1), 3-MEDIUM(2), 5-LOW(1);
+    // statuses O(3), F(1); totals 100
+    val got = rows(Relational.ordersGroupingSets(spark, fixtureDir))
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)), r.getLong(2)) ->
+        ((r.getLong(3), r.getDouble(4)))).toMap
+    assert(got((Some("1-URGENT"), None, 1L)) === ((1L, 10.0)))
+    assert(got((Some("3-MEDIUM"), None, 1L)) === ((2L, 50.0)))
+    assert(got((Some("5-LOW"), None, 1L)) === ((1L, 40.0)))
+    assert(got((None, Some("O"), 2L)) === ((3L, 70.0)))
+    assert(got((None, Some("F"), 2L)) === ((1L, 30.0)))
+    assert(got((None, None, 3L)) === ((4L, 100.0)))
+    assert(got.size === 6) // and nothing at the priority×status cross
+  }
+
   test("customerBalancePctrank: ties share percent_rank but advance cume_dist together") {
     import spark.implicits._
     val dir = scratchDir("graft-pctr")

@@ -453,6 +453,18 @@ class TextOpsSpec extends AnyFunSuite with SparkFixture {
     got.values.foreach { case (n, h) => assert(n === 40L && h === ln40) }
   }
 
+  test("stopwordCandidates: the >50% DF gate is strict and counts docs, not occurrences") {
+    // fixture: w1..w39 appear in 4 of 5 docs (A, A-dup, C, E) → kept;
+    // w40 in 3 of 5 → kept; zz and x* in 1 doc → dropped. Strictness:
+    // a token in exactly half the docs must NOT pass (2·df = n_docs)
+    val got = TextOps.stopwordCandidates(spark, fixtureDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got("w1") === ((4L, 0.8)))
+    assert(got("w40") === ((3L, 0.6)))
+    assert(!got.contains("zz") && !got.contains("x1"))
+    assert(got.size === 40)
+  }
+
   test("langidNbConfusion: a single-class corpus predicts that class for every doc") {
     // fixture docs are all lang=en → one (en, en, 5) cell
     val got = TextOps.langidNbConfusion(spark, fixtureDir).collect()
