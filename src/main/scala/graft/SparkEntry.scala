@@ -186,6 +186,8 @@ object SparkEntry {
     "orders_trailing_7d_revenue" -> Relational.ordersTrailing7dRevenue _,
     "orders_grouping_sets"   -> Relational.ordersGroupingSets _,
     "stopword_candidates"    -> TextOps.stopwordCandidates _,
+    "events_funnel_by_variant" -> EventOps.eventsFunnelByVariant _,
+    "embedding_norm_bands"   -> Similarity.embeddingNormBands _,
     "mixture_temperature"    -> Curation.mixtureTemperature _,
     "orders_delta_agg"       -> Relational.ordersDeltaAgg _,
     "events_incident_overlap" -> EventOps.eventsIncidentOverlap _,
@@ -2133,6 +2135,37 @@ object SparkEntry {
                  - CAST(sum(n_chars) AS DOUBLE) * CAST(sum(n_chars) AS DOUBLE))
                 / (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE)) AS var_len
          FROM documents GROUP BY source""",
+    "events_funnel_by_variant" ->
+      """WITH pu AS (SELECT user_id,
+                            ('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 7))::BIGINT % 2 AS variant,
+                            min(CASE WHEN event_type = 'view' THEN ts END) AS ts_view,
+                            min(CASE WHEN event_type = 'click' THEN ts END) AS ts_click,
+                            min(CASE WHEN event_type = 'purchase' THEN ts END) AS ts_purchase
+                     FROM events GROUP BY 1, 2),
+              st AS (SELECT variant,
+                            CASE WHEN ts_view IS NOT NULL
+                                  AND ts_click > ts_view
+                                  AND ts_purchase > ts_click THEN 'purchased'
+                                 WHEN ts_view IS NOT NULL
+                                  AND ts_click > ts_view THEN 'clicked'
+                                 WHEN ts_view IS NOT NULL THEN 'viewed'
+                                 ELSE 'none' END AS funnel_stage
+                     FROM pu)
+         SELECT variant, funnel_stage, count(*) AS n_users
+         FROM st GROUP BY 1, 2""",
+    // per-vector Σ(milli-quantized x)² is an exact BIGINT
+    "embedding_norm_bands" ->
+      """WITH n AS (SELECT vec_id,
+                           CAST(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                x -> CAST(floor(x * 1000.0) AS BIGINT)
+                                     * CAST(floor(x * 1000.0) AS BIGINT)))
+                                AS BIGINT) AS norm2_milli2
+                    FROM embeddings)
+         SELECT CAST(len(bin(norm2_milli2 + 1)) - 1 AS BIGINT) AS band,
+                count(*) AS n_vectors,
+                min(norm2_milli2) AS min_norm2,
+                max(norm2_milli2) AS max_norm2
+         FROM n GROUP BY 1""",
     // grouping() bitmask disambiguates aggregated-out NULLs; both
     // engines use leftmost-column-is-MSB
     "orders_grouping_sets" ->

@@ -157,6 +157,35 @@ object EventOps {
           .otherwise(lit("none")).as("funnel_stage"))
   }
 
+  /** The ordered funnel cross-tabulated by A/B variant — the readout
+    * an experiment actually ships: how far each arm's users get
+    * through view → click → purchase, as stage counts per variant.
+    * Composition of [[eventsFunnel]]'s conditional-min stage logic
+    * with [[abTestChi2]]'s deterministic hash gate; one per-user
+    * aggregate, one |variants|×|stages|-bounded rollup.
+    */
+  def eventsFunnelByVariant(spark: SparkSession, dir: String): DataFrame = {
+    val variant = pmod(conv(substring(md5(concat_ws(":", lit("ab"),
+      col("user_id").cast("string")).cast("binary")), 1, 7), 16, 10)
+      .cast("long"), lit(2L))
+    def firstTs(t: String) =
+      min(when(col("event_type") === t, col("ts"))).as(s"ts_$t")
+    Tables.events(spark, dir)
+      .select(col("user_id"), variant.as("variant"), col("event_type"), col("ts"))
+      .groupBy(col("user_id"), col("variant"))
+      .agg(firstTs("view"), firstTs("click"), firstTs("purchase"))
+      .select(col("variant"),
+        when(col("ts_view").isNotNull &&
+             col("ts_click") > col("ts_view") &&
+             col("ts_purchase") > col("ts_click"), lit("purchased"))
+          .when(col("ts_view").isNotNull && col("ts_click") > col("ts_view"),
+            lit("clicked"))
+          .when(col("ts_view").isNotNull, lit("viewed"))
+          .otherwise(lit("none")).as("funnel_stage"))
+      .groupBy(col("variant"), col("funnel_stage"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Exact distinct-user cardinality per event type — the correctness
     * baseline for [[userCardinalityApprox]]. Exact distinct is a full
     * shuffle of the (type, user) key space.

@@ -22,6 +22,25 @@ import graft.Tables
   */
 object Similarity {
 
+  /** Vector-norm pyramid: embeddings banded by log2 of their exact
+    * quantized squared L2 norm — the pre-normalization audit that
+    * catches near-zero vectors (cosine blows up) and magnitude
+    * outliers (dot-product search silently favors them) before any
+    * similarity run. Each coordinate quantizes to milli-units first
+    * (floor — bit-identical everywhere), so the per-vector Σx² is an
+    * exact BIGINT and the band an exact digit count. ≤ 64-row output.
+    */
+  def embeddingNormBands(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        aggregate(transform(col("embedding").cast("array<double>"),
+          x => floor(x * lit(1000.0)).cast("long")),
+          lit(0L), (acc, q) => acc + q * q).as("norm2_milli2"))
+      .groupBy((length(bin(col("norm2_milli2") + 1)) - 1).cast("long").as("band"))
+      .agg(count(lit(1)).as("n_vectors"),
+        min(col("norm2_milli2")).as("min_norm2"),
+        max(col("norm2_milli2")).as("max_norm2"))
+
   /** Per-dimension embedding health: n, exact micro-quantized power
     * sums, min/max and the derived mean/variance for each of the
     * `dim` coordinates — the dead/saturated-dimension radar an

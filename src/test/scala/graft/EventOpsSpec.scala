@@ -470,6 +470,17 @@ class EventOpsSpec extends AnyFunSuite with SparkFixture {
     assert(r.getLong(0) === 2L && r.getLong(1) === 0L)
   }
 
+  test("eventsFunnelByVariant: stage totals reconcile with the un-split funnel") {
+    val byVariant = EventOps.eventsFunnelByVariant(spark, fixtureDir).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val overall = EventOps.eventsFunnel(spark, fixtureDir).collect()
+      .groupBy(_.getString(1)).view.mapValues(_.length.toLong).toMap
+    // summing the variant split must reproduce the overall funnel
+    val summed = byVariant.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    assert(summed === overall)
+    assert(byVariant.keys.forall { case (v, _) => v == 0L || v == 1L })
+  }
+
   test("valuesBenfordDigits: digits from milli-integer strings; shares against baked literals") {
     // fixture values 1.0, 1.0, 2.0, 0.5 → milli 1000, 1000, 2000, 500
     // → first digits 1, 1, 2, 5

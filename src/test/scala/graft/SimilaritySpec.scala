@@ -377,6 +377,17 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("embeddingNormBands: every vector lands in exactly one band; bands partition the counts") {
+    val rows = operators.Similarity.embeddingNormBands(spark, fixtureDir).collect()
+    assert(rows.map(_.getLong(1)).sum === 60L) // all 60 fixture vectors
+    rows.foreach { r =>
+      val (band, mn, mx) = (r.getLong(0), r.getLong(2), r.getLong(3))
+      // min/max norms must actually fall inside the claimed log2 band
+      assert(java.lang.Long.toBinaryString(mn + 1).length - 1 === band)
+      assert(java.lang.Long.toBinaryString(mx + 1).length - 1 === band)
+    }
+  }
+
   test("embeddingDimStats: one row per dimension with consistent exact sums") {
     val rows = operators.Similarity.embeddingDimStats(spark, fixtureDir).collect()
     assert(rows.length === 64)
