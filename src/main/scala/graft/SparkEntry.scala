@@ -188,6 +188,7 @@ object SparkEntry {
     "stopword_candidates"    -> TextOps.stopwordCandidates _,
     "events_funnel_by_variant" -> EventOps.eventsFunnelByVariant _,
     "embedding_norm_bands"   -> Similarity.embeddingNormBands _,
+    "simhash_bit_balance"    -> Dedup.simhashBitBalance _,
     "mixture_temperature"    -> Curation.mixtureTemperature _,
     "orders_delta_agg"       -> Relational.ordersDeltaAgg _,
     "events_incident_overlap" -> EventOps.eventsIncidentOverlap _,
@@ -1543,6 +1544,27 @@ object SparkEntry {
                               AND x.doc_id < y.doc_id)
           SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
           FROM pairs WHERE hamming <= 3"""
+    },
+    // same md5 token-vote signature pipeline as dedup_simhash_portable,
+    // rolled up per bit instead of per chunk pair
+    "simhash_bit_balance" -> {
+      val voteCols = (0 until 56)
+        .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
+        .mkString(", ")
+      val sigExpr = (0 until 56)
+        .map(b => s"CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH tk AS (SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), t -> t != '')) AS tok
+                      FROM documents),
+               hx AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 14))::BIGINT AS h FROM tk),
+               votes AS (SELECT doc_id, $voteCols FROM hx GROUP BY doc_id),
+               sig AS (SELECT doc_id, $sigExpr AS simhash FROM votes),
+               tot AS (SELECT count(*) AS n_docs FROM sig),
+               be AS (SELECT bit, (simhash >> CAST(bit AS INT)) & 1 AS s
+                      FROM sig, (SELECT CAST(unnest(range(0, 56)) AS BIGINT) AS bit))
+          SELECT bit, CAST(sum(s) AS BIGINT) AS n_set, n_docs,
+                 CAST(sum(s) AS DOUBLE) / CAST(n_docs AS DOUBLE) AS set_share
+          FROM be, tot GROUP BY bit, n_docs"""
     },
     "dedup_minhash_portable" -> minhashPortableSql,
     // xxh64 fast path — oracled by the portable replay (see

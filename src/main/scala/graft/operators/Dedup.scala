@@ -1043,6 +1043,44 @@ object Dedup {
     * Zero-token documents have no signature here (they drop out at the
     * explode); the native variant keeps them with signature 0.
     */
+  /** Per-bit balance audit of the portable 56-bit simhash — the
+    * hash-family health check that must precede trusting ANY simhash
+    * dedup verdict: a healthy family sets each bit in ~half the
+    * corpus; a skewed bit contributes no discrimination and silently
+    * inflates false near-dup rates. Signatures recompute via the same
+    * token-vote pipeline as [[simhashPortable]] (md5 token hashes, so
+    * the whole audit replays in the oracle); the 56-row report
+    * explodes each signature's bits from a literal index sequence —
+    * 56× fanout of one long column, all inside codegen.
+    */
+  def simhashBitBalance(spark: SparkSession, dir: String): DataFrame = {
+    val bits = 56
+    val toks = Tables.documentsSpread(spark, dir)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .withColumn("h",
+        conv(substring(md5(col("tok").cast("binary")), 1, 14), 16, 10).cast("long"))
+    val voteCols = (0 until bits).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
+        .as(s"v$b"))
+    val sig = toks.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
+      .select(col("doc_id"),
+        (0 until bits).map(b =>
+          when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+          .as("simhash"))
+    val total = sig.agg(count(lit(1)).as("n_docs"))
+    sig
+      .select(explode(typedLit((0 until bits).map(_.toLong))).as("bit"),
+        col("simhash"))
+      .select(col("bit"),
+        expr("shiftright(simhash, CAST(bit AS INT)) & 1L").as("set"))
+      .groupBy(col("bit"))
+      .agg(sum(col("set")).as("n_set"))
+      .crossJoin(broadcast(total))
+      .select(col("bit"), col("n_set"), col("n_docs"),
+        (col("n_set").cast("double") / col("n_docs").cast("double"))
+          .as("set_share"))
+  }
+
   def simhashPortable(spark: SparkSession, dir: String): DataFrame = {
     val bits = 56
     val chunkBits = 14

@@ -312,4 +312,20 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
       assert(b >= 0L && b <= 8L && nTrue <= nPairs && sInter <= sUni)
     }
   }
+
+  test("simhashBitBalance: 56 bit rows over every signed-up doc; shares stay in [0,1]") {
+    val rows = operators.Dedup.simhashBitBalance(spark, fixtureDir).collect()
+    assert(rows.length === 56)
+    rows.foreach { r =>
+      val (bit, nSet, nDocs, share) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(bit >= 0L && bit < 56L)
+      assert(nDocs === 5L && nSet >= 0L && nSet <= nDocs)
+      assert(share === nSet.toDouble / nDocs.toDouble)
+    }
+    // identical docs 0/1 share a signature: every bit's count reflects
+    // at most 4 distinct signatures, so no bit can have n_set == 5
+    // unless docs 2-4's signatures also set it — sanity: some bit varies
+    assert(rows.map(_.getLong(1)).distinct.length > 1)
+  }
 }

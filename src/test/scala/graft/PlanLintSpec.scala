@@ -63,7 +63,8 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
     "brand_type_chi2" -> "1-row grand-total scalar kept in-plan as a broadcast crossJoin over the |brands|·|types|-bounded cell table",
     "events_value_drift_psi" -> "two 1-row scalars (integer midpoint split; bin totals) kept in-plan as broadcast crossJoins over the ≤64-row bin table",
     "customer_revenue_topn_share" -> "1-row revenue-total scalar (the share denominator) kept in-plan as a broadcast crossJoin over the 1-row top-10 aggregate",
-    "stopword_candidates" -> "1-row doc-count scalar (the DF-gate denominator) kept in-plan as a broadcast crossJoin over the vocabulary-bounded DF table"
+    "stopword_candidates" -> "1-row doc-count scalar (the DF-gate denominator) kept in-plan as a broadcast crossJoin over the vocabulary-bounded DF table",
+    "simhash_bit_balance" -> "1-row doc-count scalar (the share denominator) kept in-plan as a broadcast crossJoin over the 56-row bit table"
     // dropped round 7 (stale — plans improved out from under the rows):
     //   pi_montecarlo: ConvertToLocalRelation folds the seeded-parameter
     //   crossJoin away entirely; contamination_check: the benchmark-gram
@@ -127,7 +128,8 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
     "brand_type_chi2" -> "final pass of the grand-total scalar aggregate over the bounded cell table: one partial row per upstream partition",
     "events_value_drift_psi" -> "final passes of the midpoint and bin-total scalar aggregates: one partial row per upstream partition each",
     "customer_revenue_topn_share" -> "final passes of the revenue-total and top-10 scalar aggregates (the top side is already a 10-row TakeOrdered): one partial row per upstream partition each",
-    "stopword_candidates" -> "final pass of the doc-count scalar aggregate (the DF-gate denominator): one partial row per upstream partition"
+    "stopword_candidates" -> "final pass of the doc-count scalar aggregate (the DF-gate denominator): one partial row per upstream partition",
+    "simhash_bit_balance" -> "final pass of the doc-count scalar aggregate (the share denominator): one partial row per upstream partition"
   )
 
   // One plan sweep shared by all three tests: name → (plans nested-loop?,
