@@ -189,6 +189,7 @@ object SparkEntry {
     "events_funnel_by_variant" -> EventOps.eventsFunnelByVariant _,
     "embedding_norm_bands"   -> Similarity.embeddingNormBands _,
     "simhash_bit_balance"    -> Dedup.simhashBitBalance _,
+    "customer_order_regularity" -> Relational.customerOrderRegularity _,
     "mixture_temperature"    -> Curation.mixtureTemperature _,
     "orders_delta_agg"       -> Relational.ordersDeltaAgg _,
     "events_incident_overlap" -> EventOps.eventsIncidentOverlap _,
@@ -2157,6 +2158,28 @@ object SparkEntry {
                  - CAST(sum(n_chars) AS DOUBLE) * CAST(sum(n_chars) AS DOUBLE))
                 / (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE)) AS var_len
          FROM documents GROUP BY source""",
+    // cv² thresholds as integer cross-multiplications over exact gap
+    // power sums; m·Σg² caps near gaps²·orders — far under 2⁶³
+    "customer_order_regularity" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey,
+                           epoch_us(o_orderdate) // 86400000000 AS day
+                    FROM orders),
+              g AS (SELECT o_custkey,
+                           day - lag(day) OVER (PARTITION BY o_custkey
+                                                ORDER BY day, o_orderkey) AS g
+                    FROM o),
+              pc AS (SELECT o_custkey, count(*) AS m,
+                            CAST(sum(g) AS BIGINT) AS s,
+                            CAST(sum(g * g) AS BIGINT) AS s2
+                     FROM g WHERE g IS NOT NULL GROUP BY 1),
+              cl AS (SELECT CASE
+                              WHEN m < 2 OR s = 0 THEN 'insufficient'
+                              WHEN (m * s2 - s * s) * 4 < s * s THEN 'regular'
+                              WHEN m * s2 - s * s < s * s THEN 'moderate'
+                              ELSE 'bursty' END AS cadence_class
+                     FROM pc)
+         SELECT cadence_class, count(*) AS n_customers
+         FROM cl GROUP BY 1""",
     "events_funnel_by_variant" ->
       """WITH pu AS (SELECT user_id,
                             ('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 7))::BIGINT % 2 AS variant,

@@ -609,6 +609,41 @@ object Relational {
           .as("growth_bps"))
   }
 
+  /** Order-cadence regularity classes: each customer's inter-order
+    * gaps classified by the squared coefficient of variation —
+    * cv² < ¼ reads as subscription-like clockwork, cv² ≥ 1 as bursty
+    * (a Poisson process sits exactly at 1) — the renewal-process
+    * triage behind churn models and replenishment forecasts. The cv²
+    * thresholds evaluate as integer cross-multiplications over exact
+    * gap power sums (4·(m·Σg²−(Σg)²) vs (Σg)²), so no boundary
+    * customer flips on a float; single-gap customers report
+    * 'insufficient' rather than a fake class. One lag window keyed by
+    * customer, one 4-row rollup.
+    */
+  def customerOrderRegularity(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400L * 1000000L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey")).orderBy(col("day"), col("o_orderkey"))
+    val gaps = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        expr(s"unix_micros(o_orderdate) div ${dayUs}L").as("day"))
+      .withColumn("prev", lag(col("day"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("o_custkey"), (col("day") - col("prev")).as("g"))
+    gaps.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("m"), sum(col("g")).as("s"),
+        sum(col("g") * col("g")).as("s2"))
+      .select(
+        when(col("m") < 2 || col("s") === 0, lit("insufficient"))
+          .when((col("m") * col("s2") - col("s") * col("s")) * 4
+            < col("s") * col("s"), lit("regular"))
+          .when(col("m") * col("s2") - col("s") * col("s")
+            < col("s") * col("s"), lit("moderate"))
+          .otherwise(lit("bursty")).as("cadence_class"))
+      .groupBy(col("cadence_class"))
+      .agg(count(lit(1)).as("n_customers"))
+  }
+
   /** Mixed-granularity revenue report via GROUPING SETS — the exact
     * construct CUBE and ROLLUP can't express: per-priority totals,
     * per-status totals, and the grand total in ONE pass, but NOT the

@@ -611,6 +611,27 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     assert(got === Set(Row("SOLO", 1L, 1.0), Row("SPLIT", 2L, 0.5)))
   }
 
+  test("customerOrderRegularity: clockwork gaps class regular; wild gaps bursty; one gap insufficient") {
+    import spark.implicits._
+    val dir = scratchDir("graft-cad")
+    val d0 = java.time.LocalDateTime.of(2024, 1, 1, 0, 0)
+    def ord(k: Long, c: Long, daysOut: Long) =
+      (k, c, "O", 1.0, d0.plusDays(daysOut), "1-URGENT")
+    Seq(
+      // cust 1: gaps 7,7,7 → cv² = 0 → regular
+      ord(1, 1, 0), ord(2, 1, 7), ord(3, 1, 14), ord(4, 1, 21),
+      // cust 2: gaps 1,20,1 → heavily dispersed → bursty
+      ord(5, 2, 0), ord(6, 2, 1), ord(7, 2, 21), ord(8, 2, 22),
+      // cust 3: single gap → insufficient
+      ord(9, 3, 0), ord(10, 3, 5),
+      // cust 4: no gaps at all → contributes nothing
+      ord(11, 4, 0))
+      .toDF(ordCols: _*).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = rows(Relational.customerOrderRegularity(spark, dir))
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("regular" -> 1L, "bursty" -> 1L, "insufficient" -> 1L))
+  }
+
   test("ordersGroupingSets: three granularities in one pass, no priority-by-status cross") {
     // fixture orders: priorities 1-URGENT(1), 3-MEDIUM(2), 5-LOW(1);
     // statuses O(3), F(1); totals 100
