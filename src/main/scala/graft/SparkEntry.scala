@@ -190,6 +190,7 @@ object SparkEntry {
     "embedding_norm_bands"   -> Similarity.embeddingNormBands _,
     "simhash_bit_balance"    -> Dedup.simhashBitBalance _,
     "customer_order_regularity" -> Relational.customerOrderRegularity _,
+    "table_profile"          -> Relational.tableProfile _,
     "mixture_temperature"    -> Curation.mixtureTemperature _,
     "orders_delta_agg"       -> Relational.ordersDeltaAgg _,
     "events_incident_overlap" -> EventOps.eventsIncidentOverlap _,
@@ -2158,6 +2159,49 @@ object SparkEntry {
                  - CAST(sum(n_chars) AS DOUBLE) * CAST(sum(n_chars) AS DOUBLE))
                 / (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE)) AS var_len
          FROM documents GROUP BY source""",
+    "table_profile" ->
+      """SELECT 'region' AS table_name, count(*) AS n_rows,
+                CAST(count(DISTINCT r_regionkey) AS BIGINT) AS n_distinct_pk,
+                CAST(sum(CASE WHEN r_regionkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_pk
+         FROM region
+         UNION ALL
+         SELECT 'nation', count(*), CAST(count(DISTINCT n_nationkey) AS BIGINT),
+                CAST(sum(CASE WHEN n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         FROM nation
+         UNION ALL
+         SELECT 'customer', count(*), CAST(count(DISTINCT c_custkey) AS BIGINT),
+                CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         FROM customer
+         UNION ALL
+         SELECT 'supplier', count(*), CAST(count(DISTINCT s_suppkey) AS BIGINT),
+                CAST(sum(CASE WHEN s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         FROM supplier
+         UNION ALL
+         SELECT 'part', count(*), CAST(count(DISTINCT p_partkey) AS BIGINT),
+                CAST(sum(CASE WHEN p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         FROM part
+         UNION ALL
+         SELECT 'orders', count(*), CAST(count(DISTINCT o_orderkey) AS BIGINT),
+                CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         FROM orders
+         UNION ALL
+         SELECT 'lineitem', count(*),
+                CAST(count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT),
+                CAST(sum(CASE WHEN l_orderkey IS NULL OR l_linenumber IS NULL
+                              THEN 1 ELSE 0 END) AS BIGINT)
+         FROM lineitem
+         UNION ALL
+         SELECT 'events', count(*), CAST(count(DISTINCT event_id) AS BIGINT),
+                CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         FROM events
+         UNION ALL
+         SELECT 'documents', count(*), CAST(count(DISTINCT doc_id) AS BIGINT),
+                CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         FROM documents
+         UNION ALL
+         SELECT 'embeddings', count(*), CAST(count(DISTINCT vec_id) AS BIGINT),
+                CAST(sum(CASE WHEN vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         FROM embeddings""",
     // cv² thresholds as integer cross-multiplications over exact gap
     // power sums; m·Σg² caps near gaps²·orders — far under 2⁶³
     "customer_order_regularity" ->

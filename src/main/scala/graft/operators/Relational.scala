@@ -455,6 +455,38 @@ object Relational {
         col("intercept_cents"))
   }
 
+  /** Whole-warehouse profile: one row per table with its row count,
+    * distinct primary-key count and PK null count — the
+    * ingest-freshness dashboard that catches duplicate-key loads
+    * (n_rows ≠ n_distinct_pk) and null-key corruption the moment a
+    * load lands, before any query silently mis-joins. Each table
+    * contributes one scalar aggregate (count-distinct is the only
+    * exchange, keyed); lineitem profiles its COMPOSITE key. The ten
+    * 1-row results union into the report.
+    */
+  def tableProfile(spark: SparkSession, dir: String): DataFrame = {
+    def prof(name: String, df: DataFrame, pk: Seq[String]): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+        countDistinct(col(pk.head), pk.tail.map(col): _*).as("n_distinct_pk"),
+        sum(when(pk.map(col(_).isNull).reduce(_ || _), 1L).otherwise(0L))
+          .as("n_null_pk"))
+        .select(lit(name).as("table_name"), col("n_rows"),
+          col("n_distinct_pk"), col("n_null_pk"))
+    Seq(
+      prof("region", Tables.region(spark, dir), Seq("r_regionkey")),
+      prof("nation", Tables.nation(spark, dir), Seq("n_nationkey")),
+      prof("customer", Tables.customer(spark, dir), Seq("c_custkey")),
+      prof("supplier", Tables.supplier(spark, dir), Seq("s_suppkey")),
+      prof("part", Tables.part(spark, dir), Seq("p_partkey")),
+      prof("orders", Tables.orders(spark, dir), Seq("o_orderkey")),
+      prof("lineitem", Tables.lineitem(spark, dir),
+        Seq("l_orderkey", "l_linenumber")),
+      prof("events", Tables.events(spark, dir), Seq("event_id")),
+      prof("documents", Tables.documents(spark, dir), Seq("doc_id")),
+      prof("embeddings", Tables.embeddings(spark, dir), Seq("vec_id")))
+      .reduce(_ unionAll _)
+  }
+
   /** Referential-integrity audit across every FK edge in the star
     * schema: per edge, how many distinct FK values exist and how many
     * dangle (no match on the PK side) — the ingest-gate report that

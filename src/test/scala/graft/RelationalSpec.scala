@@ -611,6 +611,22 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     assert(got === Set(Row("SOLO", 1L, 1.0), Row("SPLIT", 2L, 0.5)))
   }
 
+  test("tableProfile: fixture row counts with unique non-null PKs everywhere") {
+    val got = rows(Relational.tableProfile(spark, fixtureDir))
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got.size === 10)
+    // every fixture PK is unique and non-null: n_rows == n_distinct_pk
+    got.foreach { case (t, (n, d, nulls)) =>
+      assert(n === d, t); assert(nulls === 0L, t)
+    }
+    assert(got("customer")._1 === 4L)
+    assert(got("lineitem")._1 === 4L) // composite key counts all 4 lines
+    assert(got("events")._1 === 4L)
+    assert(got("documents")._1 === 5L)
+    assert(got("embeddings")._1 === 60L)
+  }
+
   test("customerOrderRegularity: clockwork gaps class regular; wild gaps bursty; one gap insufficient") {
     import spark.implicits._
     val dir = scratchDir("graft-cad")
