@@ -191,6 +191,7 @@ object SparkEntry {
     "simhash_bit_balance"    -> Dedup.simhashBitBalance _,
     "customer_order_regularity" -> Relational.customerOrderRegularity _,
     "table_profile"          -> Relational.tableProfile _,
+    "event_type_affinity"    -> EventOps.eventTypeAffinity _,
     "mixture_temperature"    -> Curation.mixtureTemperature _,
     "orders_delta_agg"       -> Relational.ordersDeltaAgg _,
     "events_incident_overlap" -> EventOps.eventsIncidentOverlap _,
@@ -2159,6 +2160,22 @@ object SparkEntry {
                  - CAST(sum(n_chars) AS DOUBLE) * CAST(sum(n_chars) AS DOUBLE))
                 / (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE)) AS var_len
          FROM documents GROUP BY source""",
+    // all three Jaccard components are exact integers
+    "event_type_affinity" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+              pt AS (SELECT event_type, count(*) AS n_t FROM ut GROUP BY 1),
+              pr AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                            count(*) AS n_both
+                     FROM ut a JOIN ut b
+                       ON a.user_id = b.user_id
+                      AND a.event_type < b.event_type
+                     GROUP BY 1, 2)
+         SELECT type_a, type_b, n_both, pa.n_t AS n_a, pb.n_t AS n_b,
+                CAST(n_both AS DOUBLE)
+                  / CAST(pa.n_t + pb.n_t - n_both AS DOUBLE) AS jaccard
+         FROM pr
+         JOIN pt pa ON type_a = pa.event_type
+         JOIN pt pb ON type_b = pb.event_type""",
     "table_profile" ->
       """SELECT 'region' AS table_name, count(*) AS n_rows,
                 CAST(count(DISTINCT r_regionkey) AS BIGINT) AS n_distinct_pk,

@@ -157,6 +157,42 @@ object EventOps {
           .otherwise(lit("none")).as("funnel_stage"))
   }
 
+  /** Event-type affinity matrix: Jaccard overlap between the USER SETS
+    * of each type pair — "do the people who error also purchase" as a
+    * symmetric ≤ |types|²-row readout, the behavioral-segmentation
+    * counterpart of [[partPairLift]]'s item affinity. The (user, type)
+    * dedup collapses event volume first; per-user type pairs explode
+    * from the sorted per-user type set (a < b canonical, ≤ C(|types|,2)
+    * fanout per user); all three Jaccard components are exact integers
+    * with one final double division.
+    */
+  def eventTypeAffinity(spark: SparkSession, dir: String): DataFrame = {
+    val userTypes = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type")).distinct()
+    val perType = userTypes.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_t"))
+    val pairs = userTypes
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_set(col("event_type"))).as("ts"))
+      .select(explode(expr(
+        """flatten(transform(ts, (x, i) ->
+           transform(slice(ts, i + 2, size(ts) - i - 1),
+                     y -> struct(x AS type_a, y AS type_b))))""")).as("p"))
+      .groupBy(col("p.type_a").as("type_a"), col("p.type_b").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(perType.withColumnRenamed("n_t", "n_a")),
+        col("type_a") === col("event_type"))
+      .drop("event_type")
+      .join(broadcast(perType.withColumnRenamed("n_t", "n_b")),
+        col("type_b") === col("event_type"))
+      .drop("event_type")
+      .select(col("type_a"), col("type_b"), col("n_both"), col("n_a"), col("n_b"),
+        (col("n_both").cast("double")
+          / (col("n_a") + col("n_b") - col("n_both")).cast("double"))
+          .as("jaccard"))
+  }
+
   /** The ordered funnel cross-tabulated by A/B variant — the readout
     * an experiment actually ships: how far each arm's users get
     * through view → click → purchase, as stage counts per variant.

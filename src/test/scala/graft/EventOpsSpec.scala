@@ -470,6 +470,17 @@ class EventOpsSpec extends AnyFunSuite with SparkFixture {
     assert(r.getLong(0) === 2L && r.getLong(1) === 0L)
   }
 
+  test("eventTypeAffinity: Jaccard from exact user-set overlaps; disjoint pairs absent") {
+    // fixture user sets: view={1,2}, click={1}, error={2} →
+    // (click,view): 1/2; (error,view): 1/2; (click,error): disjoint → no row
+    val got = EventOps.eventTypeAffinity(spark, fixtureDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got === Map(
+      ("click", "view") -> ((1L, 1L, 2L, 0.5)),
+      ("error", "view") -> ((1L, 1L, 2L, 0.5))))
+  }
+
   test("eventsFunnelByVariant: stage totals reconcile with the un-split funnel") {
     val byVariant = EventOps.eventsFunnelByVariant(spark, fixtureDir).collect()
       .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
