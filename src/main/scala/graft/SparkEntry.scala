@@ -192,6 +192,7 @@ object SparkEntry {
     "customer_order_regularity" -> Relational.customerOrderRegularity _,
     "table_profile"          -> Relational.tableProfile _,
     "event_type_affinity"    -> EventOps.eventTypeAffinity _,
+    "dup_quality_association" -> Curation.dupQualityAssociation _,
     "mixture_temperature"    -> Curation.mixtureTemperature _,
     "orders_delta_agg"       -> Relational.ordersDeltaAgg _,
     "events_incident_overlap" -> EventOps.eventsIncidentOverlap _,
@@ -840,6 +841,36 @@ object SparkEntry {
          SELECT doc_id, comp, cluster_size,
                 CAST(1000000 AS BIGINT) // cluster_size AS weight_micro
          FROM r JOIN cs USING (comp)""",
+    // components keep-flag × gopher gate, 4 exact cells + guarded OR
+    "dup_quality_association" ->
+      s"""WITH RECURSIVE $componentCtes,
+              dup AS (SELECT doc_id, NOT (doc_id = min(label)) AS is_dup
+                      FROM reach GROUP BY doc_id),
+              t AS (SELECT doc_id,
+                           list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS ts
+                    FROM documents),
+              g AS (SELECT doc_id,
+                           (len(ts) >= 50 AND len(ts) <= 100000
+                            AND 3 * len(ts) <= coalesce(list_sum(list_transform(ts, x -> length(x))), 0)
+                            AND coalesce(list_sum(list_transform(ts, x -> length(x))), 0) <= 10 * len(ts)
+                            AND 5 * len(list_filter(ts, x -> regexp_matches(x, '[a-zA-Z]'))) >= 4 * len(ts)
+                            AND len(list_intersect(list_distinct(ts),
+                                  ['the','be','to','of','and','that','have','with'])) >= 2)
+                             AS q_ok
+                    FROM t),
+              cells AS (
+           SELECT CAST(sum(CASE WHEN is_dup AND q_ok THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                  CAST(sum(CASE WHEN is_dup AND NOT q_ok THEN 1 ELSE 0 END) AS BIGINT) AS b,
+                  CAST(sum(CASE WHEN NOT is_dup AND q_ok THEN 1 ELSE 0 END) AS BIGINT) AS c,
+                  CAST(sum(CASE WHEN NOT is_dup AND NOT q_ok THEN 1 ELSE 0 END) AS BIGINT) AS d
+           FROM dup JOIN g USING (doc_id))
+         SELECT a AS dup_quality, b AS dup_junk, c AS uniq_quality,
+                d AS uniq_junk,
+                CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0
+                     THEN CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                          / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)) END
+                  AS odds_ratio
+         FROM cells""",
     "minhash_error_profile" -> minhashErrorProfileSql,
     // Cross-source near-dup matrix over the verified portable-minhash
     // pair set, symmetric cells via least/greatest.

@@ -596,6 +596,33 @@ object Curation {
           / col("n_tokens").cast("double")).as("epochs_at_budget"))
   }
 
+  /** Duplication × quality association: the 2×2 table crossing
+    * near-dup cluster membership (component non-keepers) with the
+    * Gopher quality gate, plus its odds ratio — the measured answer to
+    * "are duplicates disproportionately junk", which decides whether
+    * dedup should run before the quality gate (cheap filter first) or
+    * after. Both signals are the already-verified operators joined
+    * id-to-id; the 4 exact integer cells carry one guarded double
+    * odds-ratio expression (any empty cell → NULL, not a blowup).
+    */
+  def dupQualityAssociation(spark: SparkSession, dir: String): DataFrame = {
+    val dup = graft.operators.Dedup.dedupComponents(spark, dir)
+      .select(col("doc_id"), (!col("keep")).as("is_dup"))
+    val q = gopherRules(spark, dir).select(col("doc_id"), col("keep").as("q_ok"))
+    val cells = dup.join(q, "doc_id")
+      .agg(
+        sum(when(col("is_dup") && col("q_ok"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("is_dup") && !col("q_ok"), 1L).otherwise(0L)).as("b"),
+        sum(when(!col("is_dup") && col("q_ok"), 1L).otherwise(0L)).as("c"),
+        sum(when(!col("is_dup") && !col("q_ok"), 1L).otherwise(0L)).as("d"))
+    cells.select(col("a").as("dup_quality"), col("b").as("dup_junk"),
+      col("c").as("uniq_quality"), col("d").as("uniq_junk"),
+      when(col("a") > 0 && col("b") > 0 && col("c") > 0 && col("d") > 0,
+        col("a").cast("double") * col("d").cast("double")
+          / (col("b").cast("double") * col("c").cast("double")))
+        .as("odds_ratio"))
+  }
+
   /** Per-source language drift: KL divergence of each source's
     * language mix against the corpus mix, in exact micro-nats — the
     * acquisition alarm that fires when one crawl's composition slides

@@ -507,6 +507,16 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
     assert(k1.length === 3 && k1.forall(_.getLong(1) === 1L))
   }
 
+  test("dupQualityAssociation: cells reconcile with the two source operators; empty cell guards OR") {
+    // fixture: dup cluster {0,1,2} keeps 0 → dups = {1,2}; gopher keeps
+    // nothing (40-token docs fail the >=50 count rule) → a = c = 0
+    val r = operators.Curation.dupQualityAssociation(spark, fixtureDir)
+      .collect().head
+    assert(r.getLong(0) === 0L && r.getLong(1) === 2L)
+    assert(r.getLong(2) === 0L && r.getLong(3) === 3L)
+    assert(r.isNullAt(4)) // empty quality cells → NULL odds ratio
+  }
+
   test("sourceLangKl: a source matching the corpus mix diverges by exactly zero") {
     // every fixture doc is lang=en → each source's distribution IS the
     // corpus distribution → all log-ratios are ln(1) = 0

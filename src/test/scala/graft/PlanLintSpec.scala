@@ -130,7 +130,8 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
     "customer_revenue_topn_share" -> "final passes of the revenue-total and top-10 scalar aggregates (the top side is already a 10-row TakeOrdered): one partial row per upstream partition each",
     "stopword_candidates" -> "final pass of the doc-count scalar aggregate (the DF-gate denominator): one partial row per upstream partition",
     "simhash_bit_balance" -> "final pass of the doc-count scalar aggregate (the share denominator): one partial row per upstream partition",
-    "table_profile" -> "final passes of the ten 1-row per-table profile aggregates: one partial row per upstream partition each"
+    "table_profile" -> "final passes of the ten 1-row per-table profile aggregates: one partial row per upstream partition each",
+    "dup_quality_association" -> "final pass of the 2×2 cell scalar aggregate (the query IS one global table): one partial row per upstream partition"
   )
 
   // One plan sweep shared by all three tests: name → (plans nested-loop?,
