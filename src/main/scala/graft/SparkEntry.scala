@@ -3062,11 +3062,12 @@ object SparkEntry {
               po AS (SELECT l_orderkey AS ok, count(*) AS n_supp,
                             sum(ret) AS n_ret
                      FROM pairs GROUP BY 1)
-         SELECT s_name AS supp_name, count(*) AS numwait
+         SELECT CAST(s_suppkey AS BIGINT) AS suppkey, s_name AS supp_name,
+                count(*) AS numwait
          FROM pairs JOIN po ON l_orderkey = ok
          JOIN supplier ON l_suppkey = s_suppkey
          WHERE ret = 1 AND n_supp > 1 AND n_ret = 1
-         GROUP BY 1""",
+         GROUP BY 1, 2""",
     // avg-balance threshold cross-multiplied in DECIMAL (bal·cnt > total)
     "q22_idle_customers" ->
       """WITH cust AS (SELECT c_custkey, c_nationkey,

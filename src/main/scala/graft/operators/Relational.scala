@@ -465,9 +465,15 @@ object Relational {
     * 1-row results union into the report.
     */
   def tableProfile(spark: SparkSession, dir: String): DataFrame = {
+    // Composite keys distinct over a STRUCT: Spark's multi-arg
+    // countDistinct drops a row when ANY component is NULL, while the
+    // oracle's row-value count(DISTINCT (a,b)) keeps it — and a
+    // null-component key is exactly the corruption this profile exists
+    // to flag. struct() is never NULL, so both engines agree.
     def prof(name: String, df: DataFrame, pk: Seq[String]): DataFrame =
       df.agg(count(lit(1)).as("n_rows"),
-        countDistinct(col(pk.head), pk.tail.map(col): _*).as("n_distinct_pk"),
+        (if (pk.size == 1) countDistinct(col(pk.head))
+         else countDistinct(struct(pk.map(col): _*))).as("n_distinct_pk"),
         sum(when(pk.map(col(_).isNull).reduce(_ || _), 1L).otherwise(0L))
           .as("n_null_pk"))
         .select(lit(name).as("table_name"), col("n_rows"),
@@ -499,7 +505,10 @@ object Relational {
   def referentialIntegrityAudit(spark: SparkSession, dir: String): DataFrame = {
     def edge(name: String, fk: DataFrame, fkCol: String,
              pk: DataFrame, pkCol: String): DataFrame = {
-      val keys = fk.select(col(fkCol)).distinct()
+      // NULL FKs are excluded to match SQL count(DISTINCT fk) semantics —
+      // otherwise a single NULL FK (the ingest-corruption case this audit
+      // targets) would inflate n_keys and n_orphans by 1 vs the oracle.
+      val keys = fk.select(col(fkCol)).where(col(fkCol).isNotNull).distinct()
       val orphans = keys.join(broadcast(pk.select(col(pkCol))),
         col(fkCol) === col(pkCol), "left_anti")
       keys.agg(count(lit(1)).as("n_keys"))
@@ -1722,7 +1731,9 @@ object Relational {
       .agg(count(lit(1)).as("numwait"))
       .join(broadcast(Tables.supplier(spark, dir)),
         col("l_suppkey") === col("s_suppkey"))
-      .select(col("s_name").as("supp_name"), col("numwait"))
+      // the key rides along so two suppliers sharing a name stay two rows
+      .select(col("s_suppkey").cast("long").as("suppkey"),
+        col("s_name").as("supp_name"), col("numwait"))
   }
 
   def q22IdleCustomers(spark: SparkSession, dir: String): DataFrame = {

@@ -469,7 +469,7 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
       (4L, 1L, 1L, 3, 1.0, 1.0, 0.0, 0.0, "N", "O", d))
       .toDF(liCols: _*).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
     val got = rows(Relational.q21WaitingSuppliers(spark, dir))
-    assert(got === Set(Row("s_one", 1L), Row("s_two", 1L)))
+    assert(got === Set(Row(1L, "s_one", 1L), Row(2L, "s_two", 1L)))
   }
 
   test("q16: supplier count dedupes repeat shipments and excludes the blocked brand") {
@@ -798,6 +798,45 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     // alice: 3 orders, 6000 cents → '0-1-12'; bob: 1 order, 4000 → '0-0-11'
     val got = rows(Relational.customerRfm(spark, fixtureDir))
     assert(got === Set(Row("0-1-12", 1L, 6000L), Row("0-0-11", 1L, 4000L)))
+  }
+
+  test("tableProfile: NULL composite-key component counted as distinct AND flagged null") {
+    import spark.implicits._
+    val dir = scratchDir("graft-prof-null")
+    Fixtures.writeAll(spark, dir)
+    val ots = java.time.LocalDateTime.ofEpochSecond(
+      Fixtures.RefTs / 1000000000L, 0, java.time.ZoneOffset.UTC)
+    // row 2 has a NULL l_linenumber: SQL row-value distinct still counts
+    // it (the struct is non-null), and n_null_pk must flag it — the
+    // pre-fix multi-arg countDistinct silently dropped such rows.
+    Seq(
+      (1L, 10L, 1L, Option(1), 1.0, 1.0, 0.0, 0.0, "N", "O", ots),
+      (1L, 10L, 1L, Option.empty[Int], 1.0, 1.0, 0.0, 0.0, "N", "O", ots),
+      (2L, 10L, 1L, Option(1), 1.0, 1.0, 0.0, 0.0, "N", "O", ots))
+      .toDF(liCols: _*).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = rows(Relational.tableProfile(spark, dir))
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got("lineitem") === ((3L, 3L, 1L)))
+  }
+
+  test("referentialIntegrityAudit: a NULL FK is neither a key nor an orphan") {
+    import spark.implicits._
+    val dir = scratchDir("graft-ri-null")
+    Fixtures.writeAll(spark, dir)
+    val ots = java.time.LocalDateTime.ofEpochSecond(
+      Fixtures.RefTs / 1000000000L, 0, java.time.ZoneOffset.UTC)
+    // partkey NULL on one row, live 10 and dangling 99 on the others:
+    // n_keys counts {10, 99} only (SQL count(DISTINCT fk) ignores NULL),
+    // orphans counts just 99 — the NULL must not inflate either side.
+    Seq(
+      (100L, Option(10L), 1L, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", ots),
+      (100L, Option(99L), 1L, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", ots),
+      (100L, Option.empty[Long], 1L, 3, 1.0, 1.0, 0.0, 0.0, "N", "O", ots))
+      .toDF(liCols: _*).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = rows(Relational.referentialIntegrityAudit(spark, dir))
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got("lineitem.partkey->part") === ((2L, 1L)))
   }
 
   test("referentialIntegrityAudit: dangling FKs counted per edge, intact edges report zero") {
