@@ -178,7 +178,7 @@ object Curation {
       .select(col("doc_id"), explode(expr(
         s"array_distinct(transform(sequence(1, size(ts) - ${n - 1}), " +
           s"i -> md5(array_join(slice(ts, i, $n), ' '))))")).as("g"))
-      .crossJoin(cut)
+      .crossJoin(broadcast(cut))
     val standing = grams.filter(col("doc_id") <= col("c"))
       .select(col("g")).distinct().withColumn("seen", lit(1L))
     val scored = grams.filter(col("doc_id") > col("c"))
@@ -187,7 +187,8 @@ object Curation {
       .agg(
         count(lit(1)).as("n_grams"),
         sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_novel"))
-    docs.select(col("doc_id")).crossJoin(cut).filter(col("doc_id") > col("c"))
+    docs.select(col("doc_id")).crossJoin(broadcast(cut))
+      .filter(col("doc_id") > col("c"))
       .select(col("doc_id")).join(scored, Seq("doc_id"), "left")
       .select(
         col("doc_id"),

@@ -40,7 +40,7 @@ object Dedup {
     val docs = Tables.documentsSpread(spark, dir)
       .select(col("doc_id"), sha2(col("text"), 256).as("h"))
     val cut = docs.agg(expr("max(doc_id) * 8 div 10").as("c"))
-    val withCut = docs.crossJoin(cut)
+    val withCut = docs.crossJoin(broadcast(cut))
     val index = withCut.filter(col("doc_id") <= col("c"))
       .groupBy(col("h")).agg(min(col("doc_id")).as("existing_id"))
     val batch = withCut.filter(col("doc_id") > col("c"))
@@ -645,7 +645,7 @@ object Dedup {
     val docs = Tables.documentsSpread(spark, dir)
       .select(col("doc_id"), sha2(col("text"), 256).as("h"))
     val cut = docs.agg(expr("max(doc_id) * 8 div 10").as("c"))
-    val withCut = docs.crossJoin(cut)
+    val withCut = docs.crossJoin(broadcast(cut))
     val standing = withCut.filter(col("doc_id") <= col("c"))
     val batch = withCut.filter(col("doc_id") > col("c"))
 
@@ -833,7 +833,7 @@ object Dedup {
     val cut = Tables.documentsSpread(spark, dir)
       .agg(expr("max(doc_id) * 8 div 10").as("c"))
     val bands = md5BandTable(sh)
-      .crossJoin(cut)
+      .crossJoin(broadcast(cut))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val standing = bands.filter(col("doc_id") <= col("c"))
       .select(col("doc_id").as("dup_of"), col("band"), col("band_hash"))
@@ -922,7 +922,7 @@ object Dedup {
     val cut = Tables.documentsSpread(spark, dir)
       .agg(expr("max(doc_id) * 8 div 10").as("c"))
     val withKey = md5BandTable(sh)
-      .crossJoin(cut)
+      .crossJoin(broadcast(cut))
       .withColumn("band_key", concat_ws("#", col("band"), col("band_hash")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val (table, idxPath) = Tables.scopedIndex(spark, "graft_minhash_band_del", dir)
@@ -966,7 +966,7 @@ object Dedup {
     val cut = Tables.documentsSpread(spark, dir)
       .agg(expr("max(doc_id) * 8 div 10").as("c"))
     val batch = md5BandTable(sh)
-      .crossJoin(cut)
+      .crossJoin(broadcast(cut))
       .filter(col("doc_id") > col("c"))
       .withColumn("band_key", concat_ws("#", col("band"), col("band_hash")))
       .select(col("doc_id"), col("band_key"))
@@ -991,7 +991,7 @@ object Dedup {
       .agg(expr("max(doc_id) * 8 div 10").as("c"),
         expr("max(doc_id) * 6 div 10").as("c0"))
     val withKey = md5BandTable(sh)
-      .crossJoin(cut)
+      .crossJoin(broadcast(cut))
       .withColumn("band_key", concat_ws("#", col("band"), col("band_hash")))
       .persist(StorageLevel.MEMORY_AND_DISK)
 

@@ -512,7 +512,7 @@ object Relational {
       val orphans = keys.join(broadcast(pk.select(col(pkCol))),
         col(fkCol) === col(pkCol), "left_anti")
       keys.agg(count(lit(1)).as("n_keys"))
-        .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+        .crossJoin(broadcast(orphans.agg(count(lit(1)).as("n_orphans"))))
         .select(lit(name).as("edge"), col("n_keys"), col("n_orphans"))
     }
     val li = Tables.lineitem(spark, dir)

@@ -1179,7 +1179,7 @@ object Similarity {
     val dimIds = q.select(posexplode(col("qarr")).as(Seq("i", "qi")))
       .select(col("i")).distinct()
     val signs = dimIds
-      .crossJoin(spark.range(k.toLong).select(col("id").cast("int").as("j")))
+      .crossJoin(broadcast(spark.range(k.toLong).select(col("id").cast("int").as("j"))))
       .withColumn("s",
         when(conv(substring(md5(concat_ws(":", lit("jl"), col("i").cast("string"),
           col("j").cast("string")).cast("binary")), 1, 7), 16, 10)

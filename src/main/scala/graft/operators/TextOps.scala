@@ -698,7 +698,7 @@ object TextOps {
     val stride = greatest(expr(s"total div $k"), lit(1L))
     perDoc
       .join(broadcast(offsets), "shard")
-      .crossJoin(tot)
+      .crossJoin(broadcast(tot))
       .withColumn("cum_end", col("off") + col("cum_in_shard"))
       .withColumn("cum_start", col("cum_end") - col("n_chars"))
       .withColumn("stride", stride)
@@ -811,7 +811,7 @@ object TextOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = Tables.documentsSpread(spark, dir).agg(count(lit(1)).as("n_docs"))
-    val idf = df.crossJoin(nDocs)
+    val idf = df.crossJoin(broadcast(nDocs))
       .filter(col("df") * 10 <= col("n_docs") * 9)
       .select(col("term"), expr("(n_docs * 100) div df").as("idf"))
     val weighted = tf.join(broadcast(idf), "term")
@@ -1122,7 +1122,7 @@ object TextOps {
       .agg(count(lit(1)).as("cnt_xy"))
       .filter(col("cnt_xy") >= minCount)
     val tot = uni.agg(sum(col("cnt_t")).as("n_tok"))
-      .crossJoin(bi.agg(sum(col("cnt_xy")).as("n_pairs")))
+      .crossJoin(broadcast(bi.agg(sum(col("cnt_xy")).as("n_pairs"))))
     bi
       .join(broadcast(uni.select(col("t").as("w1"), col("cnt_t").as("cnt_x"))), "w1")
       .join(broadcast(uni.select(col("t").as("w2"), col("cnt_t").as("cnt_y"))), "w2")

@@ -134,21 +134,22 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
     "dup_quality_association" -> "final pass of the 2×2 cell scalar aggregate (the query IS one global table): one partial row per upstream partition"
   )
 
-  // One plan sweep shared by all three tests: name → (plans nested-loop?,
-  // plans single-partition exchange?).
-  private lazy val planFlags: Map[String, (Boolean, Boolean)] =
+  // One plan sweep shared by all tests: name → (plans nested-loop?,
+  // plans single-partition exchange?, plans NON-broadcast cartesian?).
+  private lazy val planFlags: Map[String, (Boolean, Boolean, Boolean)] =
     SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // executedPlan WITHOUT collect(): the AQE initial plan, post-
       // EnsureRequirements — see class doc.
       val plan = fn(spark, fixtureDir).queryExecution.executedPlan.toString
-      name -> (
+      name -> ((
         plan.contains("BroadcastNestedLoopJoin") || plan.contains("CartesianProduct"),
-        plan.contains("Exchange SinglePartition"))
+        plan.contains("Exchange SinglePartition"),
+        plan.contains("CartesianProduct")))
     }.toMap
 
   test("no registered query plans an undeclared cartesian or nested-loop join") {
     val violations = planFlags.collect {
-      case (name, (nested, _)) if nested && !nestedLoopAllowed.contains(name) => name
+      case (name, (nested, _, _)) if nested && !nestedLoopAllowed.contains(name) => name
     }
     assert(violations.isEmpty,
       s"undeclared nested-loop/cartesian plans: ${violations.mkString(", ")} — " +
@@ -157,11 +158,27 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
 
   test("no registered query plans an undeclared single-partition exchange") {
     val violations = planFlags.collect {
-      case (name, (_, single)) if single && !singlePartitionAllowed.contains(name) => name
+      case (name, (_, single, _)) if single && !singlePartitionAllowed.contains(name) => name
     }
     assert(violations.isEmpty,
       s"undeclared single-partition exchanges: ${violations.mkString(", ")} — " +
         "either fix the plan or whitelist it WITH a documented justification")
+  }
+
+  test("no registered query plans a NON-broadcast cartesian product — ever") {
+    // BroadcastNestedLoopJoin streams one side against a broadcast other
+    // side — bounded if the broadcast side is (whitelist above).
+    // CartesianProduct partitions BOTH sides and pairs every partition
+    // combination: a stats misestimate away from an N² shuffle at scale.
+    // Every scalar crossJoin in the codebase pins broadcast() explicitly,
+    // so no plan should ever degrade to CartesianProduct — no whitelist.
+    val violations = planFlags.collect {
+      case (name, (_, _, cartesian)) if cartesian => name
+    }
+    assert(violations.isEmpty,
+      s"CartesianProduct planned by: ${violations.mkString(", ")} — wrap the " +
+        "small side in broadcast() so the planner can never pick a " +
+        "partitioned cartesian")
   }
 
   test("every whitelist entry is load-bearing (no stale rows)") {
