@@ -31,4 +31,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   // 128 GiB box; headroom keeps GC out of the bench timings
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // ~250 query families × whole-stage codegen overflows the default
+  // 240 MB code cache mid-session; once full, the JIT stops compiling
+  // and hot queries run interpreted 2-10x slower — the bench-noise
+  // class that burned three rounds of adjudication
+  "-XX:ReservedCodeCacheSize=1g",
 )

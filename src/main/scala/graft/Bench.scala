@@ -10,9 +10,46 @@ import org.apache.spark.sql.SparkSession
   * `sbt "runMain graft.Bench copurchase_pairs corpus_curate"`).
   */
 object Bench {
+
+  /** PIDs of java processes that are neither this JVM, its ancestors
+    * (the sbt launcher), nor its descendants — i.e. a co-resident
+    * Verify/test JVM whose compile or GC activity would contaminate
+    * wall-clock timings on this shared box.
+    */
+  private def foreignJvms(): Seq[Long] = {
+    import scala.jdk.CollectionConverters._
+    import scala.jdk.OptionConverters._
+    val self = ProcessHandle.current()
+    val family = scala.collection.mutable.Set(self.pid)
+    Iterator.iterate(self.parent.toScala)(_.flatMap(_.parent.toScala))
+      .takeWhile(_.isDefined).flatten.foreach(p => family += p.pid)
+    self.descendants().iterator().asScala.foreach(p => family += p.pid)
+    ProcessHandle.allProcesses().iterator().asScala
+      .filter(p => p.info.command.toScala.exists(_.endsWith("java")))
+      .map(_.pid).filterNot(family).toSeq
+  }
+
   def main(args: Array[String]): Unit = {
     val unknown = args.filterNot(SparkEntry.queries.contains)
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
+
+    // Single-JVM bench hygiene: a mid-drain sibling JVM (a just-launched
+    // Verify, a test suite finishing up) inflates timings 2-7x and has
+    // produced false per-query regressions three rounds running. Wait
+    // for any foreign JVM to exit before timing; if one outlives the
+    // wait, proceed but stamp the output JSON as contended so the
+    // reader discounts this run instead of adjudicating it.
+    var contended = foreignJvms()
+    val deadline = System.nanoTime() + 120L * 1000000000L
+    while (contended.nonEmpty && System.nanoTime() < deadline) {
+      System.err.println(
+        s"[bench] waiting for foreign JVM(s) ${contended.mkString(",")} to drain")
+      Thread.sleep(5000)
+      contended = foreignJvms()
+    }
+    if (contended.nonEmpty)
+      System.err.println(s"[bench] CONTENDED: JVM(s) ${contended.mkString(",")} " +
+        "still running — timings in this output are not trend-comparable")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -45,26 +82,52 @@ object Bench {
     val selected =
       if (args.isEmpty) SparkEntry.queries.toSeq
       else SparkEntry.queries.filter { case (k, _) => args.contains(k) }.toSeq
+    def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      // drop the query's persisted sketch tables so the repeat run
+      // (and later queries) start cold and dead caches don't pile up
+      spark.catalog.clearCache()
+      dt
+    }
+    // Two FULL sweeps rather than same-query back-to-back repeats: by
+    // the time the recorded second sweep starts, every family's
+    // generated code is JIT-compiled, so no query pays a compile hiccup
+    // that its immediate repeat (still inside the hiccup) would also
+    // absorb. Back-to-back min-of-2 left 2-4 movers per bench pair from
+    // exactly that class; two sweeps is the same total work, ordered so
+    // sweep 2 measures a uniformly warm JVM.
+    val sweep1 = scala.collection.mutable.Map[String, Double]()
     selected.sortBy(_._1).foreach { case (name, fn) =>
-      try {
-        def timed(): Double = {
-          val t0 = System.nanoTime()
-          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-          val dt = (System.nanoTime() - t0) / 1e9
-          // drop the query's persisted sketch tables so the repeat run
-          // (and later queries) start cold and dead caches don't pile up
-          spark.catalog.clearCache()
-          dt
-        }
-        val twoRuns = math.min(timed(), timed())
-        timings(name) = if (twoRuns > 1.0) math.min(twoRuns, timed()) else twoRuns
-      } catch {
+      try sweep1(name) = timed(fn)
+      catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           failed += name
           spark.catalog.clearCache()
       }
     }
+    selected.sortBy(_._1).filterNot(kv => failed.contains(kv._1))
+      .foreach { case (name, fn) =>
+        try {
+          val a = sweep1(name); val b = timed(fn)
+          val best = math.min(a, b)
+          // Third run when the sweeps disagree >1.5x (a hiccup landed
+          // in one) or the min is still over 1s (the cross-query-
+          // pressure class) — the min of three is the steady-state
+          // figure.
+          timings(name) =
+            if (best > 1.0 || math.max(a, b) > 1.5 * best)
+              math.min(best, timed(fn))
+            else best
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            failed += name
+            spark.catalog.clearCache()
+        }
+      }
     // Streaming throughput (full runs only): drive the windowed-count
     // pipeline through the REAL file source — multi-file input,
     // maxFilesPerTrigger-bounded micro-batches, AvailableNow trigger,
@@ -110,8 +173,9 @@ object Bench {
     val qs = timings.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = timings.values.sum
+    val cont = if (contended.nonEmpty) ""","contended":true""" else ""
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"$streamJson}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"$cont$streamJson}"""
     println(json)
     // Robust copy for parsers that can't read sbt-prefixed stdout.
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LAST.json"), json)

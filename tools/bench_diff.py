@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Bench trend diff: compare two Bench JSON outputs per query.
+
+Flags movers whose ratio exceeds 1.5x in either direction AND whose
+absolute movement exceeds 0.5s, so regressions are named in-round
+instead of being re-adjudicated from raw JSON next round. The 0.5s
+floor is the measured resolution of the single-JVM local[32] harness:
+back-to-back identical-code benches show +/-0.3s swings on sub-second
+queries (GC pauses, compile threads, page cache) in BOTH directions,
+so a sub-0.5s movement is not adjudicable evidence regardless of
+ratio, while every real plan regression observed to date moved >1s.
+
+Usage:
+    git show <prev-round-commit>:BENCH_LAST.json > /tmp/prev.json
+    python3 tools/bench_diff.py /tmp/prev.json BENCH_LAST.json [out.md]
+
+(The driver's BENCH_r{N}.json wrapper truncates the per-query tail —
+the committed BENCH_LAST.json is the full-fidelity record.)
+
+Writes a markdown report (default BENCH_DIFF.md) and prints it.
+Exit 0 always — the diff is evidence, not a gate.
+"""
+import json
+import sys
+
+
+def main() -> None:
+    prev_path, curr_path = sys.argv[1], sys.argv[2]
+    out_path = sys.argv[3] if len(sys.argv) > 3 else "BENCH_DIFF.md"
+    prev = json.load(open(prev_path))
+    curr = json.load(open(curr_path))
+    pq, cq = prev.get("queries", {}), curr.get("queries", {})
+    common = sorted(set(pq) & set(cq))
+    added = sorted(set(cq) - set(pq))
+    removed = sorted(set(pq) - set(cq))
+
+    movers = []
+    for name in common:
+        a, b = pq[name], cq[name]
+        if a <= 0:
+            continue
+        ratio = b / a
+        if (ratio > 1.5 or ratio < 1 / 1.5) and abs(b - a) > 0.5:
+            movers.append((name, a, b, ratio))
+    movers.sort(key=lambda m: -m[3])
+
+    lines = [f"# Bench diff: {prev_path} -> {curr_path}", ""]
+    tp = sum(pq[n] for n in common)
+    tc = sum(cq[n] for n in common)
+    lines.append(f"- common queries: {len(common)}; "
+                 f"total {tp:.1f}s -> {tc:.1f}s ({tc / tp:.2f}x)" if common
+                 else "- no common queries")
+    if curr.get("contended"):
+        lines.append("- **CONTENDED RUN**: a foreign JVM was live during "
+                     "the current bench; per-query ratios are not "
+                     "trend-comparable")
+    if added:
+        lines.append(f"- added ({len(added)}): {', '.join(added)}")
+    if removed:
+        lines.append(f"- removed ({len(removed)}): {', '.join(removed)}")
+    for key in ("stream_throughput",):
+        sp, sc = prev.get(key), curr.get(key)
+        if sp and sc:
+            lines.append(f"- {key}: {sp['rows_per_sec']:.0f} -> "
+                         f"{sc['rows_per_sec']:.0f} rows/s "
+                         f"({sc['rows_per_sec'] / sp['rows_per_sec']:.2f}x)")
+        elif sc:
+            lines.append(f"- {key}: {sc['rows_per_sec']:.0f} rows/s (new)")
+    lines.append("")
+    if movers:
+        lines.append(f"## Movers >1.5x and >0.5s ({len(movers)})")
+        lines.append("")
+        lines.append("| query | prev s | curr s | ratio |")
+        lines.append("|---|---|---|---|")
+        for name, a, b, r in movers:
+            lines.append(f"| {name} | {a:.2f} | {b:.2f} | {r:.2f}x |")
+    else:
+        lines.append("## No movers: every common query within 1.5x (or 0.5s)")
+    report = "\n".join(lines) + "\n"
+    with open(out_path, "w") as f:
+        f.write(report)
+    print(report)
+
+
+if __name__ == "__main__":
+    main()
