@@ -563,6 +563,15 @@ object Relational {
       .select(col("l_orderkey"), col("l_linenumber"),
         (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
           .cast("decimal(18,4)").as("rev"))
+      // spread BEFORE the 32x explode: the per-(row, replicate) md5
+      // draw is the dominant cost, and without this it inherits the
+      // SCAN's partitioning — a compact input (one file / one row
+      // group) would serialize 19M draws per 600k rows onto one core
+      // (measured: 17.9s single-task vs ~2s spread at sf0.1). The
+      // shuffle moves only the narrow 3-column pre-explode rows; sums
+      // are exact DECIMAL, so the round-robin layout can't move the
+      // result.
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(col("l_orderkey"), col("l_linenumber"), col("rev"),
         explode(typedLit((0 until reps).map(_.toLong))).as("rep"))
       .withColumn("u", u)
