@@ -4,11 +4,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scale-linearity probe for the heaviest registered queries: builds a
-  * key-shifted N× replica of the tables a query reads, times the query
-  * at base scale and at N×, and prints the wall-time ratio. The claim
+  * key-shifted N× replica of the tables they read, times each query at
+  * base scale and at N×, and prints the wall-time ratios. The claim
   * under test is "parallelizes linearly" — a ratio far above N means a
   * superlinear term (driver state, quadratic fanout, spill collapse)
-  * that small-SF correctness runs can't see.
+  * that small-SF correctness runs can't see; a ratio far BELOW N means
+  * the base timing is overhead-dominated (also worth knowing: the
+  * query has compute headroom).
+  *
+  * Replication semantics:
+  *  - relational keys shift by a per-domain span so each replica is a
+  *    disjoint key range (orderkey and partkey both scale → the
+  *    co-purchase graph grows nodes, not just edge weights);
+  *  - document TEXT gets every token prefixed with a replica tag, so
+  *    replicas are shingle-disjoint corpora — the scaling model of a
+  *    web crawl growing new content, not 10 copies of the same pages
+  *    (exact copies would quadratically inflate LSH candidate pairs
+  *    and measure a duplicate-bomb, not scale);
+  *  - embeddings shift vec_id only (vector copies densify clusters —
+  *    harmless for a timing probe).
   *
   * Usage: sbt "runMain graft.ScaleProbe /root/testdata/sf0.1 /tmp/sfx 10"
   */
@@ -28,47 +42,66 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Replicate with SHIFTED keys (not copies of the same key space):
-    // key cardinality must scale with volume or group counts stay flat
-    // and the probe under-states shuffle growth.
-    def replicate(df: DataFrame, keyCols: Seq[String], name: String): Unit = {
-      val spans = keyCols.map(k => k -> (df.agg(max(col(k))).head.getLong(0) + 1L)).toMap
-      (0 until factor)
-        .map { i =>
-          keyCols.foldLeft(df) { (d, k) =>
-            d.withColumn(k, col(k) + lit(i.toLong * spans(k)))
-          }
-        }
-        .reduce(_ unionAll _)
-        .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
-    }
+    def span(df: DataFrame, k: String): Long = df.agg(max(col(k))).head.getLong(0) + 1L
 
-    def timed(fn: => Unit): Double = {
-      val t0 = System.nanoTime()
-      fn
-      (System.nanoTime() - t0) / 1e9
-    }
+    def write(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+
+    def shifted(df: DataFrame, spans: Map[String, Long], i: Int): DataFrame =
+      spans.foldLeft(df) { case (d, (k, s)) =>
+        d.withColumn(k, col(k) + lit(i.toLong * s))
+      }
+
+    println(s"[probe] building ${factor}x replicas under $outDir")
+    val li = Tables.lineitem(spark, baseDir)
+    val liSpans = Map(
+      "l_orderkey" -> span(li, "l_orderkey"),
+      "l_partkey" -> span(li, "l_partkey"),
+      "l_suppkey" -> span(li, "l_suppkey"))
+    write((0 until factor).map(shifted(li, liSpans, _)).reduce(_ unionAll _), "lineitem")
+
+    val docs = Tables.documents(spark, baseDir)
+    val docSpan = span(docs, "doc_id")
+    write((0 until factor).map { i =>
+      docs
+        .withColumn("doc_id", col("doc_id") + lit(i.toLong * docSpan))
+        .withColumn("text",
+          array_join(expr(s"transform(split(text, ' '), t -> concat('r$i', t))"), " "))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    }.reduce(_ unionAll _), "documents")
+
+    val emb = Tables.embeddings(spark, baseDir)
+    val vecSpan = span(emb, "vec_id")
+    write((0 until factor).map(i =>
+      emb.withColumn("vec_id", col("vec_id") + lit(i.toLong * vecSpan)))
+      .reduce(_ unionAll _), "embeddings")
+
     def run(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
-      val t = timed(fn(spark, dir).write.mode("overwrite").format("noop").save())
+      val t0 = System.nanoTime()
+      fn(spark, dir).write.mode("overwrite").format("noop").save()
+      val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
-      t
+      dt
     }
 
     val probes: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "revenue_bootstrap" -> (operators.Relational.revenueBootstrap _),
+      "copurchase_pagerank_deltas" -> ((s: SparkSession, d: String) =>
+        operators.Relational.pagerankDeltas(s, d)),
+      "curation_funnel" -> (operators.Curation.curationFunnel _),
+      "ann_recall" -> (operators.Similarity.annRecall _),
+      "corpus_curate" -> (operators.Dedup.corpusCurate _),
+      "dedup_canonical" -> (operators.Dedup.dedupCanonical _),
       "stream_novelty" -> ((s: SparkSession, d: String) =>
         streaming.DocStreams.streamNovelty(s, d)))
 
-    println(s"[probe] building ${factor}x replicas under $outDir")
-    replicate(Tables.lineitem(spark, baseDir).withColumn(
-      "l_orderkey", col("l_orderkey").cast("long")), Seq("l_orderkey"), "lineitem")
-    replicate(Tables.documents(spark, baseDir), Seq("doc_id"), "documents")
-
     val results = probes.map { case (name, fn) =>
-      // warm once at base so neither measurement pays first-codegen
+      // warm once at base so neither measurement pays first-codegen;
+      // base = min-of-2 warm runs, scaled = one warm run (its absolute
+      // size makes JIT noise a rounding error)
       run(fn, baseDir)
       val base = math.min(run(fn, baseDir), run(fn, baseDir))
-      val big = math.min(run(fn, outDir), run(fn, outDir))
+      val big = run(fn, outDir)
       val ratio = big / base
       println(f"[probe] $name: base=$base%.1fs ${factor}x=$big%.1fs ratio=$ratio%.1fx")
       f""""$name":{"base_sec":$base%.2f,"scaled_sec":$big%.2f,"ratio":$ratio%.2f}"""
