@@ -90,6 +90,7 @@ object SparkEntry {
     "events_props_agg"       -> EventOps.eventsPropsAgg _,
     "events_window_funcs"    -> EventOps.eventsWindowFuncs _,
     "events_asof_order"      -> EventOps.eventsAsofOrder _,
+    "training_examples_pit"  -> EventOps.trainingExamplesPit _,
     "events_pivot"           -> EventOps.eventsPivot _,
     "user_segment_set_ops"   -> EventOps.userSegmentSetOps _,
     "user_cardinality"       -> EventOps.userCardinality _,
@@ -1401,6 +1402,34 @@ object SparkEntry {
          SELECT e.user_id, e.event_id, o.o_orderkey AS last_order
          FROM events e ASOF LEFT JOIN o
            ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""",
+    // spend in integer cents; the (t, kind, tiebreak) sort is total per
+    // user, so the rows-frame running aggregates are order-free facts
+    "training_examples_pit" ->
+      """WITH tagged AS (
+           SELECT o_custkey AS user_id, epoch_us(o_orderdate) AS t_us,
+                  0 AS kind, CAST(NULL AS BIGINT) AS event_id,
+                  o_orderkey AS tb,
+                  CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders
+           UNION ALL
+           SELECT user_id, epoch_us(ts), 1, event_id, event_id, 0
+           FROM events),
+              r AS (
+           SELECT *,
+                  sum(CASE WHEN kind = 0 THEN 1 ELSE 0 END) OVER w
+                    AS n_orders_before,
+                  sum(CASE WHEN kind = 0 THEN cents ELSE 0 END) OVER w
+                    AS spend_before_cents,
+                  max(CASE WHEN kind = 0 THEN t_us END) OVER w
+                    AS last_order_t
+           FROM tagged
+           WINDOW w AS (PARTITION BY user_id ORDER BY t_us, kind, tb
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT event_id, user_id,
+                CAST(n_orders_before AS BIGINT) AS n_orders_before,
+                CAST(spend_before_cents AS BIGINT) AS spend_before_cents,
+                (t_us - last_order_t) // 86400000000 AS days_since_last_order
+         FROM r WHERE kind = 1""",
     "events_pivot" ->
       """SELECT user_id,
                 nullif(count(*) FILTER (WHERE event_type = 'view'), 0) AS view,

@@ -108,6 +108,53 @@ object EventOps {
       .select(col("user_id"), col("event_id"), col("last_order"))
   }
 
+  /** Point-in-time training-example assembly — the feature-store op
+    * that prevents label leakage: each event (the label row) gets the
+    * customer's order-history features computed STRICTLY as of the
+    * event instant (orders at the same instant count, per standard
+    * `<=` as-of semantics): prior order count, prior spend, days since
+    * last order. Joining "current" dimension values instead would leak
+    * future behavior into training features — the classic silent model
+    * corruption at 100 TB, where no single example looks wrong.
+    *
+    * Same distributed shape as [[eventsAsofOrder]]: tag both streams,
+    * ONE exchange on the user key, one partition-local sort, and all
+    * three features are running aggregates over the merged timeline's
+    * rows-frame — no per-event probe, no range join. Spend accumulates
+    * in integer cents so the layout can't move a bit. The (t, kind,
+    * tiebreak) sort is total per user, making the frame deterministic.
+    */
+  def trainingExamplesPit(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400L * 1000000L
+    val ord = Tables.orders(spark, dir).select(
+      col("o_custkey").as("user_id"),
+      unix_micros(col("o_orderdate").cast("timestamp")).as("t_us"),
+      lit(0).as("kind"),
+      lit(null).cast("long").as("event_id"),
+      col("o_orderkey").as("tb"),
+      floor(col("o_totalprice") * lit(100.0)).cast("long").as("cents"))
+    val ev = Tables.events(spark, dir).select(
+      col("user_id"),
+      unix_micros(col("ts")).as("t_us"),
+      lit(1).as("kind"),
+      col("event_id"),
+      col("event_id").as("tb"),
+      lit(0L).as("cents"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t_us"), col("kind"), col("tb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ord.unionByName(ev)
+      .withColumn("n_orders_before",
+        sum(when(col("kind") === 0, 1L).otherwise(0L)).over(w))
+      .withColumn("spend_before_cents",
+        sum(when(col("kind") === 0, col("cents")).otherwise(0L)).over(w))
+      .withColumn("last_order_t", max(when(col("kind") === 0, col("t_us"))).over(w))
+      .filter(col("kind") === 1)
+      .select(col("event_id"), col("user_id"), col("n_orders_before"),
+        col("spend_before_cents"),
+        expr(s"(t_us - last_order_t) div ${dayUs}L").as("days_since_last_order"))
+  }
+
   /** Pivot (long→wide reshape): events per user spread into one column
     * per event type. The type domain is pinned explicitly — at 100 TB a
     * domain-discovery pass (`pivot(col)` without values) is a full extra

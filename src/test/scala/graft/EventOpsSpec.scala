@@ -106,6 +106,38 @@ class EventOpsSpec extends AnyFunSuite with SparkFixture {
       4L -> None))       // user with no orders at all
   }
 
+  test("PIT training examples: features are strictly as-of, zero-history events zero-fill") {
+    import spark.implicits._
+    val dir = scratchDir("graft-pit")
+    val t0 = Fixtures.RefTs / 1000000000L
+    def ts(offS: Long) = new java.sql.Timestamp((t0 + offS) * 1000L)
+    Seq(
+      (100L, 1L, ts(10), 12.34),                // user 1, +10s
+      (101L, 1L, ts(30), 5.0),                  // user 1, +30s
+      (102L, 1L, ts(30), 7.0),                  // same instant as 101
+      (103L, 3L, ts(-2L * 86400L), 1.0))        // user 3, two days before t0
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq(
+      (0L, (t0 + 5) * 1000000000L, 1L, "view", 1.0, "{}"),  // before any order
+      (1L, (t0 + 10) * 1000000000L, 1L, "view", 1.0, "{}"), // same instant: counts
+      (2L, (t0 + 40) * 1000000000L, 1L, "view", 1.0, "{}"), // after all three
+      (3L, (t0 + 40) * 1000000000L, 2L, "view", 1.0, "{}"), // user w/o orders
+      (4L, t0 * 1000000000L, 3L, "view", 1.0, "{}"))        // 2 days after order
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = EventOps.trainingExamplesPit(spark, dir).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        ((r.getAs[Long]("n_orders_before"), r.getAs[Long]("spend_before_cents"),
+          Option(r.getAs[Any]("days_since_last_order"))))).toMap
+    assert(got === Map(
+      0L -> ((0L, 0L, None)),           // leakage check: future orders invisible
+      1L -> ((1L, 1234L, Some(0L))),    // same-instant order included (<=)
+      2L -> ((3L, 2434L, Some(0L))),    // same-instant order pair both counted
+      3L -> ((0L, 0L, None)),           // user with no orders at all
+      4L -> ((1L, 100L, Some(2L)))))    // recency in whole days
+  }
+
   test("HLL cardinality stays within rsd bounds of exact distinct counts") {
     val exact = graft.operators.EventOps.userCardinality(spark, fixtureDir)
       .collect().map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n_users")).toMap
