@@ -260,6 +260,7 @@ object SparkEntry {
     "user_cardinality_rollup" -> EventOps.userCardinalityRollup _,
     "frequent_tokens"        -> ((s: SparkSession, d: String) => TextOps.frequentTokens(s, d)),
     "dup_rate_by_source"     -> Curation.dupRateBySource _,
+    "dedup_token_savings"    -> Dedup.dedupTokenSavings _,
     "kmeans_inertia"         -> ((s: SparkSession, d: String) => Similarity.kmeansInertia(s, d)),
     "q10_returned_revenue"   -> Relational.q10ReturnedRevenue _,
     "multimodal_dedup"       -> Multimodal.multimodalDedup _,
@@ -987,6 +988,27 @@ object SparkEntry {
                 CAST(sum(CASE WHEN lang_ok AND gopher_ok AND rep_ok AND cls_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_after_classifier,
                 CAST(sum(CASE WHEN lang_ok AND gopher_ok AND rep_ok AND cls_ok AND dedup_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_after_dedup
          FROM j""",
+    // Token-weighted dedup ROI: same keep-policy, weighted by the unit
+    // training compute is actually spent in. savings_ppm is an integer
+    // cross-multiplication so no float division can drift.
+    "dedup_token_savings" ->
+      s"""WITH RECURSIVE $componentCtes,
+              r AS (SELECT doc_id, doc_id = min(label) AS keep
+                    FROM reach GROUP BY doc_id),
+              st AS (SELECT doc_id, source,
+                            cast(len(list_filter(string_split_regex(text, '\\s+'),
+                              t -> t != '')) AS BIGINT) AS n_tokens
+                     FROM documents)
+         SELECT source,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_tokens) AS BIGINT) AS tok_total,
+                CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                CAST(sum(CASE WHEN keep THEN n_tokens ELSE 0 END) AS BIGINT) AS tok_kept,
+                CAST(CASE WHEN sum(n_tokens) = 0 THEN 0
+                     ELSE ((sum(n_tokens) - sum(CASE WHEN keep THEN n_tokens ELSE 0 END))
+                           * 1000000) // sum(n_tokens) END AS BIGINT) AS savings_ppm
+         FROM st JOIN r USING (doc_id)
+         GROUP BY source""",
     // Per-source redundancy under the same transitive clustering.
     "dup_rate_by_source" ->
       s"""WITH RECURSIVE $componentCtes,

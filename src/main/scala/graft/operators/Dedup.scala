@@ -503,6 +503,33 @@ object Dedup {
       .select(col("doc_id"), col("split"), col("n_tokens"))
   }
 
+  /** Token-weighted dedup ROI per source — the readout an LM pipeline
+    * budgets by: documents are not the unit training compute is spent
+    * in, TOKENS are, so "40% duplicate docs" understates or overstates
+    * the saving depending on where the long documents sit. Per source:
+    * docs/tokens before dedup, docs/tokens surviving the component
+    * keep-policy, and the saved fraction in ppm (integer
+    * cross-multiplication — no float division to drift). Composes the
+    * verified component clustering with the single-pass token count;
+    * the join moves (doc_id, keep) pairs, the rollup is |sources| rows.
+    */
+  def dedupTokenSavings(spark: SparkSession, dir: String): DataFrame = {
+    val keepFlags = dedupComponents(spark, dir).select(col("doc_id"), col("keep"))
+    val perDoc = Tables.documentsSpread(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+    perDoc.join(keepFlags, "doc_id")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("tok_total"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("n_tokens")).otherwise(0L)).as("tok_kept"))
+      .withColumn("savings_ppm",
+        when(col("tok_total") === 0L, 0L)
+          .otherwise(expr("((tok_total - tok_kept) * 1000000) div tok_total")))
+  }
+
   /** Quality-aware canonical selection — the keep/drop policy step a
     * curation pipeline runs AFTER near-dup clustering. Where
     * [[corpusCurate]] keeps the min-id doc per component (an arbitrary

@@ -233,6 +233,21 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
       4L -> ((4L, 1L, 1000000L))))
   }
 
+  test("token savings: per-source token ROI of the component keep-policy") {
+    val got = Dedup.dedupTokenSavings(spark, fixtureDir).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("tok_total"),
+          r.getAs[Long]("n_kept"), r.getAs[Long]("tok_kept"),
+          r.getAs[Long]("savings_ppm")))).toMap
+    // component {0,1,2} keeps doc 0 (src0); 3 and 4 keep themselves.
+    // every fixture doc is 40 tokens: src0 loses doc1 of its two docs,
+    // src1 loses doc2 of {2,3}, src2's singleton doc4 saves nothing
+    assert(got === Map(
+      "src0" -> ((2L, 80L, 1L, 40L, 500000L)),
+      "src1" -> ((2L, 80L, 1L, 40L, 500000L)),
+      "src2" -> ((1L, 40L, 1L, 40L, 0L))))
+  }
+
   test("modality agreement partitions the union of lexical and semantic pair sets") {
     val lex = Dedup.minhashPortable(spark, fixtureDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
