@@ -59,6 +59,7 @@ object SparkEntry {
     "dup_matrix_by_source"   -> Curation.dupMatrixBySource _,
     "corpus_curate"          -> Dedup.corpusCurate _,
     "dedup_ngram_jaccard"    -> Dedup.ngramJaccard _,
+    "dedup_edit_distance"    -> ((s: SparkSession, d: String) => Dedup.editDistanceJoin(s, d)),
     "dedup_minhash"          -> Dedup.minhashLsh _,
     "dedup_minhash_portable" -> Dedup.minhashPortable _,
     // the xxh64 simhash fast path (Dedup.simhash) is library API but
@@ -1043,6 +1044,17 @@ object SparkEntry {
                      FROM documents)
          SELECT doc_id, split, n_tokens
          FROM comp JOIN q USING (doc_id) JOIN sp USING (doc_id) JOIN st USING (doc_id)""",
+    // Character-level ER twin of the token-set join below: the oracle
+    // is the BRUTE-FORCE all-pairs relation (length band is implied by
+    // dist<=2), proving the PassJoin segment blocking is lossless.
+    // Windows of length <= 2 excluded on both engines (degenerate).
+    "dedup_edit_distance" ->
+      """WITH s AS (SELECT doc_id, substr(text, 101, 48) AS s
+                    FROM documents WHERE len(substr(text, 101, 48)) > 2)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+         FROM s a JOIN s b ON a.doc_id < b.doc_id
+         WHERE levenshtein(a.s, b.s) <= 2""",
     "dedup_ngram_jaccard" ->
       """WITH tk AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS ts
                      FROM documents),

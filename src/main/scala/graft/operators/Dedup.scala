@@ -530,6 +530,81 @@ object Dedup {
           .otherwise(expr("((tok_total - tok_kept) * 1000000) div tok_total")))
   }
 
+  /** Edit-distance similarity self-join (PassJoin-style segment
+    * blocking) — character-level entity resolution, the complement to
+    * the token-set PPJoin in [[dedupNgramJaccard]]: catches
+    * typo/OCR-level variants whose token sets diverge. Pairs of
+    * documents whose text window `substr(text, start, width)` is within
+    * Levenshtein distance `maxDist`, found WITHOUT an all-pairs pass:
+    *
+    *  - Pigeonhole: split each window into `maxDist + 1` contiguous
+    *    segments; any string within distance k of it must contain one
+    *    segment exactly, starting within ±k of its source position
+    *    (each indel shifts downstream positions by at most 1).
+    *  - Index side emits the k+1 segments keyed by (window length,
+    *    segment index, segment text); probe side emits every substring
+    *    a partner of each feasible length could need — ≤ (2k+1) lengths
+    *    × (k+1) segments × (2k+1) shifts ≈ 75 short rows per doc at
+    *    k=2, a constant fanout, so the equi-join is linear in corpus
+    *    size plus true-collision cost. Only candidate id-pairs and
+    *    48-char windows cross the shuffle, then one exact
+    *    `levenshtein` per distinct candidate pair verifies.
+    *
+    * Windows of length ≤ maxDist are excluded (trivially within
+    * distance of everything — degenerate for ER). Output: (id_a <
+    * id_b, dist), the same frame a brute-force all-pairs join yields,
+    * at index-join cost.
+    */
+  def editDistanceJoin(spark: SparkSession, dir: String,
+                       start: Int = 101, width: Int = 48,
+                       maxDist: Int = 2): DataFrame = {
+    val k = maxDist
+    val docs = Tables.documentsSpread(spark, dir)
+      .select(col("doc_id"), substring(col("text"), start, width).as("s"))
+      .withColumn("l", length(col("s")).cast("int"))
+      .filter(col("l") > k)
+    // Segment layout for a window of length L: first (L % (k+1))
+    // segments get the extra char. Shared by both sides so keys align.
+    def segLen(lc: Column, i: Column): Column =
+      (floor(lc / (k + 1)) + when(i < lc % (k + 1), 1).otherwise(0)).cast("int")
+    def segStart(lc: Column, i: Column): Column =
+      (i * floor(lc / (k + 1)) + least(i, lc % (k + 1))).cast("int")
+
+    val segs = docs
+      .withColumn("i", explode(sequence(lit(0), lit(k))))
+      .withColumn("seg", expr(s"substring(s, ${segStartSql(k)} + 1, ${segLenSql(k)})"))
+      .select(col("doc_id").as("id_a"), col("s").as("s_a"),
+        col("l").as("la"), col("i"), col("seg"))
+
+    val probes = docs
+      .withColumn("la", explode(sequence(col("l") - k, col("l") + k)))
+      .filter(col("la") > k)
+      .withColumn("i", explode(sequence(lit(0), lit(k))))
+      .withColumn("shift", explode(sequence(lit(-k), lit(k))))
+      .withColumn("pos", segStart(col("la"), col("i")) + col("shift"))
+      .withColumn("seg_len", segLen(col("la"), col("i")))
+      .filter(col("pos") >= 0 && col("pos") + col("seg_len") <= col("l"))
+      .withColumn("seg", expr("substring(s, pos + 1, seg_len)"))
+      .select(col("doc_id").as("id_b"), col("s").as("s_b"),
+        col("la"), col("i"), col("seg"))
+      .dropDuplicates("id_b", "la", "i", "seg")
+
+    segs.join(probes, Seq("la", "i", "seg"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("s_a"), col("s_b"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b")).cast("long"))
+      .filter(col("dist") <= k)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
+  // SQL fragments for the segment layout (same formula as segLen /
+  // segStart, usable inside expr() where `l` and `i` are in scope).
+  private def segLenSql(k: Int): String =
+    s"cast(floor(l / ${k + 1}) + (case when i < l % ${k + 1} then 1 else 0 end) as int)"
+  private def segStartSql(k: Int): String =
+    s"cast(i * floor(l / ${k + 1}) + least(i, l % ${k + 1}) as int)"
+
   /** Quality-aware canonical selection — the keep/drop policy step a
     * curation pipeline runs AFTER near-dup clustering. Where
     * [[corpusCurate]] keeps the min-id doc per component (an arbitrary

@@ -248,6 +248,56 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
       "src2" -> ((1L, 40L, 1L, 40L, 0L))))
   }
 
+  test("edit-distance join: PassJoin blocking matches brute force on a planted corpus") {
+    import spark.implicits._
+    val dir = scratchDir("graft-editdist")
+    // windows live at text chars 101-148; the 100-char filler is shared
+    // (it must NOT leak into the result) and doc ids are assigned so
+    // every distance 0/1/2 relation and both exclusion rules (dist 3,
+    // degenerate short window) are exercised.
+    val filler = "f" * 100
+    val base = "abcdefghijklmnopqrstuvwxyz0123456789ABCDEFGHIJKL" // 48 chars
+    val windows = Seq(
+      0L -> base,
+      1L -> base,                                      // (0,1) dist 0
+      2L -> (base.take(10) + "#" + base.drop(11)),     // sub@10: dist 1 to base
+      3L -> (base.take(20) + base.drop(21)),           // del@20: dist 1 to base
+      4L -> (base.take(10) + "#" + base.slice(11, 30) + "%" + base.drop(31)),
+      // sub@10 (same char as doc2) + sub@30: dist 2 to base, 1 to doc2
+      5L -> base.reverse,                              // far from everything
+      6L -> (base.take(5) + "@" + base.slice(6, 25) + "@" + base.slice(26, 40)
+        + "@" + base.drop(41)))                        // 3 subs: dist 3 to base
+    val docs = windows.map { case (id, wnd) => (id, filler + wnd) } :+
+      (7L, filler.take(50))                            // empty window: excluded
+    docs.map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // independent in-test oracle: classic DP levenshtein over windows
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val expected = (for {
+      (ia, sa) <- windows; (ib, sb) <- windows
+      if ia < ib && lev(sa, sb) <= 2
+    } yield (ia, ib, lev(sa, sb).toLong)).toSet
+
+    val got = Dedup.editDistanceJoin(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected)
+    // the planted relations the corpus was built to exercise
+    assert(got((0L, 1L, 0L)) && got((0L, 2L, 1L)) && got((0L, 3L, 1L)) &&
+      got((0L, 4L, 2L)) && got((2L, 4L, 1L)) && got((2L, 3L, 2L)))
+    assert(!got.exists(p => p._1 == 6L || p._2 == 6L), "dist-3 doc leaked in")
+    assert(!got.exists(p => p._1 == 7L || p._2 == 7L), "degenerate window leaked in")
+  }
+
   test("modality agreement partitions the union of lexical and semantic pair sets") {
     val lex = Dedup.minhashPortable(spark, fixtureDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
