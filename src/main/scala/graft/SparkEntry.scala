@@ -60,6 +60,7 @@ object SparkEntry {
     "corpus_curate"          -> Dedup.corpusCurate _,
     "dedup_ngram_jaccard"    -> Dedup.ngramJaccard _,
     "dedup_edit_distance"    -> ((s: SparkSession, d: String) => Dedup.editDistanceJoin(s, d)),
+    "er_jaro_winkler"        -> Dedup.erJaroWinkler _,
     "dedup_minhash"          -> Dedup.minhashLsh _,
     "dedup_minhash_portable" -> Dedup.minhashPortable _,
     // the xxh64 simhash fast path (Dedup.simhash) is library API but
@@ -1672,6 +1673,17 @@ object SparkEntry {
           FROM be, tot GROUP BY bit, n_docs"""
     },
     "dedup_minhash_portable" -> minhashPortableSql,
+    // ER scoring stage: Jaro-Winkler over the leading 64-char window of
+    // every LSH candidate pair. The Spark side's native expression is
+    // pinned bit-compatible with DuckDB's jaro_winkler_similarity, so
+    // the raw DOUBLE hash-compares.
+    "er_jaro_winkler" ->
+      s"""WITH $minhashCandCtes
+          SELECT doc_a, doc_b,
+                 jaro_winkler_similarity(substr(da.text, 1, 64),
+                                         substr(db.text, 1, 64)) AS jw
+          FROM cand JOIN documents da ON doc_a = da.doc_id
+                    JOIN documents db ON doc_b = db.doc_id""",
     // xxh64 fast path — oracled by the portable replay (see
     // [[minhashPortableSql]]: pair sets proven identical across SFs,
     // verified values hash-independent by construction).

@@ -853,6 +853,38 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"))
   }
 
+  /** Entity-resolution scoring stage: every LSH candidate pair gets a
+    * Jaro-Winkler similarity over its leading 64-char window — the
+    * record-linkage score a curation pipeline thresholds AFTER blocking.
+    * Candidates come from the verified md5 MinHash band index (the
+    * [[minhashPortable]] family), so pair volume is bucket-collision
+    * bounded, never N²; the scorer is the codegen'd
+    * [[graft.functions.JaroWinklerSim]] native expression, whose
+    * float evaluation order is pinned DuckDB-bit-compatible — the
+    * DOUBLE column hash-compares exactly against the oracle's
+    * `jaro_winkler_similarity`.
+    *
+    * Scale shape: only (id, 64-char window) pairs cross the exchange;
+    * the O(w²) char matching runs once per candidate, not per doc pair.
+    */
+  def erJaroWinkler(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleSets(spark, dir)
+    val bands = md5BandTable(sh)
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val keys = Tables.documents(spark, dir)
+      .select(col("doc_id"), substring(col("text"), 1, 64).as("k"))
+    cand
+      .join(keys.select(col("doc_id").as("doc_a"), col("k").as("ka")), "doc_a")
+      .join(keys.select(col("doc_id").as("doc_b"), col("k").as("kb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        graft.functions.functions.jaro_winkler(col("ka"), col("kb")).as("jw"))
+  }
+
   /** MinHash estimator calibration scoreboard — grades the minhash
     * family the way `ann_recall` grades the ANN family: for every
     * LSH candidate pair, the SIGNATURE-estimated similarity (how many

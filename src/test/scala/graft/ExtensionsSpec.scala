@@ -43,6 +43,27 @@ class ExtensionsSpec extends AnyFunSuite with SparkFixture {
     assert(z.getLong(2) === viaColumn)
   }
 
+  test("jaro_winkler matches the published vectors and DuckDB's conventions") {
+    GraftExtensions.register(spark)
+    def jw(a: String, b: String): Double = spark.sql(
+      s"SELECT jaro_winkler('$a', '$b')").collect().head.getDouble(0)
+    // classic Winkler vectors, values pinned from DuckDB's
+    // jaro_winkler_similarity (bit-compatibility is the contract —
+    // er_jaro_winkler hash-compares raw DOUBLEs against the oracle)
+    assert(jw("MARTHA", "MARHTA") === 0.9611111111111111)
+    assert(jw("DIXON", "DICKSONX") === 0.8133333333333332)
+    assert(jw("DWAYNE", "DUANE") === 0.8400000000000001)
+    // no boost below the 0.7 jaro threshold, despite the 4-char prefix
+    assert(jw("abcdxxxxxx", "abcdyyyyyy") === 0.6)
+    // odd transposition count floors: t = 3/2 = 1
+    assert(jw("abcdef", "bcadef") === 0.9444444444444445)
+    // rapidfuzz conventions: empty → 0, window-excluded matches → 0
+    assert(jw("abc", "") === 0.0 && jw("", "") === 0.0 && jw("ab", "ba") === 0.0)
+    assert(jw("same", "same") === 1.0)
+    // symmetric
+    assert(jw("DIXON", "DICKSONX") === jw("DICKSONX", "DIXON"))
+  }
+
   test("mg_candidates UDAF: SQL heavy-hitter candidates cover every frequent token") {
     GraftExtensions.register(spark)
     Sql.registerAll(spark, fixtureDir)
