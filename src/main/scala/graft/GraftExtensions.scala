@@ -26,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         builder))
     }
     ext.injectOptimizerRule(_ => graft.plans.TokenRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.EditDistanceJoinRewrite)
   }
 }
 
@@ -102,8 +103,10 @@ object GraftExtensions {
       org.apache.spark.sql.functions.udaf(
         new graft.functions.MisraGries(64),
         org.apache.spark.sql.Encoders.STRING))
-    if (!spark.experimental.extraOptimizations.contains(graft.plans.TokenRewrite))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ graft.plans.TokenRewrite
+    Seq(graft.plans.TokenRewrite, graft.plans.EditDistanceJoinRewrite).foreach { r =>
+      if (!spark.experimental.extraOptimizations.contains(r))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ r
+    }
   }
 }

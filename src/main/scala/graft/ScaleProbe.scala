@@ -93,7 +93,12 @@ object ScaleProbe {
       "corpus_curate" -> (operators.Dedup.corpusCurate _),
       "dedup_canonical" -> (operators.Dedup.dedupCanonical _),
       "stream_novelty" -> ((s: SparkSession, d: String) =>
-        streaming.DocStreams.streamNovelty(s, d)))
+        streaming.DocStreams.streamNovelty(s, d)),
+      // the two candidate-generating ER joins: the probe guards against
+      // quadratic candidate blow-up (both must stay collision-bounded)
+      "dedup_edit_distance" -> ((s: SparkSession, d: String) =>
+        operators.Dedup.editDistanceJoin(s, d)),
+      "er_jaro_winkler" -> (operators.Dedup.erJaroWinkler _))
 
     val results = probes.map { case (name, fn) =>
       // warm once at base so neither measurement pays first-codegen;

@@ -61,6 +61,24 @@ object SparkEntry {
     "dedup_ngram_jaccard"    -> Dedup.ngramJaccard _,
     "dedup_edit_distance"    -> ((s: SparkSession, d: String) => Dedup.editDistanceJoin(s, d)),
     "er_jaro_winkler"        -> Dedup.erJaroWinkler _,
+    // the NAIVE SQL spelling of dedup_edit_distance, kept naive on
+    // purpose: plans.EditDistanceJoinRewrite turns the O(N²)
+    // nested-loop join into the PassJoin blocked plan transparently —
+    // this row proves the production path end to end (same oracle SQL,
+    // same result multiset as the hand-blocked operator)
+    "dedup_edit_distance_sql" -> ((s: SparkSession, d: String) => {
+      graft.Sql.registerAll(s, d)
+      s.sql(
+        """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  CAST(levenshtein(substring(a.text, 101, 48),
+                                   substring(b.text, 101, 48)) AS BIGINT) AS dist
+           FROM documents a JOIN documents b
+             ON levenshtein(substring(a.text, 101, 48),
+                            substring(b.text, 101, 48)) <= 2
+           WHERE a.doc_id < b.doc_id
+             AND length(substring(a.text, 101, 48)) > 2
+             AND length(substring(b.text, 101, 48)) > 2""")
+    }),
     "dedup_minhash"          -> Dedup.minhashLsh _,
     "dedup_minhash_portable" -> Dedup.minhashPortable _,
     // the xxh64 simhash fast path (Dedup.simhash) is library API but
@@ -1050,6 +1068,15 @@ object SparkEntry {
     // dist<=2), proving the PassJoin segment blocking is lossless.
     // Windows of length <= 2 excluded on both engines (degenerate).
     "dedup_edit_distance" ->
+      """WITH s AS (SELECT doc_id, substr(text, 101, 48) AS s
+                    FROM documents WHERE len(substr(text, 101, 48)) > 2)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+         FROM s a JOIN s b ON a.doc_id < b.doc_id
+         WHERE levenshtein(a.s, b.s) <= 2""",
+    // identical relation to dedup_edit_distance (the naive-SQL twin
+    // carried by the optimizer rewrite)
+    "dedup_edit_distance_sql" ->
       """WITH s AS (SELECT doc_id, substr(text, 101, 48) AS s
                     FROM documents WHERE len(substr(text, 101, 48)) > 2)
          SELECT a.doc_id AS id_a, b.doc_id AS id_b,

@@ -1,0 +1,171 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, GraftGlue, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.functions._
+
+/** Optimizer rule: rewrite a naive edit-distance similarity join
+  *
+  *   SELECT ... FROM a JOIN b ON levenshtein(a.s, b.s) <= k
+  *
+  * — which Spark can only plan as a (broadcast) nested-loop join, the
+  * O(N·M) trap — into the PassJoin segment-blocked plan the library's
+  * [[graft.operators.Dedup.editDistanceJoin]] uses: pigeonhole says any
+  * string within edit distance k of `s` contains one of `s`'s k+1
+  * contiguous segments exactly, starting within ±k of its source
+  * position, so an equi-join on (target length, segment index, segment
+  * text) with constant ≤(2k+1)²(k+1) per-row fanout finds every
+  * candidate, and one exact `levenshtein` per distinct candidate pair
+  * verifies. Same result multiset — including rows with NULL / empty /
+  * shorter-than-k strings — at index-join cost.
+  *
+  * Scope: inner joins where some conjunct of the condition is
+  * `levenshtein(l, r) <= k` (or `<`, or the flipped `>=`/`>` forms)
+  * with 0 ≤ k ≤ 6 and one side's expression per input; remaining
+  * conjuncts (`a.id < b.id`, predicates the optimizer pushed into the
+  * join, ...) are re-applied as a filter above the blocked join.
+  * Anything else — the 3-arg thresholded levenshtein, outer joins,
+  * map-typed columns — keeps Spark's own plan. Re-trigger safety: the
+  * rewritten subtree's join carries `__graft_edj_`-prefixed working
+  * columns, and any join whose inputs expose that prefix is skipped,
+  * so the rule cannot fire on its own output even after the optimizer
+  * pushes the verify filter back into the blocked join's condition.
+  *
+  * Installed via `graft.GraftExtensions`
+  * (`injectOptimizerRule` → Catalyst's operator-optimization batch, so
+  * the rebuilt subtree still gets column pruning / pushdown), or
+  * `GraftExtensions.register` on a running session.
+  */
+object EditDistanceJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
+
+  private val Tag = "__graft_edj_"
+
+  /** Extract (levenshtein, k) from the four comparison spellings,
+    * normalized to `lev <= k`.
+    */
+  private def bound(cond: Expression): Option[(Levenshtein, Int)] = cond match {
+    case LessThanOrEqual(l: Levenshtein, IntegerLiteral(k))    => Some((l, k))
+    case LessThan(l: Levenshtein, IntegerLiteral(k))           => Some((l, k - 1))
+    case GreaterThanOrEqual(IntegerLiteral(k), l: Levenshtein) => Some((l, k))
+    case GreaterThan(IntegerLiteral(k), l: Levenshtein)        => Some((l, k - 1))
+    case _                                                     => None
+  }
+
+  /** (left string expr, right string expr, k, remaining conjuncts) of
+    * the first rewritable conjunct, if any.
+    */
+  private def plan(left: LogicalPlan, right: LogicalPlan,
+      conjuncts: Seq[Expression]): Option[(Expression, Expression, Int, Seq[Expression])] =
+    conjuncts.zipWithIndex.collectFirst(Function.unlift { case (c, idx) =>
+      bound(c) match {
+        case Some((Levenshtein(a, b, None), k))
+            if k >= 0 && k <= 6 && a.deterministic && b.deterministic =>
+          val rest = conjuncts.patch(idx, Nil, 1)
+          if (a.references.subsetOf(left.outputSet) &&
+              b.references.subsetOf(right.outputSet))
+            Some((a, b, k, rest))
+          else if (b.references.subsetOf(left.outputSet) &&
+                   a.references.subsetOf(right.outputSet))
+            Some((b, a, k, rest))
+          else None
+        case _ => None
+      }
+    })
+
+  override def apply(plan0: LogicalPlan): LogicalPlan = plan0.transform {
+    case j @ Join(left, right, Inner, Some(cond), _)
+        if groupable(left) && groupable(right) &&
+          !left.output.exists(_.name.startsWith(Tag)) &&
+          !right.output.exists(_.name.startsWith(Tag)) =>
+      plan(left, right, splitConjunctivePredicates(cond)) match {
+        case Some((ls, rs, k, rest)) => rewrite(left, right, ls, rs, k, rest)
+        case None                    => j
+      }
+  }
+
+  /** The dedup stages group by the carried row columns, so every output
+    * type must be groupable — a map-typed column keeps Spark's own plan.
+    */
+  private def groupable(plan: LogicalPlan): Boolean = {
+    def mapFree(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => mapFree(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => mapFree(a.elementType)
+      case _ => true
+    }
+    plan.output.forall(a => mapFree(a.dataType))
+  }
+
+  private def rewrite(left: LogicalPlan, right: LogicalPlan,
+                      ls: Expression, rs: Expression, k: Int,
+                      rest: Seq[Expression]): LogicalPlan = {
+    val spark = SparkSession.active
+    // segment layout for a window of length L (same convention as
+    // Dedup.editDistanceJoin: the first L % (k+1) segments get the
+    // extra char)
+    def segLen(l: Column, i: Column): Column =
+      (floor(l / (k + 1)) + when(i < l % (k + 1), 1).otherwise(0)).cast("int")
+    def segStart(l: Column, i: Column): Column =
+      (i * floor(l / (k + 1)) + least(i, l % (k + 1))).cast("int")
+
+    // working columns are __graft-prefixed so user schemas can't
+    // collide; the pair ids exist only to dedupe multi-segment matches
+    // of the same row pair and never reach the output
+    val segs = GraftGlue.ofRows(spark, left)
+      .withColumn("__graft_edj_idl", monotonically_increasing_id())
+      .withColumn("__graft_edj_sl", GraftGlue.column(ls))
+      .withColumn("__graft_edj_la",
+        length(col("__graft_edj_sl")).cast("int"))
+      .withColumn("__graft_edj_i", explode(sequence(lit(0), lit(k))))
+      .withColumn("__graft_edj_seg", col("__graft_edj_sl").substr(
+        segStart(col("__graft_edj_la"), col("__graft_edj_i")) + 1,
+        segLen(col("__graft_edj_la"), col("__graft_edj_i"))))
+
+    val probes = GraftGlue.ofRows(spark, right)
+      .withColumn("__graft_edj_idr", monotonically_increasing_id())
+      .withColumn("__graft_edj_sr", GraftGlue.column(rs))
+      .withColumn("__graft_edj_lr",
+        length(col("__graft_edj_sr")).cast("int"))
+      .withColumn("__graft_edj_la",
+        explode(sequence(col("__graft_edj_lr") - k, col("__graft_edj_lr") + k)))
+      .filter(col("__graft_edj_la") >= 0)
+      .withColumn("__graft_edj_i", explode(sequence(lit(0), lit(k))))
+      .withColumn("__graft_edj_shift", explode(sequence(lit(-k), lit(k))))
+      .withColumn("__graft_edj_pos",
+        segStart(col("__graft_edj_la"), col("__graft_edj_i")) + col("__graft_edj_shift"))
+      .withColumn("__graft_edj_len",
+        segLen(col("__graft_edj_la"), col("__graft_edj_i")))
+      .filter(col("__graft_edj_pos") >= 0 &&
+        col("__graft_edj_pos") + col("__graft_edj_len") <= col("__graft_edj_lr"))
+      .withColumn("__graft_edj_seg",
+        col("__graft_edj_sr").substr(col("__graft_edj_pos") + 1, col("__graft_edj_len")))
+
+    // dedup via explicit groupBy (a Deduplicate node emitted this late
+    // in optimization would never be lowered to an aggregate); grouping
+    // keys keep their expression ids, so the final attribute-based
+    // select still resolves. Duplicate candidates differ only in the
+    // segment-machinery columns, which are excluded from the keys.
+    val probeKeys = (Seq("__graft_edj_idr", "__graft_edj_la", "__graft_edj_i",
+      "__graft_edj_seg", "__graft_edj_sr", "__graft_edj_lr").map(col) ++
+      right.output.map(a => GraftGlue.column(a)))
+    val probesDeduped = probes.groupBy(probeKeys: _*)
+      .agg(max(lit(1)).as("__graft_edj_tag")).drop("__graft_edj_tag")
+
+    val joined = segs
+      .join(probesDeduped, Seq("__graft_edj_la", "__graft_edj_i", "__graft_edj_seg"))
+    val pairKeys = (Seq("__graft_edj_idl", "__graft_edj_idr",
+      "__graft_edj_sl", "__graft_edj_sr").map(col) ++
+      (left.output ++ right.output).map(a => GraftGlue.column(a)))
+    val verified = joined.groupBy(pairKeys: _*)
+      .agg(max(lit(1)).as("__graft_edj_tag")).drop("__graft_edj_tag")
+      .filter(levenshtein(col("__graft_edj_sl"), col("__graft_edj_sr")) <= k)
+    // remaining original conjuncts (their attributes are all still in
+    // scope here), then restore the join's exact output
+    val restored = rest.foldLeft(verified)((df, c) => df.filter(GraftGlue.column(c)))
+      .select((left.output ++ right.output).map(a => GraftGlue.column(a)): _*)
+    GraftGlue.analyzed(restored)
+  }
+}

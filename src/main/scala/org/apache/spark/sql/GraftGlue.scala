@@ -17,6 +17,19 @@ object GraftGlue {
   def wrongNumArgs(fn: String, expected: Int, actual: Int): Throwable =
     errors.QueryCompilationErrors.wrongNumArgsError(fn, Seq(expected), actual)
 
+  /** Wrap a (resolved) logical plan as a DataFrame — the door optimizer
+    * rules use to rebuild a subtree with the public Dataset API instead
+    * of hand-assembling catalyst nodes. `private[sql]` in Spark, hence
+    * surfaced here.
+    */
+  def ofRows(spark: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** The analyzed (resolved) logical plan of a DataFrame. */
+  def analyzed(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
+
   /** Register a function builder on an ALREADY-RUNNING session (the
     * config-time path is `spark.sql.extensions=graft.GraftExtensions`).
     */

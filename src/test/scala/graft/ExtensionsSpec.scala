@@ -43,6 +43,55 @@ class ExtensionsSpec extends AnyFunSuite with SparkFixture {
     assert(z.getLong(2) === viaColumn)
   }
 
+  test("EditDistanceJoinRewrite: naive levenshtein join becomes a blocked equi-join") {
+    GraftExtensions.register(spark)
+    val sess = spark
+    import sess.implicits._
+    // short strings, empty string, NULL, and a duplicate row — every
+    // semantic edge the rewrite must preserve vs the naive nested loop
+    val rows = Seq((1L, "abcdef"), (2L, "abcdxf"), (3L, "zzzzzz"),
+      (4L, "ab"), (5L, null.asInstanceOf[String]), (6L, ""), (7L, "abcdef"))
+    rows.toDF("id", "s").createOrReplaceTempView("edj_a")
+    val res = spark.sql(
+      "SELECT a.id AS ia, b.id AS ib FROM edj_a a JOIN edj_a b ON levenshtein(a.s, b.s) <= 2")
+
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val expected = (for {
+      (ia, sa) <- rows; (ib, sb) <- rows
+      if sa != null && sb != null && lev(sa, sb) <= 2
+    } yield (ia, ib)).sorted
+    val got = res.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(got === expected)
+    // the point of the rule: no nested-loop join anywhere in the plan
+    val phys = res.queryExecution.executedPlan.toString
+    assert(!phys.contains("NestedLoop") && !phys.contains("Cartesian"), phys)
+
+    // flipped comparison spelling rewrites too
+    val flipped = spark.sql(
+      "SELECT a.id FROM edj_a a JOIN edj_a b ON 2 >= levenshtein(a.s, b.s)")
+    assert(!flipped.queryExecution.executedPlan.toString.contains("NestedLoop"))
+    assert(flipped.count() === res.count())
+
+    // extra conjuncts rewrite too — they come back as a post-filter
+    val mixed = spark.sql(
+      "SELECT a.id FROM edj_a a JOIN edj_a b ON a.id < b.id AND levenshtein(a.s, b.s) <= 2")
+    assert(!mixed.queryExecution.executedPlan.toString.contains("NestedLoop"))
+    assert(mixed.count() === expected.count { case (ia, ib) => ia < ib })
+
+    // out of scope: an outer join keeps Spark's own (nested-loop) plan
+    val outer = spark.sql(
+      "SELECT a.id FROM edj_a a LEFT JOIN edj_a b ON levenshtein(a.s, b.s) <= 2")
+    assert(outer.queryExecution.executedPlan.toString.contains("NestedLoop"))
+  }
+
   test("jaro_winkler matches the published vectors and DuckDB's conventions") {
     GraftExtensions.register(spark)
     def jw(a: String, b: String): Double = spark.sql(
