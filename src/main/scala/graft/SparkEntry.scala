@@ -61,6 +61,8 @@ object SparkEntry {
     "dedup_ngram_jaccard"    -> Dedup.ngramJaccard _,
     "dedup_edit_distance"    -> ((s: SparkSession, d: String) => Dedup.editDistanceJoin(s, d)),
     "er_jaro_winkler"        -> Dedup.erJaroWinkler _,
+    "dedup_edit_distance_incremental" -> ((s: SparkSession, d: String) =>
+      Dedup.editDistanceIncremental(s, d)),
     // the NAIVE SQL spelling of dedup_edit_distance, kept naive on
     // purpose: plans.EditDistanceJoinRewrite turns the O(N²)
     // nested-loop join into the PassJoin blocked plan transparently —
@@ -1074,6 +1076,17 @@ object SparkEntry {
                 CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
          FROM s a JOIN s b ON a.doc_id < b.doc_id
          WHERE levenshtein(a.s, b.s) <= 2""",
+    // batch-vs-standing restriction of the edit-distance relation,
+    // same 80% id cut as the minhash incremental family
+    "dedup_edit_distance_incremental" ->
+      """WITH s AS (SELECT doc_id, substr(text, 101, 48) AS s
+                    FROM documents WHERE len(substr(text, 101, 48)) > 2),
+              c AS (SELECT max(doc_id) * 8 // 10 AS c FROM documents)
+         SELECT b.doc_id, a.doc_id AS dup_of,
+                CAST(levenshtein(b.s, a.s) AS BIGINT) AS dist
+         FROM s b, s a, c
+         WHERE b.doc_id > c.c AND a.doc_id <= c.c
+           AND levenshtein(b.s, a.s) <= 2""",
     // identical relation to dedup_edit_distance (the naive-SQL twin
     // carried by the optimizer rewrite)
     "dedup_edit_distance_sql" ->

@@ -559,35 +559,13 @@ object Dedup {
                        start: Int = 101, width: Int = 48,
                        maxDist: Int = 2): DataFrame = {
     val k = maxDist
-    val docs = Tables.documentsSpread(spark, dir)
-      .select(col("doc_id"), substring(col("text"), start, width).as("s"))
-      .withColumn("l", length(col("s")).cast("int"))
-      .filter(col("l") > k)
-    // Segment layout for a window of length L: first (L % (k+1))
-    // segments get the extra char. Shared by both sides so keys align.
-    def segLen(lc: Column, i: Column): Column =
-      (floor(lc / (k + 1)) + when(i < lc % (k + 1), 1).otherwise(0)).cast("int")
-    def segStart(lc: Column, i: Column): Column =
-      (i * floor(lc / (k + 1)) + least(i, lc % (k + 1))).cast("int")
-
-    val segs = docs
-      .withColumn("i", explode(sequence(lit(0), lit(k))))
-      .withColumn("seg", expr(s"substring(s, ${segStartSql(k)} + 1, ${segLenSql(k)})"))
+    val docs = edWindows(spark, dir, start, width, k)
+    val segs = edSegments(docs, k)
       .select(col("doc_id").as("id_a"), col("s").as("s_a"),
-        col("l").as("la"), col("i"), col("seg"))
-
-    val probes = docs
-      .withColumn("la", explode(sequence(col("l") - k, col("l") + k)))
-      .filter(col("la") > k)
-      .withColumn("i", explode(sequence(lit(0), lit(k))))
-      .withColumn("shift", explode(sequence(lit(-k), lit(k))))
-      .withColumn("pos", segStart(col("la"), col("i")) + col("shift"))
-      .withColumn("seg_len", segLen(col("la"), col("i")))
-      .filter(col("pos") >= 0 && col("pos") + col("seg_len") <= col("l"))
-      .withColumn("seg", expr("substring(s, pos + 1, seg_len)"))
+        col("la"), col("i"), col("seg"))
+    val probes = edProbes(docs, k)
       .select(col("doc_id").as("id_b"), col("s").as("s_b"),
         col("la"), col("i"), col("seg"))
-      .dropDuplicates("id_b", "la", "i", "seg")
 
     segs.join(probes, Seq("la", "i", "seg"))
       .filter(col("id_a") < col("id_b"))
@@ -604,6 +582,89 @@ object Dedup {
     s"cast(floor(l / ${k + 1}) + (case when i < l % ${k + 1} then 1 else 0 end) as int)"
   private def segStartSql(k: Int): String =
     s"cast(i * floor(l / ${k + 1}) + least(i, l % ${k + 1}) as int)"
+
+  /** Incremental edit-distance dedup — [[editDistanceJoin]] in the
+    * shape a production ingest runs it: the new batch (top 20% of
+    * doc_ids, the same cut as [[minhashIncremental]]) probes the
+    * STANDING corpus's segment index; nothing standing-vs-standing is
+    * ever recomputed. Per-batch cost is probe-substring generation over
+    * the batch (constant fanout) plus the index equi-join — batch-
+    * sized, never corpus-sized. Pigeonhole soundness needs only one
+    * direction here: a standing segment must appear in any batch
+    * window within distance k, and the batch side generates every
+    * substring the index could hold. Output: (doc_id, dup_of, dist) —
+    * each batch doc against each standing doc within distance k.
+    */
+  def editDistanceIncremental(spark: SparkSession, dir: String,
+                              start: Int = 101, width: Int = 48,
+                              maxDist: Int = 2): DataFrame = {
+    val k = maxDist
+    val cut = Tables.documentsSpread(spark, dir)
+      .agg(expr("max(doc_id) * 8 div 10").as("c"))
+    val docs = edWindows(spark, dir, start, width, k)
+      .crossJoin(broadcast(cut))
+    val standing = docs.filter(col("doc_id") <= col("c")).drop("c")
+    val batch = docs.filter(col("doc_id") > col("c")).drop("c")
+
+    val index = edSegments(standing, k)
+      .select(col("doc_id").as("dup_of"), col("s").as("s_a"),
+        col("la"), col("i"), col("seg"))
+    val probes = edProbes(batch, k)
+      .select(col("doc_id"), col("s").as("s_b"), col("la"), col("i"), col("seg"))
+
+    probes.join(index, Seq("la", "i", "seg"))
+      .select(col("doc_id"), col("dup_of"), col("s_a"), col("s_b"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("s_b"), col("s_a")).cast("long"))
+      .filter(col("dist") <= k)
+      .select(col("doc_id"), col("dup_of"), col("dist"))
+  }
+
+  /** The (doc_id, s, l) window frame the PassJoin family runs over:
+    * `substr(text, start, width)` with degenerate (length ≤ k) windows
+    * excluded.
+    */
+  private def edWindows(spark: SparkSession, dir: String,
+                        start: Int, width: Int, k: Int): DataFrame =
+    Tables.documentsSpread(spark, dir)
+      .select(col("doc_id"), substring(col("text"), start, width).as("s"))
+      .withColumn("l", length(col("s")).cast("int"))
+      .filter(col("l") > k)
+
+  /** Index side of PassJoin: the k+1 contiguous segments of each
+    * window, keyed by (la = own length, segment index, segment text).
+    * Layout convention: the first `l % (k+1)` segments get the extra
+    * char — shared with [[edProbes]] so join keys align.
+    */
+  private def edSegments(docs: DataFrame, k: Int): DataFrame =
+    docs
+      .withColumn("i", explode(sequence(lit(0), lit(k))))
+      .withColumn("seg", expr(s"substring(s, ${segStartSql(k)} + 1, ${segLenSql(k)})"))
+      .withColumn("la", col("l"))
+      .select(col("doc_id"), col("s"), col("la"), col("i"), col("seg"))
+
+  /** Probe side of PassJoin: every substring a partner of each feasible
+    * length `la ∈ [l-k, l+k]` could index — segment-sized, starting
+    * within ±k of the segment's home position. ≤ (2k+1)²(k+1) rows per
+    * doc, deduped on the join key.
+    */
+  private def edProbes(docs: DataFrame, k: Int): DataFrame = {
+    def segLen(lc: Column, i: Column): Column =
+      (floor(lc / (k + 1)) + when(i < lc % (k + 1), 1).otherwise(0)).cast("int")
+    def segStart(lc: Column, i: Column): Column =
+      (i * floor(lc / (k + 1)) + least(i, lc % (k + 1))).cast("int")
+    docs
+      .withColumn("la", explode(sequence(col("l") - k, col("l") + k)))
+      .filter(col("la") > k)
+      .withColumn("i", explode(sequence(lit(0), lit(k))))
+      .withColumn("shift", explode(sequence(lit(-k), lit(k))))
+      .withColumn("pos", segStart(col("la"), col("i")) + col("shift"))
+      .withColumn("seg_len", segLen(col("la"), col("i")))
+      .filter(col("pos") >= 0 && col("pos") + col("seg_len") <= col("l"))
+      .withColumn("seg", expr("substring(s, pos + 1, seg_len)"))
+      .dropDuplicates("doc_id", "la", "i", "seg")
+      .select(col("doc_id"), col("s"), col("la"), col("i"), col("seg"))
+  }
 
   /** Quality-aware canonical selection — the keep/drop policy step a
     * curation pipeline runs AFTER near-dup clustering. Where

@@ -298,6 +298,28 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(!got.exists(p => p._1 == 7L || p._2 == 7L), "degenerate window leaked in")
   }
 
+  test("incremental edit-distance: batch probes standing only, never batch-batch") {
+    import spark.implicits._
+    val dir = scratchDir("graft-editdist-inc")
+    val filler = "f" * 100
+    val base = "abcdefghijklmnopqrstuvwxyz0123456789ABCDEFGHIJKL"
+    // ids 0/1 standing (cut = 9*8 div 10 = 7); 8/9 batch. 8 is dist-1
+    // to standing 0 AND dist-2 to batch 9 — the 8-9 pair must NOT
+    // appear (batch-batch is out of contract), 8-0 must.
+    val windows = Seq(
+      0L -> base,
+      1L -> base.reverse,
+      8L -> (base.take(10) + "#" + base.drop(11)),
+      9L -> (base.take(10) + "#" + base.slice(11, 30) + "%" + base.drop(31)))
+    windows.map { case (id, wnd) =>
+      (id, filler + wnd, "en", "src", (filler + wnd).length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.editDistanceIncremental(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((8L, 0L, 1L), (9L, 0L, 2L)))
+  }
+
   test("modality agreement partitions the union of lexical and semantic pair sets") {
     val lex = Dedup.minhashPortable(spark, fixtureDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
