@@ -298,6 +298,57 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(!got.exists(p => p._1 == 7L || p._2 == 7L), "degenerate window leaked in")
   }
 
+  test("edit-distance join equals brute force on a seeded random corpus") {
+    import spark.implicits._
+    val dir = scratchDir("graft-editdist-rnd")
+    // 120 windows over a 3-char alphabet, lengths 0..60, a third of
+    // them derived from an earlier window by <=3 random edits — dense
+    // near-miss structure around the k=2 threshold, including
+    // length-boundary and duplicate-window cases the planted corpus
+    // can't enumerate
+    val rnd = new scala.util.Random(42)
+    val windows = scala.collection.mutable.ArrayBuffer[String]()
+    (0 until 120).foreach { i =>
+      if (i % 3 == 2 && windows.nonEmpty) {
+        var s = windows(rnd.nextInt(windows.length))
+        (0 until rnd.nextInt(4)).foreach { _ =>
+          val p = if (s.isEmpty) 0 else rnd.nextInt(s.length)
+          s = rnd.nextInt(3) match {
+            case 0 if s.nonEmpty => s.patch(p, ("abc" (rnd.nextInt(3))).toString, 1)
+            case 1               => s.patch(p, ("abc" (rnd.nextInt(3))).toString, 0)
+            case _ if s.nonEmpty => s.patch(p, "", 1)
+            case _               => s
+          }
+        }
+        windows += s
+      } else windows += (0 until rnd.nextInt(61)).map(_ => "abc" (rnd.nextInt(3))).mkString
+    }
+    val filler = "f" * 100
+    windows.zipWithIndex.toSeq.map { case (wnd, id) =>
+      (id.toLong, filler + wnd, "en", "src", (filler + wnd).length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val ws = windows.zipWithIndex.map { case (w, id) => (id.toLong, w.take(48)) }
+    val expected = (for {
+      (ia, sa) <- ws; (ib, sb) <- ws
+      if ia < ib && sa.length > 2 && sb.length > 2 && lev(sa, sb) <= 2
+    } yield (ia, ib, lev(sa, sb).toLong)).toSet
+    val got = Dedup.editDistanceJoin(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected, s"missing=${expected -- got} extra=${got -- expected}")
+    assert(expected.nonEmpty, "seeded corpus produced no pairs — regenerate")
+  }
+
   test("incremental edit-distance: batch probes standing only, never batch-batch") {
     import spark.implicits._
     val dir = scratchDir("graft-editdist-inc")

@@ -90,4 +90,25 @@ object HashOpsProperties extends Properties("HashOps") {
       }
     }
   }
+
+  private def u8(s: String) = UTF8String.fromString(s)
+  private val shortStr: Gen[String] =
+    Gen.chooseNum(0, 14).flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', 'd')))
+      .map(_.mkString)
+
+  property("jaroWinkler stays in [0,1]; 1 iff equal non-empty; empty → 0") =
+    forAll(shortStr, shortStr) { (a, b) =>
+      val s = HashOps.jaroWinkler(u8(a), u8(b))
+      val inRange = s >= 0.0 && s <= 1.0
+      val oneIffEq =
+        if (a.nonEmpty && a == b) s == 1.0
+        else if (a.isEmpty || b.isEmpty) s == 0.0
+        else (s == 1.0) == (a == b)
+      inRange && oneIffEq
+    }
+
+  property("jaroWinkler is symmetric (matches the DuckDB convention)") =
+    forAll(shortStr, shortStr) { (a, b) =>
+      HashOps.jaroWinkler(u8(a), u8(b)) == HashOps.jaroWinkler(u8(b), u8(a))
+    }
 }
