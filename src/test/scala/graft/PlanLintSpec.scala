@@ -35,6 +35,7 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
     "source_mix_sample" -> "1-row budget/weight-total scalar kept in-plan as a broadcast crossJoin against the per-source quota table (bounded by #sources)",
     "dedup_minhash_incremental" -> "1-row batch-cutoff scalar kept in-plan as a broadcast crossJoin (same shape as dedup_incremental)",
     "ngram_novelty_incremental" -> "1-row batch-cutoff scalar kept in-plan as a broadcast crossJoin (same shape as dedup_incremental)",
+    "dedup_edit_distance_incremental" -> "1-row batch-cutoff scalar kept in-plan as a broadcast crossJoin (same shape as dedup_incremental)",
     "dedup_minhash_standing" -> "1-row batch-cutoff scalar kept in-plan as a broadcast crossJoin on the PROBE side (the standing index reads pre-bucketed, exchange-free)",
     "dedup_minhash_append" -> "same batch-cutoff scalar crossJoin as dedup_minhash_standing (append-lifecycle twin)",
     "dedup_minhash_delete" -> "same batch-cutoff scalar crossJoin as dedup_minhash_standing (delete-lifecycle twin)",
@@ -93,6 +94,7 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
     "source_mix_sample" -> "final pass of the budget/weight-total scalar aggregate over the per-source count table (≤ #sources rows): one partial row per upstream partition",
     "dedup_minhash_incremental" -> "final pass of the batch-cutoff scalar aggregate: one partial row per upstream partition",
     "ngram_novelty_incremental" -> "final pass of the batch-cutoff scalar aggregate: one partial row per upstream partition",
+    "dedup_edit_distance_incremental" -> "final pass of the batch-cutoff scalar aggregate: one partial row per upstream partition",
     "dedup_minhash_standing" -> "final pass of the batch-cutoff scalar aggregate (probe side): one partial row per upstream partition",
     "dedup_minhash_append" -> "same batch-cutoff scalar aggregate as dedup_minhash_standing (append-lifecycle twin)",
     "dedup_minhash_delete" -> "same batch-cutoff scalar aggregate as dedup_minhash_standing (delete-lifecycle twin)",
