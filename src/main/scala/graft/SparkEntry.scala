@@ -63,6 +63,8 @@ object SparkEntry {
     "er_jaro_winkler"        -> Dedup.erJaroWinkler _,
     "dedup_edit_distance_incremental" -> ((s: SparkSession, d: String) =>
       Dedup.editDistanceIncremental(s, d)),
+    "er_blocking_report"     -> ((s: SparkSession, d: String) =>
+      Dedup.erBlockingReport(s, d)),
     // the NAIVE SQL spelling of dedup_edit_distance, kept naive on
     // purpose: plans.EditDistanceJoinRewrite turns the O(N²)
     // nested-loop join into the PassJoin blocked plan transparently —
@@ -1076,6 +1078,56 @@ object SparkEntry {
                 CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
          FROM s a JOIN s b ON a.doc_id < b.doc_id
          WHERE levenshtein(a.s, b.s) <= 2""",
+    // blocking-strategy scoreboard: candidate volume vs recall against
+    // the brute-force lev<=2 truth, four strategies. The segment
+    // strategy's candidate set is replayed substring-for-substring.
+    "er_blocking_report" ->
+      """WITH s AS (SELECT doc_id, substr(text, 101, 48) AS s,
+                           len(substr(text, 101, 48)) AS l
+                    FROM documents WHERE len(substr(text, 101, 48)) > 2),
+              truth AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                               levenshtein(a.s, b.s) AS dist
+                        FROM s a JOIN s b ON a.doc_id < b.doc_id
+                        WHERE levenshtein(a.s, b.s) <= 2),
+              ta AS (SELECT CAST(count(*) AS BIGINT) AS t,
+                            CAST(coalesce(sum(CASE WHEN dist = 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS t0
+                     FROM truth),
+              exact_c AS (SELECT CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT) AS cand
+                          FROM (SELECT count(*) AS n FROM s GROUP BY s)),
+              pfx_c AS (SELECT CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT) AS cand
+                        FROM (SELECT count(*) AS n FROM s GROUP BY substr(s, 1, 8))),
+              pfx_f AS (SELECT CAST(coalesce(sum(CASE WHEN substr(a.s, 1, 8) = substr(b.s, 1, 8)
+                                                 THEN 1 ELSE 0 END), 0) AS BIGINT) AS f
+                        FROM truth JOIN s a ON id_a = a.doc_id JOIN s b ON id_b = b.doc_id),
+              hist AS (SELECT l, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY l),
+              band_c AS (SELECT CAST(coalesce((SELECT sum(n * (n - 1) // 2) FROM hist), 0)
+                                + coalesce((SELECT sum(x.n * y.n) FROM hist x JOIN hist y
+                                            ON y.l > x.l AND y.l <= x.l + 2), 0) AS BIGINT) AS cand),
+              seg AS (SELECT doc_id, l AS la, i,
+                             substr(s, CAST(i * (l // 3) + least(i, l % 3) + 1 AS INT),
+                                    CAST((l // 3) + (CASE WHEN i < l % 3 THEN 1 ELSE 0 END) AS INT)) AS seg
+                      FROM s, range(0, 3) r(i)),
+              pr AS (SELECT DISTINCT doc_id, la, i, substr(s, CAST(pos + 1 AS INT), CAST(seg_len AS INT)) AS seg
+                     FROM (SELECT d.doc_id, d.s, d.l, d.l + dx.dx AS la, i.i AS i, sh.sh,
+                                  i.i * ((d.l + dx.dx) // 3) + least(i.i, (d.l + dx.dx) % 3) + sh.sh AS pos,
+                                  ((d.l + dx.dx) // 3)
+                                    + (CASE WHEN i.i < (d.l + dx.dx) % 3 THEN 1 ELSE 0 END) AS seg_len
+                           FROM s d, range(-2, 3) dx(dx), range(0, 3) i(i), range(-2, 3) sh(sh)
+                           WHERE d.l + dx.dx > 2)
+                     WHERE pos >= 0 AND pos + seg_len <= l),
+              seg_c AS (SELECT CAST(count(*) AS BIGINT) AS cand FROM (
+                          SELECT DISTINCT a.doc_id, b.doc_id
+                          FROM seg a JOIN pr b
+                            ON a.la = b.la AND a.i = b.i AND a.seg = b.seg
+                               AND a.doc_id < b.doc_id))
+         SELECT 'exact' AS strategy, cand AS n_candidates, t0 AS n_true_found, t AS n_true_total
+         FROM exact_c, ta
+         UNION ALL
+         SELECT 'prefix8', cand, f, t FROM pfx_c, pfx_f, ta
+         UNION ALL
+         SELECT 'length_band', cand, t, t FROM band_c, ta
+         UNION ALL
+         SELECT 'segment', cand, t, t FROM seg_c, ta""",
     // batch-vs-standing restriction of the edit-distance relation,
     // same 80% id cut as the minhash incremental family
     "dedup_edit_distance_incremental" ->

@@ -620,6 +620,99 @@ object Dedup {
       .select(col("doc_id"), col("dup_of"), col("dist"))
   }
 
+  /** ER blocking scoreboard — grades four candidate-generation
+    * strategies against the brute-force edit-distance truth (lev ≤ 2 on
+    * the standard window), the way [[minhashErrorProfile]] grades the
+    * minhash estimator: per strategy, how many candidate pairs it
+    * emits (the cost) and how many true pairs it finds (the recall
+    * numerator). The table a pipeline reads before picking its blocking:
+    *
+    *  - `exact`: identical-window grouping — cheapest, finds only
+    *    dist-0 pairs;
+    *  - `prefix8`: first-8-char grouping — cheap, misses pairs whose
+    *    edit lands in the prefix;
+    *  - `length_band`: |len diff| ≤ 2 — perfect recall by the edit
+    *    bound, catastrophically many candidates (the scoreboard makes
+    *    the N² visible as a NUMBER, nothing materializes it: candidate
+    *    counts come from the length histogram, ΣC(n,2) + Σ n·m);
+    *  - `segment`: the PassJoin index of [[editDistanceJoin]] —
+    *    provably lossless with collision-bounded candidates.
+    *
+    * All-integer output, 4 rows. Every count is computed from
+    * group histograms or the candidate join itself — no strategy's
+    * candidate SET is ever materialized beyond what the strategy itself
+    * would shuffle.
+    */
+  def erBlockingReport(spark: SparkSession, dir: String,
+                       start: Int = 101, width: Int = 48,
+                       maxDist: Int = 2): DataFrame = {
+    val k = maxDist
+    val docs = edWindows(spark, dir, start, width, k)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // brute-force truth restricted to the blocked candidates is the
+    // verified editDistanceJoin relation; pair counts by exactness
+    val truth = editDistanceJoin(spark, dir, start, width, k)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val truthTotal = truth.agg(
+      count(lit(1)).as("t"),
+      sum(when(col("dist") === 0, 1L).otherwise(0L)).as("t0")).persist(StorageLevel.MEMORY_AND_DISK)
+
+    def pairsWithin(group: Column): DataFrame =
+      docs.groupBy(group.as("g")).agg(count(lit(1)).as("n"))
+        .agg(coalesce(sum(expr("n * (n - 1) div 2")), lit(0L)).as("cand"))
+
+    // exact-window grouping: ΣC(n,2) candidates, finds the dist-0 pairs
+    val exact = pairsWithin(col("s"))
+      .crossJoin(broadcast(truthTotal))
+      .select(lit("exact").as("strategy"), col("cand").as("n_candidates"),
+        col("t0").as("n_true_found"), col("t").as("n_true_total"))
+
+    // first-8-prefix grouping: found = truth pairs whose windows agree
+    // on the first 8 chars
+    val prefixFound = truth
+      .join(docs.select(col("doc_id").as("id_a"),
+        substring(col("s"), 1, 8).as("pa")), "id_a")
+      .join(docs.select(col("doc_id").as("id_b"),
+        substring(col("s"), 1, 8).as("pb")), "id_b")
+      .agg(coalesce(sum(when(col("pa") === col("pb"), 1L).otherwise(0L)), lit(0L)).as("f"))
+    val prefix8 = pairsWithin(substring(col("s"), 1, 8))
+      .crossJoin(broadcast(prefixFound))
+      .crossJoin(broadcast(truthTotal))
+      .select(lit("prefix8").as("strategy"), col("cand").as("n_candidates"),
+        col("f").as("n_true_found"), col("t").as("n_true_total"))
+
+    // length-band: candidate count from the length histogram —
+    // ΣC(n_l,2) + Σ_{l<m≤l+k} n_l·n_m; recall is total by the bound
+    val hist = docs.groupBy(col("l")).agg(count(lit(1)).as("n"))
+    val bandSame = hist.agg(coalesce(sum(expr("n * (n - 1) div 2")), lit(0L)).as("c"))
+    val bandCross = hist.as("x").join(hist.as("y"),
+        col("y.l") > col("x.l") && col("y.l") <= col("x.l") + k)
+      .agg(coalesce(sum(col("x.n") * col("y.n")), lit(0L)).as("c"))
+    val lengthBand = bandSame.crossJoin(broadcast(bandCross.select(col("c").as("cc"))))
+      .crossJoin(broadcast(truthTotal))
+      .select(lit("length_band").as("strategy"),
+        (col("c") + col("cc")).as("n_candidates"),
+        col("t").as("n_true_found"), col("t").as("n_true_total"))
+
+    // segment (PassJoin): distinct candidate pairs from the real index
+    // join — the exact set editDistanceJoin verifies, counted pre-verify
+    val segCand = edSegments(docs, k)
+      .select(col("doc_id").as("id_a"), col("la"), col("i"), col("seg"))
+      .join(edProbes(docs, k)
+        .select(col("doc_id").as("id_b"), col("la"), col("i"), col("seg")),
+        Seq("la", "i", "seg"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+      .agg(count(lit(1)).as("cand"))
+    val segment = segCand
+      .crossJoin(broadcast(truthTotal))
+      .select(lit("segment").as("strategy"), col("cand").as("n_candidates"),
+        col("t").as("n_true_found"), col("t").as("n_true_total"))
+
+    exact.unionByName(prefix8).unionByName(lengthBand).unionByName(segment)
+  }
+
   /** The (doc_id, s, l) window frame the PassJoin family runs over:
     * `substr(text, start, width)` with degenerate (length ≤ k) windows
     * excluded.

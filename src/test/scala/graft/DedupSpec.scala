@@ -349,6 +349,63 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(expected.nonEmpty, "seeded corpus produced no pairs — regenerate")
   }
 
+  test("ER blocking scoreboard: per-strategy counts match an in-test replay") {
+    import spark.implicits._
+    val dir = scratchDir("graft-erblock")
+    val filler = "f" * 100
+    val base = "abcdefghijklmnopqrstuvwxyz0123456789ABCDEFGHIJKL"
+    val windows = Seq(
+      0L -> base, 1L -> base,
+      2L -> (base.take(10) + "#" + base.drop(11)),
+      3L -> (base.take(20) + base.drop(21)),
+      4L -> (base.take(10) + "#" + base.slice(11, 30) + "%" + base.drop(31)),
+      5L -> base.reverse,
+      6L -> (base.take(5) + "@" + base.slice(6, 25) + "@" + base.slice(26, 40)
+        + "@" + base.drop(41)),
+      7L -> (base.take(2) + "!" + base.drop(3))) // edit INSIDE the 8-prefix
+    windows.map { case (id, wnd) =>
+      (id, filler + wnd, "en", "src", (filler + wnd).length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val truth = for {
+      (ia, sa) <- windows; (ib, sb) <- windows
+      if ia < ib && lev(sa, sb) <= 2
+    } yield (ia, ib, lev(sa, sb))
+    def c2(groups: Map[_, Seq[Long]]): Long =
+      groups.values.map(g => g.size.toLong * (g.size - 1) / 2).sum
+    val byWindow = windows.groupMap(_._2)(_._1)
+    val byPrefix = windows.groupMap(_._2.take(8))(_._1)
+    val byLen = windows.groupMap(_._2.length)(_._1)
+    val bandCand = c2(byLen) + (for {
+      (la, ga) <- byLen; (lb, gb) <- byLen if lb > la && lb <= la + 2
+    } yield ga.size.toLong * gb.size).sum
+    val prefixFound = truth.count { case (a, b, _) =>
+      windows.toMap.apply(a).take(8) == windows.toMap.apply(b).take(8) }
+
+    val rows = Dedup.erBlockingReport(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val t = truth.size.toLong
+    assert(rows("exact") === ((c2(byWindow), truth.count(_._3 == 0).toLong, t)))
+    assert(rows("prefix8") === ((c2(byPrefix), prefixFound.toLong, t)))
+    assert(rows("length_band") === ((bandCand, t, t)))
+    // segment: lossless (found = total), collision-bounded (≤ band)
+    val (segCand, segFound, segTotal) = rows("segment")
+    assert(segFound === t && segTotal === t)
+    assert(segCand >= t && segCand <= bandCand)
+    // the scoreboard's point: recall separates exact from prefix8 here
+    assert(rows("exact")._2 < t && rows("prefix8")._2 < t)
+  }
+
   test("incremental edit-distance: batch probes standing only, never batch-batch") {
     import spark.implicits._
     val dir = scratchDir("graft-editdist-inc")
