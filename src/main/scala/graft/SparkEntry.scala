@@ -306,6 +306,7 @@ object SparkEntry {
     "lexical_diversity"      -> TextOps.lexicalDiversity _,
     "blocklist_filter"       -> Curation.blocklistFilter _,
     "output_shard_plan"      -> ((s: SparkSession, d: String) => Layout.outputShardPlan(s, d)),
+    "shard_manifest"         -> Layout.shardManifest _,
     "embedding_outliers"     -> Similarity.embeddingOutliers _,
     "hilbert_layout"         -> Layout.hilbertLayout _,
     "dedup_cluster_stats"    -> Dedup.dedupClusterStats _,
@@ -4111,6 +4112,21 @@ object SparkEntry {
     // Shard boundary = cumulative chars BEFORE the doc // target, so a
     // shard always ends at-or-past the target — pack_batches' first-fit
     // contract at the storage layer.
+    // per-shard reproducibility manifest: counts, bytes, and an
+    // order-independent xor checksum of portable 60-bit md5 prefixes
+    "shard_manifest" ->
+      """WITH plan AS (SELECT doc_id, source, n_chars,
+                CAST(coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS BIGINT) // 16384 AS shard
+              FROM documents),
+              h AS (SELECT doc_id, ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+                    FROM documents)
+         SELECT source, shard, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS n_bytes,
+                CAST(bit_xor(h) AS BIGINT) AS checksum
+         FROM plan JOIN h USING (doc_id)
+         GROUP BY source, shard""",
     "output_shard_plan" ->
       """SELECT doc_id, source, n_chars,
                 CAST(coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id

@@ -103,6 +103,29 @@ object Layout {
     * runs `repartition(source, shard)` + parquet to get one file per
     * shard row group.
     */
+  /** Shard manifest — the reproducibility artifact a shard writer emits
+    * next to its output: per (source, shard) of [[outputShardPlan]],
+    * the row count, byte total, and an ORDER-INDEPENDENT content
+    * checksum (bit_xor of a portable 60-bit md5 prefix per document),
+    * so any re-run — different partitioning, different task order — can
+    * be byte-verified against the manifest without sorting anything.
+    * xor is the right fold: commutative/associative (layout-proof),
+    * and any single changed/missing/extra document flips the checksum.
+    *
+    * Scale shape: the same single window as the shard plan, an id-keyed
+    * join moving (id, 8-byte hash) pairs, and a map-side-partial
+    * aggregate to |sources|·|shards| rows.
+    */
+  def shardManifest(spark: SparkSession, dir: String): DataFrame = {
+    val plan = outputShardPlan(spark, dir)
+    val h = Tables.documents(spark, dir).select(col("doc_id"),
+      conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long").as("h"))
+    plan.join(h, "doc_id")
+      .groupBy(col("source"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_bytes"),
+        expr("bit_xor(h)").as("checksum"))
+  }
+
   def outputShardPlan(spark: SparkSession, dir: String,
       targetChars: Long = 16384L): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

@@ -130,4 +130,44 @@ class LayoutSpec extends AnyFunSuite with SparkFixture {
       .map(r => r.getLong(0) -> r.getLong(3)).toMap
     assert(got === Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 0L, 6L -> 3L))
   }
+
+  test("shard manifest: xor checksum is order-independent and content-sensitive") {
+    import spark.implicits._
+    import graft.operators.Layout
+    def write(dir: String, rows: Seq[(Long, String)]): Unit =
+      rows.map { case (id, t) => (id, t, "en", "A", 10L) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    def manifest(dir: String): Map[(String, Long), (Long, Long, Long)] =
+      Layout.shardManifest(spark, dir).collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+
+    val d1 = scratchDir("graft-manifest-a")
+    write(d1, Seq(1L -> "alpha", 2L -> "beta", 3L -> "gamma"))
+    val m1 = manifest(d1)
+
+    // same documents written in a different physical order → same manifest
+    val d2 = scratchDir("graft-manifest-b")
+    write(d2, Seq(3L -> "gamma", 1L -> "alpha", 2L -> "beta"))
+    assert(manifest(d2) === m1)
+
+    // one changed document flips the checksum, not the counts
+    val d3 = scratchDir("graft-manifest-c")
+    write(d3, Seq(1L -> "alpha", 2L -> "CHANGED", 3L -> "gamma"))
+    val m3 = manifest(d3)
+    assert(m3.keySet === m1.keySet)
+    m1.foreach { case (key, (n, b, ck)) =>
+      assert(m3(key)._1 === n && m3(key)._2 === b)
+      assert(m3(key)._3 !== ck, s"checksum did not flip for $key")
+    }
+
+    // checksum matches an independent reimplementation (md5 prefix xor)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(t: String): Long = java.lang.Long.parseLong(
+      md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
+    val expect = Seq("alpha", "beta", "gamma").map(h).reduce(_ ^ _)
+    assert(m1(("A", 0L))._3 === expect)
+  }
 }
