@@ -65,6 +65,8 @@ object SparkEntry {
       Dedup.editDistanceIncremental(s, d)),
     "er_blocking_report"     -> ((s: SparkSession, d: String) =>
       Dedup.erBlockingReport(s, d)),
+    "dedup_edit_distance_standing" -> ((s: SparkSession, d: String) =>
+      Dedup.editDistanceStanding(s, d)),
     // the NAIVE SQL spelling of dedup_edit_distance, kept naive on
     // purpose: plans.EditDistanceJoinRewrite turns the O(N²)
     // nested-loop join into the PassJoin blocked plan transparently —
@@ -453,6 +455,20 @@ object SparkEntry {
     * LSH candidate pairs. The prefix of [[minhashPortableSql]], also
     * the candidate generator `minhash_error_profile` buckets over.
     */
+  /** Batch-vs-standing edit-distance relation (the 80% id cut), shared
+    * by the in-query incremental variant and the bucketed standing
+    * index — identical output by construction.
+    */
+  private val editDistanceIncrementalSql: String =
+    """WITH s AS (SELECT doc_id, substr(text, 101, 48) AS s
+                  FROM documents WHERE len(substr(text, 101, 48)) > 2),
+            c AS (SELECT max(doc_id) * 8 // 10 AS c FROM documents)
+       SELECT b.doc_id, a.doc_id AS dup_of,
+              CAST(levenshtein(b.s, a.s) AS BIGINT) AS dist
+       FROM s b, s a, c
+       WHERE b.doc_id > c.c AND a.doc_id <= c.c
+         AND levenshtein(b.s, a.s) <= 2"""
+
   private val minhashCandCtes: String = {
     val sigCols = (0 until 64)
       .map(j => s"min(md5('$j:' || s)) AS h$j").mkString(", ")
@@ -1130,16 +1146,10 @@ object SparkEntry {
          UNION ALL
          SELECT 'segment', cand, t, t FROM seg_c, ta""",
     // batch-vs-standing restriction of the edit-distance relation,
-    // same 80% id cut as the minhash incremental family
-    "dedup_edit_distance_incremental" ->
-      """WITH s AS (SELECT doc_id, substr(text, 101, 48) AS s
-                    FROM documents WHERE len(substr(text, 101, 48)) > 2),
-              c AS (SELECT max(doc_id) * 8 // 10 AS c FROM documents)
-         SELECT b.doc_id, a.doc_id AS dup_of,
-                CAST(levenshtein(b.s, a.s) AS BIGINT) AS dist
-         FROM s b, s a, c
-         WHERE b.doc_id > c.c AND a.doc_id <= c.c
-           AND levenshtein(b.s, a.s) <= 2""",
+    // same 80% id cut as the minhash incremental family; the standing
+    // bucketed-index variant returns the identical relation
+    "dedup_edit_distance_incremental" -> editDistanceIncrementalSql,
+    "dedup_edit_distance_standing" -> editDistanceIncrementalSql,
     // identical relation to dedup_edit_distance (the naive-SQL twin
     // carried by the optimizer rewrite)
     "dedup_edit_distance_sql" ->

@@ -620,6 +620,46 @@ object Dedup {
       .select(col("doc_id"), col("dup_of"), col("dist"))
   }
 
+  /** [[editDistanceIncremental]] executed the way a 100 TB ingest runs
+    * it: the standing corpus's segment index is WRITTEN ONCE as a
+    * parquet table bucketed by `seg_key` (`la#i#seg` — `la` and `i`
+    * are '#'-free ints, so the key parses unambiguously even when the
+    * segment text contains '#'), and the probe join reads it back
+    * pre-partitioned: the index side crosses zero exchanges, only the
+    * batch's probe substrings shuffle. Same cut, same output relation,
+    * same oracle as the in-query variant. Index naming/pathing is
+    * scoped per (application, data dir) — see [[Tables.scopedIndex]].
+    */
+  def editDistanceStanding(spark: SparkSession, dir: String,
+                           start: Int = 101, width: Int = 48,
+                           maxDist: Int = 2): DataFrame = {
+    val k = maxDist
+    val cut = Tables.documents(spark, dir)
+      .agg(expr("max(doc_id) * 8 div 10").as("c"))
+    val docs = edWindows(spark, dir, start, width, k)
+      .crossJoin(broadcast(cut))
+    val standing = docs.filter(col("doc_id") <= col("c")).drop("c")
+    val batch = docs.filter(col("doc_id") > col("c")).drop("c")
+
+    val (table, idxPath) = Tables.scopedIndex(spark, "graft_editdist_seg_index", dir)
+    edSegments(standing, k)
+      .withColumn("seg_key", concat_ws("#", col("la"), col("i"), col("seg")))
+      .select(col("doc_id").as("dup_of"), col("s").as("s_a"), col("seg_key"))
+      .write.bucketBy(8, "seg_key").sortBy("seg_key")
+      .option("path", idxPath).mode("overwrite").saveAsTable(table)
+
+    val probes = edProbes(batch, k)
+      .withColumn("seg_key", concat_ws("#", col("la"), col("i"), col("seg")))
+      .select(col("doc_id"), col("s").as("s_b"), col("seg_key"))
+
+    spark.table(table).join(probes, "seg_key")
+      .select(col("doc_id"), col("dup_of"), col("s_a"), col("s_b"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("s_b"), col("s_a")).cast("long"))
+      .filter(col("dist") <= k)
+      .select(col("doc_id"), col("dup_of"), col("dist"))
+  }
+
   /** ER blocking scoreboard — grades four candidate-generation
     * strategies against the brute-force edit-distance truth (lev ≤ 2 on
     * the standard window), the way [[minhashErrorProfile]] grades the

@@ -140,6 +140,65 @@ class BucketedJoinSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("dedup_edit_distance_standing: persisted segment index probes shuffle-free") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    import graft.operators.Dedup
+    import spark.implicits._
+
+    def strip(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => strip(a.executedPlan)
+      case q: QueryStageExec        => strip(q.plan)
+      case other => other.withNewChildren(other.children.map(strip))
+    }
+    def indexScans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case s: FileSourceScanExec
+        if s.tableIdentifier.exists(_.table.startsWith("graft_editdist_seg_index")) => s
+    }
+
+    // standing doc 0 = base window; batch doc 8 = one substitution —
+    // a non-empty probe result keeps the join inspectable under AQE
+    val dir = scratchDir("graft-editdist-standing")
+    val filler = "f" * 100
+    val base = "abcdefghijklmnopqrstuvwxyz0123456789ABCDEFGHIJKL"
+    Seq(0L -> base, 1L -> base.reverse,
+        8L -> (base.take(10) + "#" + base.drop(11)), 9L -> ("Q" * 48))
+      .map { case (id, wnd) =>
+        (id, filler + wnd, "en", "src", (filler + wnd).length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val out = Dedup.editDistanceStanding(spark, dir)
+      val rows = out.collect().map(_.toSeq).toSet
+      assert(rows === Set(Seq(8L, 0L, 1L)))
+      assert(rows === Dedup.editDistanceIncremental(spark, dir)
+        .collect().map(_.toSeq).toSet)
+
+      val plan = strip(out.queryExecution.executedPlan)
+      val probeJoins = plan.collect {
+        case j: SortMergeJoinExec    => j: BaseJoinExec
+        case j: ShuffledHashJoinExec => j: BaseJoinExec
+      }.filter(j => j.leftKeys.exists(_.toString.contains("seg_key"))
+        && j.children.exists(c => indexScans(c).nonEmpty))
+      assert(probeJoins.nonEmpty,
+        s"no shuffled seg_key join over the persisted index found:\n$plan")
+      val idxSide = probeJoins.head.children.filter(c => indexScans(c).nonEmpty)
+      val reShuffles = idxSide.flatMap(_.collect { case e: ShuffleExchangeLike => e })
+      assert(reShuffles.isEmpty,
+        s"index side must read pre-bucketed, got exchanges on it:\n$plan")
+      assert(indexScans(plan).exists(_.bucketedScan),
+        s"index scan should be bucketed:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql(s"DROP TABLE IF EXISTS ${Tables.scopedIndex(spark, "graft_editdist_seg_index", dir)._1}")
+    }
+  }
+
   test("mismatched bucket counts fall back to a shuffle on one side only") {
     import org.apache.spark.sql.functions.col
 
