@@ -690,9 +690,24 @@ object Dedup {
     val docs = edWindows(spark, dir, start, width, k)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // brute-force truth restricted to the blocked candidates is the
-    // verified editDistanceJoin relation; pair counts by exactness
-    val truth = editDistanceJoin(spark, dir, start, width, k)
+    // ONE candidate computation feeds both the segment strategy's count
+    // and the truth relation (candidates lev-filtered — identical to
+    // the verified editDistanceJoin, which shares edSegments/edProbes)
+    val segPairs = edSegments(docs, k)
+      .select(col("doc_id").as("id_a"), col("s").as("s_a"),
+        col("la"), col("i"), col("seg"))
+      .join(edProbes(docs, k)
+        .select(col("doc_id").as("id_b"), col("s").as("s_b"),
+          col("la"), col("i"), col("seg")),
+        Seq("la", "i", "seg"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("s_a"), col("s_b"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val truth = segPairs
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b")).cast("long"))
+      .filter(col("dist") <= k)
+      .select(col("id_a"), col("id_b"), col("dist"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val truthTotal = truth.agg(
       count(lit(1)).as("t"),
@@ -735,16 +750,9 @@ object Dedup {
         (col("c") + col("cc")).as("n_candidates"),
         col("t").as("n_true_found"), col("t").as("n_true_total"))
 
-    // segment (PassJoin): distinct candidate pairs from the real index
-    // join — the exact set editDistanceJoin verifies, counted pre-verify
-    val segCand = edSegments(docs, k)
-      .select(col("doc_id").as("id_a"), col("la"), col("i"), col("seg"))
-      .join(edProbes(docs, k)
-        .select(col("doc_id").as("id_b"), col("la"), col("i"), col("seg")),
-        Seq("la", "i", "seg"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
-      .agg(count(lit(1)).as("cand"))
+    // segment (PassJoin): distinct candidate pairs from the shared
+    // index join — the exact set the truth relation verifies
+    val segCand = segPairs.agg(count(lit(1)).as("cand"))
     val segment = segCand
       .crossJoin(broadcast(truthTotal))
       .select(lit("segment").as("strategy"), col("cand").as("n_candidates"),
