@@ -55,10 +55,24 @@ object EditDistanceJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   /** (left string expr, right string expr, k, remaining conjuncts) of
-    * the first rewritable conjunct, if any.
+    * the first rewritable conjunct, if any. A join that already carries
+    * an equi conjunct between the sides is NOT rewritten: Spark plans
+    * it as a hash/sort-merge join with the levenshtein as an extra
+    * condition — there is no nested-loop trap to fix, and rewriting
+    * would re-block the library's own PassJoin plans (whose verify
+    * filter the optimizer pushes back into their segment equi-joins).
     */
   private def plan(left: LogicalPlan, right: LogicalPlan,
-      conjuncts: Seq[Expression]): Option[(Expression, Expression, Int, Seq[Expression])] =
+      conjuncts: Seq[Expression]): Option[(Expression, Expression, Int, Seq[Expression])] = {
+    def crossSide(a: Expression, b: Expression): Boolean =
+      (a.references.subsetOf(left.outputSet) && b.references.subsetOf(right.outputSet)) ||
+        (b.references.subsetOf(left.outputSet) && a.references.subsetOf(right.outputSet))
+    val hasEqui = conjuncts.exists {
+      case EqualTo(a, b)       => crossSide(a, b)
+      case EqualNullSafe(a, b) => crossSide(a, b)
+      case _                   => false
+    }
+    if (hasEqui) return None
     conjuncts.zipWithIndex.collectFirst(Function.unlift { case (c, idx) =>
       bound(c) match {
         case Some((Levenshtein(a, b, None), k))
@@ -74,6 +88,7 @@ object EditDistanceJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         case _ => None
       }
     })
+  }
 
   override def apply(plan0: LogicalPlan): LogicalPlan = plan0.transform {
     case j @ Join(left, right, Inner, Some(cond), _)

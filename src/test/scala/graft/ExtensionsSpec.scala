@@ -90,6 +90,17 @@ class ExtensionsSpec extends AnyFunSuite with SparkFixture {
     val outer = spark.sql(
       "SELECT a.id FROM edj_a a LEFT JOIN edj_a b ON levenshtein(a.s, b.s) <= 2")
     assert(outer.queryExecution.executedPlan.toString.contains("NestedLoop"))
+
+    // out of scope: an equi conjunct means Spark already hash-joins —
+    // no rewrite (also what protects the library's own PassJoin plans,
+    // whose pushed-back verify filter rides segment equi-joins)
+    val equi = spark.sql(
+      """SELECT a.id FROM edj_a a JOIN edj_a b
+         ON a.id = b.id AND levenshtein(a.s, b.s) <= 2""")
+    val equiPlan = equi.queryExecution.executedPlan.toString
+    assert(equiPlan.contains("SortMergeJoin") || equiPlan.contains("HashJoin"))
+    assert(equi.count() ===
+      rows.count { case (_, s) => s != null }) // every non-null row self-matches
   }
 
   test("jaro_winkler matches the published vectors and DuckDB's conventions") {
