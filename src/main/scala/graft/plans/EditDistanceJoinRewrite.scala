@@ -28,7 +28,10 @@ import org.apache.spark.sql.functions._
   * conjuncts (`a.id < b.id`, predicates the optimizer pushed into the
   * join, ...) are re-applied as a filter above the blocked join.
   * Anything else — the 3-arg thresholded levenshtein, outer joins,
-  * map-typed columns — keeps Spark's own plan. Re-trigger safety: the
+  * map-typed columns, or a join that ALREADY has an equi conjunct
+  * (hash-joinable as-is; also how the library's own PassJoin plans,
+  * whose verify filter rides their segment equi-joins, stay
+  * untouched) — keeps Spark's own plan. Re-trigger safety: the
   * rewritten subtree's join carries `__graft_edj_`-prefixed working
   * columns, and any join whose inputs expose that prefix is skipped,
   * so the rule cannot fire on its own output even after the optimizer
