@@ -309,6 +309,8 @@ object SparkEntry {
     "blocklist_filter"       -> Curation.blocklistFilter _,
     "output_shard_plan"      -> ((s: SparkSession, d: String) => Layout.outputShardPlan(s, d)),
     "shard_manifest"         -> Layout.shardManifest _,
+    "multimodal_phash"       -> ((s: SparkSession, d: String) =>
+      Multimodal.perceptualHashPairs(s, d)),
     "embedding_outliers"     -> Similarity.embeddingOutliers _,
     "hilbert_layout"         -> Layout.hilbertLayout _,
     "dedup_cluster_stats"    -> Dedup.dedupClusterStats _,
@@ -4122,6 +4124,44 @@ object SparkEntry {
     // Shard boundary = cumulative chars BEFORE the doc // target, so a
     // shard always ends at-or-past the target — pack_batches' first-fit
     // contract at the storage layer.
+    // perceptual near-dup: 64-pixel average-hash (code-unit STUB
+    // decode) replayed pixel-for-pixel; chunk banding + bit_count(xor)
+    // verify, lossless at hamming <= 3 by pigeonhole over 4 chunks
+    "multimodal_phash" ->
+      """WITH b AS (SELECT doc_id, text, len(text) AS n
+                    FROM documents WHERE len(text) >= 1),
+              pos AS (SELECT doc_id, n, text, unnest(range(0, n)) AS p FROM b),
+              cu AS (SELECT doc_id, p, n,
+                            ord(substr(text, CAST(p AS INT) + 1, 1)) AS code
+                     FROM pos),
+              px AS (SELECT doc_id, (p * 64) // n AS i,
+                            CAST(sum(code) // count(*) AS BIGINT) AS v
+                     FROM cu GROUP BY doc_id, (p * 64) // n),
+              mn AS (SELECT doc_id, CAST(sum(v) // 64 AS BIGINT) AS mean
+                     FROM px GROUP BY doc_id),
+              bits AS (SELECT doc_id, i,
+                              CASE WHEN v > mean THEN 1 ELSE 0 END AS bit
+                       FROM px JOIN mn USING (doc_id)),
+              ch AS (SELECT doc_id, i // 16 AS b,
+                            CAST(sum(bit * (1::BIGINT << CAST(i % 16 AS INT))) AS BIGINT) AS v
+                     FROM bits GROUP BY doc_id, i // 16),
+              sig AS (SELECT doc_id,
+                             max(CASE WHEN b = 0 THEN v END) AS c0,
+                             max(CASE WHEN b = 1 THEN v END) AS c1,
+                             max(CASE WHEN b = 2 THEN v END) AS c2,
+                             max(CASE WHEN b = 3 THEN v END) AS c3
+                      FROM ch GROUP BY doc_id),
+              cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+                       FROM ch x JOIN ch y
+                         ON x.b = y.b AND x.v = y.v AND x.doc_id < y.doc_id)
+         SELECT * FROM (
+           SELECT id_a, id_b,
+                  CAST(bit_count(xor(sa.c0, sb.c0)) + bit_count(xor(sa.c1, sb.c1))
+                     + bit_count(xor(sa.c2, sb.c2)) + bit_count(xor(sa.c3, sb.c3))
+                       AS BIGINT) AS hamming
+           FROM cand JOIN sig sa ON id_a = sa.doc_id
+                     JOIN sig sb ON id_b = sb.doc_id)
+         WHERE hamming <= 3""",
     // per-shard reproducibility manifest: counts, bytes, and an
     // order-independent xor checksum of portable 60-bit md5 prefixes
     "shard_manifest" ->

@@ -136,6 +136,81 @@ object Multimodal {
         length(col("blob")).cast("long").as("n_bytes"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  final case class PHash(doc_id: Long, c0: Long, c1: Long, c2: Long, c3: Long)
+
+  /** Perceptual near-dup pairs — the aHash complement to the byte-exact
+    * [[multimodalDedup]]: re-encodes, crops, or metadata edits change
+    * every byte (and the sha digest) while the perceptual signature
+    * barely moves. STUB decode: the "image" is the payload's code-unit
+    * sequence downscaled to 64 "pixels" — pixel i = truncated mean of
+    * the code units whose position p maps to block ⌊p·64/n⌋ = i (block
+    * MEANS, the real aHash downscale: a local edit moves one block's
+    * mean a little instead of shifting every downstream sample) —
+    * average-hash bits = pixel > truncated global mean. Deterministic
+    * integer arithmetic a grayscale decoder would replace, replayed
+    * code-unit-for-code-unit by the DuckDB oracle. The 64-bit
+    * signature rides as four 16-bit chunks; candidate pairs come from
+    * exact-chunk banding, which is LOSSLESS for hamming ≤ 3
+    * (pigeonhole: 3 flipped bits cannot touch all 4 chunks), then one
+    * bit_count(xor) verify per candidate. Same shape as the
+    * simhash/minhash families: linear signature pass,
+    * collision-bounded candidates, never N².
+    */
+  def perceptualHashPairs(spark: SparkSession, dir: String,
+                          maxHamming: Int = 3): DataFrame = {
+    import spark.implicits._
+    require(maxHamming < 4, "4-chunk banding is only lossless below hamming 4")
+    val sigs = Tables.documentsSpread(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .filter(length(col("text")) >= 1)
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, s) =>
+          val n = s.length.toLong
+          // STUB decode — a real implementation rasterizes to an 8x8
+          // grayscale here; "pixels" are per-block code-unit means
+          val sums = new Array[Long](64)
+          val cnts = new Array[Long](64)
+          var p = 0
+          while (p < n) {
+            val b = ((p * 64) / n).toInt
+            sums(b) += s.charAt(p).toInt
+            cnts(b) += 1
+            p += 1
+          }
+          val px = Array.tabulate(64)(i => if (cnts(i) == 0) 0L else sums(i) / cnts(i))
+          val mean = px.sum / 64
+          val chunks = Array.fill(4)(0L)
+          var i = 0
+          while (i < 64) {
+            if (px(i) > mean) chunks(i / 16) |= 1L << (i % 16)
+            i += 1
+          }
+          PHash(id, chunks(0), chunks(1), chunks(2), chunks(3))
+        }
+      }.toDF()
+
+    val bands = sigs.select(col("doc_id"), col("c0"), col("c1"), col("c2"), col("c3"),
+      explode(array(
+        struct(lit(0).as("b"), col("c0").as("v")),
+        struct(lit(1).as("b"), col("c1").as("v")),
+        struct(lit(2).as("b"), col("c2").as("v")),
+        struct(lit(3).as("b"), col("c3").as("v")))).as("band"))
+      .select(col("doc_id"), col("c0"), col("c1"), col("c2"), col("c3"),
+        col("band.b").as("b"), col("band.v").as("v"))
+
+    bands.as("x").join(bands.as("y"),
+        col("x.b") === col("y.b") && col("x.v") === col("y.v")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        (bit_count(col("x.c0").bitwiseXOR(col("y.c0"))) +
+          bit_count(col("x.c1").bitwiseXOR(col("y.c1"))) +
+          bit_count(col("x.c2").bitwiseXOR(col("y.c2"))) +
+          bit_count(col("x.c3").bitwiseXOR(col("y.c3")))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** The same decode over arbitrary `(id, BINARY)` rows — the entry
     * point for real media ingested via
     * [[graft.sources.Formats.readBinaryFiles]] (`xxhash64(path)` makes

@@ -13,6 +13,58 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(got === Map(0L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
   }
 
+  test("perceptual hash: brightness-shift invariant, patch-local, replay-exact") {
+    import spark.implicits._
+    val dir = scratchDir("graft-phash")
+    val rnd = new scala.util.Random(19)
+    // "image" A: 512 code units in [40, 110); B = A with EVERY unit +1
+    // (uniform brightness shift — every byte differs, sha dedup calls
+    // them distinct, the mean-centered aHash must call them identical);
+    // C = A with one 8-unit patch blown out (local edit); D unrelated
+    val a = Array.fill(512)((40 + rnd.nextInt(70)).toChar)
+    val b = a.map(c => (c + 1).toChar)
+    val c = a.clone(); (256 until 264).foreach(i => c(i) = '~')
+    val d = Array.fill(512)((40 + rnd.nextInt(70)).toChar)
+    val docs = Seq(0L -> new String(a), 1L -> new String(b),
+      2L -> new String(c), 3L -> new String(d))
+    docs.map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // independent in-test replay of the block-mean aHash
+    def sig(s: String): Array[Long] = {
+      val n = s.length
+      val sums = new Array[Long](64); val cnts = new Array[Long](64)
+      (0 until n).foreach { p =>
+        val blk = (p.toLong * 64 / n).toInt
+        sums(blk) += s.charAt(p).toInt; cnts(blk) += 1
+      }
+      val px = Array.tabulate(64)(i => if (cnts(i) == 0) 0L else sums(i) / cnts(i))
+      val mean = px.sum / 64
+      val ch = Array.fill(4)(0L)
+      (0 until 64).foreach(i => if (px(i) > mean) ch(i / 16) |= 1L << (i % 16))
+      ch
+    }
+    def ham(x: Array[Long], y: Array[Long]): Long =
+      x.zip(y).map { case (p, q) => java.lang.Long.bitCount(p ^ q).toLong }.sum
+    val expected = (for {
+      (ia, sa) <- docs; (ib, sb) <- docs
+      if ia < ib && ham(sig(sa), sig(sb)) <= 3
+    } yield (ia, ib, ham(sig(sa), sig(sb)))).toSet
+
+    val got = Multimodal.perceptualHashPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected)
+    // the design points, stated directly:
+    assert(got((0L, 1L, 0L)), "uniform brightness shift must hash identically")
+    assert(got.exists(p => p._1 == 0L && p._2 == 2L),
+      "a local patch must stay within the near-dup threshold")
+    assert(!got.exists(p => p._2 == 3L || p._1 == 3L), "unrelated image leaked in")
+    // ...and sha-exact dedup genuinely misses the brightness pair
+    val exact = Multimodal.multimodalDedup(spark, dir).collect()
+    assert(exact.forall(_.getLong(3) == 1L), "payloads are all byte-distinct")
+  }
+
   test("multimodal metadata: stub decode is deterministic over the byte payload") {
     val rows = Multimodal.multimodalMeta(spark, fixtureDir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
