@@ -56,6 +56,8 @@ object GraftExtensions {
       SortedIntersectCount(args(0), args(1))),
     "dot_product" -> arity("dot_product", 2)(args => ArrayDotProduct(args(0), args(1))),
     "jaro_winkler" -> arity("jaro_winkler", 2)(args => JaroWinklerSim(args(0), args(1))),
+    "damerau_levenshtein" -> arity("damerau_levenshtein", 2)(args =>
+      DamerauLevenshtein(args(0), args(1))),
     "ws_tokens" -> arity("ws_tokens", 1)(args => WsTokens(args.head)),
     "bpeish_counts" -> arity("bpeish_counts", 1)(args => BpeishCounts(args.head)),
     "minhash_bands" -> arity("minhash_bands", 3)(args => {

@@ -61,6 +61,7 @@ object SparkEntry {
     "dedup_ngram_jaccard"    -> Dedup.ngramJaccard _,
     "dedup_edit_distance"    -> ((s: SparkSession, d: String) => Dedup.editDistanceJoin(s, d)),
     "er_jaro_winkler"        -> Dedup.erJaroWinkler _,
+    "er_edit_metrics"        -> Dedup.erEditMetrics _,
     "dedup_edit_distance_incremental" -> ((s: SparkSession, d: String) =>
       Dedup.editDistanceIncremental(s, d)),
     "er_blocking_report"     -> ((s: SparkSession, d: String) =>
@@ -1787,6 +1788,18 @@ object SparkEntry {
           SELECT doc_a, doc_b,
                  jaro_winkler_similarity(substr(da.text, 1, 64),
                                          substr(db.text, 1, 64)) AS jw
+          FROM cand JOIN documents da ON doc_a = da.doc_id
+                    JOIN documents db ON doc_b = db.doc_id""",
+    // lev vs full-DL over the same candidates; lev - dl counts
+    // adjacent-transposition typos. The Spark dl is the native
+    // expression, pinned DuckDB-exact on an 8k random sweep.
+    "er_edit_metrics" ->
+      s"""WITH $minhashCandCtes
+          SELECT doc_a, doc_b,
+                 CAST(levenshtein(substr(da.text, 1, 64),
+                                  substr(db.text, 1, 64)) AS BIGINT) AS lev,
+                 CAST(damerau_levenshtein(substr(da.text, 1, 64),
+                                          substr(db.text, 1, 64)) AS BIGINT) AS dl
           FROM cand JOIN documents da ON doc_a = da.doc_id
                     JOIN documents db ON doc_b = db.doc_id""",
     // xxh64 fast path — oracled by the portable replay (see

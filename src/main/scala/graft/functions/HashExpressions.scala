@@ -170,6 +170,54 @@ object HashOps {
     } else jaro
   }
 
+  /** Unrestricted Damerau-Levenshtein distance (adjacent transposition
+    * counts 1, and transposed characters may be edited between — the
+    * FULL variant with per-character last-occurrence tracking, not the
+    * cheaper OSA restriction). Matches DuckDB's `damerau_levenshtein`
+    * exactly (all-integer, verified on an 8k random-pair sweep;
+    * 'CA'→'ABC' = 2 where OSA gives 3). Spark has no built-in for
+    * this; `levenshtein` alone over-penalizes swap-typo variants.
+    * O(|a|·|b|) time, O(|a|·|b|) ints — for bounded keys (ER windows),
+    * not whole documents.
+    */
+  def damerauLevenshtein(ua: org.apache.spark.unsafe.types.UTF8String,
+                         ub: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val a = ua.toString
+    val b = ub.toString
+    val la = a.length
+    val lb = b.length
+    if (la == 0) return lb.toLong
+    if (lb == 0) return la.toLong
+    val maxd = la + lb
+    val d = Array.ofDim[Int](la + 2, lb + 2)
+    d(0)(0) = maxd
+    var i = 0
+    while (i <= la) { d(i + 1)(0) = maxd; d(i + 1)(1) = i; i += 1 }
+    var j = 0
+    while (j <= lb) { d(0)(j + 1) = maxd; d(1)(j + 1) = j; j += 1 }
+    val da = new java.util.HashMap[Character, Integer]()
+    i = 1
+    while (i <= la) {
+      var db = 0
+      j = 1
+      while (j <= lb) {
+        val k = Option(da.get(b.charAt(j - 1))).map(_.intValue).getOrElse(0)
+        val l = db
+        var cost = 1
+        if (a.charAt(i - 1) == b.charAt(j - 1)) { cost = 0; db = j }
+        val sub = d(i)(j) + cost
+        val ins = d(i + 1)(j) + 1
+        val del = d(i)(j + 1) + 1
+        val trans = d(k)(l) + (i - k - 1) + 1 + (j - l - 1)
+        d(i + 1)(j + 1) = math.min(math.min(sub, ins), math.min(del, trans))
+        j += 1
+      }
+      da.put(a.charAt(i - 1), i)
+      i += 1
+    }
+    d(la + 1)(lb + 1).toLong
+  }
+
   def sortedIntersectCount(a: ArrayData, b: ArrayData): Long = {
     val na = a.numElements()
     val nb = b.numElements()
@@ -354,6 +402,31 @@ case class JaroWinklerSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `damerau_levenshtein(a, b)` → BIGINT full-DL distance over two
+  * STRING columns — DuckDB-exact (see [[HashOps.damerauLevenshtein]]).
+  */
+case class DamerauLevenshtein(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two STRING inputs, got ${l.catalogString}, ${r.catalogString}")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "damerau_levenshtein"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashOps.damerauLevenshtein(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.HashOps.damerauLevenshtein($a, $b);")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DamerauLevenshtein =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `dot_product(a, b)` → DOUBLE over two ARRAY<DOUBLE> columns. */
 case class ArrayDotProduct(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
@@ -401,4 +474,6 @@ object functions {
     GraftGlue.column(ArrayDotProduct(GraftGlue.expression(a), GraftGlue.expression(b)))
   def jaro_winkler(a: Column, b: Column): Column =
     GraftGlue.column(JaroWinklerSim(GraftGlue.expression(a), GraftGlue.expression(b)))
+  def damerau_levenshtein(a: Column, b: Column): Column =
+    GraftGlue.column(DamerauLevenshtein(GraftGlue.expression(a), GraftGlue.expression(b)))
 }

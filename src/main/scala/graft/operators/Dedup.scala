@@ -1073,7 +1073,28 @@ object Dedup {
     * Scale shape: only (id, 64-char window) pairs cross the exchange;
     * the O(w²) char matching runs once per candidate, not per doc pair.
     */
-  def erJaroWinkler(spark: SparkSession, dir: String): DataFrame = {
+  def erJaroWinkler(spark: SparkSession, dir: String): DataFrame =
+    lshCandidateKeys(spark, dir)
+      .select(col("doc_a"), col("doc_b"),
+        graft.functions.functions.jaro_winkler(col("ka"), col("kb")).as("jw"))
+
+  /** Both character edit metrics over the same LSH candidates — the
+    * readout that tells an ER pipeline whether its variants are
+    * swap-typos: `dl` (the native full Damerau-Levenshtein expression,
+    * DuckDB-exact) undercuts `lev` by one per adjacent transposition,
+    * so `lev - dl` counts them. dl ≤ lev always (every Levenshtein
+    * script is a Damerau script).
+    */
+  def erEditMetrics(spark: SparkSession, dir: String): DataFrame =
+    lshCandidateKeys(spark, dir)
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("ka"), col("kb")).cast("long").as("lev"),
+        graft.functions.functions.damerau_levenshtein(col("ka"), col("kb")).as("dl"))
+
+  /** LSH candidate pairs (md5 band index, the [[minhashPortable]]
+    * family) carrying each side's leading 64-char scoring window.
+    */
+  private def lshCandidateKeys(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingleSets(spark, dir)
     val bands = md5BandTable(sh)
     val cand = bands.as("x")
@@ -1087,8 +1108,6 @@ object Dedup {
     cand
       .join(keys.select(col("doc_id").as("doc_a"), col("k").as("ka")), "doc_a")
       .join(keys.select(col("doc_id").as("doc_b"), col("k").as("kb")), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        graft.functions.functions.jaro_winkler(col("ka"), col("kb")).as("jw"))
   }
 
   /** MinHash estimator calibration scoreboard — grades the minhash

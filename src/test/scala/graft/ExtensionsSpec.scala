@@ -124,6 +124,21 @@ class ExtensionsSpec extends AnyFunSuite with SparkFixture {
     assert(jw("DIXON", "DICKSONX") === jw("DICKSONX", "DIXON"))
   }
 
+  test("damerau_levenshtein is the FULL variant, DuckDB-pinned") {
+    GraftExtensions.register(spark)
+    def dl(a: String, b: String): Long = spark.sql(
+      s"SELECT damerau_levenshtein('$a', '$b')").collect().head.getLong(0)
+    // the OSA discriminator: full DL may edit between transposed chars
+    assert(dl("CA", "ABC") === 2L) // OSA would say 3
+    assert(dl("ab", "ba") === 1L)  // one transposition
+    assert(dl("abcdef", "abcdfe") === 1L)
+    assert(dl("same", "same") === 0L)
+    assert(dl("", "abc") === 3L && dl("abc", "") === 3L)
+    assert(dl("kitten", "sitting") === 3L) // no transpositions → plain lev
+    // symmetric
+    assert(dl("MARTHA", "MARHTA") === dl("MARHTA", "MARTHA"))
+  }
+
   test("mg_candidates UDAF: SQL heavy-hitter candidates cover every frequent token") {
     GraftExtensions.register(spark)
     Sql.registerAll(spark, fixtureDir)

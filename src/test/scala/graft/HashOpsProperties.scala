@@ -111,4 +111,22 @@ object HashOpsProperties extends Properties("HashOps") {
     forAll(shortStr, shortStr) { (a, b) =>
       HashOps.jaroWinkler(u8(a), u8(b)) == HashOps.jaroWinkler(u8(b), u8(a))
     }
+
+  property("damerauLevenshtein: symmetric, <= levenshtein, identity-zero") =
+    forAll(shortStr, shortStr) { (a, b) =>
+      def lev(x: String, y: String): Int = {
+        val d = Array.tabulate(x.length + 1, y.length + 1) { (i, j) =>
+          if (i == 0) j else if (j == 0) i else 0
+        }
+        for (i <- 1 to x.length; j <- 1 to y.length)
+          d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+            d(i - 1)(j - 1) + (if (x(i - 1) == y(j - 1)) 0 else 1))
+        d(x.length)(y.length)
+      }
+      val dl = HashOps.damerauLevenshtein(u8(a), u8(b))
+      dl == HashOps.damerauLevenshtein(u8(b), u8(a)) &&
+        dl <= lev(a, b) &&
+        dl >= math.abs(a.length - b.length) &&
+        (HashOps.damerauLevenshtein(u8(a), u8(a)) == 0L)
+    }
 }
