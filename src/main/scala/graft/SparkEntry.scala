@@ -47,6 +47,7 @@ object SparkEntry {
     "pi_montecarlo"          -> MonteCarloPi.piMontecarlo _,
     "dedup_exact"            -> Dedup.dedupExact _,
     "dedup_components"       -> Dedup.dedupComponents _,
+    "dedup_components_standing" -> Dedup.componentLabels _,
     "dedup_soft_weights"     -> Dedup.dedupSoftWeights _,
     "minhash_error_profile"  -> Dedup.minhashErrorProfile _,
     "source_quality_report"  -> Curation.sourceQualityReport _,
@@ -881,6 +882,13 @@ object SparkEntry {
     // Component label = min doc_id reachable over exact-dup star edges +
     // >=0.8-jaccard pairs, via a recursive reachability CTE.
     "dedup_components" ->
+      s"""WITH RECURSIVE $componentCtes
+         SELECT doc_id, min(label) AS comp, doc_id = min(label) AS keep
+         FROM reach GROUP BY doc_id""",
+    // Standing-index probe returns the SAME relation the one-shot
+    // clustering computes — identical oracle, hash-proving the
+    // materialize/probe round-trip is lossless.
+    "dedup_components_standing" ->
       s"""WITH RECURSIVE $componentCtes
          SELECT doc_id, min(label) AS comp, doc_id = min(label) AS keep
          FROM reach GROUP BY doc_id""",

@@ -107,7 +107,7 @@ object Curation {
     */
   def dupRateBySource(spark: SparkSession, dir: String): DataFrame =
     Tables.documentsSpread(spark, dir).select(col("doc_id"), col("source"))
-      .join(graft.operators.Dedup.dedupComponents(spark, dir)
+      .join(graft.operators.Dedup.componentLabels(spark, dir)
         .select(col("doc_id"), col("keep")), "doc_id")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
@@ -375,7 +375,7 @@ object Curation {
     val g = gopherRules(spark, dir).select(col("doc_id"), col("keep").as("gopher_ok"))
     val r = docRepetition(spark, dir).select(col("doc_id"), col("keep").as("rep_ok"))
     val q = qualityClassifier(spark, dir).select(col("doc_id"), col("keep").as("cls_ok"))
-    val k = graft.operators.Dedup.dedupComponents(spark, dir)
+    val k = graft.operators.Dedup.componentLabels(spark, dir)
       .select(col("doc_id"), col("keep").as("dedup_ok"))
     docs.join(l, "doc_id").join(g, "doc_id")
       .join(r, Seq("doc_id"), "left").join(q, "doc_id").join(k, "doc_id")
@@ -607,7 +607,7 @@ object Curation {
     * odds-ratio expression (any empty cell → NULL, not a blowup).
     */
   def dupQualityAssociation(spark: SparkSession, dir: String): DataFrame = {
-    val dup = graft.operators.Dedup.dedupComponents(spark, dir)
+    val dup = graft.operators.Dedup.componentLabels(spark, dir)
       .select(col("doc_id"), (!col("keep")).as("is_dup"))
     val q = gopherRules(spark, dir).select(col("doc_id"), col("keep").as("q_ok"))
     val cells = dup.join(q, "doc_id")

@@ -383,6 +383,29 @@ object Dedup {
       (col("doc_id") === col("comp")).as("keep"))
   }
 
+  /** Standing component-label index — [[dedupComponents]] run ONCE per
+    * (session, corpus) and materialized as a parquet table bucketed by
+    * `doc_id`, the way a production pipeline treats its clustering: the
+    * propagation runs once per corpus version, and every downstream
+    * consumer (canonical selection, token-savings ROI, curation
+    * funnel, dup-rate dashboards …) PROBES the labels instead of
+    * re-clustering. Same pattern as [[minhashStanding]] /
+    * [[editDistanceStanding]]; naming/pathing scoped per (application,
+    * data dir) via [[Tables.scopedIndex]] so concurrent sessions never
+    * race. Output relation is identical to [[dedupComponents]]
+    * (doc_id, comp, keep) — the registered `dedup_components_standing`
+    * row hash-proves it against the same recursive-CTE oracle.
+    */
+  def componentLabels(spark: SparkSession, dir: String): DataFrame = this.synchronized {
+    val (table, idxPath) = Tables.scopedIndex(spark, "graft_components_index", dir)
+    if (!spark.catalog.tableExists(table)) {
+      dedupComponents(spark, dir)
+        .write.bucketBy(8, "doc_id").sortBy("doc_id")
+        .option("path", idxPath).mode("overwrite").saveAsTable(table)
+    }
+    spark.table(table).select(col("doc_id"), col("comp"), col("keep"))
+  }
+
   /** Soft dedup: instead of hard-dropping near-dup cluster members
     * ([[dedupComponents]]'s `keep`), every document gets a sampling
     * weight 1/cluster_size in micro-units — the reweighting used when
@@ -401,7 +424,7 @@ object Dedup {
     */
   def dedupSoftWeights(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("comp"))
-    dedupComponents(spark, dir)
+    componentLabels(spark, dir)
       .select(col("doc_id"), col("comp"))
       .withColumn("cluster_size", count(lit(1)).over(w))
       .select(col("doc_id"), col("comp"), col("cluster_size"),
@@ -471,7 +494,7 @@ object Dedup {
     * table bounded by the largest cluster size, metadata-scale.
     */
   def dedupClusterStats(spark: SparkSession, dir: String): DataFrame =
-    dedupComponents(spark, dir)
+    componentLabels(spark, dir)
       .groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
       .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
 
@@ -485,7 +508,7 @@ object Dedup {
     * the first exchange of each branch).
     */
   def corpusCurate(spark: SparkSession, dir: String): DataFrame = {
-    val keep = dedupComponents(spark, dir)
+    val keep = componentLabels(spark, dir)
       .filter(col("keep")).select(col("doc_id"))
     // Quality gate, split assignment, and token count are all narrow
     // per-doc projections over the SAME scan — fuse them into one pass
@@ -514,7 +537,7 @@ object Dedup {
     * the join moves (doc_id, keep) pairs, the rollup is |sources| rows.
     */
   def dedupTokenSavings(spark: SparkSession, dir: String): DataFrame = {
-    val keepFlags = dedupComponents(spark, dir).select(col("doc_id"), col("keep"))
+    val keepFlags = componentLabels(spark, dir).select(col("doc_id"), col("keep"))
     val perDoc = Tables.documentsSpread(spark, dir)
       .select(col("doc_id"), col("source"),
         size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
@@ -823,7 +846,7 @@ object Dedup {
     * bounded agg state beats buffering the member list.
     */
   def dedupCanonical(spark: SparkSession, dir: String): DataFrame = {
-    val labels = dedupComponents(spark, dir).select(col("doc_id"), col("comp"))
+    val labels = componentLabels(spark, dir).select(col("doc_id"), col("comp"))
     val stats = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
     labels
       .join(stats, "doc_id")

@@ -199,6 +199,59 @@ class BucketedJoinSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("dedup_components_standing: bucketed label index probes shuffle-free") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Dedup
+
+    def strip(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => strip(a.executedPlan)
+      case q: QueryStageExec        => strip(q.plan)
+      case other => other.withNewChildren(other.children.map(strip))
+    }
+    def indexScans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case s: FileSourceScanExec
+        if s.tableIdentifier.exists(_.table.startsWith("graft_components_index")) => s
+    }
+
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // the materialize/probe round-trip is lossless: identical relation
+      // to the one-shot clustering on the same corpus
+      val idx = Dedup.componentLabels(spark, fixtureDir)
+      assert(idx.collect().map(_.toSeq).toSet ===
+        Dedup.dedupComponents(spark, fixtureDir).collect().map(_.toSeq).toSet)
+
+      // downstream-consumer shape: labels joined back to per-doc
+      // metadata on doc_id — the index side must read pre-bucketed
+      val probe = Tables.documents(spark, fixtureDir)
+        .select(col("doc_id"), col("source"))
+        .join(Dedup.componentLabels(spark, fixtureDir), "doc_id")
+      assert(probe.count() > 0)
+
+      val plan = strip(probe.queryExecution.executedPlan)
+      val probeJoins = plan.collect {
+        case j: SortMergeJoinExec    => j: BaseJoinExec
+        case j: ShuffledHashJoinExec => j: BaseJoinExec
+      }.filter(_.children.exists(c => indexScans(c).nonEmpty))
+      assert(probeJoins.nonEmpty,
+        s"no shuffled doc_id join over the persisted label index found:\n$plan")
+      val idxSide = probeJoins.head.children.filter(c => indexScans(c).nonEmpty)
+      val reShuffles = idxSide.flatMap(_.collect { case e: ShuffleExchangeLike => e })
+      assert(reShuffles.isEmpty,
+        s"index side must read pre-bucketed, got exchanges on it:\n$plan")
+      assert(indexScans(plan).exists(_.bucketedScan),
+        s"index scan should be bucketed:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql(s"DROP TABLE IF EXISTS ${Tables.scopedIndex(spark, "graft_components_index", fixtureDir)._1}")
+    }
+  }
+
   test("mismatched bucket counts fall back to a shuffle on one side only") {
     import org.apache.spark.sql.functions.col
 
