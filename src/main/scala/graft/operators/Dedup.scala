@@ -594,8 +594,10 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("s_a"), col("s_b"))
       .distinct()
-      .withColumn("dist", levenshtein(col("s_a"), col("s_b")).cast("long"))
-      .filter(col("dist") <= k)
+      // banded verify: threshold form early-exits at k+1 (O(k·n) per
+      // pair, -1 when over), so `>= 0` is exactly `distance <= k`
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b"), k).cast("long"))
+      .filter(col("dist") >= 0)
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 
@@ -638,8 +640,8 @@ object Dedup {
     probes.join(index, Seq("la", "i", "seg"))
       .select(col("doc_id"), col("dup_of"), col("s_a"), col("s_b"))
       .distinct()
-      .withColumn("dist", levenshtein(col("s_b"), col("s_a")).cast("long"))
-      .filter(col("dist") <= k)
+      .withColumn("dist", levenshtein(col("s_b"), col("s_a"), k).cast("long"))
+      .filter(col("dist") >= 0)
       .select(col("doc_id"), col("dup_of"), col("dist"))
   }
 
@@ -678,8 +680,8 @@ object Dedup {
     spark.table(table).join(probes, "seg_key")
       .select(col("doc_id"), col("dup_of"), col("s_a"), col("s_b"))
       .distinct()
-      .withColumn("dist", levenshtein(col("s_b"), col("s_a")).cast("long"))
-      .filter(col("dist") <= k)
+      .withColumn("dist", levenshtein(col("s_b"), col("s_a"), k).cast("long"))
+      .filter(col("dist") >= 0)
       .select(col("doc_id"), col("dup_of"), col("dist"))
   }
 

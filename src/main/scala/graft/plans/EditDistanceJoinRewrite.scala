@@ -2,6 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{Column, GraftGlue, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.Max
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -26,9 +27,13 @@ import org.apache.spark.sql.functions._
   * `levenshtein(l, r) <= k` (or `<`, or the flipped `>=`/`>` forms)
   * with 0 ≤ k ≤ 6 and one side's expression per input; remaining
   * conjuncts (`a.id < b.id`, predicates the optimizer pushed into the
-  * join, ...) are re-applied as a filter above the blocked join.
-  * Anything else — the 3-arg thresholded levenshtein, outer joins,
-  * map-typed columns, or a join that ALREADY has an equi conjunct
+  * join, ...) are re-applied as a filter directly on the candidate
+  * join, below the pair dedup (they are deterministic functions of
+  * the dedup's grouping keys, so the placement is equivalence-
+  * preserving and prunes the heavy stages early). Anything else — the
+  * 3-arg thresholded levenshtein, outer joins, streaming inputs, a
+  * nondeterministic conjunct, map- or float-typed output columns
+  * (see [[groupable]]), or a join that ALREADY has an equi conjunct
   * (hash-joinable as-is; also how the library's own PassJoin plans,
   * whose verify filter rides their segment equi-joins, stay
   * untouched) — keeps Spark's own plan. Re-trigger safety: the
@@ -76,10 +81,14 @@ object EditDistanceJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       case _                   => false
     }
     if (hasEqui) return None
+    // every conjunct must be deterministic: the rewrite changes row
+    // multiplicity mid-plan (segment fanout then dedup), so a
+    // nondeterministic conjunct could evaluate on different rows than
+    // the original join would have
+    if (!conjuncts.forall(_.deterministic)) return None
     conjuncts.zipWithIndex.collectFirst(Function.unlift { case (c, idx) =>
       bound(c) match {
-        case Some((Levenshtein(a, b, None), k))
-            if k >= 0 && k <= 6 && a.deterministic && b.deterministic =>
+        case Some((Levenshtein(a, b, None), k)) if k >= 0 && k <= 6 =>
           val rest = conjuncts.patch(idx, Nil, 1)
           if (a.references.subsetOf(left.outputSet) &&
               b.references.subsetOf(right.outputSet))
@@ -95,7 +104,8 @@ object EditDistanceJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   override def apply(plan0: LogicalPlan): LogicalPlan = plan0.transform {
     case j @ Join(left, right, Inner, Some(cond), _)
-        if groupable(left) && groupable(right) &&
+        if !left.isStreaming && !right.isStreaming &&
+          groupable(left) && groupable(right) &&
           !left.output.exists(_.name.startsWith(Tag)) &&
           !right.output.exists(_.name.startsWith(Tag)) =>
       plan(left, right, splitConjunctivePredicates(cond)) match {
@@ -104,18 +114,15 @@ object EditDistanceJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       }
   }
 
-  /** The dedup stages group by the carried row columns, so every output
-    * type must be groupable — a map-typed column keeps Spark's own plan.
+  /** The dedup stages carry every row column through a max() aggregate
+    * (see [[rewrite]]), so every output type must be ORDERABLE — a map-
+    * typed (or other unorderable) column keeps Spark's own plan. Note
+    * float/double columns are fine: they ride as aggregate INPUTS, not
+    * grouping keys, so NormalizeFloatingNumbers never touches them and
+    * the rewrite stays bit-exact on -0.0.
     */
-  private def groupable(plan: LogicalPlan): Boolean = {
-    def mapFree(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
-      case _: org.apache.spark.sql.types.MapType => false
-      case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => mapFree(f.dataType))
-      case a: org.apache.spark.sql.types.ArrayType => mapFree(a.elementType)
-      case _ => true
-    }
-    plan.output.forall(a => mapFree(a.dataType))
-  }
+  private def groupable(plan: LogicalPlan): Boolean =
+    plan.output.forall(a => RowOrdering.isOrderable(a.dataType))
 
   private def rewrite(left: LogicalPlan, right: LogicalPlan,
                       ls: Expression, rs: Expression, k: Int,
@@ -161,29 +168,66 @@ object EditDistanceJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       .withColumn("__graft_edj_seg",
         col("__graft_edj_sr").substr(col("__graft_edj_pos") + 1, col("__graft_edj_len")))
 
-    // dedup via explicit groupBy (a Deduplicate node emitted this late
-    // in optimization would never be lowered to an aggregate); grouping
-    // keys keep their expression ids, so the final attribute-based
-    // select still resolves. Duplicate candidates differ only in the
-    // segment-machinery columns, which are excluded from the keys.
-    val probeKeys = (Seq("__graft_edj_idr", "__graft_edj_la", "__graft_edj_i",
-      "__graft_edj_seg", "__graft_edj_sr", "__graft_edj_lr").map(col) ++
-      right.output.map(a => GraftGlue.column(a)))
-    val probesDeduped = probes.groupBy(probeKeys: _*)
-      .agg(max(lit(1)).as("__graft_edj_tag")).drop("__graft_edj_tag")
+    // dedup via explicit Aggregate nodes (a Deduplicate node emitted
+    // this late in optimization would never be lowered); grouping keys
+    // are ONLY the narrow dedup identity — row ids and segment/window
+    // keys — while every carried row column rides as a max() aggregate
+    // aliased back to its ORIGINAL exprId. Duplicates of a group are
+    // bitwise-identical in every payload column (they differ only in
+    // the segment machinery), so max() is value-deterministic, and —
+    // unlike routing payload through grouping keys — it is never
+    // float-normalized (NormalizeFloatingNumbers rewrites grouping
+    // keys, not join keys, not aggregate inputs), so the rewritten join
+    // emits bit-identical DOUBLE/FLOAT values to the naive join it
+    // replaces. The tail (dedup → verify → output restore) is built as
+    // raw Catalyst nodes and NOT re-analyzed: a fresh analyzer pass
+    // regenerates same-id aliases, which would orphan the parent
+    // plan's references to the join's output. Attributes are located
+    // by exprId with a loud failure if an analysis step dropped them.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Project}
+    def outAttr(p: LogicalPlan, a: Attribute): Attribute =
+      p.output.find(_.exprId == a.exprId).getOrElse(
+        throw new IllegalStateException(s"carried column ${a.name}#${a.exprId.id} lost"))
+    def nameAttr(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalStateException(s"working column $n lost"))
+    def dedupOn(p: LogicalPlan, keys: Seq[Attribute],
+                payload: Seq[Attribute]): LogicalPlan =
+      Aggregate(keys, keys ++ payload.map { a =>
+        Alias(Max(a).toAggregateExpression(), a.name)(
+          exprId = a.exprId, qualifier = a.qualifier)
+      }, p)
+
+    val probesPlan = GraftGlue.analyzed(probes)
+    val probesDeduped = dedupOn(probesPlan,
+      Seq("__graft_edj_idr", "__graft_edj_la", "__graft_edj_i", "__graft_edj_seg")
+        .map(nameAttr(probesPlan, _)),
+      Seq(nameAttr(probesPlan, "__graft_edj_sr"), nameAttr(probesPlan, "__graft_edj_lr")) ++
+        right.output.map(outAttr(probesPlan, _)))
 
     val joined = segs
-      .join(probesDeduped, Seq("__graft_edj_la", "__graft_edj_i", "__graft_edj_seg"))
-    val pairKeys = (Seq("__graft_edj_idl", "__graft_edj_idr",
-      "__graft_edj_sl", "__graft_edj_sr").map(col) ++
-      (left.output ++ right.output).map(a => GraftGlue.column(a)))
-    val verified = joined.groupBy(pairKeys: _*)
-      .agg(max(lit(1)).as("__graft_edj_tag")).drop("__graft_edj_tag")
-      .filter(levenshtein(col("__graft_edj_sl"), col("__graft_edj_sr")) <= k)
-    // remaining original conjuncts (their attributes are all still in
-    // scope here), then restore the join's exact output
-    val restored = rest.foldLeft(verified)((df, c) => df.filter(GraftGlue.column(c)))
-      .select((left.output ++ right.output).map(a => GraftGlue.column(a)): _*)
-    GraftGlue.analyzed(restored)
+      .join(GraftGlue.ofRows(spark, probesDeduped),
+        Seq("__graft_edj_la", "__graft_edj_i", "__graft_edj_seg"))
+    val joinedPlan = GraftGlue.analyzed(joined)
+    // remaining original conjuncts run BELOW the pair dedup: they are
+    // deterministic functions of columns the dedup preserves, so
+    // filter-then-dedup ≡ dedup-then-filter — and for the canonical
+    // self-join shape (`... AND a.id < b.id`) the early filter halves
+    // the pair-dedup input and the exact levenshtein verifies only the
+    // kept orientation
+    val withRest =
+      if (rest.isEmpty) joinedPlan else Filter(rest.reduce(And), joinedPlan)
+    val slA = nameAttr(joinedPlan, "__graft_edj_sl")
+    val srA = nameAttr(joinedPlan, "__graft_edj_sr")
+    val deduped = dedupOn(withRest,
+      Seq(nameAttr(joinedPlan, "__graft_edj_idl"), nameAttr(joinedPlan, "__graft_edj_idr")),
+      Seq(slA, srA) ++ (left.output ++ right.output).map(outAttr(joinedPlan, _)))
+    // banded verify: the 3-arg thresholded levenshtein early-exits at
+    // k+1 (O(k·n) per pair instead of O(n·m)); result is the distance
+    // when ≤ k, -1 otherwise, so `>= 0` is exactly `distance <= k`
+    val verified = Filter(
+      GreaterThanOrEqual(Levenshtein(slA, srA, Some(Literal(k))), Literal(0)),
+      deduped)
+    Project(left.output ++ right.output, verified)
   }
 }
