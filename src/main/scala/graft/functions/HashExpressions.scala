@@ -119,13 +119,14 @@ object HashOps {
     * `(m/la + m/lb + (m-t)/m) / 3.0` then `jaro + p*0.1*(1.0-jaro)` —
     * verified bit-identical to DuckDB's `jaro_winkler_similarity` on a
     * 20k random-pair sweep, so DOUBLE outputs hash-compare exactly.
-    * Matching runs over UTF-16 code units (== code points for BMP
-    * text; the corpus is ASCII).
+    * Matching runs over Unicode CODE POINTS (same unit Spark's
+    * `levenshtein` counts), so surrogate pairs are one character — a
+    * non-BMP transposition is scored as one swap, not two.
     */
   def jaroWinkler(ua: org.apache.spark.unsafe.types.UTF8String,
                   ub: org.apache.spark.unsafe.types.UTF8String): Double = {
-    val a = ua.toString
-    val b = ub.toString
+    val a = ua.toString.codePoints().toArray
+    val b = ub.toString.codePoints().toArray
     val la = a.length
     val lb = b.length
     if (la == 0 || lb == 0) return 0.0
@@ -140,7 +141,7 @@ object HashOps {
       var j = lo
       var done = false
       while (j < hi && !done) {
-        if (!bm(j) && b.charAt(j) == a.charAt(i)) {
+        if (!bm(j) && b(j) == a(i)) {
           bm(j) = true; am(i) = true; m += 1; done = true
         }
         j += 1
@@ -155,7 +156,7 @@ object HashOps {
     while (ia < la) {
       if (am(ia)) {
         while (!bm(ib)) ib += 1
-        if (a.charAt(ia) != b.charAt(ib)) mism += 1
+        if (a(ia) != b(ib)) mism += 1
         ib += 1
       }
       ia += 1
@@ -165,7 +166,7 @@ object HashOps {
     if (jaro > 0.7) {
       var p = 0
       val cap = math.min(4, math.min(la, lb))
-      while (p < cap && a.charAt(p) == b.charAt(p)) p += 1
+      while (p < cap && a(p) == b(p)) p += 1
       jaro + p * 0.1 * (1.0 - jaro)
     } else jaro
   }
@@ -178,12 +179,15 @@ object HashOps {
     * 'CA'→'ABC' = 2 where OSA gives 3). Spark has no built-in for
     * this; `levenshtein` alone over-penalizes swap-typo variants.
     * O(|a|·|b|) time, O(|a|·|b|) ints — for bounded keys (ER windows),
-    * not whole documents.
+    * not whole documents. Runs over Unicode CODE POINTS, the unit
+    * Spark's `levenshtein` counts — keeps the documented `dl <= lev`
+    * invariant on non-BMP text, where code-unit iteration could make
+    * a one-swap surrogate pair cost 2.
     */
   def damerauLevenshtein(ua: org.apache.spark.unsafe.types.UTF8String,
                          ub: org.apache.spark.unsafe.types.UTF8String): Long = {
-    val a = ua.toString
-    val b = ub.toString
+    val a = ua.toString.codePoints().toArray
+    val b = ub.toString.codePoints().toArray
     val la = a.length
     val lb = b.length
     if (la == 0) return lb.toLong
@@ -195,16 +199,16 @@ object HashOps {
     while (i <= la) { d(i + 1)(0) = maxd; d(i + 1)(1) = i; i += 1 }
     var j = 0
     while (j <= lb) { d(0)(j + 1) = maxd; d(1)(j + 1) = j; j += 1 }
-    val da = new java.util.HashMap[Character, Integer]()
+    val da = new java.util.HashMap[Integer, Integer]()
     i = 1
     while (i <= la) {
       var db = 0
       j = 1
       while (j <= lb) {
-        val k = Option(da.get(b.charAt(j - 1))).map(_.intValue).getOrElse(0)
+        val k = Option(da.get(Integer.valueOf(b(j - 1)))).map(_.intValue).getOrElse(0)
         val l = db
         var cost = 1
-        if (a.charAt(i - 1) == b.charAt(j - 1)) { cost = 0; db = j }
+        if (a(i - 1) == b(j - 1)) { cost = 0; db = j }
         val sub = d(i)(j) + cost
         val ins = d(i + 1)(j) + 1
         val del = d(i)(j + 1) + 1
@@ -212,7 +216,7 @@ object HashOps {
         d(i + 1)(j + 1) = math.min(math.min(sub, ins), math.min(del, trans))
         j += 1
       }
-      da.put(a.charAt(i - 1), i)
+      da.put(Integer.valueOf(a(i - 1)), i)
       i += 1
     }
     d(la + 1)(lb + 1).toLong

@@ -129,4 +129,24 @@ object HashOpsProperties extends Properties("HashOps") {
         dl >= math.abs(a.length - b.length) &&
         (HashOps.damerauLevenshtein(u8(a), u8(a)) == 0L)
     }
+
+  // Both metrics iterate Unicode code points, not UTF-16 code units:
+  // replacing each non-BMP character with a distinct BMP one (a code
+  // point bijection) must leave the scores untouched — under code-unit
+  // iteration a surrogate-pair swap would cost 2 and break dl <= lev.
+  private val emojiStr: Gen[String] =
+    Gen.chooseNum(0, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("😀", "🎉", "🚀", "a")))
+      .map(_.mkString)
+  private def toBmp(s: String): String =
+    s.replace("😀", "q").replace("🎉", "z")
+      .replace("🚀", "w")
+
+  property("jaroWinkler and damerauLevenshtein score code points, not code units") =
+    forAll(emojiStr, emojiStr) { (a, b) =>
+      HashOps.jaroWinkler(u8(a), u8(b)) ==
+        HashOps.jaroWinkler(u8(toBmp(a)), u8(toBmp(b))) &&
+      HashOps.damerauLevenshtein(u8(a), u8(b)) ==
+        HashOps.damerauLevenshtein(u8(toBmp(a)), u8(toBmp(b)))
+    }
 }
