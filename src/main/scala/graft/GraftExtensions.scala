@@ -27,6 +27,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     ext.injectOptimizerRule(_ => graft.plans.TokenRewrite)
     ext.injectOptimizerRule(_ => graft.plans.EditDistanceJoinRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.JaroWinklerThresholdRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.SimJoinParallelize)
   }
 }
 
@@ -105,7 +107,9 @@ object GraftExtensions {
       org.apache.spark.sql.functions.udaf(
         new graft.functions.MisraGries(64),
         org.apache.spark.sql.Encoders.STRING))
-    Seq(graft.plans.TokenRewrite, graft.plans.EditDistanceJoinRewrite).foreach { r =>
+    Seq(graft.plans.TokenRewrite, graft.plans.EditDistanceJoinRewrite,
+        graft.plans.JaroWinklerThresholdRewrite,
+        graft.plans.SimJoinParallelize).foreach { r =>
       if (!spark.experimental.extraOptimizations.contains(r))
         spark.experimental.extraOptimizations =
           spark.experimental.extraOptimizations :+ r

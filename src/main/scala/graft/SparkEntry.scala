@@ -87,6 +87,22 @@ object SparkEntry {
              AND length(substring(a.text, 101, 48)) > 2
              AND length(substring(b.text, 101, 48)) > 2""")
     }),
+    // the naive JW-threshold SQL a user actually writes; the
+    // JaroWinklerJoinRewrite optimizer rule turns the nested-loop trap
+    // into prefix-filter blocking + exact verify (ExtensionsSpec pins
+    // the plan shape; this row hash-proves the rewrite against DuckDB's
+    // brute force, DOUBLE scores compared raw)
+    "er_jaro_winkler_sql" -> ((s: SparkSession, d: String) => {
+      graft.Sql.registerAll(s, d)
+      s.sql(
+        """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  jaro_winkler(substring(a.text, 1, 64),
+                               substring(b.text, 1, 64)) AS jw
+           FROM documents a JOIN documents b
+             ON jaro_winkler(substring(a.text, 1, 64),
+                             substring(b.text, 1, 64)) >= 0.94
+           WHERE a.doc_id < b.doc_id""")
+    }),
     "dedup_minhash"          -> Dedup.minhashLsh _,
     "dedup_minhash_portable" -> Dedup.minhashPortable _,
     // the xxh64 simhash fast path (Dedup.simhash) is library API but
@@ -1170,6 +1186,16 @@ object SparkEntry {
                 CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
          FROM s a JOIN s b ON a.doc_id < b.doc_id
          WHERE levenshtein(a.s, b.s) <= 2""",
+    // brute-force truth for the JaroWinklerJoinRewrite path; the
+    // kernel's float evaluation order is pinned bit-identical to
+    // DuckDB's jaro_winkler_similarity, so the DOUBLE score column
+    // hash-compares raw
+    "er_jaro_winkler_sql" ->
+      """WITH s AS (SELECT doc_id, substr(text, 1, 64) AS s FROM documents)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                jaro_winkler_similarity(a.s, b.s) AS jw
+         FROM s a JOIN s b ON a.doc_id < b.doc_id
+         WHERE jaro_winkler_similarity(a.s, b.s) >= 0.94""",
     "dedup_ngram_jaccard" ->
       """WITH tk AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS ts
                      FROM documents),

@@ -112,6 +112,22 @@ object HashOps {
   }
 
   /** |A ∩ B| of two ascending-sorted long arrays by linear merge. */
+  /** Code points of a UTF8String. ASCII fast path: when every char is
+    * one byte (numBytes == numChars) the bytes ARE the code points —
+    * no String materialization, no IntStream boxing; the similarity
+    * kernels below run per candidate PAIR, so this is their hot
+    * allocation.
+    */
+  private def codePoints(u: org.apache.spark.unsafe.types.UTF8String): Array[Int] = {
+    val nb = u.numBytes()
+    if (u.numChars() == nb) {
+      val out = new Array[Int](nb)
+      var i = 0
+      while (i < nb) { out(i) = u.getByte(i) & 0xff; i += 1 }
+      out
+    } else u.toString.codePoints().toArray
+  }
+
   /** Jaro-Winkler similarity — classic Winkler variant: boost applied
     * only when jaro > 0.7, prefix capped at 4, scale 0.1; either input
     * empty → 0.0 (the DuckDB/rapidfuzz convention, NOT 1.0). The
@@ -125,8 +141,8 @@ object HashOps {
     */
   def jaroWinkler(ua: org.apache.spark.unsafe.types.UTF8String,
                   ub: org.apache.spark.unsafe.types.UTF8String): Double = {
-    val a = ua.toString.codePoints().toArray
-    val b = ub.toString.codePoints().toArray
+    val a = codePoints(ua)
+    val b = codePoints(ub)
     val la = a.length
     val lb = b.length
     if (la == 0 || lb == 0) return 0.0
@@ -171,6 +187,88 @@ object HashOps {
     } else jaro
   }
 
+  /** Thresholded `jaro_winkler(a, b) >= t` (or `> t`) as one boolean
+    * kernel — the form a similarity predicate actually runs in a
+    * filter or join condition. Two sound short-circuits before the
+    * O(|a|·window) matching phase:
+    *
+    *  1. O(1) length feasibility (no decode): m ≤ min(la, lb), so
+    *     jaro ≤ (lmin/la + lmin/lb + 1)/3, and the Winkler boost adds
+    *     at most 0.4·(1 − jaro) — if even that ceiling misses t, the
+    *     pair is rejected on the two cached length fields alone.
+    *  2. Matching-phase abort: jw ≤ 0.6·jaro + 0.4 universally, so
+    *     jw ≥ t needs jaro ≥ (t - 0.4)/0.6, which needs matches
+    *     m ≥ (3·jaro_need - 1)·la·lb/(la + lb); once the unscanned
+    *     remainder of `a` cannot reach that, the loop exits.
+    *
+    * Both cuts carry a 1e-9 slack so floating error can only WIDEN
+    * them; every pair that survives is scored by arithmetic identical
+    * to [[jaroWinkler]] (same operations, same order), so the decision
+    * is bit-for-bit the one `jaro_winkler(a, b) >= t` would make.
+    * Pinned against the unthresholded kernel by a ScalaCheck property.
+    */
+  def jaroWinklerGte(ua: org.apache.spark.unsafe.types.UTF8String,
+                     ub: org.apache.spark.unsafe.types.UTF8String,
+                     threshold: Double, strict: Boolean): Boolean = {
+    def pass(s: Double): Boolean = if (strict) s > threshold else s >= threshold
+    val la0 = ua.numChars()
+    val lb0 = ub.numChars()
+    if (la0 == 0 || lb0 == 0) return pass(0.0)
+    val lmin = math.min(la0, lb0).toDouble
+    val jaroMax = (lmin / la0 + lmin / lb0 + 1.0) / 3.0
+    val jwMax = if (jaroMax > 0.7) jaroMax + 0.4 * (1.0 - jaroMax) else jaroMax
+    if (jwMax < threshold - 1e-9) return false
+    // matching phase: jaroWinkler's loop plus the m-infeasibility abort
+    val a = codePoints(ua)
+    val b = codePoints(ub)
+    val la = a.length
+    val lb = b.length
+    val jaroNeed = (threshold - 0.4) / 0.6
+    val mNeed = math.ceil(
+      (3.0 * jaroNeed - 1.0) * la * lb / (la + lb) - 1e-9).toInt
+    val window = math.max(math.max(la, lb) / 2 - 1, 0)
+    val am = new Array[Boolean](la)
+    val bm = new Array[Boolean](lb)
+    var m = 0
+    var i = 0
+    while (i < la) {
+      if (m + (la - i) < mNeed) return false // even all-remaining-match misses
+      val lo = math.max(0, i - window)
+      val hi = math.min(lb, i + window + 1)
+      var j = lo
+      var done = false
+      while (j < hi && !done) {
+        if (!bm(j) && b(j) == a(i)) {
+          bm(j) = true; am(i) = true; m += 1; done = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return pass(0.0)
+    var mism = 0
+    var ia = 0
+    var ib = 0
+    while (ia < la) {
+      if (am(ia)) {
+        while (!bm(ib)) ib += 1
+        if (a(ia) != b(ib)) mism += 1
+        ib += 1
+      }
+      ia += 1
+    }
+    val t = mism / 2
+    val jaro = (m.toDouble / la + m.toDouble / lb + (m - t).toDouble / m) / 3.0
+    val s =
+      if (jaro > 0.7) {
+        var p = 0
+        val cap = math.min(4, math.min(la, lb))
+        while (p < cap && a(p) == b(p)) p += 1
+        jaro + p * 0.1 * (1.0 - jaro)
+      } else jaro
+    pass(s)
+  }
+
   /** Unrestricted Damerau-Levenshtein distance (adjacent transposition
     * counts 1, and transposed characters may be edited between — the
     * FULL variant with per-character last-occurrence tracking, not the
@@ -186,8 +284,8 @@ object HashOps {
     */
   def damerauLevenshtein(ua: org.apache.spark.unsafe.types.UTF8String,
                          ub: org.apache.spark.unsafe.types.UTF8String): Long = {
-    val a = ua.toString.codePoints().toArray
-    val b = ub.toString.codePoints().toArray
+    val a = codePoints(ua)
+    val b = codePoints(ub)
     val la = a.length
     val lb = b.length
     if (la == 0) return lb.toLong
@@ -403,6 +501,37 @@ case class JaroWinklerSim(left: Expression, right: Expression)
       s"${ev.value} = graft.functions.HashOps.jaroWinkler($a, $b);")
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): JaroWinklerSim =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `jaro_winkler(a, b) >= t` (or `> t`) fused into one boolean kernel
+  * with sound early rejection — planted by
+  * [[graft.plans.JaroWinklerThresholdRewrite]], decision bit-identical
+  * to comparing [[JaroWinklerSim]]'s score
+  * (see [[HashOps.jaroWinklerGte]]).
+  */
+case class JaroWinklerGte(left: Expression, right: Expression,
+                          threshold: Double, strict: Boolean)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two STRING inputs, got ${l.catalogString}, ${r.catalogString}")
+    }
+  override def dataType: DataType = BooleanType
+  override def prettyName: String =
+    if (strict) "jaro_winkler_gt" else "jaro_winkler_gte"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashOps.jaroWinklerGte(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      threshold, strict)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.HashOps.jaroWinklerGte($a, $b, ${threshold}D, $strict);")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaroWinklerGte =
     copy(left = newLeft, right = newRight)
 }
 

@@ -115,14 +115,15 @@ object EditDistanceJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   /** The dedup stages carry every row column through a max() aggregate
-    * (see [[rewrite]]), so every output type must be ORDERABLE — a map-
-    * typed (or other unorderable) column keeps Spark's own plan. Note
-    * float/double columns are fine: they ride as aggregate INPUTS, not
-    * grouping keys, so NormalizeFloatingNumbers never touches them and
-    * the rewrite stays bit-exact on -0.0.
+    * (see [[SimJoinSupport.dedupOn]]), so every output type must be
+    * ORDERABLE — a map-typed (or other unorderable) column keeps
+    * Spark's own plan. Note float/double columns are fine: they ride
+    * as aggregate INPUTS, not grouping keys, so
+    * NormalizeFloatingNumbers never touches them and the rewrite stays
+    * bit-exact on -0.0.
     */
   private def groupable(plan: LogicalPlan): Boolean =
-    plan.output.forall(a => RowOrdering.isOrderable(a.dataType))
+    SimJoinSupport.orderableOutput(plan)
 
   private def rewrite(left: LogicalPlan, right: LogicalPlan,
                       ls: Expression, rs: Expression, k: Int,
@@ -171,32 +172,12 @@ object EditDistanceJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     // dedup via explicit Aggregate nodes (a Deduplicate node emitted
     // this late in optimization would never be lowered); grouping keys
     // are ONLY the narrow dedup identity — row ids and segment/window
-    // keys — while every carried row column rides as a max() aggregate
-    // aliased back to its ORIGINAL exprId. Duplicates of a group are
-    // bitwise-identical in every payload column (they differ only in
-    // the segment machinery), so max() is value-deterministic, and —
-    // unlike routing payload through grouping keys — it is never
-    // float-normalized (NormalizeFloatingNumbers rewrites grouping
-    // keys, not join keys, not aggregate inputs), so the rewritten join
-    // emits bit-identical DOUBLE/FLOAT values to the naive join it
-    // replaces. The tail (dedup → verify → output restore) is built as
-    // raw Catalyst nodes and NOT re-analyzed: a fresh analyzer pass
-    // regenerates same-id aliases, which would orphan the parent
-    // plan's references to the join's output. Attributes are located
-    // by exprId with a loud failure if an analysis step dropped them.
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Project}
-    def outAttr(p: LogicalPlan, a: Attribute): Attribute =
-      p.output.find(_.exprId == a.exprId).getOrElse(
-        throw new IllegalStateException(s"carried column ${a.name}#${a.exprId.id} lost"))
-    def nameAttr(p: LogicalPlan, n: String): Attribute =
-      p.output.find(_.name == n).getOrElse(
-        throw new IllegalStateException(s"working column $n lost"))
-    def dedupOn(p: LogicalPlan, keys: Seq[Attribute],
-                payload: Seq[Attribute]): LogicalPlan =
-      Aggregate(keys, keys ++ payload.map { a =>
-        Alias(Max(a).toAggregateExpression(), a.name)(
-          exprId = a.exprId, qualifier = a.qualifier)
-      }, p)
+    // keys — duplicates differ only in the segment machinery, so the
+    // exprId-pinned max() payload carry is value-deterministic and
+    // float-bit-exact; see [[SimJoinSupport]] for why the tail is raw
+    // un-reanalyzed Catalyst.
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project}
+    import SimJoinSupport.{dedupOn, nameAttr, outAttr}
 
     val probesPlan = GraftGlue.analyzed(probes)
     val probesDeduped = dedupOn(probesPlan,

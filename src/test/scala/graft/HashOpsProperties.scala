@@ -142,6 +142,19 @@ object HashOpsProperties extends Properties("HashOps") {
     s.replace("😀", "q").replace("🎉", "z")
       .replace("🚀", "w")
 
+  // the thresholded kernel's early rejections must never change the
+  // decision the exact score comparison makes — sweep random strings
+  // against thresholds dense around the score range (incl. >1 and <0)
+  property("jaroWinklerGte decides exactly like jaroWinkler-then-compare") =
+    forAll(shortStr, shortStr, Gen.chooseNum(-0.05, 1.05)) { (a, b, t) =>
+      val s = HashOps.jaroWinkler(u8(a), u8(b))
+      HashOps.jaroWinklerGte(u8(a), u8(b), t, strict = false) == (s >= t) &&
+        HashOps.jaroWinklerGte(u8(a), u8(b), t, strict = true) == (s > t) &&
+        // the exact score used as threshold hits both boundary branches
+        HashOps.jaroWinklerGte(u8(a), u8(b), s, strict = false) &&
+        !HashOps.jaroWinklerGte(u8(a), u8(b), s, strict = true)
+    }
+
   property("jaroWinkler and damerauLevenshtein score code points, not code units") =
     forAll(emojiStr, emojiStr) { (a, b) =>
       HashOps.jaroWinkler(u8(a), u8(b)) ==

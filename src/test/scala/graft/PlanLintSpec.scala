@@ -29,6 +29,7 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
     "taskG_inactive" -> "1-row global-max scalar kept in-plan as a broadcast crossJoin",
     "taskH_above_avg" -> "1-row global-average scalar kept in-plan as a broadcast crossJoin",
     "similarity_topk" -> "10-query broadcast side x streamed candidates (O(kN), k-bounded)",
+    "er_jaro_winkler_sql" -> "the jw-only theta join IS a nested loop by design: no sound blocking discriminates natural text (measured 285M candidates / 12.5M pairs — see JaroWinklerThresholdRewrite's scaladoc), so the plan is the fused jaro_winkler_gte kernel over a SimJoinParallelize-repartitioned streamed side",
     "dedup_incremental" -> "1-row batch-cutoff scalar kept in-plan as a broadcast crossJoin",
     "dedup_bloom_prefilter" -> "1-row batch-cutoff scalar kept in-plan as a broadcast crossJoin (the bloom blob itself is a literal)",
     "weighted_sample" -> "1-row corpus-total scalar kept in-plan as a broadcast crossJoin",
