@@ -4174,16 +4174,25 @@ object SparkEntry {
     // perceptual near-dup: 64-pixel average-hash (code-unit STUB
     // decode) replayed pixel-for-pixel; chunk banding + bit_count(xor)
     // verify, lossless at hamming <= 3 by pigeonhole over 4 chunks
+    // replays the text→PPM render + real-decode aHash arithmetically:
+    // the Spark side round-trips pixel bytes through an actual P6
+    // encode/parse, the oracle computes the equal end-to-end function
+    // (render formula → BT.601 luma → 8×8 block means). The raster is
+    // a FIXED 384 pixels, so every doc yields all 64 block rows and
+    // all 4 chunk rows — no NULL-chunk corner for short texts.
     "multimodal_phash" ->
       """WITH b AS (SELECT doc_id, text, len(text) AS n
                     FROM documents WHERE len(text) >= 1),
-              pos AS (SELECT doc_id, n, text, unnest(range(0, n)) AS p FROM b),
-              cu AS (SELECT doc_id, p, n,
-                            ord(substr(text, CAST(p AS INT) + 1, 1)) AS code
-                     FROM pos),
-              px AS (SELECT doc_id, (p * 64) // n AS i,
-                            CAST(sum(code) // count(*) AS BIGINT) AS v
-                     FROM cu GROUP BY doc_id, (p * 64) // n),
+              pix AS (SELECT doc_id, n, text, unnest(range(0, 384)) AS i FROM b),
+              lum AS (SELECT doc_id, i,
+                       (299 * (ord(substr(text, CAST(i % n AS INT) + 1, 1)) % 128)
+                      + 587 * (ord(substr(text, CAST((7 * i) % n AS INT) + 1, 1)) % 128)
+                      + 114 * ((11 * i) % 256)) // 1000 AS v
+                      FROM pix),
+              px AS (SELECT doc_id,
+                            ((i // 24) * 8 // 16) * 8 + ((i % 24) * 8 // 24) AS i,
+                            CAST(sum(v) // count(*) AS BIGINT) AS v
+                     FROM lum GROUP BY 1, 2),
               mn AS (SELECT doc_id, CAST(sum(v) // 64 AS BIGINT) AS mean
                      FROM px GROUP BY doc_id),
               bits AS (SELECT doc_id, i,

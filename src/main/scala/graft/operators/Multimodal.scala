@@ -138,55 +138,101 @@ object Multimodal {
 
   final case class PHash(doc_id: Long, c0: Long, c1: Long, c2: Long, c3: Long)
 
+  /** The corpus-to-image bridge: render each document's text into a
+    * fixed 24×16 RGB raster and encode it as a REAL PPM (P6) blob.
+    * Pixel i ∈ [0, 384): `r = code(text[i mod n]) & 0x7f`,
+    * `g = code(text[(7·i) mod n]) & 0x7f`, `b = (11·i) mod 256` — a
+    * deterministic render the DuckDB oracle replays arithmetically,
+    * while the Spark side round-trips the bytes through
+    * [[Ppm.encodeP6]]/[[Ppm.decodeP6]], so the decode under test is a
+    * genuine format parse, not a stub.
+    */
+  def textPpm(s: String, w: Int = 24, h: Int = 16): Array[Byte] = {
+    val n = s.length
+    val rgb = new Array[Byte](w * h * 3)
+    var i = 0
+    while (i < w * h) {
+      rgb(3 * i) = (s.charAt(i % n) & 0x7f).toByte
+      rgb(3 * i + 1) = (s.charAt((7 * i) % n) & 0x7f).toByte
+      rgb(3 * i + 2) = ((11 * i) % 256).toByte
+      i += 1
+    }
+    Ppm.encodeP6(w, h, rgb)
+  }
+
   /** Perceptual near-dup pairs — the aHash complement to the byte-exact
-    * [[multimodalDedup]]: re-encodes, crops, or metadata edits change
-    * every byte (and the sha digest) while the perceptual signature
-    * barely moves. STUB decode: the "image" is the payload's code-unit
-    * sequence downscaled to 64 "pixels" — pixel i = truncated mean of
-    * the code units whose position p maps to block ⌊p·64/n⌋ = i (block
-    * MEANS, the real aHash downscale: a local edit moves one block's
-    * mean a little instead of shifting every downstream sample) —
-    * average-hash bits = pixel > truncated global mean. Deterministic
-    * integer arithmetic a grayscale decoder would replace, replayed
-    * code-unit-for-code-unit by the DuckDB oracle. The 64-bit
-    * signature rides as four 16-bit chunks; candidate pairs come from
-    * exact-chunk banding, which is LOSSLESS for hamming ≤ 3
-    * (pigeonhole: 3 flipped bits cannot touch all 4 chunks), then one
-    * bit_count(xor) verify per candidate. Same shape as the
-    * simhash/minhash families: linear signature pass,
-    * collision-bounded candidates, never N².
+    * [[multimodalDedup]]: re-encodes, brightness shifts, or local
+    * patches change every byte (and the sha digest) while the
+    * perceptual signature barely moves. The corpus path renders each
+    * text to a real PPM via [[textPpm]] and hands the BLOBS to
+    * [[perceptualHashPairsFor]], whose decode is [[Ppm.decodeP6]] —
+    * header parse, maxval scaling, truncation handling — over genuine
+    * image bytes.
     */
   def perceptualHashPairs(spark: SparkSession, dir: String,
                           maxHamming: Int = 3): DataFrame = {
     import spark.implicits._
-    require(maxHamming < 4, "4-chunk banding is only lossless below hamming 4")
-    val sigs = Tables.documentsSpread(spark, dir)
+    val blobs = Tables.documentsSpread(spark, dir)
       .select(col("doc_id"), col("text"))
       .filter(length(col("text")) >= 1)
       .as[(Long, String)]
+      .mapPartitions(it => it.map { case (id, s) => (id, textPpm(s)) })
+      .toDF("doc_id", "blob")
+    perceptualHashPairsFor(blobs, "doc_id", "blob", maxHamming)
+  }
+
+  /** aHash near-dup pairs over arbitrary `(id, PPM-P6 blob)` rows —
+    * the entry point for real images ingested via
+    * [[graft.sources.Formats.readBinaryFiles]]. Decode is the real
+    * [[Ppm.decodeP6]] (malformed blobs are dropped, the DROPMALFORMED
+    * convention); grayscale is integer BT.601 [[Ppm.luma]]; the hash is
+    * the classic average-hash: downscale to an 8×8 grid of block
+    * means (block (bx,by) = pixels with ⌊x·8/w⌋ = bx, ⌊y·8/h⌋ = by —
+    * a local edit moves one block's mean a little instead of shifting
+    * every downstream sample), bit = block mean > global mean
+    * (truncated). The 64-bit signature rides as four 16-bit chunks;
+    * candidate pairs come from exact-chunk banding, which is LOSSLESS
+    * for hamming ≤ 3 (pigeonhole: 3 flipped bits cannot touch all 4
+    * chunks), then one bit_count(xor) verify per candidate. Same
+    * shape as the simhash/minhash families: linear signature pass,
+    * collision-bounded candidates, never N².
+    */
+  def perceptualHashPairsFor(blobs: DataFrame, idCol: String, blobCol: String,
+                             maxHamming: Int = 3): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    require(maxHamming < 4, "4-chunk banding is only lossless below hamming 4")
+    val sigs = blobs
+      .select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        it.map { case (id, s) =>
-          val n = s.length.toLong
-          // STUB decode — a real implementation rasterizes to an 8x8
-          // grayscale here; "pixels" are per-block code-unit means
-          val sums = new Array[Long](64)
-          val cnts = new Array[Long](64)
-          var p = 0
-          while (p < n) {
-            val b = ((p * 64) / n).toInt
-            sums(b) += s.charAt(p).toInt
-            cnts(b) += 1
-            p += 1
+        it.flatMap { case (id, bytes) =>
+          Ppm.decodeP6(bytes).map { case (w, h, rgb) =>
+            val sums = new Array[Long](64)
+            val cnts = new Array[Long](64)
+            var y = 0
+            while (y < h) {
+              val by = y * 8 / h
+              var x = 0
+              while (x < w) {
+                val o = 3 * (y * w + x)
+                val blk = by * 8 + x * 8 / w
+                sums(blk) += Ppm.luma(rgb(o) & 0xff, rgb(o + 1) & 0xff, rgb(o + 2) & 0xff)
+                cnts(blk) += 1
+                x += 1
+              }
+              y += 1
+            }
+            val px = Array.tabulate(64)(i => if (cnts(i) == 0) 0L else sums(i) / cnts(i))
+            val mean = px.sum / 64
+            val chunks = Array.fill(4)(0L)
+            var i = 0
+            while (i < 64) {
+              if (px(i) > mean) chunks(i / 16) |= 1L << (i % 16)
+              i += 1
+            }
+            PHash(id, chunks(0), chunks(1), chunks(2), chunks(3))
           }
-          val px = Array.tabulate(64)(i => if (cnts(i) == 0) 0L else sums(i) / cnts(i))
-          val mean = px.sum / 64
-          val chunks = Array.fill(4)(0L)
-          var i = 0
-          while (i < 64) {
-            if (px(i) > mean) chunks(i / 16) |= 1L << (i % 16)
-            i += 1
-          }
-          PHash(id, chunks(0), chunks(1), chunks(2), chunks(3))
         }
       }.toDF()
 

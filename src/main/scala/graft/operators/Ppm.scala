@@ -1,0 +1,92 @@
+package graft.operators
+
+/** Dependency-free PPM (P6) codec — the smallest real, public image
+  * format (netpbm): `P6 <ws> width <ws> height <ws> maxval <single-ws>`
+  * followed by `width*height*3` binary RGB samples (one byte each for
+  * maxval < 256). Gives the multimodal pipeline a genuine decode step
+  * — header parse, comment skipping, sample scaling, truncation
+  * detection — without image libraries, which this environment lacks.
+  */
+object Ppm {
+
+  /** P6 bytes for a `w`×`h` RGB raster (maxval 255). */
+  def encodeP6(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == w * h * 3,
+      s"raster is ${rgb.length} bytes, expected ${w * h * 3} for ${w}x$h")
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + rgb.length)
+    System.arraycopy(header, 0, out, 0, header.length)
+    System.arraycopy(rgb, 0, out, header.length, rgb.length)
+    out
+  }
+
+  /** Parse a P6 image: `Some((w, h, rgb))` with samples scaled to
+    * [0, 255] (`v * 255 / maxval`, the netpbm convention), or `None`
+    * for anything malformed — wrong magic, 2-byte maxval (> 255,
+    * which the 1-byte reader cannot represent), non-positive
+    * dimensions, or a payload shorter than `w*h*3`. Header grammar per
+    * the spec: tokens separated by runs of whitespace, `#` starts a
+    * comment running to end-of-line, and exactly ONE whitespace byte
+    * separates the maxval from the first sample (a sample may itself
+    * be whitespace-valued, so no run-skipping there).
+    */
+  def decodeP6(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    var p = 0
+    def isWs(b: Byte): Boolean =
+      b == ' ' || b == '\n' || b == '\r' || b == '\t' || b == '\f'
+    def skipWsAndComments(): Boolean = {
+      var progressed = true
+      while (progressed && p < bytes.length) {
+        progressed = false
+        while (p < bytes.length && isWs(bytes(p))) { p += 1; progressed = true }
+        if (p < bytes.length && bytes(p) == '#') {
+          while (p < bytes.length && bytes(p) != '\n') p += 1
+          progressed = true
+        }
+      }
+      p < bytes.length
+    }
+    def readInt(): Option[Int] = {
+      if (!skipWsAndComments()) return None
+      var v = 0L
+      var any = false
+      while (p < bytes.length && bytes(p) >= '0' && bytes(p) <= '9') {
+        v = v * 10 + (bytes(p) - '0')
+        if (v > Int.MaxValue) return None
+        p += 1
+        any = true
+      }
+      if (any) Some(v.toInt) else None
+    }
+
+    if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') return None
+    p = 2
+    for {
+      w <- readInt()
+      h <- readInt()
+      maxval <- readInt()
+      if w > 0 && h > 0 && maxval > 0 && maxval < 256
+      // exactly one whitespace byte before the samples
+      if p < bytes.length && isWs(bytes(p))
+      start = p + 1
+      if bytes.length - start >= w * h * 3
+    } yield {
+      val n = w * h * 3
+      val rgb = new Array[Byte](n)
+      if (maxval == 255) System.arraycopy(bytes, start, rgb, 0, n)
+      else {
+        var i = 0
+        while (i < n) {
+          rgb(i) = ((bytes(start + i) & 0xff) * 255 / maxval).toByte
+          i += 1
+        }
+      }
+      (w, h, rgb)
+    }
+  }
+
+  /** Integer BT.601 luma of an RGB triple, the grayscale a perceptual
+    * hash runs over: `(299·r + 587·g + 114·b) / 1000`, truncating.
+    */
+  def luma(r: Int, g: Int, b: Int): Int = (299 * r + 587 * g + 114 * b) / 1000
+}

@@ -13,56 +13,116 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(got === Map(0L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
   }
 
-  test("perceptual hash: brightness-shift invariant, patch-local, replay-exact") {
+  // independent in-test aHash over a decoded raster (no operator code)
+  private def ahashOf(w: Int, h: Int, rgb: Array[Byte]): Array[Long] = {
+    val sums = new Array[Long](64); val cnts = new Array[Long](64)
+    for (y <- 0 until h; x <- 0 until w) {
+      val o = 3 * (y * w + x)
+      val blk = (y * 8 / h) * 8 + x * 8 / w
+      sums(blk) += (299 * (rgb(o) & 0xff) + 587 * (rgb(o + 1) & 0xff) +
+        114 * (rgb(o + 2) & 0xff)) / 1000
+      cnts(blk) += 1
+    }
+    val px = Array.tabulate(64)(i => if (cnts(i) == 0) 0L else sums(i) / cnts(i))
+    val mean = px.sum / 64
+    val ch = Array.fill(4)(0L)
+    (0 until 64).foreach(i => if (px(i) > mean) ch(i / 16) |= 1L << (i % 16))
+    ch
+  }
+  private def ham(x: Array[Long], y: Array[Long]): Long =
+    x.zip(y).map { case (p, q) => java.lang.Long.bitCount(p ^ q).toLong }.sum
+
+  test("PPM P6 codec: roundtrip, comments, maxval scaling, malformed rejection") {
+    import graft.operators.Ppm
+    val rnd = new scala.util.Random(7)
+    val rgb = Array.fill(24 * 16 * 3)(rnd.nextInt(256).toByte)
+    // roundtrip
+    Ppm.decodeP6(Ppm.encodeP6(24, 16, rgb)) match {
+      case Some((w, h, px)) =>
+        assert(w === 24 && h === 16 && px.sameElements(rgb))
+      case None => fail("roundtrip decode failed")
+    }
+    // header comments and generous whitespace parse like any netpbm reader
+    val commented = ("P6 # a comment\n# another\n 4\t2 # dims\n255\n").getBytes("US-ASCII") ++
+      Array.fill(4 * 2 * 3)(100.toByte)
+    assert(Ppm.decodeP6(commented).exists { case (w, h, px) =>
+      w == 4 && h == 2 && px.forall(_ == 100.toByte) })
+    // maxval < 255 scales samples to 8-bit (v * 255 / maxval)
+    val scaled = "P6\n1 1\n85\n".getBytes("US-ASCII") ++ Array[Byte](85, 17, 0)
+    assert(Ppm.decodeP6(scaled).exists { case (_, _, px) =>
+      (px(0) & 0xff) == 255 && (px(1) & 0xff) == 51 && px(2) == 0 })
+    // malformed: wrong magic, P5, 16-bit maxval, truncated payload
+    assert(Ppm.decodeP6("JUNK".getBytes) === None)
+    assert(Ppm.decodeP6(("P5\n4 2\n255\n").getBytes ++ Array.fill(8)(0.toByte)) === None)
+    assert(Ppm.decodeP6(("P6\n1 1\n65535\n").getBytes ++ Array.fill(6)(0.toByte)) === None)
+    assert(Ppm.decodeP6(("P6\n4 2\n255\n").getBytes ++ Array.fill(10)(0.toByte)) === None)
+  }
+
+  test("perceptual hash over real decoded images: brightness-invariant, patch-local") {
     import spark.implicits._
-    val dir = scratchDir("graft-phash")
+    import graft.operators.Ppm
     val rnd = new scala.util.Random(19)
-    // "image" A: 512 code units in [40, 110); B = A with EVERY unit +1
+    val (w, h) = (24, 16)
+    // image A: random mid-range RGB; B = A with EVERY channel +3
     // (uniform brightness shift — every byte differs, sha dedup calls
     // them distinct, the mean-centered aHash must call them identical);
-    // C = A with one 8-unit patch blown out (local edit); D unrelated
-    val a = Array.fill(512)((40 + rnd.nextInt(70)).toChar)
-    val b = a.map(c => (c + 1).toChar)
-    val c = a.clone(); (256 until 264).foreach(i => c(i) = '~')
-    val d = Array.fill(512)((40 + rnd.nextInt(70)).toChar)
-    val docs = Seq(0L -> new String(a), 1L -> new String(b),
-      2L -> new String(c), 3L -> new String(d))
-    docs.map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
-      .toDF("doc_id", "text", "lang", "source", "n_chars")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
-
-    // independent in-test replay of the block-mean aHash
-    def sig(s: String): Array[Long] = {
-      val n = s.length
-      val sums = new Array[Long](64); val cnts = new Array[Long](64)
-      (0 until n).foreach { p =>
-        val blk = (p.toLong * 64 / n).toInt
-        sums(blk) += s.charAt(p).toInt; cnts(blk) += 1
-      }
-      val px = Array.tabulate(64)(i => if (cnts(i) == 0) 0L else sums(i) / cnts(i))
-      val mean = px.sum / 64
-      val ch = Array.fill(4)(0L)
-      (0 until 64).foreach(i => if (px(i) > mean) ch(i / 16) |= 1L << (i % 16))
-      ch
-    }
-    def ham(x: Array[Long], y: Array[Long]): Long =
-      x.zip(y).map { case (p, q) => java.lang.Long.bitCount(p ^ q).toLong }.sum
-    val expected = (for {
-      (ia, sa) <- docs; (ib, sb) <- docs
-      if ia < ib && ham(sig(sa), sig(sb)) <= 3
-    } yield (ia, ib, ham(sig(sa), sig(sb)))).toSet
-
-    val got = Multimodal.perceptualHashPairs(spark, dir).collect()
+    // C = A with one 2x2 block blown out (local edit); D unrelated
+    val a = Array.fill(w * h * 3)((40 + rnd.nextInt(150)).toByte)
+    val b = a.map(v => (v + 3).toByte)
+    val c = a.clone()
+    for (y <- 0 until 2; x <- 0 until 3; k <- 0 until 3)
+      c(3 * (y * w + x) + k) = 255.toByte
+    val d = Array.fill(w * h * 3)((40 + rnd.nextInt(150)).toByte)
+    val imgs = Seq(0L -> a, 1L -> b, 2L -> c, 3L -> d)
+    val blobs = imgs.map { case (id, px) => (id, Ppm.encodeP6(w, h, px)) } :+
+      (9L, "not a ppm at all".getBytes("US-ASCII")) // malformed → dropped
+    val got = Multimodal.perceptualHashPairsFor(
+        blobs.toDF("doc_id", "blob"), "doc_id", "blob").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val expected = (for {
+      (ia, pa) <- imgs; (ib, pb) <- imgs
+      if ia < ib && ham(ahashOf(w, h, pa), ahashOf(w, h, pb)) <= 3
+    } yield (ia, ib, ham(ahashOf(w, h, pa), ahashOf(w, h, pb)))).toSet
     assert(got === expected)
-    // the design points, stated directly:
     assert(got((0L, 1L, 0L)), "uniform brightness shift must hash identically")
     assert(got.exists(p => p._1 == 0L && p._2 == 2L),
       "a local patch must stay within the near-dup threshold")
     assert(!got.exists(p => p._2 == 3L || p._1 == 3L), "unrelated image leaked in")
-    // ...and sha-exact dedup genuinely misses the brightness pair
-    val exact = Multimodal.multimodalDedup(spark, dir).collect()
-    assert(exact.forall(_.getLong(3) == 1L), "payloads are all byte-distinct")
+    assert(!got.exists(p => p._1 == 9L || p._2 == 9L), "malformed blob must be dropped")
+  }
+
+  test("corpus phash: text→PPM render decodes to the oracle's arithmetic, replay-exact") {
+    import spark.implicits._
+    val dir = scratchDir("graft-phash")
+    val rnd = new scala.util.Random(23)
+    val a = Array.fill(512)((40 + rnd.nextInt(70)).toChar)
+    val d = Array.fill(512)((40 + rnd.nextInt(70)).toChar)
+    val docs = Seq(0L -> new String(a), 1L -> new String(a), // identical render
+      2L -> "ab", 3L -> new String(d)) // 2-char doc: the old NULL-chunk corner
+    docs.map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // independent replay: render formula → decode-free luma → aHash
+    def renderSig(s: String): Array[Long] = {
+      val n = s.length
+      val rgb = new Array[Byte](24 * 16 * 3)
+      (0 until 24 * 16).foreach { i =>
+        rgb(3 * i) = (s.charAt(i % n) & 0x7f).toByte
+        rgb(3 * i + 1) = (s.charAt((7 * i) % n) & 0x7f).toByte
+        rgb(3 * i + 2) = ((11 * i) % 256).toByte
+      }
+      ahashOf(24, 16, rgb)
+    }
+    val expected = (for {
+      (ia, sa) <- docs; (ib, sb) <- docs
+      if ia < ib && ham(renderSig(sa), renderSig(sb)) <= 3
+    } yield (ia, ib, ham(renderSig(sa), renderSig(sb)))).toSet
+    val got = Multimodal.perceptualHashPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected)
+    assert(got((0L, 1L, 0L)), "identical text must render and hash identically")
   }
 
   test("multimodal metadata: stub decode is deterministic over the byte payload") {
