@@ -69,7 +69,23 @@ object Bench {
       .write.mode("overwrite").format("noop").save()
     catch { case _: Throwable => () }
 
+    // Per-query shuffle volume: wall time at sf0.1 cannot see an
+    // exchange that grows superlinearly with scale; bytes can. One
+    // task-metrics listener accumulates shuffle WRITE bytes (each byte
+    // shuffled is written exactly once; reads double-count retries),
+    // and each timed run records its delta — after draining the async
+    // listener bus so a straggler's bytes never land on the next query.
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    })
+
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val shuffles = scala.collection.mutable.LinkedHashMap[String, Long]()
     val failed = scala.collection.mutable.ListBuffer[String]()
     // Min of repeated timed runs per query: a one-shot measurement is
     // dominated by JIT/whole-stage-codegen compilation of that query's
@@ -82,10 +98,17 @@ object Bench {
     val selected =
       if (args.isEmpty) SparkEntry.queries.toSeq
       else SparkEntry.queries.filter { case (k, _) => args.contains(k) }.toSeq
-    def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def timed(name: String,
+              fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      org.apache.spark.GraftSparkGlue.drainListenerBus(spark.sparkContext)
+      val s0 = shuffleBytes.get
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.mode("overwrite").format("noop").save()
       val dt = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.GraftSparkGlue.drainListenerBus(spark.sparkContext)
+      // bytes are deterministic run to run (unlike wall time) — the
+      // last run's delta is the recorded figure
+      shuffles(name) = shuffleBytes.get - s0
       // drop the query's persisted sketch tables so the repeat run
       // (and later queries) start cold and dead caches don't pile up
       spark.catalog.clearCache()
@@ -100,7 +123,7 @@ object Bench {
     // sweep 2 measures a uniformly warm JVM.
     val sweep1 = scala.collection.mutable.Map[String, Double]()
     selected.sortBy(_._1).foreach { case (name, fn) =>
-      try sweep1(name) = timed(fn)
+      try sweep1(name) = timed(name, fn)
       catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
@@ -111,7 +134,7 @@ object Bench {
     selected.sortBy(_._1).filterNot(kv => failed.contains(kv._1))
       .foreach { case (name, fn) =>
         try {
-          val a = sweep1(name); val b = timed(fn)
+          val a = sweep1(name); val b = timed(name, fn)
           val best = math.min(a, b)
           // Third run when the sweeps disagree >1.5x (a hiccup landed
           // in one) or the min is still over 1s (the cross-query-
@@ -119,7 +142,7 @@ object Bench {
           // figure.
           timings(name) =
             if (best > 1.0 || math.max(a, b) > 1.5 * best)
-              math.min(best, timed(fn))
+              math.min(best, timed(name, fn))
             else best
         } catch {
           case e: Throwable =>
@@ -171,11 +194,18 @@ object Bench {
       }
 
     val qs = timings.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val sh = timings.keys
+      .map(k => "\"" + k + f"""\":${shuffles.getOrElse(k, 0L) / 1048576.0}%.2f""")
+      .mkString("{", ",", "}")
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = timings.values.sum
+    // Re-sample the foreign-JVM check AFTER the sweeps: a Verify/test
+    // JVM that started mid-bench contaminates timings exactly like one
+    // present at launch, and the pre-bench check alone cannot see it.
+    if (contended.isEmpty) contended = foreignJvms()
     val cont = if (contended.nonEmpty) ""","contended":true""" else ""
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"$cont$streamJson}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"shuffle_mb":$sh,"failed":$fs,"sf":"$sfDir"$cont$streamJson}"""
     println(json)
     // Robust copy for parsers that can't read sbt-prefixed stdout.
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LAST.json"), json)

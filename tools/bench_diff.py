@@ -76,6 +76,34 @@ def main() -> None:
             lines.append(f"| {name} | {a:.2f} | {b:.2f} | {r:.2f}x |")
     else:
         lines.append("## No movers: every common query within 1.5x (or 0.5s)")
+
+    # Shuffle-byte movers: bytes are deterministic (no JIT/GC noise), so
+    # the thresholds are tighter — ratio >1.25x AND >8 MB movement. A
+    # byte-mover with a flat wall time is exactly the scale-shaped
+    # regression wall time at sf0.1 cannot see.
+    ps, cs = prev.get("shuffle_mb", {}), curr.get("shuffle_mb", {})
+    bcommon = sorted(set(ps) & set(cs))
+    bmovers = []
+    for name in bcommon:
+        a, b = ps[name], cs[name]
+        base = max(a, 0.01)
+        ratio = b / base
+        if (ratio > 1.25 or ratio < 1 / 1.25) and abs(b - a) > 8.0:
+            bmovers.append((name, a, b, ratio))
+    bmovers.sort(key=lambda m: -m[3])
+    lines.append("")
+    if bmovers:
+        lines.append(f"## Shuffle-byte movers >1.25x and >8 MB ({len(bmovers)})")
+        lines.append("")
+        lines.append("| query | prev MB | curr MB | ratio |")
+        lines.append("|---|---|---|---|")
+        for name, a, b, r in bmovers:
+            lines.append(f"| {name} | {a:.1f} | {b:.1f} | {r:.2f}x |")
+    elif bcommon:
+        lines.append("## No shuffle-byte movers: every common query within "
+                     "1.25x (or 8 MB)")
+    else:
+        lines.append("## No shuffle-byte data in one side (pre-r14 record)")
     report = "\n".join(lines) + "\n"
     with open(out_path, "w") as f:
         f.write(report)
