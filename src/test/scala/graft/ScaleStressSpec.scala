@@ -271,6 +271,52 @@ class ScaleStressSpec extends AnyFunSuite with SparkFixture {
     assert(df.count() === 0L)
   }
 
+  test("edit-distance duplicate bomb: 2k identical windows stay segment-bounded") {
+    // The opposite regime from the shingle-disjoint 10x probe (web-
+    // crawl growth): a HOT window — thousands of byte-identical copies
+    // — where segment blocking degenerates toward a clique. That
+    // clique is the TRUE answer (all C(h,2) pairs are real dist-0
+    // duplicates; the output itself is quadratic in the hot group), so
+    // the bound under test is the candidate MULTIPLICITY: identical
+    // windows share exactly k+1=3 exact-segment keys, and only the
+    // shift-0 probe of each matches, so the join emits ≤ 3 rows per
+    // true pair — not the ≤75x worst-case probe fanout, and not a
+    // cross-group leak. h=2000 keeps the 4M-pair clique inside the
+    // local[4] test budget; the multiplicity argument is independent
+    // of h. Forced counts: a 48-distinct-char window (internal
+    // repetition would let shifted probes alias exact segments and
+    // multiply the join), a 5-doc near-dup group in a different
+    // alphabet (3 exact + 2 one-edit — distance>0 discovery must
+    // survive next to the bomb), and 2k background docs whose windows
+    // are shorter than k (degenerate, excluded by design).
+    val dir = scratchDir("graft-edj-bomb")
+    val h = 2000L
+    val pad = "p" * 100
+    val hot = "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKL"
+    val w2 = "MNOPQRSTUVWXYZ!#$%&()*+,-./:;<=>?@[]^_`{|}~MNOPQ"
+    val w2e = w2.updated(20, 'z')
+    require(hot.length == 48 && w2.length == 48 && hot.toSet.size == 48)
+    spark.range(2 * h + 5).selectExpr(
+      "id AS doc_id",
+      s"""CASE WHEN id < $h THEN concat('$pad', '$hot')
+               WHEN id < $h + 3 THEN concat('$pad', '$w2')
+               WHEN id < $h + 5 THEN concat('$pad', "$w2e")
+               ELSE concat('$pad', 'ab') END AS text""",
+      "'en' AS lang", "'src' AS source", "cast(148 AS long) AS n_chars")
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val df = graft.operators.Dedup.editDistanceJoin(spark, dir)
+    val plan = PlanChecks.executedPlanString(df)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+    val agg = df.agg(count(lit(1)), sum(col("dist")), max(col("dist"))).collect().head
+    // exactly the hot clique + the planted near group, nothing else:
+    // C(10k,2) dist-0 pairs, plus 3+2 docs at pairwise dist {0,1}
+    assert(agg.getLong(0) === h * (h - 1) / 2 + 10L)
+    assert(agg.getLong(1) === 6L)  // the 3x2 cross-pairs at dist 1
+    assert(agg.getLong(2) === 1L)
+  }
+
   test("pagerank at 1.1M vertices: planted star-graph ranks exact, no nested-loop") {
     // 100k disjoint stars, 10 leaves each (1M edges, 1.1M vertices —
     // ~10x the sf0.1 co-purchase graph). Every vertex's two-round rank
