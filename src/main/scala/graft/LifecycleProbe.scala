@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Standing-index lifecycle probe: drives the two bucketed standing
+  * indexes (minhash band index, PassJoin segment index) through TEN
+  * consecutive append batches — the cadence a production ingest
+  * actually runs — timing each batch's probe + append.
+  *
+  * The claim under test is that per-batch cost is BATCH-shaped, not
+  * index-shaped: the index side of each probe join reads pre-bucketed
+  * (zero exchanges), so a batch's cost is its own signature/probe
+  * generation plus a sequential scan of the index — and while the
+  * index DOUBLES over the run (50% of the corpus at batch 1 → 100% at
+  * batch 10), per-batch wall time should grow far less than 2×. The
+  * summary line reports `growth` = mean(last 3 batches) / mean(first
+  * 3 batches) against the 2.0× index growth; a growth ratio at or
+  * above the index growth would mean the ingest path re-pays the
+  * whole index per batch (the failure mode standing indexes exist to
+  * avoid).
+  *
+  * Usage: sbt "runMain graft.LifecycleProbe /root/testdata/sf0.1 10"
+  */
+object LifecycleProbe {
+  def main(args: Array[String]): Unit = {
+    val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val batches = if (args.length > 1) args(1).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import operators.Dedup
+
+    val maxId = Tables.documents(spark, baseDir)
+      .agg(max(col("doc_id"))).head.getLong(0)
+    // initial standing corpus: ids <= 50%; each batch appends 5%
+    def hi(b: Int): Long = maxId * (10 + b) / (2 * batches)
+
+    def timeIt[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // ---- minhash band index lifecycle -------------------------------
+    val sh = Dedup.shingleSets(spark, baseDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withKey = Dedup.md5BandTable(sh)
+      .withColumn("band_key", concat_ws("#", col("band"), col("band_hash")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    withKey.count() // signatures precomputed: batches time probe+append
+    val (mhTable, mhPath) = Tables.scopedIndex(spark, "graft_lifecycle_mh", baseDir)
+    def writeMh(rows: DataFrame, mode: String): Unit =
+      rows.select(col("doc_id").as("dup_of"), col("band_key"))
+        .write.bucketBy(8, "band_key").sortBy("band_key")
+        .option("path", mhPath).mode(mode).saveAsTable(mhTable)
+    writeMh(withKey.filter(col("doc_id") <= hi(0)), "overwrite")
+
+    val mhRows = (1 to batches).map { b =>
+      val batch = withKey
+        .filter(col("doc_id") > hi(b - 1) && col("doc_id") <= hi(b))
+      val (pairs, probeSec) = timeIt {
+        spark.table(mhTable)
+          .join(batch.select(col("doc_id"), col("band_key")), "band_key")
+          .filter(col("dup_of") < col("doc_id"))
+          .select(col("doc_id"), col("dup_of")).distinct()
+          .join(sh.select(col("doc_id"), col("sh").as("shb")), "doc_id")
+          .join(sh.select(col("doc_id").as("dup_of"), col("sh").as("sha")), "dup_of")
+          .filter(size(array_intersect(col("sha"), col("shb"))).cast("double") /
+            (size(col("sha")) + size(col("shb")) -
+              size(array_intersect(col("sha"), col("shb")))) >= 0.8)
+          .count()
+      }
+      val (_, appendSec) = timeIt(writeMh(batch, "append"))
+      val idxRows = spark.table(mhTable).count()
+      System.err.println(
+        f"[lifecycle] minhash batch $b: probe=$probeSec%.2fs append=$appendSec%.2fs " +
+          f"pairs=$pairs index_rows=$idxRows")
+      (b, probeSec + appendSec, idxRows)
+    }
+
+    // ---- PassJoin segment index lifecycle ---------------------------
+    val k = 2
+    val docs = Dedup.edWindows(spark, baseDir, 101, 48, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    docs.count()
+    val (edTable, edPath) = Tables.scopedIndex(spark, "graft_lifecycle_ed", baseDir)
+    def writeEd(rows: DataFrame, mode: String): Unit =
+      Dedup.edSegments(rows, k)
+        .withColumn("seg_key", concat_ws("#", col("la"), col("i"), col("seg")))
+        .select(col("doc_id").as("dup_of"), col("s").as("s_a"), col("seg_key"))
+        .write.bucketBy(8, "seg_key").sortBy("seg_key")
+        .option("path", edPath).mode(mode).saveAsTable(edTable)
+    writeEd(docs.filter(col("doc_id") <= hi(0)), "overwrite")
+
+    val edRows = (1 to batches).map { b =>
+      val batch = docs.filter(col("doc_id") > hi(b - 1) && col("doc_id") <= hi(b))
+      val (pairs, probeSec) = timeIt {
+        val probes = Dedup.edProbes(batch, k)
+          .withColumn("seg_key", concat_ws("#", col("la"), col("i"), col("seg")))
+          .select(col("doc_id"), col("s").as("s_b"), col("seg_key"))
+        spark.table(edTable).join(probes, "seg_key")
+          .filter(col("dup_of") < col("doc_id"))
+          .select(col("doc_id"), col("dup_of"), col("s_a"), col("s_b"))
+          .distinct()
+          .filter(levenshtein(col("s_b"), col("s_a"), k) >= 0)
+          .count()
+      }
+      val (_, appendSec) = timeIt(writeEd(batch, "append"))
+      val idxRows = spark.table(edTable).count()
+      System.err.println(
+        f"[lifecycle] editdist batch $b: probe=$probeSec%.2fs append=$appendSec%.2fs " +
+          f"pairs=$pairs index_rows=$idxRows")
+      (b, probeSec + appendSec, idxRows)
+    }
+
+    def growth(rows: Seq[(Int, Double, Long)]): Double = {
+      val secs = rows.map(_._2)
+      secs.takeRight(3).sum / math.max(secs.take(3).sum, 1e-9)
+    }
+    def fmt(name: String, rows: Seq[(Int, Double, Long)]): String = {
+      val bs = rows.map { case (b, s, n) =>
+        f"""{"batch":$b,"sec":$s%.2f,"index_rows":$n}"""
+      }.mkString("[", ",", "]")
+      f""""$name":{"batches":$bs,"growth":${growth(rows)}%.2f}"""
+    }
+    println(s"""{"metric":"lifecycle","index_growth":2.0,${fmt("minhash", mhRows)},${fmt("editdist", edRows)}}""")
+    spark.sql(s"DROP TABLE IF EXISTS $mhTable")
+    spark.sql(s"DROP TABLE IF EXISTS $edTable")
+    spark.stop()
+  }
+}

@@ -794,7 +794,7 @@ object Dedup {
     * parallelism comes from the dedup/join shuffles that follow, and a
     * real multi-TB scan has thousands of splits anyway.
     */
-  private def edWindows(spark: SparkSession, dir: String,
+  private[graft] def edWindows(spark: SparkSession, dir: String,
                         start: Int, width: Int, k: Int): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), substring(col("text"), start, width).as("s"))
@@ -806,7 +806,7 @@ object Dedup {
     * Layout convention: the first `l % (k+1)` segments get the extra
     * char — shared with [[edProbes]] so join keys align.
     */
-  private def edSegments(docs: DataFrame, k: Int): DataFrame =
+  private[graft] def edSegments(docs: DataFrame, k: Int): DataFrame =
     docs
       .withColumn("i", explode(sequence(lit(0), lit(k))))
       .withColumn("seg", expr(s"substring(s, ${segStartSql(k)} + 1, ${segLenSql(k)})"))
@@ -818,7 +818,7 @@ object Dedup {
     * within ±k of the segment's home position. ≤ (2k+1)²(k+1) rows per
     * doc, deduped on the join key.
     */
-  private def edProbes(docs: DataFrame, k: Int): DataFrame = {
+  private[graft] def edProbes(docs: DataFrame, k: Int): DataFrame = {
     def segLen(lc: Column, i: Column): Column =
       (floor(lc / (k + 1)) + when(i < lc % (k + 1), 1).otherwise(0)).cast("int")
     def segStart(lc: Column, i: Column): Column =
