@@ -169,26 +169,25 @@ object EditDistanceJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       .withColumn("__graft_edj_seg",
         col("__graft_edj_sr").substr(col("__graft_edj_pos") + 1, col("__graft_edj_len")))
 
-    // dedup via explicit Aggregate nodes (a Deduplicate node emitted
-    // this late in optimization would never be lowered); grouping keys
-    // are ONLY the narrow dedup identity — row ids and segment/window
-    // keys — duplicates differ only in the segment machinery, so the
-    // exprId-pinned max() payload carry is value-deterministic and
-    // float-bit-exact; see [[SimJoinSupport]] for why the tail is raw
-    // un-reanalyzed Catalyst.
+    // ONE dedup stage, at the pair level, via an explicit Aggregate (a
+    // Deduplicate node emitted this late in optimization would never
+    // be lowered); grouping keys are ONLY the narrow pair identity —
+    // the two row ids — duplicates differ only in the segment
+    // machinery, so the exprId-pinned max() payload carry is
+    // value-deterministic and float-bit-exact; see [[SimJoinSupport]]
+    // for why the tail is raw un-reanalyzed Catalyst. Probe-side
+    // duplicates (a row's ±shift substrings coinciding, ~75 raw vs
+    // ~45 distinct keys) are NOT pre-deduped: that aggregate's groups
+    // are near-unique, so its map-side partial collapses nothing and
+    // the whole payload-carrying probe frame would cross one EXTRA
+    // exchange — measured 28.8 MB vs 8 MB shuffled and +0.5 s at
+    // sf0.1 for the wide-payload self-join — while the pair dedup
+    // absorbs the extra join multiplicity in its map-side partial.
     import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project}
     import SimJoinSupport.{dedupOn, nameAttr, outAttr}
 
-    val probesPlan = GraftGlue.analyzed(probes)
-    val probesDeduped = dedupOn(probesPlan,
-      Seq("__graft_edj_idr", "__graft_edj_la", "__graft_edj_i", "__graft_edj_seg")
-        .map(nameAttr(probesPlan, _)),
-      Seq(nameAttr(probesPlan, "__graft_edj_sr"), nameAttr(probesPlan, "__graft_edj_lr")) ++
-        right.output.map(outAttr(probesPlan, _)))
-
     val joined = segs
-      .join(GraftGlue.ofRows(spark, probesDeduped),
-        Seq("__graft_edj_la", "__graft_edj_i", "__graft_edj_seg"))
+      .join(probes, Seq("__graft_edj_la", "__graft_edj_i", "__graft_edj_seg"))
     val joinedPlan = GraftGlue.analyzed(joined)
     // remaining original conjuncts run BELOW the pair dedup: they are
     // deterministic functions of columns the dedup preserves, so
