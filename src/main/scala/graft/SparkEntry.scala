@@ -1844,24 +1844,34 @@ object SparkEntry {
     // (hex(encode(text)) decoded pairwise), matching the Spark side's
     // byte iteration exactly — not ascii(char), which only agrees on
     // pure-ASCII corpora.
+    // replays the text→P6-stream render + real frame parse: frame
+    // geometry and offsets follow the per-frame header ("P6\n{w} {h}\n
+    // 255\n" + w·h·3 pixels), checksums run over decoded pixel bytes
     "multimodal_frames" ->
-      """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
-                           octet_length(encode(text)) // 64 AS n_frames FROM documents),
-              x AS (SELECT doc_id, hx, unnest(range(0, n_frames, 4)) AS frame_idx FROM b)
+      """WITH b AS (SELECT doc_id, text, len(text) AS n
+                    FROM documents WHERE len(text) >= 1),
+              d AS (SELECT doc_id, text, n,
+                           8 + n % 5 AS w, 8 + (3 * n) % 7 AS h, 1 + n % 4 AS nf,
+                           len('P6' || chr(10) || (8 + n % 5) || ' ' || (8 + (3 * n) % 7)
+                               || chr(10) || '255' || chr(10)) AS hdr
+                    FROM b),
+              f AS (SELECT doc_id, text, n, w, h, hdr,
+                           unnest(range(0, nf, 2)) AS frame_idx FROM d)
          SELECT doc_id, frame_idx,
-                cast(frame_idx * 64 AS BIGINT) AS off,
-                cast(64 AS BIGINT) AS len,
+                cast(frame_idx * (hdr + w * h * 3) AS BIGINT) AS off,
+                cast(hdr + w * h * 3 AS BIGINT) AS len,
                 list_reduce(
                   list_prepend(cast(1 AS BIGINT),
-                    list_transform(range(frame_idx*64, frame_idx*64 + 64), i ->
-                      cast((strpos('0123456789ABCDEF', substr(hx, 2*i+1, 1)) - 1) * 16 +
-                           (strpos('0123456789ABCDEF', substr(hx, 2*i+2, 1)) - 1) AS BIGINT))),
+                    list_transform(range(0, w * h * 3), j ->
+                      cast(ord(substr(text,
+                             cast((31 * frame_idx + j) % n AS INT) + 1, 1)) % 128 AS BIGINT))),
                   (a, c) -> (a * 31 + c) % 1000000007) AS frame_checksum
-         FROM x""",
+         FROM f""",
     "multimodal_resize" ->
-      """WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
-              d AS (SELECT doc_id, cast(16 + n % 624 AS BIGINT) AS width,
-                           cast(16 + (n * 7) % 464 AS BIGINT) AS height
+      """WITH m AS (SELECT doc_id, len(text) AS n
+                    FROM documents WHERE len(text) >= 1),
+              d AS (SELECT doc_id, cast(8 + n % 5 AS BIGINT) AS width,
+                           cast(8 + (3 * n) % 7 AS BIGINT) AS height
                     FROM m)
          SELECT doc_id, width, height,
                 width * 224 // greatest(width, height) AS out_w,
@@ -1893,36 +1903,47 @@ object SparkEntry {
                 row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
                   AS cum_count
          FROM events""",
-    // Per-channel byte sums via the hex-pair decode; channel = byte
-    // index parity.
+    // replays the text→WAV render + PCM parse: 512 interleaved stereo
+    // 8-bit samples, channel = parsed-header interleave parity
     "multimodal_channels" ->
-      """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
-                           octet_length(encode(text)) AS n FROM documents),
-              x AS (SELECT doc_id, unnest(range(0, n)) AS i, hx FROM b),
+      """WITH b AS (SELECT doc_id, text, len(text) AS n
+                    FROM documents WHERE len(text) >= 1),
+              x AS (SELECT doc_id, text, n, unnest(range(0, 512)) AS i FROM b),
               v AS (SELECT doc_id, cast(i % 2 AS INT) AS channel,
-                           (strpos('0123456789ABCDEF', substr(hx, 2*i+1, 1)) - 1) * 16 +
-                           (strpos('0123456789ABCDEF', substr(hx, 2*i+2, 1)) - 1) AS val
+                           (ord(substr(text, cast((3 * i) % n AS INT) + 1, 1)) % 128 + i)
+                             % 256 AS val
                     FROM x)
          SELECT doc_id, channel, count(*) AS n_samples,
                 cast(sum(val) AS BIGINT) AS sum_val
          FROM v GROUP BY doc_id, channel""",
-    // Checksum over UTF-8 bytes (hex-pair decode), same as Spark's byte
-    // loop — agrees on any corpus, not just pure ASCII.
+    // replays the P6-stream render byte for byte — per-frame header
+    // codes (ASCII of "P6\n{w} {h}\n255\n") concatenated with pixel
+    // codes, folded through the rolling checksum; width/height/n_frames
+    // are what the real header parse reports
     "multimodal_meta" ->
-      """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
-                           octet_length(encode(text)) AS n FROM documents)
+      """WITH b AS (SELECT doc_id, text, len(text) AS n
+                    FROM documents WHERE len(text) >= 1),
+              d AS (SELECT doc_id, text, n,
+                           8 + n % 5 AS w, 8 + (3 * n) % 7 AS h, 1 + n % 4 AS nf,
+                           'P6' || chr(10) || (8 + n % 5) || ' ' || (8 + (3 * n) % 7)
+                             || chr(10) || '255' || chr(10) AS hdr
+                    FROM b)
          SELECT doc_id,
-                cast(n AS BIGINT) AS n_bytes,
-                cast(16 + n % 624 AS BIGINT) AS width,
-                cast(16 + (n * 7) % 464 AS BIGINT) AS height,
-                cast(1 + n % 30 AS BIGINT) AS n_frames,
+                cast(nf * (len(hdr) + w * h * 3) AS BIGINT) AS n_bytes,
+                cast(w AS BIGINT) AS width,
+                cast(h AS BIGINT) AS height,
+                cast(nf AS BIGINT) AS n_frames,
                 list_reduce(
                   list_prepend(cast(1 AS BIGINT),
-                    list_transform(range(0, n), i ->
-                      cast((strpos('0123456789ABCDEF', substr(hx, 2*i+1, 1)) - 1) * 16 +
-                           (strpos('0123456789ABCDEF', substr(hx, 2*i+2, 1)) - 1) AS BIGINT))),
+                    flatten(list_transform(range(0, nf), f ->
+                      list_concat(
+                        list_transform(range(1, len(hdr) + 1), i ->
+                          cast(ord(substr(hdr, cast(i AS INT), 1)) AS BIGINT)),
+                        list_transform(range(0, w * h * 3), j ->
+                          cast(ord(substr(text,
+                                 cast((31 * f + j) % n AS INT) + 1, 1)) % 128 AS BIGINT)))))),
                   (a, c) -> (a * 31 + c) % 1000000007) AS checksum
-         FROM b""",
+         FROM d""",
     // Binary payload dedup by (sha-256 digest, byte length). DuckDB's
     // sha256(VARCHAR) hashes the string's UTF-8 bytes — exactly
     // Spark's sha2(encode(text,'UTF-8'), 256); both emit lowercase hex.

@@ -37,39 +37,57 @@ object Multimodal {
   final case class Frame(
       doc_id: Long, frame_idx: Long, off: Long, len: Long, frame_checksum: Long)
 
-  /** Frame sampling: emit every `stride`-th fixed-size frame of each
-    * media payload with its byte range and checksum — the shape of a
-    * video frame-sampler (1→n generator over a binary column, batched
-    * per partition). STUB: "frames" are consecutive `frameBytes`-byte
-    * windows of the payload standing in for codec-delimited frames.
+  /** The corpus-to-video bridge: render each document's text into a
+    * short CONCATENATED-P6 stream — the netpbm/ffmpeg `image2pipe`
+    * convention for raw video — with text-dependent geometry:
+    * `1 + n%4` frames of `(8 + n%5) × (8 + 3n%7)` RGB pixels, pixel
+    * byte j of frame f = `code(text[(31·f + j) mod n]) & 0x7f`. The
+    * DuckDB oracle replays this arithmetic; the Spark side round-trips
+    * through [[Ppm.encodeP6]]/[[Ppm.decodeP6Stream]], so frame
+    * delimiting is a genuine header parse, not fixed-width windowing.
     */
-  def frameSample(
-      spark: SparkSession, dir: String,
-      frameBytes: Int = 64, stride: Int = 4): DataFrame = {
+  def textPpmStream(s: String): Array[Byte] = {
+    val n = s.length
+    val w = 8 + n % 5
+    val h = 8 + (3 * n) % 7
+    val frames = 1 + n % 4
+    val out = new java.io.ByteArrayOutputStream()
+    var f = 0
+    while (f < frames) {
+      val rgb = Array.tabulate(w * h * 3)(j => (s.charAt((31 * f + j) % n) & 0x7f).toByte)
+      out.write(Ppm.encodeP6(w, h, rgb))
+      f += 1
+    }
+    out.toByteArray
+  }
+
+  /** Frame sampling over a real container: parse the P6 stream
+    * ([[Ppm.decodeP6Stream]] — per-frame header parse, offsets and
+    * lengths from the parse, stream ends at the first malformed
+    * frame) and emit every `stride`-th frame's byte range plus a
+    * checksum over its DECODED pixels. The 1→n generator over a
+    * binary column, batched per partition — the video frame-sampler
+    * shape.
+    */
+  def frameSample(spark: SparkSession, dir: String, stride: Int = 2): DataFrame = {
     import spark.implicits._
     Tables.documentsSpread(spark, dir)
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
-      .as[(Long, Array[Byte])]
+      .select(col("doc_id"), col("text"))
+      .filter(length(col("text")) >= 1)
+      .as[(Long, String)]
       .mapPartitions { it =>
-        it.flatMap { case (id, bytes) =>
-          val nFrames = bytes.length / frameBytes
-          (0 until nFrames by stride).iterator.map { f =>
-            val off = f * frameBytes
-            var acc = 1L
-            var k = off
-            while (k < off + frameBytes) {
-              acc = (acc * 31 + (bytes(k) & 0xff)) % 1000000007L
-              k += 1
-            }
-            Frame(id, f.toLong, off.toLong, frameBytes.toLong, acc)
+        it.flatMap { case (id, s) =>
+          Ppm.decodeP6Stream(textPpmStream(s)).zipWithIndex.collect {
+            case ((off, len, _, _, rgb), idx) if idx % stride == 0 =>
+              Frame(id, idx.toLong, off, len, checksum(rgb))
           }
         }
       }
       .toDF()
   }
 
-  /** Resize planning: fit the stub-decoded (width, height) into a
-    * 224×224 square preserving aspect ratio — all-integer arithmetic
+  /** Resize planning: fit the PARSED (width, height) into a 224×224
+    * square preserving aspect ratio — all-integer arithmetic
     * (truncating division) so the oracle agrees bit-for-bit.
     */
   def resizePlan(spark: SparkSession, dir: String, target: Int = 224): DataFrame =
@@ -81,44 +99,66 @@ object Multimodal {
 
   final case class Channel(doc_id: Long, channel: Int, n_samples: Long, sum_val: Long)
 
-  /** Channel de-interleaving: treat the payload as interleaved 2-channel
-    * 8-bit samples (L,R,L,R,…) and emit per-channel sample counts and
-    * value sums — the shape of an audio channel-split + feature pass
-    * (1→k generator over a binary column, batched per partition). STUB:
-    * the "samples" are raw bytes standing in for codec-decoded PCM.
+  /** The corpus-to-audio bridge: render each document's text into a
+    * real RIFF/WAV blob — 512 interleaved stereo 8-bit PCM samples,
+    * sample i = `(code(text[(3·i) mod n]) & 0x7f + i) mod 256` — via
+    * [[Wav.encodePcm8]]. Oracle-replayable arithmetic inside a genuine
+    * container.
     */
-  def channelStats(spark: SparkSession, dir: String, channels: Int = 2): DataFrame = {
+  def textWav(s: String): Array[Byte] = {
+    val n = s.length
+    val data = Array.tabulate(512)(i => (((s.charAt((3 * i) % n) & 0x7f) + i) % 256).toByte)
+    Wav.encodePcm8(channels = 2, sampleRate = 8000, data)
+  }
+
+  /** Channel de-interleaving over a real container: parse the WAV
+    * ([[Wav.decodePcm8]] — RIFF chunk walk, PCM/8-bit validation,
+    * channel count FROM THE HEADER) and emit per-channel sample
+    * counts and value sums — the audio channel-split + feature pass
+    * (1→k generator over a binary column, batched per partition).
+    * Malformed blobs are dropped (DROPMALFORMED).
+    */
+  def channelStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documentsSpread(spark, dir)
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
-      .as[(Long, Array[Byte])]
+      .select(col("doc_id"), col("text"))
+      .filter(length(col("text")) >= 1)
+      .as[(Long, String)]
       .mapPartitions { it =>
-        it.flatMap { case (id, bytes) =>
-          val counts = new Array[Long](channels)
-          val sums = new Array[Long](channels)
-          var i = 0
-          while (i < bytes.length) {
-            val c = i % channels
-            counts(c) += 1
-            sums(c) += bytes(i) & 0xff
-            i += 1
+        it.flatMap { case (id, s) =>
+          Wav.decodePcm8(textWav(s)).toSeq.flatMap { case (channels, _, data) =>
+            val counts = new Array[Long](channels)
+            val sums = new Array[Long](channels)
+            var i = 0
+            while (i < data.length) {
+              val c = i % channels
+              counts(c) += 1
+              sums(c) += data(i) & 0xff
+              i += 1
+            }
+            (0 until channels).map(c => Channel(id, c, counts(c), sums(c)))
           }
-          (0 until channels).iterator.map(c => Channel(id, c, counts(c), sums(c)))
         }
       }
       .toDF()
   }
 
-  /** "Decode" each document's UTF-8 payload as if it were a media blob
-    * and emit typed metadata. STUB: width/height/n_frames are
-    * deterministic functions of the byte length standing in for a real
-    * codec's header parse.
+  /** Typed metadata from a REAL header parse: each document's rendered
+    * P6 stream ([[textPpmStream]]) goes through [[metaFor]], whose
+    * width/height/n_frames come from [[Ppm.decodeP6Stream]].
     */
-  def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
     metaFor(
       Tables.documentsSpread(spark, dir)
-        .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob")),
+        .select(col("doc_id"), col("text"))
+        .filter(length(col("text")) >= 1)
+        .as[(Long, String)]
+        .mapPartitions(it => it.map { case (id, s) => (id, textPpmStream(s)) })
+        .toDF("doc_id", "blob"),
       "doc_id", "blob")
+  }
 
   /** Binary-content exact dedup — the image/audio analog of
     * `dedup_exact`: payloads grouped by (sha-256 digest, n_bytes),
@@ -257,10 +297,17 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** The same decode over arbitrary `(id, BINARY)` rows — the entry
+  /** Metadata decode over arbitrary `(id, BINARY)` rows — the entry
     * point for real media ingested via
     * [[graft.sources.Formats.readBinaryFiles]] (`xxhash64(path)` makes
-    * a stable id for file-sourced payloads).
+    * a stable id for file-sourced payloads). A payload that parses as
+    * a P6 stream reports its REAL geometry (first frame's width and
+    * height, parsed frame count); anything else falls back to the
+    * documented length-derived stub fields (the pre-round-14 decode,
+    * kept so unrecognized media still yields a deterministic row
+    * instead of silently disappearing — a row is still a blob to
+    * catalog even when no codec claims it). The checksum always runs
+    * over the raw container bytes.
     */
   def metaFor(blobs: DataFrame, idCol: String, contentCol: String): DataFrame = {
     val spark = blobs.sparkSession
@@ -271,15 +318,18 @@ object Multimodal {
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
           val n = bytes.length.toLong
-          // STUB decode — a real implementation parses the media header
-          // here (javax.imageio / ffmpeg bindings absent in this env).
-          MediaMeta(
-            doc_id = id,
-            n_bytes = n,
-            width = 16 + n % 624,
-            height = 16 + (n * 7) % 464,
-            n_frames = 1 + n % 30,
-            checksum = checksum(bytes))
+          val frames = Ppm.decodeP6Stream(bytes)
+          if (frames.nonEmpty) {
+            val (_, _, w, h, _) = frames.head
+            MediaMeta(id, n, w.toLong, h.toLong, frames.size.toLong, checksum(bytes))
+          } else
+            MediaMeta(
+              doc_id = id,
+              n_bytes = n,
+              width = 16 + n % 624,
+              height = 16 + (n * 7) % 464,
+              n_frames = 1 + n % 30,
+              checksum = checksum(bytes))
         }
       }
       .toDF()

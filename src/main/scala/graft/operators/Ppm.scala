@@ -30,8 +30,41 @@ object Ppm {
     * separates the maxval from the first sample (a sample may itself
     * be whitespace-valued, so no run-skipping there).
     */
-  def decodeP6(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
-    var p = 0
+  def decodeP6(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    frameAt(bytes, 0).map { case (_, w, h, rgb) => (w, h, rgb) }
+
+  /** Integer BT.601 luma of an RGB triple, the grayscale a perceptual
+    * hash runs over: `(299·r + 587·g + 114·b) / 1000`, truncating.
+    */
+  def luma(r: Int, g: Int, b: Int): Int = (299 * r + 587 * g + 114 * b) / 1000
+
+  /** Parse a CONCATENATED P6 stream — the netpbm/ffmpeg `image2pipe`
+    * video convention: frames are whole P6 images back to back. Emits
+    * `(byteOffset, byteLength, w, h, rgb)` per frame until the bytes
+    * run out; a malformed frame ends the stream at the last good frame
+    * (a truncated tail payload is the normal way such streams end).
+    */
+  def decodeP6Stream(bytes: Array[Byte]): Seq[(Long, Long, Int, Int, Array[Byte])] = {
+    val out = Seq.newBuilder[(Long, Long, Int, Int, Array[Byte])]
+    var off = 0
+    var ok = true
+    while (ok && off < bytes.length) {
+      frameAt(bytes, off) match {
+        case Some((consumed, w, h, rgb)) =>
+          out += ((off.toLong, consumed.toLong, w, h, rgb))
+          off += consumed
+        case None => ok = false
+      }
+    }
+    out.result()
+  }
+
+  /** One P6 frame starting at `off`: `Some((bytesConsumed, w, h, rgb))`
+    * or `None`. Same grammar and scaling as [[decodeP6]].
+    */
+  private def frameAt(bytes: Array[Byte], off: Int)
+      : Option[(Int, Int, Int, Array[Byte])] = {
+    var p = off
     def isWs(b: Byte): Boolean =
       b == ' ' || b == '\n' || b == '\r' || b == '\t' || b == '\f'
     def skipWsAndComments(): Boolean = {
@@ -58,15 +91,13 @@ object Ppm {
       }
       if (any) Some(v.toInt) else None
     }
-
-    if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') return None
-    p = 2
+    if (bytes.length - off < 2 || bytes(off) != 'P' || bytes(off + 1) != '6') return None
+    p = off + 2
     for {
       w <- readInt()
       h <- readInt()
       maxval <- readInt()
       if w > 0 && h > 0 && maxval > 0 && maxval < 256
-      // exactly one whitespace byte before the samples
       if p < bytes.length && isWs(bytes(p))
       start = p + 1
       if bytes.length - start >= w * h * 3
@@ -81,12 +112,7 @@ object Ppm {
           i += 1
         }
       }
-      (w, h, rgb)
+      (start + n - off, w, h, rgb)
     }
   }
-
-  /** Integer BT.601 luma of an RGB triple, the grayscale a perceptual
-    * hash runs over: `(299·r + 587·g + 114·b) / 1000`, truncating.
-    */
-  def luma(r: Int, g: Int, b: Int): Int = (299 * r + 587 * g + 114 * b) / 1000
 }

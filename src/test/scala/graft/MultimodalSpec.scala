@@ -125,36 +125,86 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(got((0L, 1L, 0L)), "identical text must render and hash identically")
   }
 
-  test("multimodal metadata: stub decode is deterministic over the byte payload") {
+  // independent in-test replica of the text→P6-stream render (header
+  // string + pixel formula, no operator code)
+  private def refStream(s: String): Array[Byte] = {
+    val n = s.length
+    val w = 8 + n % 5; val h = 8 + (3 * n) % 7; val f = 1 + n % 4
+    val hdr = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    (0 until f).flatMap(fi =>
+      hdr ++ Array.tabulate(w * h * 3)(j => (s.charAt((31 * fi + j) % n) & 0x7f).toByte)
+    ).toArray
+  }
+  private def refChecksum(bytes: Array[Byte]): Long =
+    bytes.foldLeft(1L)((a, b) => (a * 31 + (b & 0xff)) % 1000000007L)
+
+  test("multimodal metadata comes from a real P6-stream header parse") {
     val rows = Multimodal.multimodalMeta(spark, fixtureDir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
       .toMap
-    val n = Fixtures.DocA.getBytes("UTF-8").length.toLong
-    assert(rows(0L)._1 === n)
+    val s = Fixtures.DocA
+    val n = s.length
+    val stream = refStream(s)
+    assert(rows(0L)._1 === stream.length.toLong)              // n_bytes
+    assert(rows(0L)._2 === (8 + n % 5).toLong)                // width (parsed)
+    assert(rows(0L)._3 === (8 + (3 * n) % 7).toLong)          // height (parsed)
+    assert(rows(0L)._4 === (1 + n % 4).toLong)                // n_frames (parsed)
+    assert(rows(0L)._5 === refChecksum(stream))               // over container bytes
     assert(rows(0L) === rows(1L)) // identical payload → identical meta
-    // checksum recomputed independently of the operator's code path
-    val expect = Fixtures.DocA.getBytes("UTF-8")
-      .foldLeft(1L)((acc, b) => (acc * 31 + (b & 0xff)) % 1000000007L)
-    assert(rows(0L)._5 === expect)
-    assert(rows(0L)._5 !== rows(4L)._5) // permutation: different byte order
+    assert(rows(0L)._5 !== rows(4L)._5) // permuted text → different stream
   }
 
-  test("frame sampling emits every stride-th fixed-size frame with correct ranges") {
-    val frames = Multimodal.frameSample(spark, fixtureDir, frameBytes = 10, stride = 2)
+  test("WAV codec: roundtrip, unknown-chunk walk, malformed rejection") {
+    import graft.operators.Wav
+    val data = Array.tabulate[Byte](64)(i => (i * 7).toByte)
+    Wav.decodePcm8(Wav.encodePcm8(2, 8000, data)) match {
+      case Some((c, sr, d)) => assert(c === 2 && sr === 8000 && d.sameElements(data))
+      case None => fail("roundtrip decode failed")
+    }
+    // a LIST chunk between fmt and data is skipped by declared size
+    val enc = Wav.encodePcm8(2, 8000, data)
+    val withList = enc.slice(0, 36) ++
+      "LIST".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0, 0) ++
+      "INFO".getBytes("US-ASCII") ++ enc.slice(36, enc.length)
+    assert(Wav.decodePcm8(withList).exists(_._3.sameElements(data)))
+    // malformed: magic, non-PCM, truncated data chunk
+    assert(Wav.decodePcm8("JUNKJUNKJUNK".getBytes) === None)
+    val nonPcm = enc.clone(); nonPcm(20) = 3 // audioFormat = IEEE float
+    assert(Wav.decodePcm8(nonPcm) === None)
+    assert(Wav.decodePcm8(enc.slice(0, enc.length - 8)) === None)
+  }
+
+  test("channel stats de-interleave by the PARSED channel count") {
+    val got = Multimodal.channelStats(spark, fixtureDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val s = Fixtures.DocA
+    val n = s.length
+    val vals = Array.tabulate(512)(i => ((s.charAt((3 * i) % n) & 0x7f) + i) % 256)
+    for (c <- 0 to 1) {
+      val mine = vals.zipWithIndex.filter(_._2 % 2 == c).map(_._1.toLong)
+      assert(got((0L, c)) === ((mine.length.toLong, mine.sum)))
+    }
+  }
+
+  test("frame sampling walks real P6 frame headers for offsets, lengths, pixels") {
+    val frames = Multimodal.frameSample(spark, fixtureDir, stride = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
-    val n = Fixtures.DocA.getBytes("UTF-8").length
+    val s = Fixtures.DocA
+    val n = s.length
+    val w = 8 + n % 5; val h = 8 + (3 * n) % 7; val f = 1 + n % 4
+    val frameLen = s"P6\n$w $h\n255\n".length + w * h * 3
     val doc0 = frames.filter(_._1 == 0L).sortBy(_._2)
-    assert(doc0.map(_._2).toSeq === (0 until n / 10 by 2).map(_.toLong))
-    assert(doc0.forall { case (_, idx, off, len, _) => off === idx * 10 && len === 10L })
-    // per-frame checksum recomputed independently
-    val bytes = Fixtures.DocA.getBytes("UTF-8")
-    val expect0 = bytes.slice(0, 10).foldLeft(1L)((a, b) => (a * 31 + (b & 0xff)) % 1000000007L)
-    assert(doc0.head._5 === expect0)
+    assert(doc0.map(_._2).toSeq === (0 until f by 2).map(_.toLong))
+    assert(doc0.forall { case (_, idx, off, len, _) =>
+      off === idx * frameLen && len === frameLen.toLong })
+    // per-frame pixel checksum recomputed independently of the decoder
+    val pix0 = Array.tabulate(w * h * 3)(j => (s.charAt(j % n) & 0x7f).toByte)
+    assert(doc0.head._5 === refChecksum(pix0))
     // identical payloads sample identically
     assert(frames.filter(_._1 == 1L).map(t => t.copy(_1 = 0L)).toSet === doc0.toSet)
   }
 
-  test("resize plan fits stub dims into 224 preserving aspect with integer math") {
+  test("resize plan fits parsed dims into 224 preserving aspect with integer math") {
     val rows = Multimodal.resizePlan(spark, fixtureDir).collect()
     rows.foreach { r =>
       val (w, h, ow, oh) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
@@ -175,9 +225,24 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(meta.length === 1)
     val r = meta.head
     assert(r.getAs[Long]("n_bytes") === 100L)
+    // an unrecognized payload falls back to the documented stub fields
     assert(r.getAs[Long]("width") === 16L + 100 % 624)
     // checksum matches the reference recurrence over the same bytes
     val expected = payload.foldLeft(1L)((a, b) => (a * 31 + (b & 0xff)) % 1000000007L)
     assert(r.getAs[Long]("checksum") === expected)
+
+    // a file that IS a P6 stream reports parsed geometry, not the stub
+    import graft.operators.Ppm
+    val rnd = new scala.util.Random(5)
+    val img = Array.fill(6 * 4 * 3)(rnd.nextInt(256).toByte)
+    val two = Ppm.encodeP6(6, 4, img) ++ Ppm.encodeP6(6, 4, img)
+    val dir2 = scratchDir("graft-media-ppm")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir2/clip.ppm"), two)
+    val blobs2 = graft.sources.Formats.readBinaryFiles(spark, dir2)
+      .select(xxhash64(col("path")).as("media_id"), col("content"))
+    val r2 = Multimodal.metaFor(blobs2, "media_id", "content").collect().head
+    assert(r2.getAs[Long]("width") === 6L && r2.getAs[Long]("height") === 4L)
+    assert(r2.getAs[Long]("n_frames") === 2L)
+    assert(r2.getAs[Long]("n_bytes") === two.length.toLong)
   }
 }
