@@ -166,6 +166,47 @@ class ExtensionsSpec extends AnyFunSuite with SparkFixture {
     assert(!proj.queryExecution.executedPlan.toString.contains("jaro_winkler_g"))
   }
 
+  test("the similarity rewrites compose: lev bound blocks, jw bound fuses as residual") {
+    GraftExtensions.register(spark)
+    val sess = spark
+    import sess.implicits._
+    val base = "a reasonably long similarity fixture string for both"
+    val rows = Seq((1L, base), (2L, base.replace("long", "lonng")),
+      (3L, "completely different content here entirely"), (4L, base))
+    rows.toDF("id", "s").createOrReplaceTempView("combo_a")
+    // both conjuncts on one join: EditDistanceJoinRewrite claims the
+    // levenshtein bound (the blocked plan), and the jw conjunct comes
+    // back as a residual filter, where JaroWinklerThresholdRewrite
+    // must still fuse it into the gte kernel
+    val res = spark.sql(
+      """SELECT a.id AS ia, b.id AS ib FROM combo_a a JOIN combo_a b
+         ON levenshtein(a.s, b.s) <= 2 AND jaro_winkler(a.s, b.s) >= 0.9
+            AND a.id < b.id""")
+    val phys = res.queryExecution.executedPlan.toString
+    assert(!phys.contains("NestedLoop") && !phys.contains("Cartesian"), phys)
+    assert(phys.contains("jaro_winkler_gte"), phys)
+
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    def jw(a: String, b: String): Double =
+      functions.HashOps.jaroWinkler(
+        org.apache.spark.unsafe.types.UTF8String.fromString(a),
+        org.apache.spark.unsafe.types.UTF8String.fromString(b))
+    val expected = (for {
+      (ia, sa) <- rows; (ib, sb) <- rows
+      if ia < ib && lev(sa, sb) <= 2 && jw(sa, sb) >= 0.9
+    } yield (ia, ib)).sorted
+    assert(expected.nonEmpty, "fixture must exercise the kept path")
+    assert(res.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted === expected)
+  }
+
   test("jaro_winkler matches the published vectors and DuckDB's conventions") {
     GraftExtensions.register(spark)
     def jw(a: String, b: String): Double = spark.sql(
