@@ -189,14 +189,19 @@ object HashOps {
 
   /** Thresholded `jaro_winkler(a, b) >= t` (or `> t`) as one boolean
     * kernel — the form a similarity predicate actually runs in a
-    * filter or join condition. Two sound short-circuits before the
-    * O(|a|·window) matching phase:
+    * filter or join condition. Three sound short-circuits before or
+    * inside the O(|a|·window) matching phase:
     *
     *  1. O(1) length feasibility (no decode): m ≤ min(la, lb), so
     *     jaro ≤ (lmin/la + lmin/lb + 1)/3, and the Winkler boost adds
     *     at most 0.4·(1 − jaro) — if even that ceiling misses t, the
     *     pair is rejected on the two cached length fields alone.
-    *  2. Matching-phase abort: jw ≤ 0.6·jaro + 0.4 universally, so
+    *  2. O(n) multiset feasibility (ASCII inputs): matching is
+    *     one-to-one on code-point values, so m ≤ Σ_c min(cntA, cntB)
+    *     — a 128-bin histogram bound that rejects most unrelated
+    *     equal-length natural-text pairs, the case the length check
+    *     cannot touch.
+    *  3. Matching-phase abort: jw ≤ 0.6·jaro + 0.4 universally, so
     *     jw ≥ t needs jaro ≥ (t - 0.4)/0.6, which needs matches
     *     m ≥ (3·jaro_need - 1)·la·lb/(la + lb); once the unscanned
     *     remainder of `a` cannot reach that, the loop exits.
@@ -226,6 +231,36 @@ object HashOps {
     val jaroNeed = (threshold - 0.4) / 0.6
     val mNeed = math.ceil(
       (3.0 * jaroNeed - 1.0) * la * lb / (la + lb) - 1e-9).toInt
+    // multiset upper bound: Jaro matching pairs equal code points
+    // one-to-one, so m ≤ Σ_c min(cntA(c), cntB(c)) — for ASCII inputs
+    // a 128-bin histogram computes that in O(n) and rejects most
+    // non-matching natural-text pairs (equal lengths defeat the length
+    // precheck, but two unrelated 64-char English windows rarely share
+    // the ≥85% character multiset a 0.94 threshold demands) before the
+    // O(n·window) matching phase ever runs
+    if (mNeed > 0) {
+      val histA = new Array[Int](128)
+      var ascii = true
+      var ia0 = 0
+      while (ascii && ia0 < la) {
+        val c = a(ia0)
+        if (c < 128) { histA(c) += 1; ia0 += 1 } else ascii = false
+      }
+      if (ascii) {
+        val histB = new Array[Int](128)
+        var ib0 = 0
+        while (ascii && ib0 < lb) {
+          val c = b(ib0)
+          if (c < 128) { histB(c) += 1; ib0 += 1 } else ascii = false
+        }
+        if (ascii) {
+          var mUb = 0
+          var c = 0
+          while (c < 128) { mUb += math.min(histA(c), histB(c)); c += 1 }
+          if (mUb < mNeed) return false
+        }
+      }
+    }
     val window = math.max(math.max(la, lb) / 2 - 1, 0)
     val am = new Array[Boolean](la)
     val bm = new Array[Boolean](lb)
