@@ -48,6 +48,7 @@ object SparkEntry {
     "dedup_exact"            -> Dedup.dedupExact _,
     "dedup_components"       -> Dedup.dedupComponents _,
     "dedup_components_standing" -> Dedup.componentLabels _,
+    "dedup_components_incremental" -> Dedup.componentsIncremental _,
     "dedup_soft_weights"     -> Dedup.dedupSoftWeights _,
     "minhash_error_profile"  -> Dedup.minhashErrorProfile _,
     "source_quality_report"  -> Curation.sourceQualityReport _,
@@ -905,6 +906,13 @@ object SparkEntry {
     // clustering computes — identical oracle, hash-proving the
     // materialize/probe round-trip is lossless.
     "dedup_components_standing" ->
+      s"""WITH RECURSIVE $componentCtes
+         SELECT doc_id, min(label) AS comp, doc_id = min(label) AS keep
+         FROM reach GROUP BY doc_id""",
+    // Incremental ingest must land on EXACTLY the from-scratch
+    // clustering — same oracle again, hash-proving the contract/merge/
+    // relabel lifecycle loses nothing.
+    "dedup_components_incremental" ->
       s"""WITH RECURSIVE $componentCtes
          SELECT doc_id, min(label) AS comp, doc_id = min(label) AS keep
          FROM reach GROUP BY doc_id""",

@@ -108,7 +108,6 @@ object Dedup {
     * candidate id-pairs, never documents.
     */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val k = 4
     // The sketch table feeds BOTH sides of the prefix self-join and both
     // verification joins; without persisting it, each consumer re-runs
     // the full tokenize→shingle→hash pipeline (4× the dominant CPU
@@ -117,15 +116,39 @@ object Dedup {
     // run — per-executor storage, never driver-side.
     val sets = hashedSets(spark, dir).drop("sh")
       .persist(StorageLevel.MEMORY_AND_DISK)
+    jaccardPairsBetween(sets, sets, sets)
+  }
 
-    val pref = sets
+  /** Each doc's k-extended prefix of its order-permuted sorted-hash
+    * shingle set, exploded to (doc_id, ns, h) index rows — the
+    * PPJoin+ prefix table of [[ngramJaccard]], factored out so
+    * restricted sides (a standing corpus, an ingest batch) can build
+    * the same index over any subset.
+    */
+  private def prefixTable(sets: DataFrame, k: Int): DataFrame =
+    sets
       .withColumn("plen", expr(s"ns - (4*ns + 4) DIV 5 + $k"))
       .select(
         col("doc_id"), col("ns"),
         explode(slice(col("hs"), lit(1), col("plen").cast("int"))).as("h"))
 
-    val cand = pref.as("a")
-      .join(pref.as("b"),
+  /** [[ngramJaccard]]'s candidate-generate + verify pipeline with the
+    * two prefix-join sides and the verification set table supplied by
+    * the caller: (aSets × bSets) prefix candidates under the length /
+    * k-prefix / count filters, then exact-jaccard verification against
+    * `verifySets`. `ngramJaccard` passes the whole corpus on all
+    * three; [[componentsIncremental]] passes (corpus, batch, corpus)
+    * to generate only the pairs an ingest batch introduces. Pair
+    * orientation is always `doc_a < doc_b` regardless of sides.
+    */
+  private def jaccardPairsBetween(
+      aSets: DataFrame, bSets: DataFrame, verifySets: DataFrame): DataFrame = {
+    val k = 4
+    val prefA = prefixTable(aSets, k)
+    val prefB = prefixTable(bSets, k)
+
+    val cand = prefA.as("a")
+      .join(prefB.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
           col("a.ns") * 5 >= col("b.ns") * 4 && col("b.ns") * 5 >= col("a.ns") * 4)
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -135,7 +158,7 @@ object Dedup {
         least(lit(k.toLong), expr("(4*pna + 4) DIV 5"), expr("(4*pnb + 4) DIV 5")))
       .select(col("doc_a"), col("doc_b"))
 
-    verifyPairs(cand, sets)
+    verifyPairs(cand, verifySets)
   }
 
   /** Exact-jaccard verification of candidate (doc_a, doc_b) pairs
@@ -329,23 +352,38 @@ object Dedup {
       .select(col("grp_min").as("doc_a"), col("doc_id").as("doc_b"))
     val nearPairs = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
 
-    val undirected = exactStar.unionAll(nearPairs)
+    // Initialize labels at each doc's exact-dup group minimum — that
+    // resolves every exact-dup star in round zero, so the loop only has
+    // to close the near-dup chains.
+    val labels = propagateMinLabels(
+      exactStar.unionAll(nearPairs),
+      grpMin.select(col("doc_id"), col("grp_min").as("comp")),
+      "dedupComponents")
+    labels.select(col("doc_id"), col("comp"),
+      (col("doc_id") === col("comp")).as("keep"))
+  }
+
+  /** Pregel-style min-label propagation to a fixpoint: symmetrize the
+    * undirected `pairs` (doc_a, doc_b), then iterate
+    * `label := min(label, min over neighbors' labels)` starting from
+    * `init` (doc_id, comp) until the label sum stops moving. Factored
+    * out of [[dedupComponents]] so [[componentsIncremental]] can run
+    * the identical loop over its contracted batch-merge graph.
+    * Returns the persisted (doc_id, comp) fixpoint.
+    */
+  private def propagateMinLabels(
+      pairs: DataFrame, init: DataFrame, caller: String): DataFrame = {
     // Hash-partition by src BEFORE persisting: every propagation round
     // joins on src, so the cached partitioning satisfies the join's
     // distribution requirement and the edge table never re-shuffles
     // inside the loop (one exchange total instead of one per round).
-    val edges = undirected
-      .unionAll(undirected.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val edges = pairs
+      .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("src", "dst")
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // Initialize labels at each doc's exact-dup group minimum — that
-    // resolves every exact-dup star in round zero, so the loop only has
-    // to close the near-dup chains.
-    var labels = grpMin
-      .select(col("doc_id"), col("grp_min").as("comp"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = init.persist(StorageLevel.MEMORY_AND_DISK)
     // Labels are monotonically non-increasing per doc, so an unchanged
     // label SUM is exactly a fixpoint — one scalar aggregate per round
     // instead of a full old-vs-new join.
@@ -375,12 +413,11 @@ object Dedup {
     // not a silent wrong answer.
     if (!converged)
       throw new IllegalStateException(
-        s"dedupComponents: label propagation did not converge after $rounds rounds; " +
+        s"$caller: label propagation did not converge after $rounds rounds; " +
           "component diameter exceeds the cap — raise the round cap for this corpus")
     // operational signal: round count is the corpus's dup-chain depth
-    System.err.println(s"[graft] dedupComponents converged in $rounds rounds")
-    labels.select(col("doc_id"), col("comp"),
-      (col("doc_id") === col("comp")).as("keep"))
+    System.err.println(s"[graft] $caller converged in $rounds rounds")
+    labels
   }
 
   /** Standing component-label index — [[dedupComponents]] run ONCE per
@@ -404,6 +441,126 @@ object Dedup {
         .option("path", idxPath).mode("overwrite").saveAsTable(table)
     }
     spark.table(table).select(col("doc_id"), col("comp"), col("keep"))
+  }
+
+  /** Incremental connected components — the clustering counterpart of
+    * [[dedupIncremental]]/[[minhashIncremental]]: a new ingest batch
+    * (doc_id > the 80% cut, same convention) is folded into the BASE
+    * corpus's existing component labels WITHOUT re-clustering the
+    * corpus, and the output is the full (doc_id, comp, keep) relation —
+    * hash-identical to [[dedupComponents]] run from scratch, proven by
+    * sharing its recursive-CTE oracle.
+    *
+    * Why this matters at 100 TB: re-running global label propagation
+    * per daily batch is corpus-sized work; the production shape is
+    * (1) generate only the edges the batch INTRODUCES — batch shas
+    * probe the standing (hash → min id) index, batch shingle prefixes
+    * probe the corpus prefix index ([[jaccardPairsBetween]] with the
+    * batch on one side) — batch-sized joins;
+    * (2) CONTRACT old endpoints to their standing component label, so
+    * the merge graph has one vertex per batch doc or touched base
+    * component — bounded by the batch's edge neighborhood, never the
+    * corpus (base-base edges need no revisit: pair existence depends
+    * only on the two texts, so base clustering already closed them);
+    * (3) propagate on that contracted graph (the same fixpoint loop,
+    * now over a tiny vertex set — a batch doc can legitimately BRIDGE
+    * two existing components, which plain "assign batch docs a label"
+    * probing would miss);
+    * (4) relabel the standing table with the changed-comp remap — a
+    * broadcast-sized map join, the only corpus-wide touch.
+    * The base labels here are recomputed in-query (like
+    * [[minhashIncremental]]'s standing band table) so the oracle can
+    * replay the whole lifecycle; [[componentLabels]] is the persisted
+    * form a real pipeline would probe.
+    */
+  def componentsIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documentsSpread(spark, dir)
+    val cut = docs.agg(expr("max(doc_id) * 8 div 10").as("c"))
+
+    // content hashes for ALL docs, split at the cut
+    val shas = docs.select(col("doc_id"), sha2(col("text"), 256).as("h"))
+      .crossJoin(broadcast(cut))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val baseShas = shas.filter(col("doc_id") <= col("c"))
+    val batchShas = shas.filter(col("doc_id") > col("c"))
+
+    // BASE clustering = the standing labels (star edges + base-side
+    // near-dup pairs, exactly dedupComponents restricted to the base)
+    val baseGrpMin = baseShas
+      .withColumn("grp_min", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+      .select(col("doc_id"), col("grp_min"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val baseStar = baseGrpMin.filter(col("doc_id") =!= col("grp_min"))
+      .select(col("grp_min").as("doc_a"), col("doc_id").as("doc_b"))
+    val sets = hashedSets(spark, dir).drop("sh").crossJoin(broadcast(cut))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val baseSets = sets.filter(col("doc_id") <= col("c"))
+    val batchSets = sets.filter(col("doc_id") > col("c"))
+    val baseNear = jaccardPairsBetween(baseSets, baseSets, baseSets)
+      .select(col("doc_a"), col("doc_b"))
+    val baseLabels = propagateMinLabels(
+      baseStar.unionAll(baseNear),
+      baseGrpMin.select(col("doc_id"), col("grp_min").as("comp")),
+      "componentsIncremental(base)")
+
+    // (1) edges the batch introduces. Exact: each batch doc anchors to
+    // the standing index's min id for its hash, or the batch-internal
+    // group min when the hash is new — either way the full-corpus star
+    // connectivity is reproduced. Near: batch prefixes probe the corpus
+    // prefix index; doc_a < doc_b and batch ids are the top range, so
+    // (corpus × batch) covers exactly the base-batch AND batch-batch
+    // pairs with no double counting.
+    val baseShaIdx = baseShas.groupBy(col("h")).agg(min(col("doc_id")).as("base_min"))
+    val exactBatch = batchShas
+      .withColumn("batch_min", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+      .join(baseShaIdx, Seq("h"), "left")
+      .select(col("doc_id"),
+        coalesce(col("base_min"), col("batch_min")).as("anchor"))
+      .filter(col("doc_id") =!= col("anchor"))
+      .select(col("anchor").as("doc_a"), col("doc_id").as("doc_b"))
+    val nearBatch = jaccardPairsBetween(sets, batchSets, sets)
+      .select(col("doc_a"), col("doc_b"))
+
+    // (2) contract base endpoints to their standing component label
+    val e = exactBatch.unionAll(nearBatch)
+    val contracted = e
+      .join(baseLabels.select(col("doc_id").as("doc_a"), col("comp").as("comp_a")),
+        Seq("doc_a"), "left")
+      .join(baseLabels.select(col("doc_id").as("doc_b"), col("comp").as("comp_b")),
+        Seq("doc_b"), "left")
+      .select(coalesce(col("comp_a"), col("doc_a")).as("doc_a"),
+        coalesce(col("comp_b"), col("doc_b")).as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+
+    // (3) propagate over the contracted merge graph: vertices are the
+    // batch docs plus every touched base component, each starting as
+    // its own label (a base component's label IS its min doc_id, so
+    // the contracted min is the true min over the merged doc set)
+    val verts = batchShas.select(col("doc_id"))
+      .unionAll(contracted.select(col("doc_a").as("doc_id")))
+      .unionAll(contracted.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val merged = propagateMinLabels(
+      contracted, verts.select(col("doc_id"), col("doc_id").as("comp")),
+      "componentsIncremental(merge)")
+      .crossJoin(broadcast(cut))
+
+    // (4) batch rows come straight from the merge fixpoint; base rows
+    // re-label through the changed-component remap (touched comps only
+    // — broadcast-sized at any corpus/batch ratio)
+    val batchFinal = merged.filter(col("doc_id") > col("c"))
+      .select(col("doc_id"), col("comp"))
+    val remap = merged
+      .filter(col("doc_id") <= col("c") && col("doc_id") =!= col("comp"))
+      .select(col("doc_id").as("comp"), col("comp").as("new_comp"))
+    val baseFinal = baseLabels.join(broadcast(remap), Seq("comp"), "left")
+      .select(col("doc_id"), coalesce(col("new_comp"), col("comp")).as("comp"))
+
+    baseFinal.unionAll(batchFinal)
+      .select(col("doc_id"), col("comp"),
+        (col("doc_id") === col("comp")).as("keep"))
   }
 
   /** Soft dedup: instead of hard-dropping near-dup cluster members

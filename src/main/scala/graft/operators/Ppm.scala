@@ -100,7 +100,10 @@ object Ppm {
       if w > 0 && h > 0 && maxval > 0 && maxval < 256
       if p < bytes.length && isWs(bytes(p))
       start = p + 1
-      if bytes.length - start >= w * h * 3
+      // long arithmetic: a hostile `width height` pair can overflow
+      // w*h*3 as an Int, flipping the length guard into an allocation
+      // crash — malformed input must land on None, never a throw
+      if w.toLong * h * 3 <= bytes.length - start
     } yield {
       val n = w * h * 3
       val rgb = new Array[Byte](n)

@@ -53,7 +53,10 @@ object Wav {
     while (p + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty)) {
       val id = tag(bytes, p)
       val size = rd32(bytes, p + 4)
-      if (size < 0 || p + 8 + size > bytes.length) return None
+      // long arithmetic: a hostile declared size near Int.MaxValue
+      // overflows p+8+size, flipping the bounds guard into a throwing
+      // copyOfRange — malformed input must land on None, never a throw
+      if (size < 0 || p + 8L + size > bytes.length) return None
       id match {
         case "fmt " =>
           if (size < 16) return None

@@ -81,6 +81,40 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
       3L -> ((3L, true)), 4L -> ((4L, true))))
   }
 
+  test("incremental components: a batch doc bridges two standing components") {
+    import spark.implicits._
+    val dir = scratchDir("graft-comp-incr")
+    // Base (ids <= cut 8): components {1,2} and {5,6} — exact-dup pairs
+    // whose texts share 70 of 90 union bigrams (j = 0.778 < 0.8, so the
+    // base clustering keeps them separate) — plus singleton 7.
+    // Batch (ids > 8): doc 9 contains BOTH texts' token runs
+    // (j = 80/91 = 0.879 to each side — a bridge that must MERGE the
+    // two standing components, the case probe-only labeling misses),
+    // and doc 10 is an exact dup of base doc 7.
+    val core = (1 to 71).map(i => s"w$i")
+    val aTxt = (core ++ (1 to 10).map(i => s"x$i")).mkString(" ")
+    val bTxt = (core ++ (1 to 10).map(i => s"y$i")).mkString(" ")
+    val bridge = (core ++ (1 to 10).map(i => s"x$i")
+      ++ core ++ (1 to 10).map(i => s"y$i")).mkString(" ")
+    val lone = (1 to 30).map(i => s"z$i").mkString(" ")
+    Seq(1L -> aTxt, 2L -> aTxt, 5L -> bTxt, 6L -> bTxt, 7L -> lone,
+      9L -> bridge, 10L -> lone)
+      .map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    def labelMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("comp"), r.getAs[Boolean]("keep")))).toMap
+    val incr = labelMap(Dedup.componentsIncremental(spark, dir))
+    assert(incr === Map(
+      1L -> ((1L, true)), 2L -> ((1L, false)), 5L -> ((1L, false)),
+      6L -> ((1L, false)), 9L -> ((1L, false)),
+      7L -> ((7L, true)), 10L -> ((7L, false))))
+    // and the lifecycle loses nothing vs clustering from scratch
+    assert(incr === labelMap(Dedup.dedupComponents(spark, dir)))
+  }
+
   test("portable md5 minhash+LSH agrees with the exact inverted index") {
     val exact = Dedup.ngramJaccard(spark, fixtureDir).collect().toSet
     val portable = Dedup.minhashPortable(spark, fixtureDir).collect().toSet

@@ -56,6 +56,8 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(Ppm.decodeP6(("P5\n4 2\n255\n").getBytes ++ Array.fill(8)(0.toByte)) === None)
     assert(Ppm.decodeP6(("P6\n1 1\n65535\n").getBytes ++ Array.fill(6)(0.toByte)) === None)
     assert(Ppm.decodeP6(("P6\n4 2\n255\n").getBytes ++ Array.fill(10)(0.toByte)) === None)
+    // hostile dimensions whose w*h*3 overflows Int must reject, not throw
+    assert(Ppm.decodeP6(("P6\n46341 46341\n255\n").getBytes ++ Array.fill(16)(0.toByte)) === None)
   }
 
   test("perceptual hash over real decoded images: brightness-invariant, patch-local") {
@@ -152,6 +154,16 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(rows(0L)._5 === refChecksum(stream))               // over container bytes
     assert(rows(0L) === rows(1L)) // identical payload → identical meta
     assert(rows(0L)._5 !== rows(4L)._5) // permuted text → different stream
+  }
+
+  test("WAV codec: hostile chunk size that overflows the bounds check rejects, not throws") {
+    import graft.operators.Wav
+    // declared data size 0x7ffffff0 wraps p+8+size as an Int
+    val evil = "RIFF".getBytes("US-ASCII") ++
+      Array[Byte](36, 0, 0, 0) ++ "WAVE".getBytes("US-ASCII") ++
+      "data".getBytes("US-ASCII") ++
+      Array[Byte](-16, -1, -1, 127) ++ Array.fill(8)(0.toByte)
+    assert(Wav.decodePcm8(evil) === None)
   }
 
   test("WAV codec: roundtrip, unknown-chunk walk, malformed rejection") {

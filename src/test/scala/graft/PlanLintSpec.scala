@@ -37,6 +37,7 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
     "dedup_minhash_incremental" -> "1-row batch-cutoff scalar kept in-plan as a broadcast crossJoin (same shape as dedup_incremental)",
     "ngram_novelty_incremental" -> "1-row batch-cutoff scalar kept in-plan as a broadcast crossJoin (same shape as dedup_incremental)",
     "dedup_edit_distance_incremental" -> "1-row batch-cutoff scalar kept in-plan as a broadcast crossJoin (same shape as dedup_incremental)",
+    "dedup_components_incremental" -> "1-row batch-cutoff scalar kept in-plan as a broadcast crossJoin (same shape as dedup_incremental), plus the touched-component remap broadcast",
     "er_blocking_report" -> "four 1-row strategy scalars (truth totals, candidate counts) broadcast-crossJoined into the 4-row scoreboard",
     "dedup_edit_distance_standing" -> "1-row batch-cutoff scalar kept in-plan as a broadcast crossJoin on the PROBE side (the standing index reads pre-bucketed, exchange-free)",
     "dedup_minhash_standing" -> "1-row batch-cutoff scalar kept in-plan as a broadcast crossJoin on the PROBE side (the standing index reads pre-bucketed, exchange-free)",
@@ -98,6 +99,7 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
     "dedup_minhash_incremental" -> "final pass of the batch-cutoff scalar aggregate: one partial row per upstream partition",
     "ngram_novelty_incremental" -> "final pass of the batch-cutoff scalar aggregate: one partial row per upstream partition",
     "dedup_edit_distance_incremental" -> "final pass of the batch-cutoff scalar aggregate: one partial row per upstream partition",
+    "dedup_components_incremental" -> "final pass of the batch-cutoff scalar aggregate: one partial row per upstream partition",
     "er_blocking_report" -> "final passes of the per-strategy 1-row scalar aggregates: one partial row per upstream partition each",
     "dedup_edit_distance_standing" -> "final pass of the batch-cutoff scalar aggregate (probe side): one partial row per upstream partition",
     "dedup_minhash_standing" -> "final pass of the batch-cutoff scalar aggregate (probe side): one partial row per upstream partition",
