@@ -49,6 +49,7 @@ object SparkEntry {
     "dedup_components"       -> Dedup.dedupComponents _,
     "dedup_components_standing" -> Dedup.componentLabels _,
     "dedup_components_incremental" -> Dedup.componentsIncremental _,
+    "dedup_components_append"    -> Dedup.componentsStandingAppend _,
     "dedup_soft_weights"     -> Dedup.dedupSoftWeights _,
     "minhash_error_profile"  -> Dedup.minhashErrorProfile _,
     "source_quality_report"  -> Curation.sourceQualityReport _,
@@ -913,6 +914,12 @@ object SparkEntry {
     // clustering — same oracle again, hash-proving the contract/merge/
     // relabel lifecycle loses nothing.
     "dedup_components_incremental" ->
+      s"""WITH RECURSIVE $componentCtes
+         SELECT doc_id, min(label) AS comp, doc_id = min(label) AS keep
+         FROM reach GROUP BY doc_id""",
+    // The persisted-index fold + compaction must round-trip to the
+    // same relation — fourth consumer of the one components oracle.
+    "dedup_components_append" ->
       s"""WITH RECURSIVE $componentCtes
          SELECT doc_id, min(label) AS comp, doc_id = min(label) AS keep
          FROM reach GROUP BY doc_id""",

@@ -141,12 +141,19 @@ object Dedup {
     * to generate only the pairs an ingest batch introduces. Pair
     * orientation is always `doc_a < doc_b` regardless of sides.
     */
-  private def jaccardPairsBetween(
-      aSets: DataFrame, bSets: DataFrame, verifySets: DataFrame): DataFrame = {
-    val k = 4
-    val prefA = prefixTable(aSets, k)
-    val prefB = prefixTable(bSets, k)
+  private[graft] def jaccardPairsBetween(
+      aSets: DataFrame, bSets: DataFrame, verifySets: DataFrame): DataFrame =
+    jaccardCandVerify(prefixTable(aSets, 4), prefixTable(bSets, 4), verifySets)
 
+  /** The candidate-join + verify tail of [[jaccardPairsBetween]] with
+    * the two PREFIX tables supplied directly — so a caller that probes
+    * several epoch slices of one corpus ([[componentsIncremental]])
+    * can build the exploded prefix index ONCE and filter it per side
+    * instead of re-running the explode per probe.
+    */
+  private def jaccardCandVerify(
+      prefA: DataFrame, prefB: DataFrame, verifySets: DataFrame): DataFrame = {
+    val k = 4
     val cand = prefA.as("a")
       .join(prefB.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
@@ -371,14 +378,19 @@ object Dedup {
     * the identical loop over its contracted batch-merge graph.
     * Returns the persisted (doc_id, comp) fixpoint.
     */
-  private def propagateMinLabels(
+  private[graft] def propagateMinLabels(
       pairs: DataFrame, init: DataFrame, caller: String): DataFrame = {
-    // Hash-partition by src BEFORE persisting: every propagation round
-    // joins on src, so the cached partitioning satisfies the join's
-    // distribution requirement and the edge table never re-shuffles
-    // inside the loop (one exchange total instead of one per round).
-    val edges = pairs
-      .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    // Persist the undirected pair set before symmetrizing: the union
+    // references it twice, and un-cached that doubles the (expensive)
+    // pair-generation pipeline inside the edge materialization. Then
+    // hash-partition by src BEFORE persisting the symmetric table:
+    // every propagation round joins on src, so the cached partitioning
+    // satisfies the join's distribution requirement and the edge table
+    // never re-shuffles inside the loop (one exchange total instead of
+    // one per round).
+    val p = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = p
+      .unionAll(p.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("src", "dst")
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -417,7 +429,17 @@ object Dedup {
           "component diameter exceeds the cap — raise the round cap for this corpus")
     // operational signal: round count is the corpus's dup-chain depth
     System.err.println(s"[graft] $caller converged in $rounds rounds")
-    labels
+    // Truncate the fixpoint's lineage (eager local checkpoint, the
+    // same pattern as the pagerank rounds): the loop's caches die with
+    // the harness's clearCache() between runs, and WITHOUT truncation
+    // every downstream reference replays the whole iterative plan —
+    // with multiplicative fan-out when the labels feed several joins
+    // (the incremental fold references them five times: measured 168 s
+    // vs ~2 s at sf0.1). The checkpoint holds vertex-scale (doc_id,
+    // comp) rows, never documents.
+    val out = labels.localCheckpoint(true)
+    labels.unpersist()
+    out
   }
 
   /** Standing component-label index — [[dedupComponents]] run ONCE per
@@ -474,18 +496,48 @@ object Dedup {
     * form a real pipeline would probe.
     */
   def componentsIncremental(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documentsSpread(spark, dir)
-    val cut = docs.agg(expr("max(doc_id) * 8 div 10").as("c"))
+    val (shas, sets, prefAll) = splitTables(spark, dir)
+    foldBatchIntoLabels(shas, sets, prefAll,
+      baseComponentLabels(shas, sets, prefAll, "componentsIncremental(base)"))
+  }
 
-    // content hashes for ALL docs, split at the cut
-    val shas = docs.select(col("doc_id"), sha2(col("text"), 256).as("h"))
+  /** The cut-annotated signature tables both lifecycle phases share:
+    * `shas` = (doc_id, h = sha256(text), c = the 80% id cut) over ALL
+    * docs, `sets` = the sorted-hash shingle table with the same cut
+    * column. Computed ONCE per query — base clustering and batch fold
+    * both filter these, so the tokenize→shingle→hash pipeline and the
+    * document scan run once, not per phase.
+    */
+  private[graft] def splitTables(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val cut = Tables.documentsSpread(spark, dir)
+      .agg(expr("max(doc_id) * 8 div 10").as("c"))
+    val shas = Tables.documentsSpread(spark, dir)
+      .select(col("doc_id"), sha2(col("text"), 256).as("h"))
       .crossJoin(broadcast(cut))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val baseShas = shas.filter(col("doc_id") <= col("c"))
-    val batchShas = shas.filter(col("doc_id") > col("c"))
+    val sets = hashedSets(spark, dir).drop("sh").crossJoin(broadcast(cut))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // the exploded k-prefix index over the WHOLE corpus, cut column
+    // carried so each candidate join filters its epoch slice (base×base
+    // for the standing clustering, all×batch for the ingest probe).
+    // NOT persisted: explode-from-cached-sets is cheaper to recompute
+    // per join than the exploded table is to materialize and hold
+    // (measured at sf0.1 — caching it cost ~2 s net).
+    val prefAll = sets
+      .withColumn("plen", expr("ns - (4*ns + 4) DIV 5 + 4"))
+      .select(col("doc_id"), col("ns"), col("c"),
+        explode(slice(col("hs"), lit(1), col("plen").cast("int"))).as("h"))
+    (shas, sets, prefAll)
+  }
 
-    // BASE clustering = the standing labels (star edges + base-side
-    // near-dup pairs, exactly dedupComponents restricted to the base)
+  /** [[dedupComponents]] restricted to the standing corpus (ids ≤ the
+    * cut): star edges + base-side near-dup pairs, propagated to the
+    * fixpoint — the labels an ingest folds new batches into.
+    */
+  private[graft] def baseComponentLabels(shas: DataFrame, sets: DataFrame,
+      prefAll: DataFrame, caller: String): DataFrame = {
+    val baseShas = shas.filter(col("doc_id") <= col("c"))
     val baseGrpMin = baseShas
       .withColumn("grp_min", min(col("doc_id")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
@@ -493,16 +545,25 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val baseStar = baseGrpMin.filter(col("doc_id") =!= col("grp_min"))
       .select(col("grp_min").as("doc_a"), col("doc_id").as("doc_b"))
-    val sets = hashedSets(spark, dir).drop("sh").crossJoin(broadcast(cut))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val baseSets = sets.filter(col("doc_id") <= col("c"))
-    val batchSets = sets.filter(col("doc_id") > col("c"))
-    val baseNear = jaccardPairsBetween(baseSets, baseSets, baseSets)
+    val basePref = prefAll.filter(col("doc_id") <= col("c"))
+    val baseNear = jaccardCandVerify(basePref, basePref, sets)
       .select(col("doc_a"), col("doc_b"))
-    val baseLabels = propagateMinLabels(
+    propagateMinLabels(
       baseStar.unionAll(baseNear),
       baseGrpMin.select(col("doc_id"), col("grp_min").as("comp")),
-      "componentsIncremental(base)")
+      caller)
+  }
+
+  /** The batch-fold core shared by [[componentsIncremental]] (inline
+    * base labels) and [[componentsStandingAppend]] (base labels read
+    * from the persisted bucketed index): generate the edges the batch
+    * introduces, contract onto `baseLabels`, fixpoint the merge graph,
+    * and relabel — returning the full (doc_id, comp, keep) relation.
+    */
+  private[graft] def foldBatchIntoLabels(shas: DataFrame, sets: DataFrame,
+      prefAll: DataFrame, baseLabels: DataFrame): DataFrame = {
+    val baseShas = shas.filter(col("doc_id") <= col("c"))
+    val batchShas = shas.filter(col("doc_id") > col("c"))
 
     // (1) edges the batch introduces. Exact: each batch doc anchors to
     // the standing index's min id for its hash, or the batch-internal
@@ -520,7 +581,8 @@ object Dedup {
         coalesce(col("base_min"), col("batch_min")).as("anchor"))
       .filter(col("doc_id") =!= col("anchor"))
       .select(col("anchor").as("doc_a"), col("doc_id").as("doc_b"))
-    val nearBatch = jaccardPairsBetween(sets, batchSets, sets)
+    val nearBatch = jaccardCandVerify(
+      prefAll, prefAll.filter(col("doc_id") > col("c")), sets)
       .select(col("doc_a"), col("doc_b"))
 
     // (2) contract base endpoints to their standing component label
@@ -533,6 +595,10 @@ object Dedup {
       .select(coalesce(col("comp_a"), col("doc_a")).as("doc_a"),
         coalesce(col("comp_b"), col("doc_b")).as("doc_b"))
       .filter(col("doc_a") =!= col("doc_b"))
+      // id-pair scale, and fanned out SIX ways below (vertex set twice,
+      // symmetrized edges twice, fixpoint init through verts) — without
+      // this persist every reference replays the probe joins above
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     // (3) propagate over the contracted merge graph: vertices are the
     // batch docs plus every touched base component, each starting as
@@ -542,6 +608,9 @@ object Dedup {
       .unionAll(contracted.select(col("doc_a").as("doc_id")))
       .unionAll(contracted.select(col("doc_b").as("doc_id")))
       .distinct()
+    // re-derive the 1-row cut from the cut-annotated shas (c is the
+    // same constant on every row; empty corpus → empty cut → empty out)
+    val cut = shas.select(col("c")).limit(1)
     val merged = propagateMinLabels(
       contracted, verts.select(col("doc_id"), col("doc_id").as("comp")),
       "componentsIncremental(merge)")
@@ -562,6 +631,45 @@ object Dedup {
       .select(col("doc_id"), col("comp"),
         (col("doc_id") === col("comp")).as("keep"))
   }
+
+  /** [[componentsIncremental]] executed the way a 100 TB pipeline
+    * actually runs it — against a PERSISTED standing label index, with
+    * the fold COMPACTED into the next corpus version:
+    *  - epoch 1 clusters the standing corpus (ids ≤ the 80% cut) once
+    *    and writes the labels as a parquet table bucketed by `doc_id`
+    *    ([[Tables.scopedIndex]], same catalog pattern as
+    *    [[minhashStanding]]); the contraction joins probe THAT table —
+    *    the corpus-sized side reads pre-bucketed on its join key, so
+    *    only batch-sized edge tables shuffle;
+    *  - epoch 2 folds the ingest batch through the contract/merge/
+    *    remap core and writes the result as the NEXT VERSION of the
+    *    index under the same bucket spec (versioned snapshots, never
+    *    an in-place rewrite of a table being read — the lakehouse
+    *    compaction shape), then returns the read-back of that version.
+    * Output round-trips write→read and still hash-matches the
+    * from-scratch recursive-CTE oracle, so "fold + compact ≡
+    * re-cluster" is proven at the stored-table level, not just on the
+    * in-flight DataFrame.
+    */
+  def componentsStandingAppend(spark: SparkSession, dir: String): DataFrame =
+    this.synchronized {
+      val (shas, sets, prefAll) = splitTables(spark, dir)
+      val (baseTable, basePath) =
+        Tables.scopedIndex(spark, "graft_components_base", dir)
+      if (!spark.catalog.tableExists(baseTable)) {
+        baseComponentLabels(shas, sets, prefAll, "componentsStandingAppend(base)")
+          .write.bucketBy(8, "doc_id").sortBy("doc_id")
+          .option("path", basePath).mode("overwrite").saveAsTable(baseTable)
+      }
+      val folded = foldBatchIntoLabels(shas, sets, prefAll,
+        spark.table(baseTable).select(col("doc_id"), col("comp")))
+      val (v2Table, v2Path) =
+        Tables.scopedIndex(spark, "graft_components_v2", dir)
+      folded
+        .write.bucketBy(8, "doc_id").sortBy("doc_id")
+        .option("path", v2Path).mode("overwrite").saveAsTable(v2Table)
+      spark.table(v2Table).select(col("doc_id"), col("comp"), col("keep"))
+    }
 
   /** Soft dedup: instead of hard-dropping near-dup cluster members
     * ([[dedupComponents]]'s `keep`), every document gets a sampling

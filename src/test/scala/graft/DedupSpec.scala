@@ -113,6 +113,9 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
       7L -> ((7L, true)), 10L -> ((7L, false))))
     // and the lifecycle loses nothing vs clustering from scratch
     assert(incr === labelMap(Dedup.dedupComponents(spark, dir)))
+    // the persisted-index twin folds against a bucketed base-label
+    // table and compacts to the next version — same relation again
+    assert(labelMap(Dedup.componentsStandingAppend(spark, dir)) === incr)
   }
 
   test("portable md5 minhash+LSH agrees with the exact inverted index") {

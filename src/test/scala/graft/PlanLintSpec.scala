@@ -38,6 +38,9 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
     "ngram_novelty_incremental" -> "1-row batch-cutoff scalar kept in-plan as a broadcast crossJoin (same shape as dedup_incremental)",
     "dedup_edit_distance_incremental" -> "1-row batch-cutoff scalar kept in-plan as a broadcast crossJoin (same shape as dedup_incremental)",
     "dedup_components_incremental" -> "1-row batch-cutoff scalar kept in-plan as a broadcast crossJoin (same shape as dedup_incremental), plus the touched-component remap broadcast",
+    // dedup_components_append needs no row: its registered plan is the
+    // post-compaction bucketed-table read-back (the fold runs inside
+    // the index write during construction)
     "er_blocking_report" -> "four 1-row strategy scalars (truth totals, candidate counts) broadcast-crossJoined into the 4-row scoreboard",
     "dedup_edit_distance_standing" -> "1-row batch-cutoff scalar kept in-plan as a broadcast crossJoin on the PROBE side (the standing index reads pre-bucketed, exchange-free)",
     "dedup_minhash_standing" -> "1-row batch-cutoff scalar kept in-plan as a broadcast crossJoin on the PROBE side (the standing index reads pre-bucketed, exchange-free)",
