@@ -137,9 +137,10 @@ object Dedup {
     * the caller: (aSets × bSets) prefix candidates under the length /
     * k-prefix / count filters, then exact-jaccard verification against
     * `verifySets`. `ngramJaccard` passes the whole corpus on all
-    * three; [[componentsIncremental]] passes (corpus, batch, corpus)
-    * to generate only the pairs an ingest batch introduces. Pair
-    * orientation is always `doc_a < doc_b` regardless of sides.
+    * three; [[componentsIncremental]] goes through [[jaccardCandVerify]]
+    * with epoch slices of one shared prefix index to generate only the
+    * pairs an ingest batch introduces. Pair orientation is always
+    * `doc_a < doc_b` regardless of sides.
     */
   private[graft] def jaccardPairsBetween(
       aSets: DataFrame, bSets: DataFrame, verifySets: DataFrame): DataFrame =
