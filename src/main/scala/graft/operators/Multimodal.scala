@@ -9,10 +9,15 @@ import graft.Tables
   * `mapPartitions` over a typed Dataset (the Scala analogue of a Pandas
   * batch UDF) emitting typed metadata.
   *
-  * The container has no image/audio codecs, so the decode step is a
-  * clearly-marked deterministic STUB (arithmetic over the raw bytes).
-  * Everything around it — binary column, partition-wise batch iteration,
-  * typed output schema — is the real plumbing a codec would drop into.
+  * The environment ships no codec libraries, so decode runs through
+  * the dependency-free [[Ppm]] (P6 image / concatenated-P6 stream) and
+  * [[Wav]] (RIFF PCM) parsers — real container walks with malformed
+  * rejection, not stubs. The corpus-to-media bridges ([[textPpm]],
+  * [[textPpmStream]], [[textWav]]) render document text into those
+  * formats with oracle-replayable arithmetic, so every pipeline is
+  * exercised end-to-end over genuinely parsed bytes; only the
+  * unrecognized-media fallback in [[metaFor]] keeps the documented
+  * length-derived stub fields.
   */
 object Multimodal {
 
