@@ -121,6 +121,50 @@ object LifecycleProbe {
       (b, probeSec + appendSec, idxRows)
     }
 
+    // ---- components fold: cost vs batch fraction --------------------
+    // The incremental-clustering claim is that the FOLD's data volume
+    // is batch-shaped (plus the fixed corpus-side scaffolding the
+    // in-query replay rebuilds — the sha index and the probe's
+    // corpus-side prefix explode, which a deployment keeps as standing
+    // artifacts). At sf0.1 WALL time cannot resolve this: both phases
+    // are fixed-overhead-bound (~15 driver jobs of scheduling/JIT
+    // constants each). Shuffle BYTES can — they are deterministic and
+    // scale-shaped, the same reason Bench records them. Sweep the cut
+    // so the batch shrinks 50% → 5% and record each phase's shuffle
+    // delta: fold bytes should fall with the batch fraction toward the
+    // fixed corpus-side floor.
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    })
+    def shuffleDelta[A](f: => A): (A, Double) = {
+      org.apache.spark.GraftSparkGlue.drainListenerBus(spark.sparkContext)
+      val s0 = shuffleBytes.get
+      val a = f
+      org.apache.spark.GraftSparkGlue.drainListenerBus(spark.sparkContext)
+      (a, (shuffleBytes.get - s0) / 1e6)
+    }
+    val compPoints = Seq(50, 30, 20, 10, 5).map { batchPct =>
+      spark.catalog.clearCache()
+      val (shas, sets, prefAll) =
+        operators.Dedup.splitTables(spark, baseDir, 100 - batchPct)
+      val (base, baseMb) = shuffleDelta {
+        val b = operators.Dedup.baseComponentLabels(
+          shas, sets, prefAll, s"lifecycle(components base, batch=$batchPct%)")
+        b.count(); b
+      }
+      val (_, foldMb) = shuffleDelta {
+        operators.Dedup.foldBatchIntoLabels(shas, sets, prefAll, base).count()
+      }
+      System.err.println(
+        f"[lifecycle] components batch=$batchPct%d%% base=$baseMb%.1fMB fold=$foldMb%.1fMB shuffled")
+      (batchPct, baseMb, foldMb)
+    }
+
     def growth(rows: Seq[(Int, Double, Long)]): Double = {
       val secs = rows.map(_._2)
       secs.takeRight(3).sum / math.max(secs.take(3).sum, 1e-9)
@@ -131,7 +175,14 @@ object LifecycleProbe {
       }.mkString("[", ",", "]")
       f""""$name":{"batches":$bs,"growth":${growth(rows)}%.2f}"""
     }
-    println(s"""{"metric":"lifecycle","index_growth":2.0,${fmt("minhash", mhRows)},${fmt("editdist", edRows)}}""")
+    val compJson = compPoints.map { case (pct, b, f) =>
+      f"""{"batch_pct":$pct,"base_shuffle_mb":$b%.1f,"fold_shuffle_mb":$f%.1f}"""
+    }.mkString("[", ",", "]")
+    // fold shuffle at a 5% batch relative to a 50% batch — the
+    // batch-shaped-fold claim as one number (the remainder is the
+    // fixed corpus-side scaffolding floor)
+    val foldRatio = compPoints.last._3 / math.max(compPoints.head._3, 1e-9)
+    println(s"""{"metric":"lifecycle","index_growth":2.0,${fmt("minhash", mhRows)},${fmt("editdist", edRows)},"components":{"points":$compJson,"fold_mb_5_over_50":${f"$foldRatio%.2f"}}}""")
     spark.sql(s"DROP TABLE IF EXISTS $mhTable")
     spark.sql(s"DROP TABLE IF EXISTS $edTable")
     spark.stop()

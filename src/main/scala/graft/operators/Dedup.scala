@@ -509,10 +509,13 @@ object Dedup {
     * both filter these, so the tokenize→shingle→hash pipeline and the
     * document scan run once, not per phase.
     */
-  private[graft] def splitTables(spark: SparkSession, dir: String)
-      : (DataFrame, DataFrame, DataFrame) = {
+  private[graft] def splitTables(spark: SparkSession, dir: String,
+      basePct: Int = 80): (DataFrame, DataFrame, DataFrame) = {
+    // default 80 = the family's standard 80% cut (max*80 div 100 ==
+    // max*8 div 10, floor-identical); LifecycleProbe sweeps other
+    // fractions to measure fold cost against batch size
     val cut = Tables.documentsSpread(spark, dir)
-      .agg(expr("max(doc_id) * 8 div 10").as("c"))
+      .agg(expr(s"max(doc_id) * $basePct div 100").as("c"))
     val shas = Tables.documentsSpread(spark, dir)
       .select(col("doc_id"), sha2(col("text"), 256).as("h"))
       .crossJoin(broadcast(cut))
