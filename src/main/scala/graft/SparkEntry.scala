@@ -120,6 +120,7 @@ object SparkEntry {
     "similarity_ann_lsh"     -> Similarity.annLsh _,
     "similarity_ann_ivf"     -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
     "dedup_embedding"        -> Similarity.dedupEmbeddingQuery _,
+    "bitext_mine"            -> ((s: SparkSession, d: String) => Similarity.bitextMine(s, d)),
     "dedup_embedding_ann"    -> ((s: SparkSession, d: String) => Similarity.dedupEmbeddingAnn(s, d)),
     "embedding_quantize"     -> Similarity.embeddingQuantize _,
     "text_stats"             -> TextOps.textStats _,
@@ -1269,6 +1270,52 @@ object SparkEntry {
     // pair candidates from band-bucket collisions, exact-cosine verify
     // at the registered 0.35 threshold — deterministic end to end.
     "dedup_embedding_ann" -> dedupEmbeddingAnnSql,
+    // Margin-based mining replay: same pinned left-to-right IEEE dot
+    // as the other embedding oracles; top-k neighborhood means fold
+    // the sims in DESCENDING sorted order (list_sort 'DESC' +
+    // list_reduce ≡ Spark's sort_array(desc) + aggregate), margin op
+    // order pinned to sim / ((mx + my) * 0.5).
+    "bitext_mine" ->
+      """WITH d AS (SELECT doc_id, lang FROM documents),
+              e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v,
+                           sqrt(list_reduce(list_prepend(0.0,
+                             list_transform(cast(embedding AS DOUBLE[]), x -> x*x)),
+                             (a,x) -> a + x)) AS nrm
+                    FROM embeddings),
+              ed AS (SELECT vec_id, lang, v, nrm
+                     FROM e JOIN d ON d.doc_id = e.vec_id),
+              s AS (SELECT vec_id AS src_id, v AS sv, nrm AS snrm
+                    FROM ed WHERE lang = 'en'),
+              t AS (SELECT lang, vec_id AS tgt_id, v AS tv, nrm AS tnrm
+                    FROM ed WHERE lang != 'en'),
+              x AS (SELECT lang, src_id, tgt_id,
+                           list_reduce(list_prepend(0.0,
+                             list_transform(range(1, len(sv)+1), i -> sv[i]*tv[i])),
+                             (acc,y) -> acc + y) / (snrm * tnrm) AS sim
+                    FROM s, t),
+              r AS (SELECT *,
+                           row_number() OVER (PARTITION BY lang, src_id
+                                              ORDER BY sim DESC, tgt_id ASC) AS rnx,
+                           row_number() OVER (PARTITION BY lang, tgt_id
+                                              ORDER BY sim DESC, src_id ASC) AS rny
+                    FROM x),
+              mxs AS (SELECT lang, src_id,
+                             list_reduce(list_prepend(0.0, list_sort(list(sim), 'DESC')),
+                               (a,y) -> a + y) / CAST(count(*) AS DOUBLE) AS mx
+                      FROM r WHERE rnx <= 4 GROUP BY lang, src_id),
+              mys AS (SELECT lang, tgt_id,
+                             list_reduce(list_prepend(0.0, list_sort(list(sim), 'DESC')),
+                               (a,y) -> a + y) / CAST(count(*) AS DOUBLE) AS my
+                      FROM r WHERE rny <= 4 GROUP BY lang, tgt_id),
+              mg AS (SELECT x.lang, x.src_id, x.tgt_id,
+                            sim / ((mx + my) * 0.5) AS margin
+                     FROM x
+                     JOIN mxs ON x.lang = mxs.lang AND x.src_id = mxs.src_id
+                     JOIN mys ON x.lang = mys.lang AND x.tgt_id = mys.tgt_id),
+              b AS (SELECT *, row_number() OVER (PARTITION BY lang, src_id
+                                                 ORDER BY margin DESC, tgt_id ASC) AS rk
+                    FROM mg)
+         SELECT lang, src_id, tgt_id FROM b WHERE rk = 1 AND margin >= 1.05""",
     "dedup_modality_agreement" ->
       s"""WITH lex AS ($minhashPortableSql),
               sem AS ($dedupEmbeddingAnnSql),

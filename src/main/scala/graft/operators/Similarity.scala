@@ -138,6 +138,92 @@ object Similarity {
   /** The registered driver-contract entry (threshold 0.35 — see
     * [[dedupEmbedding]]).
     */
+  /** Cross-lingual bitext mining — margin-based parallel-pair
+    * extraction, the operation a multilingual LLM pipeline runs to
+    * harvest translation pairs from a crawl (the LASER/CCMatrix
+    * recipe: Artetxe & Schwenk's "ratio" margin). For every
+    * (English doc × same-language non-English doc) pair, cosine
+    * similarity is normalized by the mean of the two endpoints'
+    * top-k neighborhoods in the OTHER language:
+    * `margin = sim / ((mx + my) * 0.5)` — raw cosine alone cannot
+    * mine because hub vectors sit near everything; the margin
+    * denominator cancels hubness. Each English doc keeps its best
+    * per-language match when the margin clears `threshold`.
+    *
+    * Output is ID-ONLY (lang, src_id, tgt_id) — the similarity
+    * family's house rule: selection and ranking are FP-stable across
+    * engines (pinned left-to-right IEEE dot, ties broken by id);
+    * hashed floating-point scores are not.
+    *
+    * Determinism/parity pins: the top-k neighborhood mean folds the
+    * k sims in DESCENDING sorted order (`sort_array` then a
+    * sequential `aggregate`), matching the oracle's
+    * `list_sort('DESC')` + `list_reduce`; groups smaller than k
+    * average what exists (division by the collected count, not k).
+    *
+    * Scale shape: this is the registered EXACT baseline, the mining
+    * twin of [[dedupEmbedding]] — an all-pairs (en × lang) cross
+    * score kept as ground truth (README weak-point register). The
+    * 100 TB path mines the SAME margin over ANN candidates
+    * (the [[annLsh]]/[[annIvf]] machinery: per-bucket candidates,
+    * exact re-score, margin denominators from the candidate top-k),
+    * trading bounded recall for never materializing the cross
+    * product. Windows partition by (lang, doc) — per-group state is
+    * one language slice's matches, never the corpus.
+    */
+  def bitextMine(spark: SparkSession, dir: String, k: Int = 4,
+                 threshold: Double = 1.05): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val langs = Tables.documentsSpread(spark, dir)
+      .select(col("doc_id"), col("lang"))
+    val emb = withNorm(spark, dir)
+      .join(langs, col("vec_id") === col("doc_id"))
+    val src = emb.filter(col("lang") === "en")
+      .select(col("vec_id").as("src_id"), col("v").as("sv"), col("nrm").as("snrm"))
+    val tgt = emb.filter(col("lang") =!= "en")
+      .select(col("lang"), col("vec_id").as("tgt_id"),
+        col("v").as("tv"), col("nrm").as("tnrm"))
+
+    // all-pairs exact scores (the baseline's deliberate weakness);
+    // persisted once — both direction windows and the margin join
+    // consume this relation. The English side rides an explicit
+    // broadcast so the planner can never pick a PARTITIONED cartesian
+    // (PlanLint's invariant): the streamed target side scans in place.
+    val scored = broadcast(src).crossJoin(tgt)
+      .withColumn("sim", dot(col("sv"), col("tv")) / (col("snrm") * col("tnrm")))
+      .select(col("lang"), col("src_id"), col("tgt_id"), col("sim"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val wx = Window.partitionBy(col("lang"), col("src_id"))
+      .orderBy(col("sim").desc, col("tgt_id").asc)
+    val wy = Window.partitionBy(col("lang"), col("tgt_id"))
+      .orderBy(col("sim").desc, col("src_id").asc)
+    val ranked = scored
+      .withColumn("rnx", row_number().over(wx))
+      .withColumn("rny", row_number().over(wy))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    def neighborhoodMean(rankCol: String, idCol: String, out: String): DataFrame =
+      ranked.filter(col(rankCol) <= k)
+        .groupBy(col("lang"), col(idCol))
+        .agg(collect_list(col("sim")).as("sims"))
+        .select(col("lang"), col(idCol),
+          (aggregate(sort_array(col("sims"), asc = false), lit(0.0),
+            (acc, x) => acc + x) / size(col("sims")).cast("double")).as(out))
+    val mx = neighborhoodMean("rnx", "src_id", "mx")
+    val my = neighborhoodMean("rny", "tgt_id", "my")
+
+    scored
+      .join(mx, Seq("lang", "src_id"))
+      .join(my, Seq("lang", "tgt_id"))
+      .withColumn("margin", col("sim") / ((col("mx") + col("my")) * lit(0.5)))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("lang"), col("src_id"))
+          .orderBy(col("margin").desc, col("tgt_id").asc)))
+      .filter(col("rk") === 1 && col("margin") >= threshold)
+      .select(col("lang"), col("src_id"), col("tgt_id"))
+  }
+
   def dedupEmbeddingQuery(spark: SparkSession, dir: String): DataFrame =
     dedupEmbedding(spark, dir, threshold = 0.35)
 

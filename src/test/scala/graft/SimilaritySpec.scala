@@ -388,6 +388,33 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("bitext mining: margin accepts the true pair per language, rejects the uniform-neighborhood source") {
+    import spark.implicits._
+    val dir = scratchDir("graft-bitext")
+    // en doc 0 has a genuine de translation (10) and a genuine fr one
+    // (20); en doc 1 is the HUB case — equidistant from every target
+    // (all sims ≈ 0.0995), so raw cosine ranks it somewhere but its
+    // margin ≈ 0.3 never clears 1.05. de docs 11/12 are decoys at
+    // sim ≈ 0.5 to doc 0: best-match selection must pick 10
+    // (margin ≈ 1.65) and emit ONE row per (lang, src).
+    Seq((0L, "en"), (1L, "en"), (10L, "de"), (11L, "de"), (12L, "de"), (20L, "fr"))
+      .map { case (id, l) => (id, s"doc $id", l, "src", 6L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Seq(
+      (0L, Array(1f, 0f, 0f, 0f), 0),
+      (1L, Array(0f, 0f, 1f, 0f), 0),
+      (10L, Array(1f, 0f, 0.1f, 0f), 0),
+      (11L, Array(0.5f, 0.87f, 0.1f, 0f), 0),
+      (12L, Array(0.5f, -0.87f, 0.1f, 0f), 0),
+      (20L, Array(1f, 0f, 0f, 0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = operators.Similarity.bitextMine(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set(("de", 0L, 10L), ("fr", 0L, 20L)))
+  }
+
   test("embeddingDimStats: one row per dimension with consistent exact sums") {
     val rows = operators.Similarity.embeddingDimStats(spark, fixtureDir).collect()
     assert(rows.length === 64)
