@@ -40,8 +40,10 @@ object LifecycleProbe {
 
     val maxId = Tables.documents(spark, baseDir)
       .agg(max(col("doc_id"))).head.getLong(0)
-    // initial standing corpus: ids <= 50%; each batch appends 5%
-    def hi(b: Int): Long = maxId * (10 + b) / (2 * batches)
+    // initial standing corpus: ids <= 50%; each batch appends
+    // (50/batches)% — parameterized so any batch count keeps the
+    // 50% base (b = batches lands exactly on maxId)
+    def hi(b: Int): Long = maxId * (batches + b) / (2 * batches)
 
     def timeIt[A](f: => A): (A, Double) = {
       val t0 = System.nanoTime()

@@ -90,10 +90,12 @@ object SparkEntry {
              AND length(substring(b.text, 101, 48)) > 2""")
     }),
     // the naive JW-threshold SQL a user actually writes; the
-    // JaroWinklerJoinRewrite optimizer rule turns the nested-loop trap
-    // into prefix-filter blocking + exact verify (ExtensionsSpec pins
-    // the plan shape; this row hash-proves the rewrite against DuckDB's
-    // brute force, DOUBLE scores compared raw)
+    // JaroWinklerThresholdRewrite rule fuses predicate + score into the
+    // single-pass jaro_winkler_gte kernel (histogram prefilter) and
+    // SimJoinParallelize repartitions the streamed side so the nested
+    // loop uses all cores — blocking was measured as a dead end
+    // (PlanLintSpec allows the NL by design; this row hash-proves the
+    // fused plan against DuckDB's brute force, DOUBLE scores raw)
     "er_jaro_winkler_sql" -> ((s: SparkSession, d: String) => {
       graft.Sql.registerAll(s, d)
       s.sql(
@@ -1202,7 +1204,7 @@ object SparkEntry {
                 CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
          FROM s a JOIN s b ON a.doc_id < b.doc_id
          WHERE levenshtein(a.s, b.s) <= 2""",
-    // brute-force truth for the JaroWinklerJoinRewrite path; the
+    // brute-force truth for the JaroWinklerThresholdRewrite path; the
     // kernel's float evaluation order is pinned bit-identical to
     // DuckDB's jaro_winkler_similarity, so the DOUBLE score column
     // hash-compares raw

@@ -563,8 +563,14 @@ case class JaroWinklerGte(left: Expression, right: Expression,
       b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
       threshold, strict)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.functions.HashOps.jaroWinklerGte($a, $b, ${threshold}D, $strict);")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      // bit-pattern round-trip: a plain s"${threshold}D" interpolation
+      // emits invalid Java ("NaND"/"InfinityD") for non-finite folded
+      // thresholds, which would fail codegen compile
+      val bits = java.lang.Double.doubleToLongBits(threshold)
+      s"${ev.value} = graft.functions.HashOps.jaroWinklerGte($a, $b, " +
+        s"java.lang.Double.longBitsToDouble(${bits}L), $strict);"
+    })
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): JaroWinklerGte =
     copy(left = newLeft, right = newRight)

@@ -52,14 +52,18 @@ object Multimodal {
     * delimiting is a genuine header parse, not fixed-width windowing.
     */
   def textPpmStream(s: String): Array[Byte] = {
-    val n = s.length
+    // index by CODE POINT, not UTF-16 unit — the DuckDB oracle's
+    // substr/ord/len(text) are code-point ops, so charAt/String.length
+    // would silently diverge on non-BMP text
+    val cp = s.codePoints().toArray
+    val n = cp.length
     val w = 8 + n % 5
     val h = 8 + (3 * n) % 7
     val frames = 1 + n % 4
     val out = new java.io.ByteArrayOutputStream()
     var f = 0
     while (f < frames) {
-      val rgb = Array.tabulate(w * h * 3)(j => (s.charAt((31 * f + j) % n) & 0x7f).toByte)
+      val rgb = Array.tabulate(w * h * 3)(j => (cp((31 * f + j) % n) & 0x7f).toByte)
       out.write(Ppm.encodeP6(w, h, rgb))
       f += 1
     }
@@ -111,8 +115,10 @@ object Multimodal {
     * container.
     */
   def textWav(s: String): Array[Byte] = {
-    val n = s.length
-    val data = Array.tabulate(512)(i => (((s.charAt((3 * i) % n) & 0x7f) + i) % 256).toByte)
+    // code-point indexing — see [[textPpmStream]]'s oracle-parity note
+    val cp = s.codePoints().toArray
+    val n = cp.length
+    val data = Array.tabulate(512)(i => (((cp((3 * i) % n) & 0x7f) + i) % 256).toByte)
     Wav.encodePcm8(channels = 2, sampleRate = 8000, data)
   }
 
@@ -193,12 +199,14 @@ object Multimodal {
     * genuine format parse, not a stub.
     */
   def textPpm(s: String, w: Int = 24, h: Int = 16): Array[Byte] = {
-    val n = s.length
+    // code-point indexing — see [[textPpmStream]]'s oracle-parity note
+    val cp = s.codePoints().toArray
+    val n = cp.length
     val rgb = new Array[Byte](w * h * 3)
     var i = 0
     while (i < w * h) {
-      rgb(3 * i) = (s.charAt(i % n) & 0x7f).toByte
-      rgb(3 * i + 1) = (s.charAt((7 * i) % n) & 0x7f).toByte
+      rgb(3 * i) = (cp(i % n) & 0x7f).toByte
+      rgb(3 * i + 1) = (cp((7 * i) % n) & 0x7f).toByte
       rgb(3 * i + 2) = ((11 * i) % 256).toByte
       i += 1
     }

@@ -281,7 +281,7 @@ class ScaleStressSpec extends AnyFunSuite with SparkFixture {
     // windows share exactly k+1=3 exact-segment keys, and only the
     // shift-0 probe of each matches, so the join emits ≤ 3 rows per
     // true pair — not the ≤75x worst-case probe fanout, and not a
-    // cross-group leak. h=2000 keeps the 4M-pair clique inside the
+    // cross-group leak. h=2000 keeps the ~2M-pair clique inside the
     // local[4] test budget; the multiplicity argument is independent
     // of h. Forced counts: a 48-distinct-char window (internal
     // repetition would let shifted probes alias exact segments and
