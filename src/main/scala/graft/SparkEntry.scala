@@ -123,6 +123,7 @@ object SparkEntry {
     "similarity_ann_ivf"     -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
     "dedup_embedding"        -> Similarity.dedupEmbeddingQuery _,
     "bitext_mine"            -> ((s: SparkSession, d: String) => Similarity.bitextMine(s, d)),
+    "bitext_mine_ann"        -> ((s: SparkSession, d: String) => Similarity.bitextMineAnn(s, d)),
     "dedup_embedding_ann"    -> ((s: SparkSession, d: String) => Similarity.dedupEmbeddingAnn(s, d)),
     "embedding_quantize"     -> Similarity.embeddingQuantize _,
     "text_stats"             -> TextOps.textStats _,
@@ -1295,6 +1296,66 @@ object SparkEntry {
                              list_transform(range(1, len(sv)+1), i -> sv[i]*tv[i])),
                              (acc,y) -> acc + y) / (snrm * tnrm) AS sim
                     FROM s, t),
+              r AS (SELECT *,
+                           row_number() OVER (PARTITION BY lang, src_id
+                                              ORDER BY sim DESC, tgt_id ASC) AS rnx,
+                           row_number() OVER (PARTITION BY lang, tgt_id
+                                              ORDER BY sim DESC, src_id ASC) AS rny
+                    FROM x),
+              mxs AS (SELECT lang, src_id,
+                             list_reduce(list_prepend(0.0, list_sort(list(sim), 'DESC')),
+                               (a,y) -> a + y) / CAST(count(*) AS DOUBLE) AS mx
+                      FROM r WHERE rnx <= 4 GROUP BY lang, src_id),
+              mys AS (SELECT lang, tgt_id,
+                             list_reduce(list_prepend(0.0, list_sort(list(sim), 'DESC')),
+                               (a,y) -> a + y) / CAST(count(*) AS DOUBLE) AS my
+                      FROM r WHERE rny <= 4 GROUP BY lang, tgt_id),
+              mg AS (SELECT x.lang, x.src_id, x.tgt_id,
+                            sim / ((mx + my) * 0.5) AS margin
+                     FROM x
+                     JOIN mxs ON x.lang = mxs.lang AND x.src_id = mxs.src_id
+                     JOIN mys ON x.lang = mys.lang AND x.tgt_id = mys.tgt_id),
+              b AS (SELECT *, row_number() OVER (PARTITION BY lang, src_id
+                                                 ORDER BY margin DESC, tgt_id ASC) AS rk
+                    FROM mg)
+         SELECT lang, src_id, tgt_id FROM b WHERE rk = 1 AND margin >= 1.05""",
+    // the LSH-candidate twin: identical margin tail, scored set
+    // restricted to band-bucket collisions (the dedup_embedding_ann
+    // sig/band CTEs + a lang split)
+    "bitext_mine_ann" ->
+      """WITH d AS (SELECT doc_id, lang FROM documents),
+              e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v,
+                           sqrt(list_reduce(list_prepend(0.0,
+                             list_transform(cast(embedding AS DOUBLE[]), x -> x*x)),
+                             (a,x) -> a + x)) AS nrm
+                    FROM embeddings),
+              sig AS (SELECT vec_id,
+                             list_transform(range(0, 16), p ->
+                               CASE WHEN list_reduce(list_prepend(0.0,
+                                      list_transform(range(0, 64), j ->
+                                        v[j+1] * cast(('0x' || substr(md5(p || ':' || j), 1, 7))::BIGINT
+                                                      % 2001 - 1000 AS DOUBLE))),
+                                      (a,x) -> a + x) > 0
+                                    THEN 1 ELSE 0 END) AS bits
+                      FROM e),
+              bands AS (SELECT vec_id, band,
+                               bits[4*band+1] + 2*bits[4*band+2]
+                                 + 4*bits[4*band+3] + 8*bits[4*band+4] AS band_val
+                        FROM sig, (SELECT unnest(range(0, 4)) AS band)),
+              sb AS (SELECT bb.vec_id AS src_id, band, band_val
+                     FROM bands bb JOIN d ON d.doc_id = bb.vec_id
+                     WHERE d.lang = 'en'),
+              tb AS (SELECT d.lang, bb.vec_id AS tgt_id, band, band_val
+                     FROM bands bb JOIN d ON d.doc_id = bb.vec_id
+                     WHERE d.lang != 'en'),
+              cand AS (SELECT DISTINCT lang, src_id, tgt_id
+                       FROM sb JOIN tb USING (band, band_val)),
+              x AS (SELECT lang, src_id, tgt_id,
+                           list_reduce(list_prepend(0.0,
+                             list_transform(range(1, len(ea.v)+1), i -> ea.v[i]*eb.v[i])),
+                             (acc,y) -> acc + y) / (ea.nrm * eb.nrm) AS sim
+                    FROM cand JOIN e ea ON ea.vec_id = cand.src_id
+                              JOIN e eb ON eb.vec_id = cand.tgt_id),
               r AS (SELECT *,
                            row_number() OVER (PARTITION BY lang, src_id
                                               ORDER BY sim DESC, tgt_id ASC) AS rnx,

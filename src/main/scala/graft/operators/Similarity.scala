@@ -163,13 +163,14 @@ object Similarity {
     *
     * Scale shape: this is the registered EXACT baseline, the mining
     * twin of [[dedupEmbedding]] — an all-pairs (en × lang) cross
-    * score kept as ground truth (README weak-point register). The
-    * 100 TB path mines the SAME margin over ANN candidates
-    * (the [[annLsh]]/[[annIvf]] machinery: per-bucket candidates,
-    * exact re-score, margin denominators from the candidate top-k),
-    * trading bounded recall for never materializing the cross
-    * product. Windows partition by (lang, doc) — per-group state is
-    * one language slice's matches, never the corpus.
+    * score kept as ground truth. The 100 TB path is the REGISTERED
+    * [[bitextMineAnn]] (`bitext_mine_ann`): the same margin —
+    * literally the same [[marginSelect]] tail — over LSH bucket
+    * candidates, with the denominators estimated from each
+    * endpoint's candidate top-k; BitextRecallSpec measures its
+    * recall against this exact row. Windows partition by
+    * (lang, doc) — per-group state is one language slice's matches,
+    * never the corpus.
     */
   def bitextMine(spark: SparkSession, dir: String, k: Int = 4,
                  threshold: Double = 1.05): DataFrame = {
@@ -194,6 +195,21 @@ object Similarity {
       .select(col("lang"), col("src_id"), col("tgt_id"), col("sim"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    marginSelect(scored, k, threshold)
+  }
+
+  /** The ratio-margin selection shared by [[bitextMine]] (all-pairs
+    * scores) and [[bitextMineAnn]] (LSH-candidate scores): rank each
+    * direction's neighborhood, average the top-k sims per endpoint
+    * (DESC-sorted sequential fold — the FP-order pin the oracle
+    * replays; short groups divide by what exists), and keep each
+    * (lang, src) group's best match when `sim / mean(mx, my)` clears
+    * the threshold. Operating on whatever `scored` relation the caller
+    * supplies is exactly what makes the ANN twin "the SAME margin over
+    * ANN candidates": the tail is this one function.
+    */
+  private def marginSelect(scored: DataFrame, k: Int, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wx = Window.partitionBy(col("lang"), col("src_id"))
       .orderBy(col("sim").desc, col("tgt_id").asc)
     val wy = Window.partitionBy(col("lang"), col("tgt_id"))
@@ -222,6 +238,54 @@ object Similarity {
           .orderBy(col("margin").desc, col("tgt_id").asc)))
       .filter(col("rk") === 1 && col("margin") >= threshold)
       .select(col("lang"), col("src_id"), col("tgt_id"))
+  }
+
+  /** [[bitextMine]]'s 100 TB path, registered: the SAME ratio-margin
+    * selection ([[marginSelect]] — one shared function, not a
+    * re-implementation) over LSH candidates instead of the cross
+    * product. Candidates are [[lshBands]] bucket collisions between
+    * the English side and each non-English language (equi-join on
+    * `(band, band_val)` — shuffles by bucket key, never materializes
+    * en × lang), each collision exact-cosine re-scored, then deduped
+    * as slim (lang, src_id, tgt_id, sim) rows — the
+    * [[dedupEmbeddingAnn]] bytes-over-flops trade: the dedupe
+    * exchange carries ids + one double, not two 64-dim vectors.
+    *
+    * Both margin denominators are computed FROM the candidate set
+    * (each endpoint's top-k among its collisions): at 100 TB the true
+    * neighborhood is unobservable without the cross product, and the
+    * margin only needs a hubness estimate — a hub vector collides
+    * with many buckets precisely because it is near everything, so
+    * its candidate top-k mean tracks its true top-k mean. Recall vs
+    * the exact [[bitextMine]] is measured (not assumed) by
+    * BitextRecallSpec, the `ann_recall`-style gate.
+    *
+    * Deterministic by construction (md5 planes, integer band values,
+    * pinned FP fold order, id tie-breaks) → the whole pipeline
+    * replays in the DuckDB oracle like [[annLsh]]/[[dedupEmbeddingAnn]].
+    */
+  def bitextMineAnn(spark: SparkSession, dir: String, k: Int = 4,
+                    threshold: Double = 1.05): DataFrame = {
+    val langs = Tables.documentsSpread(spark, dir)
+      .select(col("doc_id"), col("lang"))
+    val banded = lshBands(spark, dir)
+      .join(langs, col("vec_id") === col("doc_id"))
+    val src = banded.filter(col("lang") === "en")
+      .select(col("vec_id").as("src_id"), col("v").as("sv"),
+        col("nrm").as("snrm"), col("band"), col("band_val"))
+    val tgt = banded.filter(col("lang") =!= "en")
+      .select(col("lang"), col("vec_id").as("tgt_id"),
+        col("v").as("tv"), col("nrm").as("tnrm"), col("band"), col("band_val"))
+
+    // score each band collision BEFORE deduping (see dedupEmbeddingAnn:
+    // the distinct's exchange then moves 20-byte rows, not vectors);
+    // sim is a pure function of the pair, so distinct is exact
+    val scored = tgt.join(src, Seq("band", "band_val"))
+      .withColumn("sim", dot(col("sv"), col("tv")) / (col("snrm") * col("tnrm")))
+      .select(col("lang"), col("src_id"), col("tgt_id"), col("sim"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    marginSelect(scored, k, threshold)
   }
 
   def dedupEmbeddingQuery(spark: SparkSession, dir: String): DataFrame =

@@ -1,0 +1,93 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Similarity
+
+/** The `bitext_mine_ann` gate: measures the LSH-candidate miner's
+  * recall@1 against the exact all-pairs [[Similarity.bitextMine]] —
+  * the same exact-vs-approximate contract `ann_recall` enforces for
+  * the top-k family. Two regimes:
+  *
+  *  - a bilingual tight-cluster fixture, where near-parallel vectors
+  *    make per-band collision probability ~1, so candidate recall
+  *    (and therefore margin recall) must be HIGH — this pins the
+  *    machinery, not the corpus;
+  *  - the real sf0.001 testdata, whose near-orthogonal synthetic
+  *    embeddings are the LSH-hostile regime (per-4-bit-band collision
+  *    ≈ 1/16) — recall@1 is REPORTED and floor-asserted at the
+  *    measured level (~0.41 at sf0.001, ~0.46 at sf0.01; ann_lsh's
+  *    top-5 recall on the same corpus is 0.48, so the miner tracks
+  *    the house candidate generator, it does not degrade it).
+  */
+class BitextRecallSpec extends AnyFunSuite with SparkFixture {
+
+  private def mined(df: org.apache.spark.sql.DataFrame): Set[(String, Long, Long)] =
+    df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+  /** 10 "concepts" × 6 docs: per concept an en source + en decoy and,
+    * in EACH target language (de, fr), a true translation (tight,
+    * 0.1·noise off the concept direction) plus a decoy (0.6·noise,
+    * cos ≈ 0.85). The decoys matter twice: they populate every
+    * endpoint's top-k margin denominator (a lone candidate would make
+    * its own margin exactly 1 and fall under the threshold — the
+    * ratio margin needs a neighborhood to stand out FROM), and their
+    * ~0.85 cosine keeps per-band LSH collision probability ≈ 0.92,
+    * so the ANN candidate sets cover the true neighborhoods. NOT the
+    * tight-cluster fixture shape: in a tight cluster every vector is
+    * a hub, margins compress to 1, and the miner correctly returns
+    * nothing.
+    */
+  private lazy val bilingualDir: String = {
+    val dir = scratchDir("graft-bitext")
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val concepts = Array.fill(10, 64)(rng.nextGaussian())
+    def jitter(c: Array[Double], s: Double): Seq[Float] =
+      c.map(x => (x + s * rng.nextGaussian()).toFloat).toSeq
+    val noise = Array(0.05, 0.6, 0.1, 0.6, 0.1, 0.6)
+    val langOf = Array("en", "en", "de", "de", "fr", "fr")
+    val emb = (0 until 60).map { id =>
+      (id.toLong, jitter(concepts(id / 6), noise(id % 6)))
+    }
+    emb.toDF("vec_id", "embedding").write.parquet(s"$dir/embeddings.parquet")
+    val docs = (0 until 60).map { id =>
+      (id.toLong, s"doc $id", langOf(id % 6), "src0", 6L)
+    }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("ANN miner on bilingual concept fixture: same-concept matches, high recall vs exact") {
+    val exact = mined(Similarity.bitextMine(spark, bilingualDir))
+    val ann = mined(Similarity.bitextMineAnn(spark, bilingualDir))
+    assert(exact.nonEmpty)
+    // structural sanity on both: sources are en ids (id%6 < 2), the
+    // mined match shares the source's concept (rk=1 must pick the
+    // same-concept standout — cross-concept sims are ~0), and one row
+    // per (lang, src)
+    for (s <- Seq(exact, ann); (_, src, tgt) <- s) {
+      assert(src % 6 < 2, s"non-en source $src")
+      assert(src / 6 === tgt / 6, s"cross-concept match $src -> $tgt")
+    }
+    assert(ann.groupBy(p => (p._1, p._2)).forall(_._2.size == 1))
+    val recall = (exact intersect ann).size.toDouble / exact.size
+    info(f"bitext ANN recall@1 on concept fixture: $recall%.2f (${ann.size}/${exact.size})")
+    // decoys collide at ~0.92/band → candidate neighborhoods match the
+    // true ones → the margin decisions must largely agree
+    assert(recall >= 0.8, s"bitext ANN recall $recall too low on easy fixture")
+  }
+
+  test("ANN miner on real sf0.001 testdata: recall@1 tracks the house LSH generator") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val exact = mined(Similarity.bitextMine(spark, dir))
+    val ann = mined(Similarity.bitextMineAnn(spark, dir))
+    assert(exact.nonEmpty && ann.nonEmpty)
+    val recall = (exact intersect ann).size.toDouble / exact.size
+    info(f"bitext ANN recall@1 at sf0.001: $recall%.3f (${ann.size} mined vs ${exact.size} exact)")
+    // near-orthogonal synthetic corpus: 16-bit/4-band LSH keeps ~0.4
+    // of margin winners (measured 0.406; ann_lsh top-5 recall 0.48)
+    assert(recall >= 0.35, s"bitext ANN recall $recall below the measured floor")
+  }
+}

@@ -26,7 +26,7 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
     */
   private val nestedLoopAllowed: Map[String, String] = Map(
     "dedup_embedding" -> "exact all-pairs ground-truth baseline (README register; scale path = dedup_embedding_ann)",
-    "bitext_mine" -> "exact all-pairs (en × lang) mining baseline (README register; scale path = the same margin over ANN candidates)",
+    "bitext_mine" -> "exact all-pairs (en × lang) mining baseline (README register; scale path = the registered bitext_mine_ann, the same marginSelect tail over LSH candidates)",
     "taskG_inactive" -> "1-row global-max scalar kept in-plan as a broadcast crossJoin",
     "taskH_above_avg" -> "1-row global-average scalar kept in-plan as a broadcast crossJoin",
     "similarity_topk" -> "10-query broadcast side x streamed candidates (O(kN), k-bounded)",
