@@ -30,7 +30,13 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
-    val unknown = args.filterNot(SparkEntry.queries.contains)
+    // --stream-only: run ONLY the streaming-throughput harness in this
+    // fresh JVM — the isolation protocol for adjudicating throughput
+    // movers (a full bench runs it after ~265 queries of JIT/code-cache
+    // history; this mode measures the same min-of-2 figure cold).
+    val streamOnly = args.contains("--stream-only")
+    val queryArgs = args.filterNot(_ == "--stream-only")
+    val unknown = queryArgs.filterNot(SparkEntry.queries.contains)
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
 
     // Single-JVM bench hygiene: a mid-drain sibling JVM (a just-launched
@@ -96,8 +102,9 @@ object Bench {
     // ones exposed to cross-query JIT/code-cache pressure (measured:
     // copurchase_pairs 8.7s mid-session vs a stable 1.6s isolated).
     val selected =
-      if (args.isEmpty) SparkEntry.queries.toSeq
-      else SparkEntry.queries.filter { case (k, _) => args.contains(k) }.toSeq
+      if (streamOnly) Seq.empty
+      else if (queryArgs.isEmpty) SparkEntry.queries.toSeq
+      else SparkEntry.queries.filter { case (k, _) => queryArgs.contains(k) }.toSeq
     def timed(name: String,
               fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       org.apache.spark.GraftSparkGlue.drainListenerBus(spark.sparkContext)
@@ -159,7 +166,7 @@ object Bench {
     // micro-batch scheduling, state-store commits, and checkpoint I/O
     // are all on the measured path.
     val streamJson: String =
-      if (args.nonEmpty) ""
+      if (queryArgs.nonEmpty) ""
       else try {
         val tmpIn = java.nio.file.Files.createTempDirectory("graft-stream-in").toString
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -184,6 +191,11 @@ object Bench {
           val sec = (System.nanoTime() - t0) / 1e9
           val rows = q.recentProgress.map(_.numInputRows).sum
           val batches = q.recentProgress.count(_.numInputRows > 0)
+          // per-run contention sample: a short-lived sibling JVM that
+          // starts and exits inside the stream harness evades both the
+          // pre-bench wait and the post-bench re-sample (the r14 close
+          // record's 2x throughput dip was exactly this unstamped class)
+          if (contended.isEmpty) contended = foreignJvms()
           (rows, batches, sec)
         }.minBy(_._3)
         f""","stream_throughput":{"query":"stream_window_counts","rows":$rows,"micro_batches":$batches,"sec":$sec%.3f,"rows_per_sec":${rows / sec}%.0f}"""
@@ -208,7 +220,11 @@ object Bench {
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"shuffle_mb":$sh,"failed":$fs,"sf":"$sfDir"$cont$streamJson}"""
     println(json)
     // Robust copy for parsers that can't read sbt-prefixed stdout.
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LAST.json"), json)
+    // FULL runs only: a single-query or --stream-only invocation must
+    // not clobber the committed full-bench record (the restore-from-log
+    // trap of rounds past).
+    if (args.isEmpty)
+      java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LAST.json"), json)
     spark.stop()
   }
 }
