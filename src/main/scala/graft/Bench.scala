@@ -64,6 +64,12 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // let AQE coalesce shuffle partitions UNDER cached plans too
+      // (off by default): the iterative families persist their edge/
+      // label tables, and without this every fixpoint round runs
+      // full-width 32-partition exchanges over batch-sized data —
+      // measured ~25% off the components merge-fold rounds at sf0.1
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -16,6 +16,7 @@ object PlanAudit {
       // defensive: lets a nanos-encoded events regeneration scan as
       // LongType; Tables.normalizeTs dispatches on whatever arrives
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

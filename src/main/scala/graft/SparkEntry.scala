@@ -294,6 +294,8 @@ object SparkEntry {
     "dedup_minhash_standing" -> Dedup.minhashStanding _,
     "dedup_minhash_delete"   -> Dedup.minhashStandingDelete _,
     "bpe_encode"             -> ((s: SparkSession, d: String) => TextOps.bpeEncode(s, d)),
+    "bpe_train"              -> ((s: SparkSession, d: String) => TextOps.bpeTrainTable(s, d)),
+    "bpe_vocab"              -> ((s: SparkSession, d: String) => TextOps.bpeVocab(s, d)),
     "trigram_kn_probs"       -> TextOps.trigramKnProbs _,
     "similarity_ann_pq"      -> ((s: SparkSession, d: String) => Similarity.annPq(s, d)),
     "stream_dedup_minhash"   -> graft.streaming.DocStreams.streamDedupMinhash _,
@@ -695,7 +697,13 @@ object SparkEntry {
     * exactly: `list_reduce` seeds with the first element and Spark's
     * first fold step just appends it, so the two traversals agree.
     */
-  private def bpeEncodeSql(rounds: Int): String = {
+  /** The N-round BPE training replay shared by `bpe_encode`,
+    * `bpe_train`, and `bpe_vocab`: `wc` → `v0` (char-split vocab) →
+    * per-round `p$k` (pair counts) / `m$k` (argmax merge, cnt kept
+    * for the merge-table output) / `v$k` (left-to-right
+    * non-overlapping rewrite).
+    */
+  private def bpeRoundCtes(rounds: Int): String = {
     // one merge round: pair counts over vN's symbols → argmax → rewrite
     def round(k: Int): String = {
       val prev = s"v${k - 1}"
@@ -703,7 +711,7 @@ object SparkEntry {
               FROM (SELECT ss, wcnt, unnest(range(1, len(ss))) AS i
                     FROM (SELECT string_split(s, ' ') AS ss, wcnt FROM $prev))
               GROUP BY 1, 2),
-         m$k AS (SELECT l, r FROM p$k ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+         m$k AS (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
          v$k AS (SELECT word,
                         list_reduce(string_split(s, ' '),
                           (acc, x) -> CASE WHEN string_split(acc, ' ')[-1] = m.l AND x = m.r
@@ -712,7 +720,7 @@ object SparkEntry {
                         wcnt
                  FROM $prev, m$k m)"""
     }
-    s"""WITH wc AS (SELECT word, count(*) AS wcnt
+    s"""wc AS (SELECT word, count(*) AS wcnt
                     FROM (SELECT unnest(list_filter(string_split_regex(text, '\\s+'), t -> t != '')) AS word
                           FROM documents)
                     GROUP BY word),
@@ -721,7 +729,27 @@ object SparkEntry {
                              i -> substring(word, CAST(i AS INT), 1)), ' ') AS s,
                            wcnt
                     FROM wc),
-             ${(1 to rounds).map(round).mkString(",\n")},
+             ${(1 to rounds).map(round).mkString(",\n")}"""
+  }
+
+  /** `bpe_train`'s oracle: the N merge rows, each from its round's
+    * argmax CTE. */
+  private def bpeTrainSql(rounds: Int): String =
+    s"""WITH ${bpeRoundCtes(rounds)}
+        ${(1 to rounds).map(k =>
+          s"SELECT CAST($k AS BIGINT) AS round, l, r, CAST(cnt AS BIGINT) AS cnt FROM m$k")
+          .mkString("\n UNION ALL ")}"""
+
+  /** `bpe_vocab`'s oracle: symbol inventory of the post-training
+    * vocabulary with corpus frequencies. */
+  private def bpeVocabSql(rounds: Int): String =
+    s"""WITH ${bpeRoundCtes(rounds)}
+        SELECT piece, CAST(sum(wcnt) AS BIGINT) AS freq
+        FROM (SELECT unnest(string_split(s, ' ')) AS piece, wcnt FROM v$rounds)
+        GROUP BY piece"""
+
+  private def bpeEncodeSql(rounds: Int): String = {
+    s"""WITH ${bpeRoundCtes(rounds)},
              enc AS (SELECT word, s AS enc,
                             CAST(len(string_split(s, ' ')) AS BIGINT) AS np
                      FROM v$rounds),
@@ -4133,6 +4161,8 @@ object SparkEntry {
                   row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS rnk
            FROM sc) WHERE rnk <= 5""",
     "bpe_encode" -> bpeEncodeSql(3),
+    "bpe_train" -> bpeTrainSql(8),
+    "bpe_vocab" -> bpeVocabSql(8),
     // full k=64 Lloyd replay + final assignment keeping the winning
     // squared distance, then the per-cell prototypicality window
     "prototype_prune" ->

@@ -74,6 +74,7 @@ object TaskRunner {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
     val spark =
       (if (sys.props.contains("spark.master")) builder
        else builder.master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "*")}]")

@@ -523,12 +523,26 @@ object TextOps {
     * count), collects the single best (cnt desc, pair asc) — one row,
     * metadata-scale — and rewrites every word's symbol array with the
     * standard left-to-right non-overlapping merge via a codegen'd-HOF
-    * fold. Driver-side loop, vocab-sized distributed work per round;
-    * returns the merge table. Library + spec surface (the SQL replay
-    * of an N-round merge REWRITE has no clean oracle form;
-    * [[bpePairCounts]] carries the oracle for the counting statistic).
+    * fold. Driver-side loop, vocab-sized distributed work per round
+    * (the checkpointed-rounds pattern, like the pagerank loop);
+    * returns the merge table. The registered `bpe_train` /
+    * `bpe_vocab` rows ([[bpeTrainTable]], [[bpeVocab]]) oracle the
+    * N-round loop end-to-end against the same DuckDB recursive replay
+    * `bpe_encode` uses.
     */
   def bpeTrain(spark: SparkSession, dir: String, rounds: Int = 3): Seq[(Int, String, String, Long)] = {
+    val (merges, words) = bpeTrainState(spark, dir, rounds)
+    words.unpersist()
+    merges
+  }
+
+  /** [[bpeTrain]] plus the post-training vocabulary state: the merge
+    * sequence AND the final (syms, wcnt) word table (persisted — the
+    * caller owns the handle). Both registered training rows derive
+    * from this one loop.
+    */
+  private def bpeTrainState(spark: SparkSession, dir: String,
+      rounds: Int): (Seq[(Int, String, String, Long)], DataFrame) = {
     val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     var words = Tables.documentsSpread(spark, dir)
       .select(explode(tokens(col("text"))).as("word"))
@@ -578,8 +592,39 @@ object TextOps {
         round += 1
       }
     }
+    (merges.toList, words)
+  }
+
+  /** The registered merge table: [[bpeTrain]]'s N greedy rounds as a
+    * (round, l, r, cnt) relation — the artifact a tokenizer TRAINS
+    * (merges.txt). Metadata-scale output from a driver-rounds loop
+    * whose per-round work is vocab-sized and distributed; the DuckDB
+    * oracle replays all N count→argmax→rewrite rounds recursively
+    * (same CTE generator as `bpe_encode`), so the whole training loop
+    * is hash-proven, not just round 1's counting statistic.
+    */
+  def bpeTrainTable(spark: SparkSession, dir: String, rounds: Int = 8): DataFrame = {
+    val (merges, words) = bpeTrainState(spark, dir, rounds)
     words.unpersist()
-    merges.toList
+    import spark.implicits._
+    val out = merges.map { case (k, l, r, c) => (k.toLong, l, r, c) }
+    // explicit schema via toDF on a typed Dataset: survives rounds
+    // landing empty (day-one corpus — EmptyInputSpec)
+    spark.createDataset(out).toDF("round", "l", "r", "cnt")
+  }
+
+  /** The post-training vocabulary: every SYMBOL the N-merge tokenizer
+    * can emit, with its corpus frequency (occurrences weighted by word
+    * count) — vocab.json's count column. One explode + rollup over the
+    * final vocab-sized word table; symbol inventory scale, never
+    * corpus scale.
+    */
+  def bpeVocab(spark: SparkSession, dir: String, rounds: Int = 8): DataFrame = {
+    val (_, words) = bpeTrainState(spark, dir, rounds)
+    words
+      .select(explode(col("syms")).as("piece"), col("wcnt"))
+      .groupBy(col("piece"))
+      .agg(sum(col("wcnt")).as("freq"))
   }
 
   /** BPE encode: apply [[bpeTrain]]'s learned merge sequence to every

@@ -19,6 +19,7 @@ trait SparkFixture extends BeforeAndAfterAll { self: Suite =>
     .config("spark.sql.warehouse.dir",
       java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
     .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")

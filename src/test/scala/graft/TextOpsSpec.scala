@@ -520,4 +520,32 @@ class TextOpsSpec extends AnyFunSuite with SparkFixture {
       assert(r.getLong(3) === 81L)
     }
   }
+
+  test("BPE training: hand-computed 3-merge corpus pins the merge table and vocab") {
+    import spark.implicits._
+    val dir = scratchDir("graft-bpetrain")
+    // word counts: abab x3, abc x2, cc x1
+    // round 1 pairs: (a,b)=2*3+1*2=8, (b,a)=3, (b,c)=2, (c,c)=1 -> merge (a,b) cnt 8
+    //   rewrite: abab=[ab,ab], abc=[ab,c], cc=[c,c]
+    // round 2 pairs: (ab,ab)=3, (ab,c)=2, (c,c)=1 -> merge (ab,ab) cnt 3
+    //   rewrite: abab=[abab], abc=[ab,c], cc=[c,c]
+    // round 3 pairs: (ab,c)=2, (c,c)=1 -> merge (ab,c) cnt 2
+    //   rewrite: abc=[abc]; final vocab: abab:3, abc:2, c:2
+    Seq((1L, "abab abc abab"), (2L, "abab abc cc"))
+      .map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val merges = TextOps.bpeTrainTable(spark, dir, rounds = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).sortBy(_._1)
+    assert(merges === Seq(
+      (1L, "a", "b", 8L), (2L, "ab", "ab", 3L), (3L, "ab", "c", 2L)))
+    val vocab = TextOps.bpeVocab(spark, dir, rounds = 3).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(vocab === Map("abab" -> 3L, "abc" -> 2L, "c" -> 2L))
+    // a 4th round exhausts the pair supply gracefully: (c,c) is the
+    // only pair left
+    val m4 = TextOps.bpeTrainTable(spark, dir, rounds = 4).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).sortBy(_._1)
+    assert(m4.last === ((4L, "c", "c", 1L)))
+  }
 }
