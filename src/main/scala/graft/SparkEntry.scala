@@ -153,6 +153,7 @@ object SparkEntry {
     "events_value_quantiles_approx" -> EventOps.eventsValueQuantilesApprox _,
     "multimodal_meta"        -> Multimodal.multimodalMeta _,
     "multimodal_channels"    -> ((s: SparkSession, d: String) => Multimodal.channelStats(s, d)),
+    "multimodal_audio_fp"    -> ((s: SparkSession, d: String) => Multimodal.audioFingerprintPairs(s, d)),
     "multimodal_frames"      -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
     "multimodal_resize"      -> ((s: SparkSession, d: String) => Multimodal.resizePlan(s, d)),
     // ---- streaming transforms, batch-run for the oracle (the true
@@ -4356,6 +4357,47 @@ object SparkEntry {
     // (render formula → BT.601 luma → 8×8 block means). The raster is
     // a FIXED 384 pixels, so every doc yields all 64 block rows and
     // all 4 chunk rows — no NULL-chunk corner for short texts.
+    // the audio derivative-energy fingerprint: replays the textWav
+    // sample arithmetic (the Spark side round-trips through the real
+    // RIFF/WAV container), first differences, 64 energy windows, bits
+    // vs the per-doc mean, then the same chunk-band candidate join as
+    // multimodal_phash
+    "multimodal_audio_fp" ->
+      """WITH t AS (SELECT doc_id, text, len(text) AS n
+                    FROM documents WHERE len(text) >= 1),
+              s AS (SELECT doc_id, i,
+                           ((((ord(substr(text, CAST((3 * i) % n AS INT) + 1, 1)) % 128) + i) % 256
+                             - (((ord(substr(text, CAST((3 * (i - 1)) % n AS INT) + 1, 1)) % 128) + i - 1) % 256)
+                             + 384) % 256) - 128 AS d
+                    FROM (SELECT doc_id, text, n, unnest(range(1, 512)) AS i FROM t)),
+              px AS (SELECT doc_id, i // 8 AS wi,
+                            CAST(sum(d * d) // count(*) AS BIGINT) AS px
+                     FROM s GROUP BY 1, 2),
+              mn AS (SELECT doc_id, CAST(sum(px) // 64 AS BIGINT) AS mean
+                     FROM px GROUP BY doc_id),
+              bits AS (SELECT doc_id, wi,
+                              CASE WHEN px > mean THEN 1 ELSE 0 END AS bit
+                       FROM px JOIN mn USING (doc_id)),
+              ch AS (SELECT doc_id, wi // 16 AS b,
+                            CAST(sum(bit * (1::BIGINT << CAST(wi % 16 AS INT))) AS BIGINT) AS v
+                     FROM bits GROUP BY doc_id, wi // 16),
+              sig AS (SELECT doc_id,
+                             max(CASE WHEN b = 0 THEN v END) AS c0,
+                             max(CASE WHEN b = 1 THEN v END) AS c1,
+                             max(CASE WHEN b = 2 THEN v END) AS c2,
+                             max(CASE WHEN b = 3 THEN v END) AS c3
+                      FROM ch GROUP BY doc_id),
+              cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+                       FROM ch x JOIN ch y
+                         ON x.b = y.b AND x.v = y.v AND x.doc_id < y.doc_id)
+         SELECT * FROM (
+           SELECT id_a, id_b,
+                  CAST(bit_count(xor(sa.c0, sb.c0)) + bit_count(xor(sa.c1, sb.c1))
+                     + bit_count(xor(sa.c2, sb.c2)) + bit_count(xor(sa.c3, sb.c3))
+                       AS BIGINT) AS hamming
+           FROM cand JOIN sig sa ON id_a = sa.doc_id
+                     JOIN sig sb ON id_b = sb.doc_id)
+         WHERE hamming <= 3""",
     "multimodal_phash" ->
       """WITH b AS (SELECT doc_id, text, len(text) AS n
                     FROM documents WHERE len(text) >= 1),

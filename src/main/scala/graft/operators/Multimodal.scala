@@ -289,6 +289,17 @@ object Multimodal {
         }
       }.toDF()
 
+    chunkBandPairs(sigs.toDF(), maxHamming)
+  }
+
+  /** The 4×16-bit chunk-banded near-dup join shared by every 64-bit
+    * perceptual signature family ([[perceptualHashPairsFor]] for
+    * images, [[audioFingerprintPairs]] for audio): candidates from
+    * exact-chunk collisions (lossless for hamming ≤ 3 by pigeonhole),
+    * one `bit_count(xor)` verify per candidate, never N².
+    */
+  private def chunkBandPairs(sigs: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming < 4, "4-chunk banding is only lossless below hamming 4")
     val bands = sigs.select(col("doc_id"), col("c0"), col("c1"), col("c2"), col("c3"),
       explode(array(
         struct(lit(0).as("b"), col("c0").as("v")),
@@ -308,6 +319,89 @@ object Multimodal {
           bit_count(col("x.c3").bitwiseXOR(col("y.c3")))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** 64-bit audio energy fingerprint over decoded PCM — the
+    * [[perceptualHashPairsFor]] analog for audio, closing the
+    * near-dup-across-modalities story on real containers. The decode
+    * is the genuine [[Wav.decodePcm8]] RIFF chunk walk; the signature
+    * is DERIVATIVE energy (the classic high-pass fingerprint): the
+    * sample stream's CENTERED CIRCULAR first differences
+    * d(i) = ((s(i) − s(i−1) + 384) mod 256) − 128 split into 64
+    * windows (diff i → window ⌊i·64/n⌋), each window's energy is
+    * the integer sum of d², and bit w = (window mean energy > global
+    * mean of window means) — truncating integer division throughout so
+    * the DuckDB oracle replays it exactly. The difference SHAPE was
+    * measured, not assumed: plain center-deviation energy is dominated
+    * by the textWav render's `+i` ramp (hamming ≤ 3 matched ~7% of ALL
+    * pairs), and a plain difference still spikes 255² wherever the
+    * 8-bit sawtooth wraps — wrap positions are ramp-determined, so
+    * every doc lit the same windows (~6% of pairs). The circular
+    * difference maps a wrap step to its small residue, leaving only
+    * the content jitter; and the threshold-vs-own-mean construction is
+    * AMPLITUDE-INVARIANT: re-leveled or gain-scaled copies (every byte
+    * different, sha useless) keep their high-frequency CONTOUR, so the
+    * signature barely moves — MultimodalSpec plants exactly that pair.
+    * None rows (malformed WAV) drop, DROPMALFORMED.
+    */
+  private[graft] def audioFingerprint(bytes: Array[Byte]): Option[PHash] =
+    Wav.decodePcm8(bytes).flatMap { case (_, _, data) =>
+      val n = data.length
+      if (n < 2) None
+      else {
+        val sums = new Array[Long](64)
+        val cnts = new Array[Long](64)
+        var i = 1
+        while (i < n) {
+          val d = (((data(i) & 0xff) - (data(i - 1) & 0xff) + 384) % 256) - 128
+          val blk = (i.toLong * 64 / n).toInt
+          sums(blk) += d.toLong * d
+          cnts(blk) += 1
+          i += 1
+        }
+        val px = Array.tabulate(64)(w => if (cnts(w) == 0) 0L else sums(w) / cnts(w))
+        val mean = px.sum / 64
+        val chunks = Array.fill(4)(0L)
+        var w = 0
+        while (w < 64) {
+          if (px(w) > mean) chunks(w / 16) |= 1L << (w % 16)
+          w += 1
+        }
+        Some(PHash(0L, chunks(0), chunks(1), chunks(2), chunks(3)))
+      }
+    }
+
+  /** Audio near-dup pairs over `(id, WAV blob)` rows: fingerprint via
+    * [[audioFingerprint]], candidates + verify via the shared
+    * [[chunkBandPairs]] (hamming ≤ `maxHamming`, banding lossless).
+    */
+  def audioFingerprintPairsFor(blobs: DataFrame, idCol: String, blobCol: String,
+                               maxHamming: Int = 3): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    val sigs = blobs
+      .select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.flatMap { case (id, bytes) =>
+        audioFingerprint(bytes).map(p => p.copy(doc_id = id))
+      })
+      .toDF()
+    chunkBandPairs(sigs, maxHamming)
+  }
+
+  /** The corpus path: render each document to a real WAV via
+    * [[textWav]] and mine audio near-dups from the decoded PCM.
+    */
+  def audioFingerprintPairs(spark: SparkSession, dir: String,
+                            maxHamming: Int = 3): DataFrame = {
+    import spark.implicits._
+    val blobs = Tables.documentsSpread(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .filter(length(col("text")) >= 1)
+      .as[(Long, String)]
+      .mapPartitions(it => it.map { case (id, s) => (id, textWav(s)) })
+      .toDF("doc_id", "blob")
+    audioFingerprintPairsFor(blobs, "doc_id", "blob", maxHamming)
   }
 
   /** Metadata decode over arbitrary `(id, BINARY)` rows — the entry

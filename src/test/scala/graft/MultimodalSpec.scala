@@ -257,4 +257,73 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(r2.getAs[Long]("n_frames") === 2L)
     assert(r2.getAs[Long]("n_bytes") === two.length.toLong)
   }
+
+  test("audio fingerprint over real decoded WAV: gain-invariant, content-discriminating") {
+    import spark.implicits._
+    import graft.operators.Wav
+    val rnd = new scala.util.Random(31)
+    // clip A: amplitude-MODULATED noise — an envelope alternating
+    // loud/quiet 32-sample segments (the structure real audio has;
+    // the fingerprint captures the envelope contour, so windows sit
+    // clearly above or below the mean instead of hugging it the way
+    // stationary white noise does). B = A re-leveled toward center at
+    // half gain (every byte differs, sha dedup calls them distinct;
+    // halved differences keep the contour, so the mean-thresholded
+    // bits barely move); C = unrelated clip with its own envelope;
+    // plus one malformed blob (dropped).
+    def clip(r: scala.util.Random): Array[Byte] = Array.tabulate(512) { i =>
+      val env = if ((i / 32) % 2 == 0) 55.0 else 8.0
+      (128 + (r.nextGaussian() * env).toInt.max(-120).min(120)).toByte
+    }
+    val a = clip(rnd)
+    val b = a.map(v => (128 + ((v & 0xff) - 128) / 2).toByte)
+    val c = clip(new scala.util.Random(67))
+    val blobs = Seq(
+      (0L, Wav.encodePcm8(2, 8000, a)),
+      (1L, Wav.encodePcm8(2, 8000, b)),
+      (2L, Wav.encodePcm8(2, 8000, c)),
+      (9L, "RIFFbroken".getBytes("US-ASCII")))
+    val got = Multimodal.audioFingerprintPairsFor(
+        blobs.toDF("doc_id", "blob"), "doc_id", "blob").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.exists(p => p._1 == 0L && p._2 == 1L),
+      s"gain-scaled copy must stay within hamming 3: $got")
+    assert(!got.exists(p => p._1 == 2L || p._2 == 2L), "unrelated clip leaked in")
+    assert(!got.exists(p => p._1 == 9L || p._2 == 9L), "malformed blob must be dropped")
+  }
+
+  test("corpus audio fingerprint: WAV render round-trip matches a direct arithmetic replay") {
+    import spark.implicits._
+    val dir = scratchDir("graft-audiofp")
+    val rnd = new scala.util.Random(37)
+    def txt(): String = new String(Array.fill(300)((40 + rnd.nextInt(70)).toChar))
+    val ta = txt(); val tc = txt()
+    // two docs with IDENTICAL text render identical WAVs -> hamming 0;
+    // an unrelated text must not pair with them
+    Seq((0L, ta), (1L, ta), (2L, tc))
+      .map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Multimodal.audioFingerprintPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.contains((0L, 1L, 0L)), s"identical render must be hamming 0: $got")
+    assert(!got.exists(p => p._1 == 2L || p._2 == 2L), "unrelated doc leaked in")
+    // replay the fingerprint directly from the text arithmetic (the
+    // oracle's view) and check it equals the container round-trip
+    val cp = ta.codePoints().toArray
+    val v = Array.tabulate(512)(i => (((cp((3 * i) % cp.length) & 0x7f) + i) % 256))
+    val sums = new Array[Long](64); val cnts = new Array[Long](64)
+    for (i <- 1 until 512) {
+      val d = ((v(i) - v(i - 1) + 384) % 256) - 128
+      sums(i * 64 / 512) += d.toLong * d; cnts(i * 64 / 512) += 1
+    }
+    val px = Array.tabulate(64)(w => if (cnts(w) == 0) 0L else sums(w) / cnts(w))
+    val mean = px.sum / 64
+    val expect = Array.fill(4)(0L)
+    for (w <- 0 until 64 if px(w) > mean) expect(w / 16) |= 1L << (w % 16)
+    val sig = Multimodal.audioFingerprint(
+      graft.operators.Multimodal.textWav(ta)).get
+    assert((sig.c0, sig.c1, sig.c2, sig.c3) ===
+      ((expect(0), expect(1), expect(2), expect(3))))
+  }
 }
