@@ -168,6 +168,64 @@ object LifecycleProbe {
       (batchPct, baseMb, foldMb)
     }
 
+    // ---- components APPEND path: 10 versioned compactions ----------
+    // The deployed shape componentsStandingAppend proves once is here
+    // driven through a 10-version lifecycle: version b folds batch
+    // (hi(b-1), hi(b)] into version b-1's PERSISTED bucketed labels
+    // and compacts the result into version b (never in-place). The
+    // claim: per-version fold+write cost is BATCH-shaped — flat
+    // seconds and bytes while the standing index doubles. Corpus-side
+    // signature scaffolding (splitTables) rebuilds OUTSIDE the timed
+    // section, same framing as the fold sweep above: a deployment
+    // keeps those standing.
+    val (caTable0, caPath0) =
+      Tables.scopedIndex(spark, "graft_lifecycle_comp_v0", baseDir)
+    locally {
+      spark.catalog.clearCache()
+      val (shas, sets, prefAll) = operators.Dedup.splitTables(spark, baseDir, 50)
+      val capped = shas.filter(col("doc_id") <= hi(0))
+      operators.Dedup.baseComponentLabels(
+          capped, sets.filter(col("doc_id") <= hi(0)),
+          prefAll.filter(col("doc_id") <= hi(0)), "lifecycle(append base)")
+        .write.bucketBy(8, "doc_id").sortBy("doc_id")
+        .option("path", caPath0).mode("overwrite").saveAsTable(caTable0)
+    }
+    val caRows = (1 to batches).map { b =>
+      spark.catalog.clearCache()
+      // cut at hi(b-1): pct such that maxId*pct div 100 == hi(b-1)
+      // (floor-equal because 100/(2*batches) scales both terms when
+      // batches divides 100; for other batch counts the sweep would
+      // pass the cut explicitly)
+      val pct = 100 * (batches + b - 1) / (2 * batches)
+      val (shas, sets, prefAll) =
+        operators.Dedup.splitTables(spark, baseDir, pct)
+      val cap = hi(b)
+      val (prevTable, _) =
+        Tables.scopedIndex(spark, s"graft_lifecycle_comp_v${b - 1}", baseDir)
+      val (vTable, vPath) =
+        Tables.scopedIndex(spark, s"graft_lifecycle_comp_v$b", baseDir)
+      val t0 = System.nanoTime()
+      val (_, mb) = shuffleDelta {
+        operators.Dedup.foldBatchIntoLabels(
+            shas.filter(col("doc_id") <= cap),
+            sets.filter(col("doc_id") <= cap),
+            prefAll.filter(col("doc_id") <= cap),
+            spark.table(prevTable).select(col("doc_id"), col("comp")))
+          .write.bucketBy(8, "doc_id").sortBy("doc_id")
+          .option("path", vPath).mode("overwrite").saveAsTable(vTable)
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val idxRows = spark.table(vTable).count()
+      System.err.println(
+        f"[lifecycle] components append v$b: fold+write=$sec%.2fs " +
+          f"shuffle=$mb%.1fMB index_rows=$idxRows")
+      (b, sec, mb, idxRows)
+    }
+    (0 to batches).foreach { b =>
+      val (t, _) = Tables.scopedIndex(spark, s"graft_lifecycle_comp_v$b", baseDir)
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+
     def growth(rows: Seq[(Int, Double, Long)]): Double = {
       val secs = rows.map(_._2)
       secs.takeRight(3).sum / math.max(secs.take(3).sum, 1e-9)
@@ -185,7 +243,14 @@ object LifecycleProbe {
     // batch-shaped-fold claim as one number (the remainder is the
     // fixed corpus-side scaffolding floor)
     val foldRatio = compPoints.last._3 / math.max(compPoints.head._3, 1e-9)
-    println(s"""{"metric":"lifecycle","index_growth":2.0,${fmt("minhash", mhRows)},${fmt("editdist", edRows)},"components":{"points":$compJson,"fold_mb_5_over_50":${f"$foldRatio%.2f"}}}""")
+    val caJson = caRows.map { case (b, s, mb, n) =>
+      f"""{"version":$b,"sec":$s%.2f,"shuffle_mb":$mb%.1f,"index_rows":$n}"""
+    }.mkString("[", ",", "]")
+    val caGrowth = {
+      val secs = caRows.map(_._2)
+      secs.takeRight(3).sum / math.max(secs.take(3).sum, 1e-9)
+    }
+    println(s"""{"metric":"lifecycle","index_growth":2.0,${fmt("minhash", mhRows)},${fmt("editdist", edRows)},"components_append":{"versions":$caJson,"growth":${f"$caGrowth%.2f"}},"components":{"points":$compJson,"fold_mb_5_over_50":${f"$foldRatio%.2f"}}}""")
     spark.sql(s"DROP TABLE IF EXISTS $mhTable")
     spark.sql(s"DROP TABLE IF EXISTS $edTable")
     spark.stop()
