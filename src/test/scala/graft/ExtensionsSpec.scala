@@ -322,4 +322,64 @@ class ExtensionsSpec extends AnyFunSuite with SparkFixture {
       .collect().head.getLong(0)
     assert(viaSql === viaCol)
   }
+
+  test("SimJoinParallelize size gate: stats decide, absent/stale stats fail safe") {
+    GraftExtensions.register(spark)
+    import org.apache.spark.sql.functions.{col, expr}
+    def hasRoundRobin(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.exists {
+        case r: org.apache.spark.sql.catalyst.plans.logical.Repartition => r.shuffle
+        case _ => false
+      }
+    // under the 256 MB gate: Range stats = 8 bytes/row -> 8 KB; the
+    // streamed side must be repartitioned to full parallelism
+    val small = spark.range(1000).select(col("id"), col("id").cast("string").as("s"))
+    val smallJoin = small.as("a").join(small.as("b"),
+      expr("damerau_levenshtein(a.s, b.s) <= 1"))
+    assert(hasRoundRobin(smallJoin), "small sim join must gain a repartition")
+
+    // over the gate: 64M rows -> 512 MB stats; shuffling the streamed
+    // side would move the table to win parallelism its file splits
+    // already give it, so the rule must leave the join alone
+    val big = spark.range(64L * 1000 * 1000).select(col("id"), col("id").cast("string").as("s"))
+    val bigJoin = big.as("a").join(big.as("b"),
+      expr("damerau_levenshtein(a.s, b.s) <= 1"))
+    assert(!hasRoundRobin(bigJoin), "large sim join must keep its natural partitioning")
+
+    // stale CBO stats: a PHYSICALLY TINY catalog table whose injected
+    // statistics claim ~1 TB. The gate reads stats.sizeInBytes
+    // (pre-AQE, the only size available at optimize time), so the
+    // stale figure wins and the repartition is SKIPPED -- the fail-safe
+    // direction: worst case is lost parallelism on one small query,
+    // never a full-table shuffle of something actually huge. (Absent
+    // stats on non-file relations land on defaultSizeInBytes =
+    // Long.MaxValue, the same safe side; file-backed reads carry real
+    // file sizes, which er_jaro_winkler_sql's RoundRobin plan pins.)
+    spark.sql("DROP TABLE IF EXISTS simgate_stale")
+    spark.range(100).select(col("id"), col("id").cast("string").as("s"))
+      .write.saveAsTable("simgate_stale")
+    // inject through the catalog API (the in-memory test catalog does
+    // not round-trip ANALYZE's spark.sql.statistics.* tblproperties
+    // the way the Hive catalog does)
+    spark.sessionState.catalog.alterTableStats(
+      org.apache.spark.sql.catalyst.TableIdentifier("simgate_stale"),
+      Some(org.apache.spark.sql.catalyst.catalog.CatalogStatistics(
+        sizeInBytes = BigInt(999999999999L),
+        rowCount = Some(BigInt(99999999999L)))))
+    spark.catalog.refreshTable("simgate_stale")
+    val stale = spark.table("simgate_stale")
+    val staleJoin = stale.as("a").join(stale.as("b"),
+      expr("damerau_levenshtein(a.s, b.s) <= 1"))
+    assert(staleJoin.queryExecution.optimizedPlan.stats.sizeInBytes > 0)
+    assert(!hasRoundRobin(staleJoin),
+      "stale-huge stats must skip the repartition (fail-safe)")
+    // and refreshed stats restore the parallelism path
+    spark.sql("ANALYZE TABLE simgate_stale COMPUTE STATISTICS")
+    val fresh = spark.table("simgate_stale")
+    val freshJoin = fresh.as("a").join(fresh.as("b"),
+      expr("damerau_levenshtein(a.s, b.s) <= 1"))
+    assert(hasRoundRobin(freshJoin),
+      "refreshed stats must re-enable the repartition")
+    spark.sql("DROP TABLE IF EXISTS simgate_stale")
+  }
 }
