@@ -125,6 +125,7 @@ object SparkEntry {
     "bitext_mine"            -> ((s: SparkSession, d: String) => Similarity.bitextMine(s, d)),
     "bitext_mine_ann"        -> ((s: SparkSession, d: String) => Similarity.bitextMineAnn(s, d)),
     "dedup_embedding_ann"    -> ((s: SparkSession, d: String) => Similarity.dedupEmbeddingAnn(s, d)),
+    "contrastive_pairs"      -> ((s: SparkSession, d: String) => Similarity.contrastivePairs(s, d)),
     "embedding_quantize"     -> Similarity.embeddingQuantize _,
     "text_stats"             -> TextOps.textStats _,
     "text_quality"           -> TextOps.textQuality _,
@@ -143,6 +144,7 @@ object SparkEntry {
     "training_examples_pit"  -> EventOps.trainingExamplesPit _,
     "events_pivot"           -> EventOps.eventsPivot _,
     "user_segment_set_ops"   -> EventOps.userSegmentSetOps _,
+    "user_segment_theta"     -> EventOps.userSegmentTheta _,
     "user_cardinality"       -> EventOps.userCardinality _,
     "events_funnel"          -> EventOps.eventsFunnel _,
     "events_above_p95"       -> EventOps.eventsAboveP95 _,
@@ -361,8 +363,9 @@ object SparkEntry {
     * the same parquet tables. Omitted (→ rows-only check), each with a
     * stronger check elsewhere:
     *  - events_value_quantiles_approx / user_cardinality_approx /
-    *    user_cardinality_rollup: sketch outputs (GK quantile summary,
-    *    HyperLogLog registers) are implementation-defined bytes no
+    *    user_cardinality_rollup / user_segment_theta: sketch outputs
+    *    (GK quantile summary, HyperLogLog registers, Theta hash sets)
+    *    are implementation-defined bytes no
     *    other engine reproduces — each is error-envelope-bounded in
     *    ScalaTest against its oracled exact counterpart
     *    (EventOpsSpec), which is the strongest portable claim an
@@ -1302,6 +1305,57 @@ object SparkEntry {
     // pair candidates from band-bucket collisions, exact-cosine verify
     // at the registered 0.35 threshold — deterministic end to end.
     "dedup_embedding_ann" -> dedupEmbeddingAnnSql,
+    // Contrastive-triplet replay: the dedup_embedding_ann plane/band
+    // CTEs with DIRECTED candidates (every vector an anchor), exact
+    // cosine once, then both role windows — positive = rank 1 at
+    // sim >= 0.35, hard negatives = top 3 in [0.05, 0.35) — and the
+    // negatives semi-joined on anchors that have a positive. Ties by
+    // pair_id; ids/ranks only in the output.
+    "contrastive_pairs" ->
+      """WITH e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v,
+                           sqrt(list_reduce(list_prepend(0.0,
+                             list_transform(cast(embedding AS DOUBLE[]), x -> x*x)),
+                             (a,x) -> a + x)) AS nrm
+                    FROM embeddings),
+              sig AS (SELECT vec_id, v, nrm,
+                             list_transform(range(0, 16), p ->
+                               CASE WHEN list_reduce(list_prepend(0.0,
+                                      list_transform(range(0, 64), j ->
+                                        v[j+1] * cast(('0x' || substr(md5(p || ':' || j), 1, 7))::BIGINT
+                                                      % 2001 - 1000 AS DOUBLE))),
+                                      (a,x) -> a + x) > 0
+                                    THEN 1 ELSE 0 END) AS bits
+                      FROM e),
+              bands AS (SELECT vec_id, band,
+                               bits[4*band+1] + 2*bits[4*band+2]
+                                 + 4*bits[4*band+3] + 8*bits[4*band+4] AS band_val
+                        FROM sig, (SELECT unnest(range(0, 4)) AS band)),
+              cand AS (SELECT DISTINCT a.vec_id AS anchor_id, b.vec_id AS pair_id
+                       FROM bands a JOIN bands b
+                         ON a.band = b.band AND a.band_val = b.band_val
+                       WHERE a.vec_id != b.vec_id),
+              scored AS (SELECT cand.anchor_id, cand.pair_id,
+                                list_reduce(list_prepend(0.0,
+                                  list_transform(range(1, len(ea.v)+1), i -> ea.v[i]*eb.v[i])),
+                                  (acc,x) -> acc + x) / (ea.nrm * eb.nrm) AS sim
+                         FROM cand
+                         JOIN e ea ON ea.vec_id = cand.anchor_id
+                         JOIN e eb ON eb.vec_id = cand.pair_id),
+              pos AS (SELECT anchor_id, pair_id, 'pos' AS role, rnk FROM (
+                        SELECT anchor_id, pair_id,
+                               row_number() OVER (PARTITION BY anchor_id
+                                                  ORDER BY sim DESC, pair_id ASC) AS rnk
+                        FROM scored WHERE sim >= 0.35) WHERE rnk = 1),
+              neg AS (SELECT n.anchor_id, n.pair_id, 'neg' AS role, n.rnk FROM (
+                        SELECT anchor_id, pair_id,
+                               row_number() OVER (PARTITION BY anchor_id
+                                                  ORDER BY sim DESC, pair_id ASC) AS rnk
+                        FROM scored WHERE sim >= 0.05 AND sim < 0.35) n
+                      WHERE n.rnk <= 3
+                        AND n.anchor_id IN (SELECT anchor_id FROM pos))
+         SELECT anchor_id, pair_id, role, rnk FROM pos
+         UNION ALL
+         SELECT anchor_id, pair_id, role, rnk FROM neg""",
     // Margin-based mining replay: same pinned left-to-right IEEE dot
     // as the other embedding oracles; top-k neighborhood means fold
     // the sims in DESCENDING sorted order (list_sort 'DESC' +

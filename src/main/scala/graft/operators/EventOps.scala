@@ -326,6 +326,42 @@ object EventOps {
       .agg(count(lit(1)).as("n_days"),
         expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_users"))
 
+  /** Theta-sketch segment ALGEBRA — the set operation HLL cannot do.
+    * [[userCardinalityRollup]]'s HLL sketches merge by UNION only;
+    * audience/segment questions need INTERSECTION and DIFFERENCE
+    * ("clicked AND bought", "clicked but never bought"), which at
+    * 100 TB means Theta sketches (Datasketches): fixed-size, mergeable
+    * under ∪/∩/minus, built in one pass with map-side partial merges —
+    * the exact twin [[userSegmentSetOps]] pays a full key-space
+    * shuffle plus an anti-join per segment instead. Both segment
+    * sketches fill from the SAME single scan (conditional inputs), so
+    * the whole three-segment readout is one pass over events and a
+    * 1-row final merge.
+    *
+    * The final global aggregate is a partial-agg tree (sketches merge
+    * associatively on the map side); the single reduce task touches
+    * two 2^12-entry sketches, not data. Sketch binaries and estimate
+    * rounding are implementation-defined → rows-only at the driver
+    * (like the other three sketch rows), with EventOpsSpec
+    * error-bounding every segment against the exact twin.
+    */
+  def userSegmentTheta(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .agg(
+        expr("theta_sketch_agg(CASE WHEN event_type = 'click' THEN user_id END, 12)")
+          .as("sk_click"),
+        expr("theta_sketch_agg(CASE WHEN event_type = 'purchase' THEN user_id END, 12)")
+          .as("sk_buy"))
+      .selectExpr(
+        """stack(3,
+             'click_and_buy',
+             cast(theta_sketch_estimate(theta_intersection(sk_click, sk_buy)) AS DOUBLE),
+             'click_no_buy',
+             cast(theta_sketch_estimate(theta_difference(sk_click, sk_buy)) AS DOUBLE),
+             'buy_no_click',
+             cast(theta_sketch_estimate(theta_difference(sk_buy, sk_click)) AS DOUBLE)
+           ) AS (segment, approx_users)""")
+
   /** Fixed-width value histogram per event type — the distribution
     * profile pass (drift monitoring, binning for feature engineering).
     * Bin assignment is `floor(value / width)` — pure integer-exact

@@ -1247,6 +1247,66 @@ object Similarity {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** Contrastive training triplets for embedding-model fine-tuning
+    * (anchor, positive, hard negatives) — the data-construction pass a
+    * retriever/bi-encoder pipeline runs over its corpus (in-batch
+    * negatives are free; the HARD negatives — near-misses just below
+    * the positive band — are what this op mines, the part that needs
+    * the engine). Per anchor: the single best candidate at
+    * cosine ≥ `tPos` becomes the positive; the top-`nNeg` candidates
+    * in `[tNegLo, tPos)` become hard negatives. Anchors with no
+    * positive emit nothing (no pair to contrast against).
+    *
+    * Scale shape: candidates come from [[lshBands]] bucket collisions
+    * — the same sub-quadratic generator as [[dedupEmbeddingAnn]], here
+    * DIRECTED (every vector is an anchor, a→b and b→a are distinct
+    * training rows) — scored once with exact cosine, then both role
+    * selections are rank-windows over that one scored relation; the
+    * negative stream semi-joins the positive anchors so the contract
+    * ("negatives only accompany a pair") holds in-plan. No N²
+    * anywhere; output is ≤ (1 + nNeg) rows per anchor.
+    *
+    * Deterministic by construction (md5 planes, integer band values,
+    * exact-double cosine, ties broken by pair_id) → full DuckDB
+    * replay, like the rest of the LSH family. Ranks and ids only in
+    * the output; the threshold compares are the identical IEEE
+    * expressions both engines fold.
+    */
+  def contrastivePairs(spark: SparkSession, dir: String,
+                       tPos: Double = 0.35, tNegLo: Double = 0.05,
+                       nNeg: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bands = lshBands(spark, dir)
+    val a = bands.select(
+      col("vec_id").as("anchor_id"), col("v").as("va"), col("nrm").as("na"),
+      col("band"), col("band_val"))
+    val b = bands.select(
+      col("vec_id").as("pair_id"), col("v").as("vb"), col("nrm").as("nb"),
+      col("band"), col("band_val"))
+    // score each collision BEFORE deduping, then dedupe slim id rows —
+    // same moved-bytes-over-flops call as dedupEmbeddingAnn
+    val scored = a.join(b, Seq("band", "band_val"))
+      .filter(col("anchor_id") =!= col("pair_id"))
+      .select(col("anchor_id"), col("pair_id"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim"))
+      .distinct()
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("sim").desc, col("pair_id").asc)
+    val pos = scored.filter(col("sim") >= tPos)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("anchor_id"), col("pair_id"), lit("pos").as("role"),
+        col("rnk").cast("long").as("rnk"))
+    val neg = scored
+      .filter(col("sim") >= tNegLo && col("sim") < tPos)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= nNeg)
+      .join(pos.select(col("anchor_id")), Seq("anchor_id"), "left_semi")
+      .select(col("anchor_id"), col("pair_id"), lit("neg").as("role"),
+        col("rnk").cast("long").as("rnk"))
+    pos.unionAll(neg)
+  }
+
   /** Recall@5 scoreboard for the ANN family: every approximate variant
     * ([[annLsh]], [[annIvf]], [[annPq]], [[annIvfPq]]) scored against
     * the exact [[topKBrute]] ground truth in one plan — the

@@ -30,6 +30,34 @@ class EventOpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("theta-sketch segment algebra matches the exact twin on planted partial overlap") {
+    import spark.implicits._
+    val dir = scratchDir("graft-theta")
+    // clickers 1..60, buyers 40..100 → both = 21, click-only = 39,
+    // buy-only = 40 (the partial overlap the all-overlap testdata
+    // never exercises — the difference estimates must be non-zero)
+    val rows =
+      (1L to 60L).map(u => (u, u * 1000000000L, u, "click", 1.0, "{}")) ++
+      (40L to 100L).map(u => (1000L + u, u * 1000000000L, u, "purchase", 1.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val exact = EventOps.userSegmentSetOps(spark, dir).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.length.toLong).toMap
+    val theta = EventOps.userSegmentTheta(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(theta.keySet === Set("click_and_buy", "click_no_buy", "buy_no_click"))
+    assert(exact === Map("click_and_buy" -> 21L, "click_no_buy" -> 39L,
+      "buy_no_click" -> 40L))
+    theta.foreach { case (seg, est) =>
+      val ex = exact(seg).toDouble
+      // lgK=12 theta sketches stay in exact mode below 4096 entries;
+      // allow 5% for the general estimation-mode contract anyway
+      assert(math.abs(est - ex) <= math.max(1.0, ex * 0.05),
+        s"$seg: theta $est vs exact $ex")
+    }
+  }
+
   test("event rate anomaly flags the planted spike, drop, and gap days only") {
     import spark.implicits._
     val dir = scratchDir("graft-anomaly")

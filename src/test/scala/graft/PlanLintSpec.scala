@@ -93,6 +93,7 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
     "customer_quartiles" -> "global NTILE sort IS the semantics (README register; scale-safe twin = events_above_p95)",
     "weighted_sample" -> "shard-total prefix window over `shards` (=32) rows — bounded by the parameter, not the data",
     "brand_market_share" -> "final pass of the global-revenue scalar aggregate (denominator): one partial row per upstream partition",
+    "user_segment_theta" -> "final pass of the global two-sketch theta aggregate: one pair of partial 2^12-entry sketches per upstream partition, merged once — the mergeable-summary shape (data never reaches the single partition)",
     "copurchase_triangles" -> "final pass of the global triangle-count scalar aggregate: one partial row per upstream partition",
     "curation_funnel" -> "final pass of the one-row funnel scalar aggregate: one partial row per upstream partition",
     "dedup_bloom_prefilter" -> "final pass of the bloom-blob/batch-cutoff scalar aggregate: one partial row per upstream partition",

@@ -67,6 +67,45 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(recall >= 0.8, s"dedup ANN recall $recall too low")
   }
 
+  test("contrastive pairs: one positive per emitting anchor, negatives banded and ranked") {
+    val rows = Similarity.contrastivePairs(spark, fixtureDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+
+    // in-memory exact cosine over the 60 fixture vectors
+    val emb = spark.read.parquet(s"$fixtureDir/embeddings.parquet").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Long, b: Long): Double = {
+      val (va, vb) = (emb(a), emb(b))
+      val d = va.zip(vb).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(va.map(x => x * x).sum) * math.sqrt(vb.map(x => x * x).sum))
+    }
+
+    val byAnchor = rows.groupBy(_._1)
+    byAnchor.foreach { case (anchor, rs) =>
+      val pos = rs.filter(_._3 == "pos")
+      // exactly one positive at rank 1, and it clears the band
+      assert(pos.length === 1 && pos.head._4 === 1L)
+      assert(cos(anchor, pos.head._2) >= 0.35 - 1e-9)
+      // tight clusters: the positive must share the anchor's cluster
+      assert(pos.head._2 % 3 === anchor % 3,
+        s"anchor $anchor pos ${pos.head._2} crosses clusters")
+      val negs = rs.filter(_._3 == "neg")
+      assert(negs.length <= 3)
+      assert(negs.map(_._4).sorted === (1L to negs.length).toSeq)
+      negs.foreach { case (_, p, _, _) =>
+        val c = cos(anchor, p)
+        assert(c >= 0.05 - 1e-9 && c < 0.35 + 1e-9, s"neg sim $c out of band")
+      }
+      // a pair never carries both roles for the same anchor
+      assert(pos.map(_._2).toSet.intersect(negs.map(_._2).toSet).isEmpty)
+    }
+    // no anchor emits negatives without a positive (union precedes semi-join)
+    assert(rows.filter(_._3 == "neg").map(_._1).toSet
+      .subsetOf(rows.filter(_._3 == "pos").map(_._1).toSet))
+    info(s"${byAnchor.size} anchors, ${rows.count(_._3 == "neg")} hard negatives")
+  }
+
   test("PQ-ADC ANN: 5 ranked neighbors per query, good recall on clustered data") {
     val exact = pairs(Similarity.topKBrute(spark, fixtureDir))
     val pq = Similarity.annPq(spark, fixtureDir).collect()
