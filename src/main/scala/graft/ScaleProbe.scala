@@ -21,8 +21,16 @@ import org.apache.spark.sql.functions._
   *    web crawl growing new content, not 10 copies of the same pages
   *    (exact copies would quadratically inflate LSH candidate pairs
   *    and measure a duplicate-bomb, not scale);
-  *  - embeddings shift vec_id only (vector copies densify clusters —
-  *    harmless for a timing probe).
+  *  - embeddings shift vec_id AND rotate coordinates by one position
+  *    per replica: rotation preserves every within-replica norm and
+  *    pairwise cosine (replica geometry identical to base) while the
+  *    fixed LSH hyperplanes see each replica as fresh directions, so
+  *    cross-replica bucket collisions sit at chance level — the
+  *    new-content growth model. Exact vector copies would pile
+  *    identical signatures into the same buckets and turn every
+  *    bucket-collision probe (bitext_mine_ann, contrastive_pairs)
+  *    into a quadratic duplicate-bomb measurement instead of a scale
+  *    measurement, the same reason document text is token-tagged.
   *
   * Usage: sbt "runMain graft.ScaleProbe /root/testdata/sf0.1 /tmp/sfx 10"
   */
@@ -73,9 +81,13 @@ object ScaleProbe {
 
     val emb = Tables.embeddings(spark, baseDir)
     val vecSpan = span(emb, "vec_id")
-    write((0 until factor).map(i =>
-      emb.withColumn("vec_id", col("vec_id") + lit(i.toLong * vecSpan)))
-      .reduce(_ unionAll _), "embeddings")
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    write((0 until factor).map { i =>
+      val rot = i % dim
+      emb.withColumn("vec_id", col("vec_id") + lit(i.toLong * vecSpan))
+        .withColumn("embedding",
+          expr(s"concat(slice(embedding, ${rot + 1}, ${dim - rot}), slice(embedding, 1, $rot))"))
+    }.reduce(_ unionAll _), "embeddings")
 
     def run(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
       val t0 = System.nanoTime()
@@ -99,7 +111,16 @@ object ScaleProbe {
       // quadratic candidate blow-up (both must stay collision-bounded)
       "dedup_edit_distance" -> ((s: SparkSession, d: String) =>
         operators.Dedup.editDistanceJoin(s, d)),
-      "er_jaro_winkler" -> (operators.Dedup.erJaroWinkler _))
+      "er_jaro_winkler" -> (operators.Dedup.erJaroWinkler _),
+      // round-15 additions — all three generate candidates from
+      // LSH/bucket structure or iterate driver rounds, the shapes
+      // whose scale behavior must be measured, not argued
+      "bitext_mine_ann" -> ((s: SparkSession, d: String) =>
+        operators.Similarity.bitextMineAnn(s, d)),
+      "contrastive_pairs" -> ((s: SparkSession, d: String) =>
+        operators.Similarity.contrastivePairs(s, d)),
+      "bpe_train" -> ((s: SparkSession, d: String) =>
+        operators.TextOps.bpeTrainTable(s, d)))
 
     val results = probes.map { case (name, fn) =>
       // warm once at base so neither measurement pays first-codegen;

@@ -43,6 +43,20 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
     assert(plan.contains("PushedFilters") && plan.contains("EqualTo(n_name,NATION_7)"), plan)
   }
 
+  test("contrastive pairs: pruned embedding scan, equi-join candidates, no nested loop") {
+    val plan = PlanChecks.executedPlanString(
+      graft.operators.Similarity.contrastivePairs(spark, fixtureDir))
+    // candidates must come from the (band, band_val) equi-join — any
+    // nested-loop/cartesian here means the LSH blocking fell out of
+    // the plan and the op degraded to N²
+    assert(!plan.contains("BroadcastNestedLoopJoin")
+      && !plan.contains("CartesianProduct"), plan)
+    val read = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(read.exists(s => s.contains("vec_id") && s.contains("embedding")
+      && !s.contains("label")), plan)
+  }
+
   test("copurchase pairs: two exchanges (per-order sets, pair counts) — no self-join re-shuffle") {
     assert(PlanChecks.shuffles(Relational.copurchasePairs(spark, fixtureDir)) <= 2)
   }
