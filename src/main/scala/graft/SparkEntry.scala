@@ -322,6 +322,7 @@ object SparkEntry {
     // ---- round 9: standing-index append lifecycle, ANN recall ----
     "dedup_minhash_append"   -> Dedup.minhashStandingAppend _,
     "similarity_ann_append"  -> ((s: SparkSession, d: String) => Similarity.annIvfStandingAppend(s, d)),
+    "similarity_ann_delete"  -> ((s: SparkSession, d: String) => Similarity.annIvfStandingDelete(s, d)),
     "copurchase_pagerank_deltas" -> ((s: SparkSession, d: String) => Relational.pagerankDeltas(s, d)),
     "ann_recall"             -> ((s: SparkSession, d: String) => Similarity.annRecall(s, d)),
     // ---- round 10: BM25 retrieval, PCA-precursor Gram accumulation ----
@@ -776,8 +777,14 @@ object SparkEntry {
   // Shared by similarity_ann_ivf and similarity_ann_standing — the
   // standing variant changes WHERE the cell assignment lives (a
   // partitioned table on storage), not what is computed.
-  private val annIvfSql: String =
-    """WITH e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v,
+  private val annIvfSql: String = annIvfSqlWith("")
+
+  /** [[annIvfSql]] with an extra predicate on the CANDIDATE side of the
+    * probe join — the delete lifecycle replays as "the same plan minus
+    * the tombstoned rows" (same shape as minhashIncrementalSqlWith).
+    */
+  private def annIvfSqlWith(candidateFilter: String): String =
+    s"""WITH e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v,
                            sqrt(list_reduce(list_prepend(0.0,
                              list_transform(cast(embedding AS DOUBLE[]), x -> x*x)),
                              (a,x) -> a + x)) AS nrm
@@ -804,7 +811,7 @@ object SparkEntry {
                          JOIN assigned a ON p.cell = a.cell
                          JOIN e q ON q.vec_id = p.qid
                          JOIN e t ON t.vec_id = a.vec_id
-                         WHERE a.vec_id != p.qid)
+                         WHERE a.vec_id != p.qid$candidateFilter)
          SELECT qid, vec_id AS neighbor_id, rnk FROM (
            SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rnk
            FROM scored) WHERE rnk <= 5"""
@@ -1620,6 +1627,10 @@ object SparkEntry {
     // append-lifecycle twin: two partitioned writes (even/odd vec_id)
     // union to the same index contents, probe unchanged → bit-identical.
     "similarity_ann_append" -> annIvfSql,
+    // delete-lifecycle twin: same replay minus the tombstoned
+    // candidates (soft-delete predicate ≡ post-compaction contents)
+    "similarity_ann_delete" ->
+      annIvfSqlWith(" AND NOT (a.vec_id % 10 = 3 AND a.vec_id >= 16)"),
     // Full LSH replay: md5-derived integer plane weights (exact as
     // doubles), sequential-dot sign bits, 4-bit banding, candidate
     // dedupe, exact-cosine re-rank — same tie rules as the Spark side.

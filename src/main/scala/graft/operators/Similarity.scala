@@ -612,15 +612,106 @@ object Similarity {
       writeEpoch(cells, "overwrite")
     }
 
-    // Probe — nprobe highest-similarity cells per query, ties to the
-    // higher cell id (annIvf's reverse-sort rule).
+    // Probe — the shared standing-variant probe phase (ivfProbe).
+    ivfProbe(spark, emb, cellSims, cents.size, nprobe, table)
+  }
+
+  /** The IVF partition index's DELETE lifecycle, executed — the
+    * takedown path an embedding index needs for PII/DMCA removals
+    * without a full rebuild. A deterministic takedown set (corpus
+    * vectors with `vec_id % 10 == 3`, excluding the first-`nlist`
+    * codebook/query rows — deleting a vector does not retrain the
+    * already-shipped codebook, so those ids stay out of the stand-in)
+    * is removed in the two production steps, both run here:
+    *  1. SOFT delete: an id-scale tombstone predicate the probe
+    *     applies over the standing table — effective immediately,
+    *     zero index-file rewrite, partition pruning untouched
+    *     (tombstones broadcast at any corpus/takedown ratio);
+    *  2. COMPACTION: the index rewrites without tombstoned rows under
+    *     the SAME `partitionBy(cell)` spec, so post-compaction probes
+    *     keep the static partition pruning. (A lakehouse-format
+    *     deployment writes delete files and compacts lazily — the
+    *     probe shape is identical either way.)
+    * Returns the post-compaction probe's top-5; SimilaritySpec asserts
+    * the soft-deleted probe emits the identical rows and that no
+    * neighbor is tombstoned. Shares [[annIvf]]'s DuckDB oracle with
+    * the takedown predicate applied on the candidate side.
+    */
+  def annIvfStandingDelete(spark: SparkSession, dir: String,
+                           nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val emb = withNorm(spark, dir)
+    val cents: Seq[Seq[Double]] = emb.filter(col("vec_id") < nlist)
+      .orderBy("vec_id").select("v").collect().toSeq.map(_.getSeq[Double](0))
+    if (cents.isEmpty) {
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Long)].toDF("qid", "neighbor_id", "rnk")
+    }
+    val centNorms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
+    val centsLit = typedLit(cents)
+    def cellSims(v: Column, nrm: Column): Column = array(
+      cents.indices.map(i =>
+        dot(v, element_at(centsLit, i + 1)) / (nrm * centNorms(i))): _*)
+
+    val (table, idxPath) = Tables.scopedIndex(spark, "graft_ivf_cell_del", dir)
+    def writeEpoch(rows: DataFrame, mode: String): Unit =
+      rows.write.partitionBy("cell")
+        .option("path", idxPath)
+        .mode(mode).saveAsTable(table)
+    writeEpoch(emb.withColumn("cs", cellSims(col("v"), col("nrm")))
+      .withColumn("cell", array_position(col("cs"), array_max(col("cs"))).cast("int"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell")), "overwrite")
+
+    // compaction: rewrite minus tombstones under the same partition
+    // spec. Eager checkpoint first — the overwrite can't scan the very
+    // table it is replacing.
+    val compacted = spark.table(table)
+      .filter(!tombstoned(col("vec_id"), nlist))
+      .localCheckpoint(true)
+    writeEpoch(compacted, "overwrite")
+
+    ivfProbe(spark, emb, cellSims, cents.size, nprobe, table)
+  }
+
+  /** The takedown predicate — deterministic so the oracle replays it. */
+  private def tombstoned(id: Column, nlist: Int): Column =
+    id % 10 === 3 && id >= nlist
+
+  /** The soft-delete HALF of [[annIvfStandingDelete]], standalone for
+    * the spec: probe the UNCOMPACTED index with the tombstone filter —
+    * must emit exactly the post-compaction rows.
+    */
+  private[graft] def annIvfSoftDeleteProbe(
+      spark: SparkSession, dir: String, table: String,
+      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val emb = withNorm(spark, dir)
+    val cents: Seq[Seq[Double]] = emb.filter(col("vec_id") < nlist)
+      .orderBy("vec_id").select("v").collect().toSeq.map(_.getSeq[Double](0))
+    val centNorms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
+    val centsLit = typedLit(cents)
+    def cellSims(v: Column, nrm: Column): Column = array(
+      cents.indices.map(i =>
+        dot(v, element_at(centsLit, i + 1)) / (nrm * centNorms(i))): _*)
+    ivfProbe(spark, emb, cellSims, cents.size, nprobe, table,
+      idxFilter = Some(!tombstoned(col("vec_id"), nlist)))
+  }
+
+  /** Shared probe phase for the standing-index variants: nprobe
+    * highest-similarity cells per query (ties to the higher cell id —
+    * annIvf's reverse-sort rule), probed cell ids collected to the
+    * driver so the `isin` literal prunes index partitions statically,
+    * exact-cosine re-rank through the k-bounded TopK fold.
+    */
+  private def ivfProbe(spark: SparkSession, emb: DataFrame,
+                       cellSims: (Column, Column) => Column, nlist: Int,
+                       nprobe: Int, table: String,
+                       idxFilter: Option[Column] = None): DataFrame = {
     val qProbes = emb.filter(col("vec_id") < 10)
       .withColumn("cs", cellSims(col("v"), col("nrm")))
       .select(
         col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"),
         explode(slice(
           transform(
-            reverse(array_sort(zip_with(col("cs"), sequence(lit(1), lit(cents.size)),
+            reverse(array_sort(zip_with(col("cs"), sequence(lit(1), lit(nlist)),
               (s, i) => struct(s.as("s"), i.as("i"))))),
             p => p.getField("i")),
           1, nprobe)).as("cell"))
@@ -628,8 +719,9 @@ object Similarity {
     val probedCells = qProbes.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
 
-    val idx = spark.table(table)
+    val idx0 = spark.table(table)
       .filter(col("cell").isin(probedCells: _*))
+    val idx = idxFilter.fold(idx0)(idx0.filter)
     val scored = idx
       .join(broadcast(qProbes), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
