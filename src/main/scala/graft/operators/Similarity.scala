@@ -1352,10 +1352,11 @@ object Similarity {
     * Scale shape: candidates come from [[lshBands]] bucket collisions
     * — the same sub-quadratic generator as [[dedupEmbeddingAnn]], here
     * DIRECTED (every vector is an anchor, a→b and b→a are distinct
-    * training rows) — scored once with exact cosine, then both role
-    * selections are rank-windows over that one scored relation; the
-    * negative stream semi-joins the positive anchors so the contract
-    * ("negatives only accompany a pair") holds in-plan. No N²
+    * training rows) — scored once with exact cosine, then the whole
+    * role tail (has-positive gate, per-role ranking, both band
+    * filters) runs over ONE anchor_id exchange; anchors without a
+    * positive are pruned before ranking, so the contract ("negatives
+    * only accompany a pair") holds in-plan with no semi-join. No N²
     * anywhere; output is ≤ (1 + nNeg) rows per anchor.
     *
     * Deterministic by construction (md5 planes, integer band values,
@@ -1382,21 +1383,29 @@ object Similarity {
       .select(col("anchor_id"), col("pair_id"),
         (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim"))
       .distinct()
-    val w = Window.partitionBy(col("anchor_id"))
+    // One exchange for the whole tail: the has-positive window hashes
+    // by anchor_id, and the per-role rank window's ClusteredDistribution
+    // on (anchor_id, role) is satisfied by that same partitioning
+    // (partition keys ⊆ clustering keys) — so scored is evaluated ONCE
+    // and anchors without a positive are pruned BEFORE ranking, instead
+    // of the pos/neg/semi-join formulation's three scored replays over
+    // two window exchanges.
+    val wAnchor = Window.partitionBy(col("anchor_id"))
+    val wRole = Window.partitionBy(col("anchor_id"), col("role"))
       .orderBy(col("sim").desc, col("pair_id").asc)
-    val pos = scored.filter(col("sim") >= tPos)
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") === 1)
-      .select(col("anchor_id"), col("pair_id"), lit("pos").as("role"),
+    scored
+      .withColumn("role",
+        when(col("sim") >= tPos, lit("pos"))
+          .when(col("sim") >= tNegLo, lit("neg")))
+      .filter(col("role").isNotNull)
+      .withColumn("has_pos",
+        max(when(col("role") === "pos", lit(1)).otherwise(lit(0))).over(wAnchor))
+      .filter(col("has_pos") === 1)
+      .withColumn("rnk", row_number().over(wRole))
+      .filter(col("rnk") <= math.max(1, nNeg))
+      .filter(col("role") === "neg" || col("rnk") === 1)
+      .select(col("anchor_id"), col("pair_id"), col("role"),
         col("rnk").cast("long").as("rnk"))
-    val neg = scored
-      .filter(col("sim") >= tNegLo && col("sim") < tPos)
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= nNeg)
-      .join(pos.select(col("anchor_id")), Seq("anchor_id"), "left_semi")
-      .select(col("anchor_id"), col("pair_id"), lit("neg").as("role"),
-        col("rnk").cast("long").as("rnk"))
-    pos.unionAll(neg)
   }
 
   /** Recall@5 scoreboard for the ANN family: every approximate variant
