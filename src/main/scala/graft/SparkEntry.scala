@@ -50,6 +50,7 @@ object SparkEntry {
     "dedup_components_standing" -> Dedup.componentLabels _,
     "dedup_components_incremental" -> Dedup.componentsIncremental _,
     "dedup_components_append"    -> Dedup.componentsStandingAppend _,
+    "dedup_components_delete"    -> Dedup.componentsDelete _,
     "dedup_soft_weights"     -> Dedup.dedupSoftWeights _,
     "minhash_error_profile"  -> Dedup.minhashErrorProfile _,
     "source_quality_report"  -> Curation.sourceQualityReport _,
@@ -448,13 +449,20 @@ object SparkEntry {
   /** Shared CTE block: the near-dup graph + reachability used by both
     * dedup_components and corpus_curate.
     */
-  private val componentCtes: String =
-    """star AS (SELECT min(doc_id) OVER (PARTITION BY sha256(text)) AS doc_a,
+  private val componentCtes: String = componentCtesOver("documents")
+
+  /** The components reachability CTEs over an arbitrary documents
+    * relation — the delete lifecycle replays as "cluster the reduced
+    * corpus from scratch", which is exactly the claim the operator's
+    * touched-component reclustering must hash-match.
+    */
+  private def componentCtesOver(docsRel: String): String =
+    s"""star AS (SELECT min(doc_id) OVER (PARTITION BY sha256(text)) AS doc_a,
                        doc_id AS doc_b
-                FROM documents
+                FROM $docsRel
                 QUALIFY doc_a != doc_b),
-       tk AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS ts
-              FROM documents),
+       tk AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t != '') AS ts
+              FROM $docsRel),
        se AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])) AS sh
               FROM tk WHERE len(ts) >= 2),
        ex AS (SELECT doc_id, unnest(sh) AS s FROM se),
@@ -469,7 +477,7 @@ object SparkEntry {
        edges AS (SELECT doc_a AS src, doc_b AS dst FROM und
                  UNION ALL SELECT doc_b, doc_a FROM und),
        reach(doc_id, label) AS (
-         SELECT doc_id, doc_id FROM documents
+         SELECT doc_id, doc_id FROM $docsRel
          UNION
          SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.doc_id)"""
 
@@ -964,6 +972,14 @@ object SparkEntry {
     // same relation — fourth consumer of the one components oracle.
     "dedup_components_append" ->
       s"""WITH RECURSIVE $componentCtes
+         SELECT doc_id, min(label) AS comp, doc_id = min(label) AS keep
+         FROM reach GROUP BY doc_id""",
+    // DELETE lifecycle: touched-component reclustering must land on
+    // EXACTLY the from-scratch clustering of the REDUCED corpus —
+    // splits included (a takedown can disconnect a near-dup chain).
+    "dedup_components_delete" ->
+      s"""WITH RECURSIVE ${componentCtesOver(
+            "(SELECT * FROM documents WHERE doc_id % 10 != 7)")}
          SELECT doc_id, min(label) AS comp, doc_id = min(label) AS keep
          FROM reach GROUP BY doc_id""",
     // Soft-dedup weights over the same transitive clustering: each

@@ -73,7 +73,17 @@ object Dedup {
     * ~2⁶⁴ shingles to matter (probability ≲1e-12 at any tested SF).
     */
   private def hashedSets(spark: SparkSession, dir: String): DataFrame =
-    shingleSets(spark, dir)
+    hashedSetsOf(Tables.documentsSpread(spark, dir))
+
+  /** [[hashedSets]] over an explicit documents relation — lets the
+    * delete lifecycle shingle ONLY the touched-component survivors
+    * instead of the corpus.
+    */
+  private def hashedSetsOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(col("doc_id"), graft.functions.functions.bigram_shingles(col("ts")).as("sh"))
       .select(col("doc_id"), col("sh"),
         graft.functions.functions.sorted_hashes(col("sh")).as("hs"))
       .withColumn("ns", size(col("hs")).cast("long"))
@@ -693,6 +703,77 @@ object Dedup {
         .option("path", v2Path).mode("overwrite").saveAsTable(v2Table)
       spark.table(v2Table).select(col("doc_id"), col("comp"), col("keep"))
     }
+
+  /** The components clustering's DELETE lifecycle — the hard case of
+    * the three, because removing a document can SPLIT a cluster:
+    * near-dup chains a→b→c lose transitivity when the bridge b is
+    * taken down, so deletion is NOT a filter over the standing labels
+    * (the minhash/ANN delete ops only drop rows; here connectivity
+    * itself changes). A deterministic takedown set (`doc_id % 10 == 7`
+    * — replayable by the oracle, disjoint from the minhash family's
+    * `% 10 == 0` convention) is removed and the output is the
+    * (doc_id, comp, keep) relation over the survivors, hash-identical
+    * to clustering the reduced corpus from scratch.
+    *
+    * Batch-shaped, never corpus-shaped:
+    *  1. components TOUCHED by a tombstone come from one probe of the
+    *     standing label index ([[componentLabels]]) — bounded by the
+    *     takedown batch, broadcast everywhere below;
+    *  2. every survivor in an UNtouched component keeps its label
+    *     verbatim (the corpus-scale majority: one anti-join, no
+    *     recompute — deletion elsewhere cannot change a component it
+    *     never touched);
+    *  3. survivors of touched components — bounded by the takedown's
+    *     component neighborhood — are RE-clustered on their induced
+    *     subgraph: sha star edges and prefix-filtered jaccard pairs
+    *     regenerated over just those documents (exact-dup groups and
+    *     ≥0.8 pairs never span components, so the induced subgraph is
+    *     self-contained), then the shared [[propagateMinLabels]]
+    *     fixpoint relabels them — splits fall out naturally as
+    *     distinct new minima.
+    */
+  def componentsDelete(spark: SparkSession, dir: String): DataFrame = {
+    val tombstone = col("doc_id") % 10 === 7
+    val labels = componentLabels(spark, dir)
+
+    val touched = labels.filter(tombstone).select(col("comp")).distinct()
+    val untouched = labels
+      .join(broadcast(touched), Seq("comp"), "left_anti")
+      .select(col("doc_id"), col("comp"))
+    val survivors = labels
+      .join(broadcast(touched), Seq("comp"), "left_semi")
+      .filter(!tombstone)
+      .select(col("doc_id"))
+
+    // induced subgraph over the survivors only — shingling, prefix
+    // index, and verification all run on the semi-joined slice
+    val sDocs = Tables.documentsSpread(spark, dir)
+      .join(survivors, Seq("doc_id"), "left_semi")
+    val grpMin = sDocs
+      .select(col("doc_id"), sha2(col("text"), 256).as("h"))
+      .withColumn("grp_min", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+      .select(col("doc_id"), col("grp_min"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val star = grpMin.filter(col("doc_id") =!= col("grp_min"))
+      .select(col("grp_min").as("doc_a"), col("doc_id").as("doc_b"))
+    val sets = hashedSetsOf(sDocs).persist(StorageLevel.MEMORY_AND_DISK)
+    val pref = sets
+      .withColumn("plen", expr("ns - (4*ns + 4) DIV 5 + 4"))
+      .select(col("doc_id"), col("ns"),
+        explode(slice(col("hs"), lit(1), col("plen").cast("int"))).as("h"))
+    val near = jaccardCandVerify(pref, pref, sets)
+      .select(col("doc_a"), col("doc_b"))
+
+    val relabeled = propagateMinLabels(
+      star.unionAll(near),
+      grpMin.select(col("doc_id"), col("grp_min").as("comp")),
+      "componentsDelete")
+
+    untouched.unionAll(relabeled.select(col("doc_id"), col("comp")))
+      .select(col("doc_id"), col("comp"),
+        (col("doc_id") === col("comp")).as("keep"))
+  }
 
   /** Soft dedup: instead of hard-dropping near-dup cluster members
     * ([[dedupComponents]]'s `keep`), every document gets a sampling

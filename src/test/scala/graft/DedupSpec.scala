@@ -259,6 +259,40 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(soft === compacted)
   }
 
+  test("components delete: removing a bridge doc SPLITS its cluster; untouched clusters keep labels") {
+    import spark.implicits._
+    val dir = scratchDir("graft-comp-del")
+    val words = (1 to 40).map(i => s"w$i")
+    val bridge = words.mkString(" ")                                   // id 7 (tombstoned)
+    val left = ((1 to 3).map(i => s"x$i") ++ words.drop(3)).mkString(" ")   // ~0.857 vs bridge
+    val right = (words.dropRight(3) ++ (1 to 3).map(i => s"y$i")).mkString(" ") // ~0.857 vs bridge
+    // left~right ≈ 0.733 < 0.8: ONLY the bridge connects them
+    val docs = Seq(
+      (1L, left), (2L, right), (7L, bridge),
+      (3L, "same text here ok"), (4L, "same text here ok"),  // untouched exact pair
+      (5L, (1 to 10).map(i => s"p$i").mkString(" ")),
+      (6L, (1 to 10).map(i => s"q$i").mkString(" ")),
+      // touched but NOT split: 8, 9, 17 exact dups, 17 tombstoned
+      (8L, "dup trio common body"), (9L, "dup trio common body"),
+      (17L, "dup trio common body"))
+    docs.map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // pre-delete: the chain is one component (the split below is real)
+    val full = Dedup.dedupComponents(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(full(1L) === 1L && full(7L) === 1L && full(2L) === 1L)
+
+    val got = Dedup.componentsDelete(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got === Set(
+      (1L, 1L, true), (2L, 2L, true),          // the split: two new singletons
+      (3L, 3L, true), (4L, 3L, false),         // untouched labels verbatim
+      (5L, 5L, true), (6L, 6L, true),
+      (8L, 8L, true), (9L, 8L, false)))        // shrunk but connected
+  }
+
   test("soft weights: cluster mass splits by size; singletons keep full 10^6") {
     // fixture clusters: {0,1,2} (exact dup + j=0.95 near-dup), {3}, {4}
     val got = Dedup.dedupSoftWeights(spark, fixtureDir).collect()
