@@ -120,7 +120,26 @@ object ScaleProbe {
       "contrastive_pairs" -> ((s: SparkSession, d: String) =>
         operators.Similarity.contrastivePairs(s, d)),
       "bpe_train" -> ((s: SparkSession, d: String) =>
-        operators.TextOps.bpeTrainTable(s, d)))
+        operators.TextOps.bpeTrainTable(s, d)),
+      // runs AFTER the components-family consumers above, so the
+      // replica corpus's standing label index already exists and the
+      // probe measures the delete fold itself (induced-subgraph
+      // reclustering), not the one-time base clustering
+      "dedup_components_delete" -> (operators.Dedup.componentsDelete _),
+      // the LSH scale KNOB, demonstrated: fixed 16-bit/4x4 banding has
+      // only 16 buckets per band, so on a direction-uniform corpus the
+      // chance-collision candidate count is Θ(N²/buckets) — measured
+      // 516k → 51.6M band collisions for 10× vectors (numpy replay of
+      // the md5 planes). Production sizes the bucket count WITH the
+      // corpus ("widen bands as N grows", lshBands scaladoc): at
+      // 64-bit/16-bit bands (4 × 65536 buckets) the 10× corpus
+      // generates 23.9k candidates — 20× FEWER than the base corpus
+      // does at the registered fixture parameters (516k). This probe
+      // runs the 10× corpus at that sizing — its wall time is the
+      // honest 10× figure for a deployment, while the fixed-parameter
+      // row above measures the saturated-bucket floor.
+      "contrastive_pairs_scaled_bands" -> ((s: SparkSession, d: String) =>
+        operators.Similarity.contrastivePairs(s, d, nBits = 64, bandBits = 16)))
 
     val results = probes.map { case (name, fn) =>
       // warm once at base so neither measurement pays first-codegen;

@@ -1367,9 +1367,10 @@ object Similarity {
     */
   def contrastivePairs(spark: SparkSession, dir: String,
                        tPos: Double = 0.35, tNegLo: Double = 0.05,
-                       nNeg: Int = 3): DataFrame = {
+                       nNeg: Int = 3,
+                       nBits: Int = 16, bandBits: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val bands = lshBands(spark, dir)
+    val bands = lshBands(spark, dir, nBits, bandBits)
     val a = bands.select(
       col("vec_id").as("anchor_id"), col("v").as("va"), col("nrm").as("na"),
       col("band"), col("band_val"))
