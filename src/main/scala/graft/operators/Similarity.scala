@@ -265,10 +265,11 @@ object Similarity {
     * replays in the DuckDB oracle like [[annLsh]]/[[dedupEmbeddingAnn]].
     */
   def bitextMineAnn(spark: SparkSession, dir: String, k: Int = 4,
-                    threshold: Double = 1.05): DataFrame = {
+                    threshold: Double = 1.05,
+                    nBits: Int = 16, bandBits: Int = 4): DataFrame = {
     val langs = Tables.documentsSpread(spark, dir)
       .select(col("doc_id"), col("lang"))
-    val banded = lshBands(spark, dir)
+    val banded = lshBands(spark, dir, nBits, bandBits)
       .join(langs, col("vec_id") === col("doc_id"))
     val src = banded.filter(col("lang") === "en")
       .select(col("vec_id").as("src_id"), col("v").as("sv"),
