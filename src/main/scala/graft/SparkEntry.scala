@@ -163,6 +163,10 @@ object SparkEntry {
     // streaming path is exercised in StreamingSpec via MemoryStream) ----
     "stream_window_counts"   -> graft.streaming.EventStreams.streamWindowCounts _,
     "stream_session_windows" -> graft.streaming.EventStreams.streamSessionWindows _,
+    // rows-only: HLL sketch estimates are engine-specific (like the
+    // other sketch rows); StreamingSpec pins stream ≡ batch
+    // byte-equality and the error envelope vs exact distinct
+    "stream_user_sketch"     -> graft.streaming.EventStreams.streamUserSketch _,
     "stream_running_counts"  -> graft.streaming.EventStreams.streamRunningCounts _,
     "stream_dedup_events"    -> graft.streaming.EventStreams.streamDedupEvents _,
     "stream_enrich_join"     -> graft.streaming.EventStreams.streamEnrichJoin _,
@@ -365,7 +369,8 @@ object SparkEntry {
     * the same parquet tables. Omitted (→ rows-only check), each with a
     * stronger check elsewhere:
     *  - events_value_quantiles_approx / user_cardinality_approx /
-    *    user_cardinality_rollup / user_segment_theta: sketch outputs
+    *    user_cardinality_rollup / user_segment_theta /
+    *    stream_user_sketch: sketch outputs
     *    (GK quantile summary, HyperLogLog registers, Theta hash sets)
     *    are implementation-defined bytes no
     *    other engine reproduces — each is error-envelope-bounded in

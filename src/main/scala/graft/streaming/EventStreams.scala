@@ -70,6 +70,30 @@ object EventStreams {
         col("window.start").as("w_start"), col("window.end").as("w_end"),
         col("event_type"), col("cnt"), col("total_value"))
 
+  /** Watermark-windowed DISTINCT users per event type via HLL sketches
+    * — the real-time approximate-distinct dashboard. Exact streaming
+    * `count(DISTINCT)` is not incrementally maintainable under append
+    * mode (state would hold every key); the HLL sketch IS — its state
+    * is one fixed-size register array per (window, type), and register
+    * merge is commutative/associative/idempotent (a MAX), so the
+    * trigger-by-trigger fold over any micro-batch partitioning
+    * produces the IDENTICAL sketch a batch run builds — stream ≡ batch
+    * byte-for-byte, not just approximately (StreamingSpec pins it).
+    * The batch-mode twin of [[graft.operators.EventOps
+    * .userCardinalityRollup]]'s daily table, maintained live.
+    */
+  def windowedUserSketch(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"),
+        count(lit(1)).as("n_events"))
+      .select(
+        col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("event_type"),
+        expr("hll_sketch_estimate(sk)").as("approx_users"),
+        col("n_events"))
+
   /** Watermark-windowed value moments per event type — the streaming
     * form of the mergeable power-sum tuple
     * ([[graft.operators.Curation.momentsBySource]]): n, Σv, Σv² (plus
@@ -253,6 +277,9 @@ object EventStreams {
 
   def streamSessionWindows(spark: SparkSession, dir: String): DataFrame =
     sessionWindows(Tables.events(spark, dir))
+
+  def streamUserSketch(spark: SparkSession, dir: String): DataFrame =
+    windowedUserSketch(Tables.events(spark, dir))
 
   def streamKanon(spark: SparkSession, dir: String): DataFrame =
     kanonCells(Tables.events(spark, dir))

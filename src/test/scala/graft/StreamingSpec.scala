@@ -20,6 +20,47 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
   private def ev(id: Long, t: Timestamp, user: Long, typ: String = "view"): Ev =
     Ev(id, t, user, typ, 1.0)
 
+  test("windowedUserSketch: stream equals batch byte-for-byte; estimate tracks exact distinct") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 40 distinct users in the 10:00 window (each twice, split across
+    // triggers so the sketch state must MERGE), 5 in the 11:00 window
+    val w10 = (1 to 40).flatMap(u =>
+      Seq(ev(u.toLong, ts(10, u % 60), u.toLong),
+        ev(100L + u, ts(10, (u + 7) % 60), u.toLong)))
+    val w11 = (1 to 5).map(u => ev(300L + u, ts(11, u), u.toLong))
+    val closer = Seq(ev(999, ts(14, 0), 999)) // watermark 12:00 closes both
+
+    val in = MemoryStream[Ev]
+    val q = EventStreams.windowedUserSketch(in.toDF())
+      .writeStream.format("memory").queryName("us").outputMode(OutputMode.Append).start()
+    try {
+      // deliver in three triggers with interleaved halves: register
+      // merge must be order/partitioning-independent
+      in.addData(w10.take(30) ++ w11.drop(2))
+      in.addData(w10.drop(30) ++ w11.take(2))
+      in.addData(closer)
+      q.processAllAvailable()
+      val streamed = spark.table("us").collect()
+        .map(r => (r.getAs[Timestamp]("w_start"), r.getString(2),
+          r.getLong(3), r.getLong(4))).toSet
+
+      val batch = EventStreams.windowedUserSketch(
+        (w10 ++ w11).toDF()).collect()
+        .map(r => (r.getAs[Timestamp]("w_start"), r.getString(2),
+          r.getLong(3), r.getLong(4))).toSet
+      // stream ≡ batch EXACTLY: HLL register merge is a max — the same
+      // registers result from any trigger/partition order
+      assert(streamed === batch)
+
+      // lgK=14 rse ~0.8%: these tiny counts must be spot-on
+      val byWin = streamed.map { case (w, _, est, n) => w -> (est, n) }.toMap
+      assert(byWin(ts(10))._1 === 40L && byWin(ts(10))._2 === 80L)
+      assert(byWin(ts(11))._1 === 5L && byWin(ts(11))._2 === 5L)
+    } finally q.stop()
+  }
+
   test("windowedMoments merges power sums across triggers before the window closes") {
     val s = spark
     import s.implicits._
