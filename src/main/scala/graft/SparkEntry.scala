@@ -72,6 +72,8 @@ object SparkEntry {
       Dedup.erBlockingReport(s, d)),
     "dedup_edit_distance_standing" -> ((s: SparkSession, d: String) =>
       Dedup.editDistanceStanding(s, d)),
+    "dedup_edit_distance_delete" -> ((s: SparkSession, d: String) =>
+      Dedup.editDistanceStandingDelete(s, d)),
     // the NAIVE SQL spelling of dedup_edit_distance, kept naive on
     // purpose: plans.EditDistanceJoinRewrite turns the O(N²)
     // nested-loop join into the PassJoin blocked plan transparently —
@@ -506,13 +508,21 @@ object SparkEntry {
     * index — identical output by construction.
     */
   private val editDistanceIncrementalSql: String =
-    """WITH s AS (SELECT doc_id, substr(text, 101, 48) AS s
+    editDistanceIncrementalSqlWith("")
+
+  /** [[editDistanceIncrementalSql]] with an extra predicate on the
+    * STANDING side — the delete lifecycle replays as the same probe
+    * minus tombstoned index rows (same shape as
+    * minhashIncrementalSqlWith / annIvfSqlWith).
+    */
+  private def editDistanceIncrementalSqlWith(standingFilter: String): String =
+    s"""WITH s AS (SELECT doc_id, substr(text, 101, 48) AS s
                   FROM documents WHERE len(substr(text, 101, 48)) > 2),
             c AS (SELECT max(doc_id) * 8 // 10 AS c FROM documents)
        SELECT b.doc_id, a.doc_id AS dup_of,
               CAST(levenshtein(b.s, a.s) AS BIGINT) AS dist
        FROM s b, s a, c
-       WHERE b.doc_id > c.c AND a.doc_id <= c.c
+       WHERE b.doc_id > c.c AND a.doc_id <= c.c$standingFilter
          AND levenshtein(b.s, a.s) <= 2"""
 
   private val minhashCandCtes: String = {
@@ -1256,6 +1266,10 @@ object SparkEntry {
     // bucketed-index variant returns the identical relation
     "dedup_edit_distance_incremental" -> editDistanceIncrementalSql,
     "dedup_edit_distance_standing" -> editDistanceIncrementalSql,
+    // delete-lifecycle twin: same probe minus tombstoned index rows
+    // (soft-delete predicate ≡ post-compaction contents)
+    "dedup_edit_distance_delete" ->
+      editDistanceIncrementalSqlWith(" AND a.doc_id % 10 != 5"),
     // identical relation to dedup_edit_distance (the naive-SQL twin
     // carried by the optimizer rewrite)
     "dedup_edit_distance_sql" ->

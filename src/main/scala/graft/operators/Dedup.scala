@@ -1042,11 +1042,85 @@ object Dedup {
       .write.bucketBy(8, "seg_key").sortBy("seg_key")
       .option("path", idxPath).mode("overwrite").saveAsTable(table)
 
+    edProbeAgainst(spark, table, batch, k)
+  }
+
+  /** The PassJoin segment index's DELETE lifecycle — completing the
+    * takedown story across all four standing indexes (minhash bands,
+    * component labels, IVF cells, and now the edit-distance segments).
+    * Pair generation has no transitive cluster semantics, so deletion
+    * is the [[minhashStandingDelete]] shape, not the components one:
+    *  1. SOFT delete: tombstone predicate (`dup_of % 10 == 5` — a
+    *     deterministic takedown stand-in, distinct from the other
+    *     families' conventions) applied at probe time over the
+    *     standing segment table — immediate, zero file rewrite, the
+    *     bucketed exchange-free probe untouched;
+    *  2. COMPACTION: the index rewrites without tombstoned rows under
+    *     the SAME `bucketBy(seg_key)` spec (eager checkpoint first —
+    *     the overwrite cannot scan the table it replaces).
+    * Returns the post-compaction probe; DedupSpec asserts soft ≡
+    * compacted and that no pair points at a deleted doc. Shares the
+    * incremental oracle with the takedown filter on the standing side.
+    */
+  def editDistanceStandingDelete(spark: SparkSession, dir: String,
+                                 start: Int = 101, width: Int = 48,
+                                 maxDist: Int = 2): DataFrame = {
+    val k = maxDist
+    val cut = Tables.documents(spark, dir)
+      .agg(expr("max(doc_id) * 8 div 10").as("c"))
+    val docs = edWindows(spark, dir, start, width, k)
+      .crossJoin(broadcast(cut))
+    val standing = docs.filter(col("doc_id") <= col("c")).drop("c")
+    val batch = docs.filter(col("doc_id") > col("c")).drop("c")
+
+    val (table, idxPath) = Tables.scopedIndex(spark, "graft_editdist_seg_del", dir)
+    def writeIndex(rows: DataFrame, mode: String): Unit =
+      rows.write.bucketBy(8, "seg_key").sortBy("seg_key")
+        .option("path", idxPath).mode(mode).saveAsTable(table)
+    writeIndex(edSegments(standing, k)
+      .withColumn("seg_key", concat_ws("#", col("la"), col("i"), col("seg")))
+      .select(col("doc_id").as("dup_of"), col("s").as("s_a"), col("seg_key")),
+      "overwrite")
+
+    // compaction: rewrite minus tombstones under the same bucket spec
+    val compacted = spark.table(table)
+      .filter(col("dup_of") % 10 =!= 5)
+      .localCheckpoint(true)
+    writeIndex(compacted, "overwrite")
+
+    edProbeAgainst(spark, table, batch, k)
+  }
+
+  /** The soft-delete HALF of [[editDistanceStandingDelete]],
+    * standalone for the spec: probe the UNCOMPACTED index with the
+    * tombstone filter — must emit exactly the post-compaction rows.
+    */
+  private[graft] def editDistanceSoftDeleteProbe(
+      spark: SparkSession, dir: String, table: String,
+      start: Int = 101, width: Int = 48, maxDist: Int = 2): DataFrame = {
+    val k = maxDist
+    val cut = Tables.documents(spark, dir)
+      .agg(expr("max(doc_id) * 8 div 10").as("c"))
+    val batch = edWindows(spark, dir, start, width, k)
+      .crossJoin(broadcast(cut))
+      .filter(col("doc_id") > col("c")).drop("c")
+    edProbeAgainst(spark, table, batch, k,
+      idxFilter = Some(col("dup_of") % 10 =!= 5))
+  }
+
+  /** Shared probe tail for the standing segment-index variants: batch
+    * probe substrings against a named bucketed index table, distinct
+    * the candidate pairs, banded-levenshtein verify.
+    */
+  private def edProbeAgainst(spark: SparkSession, table: String,
+                             batch: DataFrame, k: Int,
+                             idxFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val probes = edProbes(batch, k)
       .withColumn("seg_key", concat_ws("#", col("la"), col("i"), col("seg")))
       .select(col("doc_id"), col("s").as("s_b"), col("seg_key"))
-
-    spark.table(table).join(probes, "seg_key")
+    val idx0 = spark.table(table)
+    val idx = idxFilter.fold(idx0)(idx0.filter)
+    idx.join(probes, "seg_key")
       .select(col("doc_id"), col("dup_of"), col("s_a"), col("s_b"))
       .distinct()
       .withColumn("dist", levenshtein(col("s_b"), col("s_a"), k).cast("long"))

@@ -499,6 +499,37 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(got === Set((8L, 0L, 1L), (9L, 0L, 2L)))
   }
 
+  test("segment-index delete: tombstoned standing docs vanish; soft and compacted probes agree") {
+    import spark.implicits._
+    val dir = scratchDir("graft-editdist-del")
+    val filler = "f" * 100
+    val base = "abcdefghijklmnopqrstuvwxyz0123456789ABCDEFGHIJKL"
+    // ids {0, 5, 8}: cut = 8*8 div 10 = 6 → standing {0, 5}, batch {8}.
+    // Batch 8 matches BOTH standing docs; 5 is in the takedown set
+    // (doc_id % 10 == 5), 0 is not.
+    val windows = Seq(
+      0L -> base,
+      5L -> (base.take(5) + "#" + base.drop(6)),
+      8L -> (base.take(20) + "%" + base.drop(21)))
+    windows.map { case (id, wnd) =>
+      (id, filler + wnd, "en", "src", (filler + wnd).length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val full = rows(Dedup.editDistanceStanding(spark, dir))
+    assert(full === Set((8L, 0L, 1L), (8L, 5L, 2L)))
+    // soft delete: tombstone filter over the UNCOMPACTED index the
+    // standing run just built
+    val standingTable = Tables.scopedIndex(spark, "graft_editdist_seg_index", dir)._1
+    val soft = rows(Dedup.editDistanceSoftDeleteProbe(spark, dir, standingTable))
+    // full lifecycle: build, compact without tombstones, probe
+    val compacted = rows(Dedup.editDistanceStandingDelete(spark, dir))
+    assert(compacted === Set((8L, 0L, 1L)))
+    assert(soft === compacted)
+  }
+
   test("modality agreement partitions the union of lexical and semantic pair sets") {
     val lex = Dedup.minhashPortable(spark, fixtureDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -44,6 +44,7 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
     // the index write during construction)
     "er_blocking_report" -> "four 1-row strategy scalars (truth totals, candidate counts) broadcast-crossJoined into the 4-row scoreboard",
     "dedup_edit_distance_standing" -> "1-row batch-cutoff scalar kept in-plan as a broadcast crossJoin on the PROBE side (the standing index reads pre-bucketed, exchange-free)",
+    "dedup_edit_distance_delete" -> "same batch-cutoff scalar crossJoin as dedup_edit_distance_standing (delete-lifecycle twin)",
     "dedup_minhash_standing" -> "1-row batch-cutoff scalar kept in-plan as a broadcast crossJoin on the PROBE side (the standing index reads pre-bucketed, exchange-free)",
     "dedup_minhash_append" -> "same batch-cutoff scalar crossJoin as dedup_minhash_standing (append-lifecycle twin)",
     "dedup_minhash_delete" -> "same batch-cutoff scalar crossJoin as dedup_minhash_standing (delete-lifecycle twin)",
@@ -107,6 +108,7 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
     "dedup_components_incremental" -> "final pass of the batch-cutoff scalar aggregate: one partial row per upstream partition",
     "er_blocking_report" -> "final passes of the per-strategy 1-row scalar aggregates: one partial row per upstream partition each",
     "dedup_edit_distance_standing" -> "final pass of the batch-cutoff scalar aggregate (probe side): one partial row per upstream partition",
+    "dedup_edit_distance_delete" -> "final pass of the batch-cutoff scalar aggregate (probe side), same as dedup_edit_distance_standing",
     "dedup_minhash_standing" -> "final pass of the batch-cutoff scalar aggregate (probe side): one partial row per upstream partition",
     "dedup_minhash_append" -> "same batch-cutoff scalar aggregate as dedup_minhash_standing (append-lifecycle twin)",
     "dedup_minhash_delete" -> "same batch-cutoff scalar aggregate as dedup_minhash_standing (delete-lifecycle twin)",
