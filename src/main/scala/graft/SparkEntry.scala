@@ -122,7 +122,7 @@ object SparkEntry {
     // multisets pair at hamming 0 in any family).
     "dedup_simhash_portable" -> Dedup.simhashPortable _,
     "similarity_topk"        -> Similarity.topKBrute _,
-    "similarity_ann_lsh"     -> Similarity.annLsh _,
+    "similarity_ann_lsh"     -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
     "similarity_ann_ivf"     -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
     "dedup_embedding"        -> Similarity.dedupEmbeddingQuery _,
     "bitext_mine"            -> ((s: SparkSession, d: String) => Similarity.bitextMine(s, d)),
@@ -363,7 +363,7 @@ object SparkEntry {
     "q6_forecast_revenue"    -> Relational.q6ForecastRevenue _,
     "q19_discounted_revenue" -> Relational.q19DiscountedRevenue _,
     "packing_efficiency"     -> ((s: SparkSession, d: String) => TextOps.packingEfficiency(s, d)),
-    "dedup_threshold_sweep"  -> Similarity.dedupThresholdSweep _,
+    "dedup_threshold_sweep"  -> ((s: SparkSession, d: String) => Similarity.dedupThresholdSweep(s, d)),
     "dedup_modality_agreement" -> Dedup.dedupModalityAgreement _,
   )
 
@@ -546,32 +546,62 @@ object SparkEntry {
                            AND x.doc_id < y.doc_id)"""
   }
 
-  /** [[graft.operators.Similarity.dedupEmbeddingAnn]]'s full replay —
-    * hyperplane signs, band buckets, candidate pairs, exact-cosine
-    * verify. Shared by the dedup_embedding_ann entry and the
-    * modality-agreement composition.
+  /** Corpus-derived LSH banding CTEs shared by every lshBands replay
+    * (`params` → `e` → `sig` → `bands` → `probed`): `params.bb` runs
+    * the SAME integer rule as
+    * [[graft.operators.Similarity.derivedBandBits]] (smallest b in
+    * [4, 16] with 2^b·8 ≥ count(embeddings) — pure integer shifts, no
+    * log2 ulp risk), the signature is 4·bb md5-hyperplane sign bits,
+    * `bands` slices it into 4 bands of bb bits with a generic
+    * positional fold (the old 4-bit unroll, generalized — verified
+    * identical at bb=4), and `probed` is the hamming-≤1 probe fan-out
+    * twin of Similarity.probeExpand (pk = 0 keeps the bucket, pk = i
+    * flips bit i−1). Parameters live IN the SQL, so one oracle string
+    * stays hash-exact at every SF — the derivation is replayed, not
+    * baked in.
     */
-  private val dedupEmbeddingAnnSql: String =
-    """WITH e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v,
+  private val lshBandCtes: String =
+    """params AS (SELECT coalesce(
+                    (SELECT min(b) FROM (SELECT unnest(range(4, 17)) AS b)
+                     WHERE (CAST(1 AS BIGINT) << b) * 8 >= (SELECT count(*) FROM embeddings)),
+                    16) AS bb),
+              e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v,
                            sqrt(list_reduce(list_prepend(0.0,
                              list_transform(cast(embedding AS DOUBLE[]), x -> x*x)),
                              (a,x) -> a + x)) AS nrm
                     FROM embeddings),
-              sig AS (SELECT vec_id, v, nrm,
-                             list_transform(range(0, 16), p ->
+              sig AS (SELECT vec_id, bb,
+                             list_transform(range(0, 4 * bb), p ->
                                CASE WHEN list_reduce(list_prepend(0.0,
                                       list_transform(range(0, 64), j ->
                                         v[j+1] * cast(('0x' || substr(md5(p || ':' || j), 1, 7))::BIGINT
                                                       % 2001 - 1000 AS DOUBLE))),
                                       (a,x) -> a + x) > 0
                                     THEN 1 ELSE 0 END) AS bits
-                      FROM e),
-              bands AS (SELECT vec_id, band,
-                               bits[4*band+1] + 2*bits[4*band+2]
-                                 + 4*bits[4*band+3] + 8*bits[4*band+4] AS band_val
+                      FROM e, params),
+              bands AS (SELECT vec_id, band, bb,
+                               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                 list_transform(range(0, bb), i ->
+                                   CAST(bits[band*bb + i + 1] AS BIGINT)
+                                     * (CAST(1 AS BIGINT) << i))),
+                                 (a,x) -> a + x) AS band_val
                         FROM sig, (SELECT unnest(range(0, 4)) AS band)),
+              probed AS (SELECT vec_id, band,
+                                CASE WHEN pk = 0 THEN band_val
+                                     ELSE xor(band_val, CAST(1 AS BIGINT) << (pk - 1)) END AS band_val
+                         FROM bands, (SELECT unnest(range(0, 17)) AS pk)
+                         WHERE pk <= bb)"""
+
+  /** [[graft.operators.Similarity.dedupEmbeddingAnn]]'s full replay —
+    * corpus-derived hyperplane signs, band buckets, hamming-≤1 probe
+    * fan-out on the id_a side, candidate pairs, exact-cosine verify.
+    * Shared by the dedup_embedding_ann entry and the
+    * modality-agreement composition.
+    */
+  private val dedupEmbeddingAnnSql: String =
+    s"""WITH $lshBandCtes,
               cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-                       FROM bands a JOIN bands b
+                       FROM probed a JOIN bands b
                          ON a.band = b.band AND a.band_val = b.band_val
                        WHERE a.vec_id < b.vec_id)
          SELECT id_a, id_b
@@ -1347,33 +1377,17 @@ object SparkEntry {
     // pair candidates from band-bucket collisions, exact-cosine verify
     // at the registered 0.35 threshold — deterministic end to end.
     "dedup_embedding_ann" -> dedupEmbeddingAnnSql,
-    // Contrastive-triplet replay: the dedup_embedding_ann plane/band
-    // CTEs with DIRECTED candidates (every vector an anchor), exact
-    // cosine once, then both role windows — positive = rank 1 at
-    // sim >= 0.35, hard negatives = top 3 in [0.05, 0.35) — and the
-    // negatives semi-joined on anchors that have a positive. Ties by
-    // pair_id; ids/ranks only in the output.
+    // Contrastive-triplet replay: the shared corpus-derived plane/band
+    // CTEs with DIRECTED candidates (every vector an anchor, the
+    // anchor side probe-fanned), exact cosine once, then both role
+    // windows — positive = rank 1 at sim >= 0.35, hard negatives =
+    // top 3 in [0.05, 0.35) — and the negatives semi-joined on anchors
+    // that have a positive. Ties by pair_id; ids/ranks only in the
+    // output.
     "contrastive_pairs" ->
-      """WITH e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v,
-                           sqrt(list_reduce(list_prepend(0.0,
-                             list_transform(cast(embedding AS DOUBLE[]), x -> x*x)),
-                             (a,x) -> a + x)) AS nrm
-                    FROM embeddings),
-              sig AS (SELECT vec_id, v, nrm,
-                             list_transform(range(0, 16), p ->
-                               CASE WHEN list_reduce(list_prepend(0.0,
-                                      list_transform(range(0, 64), j ->
-                                        v[j+1] * cast(('0x' || substr(md5(p || ':' || j), 1, 7))::BIGINT
-                                                      % 2001 - 1000 AS DOUBLE))),
-                                      (a,x) -> a + x) > 0
-                                    THEN 1 ELSE 0 END) AS bits
-                      FROM e),
-              bands AS (SELECT vec_id, band,
-                               bits[4*band+1] + 2*bits[4*band+2]
-                                 + 4*bits[4*band+3] + 8*bits[4*band+4] AS band_val
-                        FROM sig, (SELECT unnest(range(0, 4)) AS band)),
+      s"""WITH $lshBandCtes,
               cand AS (SELECT DISTINCT a.vec_id AS anchor_id, b.vec_id AS pair_id
-                       FROM bands a JOIN bands b
+                       FROM probed a JOIN bands b
                          ON a.band = b.band AND a.band_val = b.band_val
                        WHERE a.vec_id != b.vec_id),
               scored AS (SELECT cand.anchor_id, cand.pair_id,
@@ -1445,30 +1459,13 @@ object SparkEntry {
                     FROM mg)
          SELECT lang, src_id, tgt_id FROM b WHERE rk = 1 AND margin >= 1.05""",
     // the LSH-candidate twin: identical margin tail, scored set
-    // restricted to band-bucket collisions (the dedup_embedding_ann
-    // sig/band CTEs + a lang split)
+    // restricted to band-bucket collisions (the shared corpus-derived
+    // sig/band CTEs + a lang split, en side probe-fanned)
     "bitext_mine_ann" ->
-      """WITH d AS (SELECT doc_id, lang FROM documents),
-              e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v,
-                           sqrt(list_reduce(list_prepend(0.0,
-                             list_transform(cast(embedding AS DOUBLE[]), x -> x*x)),
-                             (a,x) -> a + x)) AS nrm
-                    FROM embeddings),
-              sig AS (SELECT vec_id,
-                             list_transform(range(0, 16), p ->
-                               CASE WHEN list_reduce(list_prepend(0.0,
-                                      list_transform(range(0, 64), j ->
-                                        v[j+1] * cast(('0x' || substr(md5(p || ':' || j), 1, 7))::BIGINT
-                                                      % 2001 - 1000 AS DOUBLE))),
-                                      (a,x) -> a + x) > 0
-                                    THEN 1 ELSE 0 END) AS bits
-                      FROM e),
-              bands AS (SELECT vec_id, band,
-                               bits[4*band+1] + 2*bits[4*band+2]
-                                 + 4*bits[4*band+3] + 8*bits[4*band+4] AS band_val
-                        FROM sig, (SELECT unnest(range(0, 4)) AS band)),
-              sb AS (SELECT bb.vec_id AS src_id, band, band_val
-                     FROM bands bb JOIN d ON d.doc_id = bb.vec_id
+      s"""WITH d AS (SELECT doc_id, lang FROM documents),
+              $lshBandCtes,
+              sb AS (SELECT pb.vec_id AS src_id, band, band_val
+                     FROM probed pb JOIN d ON d.doc_id = pb.vec_id
                      WHERE d.lang = 'en'),
               tb AS (SELECT d.lang, bb.vec_id AS tgt_id, band, band_val
                      FROM bands bb JOIN d ON d.doc_id = bb.vec_id
@@ -1667,29 +1664,13 @@ object SparkEntry {
     "similarity_ann_delete" ->
       annIvfSqlWith(" AND NOT (a.vec_id % 10 = 3 AND a.vec_id >= 16)"),
     // Full LSH replay: md5-derived integer plane weights (exact as
-    // doubles), sequential-dot sign bits, 4-bit banding, candidate
-    // dedupe, exact-cosine re-rank — same tie rules as the Spark side.
+    // doubles), sequential-dot sign bits, corpus-derived banding,
+    // hamming-<=1 query-side probe fan-out, candidate dedupe,
+    // exact-cosine re-rank — same tie rules as the Spark side.
     "similarity_ann_lsh" ->
-      """WITH e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v,
-                           sqrt(list_reduce(list_prepend(0.0,
-                             list_transform(cast(embedding AS DOUBLE[]), x -> x*x)),
-                             (a,x) -> a + x)) AS nrm
-                    FROM embeddings),
-              sig AS (SELECT vec_id, v, nrm,
-                             list_transform(range(0, 16), p ->
-                               CASE WHEN list_reduce(list_prepend(0.0,
-                                      list_transform(range(0, 64), j ->
-                                        v[j+1] * cast(('0x' || substr(md5(p || ':' || j), 1, 7))::BIGINT
-                                                      % 2001 - 1000 AS DOUBLE))),
-                                      (a,x) -> a + x) > 0
-                                    THEN 1 ELSE 0 END) AS bits
-                      FROM e),
-              bands AS (SELECT vec_id, band,
-                               bits[4*band+1] + 2*bits[4*band+2]
-                                 + 4*bits[4*band+3] + 8*bits[4*band+4] AS band_val
-                        FROM sig, (SELECT unnest(range(0, 4)) AS band)),
+      s"""WITH $lshBandCtes,
               cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS vec_id
-                       FROM bands q JOIN bands c
+                       FROM probed q JOIN bands c
                          ON q.band = c.band AND q.band_val = c.band_val
                        WHERE q.vec_id < 10 AND c.vec_id != q.vec_id),
               scored AS (SELECT cand.qid, cand.vec_id,
@@ -4801,29 +4782,13 @@ object SparkEntry {
                 CAST(sum(batch_tokens) AS BIGINT) AS sum_tokens,
                 CAST(sum(n_docs) AS BIGINT) AS sum_docs
          FROM b GROUP BY (batch_tokens * 10) // 8192""",
-    // Same LSH candidate CTEs as dedup_embedding_ann, cosine computed
-    // once per pair, fanned to the thresholds it clears.
+    // Same LSH candidate CTEs as dedup_embedding_ann (corpus-derived
+    // banding, id_a-side probe fan-out), cosine computed once per
+    // pair, fanned to the thresholds it clears.
     "dedup_threshold_sweep" ->
-      """WITH e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v,
-                           sqrt(list_reduce(list_prepend(0.0,
-                             list_transform(cast(embedding AS DOUBLE[]), x -> x*x)),
-                             (a,x) -> a + x)) AS nrm
-                    FROM embeddings),
-              sig AS (SELECT vec_id, v, nrm,
-                             list_transform(range(0, 16), p ->
-                               CASE WHEN list_reduce(list_prepend(0.0,
-                                      list_transform(range(0, 64), j ->
-                                        v[j+1] * cast(('0x' || substr(md5(p || ':' || j), 1, 7))::BIGINT
-                                                      % 2001 - 1000 AS DOUBLE))),
-                                      (a,x) -> a + x) > 0
-                                    THEN 1 ELSE 0 END) AS bits
-                      FROM e),
-              bands AS (SELECT vec_id, band,
-                               bits[4*band+1] + 2*bits[4*band+2]
-                                 + 4*bits[4*band+3] + 8*bits[4*band+4] AS band_val
-                        FROM sig, (SELECT unnest(range(0, 4)) AS band)),
+      s"""WITH $lshBandCtes,
               cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-                       FROM bands a JOIN bands b
+                       FROM probed a JOIN bands b
                          ON a.band = b.band AND a.band_val = b.band_val
                        WHERE a.vec_id < b.vec_id),
               sc AS (SELECT id_a, id_b,

@@ -266,12 +266,17 @@ object Similarity {
     */
   def bitextMineAnn(spark: SparkSession, dir: String, k: Int = 4,
                     threshold: Double = 1.05,
-                    nBits: Int = 16, bandBits: Int = 4): DataFrame = {
+                    nBits: Int = 0, bandBits: Int = 0,
+                    probes: Int = 1): DataFrame = {
+    val bb = if (bandBits > 0) bandBits else corpusBandBits(spark, dir)
     val langs = Tables.documentsSpread(spark, dir)
       .select(col("doc_id"), col("lang"))
     val banded = lshBands(spark, dir, nBits, bandBits)
       .join(langs, col("vec_id") === col("doc_id"))
-    val src = banded.filter(col("lang") === "en")
+    // probe fan-out on the en side only — the one-sided hamming-≤1
+    // expansion covers the symmetric ≤1-bit condition, and en is the
+    // natural probe side (one source language vs the union of targets)
+    val src = probeExpand(banded.filter(col("lang") === "en"), bb, probes)
       .select(col("vec_id").as("src_id"), col("v").as("sv"),
         col("nrm").as("snrm"), col("band"), col("band_val"))
     val tgt = banded.filter(col("lang") =!= "en")
@@ -577,21 +582,40 @@ object Similarity {
   def annIvfStandingAppend(spark: SparkSession, dir: String, nlist: Int = 16, nprobe: Int = 4): DataFrame =
     annIvfStandingImpl(spark, dir, nlist, nprobe, appendEpoch = true)
 
+  /** The centroid-load + cell-similarity prelude shared by every
+    * standing IVF variant (build, append, delete, soft-delete probe):
+    * the first-`nlist` codebook rows collected once (parameter-bounded
+    * — `vec_id < nlist`, never data-scaled), norms precomputed, and
+    * the per-row cell-similarity expression closed over the literal
+    * codebook. `None` on an empty corpus, so all four variants share
+    * ONE empty-input guard instead of each re-implementing (or, as the
+    * soft-delete probe did, missing) it.
+    */
+  private def ivfCodebook(emb: DataFrame, nlist: Int)
+      : Option[(Int, (Column, Column) => Column)] = {
+    val cents: Seq[Seq[Double]] = emb.filter(col("vec_id") < nlist)
+      .orderBy("vec_id").select("v").collect().toSeq.map(_.getSeq[Double](0))
+    if (cents.isEmpty) None
+    else {
+      val centNorms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
+      val centsLit = typedLit(cents)
+      Some((cents.size, (v: Column, nrm: Column) => array(
+        cents.indices.map(i =>
+          dot(v, element_at(centsLit, i + 1)) / (nrm * centNorms(i))): _*)))
+    }
+  }
+
+  private def emptyProbeFrame(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Long, Long, Long)].toDF("qid", "neighbor_id", "rnk")
+  }
+
   private def annIvfStandingImpl(
       spark: SparkSession, dir: String, nlist: Int, nprobe: Int,
       appendEpoch: Boolean): DataFrame = {
     val emb = withNorm(spark, dir)
-    val cents: Seq[Seq[Double]] = emb.filter(col("vec_id") < nlist)
-      .orderBy("vec_id").select("v").collect().toSeq.map(_.getSeq[Double](0))
-    if (cents.isEmpty) {
-      import spark.implicits._
-      return Seq.empty[(Long, Long, Long)].toDF("qid", "neighbor_id", "rnk")
-    }
-    val centNorms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
-    val centsLit = typedLit(cents)
-    def cellSims(v: Column, nrm: Column): Column = array(
-      cents.indices.map(i =>
-        dot(v, element_at(centsLit, i + 1)) / (nrm * centNorms(i))): _*)
+    val (nCells, cellSims) = ivfCodebook(emb, nlist)
+      .getOrElse(return emptyProbeFrame(spark))
 
     // Build — in production a once-then-append offline job; overwrite
     // keeps re-runs idempotent. Partition layout IS the index. Name
@@ -614,7 +638,7 @@ object Similarity {
     }
 
     // Probe — the shared standing-variant probe phase (ivfProbe).
-    ivfProbe(spark, emb, cellSims, cents.size, nprobe, table)
+    ivfProbe(spark, emb, cellSims, nCells, nprobe, table)
   }
 
   /** The IVF partition index's DELETE lifecycle, executed — the
@@ -641,17 +665,8 @@ object Similarity {
   def annIvfStandingDelete(spark: SparkSession, dir: String,
                            nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     val emb = withNorm(spark, dir)
-    val cents: Seq[Seq[Double]] = emb.filter(col("vec_id") < nlist)
-      .orderBy("vec_id").select("v").collect().toSeq.map(_.getSeq[Double](0))
-    if (cents.isEmpty) {
-      import spark.implicits._
-      return Seq.empty[(Long, Long, Long)].toDF("qid", "neighbor_id", "rnk")
-    }
-    val centNorms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
-    val centsLit = typedLit(cents)
-    def cellSims(v: Column, nrm: Column): Column = array(
-      cents.indices.map(i =>
-        dot(v, element_at(centsLit, i + 1)) / (nrm * centNorms(i))): _*)
+    val (nCells, cellSims) = ivfCodebook(emb, nlist)
+      .getOrElse(return emptyProbeFrame(spark))
 
     val (table, idxPath) = Tables.scopedIndex(spark, "graft_ivf_cell_del", dir)
     def writeEpoch(rows: DataFrame, mode: String): Unit =
@@ -670,7 +685,7 @@ object Similarity {
       .localCheckpoint(true)
     writeEpoch(compacted, "overwrite")
 
-    ivfProbe(spark, emb, cellSims, cents.size, nprobe, table)
+    ivfProbe(spark, emb, cellSims, nCells, nprobe, table)
   }
 
   /** The takedown predicate — deterministic so the oracle replays it. */
@@ -685,14 +700,9 @@ object Similarity {
       spark: SparkSession, dir: String, table: String,
       nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     val emb = withNorm(spark, dir)
-    val cents: Seq[Seq[Double]] = emb.filter(col("vec_id") < nlist)
-      .orderBy("vec_id").select("v").collect().toSeq.map(_.getSeq[Double](0))
-    val centNorms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
-    val centsLit = typedLit(cents)
-    def cellSims(v: Column, nrm: Column): Column = array(
-      cents.indices.map(i =>
-        dot(v, element_at(centsLit, i + 1)) / (nrm * centNorms(i))): _*)
-    ivfProbe(spark, emb, cellSims, cents.size, nprobe, table,
+    val (nCells, cellSims) = ivfCodebook(emb, nlist)
+      .getOrElse(return emptyProbeFrame(spark))
+    ivfProbe(spark, emb, cellSims, nCells, nprobe, table,
       idxFilter = Some(!tombstoned(col("vec_id"), nlist)))
   }
 
@@ -1208,6 +1218,35 @@ object Similarity {
     (java.lang.Long.parseLong(hex.substring(0, 7), 16) % 2001 - 1000).toDouble
   }
 
+  /** Corpus-derived band width: the smallest `b` in [4, 16] whose
+    * `2^b` buckets/band hold expected occupancy ≤ 8 (`(1L << b)·8 ≥ N`).
+    * Bucket count grows ∝ N, so expected random band collisions stay
+    * ≤ 8·N — linear — instead of the fixture-constant Θ(N²/2^b) that
+    * SCALE.json measured going quadratic at 10× under the old
+    * hard-coded 16 buckets/band (516k → 51.6M collisions). The SAME
+    * integer rule runs in every oracle replay's `params` CTE
+    * (SparkEntry `lshBandCtes`), so derived parameters stay
+    * hash-exact at any SF. Pure integers — no log2 ulp risk.
+    */
+  private[graft] def derivedBandBits(n: Long): Int = {
+    var b = 4
+    while (b < 16 && (1L << b) * 8L < n) b += 1
+    b
+  }
+
+  private val corpusCountCache =
+    scala.collection.concurrent.TrieMap[(String, String), Long]()
+
+  /** [[derivedBandBits]] over the corpus cardinality — one count()
+    * per (application, corpus), cached: the scan is columnar count
+    * pushdown (parquet row-group metadata), the cost CBO stats would
+    * also pay once.
+    */
+  private[graft] def corpusBandBits(spark: SparkSession, dir: String): Int =
+    derivedBandBits(corpusCountCache.getOrElseUpdate(
+      (spark.sparkContext.applicationId, dir),
+      Tables.embeddings(spark, dir).count()))
+
   /** Banded random-hyperplane LSH signatures for the whole corpus:
     * one row per (vector, band) with the band's `bandBits`-bit slice of
     * the signature. Shared candidate-generation machinery for
@@ -1217,15 +1256,20 @@ object Similarity {
     *
     * Scale knobs: `nBits`/`bandBits` set the bucket count
     * (`nBands × 2^bandBits` distinct join keys) and per-band collision
-    * probability `(1 − θ/π)^bandBits`. The registered queries use
-    * 16 bits banded 4×4 — sized to this fixture's 64-dim synthetic
-    * corpus; at 100 TB you widen bands (e.g. 128 bits, 8×16) so bucket
-    * sizes stay bounded as N grows. The signature (nBits dot products
-    * per row) feeds every band stream, so it is computed once and
-    * persisted.
+    * probability `(1 − θ/π)^bandBits`. By default (the 0 sentinel)
+    * both DERIVE from corpus cardinality — 4 bands of
+    * [[corpusBandBits]] bits — so bucket count scales ∝ N and the
+    * registered consumers stay linear at any corpus size; explicit
+    * values remain for stress probes and specs. The recall a wider
+    * band costs is recovered on the probe side ([[probeExpand]]),
+    * not by re-narrowing the buckets. The signature (nBits dot
+    * products per row) feeds every band stream, so it is computed
+    * once and persisted.
     */
   private def lshBands(spark: SparkSession, dir: String,
-                       nBits: Int = 16, bandBits: Int = 4, dim: Int = 64): DataFrame = {
+                       nBits0: Int = 0, bandBits0: Int = 0, dim: Int = 64): DataFrame = {
+    val bandBits = if (bandBits0 > 0) bandBits0 else corpusBandBits(spark, dir)
+    val nBits = if (nBits0 > 0) nBits0 else 4 * bandBits
     val nBands = nBits / bandBits
     val planes: Seq[Seq[Double]] = (0 until nBits).map { p =>
       (0 until dim).map(j => planeWeight(p, j))
@@ -1245,18 +1289,36 @@ object Similarity {
       .withColumnRenamed("col", "band_val")
   }
 
-  /** Approximate top-5 via random-hyperplane LSH: 16 signature bits from
-    * fixed md5-derived hyperplanes, banded 4×4. A candidate is scored
-    * only if it shares at least one 4-bit band with the query, then
-    * exact cosine ranks the survivors. Deterministic by construction →
-    * the full pipeline (plane weights, sign bits, banding, dedupe,
-    * re-rank) replays in the DuckDB oracle; the ScalaTest suite
-    * additionally checks recall against [[topKBrute]].
+  /** Hamming-≤1 multi-probe over one side of a [[lshBands]] relation:
+    * each band row fans out to its own bucket plus the `bandBits`
+    * one-bit-flip neighbors, so a pair shares a probed bucket exactly
+    * when its band signatures differ by ≤ 1 bit. This is the recall
+    * knob that does NOT re-narrow the buckets: corpus-derived banding
+    * keeps collisions Θ(N·load) and multi-probe multiplies only the
+    * PROBED side by (1 + bandBits) — a log-N factor, applied to one
+    * side of the join, never a rehash of the corpus. `probes ≤ 0` is
+    * the identity (exact-bucket lookup).
     */
-  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+  private def probeExpand(bands: DataFrame, bandBits: Int, probes: Int): DataFrame =
+    if (probes <= 0) bands
+    else bands.withColumn("band_val",
+      explode(array((col("band_val") +:
+        (0 until bandBits).map(i => col("band_val").bitwiseXOR(lit(1L << i)))): _*)))
+
+  /** Approximate top-5 via random-hyperplane LSH: corpus-derived
+    * banding (4 bands × [[corpusBandBits]] md5-derived hyperplane sign
+    * bits) with hamming-≤1 multi-probe on the QUERY side. A candidate
+    * is scored only if it lands in a probed bucket of the query, then
+    * exact cosine ranks the survivors. Deterministic by construction →
+    * the full pipeline (plane weights, sign bits, banding, probe
+    * fan-out, dedupe, re-rank) replays in the DuckDB oracle; the
+    * ScalaTest suite additionally checks recall against [[topKBrute]].
+    */
+  def annLsh(spark: SparkSession, dir: String, probes: Int = 1): DataFrame = {
+    val bb = corpusBandBits(spark, dir)
     val bands = lshBands(spark, dir)
 
-    val qBands = bands.filter(col("vec_id") < 10).select(
+    val qBands = probeExpand(bands.filter(col("vec_id") < 10), bb, probes).select(
       col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"),
       col("band"), col("band_val"))
 
@@ -1277,9 +1339,11 @@ object Similarity {
     * `(band, band_val)`, upper-triangle, deduped across bands), then
     * EXACT cosine verifies each survivor at the threshold — so every
     * emitted pair is a true near-dup (precision 1 vs the all-pairs
-    * baseline); only candidate recall is approximate, tunable via the
-    * band width. No N² join anywhere: compute is
-    * O(Σ bucket²) ≪ O(N²) with banding sized to the corpus.
+    * baseline); only candidate recall is approximate, tuned by the
+    * hamming-≤1 probe fan-out ([[probeExpand]]) rather than by
+    * re-narrowing buckets. No N² join anywhere: banding derives from
+    * corpus cardinality, so compute is O(Σ bucket²) = Θ(N·load·(1+b))
+    * ≪ O(N²) at every corpus size.
     *
     * Deterministic by construction (md5 planes, integer band values,
     * exact-double cosine) → the whole pipeline replays in the DuckDB
@@ -1287,9 +1351,14 @@ object Similarity {
     * pins precision = 1 and measured recall against the exact
     * [[dedupEmbedding]] scorer.
     */
-  def dedupEmbeddingAnn(spark: SparkSession, dir: String, threshold: Double = 0.35): DataFrame = {
+  def dedupEmbeddingAnn(spark: SparkSession, dir: String, threshold: Double = 0.35,
+                        probes: Int = 1): DataFrame = {
+    val bb = corpusBandBits(spark, dir)
     val bands = lshBands(spark, dir)
-    val a = bands.select(
+    // hamming-≤1 probing on ONE side covers the symmetric pair
+    // condition (the pair collides iff the band signatures differ by
+    // ≤ 1 bit, whichever side fans out)
+    val a = probeExpand(bands, bb, probes).select(
       col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"),
       col("band"), col("band_val"))
     val b = bands.select(
@@ -1319,10 +1388,15 @@ object Similarity {
     * double compare `cos ≥ t/10⁶` is the identical IEEE expression in
     * both engines.
     */
-  def dedupThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+  def dedupThresholdSweep(spark: SparkSession, dir: String,
+                          probes: Int = 1): DataFrame = {
     val ths = Seq(250000L, 350000L, 500000L, 700000L)
+    val bb = corpusBandBits(spark, dir)
     val bands = lshBands(spark, dir)
-    val a = bands.select(
+    // identical candidate generator to dedupEmbeddingAnn (same derived
+    // banding, same one-sided hamming-≤1 fan-out) — SimilaritySpec pins
+    // the 0.35 row against its pair count
+    val a = probeExpand(bands, bb, probes).select(
       col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"),
       col("band"), col("band_val"))
     val b = bands.select(
@@ -1369,10 +1443,14 @@ object Similarity {
   def contrastivePairs(spark: SparkSession, dir: String,
                        tPos: Double = 0.35, tNegLo: Double = 0.05,
                        nNeg: Int = 3,
-                       nBits: Int = 16, bandBits: Int = 4): DataFrame = {
+                       nBits: Int = 0, bandBits: Int = 0,
+                       probes: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val bb = if (bandBits > 0) bandBits else corpusBandBits(spark, dir)
     val bands = lshBands(spark, dir, nBits, bandBits)
-    val a = bands.select(
+    // anchor side carries the hamming-≤1 fan-out (one-sided probe
+    // covers the symmetric condition; candidates stay Θ(N·load·(1+b)))
+    val a = probeExpand(bands, bb, probes).select(
       col("vec_id").as("anchor_id"), col("v").as("va"), col("nrm").as("na"),
       col("band"), col("band_val"))
     val b = bands.select(
