@@ -225,6 +225,14 @@ object Bench {
     val json =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"shuffle_mb":$sh,"failed":$fs,"sf":"$sfDir"$cont$streamJson}"""
     println(json)
+    // The full line above is the contract record (and lands verbatim in
+    // BENCH_LAST.json), but at 274 queries it runs ~8 KB — longer than
+    // the 2000-char stdout tail the round harness keeps, so its head is
+    // truncated out of every BENCH_r{N}.json and `parsed` comes back
+    // null. Print a compact summary line LAST (only the sbt epilogue
+    // follows it): short enough to survive the tail window whole, so a
+    // line-wise JSON scan of the tail parses it.
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${timings.size},"n_failed":${failed.size},"sf":"$sfDir"$cont$streamJson}""")
     // Robust copy for parsers that can't read sbt-prefixed stdout.
     // FULL runs only: a single-query or --stream-only invocation must
     // not clobber the committed full-bench record (the restore-from-log

@@ -89,7 +89,16 @@ object ScaleProbe {
           expr(s"concat(slice(embedding, ${rot + 1}, ${dim - rot}), slice(embedding, 1, $rot))"))
     }.reduce(_ unionAll _), "embeddings")
 
-    def run(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
+    def run(fn: (SparkSession, String) => DataFrame, dir: String,
+            bust: () => Unit = () => ()): Double = {
+      // session-scoped memo caches (BPE training state) are keyed by
+      // corpus dir, so without a bust every same-dir repeat run — and
+      // the min-of-2 base leg in particular — would time a cache HIT
+      // (measured: base 0.02 s, "ratio 122×") instead of the operator;
+      // busting before EVERY run makes both legs cold-vs-cold while the
+      // warm-up run still warms what it exists to warm (codegen/JIT,
+      // which live outside these caches)
+      bust()
       val t0 = System.nanoTime()
       fn(spark, dir).write.mode("overwrite").format("noop").save()
       val dt = (System.nanoTime() - t0) / 1e9
@@ -126,28 +135,36 @@ object ScaleProbe {
       // probe measures the delete fold itself (induced-subgraph
       // reclustering), not the one-time base clustering
       "dedup_components_delete" -> (operators.Dedup.componentsDelete _),
-      // the LSH scale KNOB, demonstrated: fixed 16-bit/4x4 banding has
-      // only 16 buckets per band, so on a direction-uniform corpus the
-      // chance-collision candidate count is Θ(N²/buckets) — measured
-      // 516k → 51.6M band collisions for 10× vectors (numpy replay of
-      // the md5 planes). Production sizes the bucket count WITH the
-      // corpus ("widen bands as N grows", lshBands scaladoc): at
-      // 64-bit/16-bit bands (4 × 65536 buckets) the 10× corpus
-      // generates 23.9k candidates — 20× FEWER than the base corpus
-      // does at the registered fixture parameters (516k). This probe
-      // runs the 10× corpus at that sizing — its wall time is the
-      // honest 10× figure for a deployment, while the fixed-parameter
-      // row above measures the saturated-bucket floor.
+      // the LSH scale KNOB at its widest explicit setting: registered
+      // defaults DERIVE the band width from corpus cardinality
+      // (Similarity.derivedBandBits — the fix for the round-15
+      // measurement where hard-coded 16-buckets/band banding went
+      // Θ(N²/buckets) at 10×, 516k → 51.6M collisions), so the plain
+      // contrastive_pairs row above already measures scaled banding
+      // (bb=8 at base sf0.1, bb=11 at 10×). This row pins the knob's
+      // far end — 64-bit signatures, 16-bit bands, 4 × 65536 buckets —
+      // bracketing the derived default from the sparse side.
       "contrastive_pairs_scaled_bands" -> ((s: SparkSession, d: String) =>
         operators.Similarity.contrastivePairs(s, d, nBits = 64, bandBits = 16)))
+
+    // per-probe cache busters: ops that memoize session state by
+    // corpus dir must re-train per timed run or the probe measures the
+    // memo (see run()). The corpus-count/banding cache needs no bust:
+    // it is dir-keyed and both probe dirs are frozen before timing
+    // (outDir's replicas are written once, above), so per-leg band
+    // widths can never cross-contaminate.
+    val busters: Map[String, () => Unit] = Map(
+      "bpe_train" -> (() => operators.TextOps.clearBpeCaches()))
 
     val results = probes.map { case (name, fn) =>
       // warm once at base so neither measurement pays first-codegen;
       // base = min-of-2 warm runs, scaled = one warm run (its absolute
-      // size makes JIT noise a rounding error)
-      run(fn, baseDir)
-      val base = math.min(run(fn, baseDir), run(fn, baseDir))
-      val big = run(fn, outDir)
+      // size makes JIT noise a rounding error). Memoizing ops get their
+      // session cache busted before every run (cold-vs-cold).
+      val bust = busters.getOrElse(name, () => ())
+      run(fn, baseDir, bust)
+      val base = math.min(run(fn, baseDir, bust), run(fn, baseDir, bust))
+      val big = run(fn, outDir, bust)
       val ratio = big / base
       println(f"[probe] $name: base=$base%.1fs ${factor}x=$big%.1fs ratio=$ratio%.1fx")
       f""""$name":{"base_sec":$base%.2f,"scaled_sec":$big%.2f,"ratio":$ratio%.2f}"""

@@ -1227,6 +1227,15 @@ object Similarity {
     * integer rule runs in every oracle replay's `params` CTE
     * (SparkEntry `lshBandCtes`), so derived parameters stay
     * hash-exact at any SF. Pure integers — no log2 ulp risk.
+    *
+    * Validity bound: the cap at b = 16 (the widest band 4 bands fit in
+    * one 64-bit signature) means the linear-collision guarantee holds
+    * up to N = 2^16·8 ≈ 524k vectors per corpus; beyond that, bucket
+    * occupancy grows with N again and candidates revert to
+    * quadratic-in-load growth. The 100 TB posture past the cap is MORE
+    * bands of 16 bits (more signature words), not wider bands — a
+    * band-count knob every consumer already threads (`nBits0`), left
+    * at 4 because the registered corpora sit far below the bound.
     */
   private[graft] def derivedBandBits(n: Long): Int = {
     var b = 4
@@ -1237,10 +1246,26 @@ object Similarity {
   private val corpusCountCache =
     scala.collection.concurrent.TrieMap[(String, String), Long]()
 
+  /** Drop all memoized corpus counts — for harnesses (ScaleProbe) that
+    * rewrite a corpus dir inside one application and need the banding
+    * re-derived. Production reads never need this (see the
+    * immutable-dir assumption on [[corpusBandBits]]).
+    */
+  private[graft] def clearCorpusCountCache(): Unit = corpusCountCache.clear()
+
   /** [[derivedBandBits]] over the corpus cardinality — one count()
     * per (application, corpus), cached: the scan is columnar count
     * pushdown (parquet row-group metadata), the cost CBO stats would
     * also pay once.
+    *
+    * ASSUMES the corpus dir is immutable for the application lifetime
+    * (the lakehouse contract this whole library reads under: a corpus
+    * version is a frozen dir; appends land as NEW dirs that the
+    * standing-index `*Append` ops fold in). Rewriting `dir` in place
+    * mid-application would leave the cached count — and therefore the
+    * derived band width — stale, diverging from the oracle's live
+    * recount; a harness that must do that calls
+    * [[clearCorpusCountCache]] between legs.
     */
   private[graft] def corpusBandBits(spark: SparkSession, dir: String): Int =
     derivedBandBits(corpusCountCache.getOrElseUpdate(
@@ -1259,8 +1284,10 @@ object Similarity {
     * probability `(1 − θ/π)^bandBits`. By default (the 0 sentinel)
     * both DERIVE from corpus cardinality — 4 bands of
     * [[corpusBandBits]] bits — so bucket count scales ∝ N and the
-    * registered consumers stay linear at any corpus size; explicit
-    * values remain for stress probes and specs. The recall a wider
+    * registered consumers stay linear up to the derivation's 2^16·8
+    * ≈ 524k-vector bound (see [[derivedBandBits]]; past it, add
+    * bands, not width); explicit values remain for stress probes and
+    * specs. The recall a wider
     * band costs is recovered on the probe side ([[probeExpand]]),
     * not by re-narrowing the buckets. The signature (nBits dot
     * products per row) feeds every band stream, so it is computed
@@ -1289,21 +1316,35 @@ object Similarity {
       .withColumnRenamed("col", "band_val")
   }
 
-  /** Hamming-≤1 multi-probe over one side of a [[lshBands]] relation:
-    * each band row fans out to its own bucket plus the `bandBits`
-    * one-bit-flip neighbors, so a pair shares a probed bucket exactly
-    * when its band signatures differ by ≤ 1 bit. This is the recall
-    * knob that does NOT re-narrow the buckets: corpus-derived banding
-    * keeps collisions Θ(N·load) and multi-probe multiplies only the
-    * PROBED side by (1 + bandBits) — a log-N factor, applied to one
-    * side of the join, never a rehash of the corpus. `probes ≤ 0` is
-    * the identity (exact-bucket lookup).
+  /** All `bandBits`-bit XOR masks with popcount ≤ `probes`, ascending —
+    * the hamming-ball enumeration [[probeExpand]] fans out over and the
+    * oracle's mask CTE replays (`bit_count(pm) <= probes` over
+    * `range(0, 2^bb)` enumerates the same set in the same order).
+    */
+  private[graft] def probeMasks(bandBits: Int, probes: Int): Seq[Long] =
+    (0L until (1L << bandBits))
+      .filter(m => java.lang.Long.bitCount(m) <= probes)
+
+  /** Hamming-≤`probes` multi-probe over one side of a [[lshBands]]
+    * relation: each band row fans out to its own bucket plus every
+    * bucket within `probes` bit flips, so a pair shares a probed
+    * bucket exactly when its band signatures differ by ≤ `probes`
+    * bits. This is the recall knob that does NOT re-narrow the
+    * buckets: corpus-derived banding keeps collisions Θ(N·load) and
+    * multi-probe multiplies only the PROBED side by Σ C(bandBits, i)
+    * for i ≤ probes — (1 + b) at the registered level 1, a log-N
+    * factor; level 2 adds the C(b, 2) two-flip shell (the
+    * accuracy-cost trade `bitext_recall_sweep` measures). Applied to
+    * one side of the join, never a rehash of the corpus. `probes ≤ 0`
+    * is the identity (exact-bucket lookup); levels ≥ bandBits would
+    * enumerate the whole band space — callers keep probes ≪ bandBits.
     */
   private def probeExpand(bands: DataFrame, bandBits: Int, probes: Int): DataFrame =
     if (probes <= 0) bands
     else bands.withColumn("band_val",
-      explode(array((col("band_val") +:
-        (0 until bandBits).map(i => col("band_val").bitwiseXOR(lit(1L << i)))): _*)))
+      explode(array(probeMasks(bandBits, probes).map(m =>
+        if (m == 0L) col("band_val")
+        else col("band_val").bitwiseXOR(lit(m))): _*)))
 
   /** Approximate top-5 via random-hyperplane LSH: corpus-derived
     * banding (4 bands × [[corpusBandBits]] md5-derived hyperplane sign
@@ -1343,7 +1384,8 @@ object Similarity {
     * hamming-≤1 probe fan-out ([[probeExpand]]) rather than by
     * re-narrowing buckets. No N² join anywhere: banding derives from
     * corpus cardinality, so compute is O(Σ bucket²) = Θ(N·load·(1+b))
-    * ≪ O(N²) at every corpus size.
+    * ≪ O(N²) throughout the derivation's ≈524k-vector validity range
+    * ([[derivedBandBits]]).
     *
     * Deterministic by construction (md5 planes, integer band values,
     * exact-double cosine) → the whole pipeline replays in the DuckDB

@@ -536,6 +536,22 @@ object TextOps {
   private val bpeStateCache =
     scala.collection.concurrent.TrieMap[(String, String, Int),
       (Seq[(Int, String, String, Long)], DataFrame)]()
+  private val bpeKeyLocks =
+    scala.collection.concurrent.TrieMap[(String, String, Int), Object]()
+
+  /** Drop every memoized training snapshot (unpersisting the
+    * checkpointed word tables so their blocks free immediately) — for
+    * harnesses (ScaleProbe) that must time a COLD training loop per
+    * leg; production sessions never call this (a corpus dir is
+    * immutable for the application lifetime, the same contract as
+    * Similarity's corpus-count cache).
+    */
+  private[graft] def clearBpeCaches(): Unit = {
+    bpeStateCache.values.foreach(v =>
+      try v._2.unpersist() catch { case _: Throwable => () })
+    bpeStateCache.clear()
+    bpeKeyLocks.clear()
+  }
 
   /** [[bpeTrainState]] memoized per (application, corpus, rounds): the
     * merge sequence is driver state; the final word table is snapshot
@@ -545,16 +561,30 @@ object TextOps {
     * here, so no caller leaks a MEMORY_AND_DISK entry and the three
     * consumers ([[bpeTrain]], [[bpeTrainTable]], [[bpeVocab]]) really
     * do share ONE training loop, as the scaladoc always promised.
+    *
+    * Locking is per key, so concurrent FIRST calls on different
+    * corpora train in parallel; only same-key racers wait for the one
+    * shared loop. Durability caveat (this container runs local mode,
+    * where it cannot bite): localCheckpoint is not fault-tolerant — in
+    * cluster mode an executor loss would poison the snapshot, and a
+    * deployment would either re-key through [[clearBpeCaches]] on
+    * block-fetch failure or use a reliable checkpoint dir instead.
     */
   private def bpeTrainStateShared(spark: SparkSession, dir: String,
-      rounds: Int): (Seq[(Int, String, String, Long)], DataFrame) = this.synchronized {
-    bpeStateCache.getOrElseUpdate(
-      (spark.sparkContext.applicationId, dir, rounds), {
-        val (merges, words) = bpeTrainState(spark, dir, rounds)
-        val snap = words.localCheckpoint(true)
-        words.unpersist()
-        (merges, snap)
-      })
+      rounds: Int): (Seq[(Int, String, String, Long)], DataFrame) = {
+    val key = (spark.sparkContext.applicationId, dir, rounds)
+    bpeStateCache.get(key) match {
+      case Some(v) => v
+      case None =>
+        bpeKeyLocks.getOrElseUpdate(key, new Object).synchronized {
+          bpeStateCache.getOrElseUpdate(key, {
+            val (merges, words) = bpeTrainState(spark, dir, rounds)
+            val snap = words.localCheckpoint(true)
+            words.unpersist()
+            (merges, snap)
+          })
+        }
+    }
   }
 
   /** [[bpeTrain]] plus the post-training vocabulary state: the merge
