@@ -226,6 +226,35 @@ object LifecycleProbe {
       spark.sql(s"DROP TABLE IF EXISTS $t")
     }
 
+    // ---- components bootstrap vs steady-state consumers -------------
+    // The family-lens accounting ScaleProbe's curation_funnel note
+    // points at, separated into first-class numbers: the FIRST
+    // standing-components consumer in a session pays the one-time base
+    // clustering (componentLabels building + bucketing the standing
+    // label table), and every later consumer rides it. bootstrap_sec
+    // is that one-time cost, measured cold (no earlier section of this
+    // probe touches graft_components_base); each consumer row is the
+    // steady-state per-readout cost on the SAME session afterwards —
+    // the number a deployment actually pays per query once its index
+    // stands.
+    spark.catalog.clearCache()
+    val (_, bootstrapSec) = timeIt {
+      operators.Dedup.componentLabels(spark, baseDir).count()
+    }
+    System.err.println(
+      f"[lifecycle] components bootstrap (base clustering + bucketed write): $bootstrapSec%.2fs")
+    val consumerRows = Seq[(String, (SparkSession, String) => DataFrame)](
+      "curation_funnel" -> (operators.Curation.curationFunnel _),
+      "corpus_curate" -> (operators.Dedup.corpusCurate _),
+      "dedup_canonical" -> (operators.Dedup.dedupCanonical _),
+      "dedup_components_delete" -> (operators.Dedup.componentsDelete _)
+    ).map { case (name, fn) =>
+      val (_, sec) = timeIt(fn(spark, baseDir)
+        .write.mode("overwrite").format("noop").save())
+      System.err.println(f"[lifecycle] components consumer $name: $sec%.2fs (steady-state)")
+      (name, sec)
+    }
+
     def growth(rows: Seq[(Int, Double, Long)]): Double = {
       val secs = rows.map(_._2)
       secs.takeRight(3).sum / math.max(secs.take(3).sum, 1e-9)
@@ -250,7 +279,13 @@ object LifecycleProbe {
       val secs = caRows.map(_._2)
       secs.takeRight(3).sum / math.max(secs.take(3).sum, 1e-9)
     }
-    println(s"""{"metric":"lifecycle","index_growth":2.0,${fmt("minhash", mhRows)},${fmt("editdist", edRows)},"components_append":{"versions":$caJson,"growth":${f"$caGrowth%.2f"}},"components":{"points":$compJson,"fold_mb_5_over_50":${f"$foldRatio%.2f"}}}""")
+    val bootJson = {
+      val cs = consumerRows.map { case (n, s) =>
+        f"""{"name":"$n","sec":$s%.2f}"""
+      }.mkString("[", ",", "]")
+      f""""components_bootstrap":{"bootstrap_sec":$bootstrapSec%.2f,"steady_state_consumers":$cs,"note":"one-time base clustering paid by the session's FIRST standing-components consumer; ScaleProbe's curation_funnel ratio reads bootstrap+consumer as one number — the consumer rows here are the amortized per-readout cost"}"""
+    }
+    println(s"""{"metric":"lifecycle","index_growth":2.0,${fmt("minhash", mhRows)},${fmt("editdist", edRows)},"components_append":{"versions":$caJson,"growth":${f"$caGrowth%.2f"}},"components":{"points":$compJson,"fold_mb_5_over_50":${f"$foldRatio%.2f"}},$bootJson}""")
     spark.sql(s"DROP TABLE IF EXISTS $mhTable")
     spark.sql(s"DROP TABLE IF EXISTS $edTable")
     spark.stop()

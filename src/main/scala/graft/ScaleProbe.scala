@@ -154,7 +154,10 @@ object ScaleProbe {
     // (outDir's replicas are written once, above), so per-leg band
     // widths can never cross-contaminate.
     val busters: Map[String, () => Unit] = Map(
-      "bpe_train" -> (() => operators.TextOps.clearBpeCaches()))
+      "bpe_train" -> (() => operators.TextOps.clearBpeCaches()),
+      // stream_novelty memoizes its standing gram index + prior-batch
+      // scores per (app, dir); the probe times the full cold lifecycle
+      "stream_novelty" -> (() => streaming.DocStreams.clearNoveltyCaches()))
 
     val results = probes.map { case (name, fn) =>
       // warm once at base so neither measurement pays first-codegen;

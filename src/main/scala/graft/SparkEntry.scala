@@ -127,6 +127,7 @@ object SparkEntry {
     "dedup_embedding"        -> Similarity.dedupEmbeddingQuery _,
     "bitext_mine"            -> ((s: SparkSession, d: String) => Similarity.bitextMine(s, d)),
     "bitext_mine_ann"        -> ((s: SparkSession, d: String) => Similarity.bitextMineAnn(s, d)),
+    "bitext_recall_sweep"    -> ((s: SparkSession, d: String) => Similarity.bitextRecallSweep(s, d)),
     "dedup_embedding_ann"    -> ((s: SparkSession, d: String) => Similarity.dedupEmbeddingAnn(s, d)),
     "contrastive_pairs"      -> ((s: SparkSession, d: String) => Similarity.contrastivePairs(s, d)),
     "embedding_quantize"     -> Similarity.embeddingQuantize _,
@@ -148,6 +149,7 @@ object SparkEntry {
     "events_pivot"           -> EventOps.eventsPivot _,
     "user_segment_set_ops"   -> EventOps.userSegmentSetOps _,
     "user_segment_theta"     -> EventOps.userSegmentTheta _,
+    "user_segment_theta_weekly" -> EventOps.userSegmentThetaWeekly _,
     "user_cardinality"       -> EventOps.userCardinality _,
     "events_funnel"          -> EventOps.eventsFunnel _,
     "events_above_p95"       -> EventOps.eventsAboveP95 _,
@@ -332,6 +334,7 @@ object SparkEntry {
     "similarity_ann_delete"  -> ((s: SparkSession, d: String) => Similarity.annIvfStandingDelete(s, d)),
     "copurchase_pagerank_deltas" -> ((s: SparkSession, d: String) => Relational.pagerankDeltas(s, d)),
     "ann_recall"             -> ((s: SparkSession, d: String) => Similarity.annRecall(s, d)),
+    "ann_nprobe_sweep"       -> ((s: SparkSession, d: String) => Similarity.annNprobeSweep(s, d)),
     // ---- round 10: BM25 retrieval, PCA-precursor Gram accumulation ----
     "bm25_search"            -> ((s: SparkSession, d: String) => TextOps.bm25Search(s, d)),
     "embedding_covariance"   -> Similarity.embeddingCovariance _,
@@ -372,7 +375,7 @@ object SparkEntry {
     * stronger check elsewhere:
     *  - events_value_quantiles_approx / user_cardinality_approx /
     *    user_cardinality_rollup / user_segment_theta /
-    *    stream_user_sketch: sketch outputs
+    *    user_segment_theta_weekly / stream_user_sketch: sketch outputs
     *    (GK quantile summary, HyperLogLog registers, Theta hash sets)
     *    are implementation-defined bytes no
     *    other engine reproduces — each is error-envelope-bounded in
@@ -1501,6 +1504,112 @@ object SparkEntry {
                                                  ORDER BY margin DESC, tgt_id ASC) AS rk
                     FROM mg)
          SELECT lang, src_id, tgt_id FROM b WHERE rk = 1 AND margin >= 1.05""",
+    // Multi-probe sweep replay: the SAME sig/band CTEs, the en side
+    // fanned per probe LEVEL (every mask with popcount ≤ level — the
+    // probeMasks enumeration as a masks×levels join), the full margin
+    // tail threaded by `probes`, and the exact all-pairs miner run
+    // once as the recall denominator. Zero-match levels survive via
+    // the lv LEFT JOINs (Spark's 1-row count aggregates always emit).
+    "bitext_recall_sweep" ->
+      s"""WITH d AS (SELECT doc_id, lang FROM documents),
+              $lshBandCtes,
+              lv AS (SELECT unnest([0, 1, 2]) AS probes),
+              masks AS (SELECT pm
+                        FROM params, (SELECT unnest(range(0, 65536)) AS pm)
+                        WHERE pm < (CAST(1 AS BIGINT) << bb)
+                          AND bit_count(pm) <= 2),
+              sbL AS (SELECT lv.probes, bd.vec_id AS src_id, band,
+                             xor(band_val, pm) AS band_val
+                      FROM bands bd JOIN d ON d.doc_id = bd.vec_id, lv, masks
+                      WHERE d.lang = 'en' AND bit_count(pm) <= lv.probes),
+              tb AS (SELECT d.lang, bd.vec_id AS tgt_id, band, band_val
+                     FROM bands bd JOIN d ON d.doc_id = bd.vec_id
+                     WHERE d.lang != 'en'),
+              cand AS (SELECT DISTINCT probes, lang, src_id, tgt_id
+                       FROM sbL JOIN tb USING (band, band_val)),
+              x AS (SELECT probes, lang, src_id, tgt_id,
+                           list_reduce(list_prepend(0.0,
+                             list_transform(range(1, len(ea.v)+1), i -> ea.v[i]*eb.v[i])),
+                             (acc,y) -> acc + y) / (ea.nrm * eb.nrm) AS sim
+                    FROM cand JOIN e ea ON ea.vec_id = cand.src_id
+                              JOIN e eb ON eb.vec_id = cand.tgt_id),
+              r AS (SELECT *,
+                           row_number() OVER (PARTITION BY probes, lang, src_id
+                                              ORDER BY sim DESC, tgt_id ASC) AS rnx,
+                           row_number() OVER (PARTITION BY probes, lang, tgt_id
+                                              ORDER BY sim DESC, src_id ASC) AS rny
+                    FROM x),
+              mxs AS (SELECT probes, lang, src_id,
+                             list_reduce(list_prepend(0.0, list_sort(list(sim), 'DESC')),
+                               (a,y) -> a + y) / CAST(count(*) AS DOUBLE) AS mx
+                      FROM r WHERE rnx <= 4 GROUP BY probes, lang, src_id),
+              mys AS (SELECT probes, lang, tgt_id,
+                             list_reduce(list_prepend(0.0, list_sort(list(sim), 'DESC')),
+                               (a,y) -> a + y) / CAST(count(*) AS DOUBLE) AS my
+                      FROM r WHERE rny <= 4 GROUP BY probes, lang, tgt_id),
+              mg AS (SELECT x.probes, x.lang, x.src_id, x.tgt_id,
+                            sim / ((mx + my) * 0.5) AS margin
+                     FROM x
+                     JOIN mxs ON x.probes = mxs.probes AND x.lang = mxs.lang
+                             AND x.src_id = mxs.src_id
+                     JOIN mys ON x.probes = mys.probes AND x.lang = mys.lang
+                             AND x.tgt_id = mys.tgt_id),
+              bw AS (SELECT *, row_number() OVER (PARTITION BY probes, lang, src_id
+                                                  ORDER BY margin DESC, tgt_id ASC) AS rk
+                     FROM mg),
+              annw AS (SELECT probes, lang, src_id, tgt_id
+                       FROM bw WHERE rk = 1 AND margin >= 1.05),
+              ex_ed AS (SELECT vec_id, lang, v, nrm
+                        FROM e JOIN d ON d.doc_id = e.vec_id),
+              ex_x AS (SELECT t.lang, s.vec_id AS src_id, t.vec_id AS tgt_id,
+                              list_reduce(list_prepend(0.0,
+                                list_transform(range(1, len(s.v)+1), i -> s.v[i]*t.v[i])),
+                                (acc,y) -> acc + y) / (s.nrm * t.nrm) AS sim
+                       FROM ex_ed s, ex_ed t
+                       WHERE s.lang = 'en' AND t.lang != 'en'),
+              ex_r AS (SELECT *,
+                              row_number() OVER (PARTITION BY lang, src_id
+                                                 ORDER BY sim DESC, tgt_id ASC) AS rnx,
+                              row_number() OVER (PARTITION BY lang, tgt_id
+                                                 ORDER BY sim DESC, src_id ASC) AS rny
+                       FROM ex_x),
+              ex_mxs AS (SELECT lang, src_id,
+                                list_reduce(list_prepend(0.0, list_sort(list(sim), 'DESC')),
+                                  (a,y) -> a + y) / CAST(count(*) AS DOUBLE) AS mx
+                         FROM ex_r WHERE rnx <= 4 GROUP BY lang, src_id),
+              ex_mys AS (SELECT lang, tgt_id,
+                                list_reduce(list_prepend(0.0, list_sort(list(sim), 'DESC')),
+                                  (a,y) -> a + y) / CAST(count(*) AS DOUBLE) AS my
+                         FROM ex_r WHERE rny <= 4 GROUP BY lang, tgt_id),
+              ex_mg AS (SELECT ex_x.lang, ex_x.src_id, ex_x.tgt_id,
+                               sim / ((mx + my) * 0.5) AS margin
+                        FROM ex_x
+                        JOIN ex_mxs ON ex_x.lang = ex_mxs.lang
+                                   AND ex_x.src_id = ex_mxs.src_id
+                        JOIN ex_mys ON ex_x.lang = ex_mys.lang
+                                   AND ex_x.tgt_id = ex_mys.tgt_id),
+              ex_b AS (SELECT *, row_number() OVER (PARTITION BY lang, src_id
+                                                    ORDER BY margin DESC, tgt_id ASC) AS rk
+                       FROM ex_mg),
+              ex AS (SELECT lang, src_id, tgt_id
+                     FROM ex_b WHERE rk = 1 AND margin >= 1.05),
+              candn AS (SELECT probes, count(*) AS candidates
+                        FROM cand GROUP BY probes),
+              matchn AS (SELECT probes, count(*) AS matched
+                         FROM annw GROUP BY probes),
+              hitn AS (SELECT probes, count(*) AS hits
+                       FROM annw JOIN ex USING (lang, src_id, tgt_id)
+                       GROUP BY probes)
+         SELECT lv.probes,
+                coalesce(candidates, 0) AS candidates,
+                coalesce(matched, 0) AS matched,
+                coalesce(hits, 0) AS hits,
+                CAST(coalesce(hits, 0) AS DOUBLE)
+                  / CAST((SELECT count(*) FROM ex) AS DOUBLE) AS recall
+         FROM lv
+         LEFT JOIN candn ON candn.probes = lv.probes
+         LEFT JOIN matchn ON matchn.probes = lv.probes
+         LEFT JOIN hitn ON hitn.probes = lv.probes""",
     "dedup_modality_agreement" ->
       s"""WITH lex AS ($minhashPortableSql),
               sem AS ($dedupEmbeddingAnnSql),
@@ -4902,6 +5011,66 @@ object SparkEntry {
        LEFT JOIN scored s ON v.variant = s.variant"""
   }
 
+  /** [[graft.operators.Similarity.annNprobeSweep]]'s replay: the SAME
+    * codebook/assignment/probe CTEs as [[annIvfSql]] with the probe
+    * cut threaded by a levels table (`rn <= np`), per-level candidate
+    * counts from the probe join, per-level recall@5 against the
+    * brute-force similarity_topk subquery. Zero-candidate levels
+    * survive via the lv LEFT JOINs (Spark's 1-row count aggregates
+    * always emit).
+    */
+  private lazy val annNprobeSweepSql: String =
+    s"""WITH e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v,
+                           sqrt(list_reduce(list_prepend(0.0,
+                             list_transform(cast(embedding AS DOUBLE[]), x -> x*x)),
+                             (a,x) -> a + x)) AS nrm
+                    FROM embeddings),
+              c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM e WHERE vec_id < 16),
+              cs AS (SELECT e.vec_id, c.cid,
+                            list_reduce(list_prepend(0.0,
+                              list_transform(range(1, len(e.v)+1), i -> e.v[i]*c.cv[i])),
+                              (a,x) -> a + x) / (e.nrm * c.cnrm) AS sim
+                     FROM e, c),
+              assigned AS (SELECT vec_id, cell FROM (
+                     SELECT vec_id, cid AS cell,
+                            row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+                     FROM cs) WHERE rn = 1),
+              lv AS (SELECT unnest([1, 2, 4, 8]) AS np),
+              probes AS (SELECT np, qid, cell FROM (
+                     SELECT vec_id AS qid, cid AS cell,
+                            row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid DESC) AS rn
+                     FROM cs WHERE vec_id < 10), lv WHERE rn <= np),
+              scored AS (SELECT np, p.qid, a.vec_id,
+                                list_reduce(list_prepend(0.0,
+                                  list_transform(range(1, len(q.v)+1), i -> q.v[i]*t.v[i])),
+                                  (acc,x) -> acc + x) / (q.nrm * t.nrm) AS sim
+                         FROM probes p
+                         JOIN assigned a ON p.cell = a.cell
+                         JOIN e q ON q.vec_id = p.qid
+                         JOIN e t ON t.vec_id = a.vec_id
+                         WHERE a.vec_id != p.qid),
+              ivf AS (SELECT np, qid, vec_id FROM (
+                     SELECT np, qid, vec_id,
+                            row_number() OVER (PARTITION BY np, qid ORDER BY sim DESC, vec_id ASC) AS rnk
+                     FROM scored) WHERE rnk <= 5),
+              ex AS (SELECT qid, neighbor_id
+                     FROM (${oracleSqlBase("similarity_topk")})),
+              candn AS (SELECT np, count(*) AS candidates FROM scored GROUP BY np),
+              hitn AS (SELECT np, count(*) AS hits
+                       FROM ivf JOIN ex
+                         ON ivf.qid = ex.qid AND ivf.vec_id = ex.neighbor_id
+                       GROUP BY np)
+         SELECT lv.np AS nprobe,
+                CAST(coalesce(candidates, 0) AS BIGINT) AS candidates,
+                CAST(coalesce(hits, 0) AS BIGINT) AS hits,
+                (SELECT CAST(count(*) AS BIGINT) FROM ex) AS possible,
+                CAST(coalesce(hits, 0) AS DOUBLE)
+                  / CAST((SELECT count(*) FROM ex) AS DOUBLE) AS recall
+         FROM lv
+         LEFT JOIN candn ON candn.np = lv.np
+         LEFT JOIN hitn ON hitn.np = lv.np"""
+
   def oracleSql: Map[String, String] =
-    oracleSqlBase + ("ann_recall" -> annRecallSql)
+    oracleSqlBase + ("ann_recall" -> annRecallSql) +
+      ("ann_nprobe_sweep" -> annNprobeSweepSql)
 }

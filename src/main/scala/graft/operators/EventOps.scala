@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.storage.StorageLevel
 import graft.Tables
 
 /** Semi-structured + distributional operators over the `events` table.
@@ -361,6 +362,56 @@ object EventOps {
              'buy_no_click',
              cast(theta_sketch_estimate(theta_difference(sk_buy, sk_click)) AS DOUBLE)
            ) AS (segment, approx_users)""")
+
+  /** [[userSegmentTheta]]'s per-GROUP warehouse shape — the sketch
+    * TABLE, not the one-shot readout: per-week click/buy Theta
+    * sketches built in one pass over events (map-side partial merges,
+    * one shuffle keyed by week), each week's segment algebra
+    * (∩ / minus both ways) read from ITS OWN pair of sketches, and
+    * the all-weeks level answered by MERGING the weekly sketches
+    * (`theta_union_agg` — union distributes over the per-week
+    * partition of the input, so the merged pair is set-equal to
+    * sketching the whole corpus) rather than rescanning events. This
+    * is the two-level rollup a deployment stores: the weekly sketch
+    * table answers every per-week segment question, and any coarser
+    * window (here: all weeks, week = −1) costs one sketch merge at
+    * metadata scale. Exact distinct cannot re-aggregate this way —
+    * per-week exact segment counts don't sum (a user active in two
+    * weeks would double-count), which is the whole point of the
+    * mergeable sketch column.
+    *
+    * Sketch binaries and estimate rounding are implementation-defined
+    * → rows-only at the driver (like the other sketch rows), with
+    * EventOpsSpec error-bounding every per-week segment AND the
+    * merged level against the exact set-ops twin computed per week.
+    */
+  def userSegmentThetaWeekly(spark: SparkSession, dir: String): DataFrame = {
+    val weekly = Tables.events(spark, dir)
+      .select(expr("unix_micros(ts) div 86400000000 div 7").as("week"),
+        col("event_type"), col("user_id"))
+      .groupBy(col("week"))
+      .agg(
+        expr("theta_sketch_agg(CASE WHEN event_type = 'click' THEN user_id END, 12)")
+          .as("sk_click"),
+        expr("theta_sketch_agg(CASE WHEN event_type = 'purchase' THEN user_id END, 12)")
+          .as("sk_buy"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val readout =
+      """stack(3,
+           'click_and_buy',
+           cast(theta_sketch_estimate(theta_intersection(sk_click, sk_buy)) AS DOUBLE),
+           'click_no_buy',
+           cast(theta_sketch_estimate(theta_difference(sk_click, sk_buy)) AS DOUBLE),
+           'buy_no_click',
+           cast(theta_sketch_estimate(theta_difference(sk_buy, sk_click)) AS DOUBLE)
+         ) AS (segment, approx_users)"""
+    val perWeek = weekly.selectExpr("week", readout)
+    val merged = weekly
+      .agg(expr("theta_union_agg(sk_click, 12)").as("sk_click"),
+        expr("theta_union_agg(sk_buy, 12)").as("sk_buy"))
+      .selectExpr("CAST(-1 AS BIGINT) AS week", readout)
+    perWeek.unionAll(merged)
+  }
 
   /** Fixed-width value histogram per event type — the distribution
     * profile pass (drift monitoring, binning for feature engineering).

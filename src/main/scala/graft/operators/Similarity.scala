@@ -267,14 +267,24 @@ object Similarity {
   def bitextMineAnn(spark: SparkSession, dir: String, k: Int = 4,
                     threshold: Double = 1.05,
                     nBits: Int = 0, bandBits: Int = 0,
-                    probes: Int = 1): DataFrame = {
+                    probes: Int = 1): DataFrame =
+    marginSelect(bitextScoredAnn(spark, dir, nBits, bandBits, probes),
+      k, threshold)
+
+  /** The candidate stage [[bitextMineAnn]] feeds [[marginSelect]] —
+    * factored out so [[bitextRecallSweep]] can count the SAME
+    * candidate relation per probe level it measures recall at.
+    */
+  private def bitextScoredAnn(spark: SparkSession, dir: String,
+                              nBits: Int, bandBits: Int,
+                              probes: Int): DataFrame = {
     val bb = if (bandBits > 0) bandBits else corpusBandBits(spark, dir)
     val langs = Tables.documentsSpread(spark, dir)
       .select(col("doc_id"), col("lang"))
     val banded = lshBands(spark, dir, nBits, bandBits)
       .join(langs, col("vec_id") === col("doc_id"))
-    // probe fan-out on the en side only — the one-sided hamming-≤1
-    // expansion covers the symmetric ≤1-bit condition, and en is the
+    // probe fan-out on the en side only — the one-sided hamming-≤k
+    // expansion covers the symmetric ≤k-bit condition, and en is the
     // natural probe side (one source language vs the union of targets)
     val src = probeExpand(banded.filter(col("lang") === "en"), bb, probes)
       .select(col("vec_id").as("src_id"), col("v").as("sv"),
@@ -286,12 +296,51 @@ object Similarity {
     // score each band collision BEFORE deduping (see dedupEmbeddingAnn:
     // the distinct's exchange then moves 20-byte rows, not vectors);
     // sim is a pure function of the pair, so distinct is exact
-    val scored = tgt.join(src, Seq("band", "band_val"))
+    tgt.join(src, Seq("band", "band_val"))
       .withColumn("sim", dot(col("sv"), col("tv")) / (col("snrm") * col("tnrm")))
       .select(col("lang"), col("src_id"), col("tgt_id"), col("sim"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    marginSelect(scored, k, threshold)
+  }
+
+  /** The multi-probe accuracy-cost trade as a registered artifact:
+    * for each hamming probe level, the candidate count the level pays
+    * (the cost axis — one probed-side fan-out row per mask with
+    * popcount ≤ level) against the recall@1 it buys vs the exact
+    * all-pairs [[bitextMine]] (the BitextRecallSpec definition:
+    * |ann ∩ exact| / |exact| over (lang, src, tgt) winners). One
+    * 5-column row per level — the sweep table a deployment reads to
+    * pick its probe setting, the LSH twin of the IVF nprobe sweep.
+    *
+    * Scale shape: the exact denominator is the registered all-pairs
+    * baseline (broadcast-bounded like `bitext_mine` itself) and runs
+    * ONCE; each level's candidate stage is collision-bounded by the
+    * corpus-derived banding, so the sweep costs Σ(level fan-outs) —
+    * the thing it exists to measure. Counts fold in-plan (1-row
+    * aggregates broadcast-crossJoined, the taskH scalar shape); no
+    * data-scaled driver state.
+    */
+  def bitextRecallSweep(spark: SparkSession, dir: String, k: Int = 4,
+                        threshold: Double = 1.05,
+                        levels: Seq[Int] = Seq(0, 1, 2)): DataFrame = {
+    val exact = bitextMine(spark, dir, k, threshold)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val exactN = exact.agg(count(lit(1)).as("exact_total"))
+    levels.map { p =>
+      val scored = bitextScoredAnn(spark, dir, 0, 0, p)
+      val cands = scored.agg(count(lit(1)).as("candidates"))
+      val matches = marginSelect(scored, k, threshold)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val matched = matches.agg(count(lit(1)).as("matched"))
+      val hits = matches
+        .join(exact, Seq("lang", "src_id", "tgt_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+      cands.crossJoin(matched).crossJoin(hits).crossJoin(exactN)
+        .select(lit(p).as("probes"), col("candidates"), col("matched"),
+          col("hits"),
+          (col("hits").cast("double") / col("exact_total").cast("double"))
+            .as("recall"))
+    }.reduce(_ unionAll _)
   }
 
   def dedupEmbeddingQuery(spark: SparkSession, dir: String): DataFrame =
@@ -1580,6 +1629,70 @@ object Similarity {
       .crossJoin(broadcast(possible))
       .select(col("variant"), lit(5L).as("k"),
         coalesce(col("hits"), lit(0L)).as("hits"), col("possible"))
+  }
+
+  /** The IVF accuracy-cost trade as a registered artifact — the
+    * [[annIvf]] twin of [[bitextRecallSweep]]: for each nprobe level,
+    * the candidate count the probe pays (rows scanned from the probed
+    * cells — the ADC-scan cost axis that at 100 TB is `nprobe/nlist`
+    * of the corpus per query batch) against the recall@5 it buys vs
+    * the exact brute-force [[topKBrute]]. One 5-column row per level;
+    * assignment (the nlist-dot-products pass) and the exact
+    * denominator are computed ONCE and shared across levels — the
+    * sweep's marginal cost per level is its own probe join, which is
+    * the quantity being measured.
+    */
+  def annNprobeSweep(spark: SparkSession, dir: String, nlist: Int = 16,
+                     nprobes: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+    import spark.implicits._
+    val emb = withNorm(spark, dir)
+    val cents: Seq[Seq[Double]] = emb.filter(col("vec_id") < nlist)
+      .orderBy("vec_id").select("v").collect().toSeq.map(_.getSeq[Double](0))
+    if (cents.isEmpty)
+      return Seq.empty[(Int, Long, Long, Long, Double)]
+        .toDF("nprobe", "candidates", "hits", "possible", "recall")
+    val centNorms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
+    val centsLit = typedLit(cents)
+    def cellSims(v: Column, nrm: Column): Column = array(
+      (0 until nlist).map(i =>
+        dot(v, element_at(centsLit, i + 1)) / (nrm * centNorms(i))): _*)
+    val assigned = emb
+      .withColumn("cs", cellSims(col("v"), col("nrm")))
+      .withColumn("cell", array_position(col("cs"), array_max(col("cs"))).cast("int"))
+      .drop("cs")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val exact = topKBrute(spark, dir)
+      .select(col("qid"), col("neighbor_id")).localCheckpoint()
+    val possible = exact.agg(count(lit(1)).as("possible"))
+    val qAll = assigned.filter(col("vec_id") < 10)
+      .withColumn("cs", cellSims(col("v"), col("nrm")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    nprobes.map { np =>
+      // same probe expression (and cid-DESC tie rule) as annIvf, cut
+      // at this level's np
+      val qProbes = qAll.select(
+        col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"),
+        explode(slice(
+          transform(
+            reverse(array_sort(zip_with(col("cs"), sequence(lit(1), lit(nlist)),
+              (s, i) => struct(s.as("s"), i.as("i"))))),
+            p => p.getField("i")),
+          1, np)).as("cell"))
+      val scored = assigned
+        .join(broadcast(qProbes), Seq("cell"))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("sim", dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val cand = scored.agg(count(lit(1)).as("candidates"))
+      val hits = graft.functions.TopK.perQuery(scored, 5)
+        .join(exact, Seq("qid", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+      cand.crossJoin(hits).crossJoin(possible)
+        .select(lit(np).as("nprobe"), col("candidates"), col("hits"),
+          col("possible"),
+          (col("hits").cast("double") / col("possible").cast("double"))
+            .as("recall"))
+    }.reduce(_ unionAll _)
   }
 
   /** Johnson–Lindenstrauss random projection (Achlioptas,

@@ -13,11 +13,15 @@ import graft.operators.Similarity
   *    (and therefore margin recall) must be HIGH — this pins the
   *    machinery, not the corpus;
   *  - the real sf0.001 testdata, whose near-orthogonal synthetic
-  *    embeddings are the LSH-hostile regime (per-4-bit-band collision
-  *    ≈ 1/16) — recall@1 is REPORTED and floor-asserted at the
-  *    measured level (~0.41 at sf0.001, ~0.46 at sf0.01; ann_lsh's
-  *    top-5 recall on the same corpus is 0.48, so the miner tracks
-  *    the house candidate generator, it does not degrade it).
+  *    embeddings are the LSH-hostile regime — recall@1 is REPORTED
+  *    and floor-asserted at the measured level (0.606 at sf0.001
+  *    with corpus-derived banding + the hamming-≤1 multi-probe; the
+  *    pre-probe fixture-banding era measured 0.41–0.46).
+  *
+  * The registered `bitext_recall_sweep` row turns the probe knob's
+  * accuracy-cost trade into an oracled artifact; the sweep test here
+  * pins its SHAPE (candidate counts strictly grow with the level,
+  * recall never falls, level 1 = the registered miner's recall).
   */
 class BitextRecallSpec extends AnyFunSuite with SparkFixture {
 
@@ -86,8 +90,29 @@ class BitextRecallSpec extends AnyFunSuite with SparkFixture {
     assert(exact.nonEmpty && ann.nonEmpty)
     val recall = (exact intersect ann).size.toDouble / exact.size
     info(f"bitext ANN recall@1 at sf0.001: $recall%.3f (${ann.size} mined vs ${exact.size} exact)")
-    // near-orthogonal synthetic corpus: 16-bit/4-band LSH keeps ~0.4
-    // of margin winners (measured 0.406; ann_lsh top-5 recall 0.48)
-    assert(recall >= 0.35, s"bitext ANN recall $recall below the measured floor")
+    // near-orthogonal synthetic corpus: corpus-derived banding + the
+    // hamming-≤1 multi-probe keeps 0.606 of margin winners (the
+    // fixture-banding era measured 0.406)
+    assert(recall >= 0.55, s"bitext ANN recall $recall below the measured floor")
+  }
+
+  test("recall sweep at sf0.001: candidates grow with the probe level, recall never falls") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val rows = Similarity.bitextRecallSweep(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(0, 1, 2))
+    info(rows.map(r => f"p=${r._1}: cand=${r._2} matched=${r._3} hits=${r._4} recall=${r._5}%.3f").mkString("; "))
+    // cost axis: each extra hamming shell strictly widens the
+    // candidate set on this corpus (non-strict would also be sound,
+    // but the testdata measurably grows every shell)
+    assert(rows(0)._2 < rows(1)._2 && rows(1)._2 < rows(2)._2)
+    // accuracy axis: recall is monotone non-decreasing in the level,
+    // and level 1 IS the registered miner's recall (one code path)
+    assert(rows(0)._5 <= rows(1)._5 && rows(1)._5 <= rows(2)._5)
+    val exact = mined(Similarity.bitextMine(spark, dir))
+    val ann = mined(Similarity.bitextMineAnn(spark, dir))
+    assert(rows(1)._5 === (exact intersect ann).size.toDouble / exact.size)
   }
 }

@@ -58,6 +58,44 @@ class EventOpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("per-week theta rollup: weekly segments match per-week exact sets, merged level re-aggregates across weeks") {
+    import spark.implicits._
+    val dir = scratchDir("graft-theta-weekly")
+    val dayNs = 86400L * 1000000000L
+    // week 0 (day 1): clickers 1..30, buyers 20..50; week 1 (day 8):
+    // clickers 40..70, buyers 60..90. Users 40..50 click in week 1 but
+    // buy in week 0 — their overlap exists ONLY at the merged level,
+    // so merged ∩ (33) ≠ the sum of weekly ∩s (11 + 11): exactly the
+    // re-aggregation exact per-week distincts cannot do and the
+    // sketch-union level must.
+    def ev(day: Long, users: Range, typ: String, base: Long) =
+      users.map(u => (base + u, day * dayNs + u * 1000000L, u.toLong, typ, 1.0, "{}"))
+    val rows = ev(1, 1 to 30, "click", 0L) ++ ev(1, 20 to 50, "purchase", 1000L) ++
+      ev(8, 40 to 70, "click", 2000L) ++ ev(8, 60 to 90, "purchase", 3000L)
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val got = EventOps.userSegmentThetaWeekly(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val expected = Map(
+      (0L, "click_and_buy") -> 11.0, (0L, "click_no_buy") -> 19.0,
+      (0L, "buy_no_click") -> 20.0,
+      (1L, "click_and_buy") -> 11.0, (1L, "click_no_buy") -> 20.0,
+      (1L, "buy_no_click") -> 20.0,
+      (-1L, "click_and_buy") -> 33.0, (-1L, "click_no_buy") -> 28.0,
+      (-1L, "buy_no_click") -> 29.0)
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (key, ex) =>
+      // lgK=12 theta sketches stay in exact mode below 4096 entries;
+      // allow 5% for the general estimation-mode contract anyway
+      assert(math.abs(got(key) - ex) <= math.max(1.0, ex * 0.05),
+        s"$key: theta ${got(key)} vs exact $ex")
+    }
+    // the merged row must NOT equal the sum of weekly readouts (the
+    // cross-week users are the point)
+    assert(got((-1L, "click_and_buy")) > got((0L, "click_and_buy")) + got((1L, "click_and_buy")) + 5)
+  }
+
   test("event rate anomaly flags the planted spike, drop, and gap days only") {
     import spark.implicits._
     val dir = scratchDir("graft-anomaly")

@@ -27,6 +27,7 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
   private val nestedLoopAllowed: Map[String, String] = Map(
     "dedup_embedding" -> "exact all-pairs ground-truth baseline (README register; scale path = dedup_embedding_ann)",
     "bitext_mine" -> "exact all-pairs (en × lang) mining baseline (README register; scale path = the registered bitext_mine_ann, the same marginSelect tail over LSH candidates)",
+    "bitext_recall_sweep" -> "inherits bitext_mine's bounded all-pairs exact denominator (run once), plus per-level 1-row count scalars broadcast-crossJoined into the sweep rows",
     "taskG_inactive" -> "1-row global-max scalar kept in-plan as a broadcast crossJoin",
     "taskH_above_avg" -> "1-row global-average scalar kept in-plan as a broadcast crossJoin",
     "similarity_topk" -> "10-query broadcast side x streamed candidates (O(kN), k-bounded)",
@@ -54,6 +55,7 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
     "similarity_ann_pq" -> "10-query broadcast LUT side x streamed code scan (O(mN) lookups, the ADC shape — same rationale as similarity_topk)",
     "doc_knn_tfidf" -> "1-row corpus-count scalar kept in-plan as a broadcast crossJoin against the vocabulary-bounded df table",
     "ann_recall" -> "inherits similarity_topk's 10-query broadcast side and similarity_ann_pq's LUT shape (both whitelisted), plus a 1-row possible-total scalar crossJoin",
+    "ann_nprobe_sweep" -> "inherits similarity_topk's 10-query broadcast exact denominator (run once), plus per-level 1-row count scalars broadcast-crossJoined into the sweep rows",
     "bm25_search" -> "1-row corpus-stats scalar (N, total tokens) kept in-plan as a broadcast crossJoin against the vocabulary-bounded df table (same shape as doc_knn_tfidf)",
     "token_pmi" -> "1-row corpus-totals scalar (token/pair counts) kept in-plan as a broadcast crossJoin against the vocabulary²-bounded bigram table",
     "q22_idle_customers" -> "1-row positive-balance-average scalar kept in-plan as a broadcast crossJoin (the reference's Task-H temp-file scalar, SURVEY §2 S5)",
@@ -95,8 +97,11 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
     "weighted_sample" -> "shard-total prefix window over `shards` (=32) rows — bounded by the parameter, not the data",
     "brand_market_share" -> "final pass of the global-revenue scalar aggregate (denominator): one partial row per upstream partition",
     "user_segment_theta" -> "final pass of the global two-sketch theta aggregate: one pair of partial 2^12-entry sketches per upstream partition, merged once — the mergeable-summary shape (data never reaches the single partition)",
+    "user_segment_theta_weekly" -> "final pass of the all-weeks sketch MERGE level: one pair of partial 2^12-entry union sketches per upstream partition of the |weeks|-row sketch table — the mergeable-summary shape (events never reach the single partition)",
     "copurchase_triangles" -> "final pass of the global triangle-count scalar aggregate: one partial row per upstream partition",
     "curation_funnel" -> "final pass of the one-row funnel scalar aggregate: one partial row per upstream partition",
+    "bitext_recall_sweep" -> "final passes of the per-level 1-row count aggregates (candidates/matched/hits/exact): one partial row per upstream partition each",
+    "ann_nprobe_sweep" -> "final passes of the per-level 1-row count aggregates (candidates/hits/possible): one partial row per upstream partition each",
     "dedup_bloom_prefilter" -> "final pass of the bloom-blob/batch-cutoff scalar aggregate: one partial row per upstream partition",
     "dedup_incremental" -> "final pass of the batch-cutoff scalar aggregate: one partial row per upstream partition",
     "taskG_inactive" -> "final pass of the global-max scalar aggregate: one partial row per upstream partition",

@@ -299,6 +299,26 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(byV("ann_lsh").toDouble / exact.size >= 0.5)
   }
 
+  test("nprobe sweep: candidates and recall non-decreasing in nprobe, level 4 = annIvf's recall") {
+    val rows = Similarity.annNprobeSweep(spark, fixtureDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(1, 2, 4, 8))
+    info(rows.map(r =>
+      f"np=${r._1}: cand=${r._2} hits=${r._3}/${r._4} recall=${r._5}%.2f").mkString("; "))
+    // cost axis: widening the probe set can only add candidate rows
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 <= b._2, s"candidates fell ${a._1}->${b._1}")
+      assert(a._5 <= b._5 + 1e-12, s"recall fell ${a._1}->${b._1}")
+    }
+    // level 4 IS the registered annIvf (same codebook, tie rules, k)
+    val exact = pairs(Similarity.topKBrute(spark, fixtureDir))
+    val ivfHits = (pairs(Similarity.annIvf(spark, fixtureDir)) intersect exact).size.toLong
+    val row4 = rows.find(_._1 == 4).get
+    assert(row4._3 === ivfHits)
+    assert(rows.forall(_._4 === exact.size.toLong))
+  }
+
   test("prototype prune drops the floor(n/4) most-prototypical per cell, deterministically") {
     val kept = Similarity.prototypePrune(spark, fixtureDir, k = 3).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
