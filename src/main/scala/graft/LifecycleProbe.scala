@@ -283,7 +283,7 @@ object LifecycleProbe {
       val cs = consumerRows.map { case (n, s) =>
         f"""{"name":"$n","sec":$s%.2f}"""
       }.mkString("[", ",", "]")
-      f""""components_bootstrap":{"bootstrap_sec":$bootstrapSec%.2f,"steady_state_consumers":$cs,"note":"one-time base clustering paid by the session's FIRST standing-components consumer; ScaleProbe's curation_funnel ratio reads bootstrap+consumer as one number — the consumer rows here are the amortized per-readout cost"}"""
+      f""""components_bootstrap":{"bootstrap_sec":$bootstrapSec%.2f,"steady_state_consumers":$cs,"note":"one-time base clustering paid by the session's FIRST standing-components consumer; ScaleProbe's curation_funnel ratio reads bootstrap+consumer as one number -- the consumer rows here are the amortized per-readout cost"}"""
     }
     println(s"""{"metric":"lifecycle","index_growth":2.0,${fmt("minhash", mhRows)},${fmt("editdist", edRows)},"components_append":{"versions":$caJson,"growth":${f"$caGrowth%.2f"}},"components":{"points":$compJson,"fold_mb_5_over_50":${f"$foldRatio%.2f"}},$bootJson}""")
     spark.sql(s"DROP TABLE IF EXISTS $mhTable")
