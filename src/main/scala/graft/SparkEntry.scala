@@ -1604,8 +1604,10 @@ object SparkEntry {
                 coalesce(candidates, 0) AS candidates,
                 coalesce(matched, 0) AS matched,
                 coalesce(hits, 0) AS hits,
-                CAST(coalesce(hits, 0) AS DOUBLE)
-                  / CAST((SELECT count(*) FROM ex) AS DOUBLE) AS recall
+                CASE WHEN (SELECT count(*) FROM ex) > 0
+                     THEN CAST(coalesce(hits, 0) AS DOUBLE)
+                            / CAST((SELECT count(*) FROM ex) AS DOUBLE)
+                END AS recall
          FROM lv
          LEFT JOIN candn ON candn.probes = lv.probes
          LEFT JOIN matchn ON matchn.probes = lv.probes
@@ -5064,8 +5066,10 @@ object SparkEntry {
                 CAST(coalesce(candidates, 0) AS BIGINT) AS candidates,
                 CAST(coalesce(hits, 0) AS BIGINT) AS hits,
                 (SELECT CAST(count(*) AS BIGINT) FROM ex) AS possible,
-                CAST(coalesce(hits, 0) AS DOUBLE)
-                  / CAST((SELECT count(*) FROM ex) AS DOUBLE) AS recall
+                CASE WHEN (SELECT count(*) FROM ex) > 0
+                     THEN CAST(coalesce(hits, 0) AS DOUBLE)
+                            / CAST((SELECT count(*) FROM ex) AS DOUBLE)
+                END AS recall
          FROM lv
          LEFT JOIN candn ON candn.np = lv.np
          LEFT JOIN hitn ON hitn.np = lv.np"""

@@ -338,7 +338,11 @@ object Similarity {
       cands.crossJoin(matched).crossJoin(hits).crossJoin(exactN)
         .select(lit(p).as("probes"), col("candidates"), col("matched"),
           col("hits"),
-          (col("hits").cast("double") / col("exact_total").cast("double"))
+          // NULL when the exact miner found nothing (empty/degenerate
+          // corpus) — ANSI mode would otherwise throw on the 0/0; the
+          // oracle replays the same CASE guard
+          when(col("exact_total") > 0,
+            col("hits").cast("double") / col("exact_total").cast("double"))
             .as("recall"))
     }.reduce(_ unionAll _)
   }
@@ -1690,7 +1694,10 @@ object Similarity {
       cand.crossJoin(hits).crossJoin(possible)
         .select(lit(np).as("nprobe"), col("candidates"), col("hits"),
           col("possible"),
-          (col("hits").cast("double") / col("possible").cast("double"))
+          // NULL when brute force has no pairs (single-vector corpus)
+          // — ANSI-safe, same CASE guard in the oracle
+          when(col("possible") > 0,
+            col("hits").cast("double") / col("possible").cast("double"))
             .as("recall"))
     }.reduce(_ unionAll _)
   }
