@@ -116,6 +116,10 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     // the persisted-index twin folds against a bucketed base-label
     // table and compacts to the next version — same relation again
     assert(labelMap(Dedup.componentsStandingAppend(spark, dir)) === incr)
+    // and the session-scoped carve-out: a REPEAT call reads the
+    // already-compacted v2 table (no re-fold) and must return the
+    // identical relation — the bench/deployment steady-state path
+    assert(labelMap(Dedup.componentsStandingAppend(spark, dir)) === incr)
   }
 
   test("portable md5 minhash+LSH agrees with the exact inverted index") {

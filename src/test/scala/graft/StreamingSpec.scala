@@ -509,6 +509,14 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     val replay = toMap(DocStreams.noveltyBatchAgainstIndex(
       docs.filter(col("doc_id").isin(2L, 3L)), idx).collect())
     assert(replay === streamed(1))
+
+    // the registered lifecycle replay: first call builds the standing
+    // gram index + prior-batch scores, a REPEAT call rides them and
+    // probes only the last batch — both must equal the one-shot run
+    // (the session-scoped carve-out's bit-identity claim)
+    val first = toMap(DocStreams.streamNovelty(spark, dir).collect())
+    assert(first === oneShot)
+    assert(toMap(DocStreams.streamNovelty(spark, dir).collect()) === oneShot)
   }
 
   test("writeStream dedup wiring filters the documents stream against the standing index") {
