@@ -267,22 +267,32 @@ object Similarity {
   def bitextMineAnn(spark: SparkSession, dir: String, k: Int = 4,
                     threshold: Double = 1.05,
                     nBits: Int = 0, bandBits: Int = 0,
-                    probes: Int = 1): DataFrame =
-    marginSelect(bitextScoredAnn(spark, dir, nBits, bandBits, probes),
-      k, threshold)
+                    probes: Int = 1): DataFrame = {
+    val (banded, bb) = bitextBanded(spark, dir, nBits, bandBits)
+    marginSelect(bitextScoredAnn(banded, bb, probes), k, threshold)
+  }
+
+  /** The lang-tagged band relation the mining candidate stage joins
+    * over — factored out so [[bitextRecallSweep]] computes the corpus
+    * signature pass ONCE and shares it across its probe levels (at
+    * 100 TB the nBits-dot-products-per-row pass is a corpus scan; the
+    * levels differ only in probe fan-out, which applies on top).
+    */
+  private def bitextBanded(spark: SparkSession, dir: String,
+                           nBits: Int, bandBits: Int): (DataFrame, Int) = {
+    val bb = if (bandBits > 0) bandBits else corpusBandBits(spark, dir)
+    val langs = Tables.documentsSpread(spark, dir)
+      .select(col("doc_id"), col("lang"))
+    (lshBands(spark, dir, nBits, bandBits)
+      .join(langs, col("vec_id") === col("doc_id")), bb)
+  }
 
   /** The candidate stage [[bitextMineAnn]] feeds [[marginSelect]] —
     * factored out so [[bitextRecallSweep]] can count the SAME
     * candidate relation per probe level it measures recall at.
     */
-  private def bitextScoredAnn(spark: SparkSession, dir: String,
-                              nBits: Int, bandBits: Int,
+  private def bitextScoredAnn(banded: DataFrame, bb: Int,
                               probes: Int): DataFrame = {
-    val bb = if (bandBits > 0) bandBits else corpusBandBits(spark, dir)
-    val langs = Tables.documentsSpread(spark, dir)
-      .select(col("doc_id"), col("lang"))
-    val banded = lshBands(spark, dir, nBits, bandBits)
-      .join(langs, col("vec_id") === col("doc_id"))
     // probe fan-out on the en side only — the one-sided hamming-≤k
     // expansion covers the symmetric ≤k-bit condition, and en is the
     // natural probe side (one source language vs the union of targets)
@@ -326,8 +336,12 @@ object Similarity {
     val exact = bitextMine(spark, dir, k, threshold)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val exactN = exact.agg(count(lit(1)).as("exact_total"))
+    // ONE corpus signature pass shared by every level (the levels
+    // differ only in the probe fan-out applied on top of it)
+    val (banded0, bb) = bitextBanded(spark, dir, 0, 0)
+    val banded = banded0.persist(StorageLevel.MEMORY_AND_DISK)
     levels.map { p =>
-      val scored = bitextScoredAnn(spark, dir, 0, 0, p)
+      val scored = bitextScoredAnn(banded, bb, p)
       val cands = scored.agg(count(lit(1)).as("candidates"))
       val matches = marginSelect(scored, k, threshold)
         .persist(StorageLevel.MEMORY_AND_DISK)
