@@ -335,6 +335,7 @@ object SparkEntry {
     "copurchase_pagerank_deltas" -> ((s: SparkSession, d: String) => Relational.pagerankDeltas(s, d)),
     "ann_recall"             -> ((s: SparkSession, d: String) => Similarity.annRecall(s, d)),
     "ann_nprobe_sweep"       -> ((s: SparkSession, d: String) => Similarity.annNprobeSweep(s, d)),
+    "hybrid_search_rrf"      -> ((s: SparkSession, d: String) => Similarity.hybridSearchRrf(s, d)),
     // ---- round 10: BM25 retrieval, PCA-precursor Gram accumulation ----
     "bm25_search"            -> ((s: SparkSession, d: String) => TextOps.bm25Search(s, d)),
     "embedding_covariance"   -> Similarity.embeddingCovariance _,
@@ -5074,7 +5075,30 @@ object SparkEntry {
          LEFT JOIN candn ON candn.np = lv.np
          LEFT JOIN hitn ON hitn.np = lv.np"""
 
+  /** [[graft.operators.Similarity.hybridSearchRrf]]'s replay: both
+    * registered ranker oracles as subqueries, full-outer-joined on
+    * (qid, neighbor), each side contributing the integer micro-RRF
+    * surrogate (0 when absent), re-ranked per qid.
+    */
+  private lazy val hybridSearchRrfSql: String =
+    s"""WITH lex AS (SELECT qid, neighbor_id, rnk
+                     FROM (${oracleSqlBase("doc_knn_tfidf")})),
+            sem AS (SELECT qid, neighbor_id, rnk
+                    FROM (${oracleSqlBase("similarity_topk")})),
+            fused AS (SELECT coalesce(lex.qid, sem.qid) AS qid,
+                             coalesce(lex.neighbor_id, sem.neighbor_id) AS neighbor_id,
+                             coalesce(CAST(1000000 AS BIGINT) // (60 + lex.rnk), 0)
+                               + coalesce(CAST(1000000 AS BIGINT) // (60 + sem.rnk), 0)
+                               AS fused_micro
+                      FROM lex FULL OUTER JOIN sem
+                        ON lex.qid = sem.qid AND lex.neighbor_id = sem.neighbor_id)
+       SELECT qid, neighbor_id, fused_micro, rnk FROM (
+         SELECT *, row_number() OVER (PARTITION BY qid
+                                      ORDER BY fused_micro DESC, neighbor_id ASC) AS rnk
+         FROM fused) WHERE rnk <= 5"""
+
   def oracleSql: Map[String, String] =
     oracleSqlBase + ("ann_recall" -> annRecallSql) +
-      ("ann_nprobe_sweep" -> annNprobeSweepSql)
+      ("ann_nprobe_sweep" -> annNprobeSweepSql) +
+      ("hybrid_search_rrf" -> hybridSearchRrfSql)
 }

@@ -1716,6 +1716,45 @@ object Similarity {
     }.reduce(_ unionAll _)
   }
 
+  /** Hybrid lexical+semantic retrieval via reciprocal-rank fusion
+    * (Cormack et al., "Reciprocal Rank Fusion outperforms Condorcet
+    * and individual rank learning methods", SIGIR'09): fuse
+    * [[graft.operators.TextOps.docKnnTfidf]]'s tf-idf doc-to-doc
+    * ranking with [[topKBrute]]'s embedding-cosine ranking by
+    * RRF(d) = Σ_sys 1/(60 + rank_sys(d)) — the standard data-curation
+    * combiner when neither signal alone suffices (lexical misses
+    * paraphrase, semantic misses rare exact terms). House integer
+    * discipline: each side contributes the micro-unit surrogate
+    * `1000000 div (60 + rnk)` (monotone in the true 1/(60+r), values
+    * distinct for every rank ≤ k), so the fused score is a BIGINT
+    * both engines floor identically — no float crosses the hash
+    * compare. Absent-from-one-list documents contribute 0 from that
+    * side (the standard RRF convention).
+    *
+    * Scale shape: both inputs are k-bounded per query (each ≤ 10·k
+    * rows — metadata scale), so the full-outer fusion join and the
+    * per-qid re-rank window touch ≤ 2·10·k rows regardless of corpus
+    * size; all corpus-scale work lives inside the two (independently
+    * registered, independently scale-audited) rankers.
+    */
+  def hybridSearchRrf(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = TextOps.docKnnTfidf(spark, dir, k)
+      .select(col("qid"), col("neighbor_id"), col("rnk").as("rl"))
+    val sem = topKBrute(spark, dir)
+      .select(col("qid"), col("neighbor_id"), col("rnk").as("rs"))
+    lex.join(sem, Seq("qid", "neighbor_id"), "full_outer")
+      .select(col("qid"), col("neighbor_id"),
+        (coalesce(expr("CAST(1000000 AS BIGINT) div (60 + rl)"), lit(0L)) +
+          coalesce(expr("CAST(1000000 AS BIGINT) div (60 + rs)"), lit(0L)))
+          .as("fused_micro"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("fused_micro").desc, col("neighbor_id").asc))
+        .cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
   /** Johnson–Lindenstrauss random projection (Achlioptas,
     * "Database-friendly random projections": Rademacher ±1 entries
     * preserve pairwise distances like Gaussian ones): each int8-

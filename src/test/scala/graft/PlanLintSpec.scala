@@ -56,6 +56,7 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
     "doc_knn_tfidf" -> "1-row corpus-count scalar kept in-plan as a broadcast crossJoin against the vocabulary-bounded df table",
     "ann_recall" -> "inherits similarity_topk's 10-query broadcast side and similarity_ann_pq's LUT shape (both whitelisted), plus a 1-row possible-total scalar crossJoin",
     "ann_nprobe_sweep" -> "inherits similarity_topk's 10-query broadcast exact denominator (run once), plus per-level 1-row count scalars broadcast-crossJoined into the sweep rows",
+    "hybrid_search_rrf" -> "inherits both rankers' whitelisted shapes: similarity_topk's 10-query broadcast side and doc_knn_tfidf's 1-row corpus-count scalar crossJoin; the fusion itself joins two k-bounded lists",
     "bm25_search" -> "1-row corpus-stats scalar (N, total tokens) kept in-plan as a broadcast crossJoin against the vocabulary-bounded df table (same shape as doc_knn_tfidf)",
     "token_pmi" -> "1-row corpus-totals scalar (token/pair counts) kept in-plan as a broadcast crossJoin against the vocabulary²-bounded bigram table",
     "q22_idle_customers" -> "1-row positive-balance-average scalar kept in-plan as a broadcast crossJoin (the reference's Task-H temp-file scalar, SURVEY §2 S5)",
@@ -102,6 +103,7 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
     "curation_funnel" -> "final pass of the one-row funnel scalar aggregate: one partial row per upstream partition",
     "bitext_recall_sweep" -> "final passes of the per-level 1-row count aggregates (candidates/matched/hits/exact): one partial row per upstream partition each",
     "ann_nprobe_sweep" -> "final passes of the per-level 1-row count aggregates (candidates/hits/possible): one partial row per upstream partition each",
+    "hybrid_search_rrf" -> "inherits doc_knn_tfidf's 1-row corpus-count scalar final (one partial row per upstream partition, feeding the idf broadcast); the fusion join/window are k-bounded per query",
     "dedup_bloom_prefilter" -> "final pass of the bloom-blob/batch-cutoff scalar aggregate: one partial row per upstream partition",
     "dedup_incremental" -> "final pass of the batch-cutoff scalar aggregate: one partial row per upstream partition",
     "taskG_inactive" -> "final pass of the global-max scalar aggregate: one partial row per upstream partition",

@@ -319,6 +319,43 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(rows.forall(_._4 === exact.size.toLong))
   }
 
+  test("hybrid RRF: the doc matching BOTH signals outranks each single-signal match") {
+    import spark.implicits._
+    val dir = scratchDir("graft-hybrid")
+    // query doc 0; doc 10 = lexical-only match (same tokens, orthogonal
+    // embedding), doc 11 = semantic-only (disjoint vocab, near-parallel
+    // embedding), doc 12 = BOTH; 13..15 = filler. RRF must put 12
+    // first: one contribution from each ranker beats either alone.
+    val shared = "alpha beta gamma delta"
+    val docs = Seq(
+      0L -> shared, 10L -> shared, 11L -> "omega psi chi phi",
+      12L -> shared, 13L -> "one two three four",
+      14L -> "five six seven eight", 15L -> "nine ten eleven twelve")
+    docs.map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val emb = Seq(
+      0L -> Seq(1f, 0f, 0f, 0f), 10L -> Seq(0f, 1f, 0f, 0f),
+      11L -> Seq(0.8f, 0.2f, 0f, 0f), 12L -> Seq(0.9f, 0.1f, 0f, 0f),
+      13L -> Seq(0f, 0f, 1f, 0f), 14L -> Seq(0f, 0f, 0.9f, 0.1f),
+      15L -> Seq(0f, 0f, 0.1f, 0.9f))
+    emb.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    val rows = Similarity.hybridSearchRrf(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._4)
+    assert(rows.forall(_._1 === 0L))
+    // 12 fuses lex rank 2 + sem rank 1; 10 fuses lex rank 1 + sem rank
+    // 3 (cos 0, lowest id among the ties); 11 is semantic-only rank 2
+    assert(rows.take(3).map(_._2).toSeq === Seq(12L, 10L, 11L))
+    val byId = rows.map(r => r._2 -> r._3).toMap
+    assert(byId(12L) === 1000000L / 62 + 1000000L / 61)
+    assert(byId(10L) === 1000000L / 61 + 1000000L / 63)
+    assert(byId(11L) === 1000000L / 62)
+    assert(byId(12L) > byId(10L) && byId(10L) > byId(11L))
+  }
+
   test("prototype prune drops the floor(n/4) most-prototypical per cell, deterministically") {
     val kept = Similarity.prototypePrune(spark, fixtureDir, k = 3).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
