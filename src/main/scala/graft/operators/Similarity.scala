@@ -288,28 +288,46 @@ object Similarity {
   }
 
   /** The candidate stage [[bitextMineAnn]] feeds [[marginSelect]] —
-    * factored out so [[bitextRecallSweep]] can count the SAME
-    * candidate relation per probe level it measures recall at.
+    * the `plevel`-filtered view of [[bitextScoredLeveled]] at its own
+    * probe setting.
     */
   private def bitextScoredAnn(banded: DataFrame, bb: Int,
-                              probes: Int): DataFrame = {
+                              probes: Int): DataFrame =
+    bitextScoredLeveled(banded, bb, probes).drop("plevel")
+
+  /** [[bitextScoredAnn]] with every candidate pair tagged by the
+    * MINIMUM probe level that finds it (`plevel` = the smallest
+    * popcount over all (band, mask) collisions of the pair). Because
+    * probe levels are nested hamming balls, the level-`p` candidate
+    * set is exactly `filter(plevel <= p)` of the max-level relation —
+    * so [[bitextRecallSweep]] pays the collision join, the cosine
+    * re-scores and the pair-dedup exchange ONCE at its top level
+    * instead of once per level (the level-0/1 joins are strict
+    * subsets of the level-2 one). Grouping by the pair with
+    * `min(sim)` replaces the old `distinct`: `sim` is a pure function
+    * of the two vectors, bit-identical across duplicate collisions,
+    * so the min is exact and deterministic and the exchange still
+    * moves slim id+double rows, never vectors.
+    */
+  private def bitextScoredLeveled(banded: DataFrame, bb: Int,
+                                  maxLevel: Int): DataFrame = {
     // probe fan-out on the en side only — the one-sided hamming-≤k
     // expansion covers the symmetric ≤k-bit condition, and en is the
     // natural probe side (one source language vs the union of targets)
-    val src = probeExpand(banded.filter(col("lang") === "en"), bb, probes)
+    val src = probeExpandLeveled(banded.filter(col("lang") === "en"), bb, maxLevel)
       .select(col("vec_id").as("src_id"), col("v").as("sv"),
-        col("nrm").as("snrm"), col("band"), col("band_val"))
+        col("nrm").as("snrm"), col("band"), col("band_val"), col("plevel"))
     val tgt = banded.filter(col("lang") =!= "en")
       .select(col("lang"), col("vec_id").as("tgt_id"),
         col("v").as("tv"), col("nrm").as("tnrm"), col("band"), col("band_val"))
 
     // score each band collision BEFORE deduping (see dedupEmbeddingAnn:
-    // the distinct's exchange then moves 20-byte rows, not vectors);
-    // sim is a pure function of the pair, so distinct is exact
+    // the group-by's exchange then moves 20-byte rows, not vectors)
     tgt.join(src, Seq("band", "band_val"))
       .withColumn("sim", dot(col("sv"), col("tv")) / (col("snrm") * col("tnrm")))
-      .select(col("lang"), col("src_id"), col("tgt_id"), col("sim"))
-      .distinct()
+      .groupBy(col("lang"), col("src_id"), col("tgt_id"))
+      .agg(min(col("plevel")).as("plevel"), min(col("sim")).as("sim"))
+      .select(col("lang"), col("src_id"), col("tgt_id"), col("plevel"), col("sim"))
       .persist(StorageLevel.MEMORY_AND_DISK)
   }
 
@@ -324,11 +342,14 @@ object Similarity {
     *
     * Scale shape: the exact denominator is the registered all-pairs
     * baseline (broadcast-bounded like `bitext_mine` itself) and runs
-    * ONCE; each level's candidate stage is collision-bounded by the
-    * corpus-derived banding, so the sweep costs Σ(level fan-outs) —
-    * the thing it exists to measure. Counts fold in-plan (1-row
-    * aggregates broadcast-crossJoined, the taskH scalar shape); no
-    * data-scaled driver state.
+    * ONCE — and so does the candidate stage: one
+    * [[bitextScoredLeveled]] pass at the DEEPEST level (collision-
+    * bounded by the corpus-derived banding), from which every
+    * shallower level is a `plevel` filter, because probe levels are
+    * nested hamming balls. The sweep therefore costs max(level
+    * fan-outs), not Σ — only the per-level margin selections repeat.
+    * Counts fold in-plan (1-row aggregates broadcast-crossJoined, the
+    * taskH scalar shape); no data-scaled driver state.
     */
   def bitextRecallSweep(spark: SparkSession, dir: String, k: Int = 4,
                         threshold: Double = 1.05,
@@ -340,8 +361,14 @@ object Similarity {
     // differ only in the probe fan-out applied on top of it)
     val (banded0, bb) = bitextBanded(spark, dir, 0, 0)
     val banded = banded0.persist(StorageLevel.MEMORY_AND_DISK)
+    // ONE collision-join + re-score + pair-dedup pass at the DEEPEST
+    // level; each shallower level is a plevel filter of it (the
+    // candidate sets are nested hamming balls — see
+    // [[bitextScoredLeveled]])
+    val leveled = bitextScoredLeveled(banded, bb, levels.max)
     levels.map { p =>
-      val scored = bitextScoredAnn(banded, bb, p)
+      val scored = leveled.filter(col("plevel") <= p)
+        .select(col("lang"), col("src_id"), col("tgt_id"), col("sim"))
       val cands = scored.agg(count(lit(1)).as("candidates"))
       val matches = marginSelect(scored, k, threshold)
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -1412,6 +1439,24 @@ object Similarity {
       explode(array(probeMasks(bandBits, probes).map(m =>
         if (m == 0L) col("band_val")
         else col("band_val").bitwiseXOR(lit(m))): _*)))
+
+  /** [[probeExpand]] carrying each fan-out row's probe level
+    * (`plevel` = the mask's popcount): the same hamming-ball
+    * enumeration, but downstream consumers can recover every
+    * SHALLOWER level by filtering `plevel` — the nesting
+    * [[bitextScoredLeveled]] exploits to run one sweep-wide pass.
+    */
+  private def probeExpandLeveled(bands: DataFrame, bandBits: Int,
+                                 probes: Int): DataFrame =
+    if (probes <= 0) bands.withColumn("plevel", lit(0))
+    else bands
+      .select(col("*"), explode(array(probeMasks(bandBits, probes).map(m =>
+        struct(lit(java.lang.Long.bitCount(m)).as("pl"),
+          (if (m == 0L) col("band_val")
+           else col("band_val").bitwiseXOR(lit(m))).as("bv"))): _*)).as("pe"))
+      .withColumn("band_val", col("pe.bv"))
+      .withColumn("plevel", col("pe.pl"))
+      .drop("pe")
 
   /** Approximate top-5 via random-hyperplane LSH: corpus-derived
     * banding (4 bands × [[corpusBandBits]] md5-derived hyperplane sign
