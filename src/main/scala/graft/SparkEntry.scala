@@ -288,6 +288,7 @@ object SparkEntry {
     "kmeans_train"           -> ((s: SparkSession, d: String) => Similarity.kmeansTrain(s, d)),
     "orders_cdc_merge"       -> Relational.ordersCdcMerge _,
     "dedup_semantic"         -> ((s: SparkSession, d: String) => Similarity.dedupSemantic(s, d)),
+    "cluster_top_terms"      -> ((s: SparkSession, d: String) => Similarity.clusterTopTerms(s, d)),
     "bpe_pair_counts"        -> ((s: SparkSession, d: String) => TextOps.bpePairCounts(s, d)),
     "stream_topk_users"      -> graft.streaming.EventStreams.streamTopkUsers _,
     // ---- round 7: curation classifier + data mixing ----
@@ -4214,6 +4215,37 @@ object SparkEntry {
          WHERE list_reduce(list_prepend(0.0,
                  list_transform(range(1, len(x.v)+1), i -> x.v[i]*y.v[i])),
                  (acc,z) -> acc + z) / (x.nrm * y.nrm) >= 0.35""",
+    // full k=64 Lloyd replay + final assignment, then each cell's
+    // top-5 terms by the cell's integer share of the term's corpus
+    // occurrences (min corpus count 5; rank fully ordered)
+    "cluster_top_terms" ->
+      s"""WITH ${kmeansCtes(64)},
+              d3 AS (SELECT q.vec_id, c2l.cell,
+                            list_sum(list_transform(range(1, len(q.q) + 1),
+                              i -> (q.q[i] - c2l.c[i]) * (q.q[i] - c2l.c[i]))) AS dist
+                     FROM q, c2l),
+              a3 AS (SELECT vec_id, cell FROM (
+                       SELECT vec_id, cell,
+                              row_number() OVER (PARTITION BY vec_id
+                                                 ORDER BY dist, cell) AS rn
+                       FROM d3) WHERE rn = 1),
+              tk AS (SELECT doc_id,
+                            unnest(list_filter(string_split_regex(text, '\\s+'),
+                                               t -> t != '')) AS term
+                     FROM documents),
+              tc AS (SELECT a3.cell, term, CAST(count(*) AS BIGINT) AS cnt
+                     FROM tk JOIN a3 ON tk.doc_id = a3.vec_id
+                     GROUP BY a3.cell, term),
+              tot AS (SELECT term, CAST(sum(cnt) AS BIGINT) AS tot
+                      FROM tc GROUP BY term HAVING sum(cnt) >= 5),
+              r AS (SELECT cell, term, cnt,
+                           (cnt * 1000000) // tot AS share_micro,
+                           CAST(row_number() OVER (
+                             PARTITION BY cell
+                             ORDER BY (cnt * 1000000) // tot DESC, cnt DESC,
+                                      term ASC) AS BIGINT) AS rank
+                    FROM tc JOIN tot USING (term))
+         SELECT cell, term, cnt, share_micro, rank FROM r WHERE rank <= 5""",
     "bpe_pair_counts" ->
       """WITH w AS (SELECT word, count(*) AS wcnt
                     FROM (SELECT unnest(list_filter(string_split_regex(text, '\s+'),

@@ -1104,6 +1104,61 @@ object Similarity {
       .select(col("vec_id"), col("cell"), col("d2").cast("long").as("d2"), col("proto_rank"))
   }
 
+  /** Cluster labeling (the BERTopic / c-TF-IDF readout): after the
+    * same two integer-exact Lloyd rounds as [[dedupSemantic]], each
+    * cluster cell is described by its most DISTINCTIVE terms — ranked
+    * by the cell's share of the term's corpus occurrences
+    * (`share_micro` = ⌊cnt_cell·10⁶ / cnt_corpus⌋, the integer-exact
+    * stand-in for c-TF-IDF's tf·idf product: a term all of whose
+    * occurrences sit in one cell scores 10⁶ there, a uniformly-spread
+    * term scores ~10⁶/k everywhere). Terms with fewer than
+    * `minCorpusCnt` corpus occurrences are dropped (a singleton term
+    * trivially scores 10⁶ — noise, not signal), and each cell keeps
+    * its `topn` by (share desc, count desc, term asc) — fully ordered,
+    * so the kept set is deterministic and the DuckDB oracle replays
+    * the WHOLE pipeline, Lloyd rounds included.
+    *
+    * This is the human-audit surface of embedding clustering: a
+    * curation run that buckets 100 TB by k-means needs to know WHAT
+    * each bucket is before deciding to up/down-sample it.
+    *
+    * Scale shape: assignment is the narrow k-broadcast distance scan;
+    * the term stream is the one tokenize pass joined to the (vec_id,
+    * cell) table (doc-scale, id-keyed); per-(cell, term) and per-term
+    * counts partial-agg map-side; the final rank is a cell-partitioned
+    * window over the ≥`minCorpusCnt` survivors — vocabulary-scale,
+    * never corpus-scale.
+    */
+  def clusterTopTerms(spark: SparkSession, dir: String, k: Int = 64,
+      topn: Int = 5, minCorpusCnt: Long = 5): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val qd = quantizedCodes(spark, dir)
+    val init = initCents(qd, k)
+    if (init.isEmpty)
+      return Seq.empty[(Long, String, Long, Long, Long)]
+        .toDF("cell", "term", "cnt", "share_micro", "rank")
+    val finalCents = centsOf(assignUpdate(qd, centsOf(assignUpdate(qd, init))))
+    val assigned = cellAssign(qd, finalCents).select(col("vec_id"), col("cell"))
+    val toks = Tables.documentsSpread(spark, dir)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+    val perCell = toks
+      .join(assigned, toks("doc_id") === assigned("vec_id"))
+      .groupBy(col("cell"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+    val corpusTot = perCell.groupBy(col("term"))
+      .agg(sum(col("cnt")).as("tot"))
+      .filter(col("tot") >= minCorpusCnt)
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(col("share_micro").desc, col("cnt").desc, col("term").asc)
+    perCell
+      .join(corpusTot, "term")
+      .withColumn("share_micro", expr("cnt * 1000000 div tot"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topn)
+      .select(col("cell"), col("term"), col("cnt"), col("share_micro"), col("rank"))
+  }
+
   /** Approximate top-5 via Product Quantization with asymmetric
     * distance computation (ADC) — the memory-bound regime's ANN shape
     * (IVF-PQ / FAISS style): the 64-dim int8 vector is split into

@@ -376,6 +376,32 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("cluster top-terms ranks each cell's distinctive vocabulary by corpus share") {
+    // docs 0..4 land in cells 0/1/2/0/1 (k=3 seeds = one per true
+    // cluster). Corpus counts (over the 5 docs): w1..w39 = 4, w40 = 3,
+    // x* = 1, zz = 1 — minCorpusCnt=2 keeps only the w's.
+    val got = Similarity.clusterTopTerms(spark, fixtureDir, k = 3,
+        topn = 5, minCorpusCnt = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val byCell = got.groupBy(_._1)
+    assert(byCell.keySet === Set(0L, 1L, 2L))
+    def ranked(cell: Long): Seq[String] =
+      byCell(cell).sortBy(_._5).map(_._2).toSeq
+    // w40 is absent from doc2 (cell 2), so its corpus count is 3 and
+    // its share in cells 0/1 (333333 / 666666 micro) beats the
+    // 250000/500000 of the w1..w39 mass; ties order lexicographically
+    assert(ranked(0L) === Seq("w40", "w1", "w10", "w11", "w12"))
+    assert(ranked(1L) === Seq("w40", "w1", "w10", "w11", "w12"))
+    assert(ranked(2L) === Seq("w1", "w10", "w11", "w12", "w13"))
+    val shares = got.map(r => (r._1, r._2) -> r._4).toMap
+    assert(shares((0L, "w40")) === 1000000L / 3)
+    assert(shares((1L, "w40")) === 2000000L / 3)
+    assert(shares((1L, "w1")) === 500000L)
+    assert(shares((2L, "w1")) === 250000L)
+    // the cell-2 doc's unique term zz is filtered by the corpus floor
+    assert(!got.exists(_._2 === "zz"))
+  }
+
   test("embedding covariance matches an in-memory integer reference exactly") {
     // reference: quantize each vector with the embeddingQuantize
     // formula, then accumulate the upper-triangle sums in plain Scala
