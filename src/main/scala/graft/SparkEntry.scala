@@ -309,6 +309,8 @@ object SparkEntry {
     "bpe_encode"             -> ((s: SparkSession, d: String) => TextOps.bpeEncode(s, d)),
     "bpe_train"              -> ((s: SparkSession, d: String) => TextOps.bpeTrainTable(s, d)),
     "bpe_vocab"              -> ((s: SparkSession, d: String) => TextOps.bpeVocab(s, d)),
+    "unigram_lm_train"       -> ((s: SparkSession, d: String) => TextOps.unigramLmTrain(s, d)),
+    "unigram_encode"         -> ((s: SparkSession, d: String) => TextOps.unigramEncode(s, d)),
     "trigram_kn_probs"       -> TextOps.trigramKnProbs _,
     "similarity_ann_pq"      -> ((s: SparkSession, d: String) => Similarity.annPq(s, d)),
     "stream_dedup_minhash"   -> graft.streaming.DocStreams.streamDedupMinhash _,
@@ -794,6 +796,100 @@ object SparkEntry {
                     FROM wc),
              ${(1 to rounds).map(round).mkString(",\n")}"""
   }
+
+  /** The unigram-LM tokenizer training replay (TextOps.unigramState):
+    * wordcount → substring-occurrence table → seed vocab (all chars +
+    * top-`vMulti` multi-char substrings) → `rounds` hard-EM rounds,
+    * each one scores CTE (integer micro-nat log-probs), one candidate
+    * collection per word, the Viterbi DP fold (best-path keys packing
+    * score AND argmax start offset into one BIGINT — see the operator
+    * scaladoc), the backtrace fold, and the usage recount. Every fold
+    * is the exact integer construction the Spark side runs, so the
+    * whole training loop replays hash-for-hash.
+    */
+  private def unigramCtes(vMulti: Int, maxPieceLen: Int, rounds: Int): String = {
+    def round(k: Int): String =
+      s"""us$k AS (SELECT piece, CAST(floor(ln(freq) * 1000000) AS BIGINT)
+                     - (SELECT CAST(floor(ln(sum(freq)) * 1000000) AS BIGINT)
+                        FROM uv$k) AS s
+              FROM uv$k),
+         uc$k AS (SELECT word, wcnt,
+                         list(struct_pack(e := e, j := j, s := s) ORDER BY e, j) AS cs
+                  FROM uocc JOIN us$k ON uocc.sub = us$k.piece
+                  GROUP BY word, wcnt),
+         ub$k AS (SELECT word, wcnt,
+                    string_split(
+                      list_reduce(
+                        list_prepend([struct_pack(k := 16000000000 * 256, p := '')],
+                          list_transform(range(1, len(word) + 1), i ->
+                            [struct_pack(k := i, p := '')])),
+                        (acc, x) -> list_append(acc,
+                          list_max(list_transform(
+                            list_filter(cs, c -> c.e = x[1].k
+                              AND acc[c.j + 1].k IS NOT NULL),
+                            c -> struct_pack(
+                              k := (acc[c.j + 1].k // 256 + c.s) * 256 + c.j,
+                              p := CASE WHEN acc[c.j + 1].p = '' THEN ''
+                                        ELSE acc[c.j + 1].p || ' ' END
+                                   || substr(word, CAST(c.j AS INT) + 1,
+                                        CAST(x[1].k AS INT) - CAST(c.j AS INT)))))))
+                      [CAST(len(word) AS INT) + 1].p, ' ') AS pieces
+                  FROM uc$k),
+         uv${k + 1} AS (SELECT piece, CAST(sum(wcnt) AS BIGINT) AS freq
+                  FROM (SELECT unnest(pieces) AS piece, wcnt FROM ub$k)
+                  GROUP BY piece)"""
+    s"""uwc AS (SELECT word, count(*) AS wcnt
+                FROM (SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                                                t -> t != '')) AS word
+                      FROM documents)
+                WHERE len(word) <= 255 GROUP BY word),
+        uocc AS (SELECT word, wcnt, o.j AS j, o.e AS e, o.sub AS sub
+                 FROM (SELECT word, wcnt,
+                              unnest(flatten(list_transform(range(1, len(word) + 1), i ->
+                                list_transform(range(1, least($maxPieceLen, len(word) - i + 1) + 1), l ->
+                                  struct_pack(j := i - 1, e := i + l - 1,
+                                    sub := substr(word, CAST(i AS INT), CAST(l AS INT))))))) AS o
+                       FROM uwc)),
+        usf AS (SELECT sub AS piece, CAST(sum(wcnt) AS BIGINT) AS freq
+                FROM uocc GROUP BY sub),
+        uv1 AS (SELECT piece, freq FROM usf WHERE len(piece) = 1
+                UNION ALL
+                SELECT piece, freq FROM (SELECT piece, freq FROM usf
+                                         WHERE len(piece) >= 2
+                                         ORDER BY freq DESC, piece ASC
+                                         LIMIT $vMulti)),
+        ${(1 to rounds).map(round).mkString(",\n")}"""
+  }
+
+  private def unigramTrainSql(vMulti: Int, maxPieceLen: Int, rounds: Int): String =
+    s"""WITH ${unigramCtes(vMulti, maxPieceLen, rounds)}
+        SELECT piece, freq,
+               CAST(floor(ln(freq) * 1000000) AS BIGINT)
+                 - (SELECT CAST(floor(ln(sum(freq)) * 1000000) AS BIGINT)
+                    FROM uv${rounds + 1}) AS score_micro
+        FROM uv${rounds + 1}"""
+
+  private def unigramEncodeSql(vMulti: Int, maxPieceLen: Int, rounds: Int): String =
+    s"""WITH ${unigramCtes(vMulti, maxPieceLen, rounds)},
+             uenc AS (SELECT word, array_to_string(pieces, ' ') AS enc,
+                             CAST(len(pieces) AS BIGINT) AS np
+                      FROM ub$rounds),
+             utk AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                                                t -> t != '') AS ts
+                     FROM documents),
+             ue AS (SELECT doc_id, pos, ts[pos] AS t
+                    FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS pos
+                          FROM utk)),
+             uagg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                             CAST(sum(np) AS BIGINT) AS n_pieces,
+                             array_to_string(list(enc ORDER BY pos), ' ') AS pieces
+                      FROM ue JOIN uenc ON ue.t = uenc.word
+                      GROUP BY doc_id)
+        SELECT d.doc_id,
+               coalesce(n_tokens, 0) AS n_tokens,
+               coalesce(n_pieces, 0) AS n_pieces,
+               coalesce(pieces, '') AS pieces
+        FROM documents d LEFT JOIN uagg USING (doc_id)"""
 
   /** `bpe_train`'s oracle: the N merge rows, each from its round's
     * argmax CTE. */
@@ -4389,6 +4485,8 @@ object SparkEntry {
     "bpe_encode" -> bpeEncodeSql(3),
     "bpe_train" -> bpeTrainSql(8),
     "bpe_vocab" -> bpeVocabSql(8),
+    "unigram_lm_train" -> unigramTrainSql(32, 4, 2),
+    "unigram_encode" -> unigramEncodeSql(32, 4, 2),
     // full k=64 Lloyd replay + final assignment keeping the winning
     // squared distance, then the per-cell prototypicality window
     "prototype_prune" ->

@@ -737,6 +737,187 @@ object TextOps {
       .join(corpusShuffle(spark, dir), "doc_id")
       .select(col("doc_id"), col("stage"), col("shard"), col("pos"))
 
+  // ---------------------------------------------------------------
+  // Unigram-LM tokenizer (the SentencePiece family, hard-EM variant)
+  // ---------------------------------------------------------------
+
+  /** `floor(ln(x)·10⁶)` as a BIGINT — the integer micro-nat
+    * quantization the perplexity/entropy family already uses for
+    * cross-engine exactness (both engines evaluate IEEE-double `ln`;
+    * the floor flips only across a 1e-6 boundary).
+    */
+  private def lnMicroCol(c: Column): Column =
+    floor(log(c.cast("double")) * lit(1000000.0)).cast("long")
+
+  /** The Viterbi DP over one word's candidate pieces, as ONE pure SQL
+    * higher-order fold. The accumulator holds, per word position, a
+    * struct `(k, p)`: `k` packs the best path score INTO its argmax —
+    * `k = (dp + OFF)·256 + j` where `j` is the winning piece's start
+    * offset — and `p` is that best path's space-joined piece string
+    * (extended per candidate from the predecessor's `p`, so the
+    * backtrace is carried forward instead of walked afterwards).
+    * `array_max` over the candidate structs is exact: struct ordering
+    * is lexicographic and leads with `k`, whose ties are impossible
+    * (two candidates ending at `i` with the same `j` would be the same
+    * piece), so `p` never participates in the comparison. OFF keeps
+    * every key positive so `div`/`//` agree across engines (Spark
+    * truncates toward zero, DuckDB floors — identical on
+    * non-negatives). Bounds: scores are ≥ −35·10⁶ micro-nats (ln of a
+    * ≥1/e³⁵ probability — far below any real piece), words are capped
+    * at 255 chars, so |dp| < 9·10⁹ < OFF = 16·10⁹ and keys < 2⁴³.
+    *
+    * A position no surviving piece reaches (mid-piece offsets after a
+    * vocab shrink) folds to a NULL entry; candidates whose
+    * predecessor entry is NULL are filtered out BEFORE the max —
+    * explicitly, because the two engines order NULL-field structs
+    * oppositely (Spark NULLs-first, DuckDB NULLs-last), and a NULL
+    * key winning the max in one engine only is exactly the kind of
+    * silent divergence the oracle exists to catch. Every word keeps a
+    * valid full path (its previous round's winning pieces all
+    * survive the usage recount), so the final entry is never NULL.
+    *
+    * One fold, not a DP fold plus a backtrace fold: the two-pass
+    * version is equivalent on the Spark side but its oracle replay
+    * feeds one lambda's output column into a second lambda, which
+    * DuckDB 1.0.0 mis-aligns across rows (correlated-column row
+    * crossing: words received each other's segmentations; reproduced
+    * against materialized inputs during development) — carrying the
+    * path string through the single fold keeps both engines on one
+    * lambda layer. UnigramLmSpec's reconstruction property guards the
+    * same failure class on the Spark side; the 3-SF oracle replay
+    * guards the DuckDB side.
+    */
+  private val segFoldExpr: String =
+    """split(element_at(
+         aggregate(sequence(1, length(word)),
+           array(named_struct('k', 16000000000L * 256L, 'p', '')),
+           (acc, x) -> concat(acc, array(
+             array_max(transform(
+               filter(cs, c -> c.e = cast(x as bigint)
+                 and not isnull(element_at(acc, cast(c.j as int) + 1).k)),
+               c -> named_struct(
+                 'k', (element_at(acc, cast(c.j as int) + 1).k div 256 + c.s) * 256 + c.j,
+                 'p', concat(
+                   if(element_at(acc, cast(c.j as int) + 1).p = '', '',
+                      concat(element_at(acc, cast(c.j as int) + 1).p, ' ')),
+                   substr(word, cast(c.j as int) + 1,
+                     cast(x as int) - cast(c.j as int)))))))),
+           acc -> acc),
+         length(word) + 1).p, ' ')"""
+
+  /** Unigram-LM tokenizer training state: (final piece table with
+    * usage freqs, final per-word segmentation). Hard-EM over the
+    * vocabulary word table:
+    *  - SEED: every ≤`maxPieceLen`-char substring of every distinct
+    *    word, occurrence-weighted by word count; ALL single chars
+    *    (coverage guarantee) plus the top-`vMulti` multi-char pieces
+    *    by (freq desc, piece asc) — `TakeOrderedAndProject`, no global
+    *    sort.
+    *  - E-step: Viterbi-segment each distinct word under piece scores
+    *    `lnMicro(freq) − lnMicro(Σfreq)` (integer micro-nat
+    *    log-probs; the normalizer matters — it is what penalizes
+    *    many-piece segmentations). One [[segFoldExpr]] projection per
+    *    word — corpus-sized text never re-enters after the wordcount.
+    *  - M-step: piece usage counts from the winning segmentations,
+    *    word-count weighted. Unused pieces drop out; every word's own
+    *    winning pieces survive, so segmentability is preserved into
+    *    the next round by construction.
+    * Deterministic end to end (integer DP keys encode their own
+    * argmax; seed rank and all ties fully ordered), so the DuckDB
+    * oracle replays the WHOLE training loop.
+    *
+    * Scale shape: after the one wordcount (corpus-scale, partial-agg),
+    * everything is vocabulary-scale — the `occ` explode is
+    * |words|·len·`maxPieceLen` rows, each round is one broadcast of a
+    * 1-row normalizer, one piece join, and one per-word fold. Words
+    * over 255 chars are excluded from training (the key encoding's
+    * low byte; SentencePiece's max-length cut plays the same role).
+    */
+  private def unigramState(spark: SparkSession, dir: String,
+      vMulti: Int, maxPieceLen: Int, rounds: Int): (DataFrame, DataFrame) = {
+    val wc = Tables.documentsSpread(spark, dir)
+      .select(explode(tokens(col("text"))).as("word"))
+      .filter(length(col("word")) <= 255)
+      .groupBy(col("word")).agg(count(lit(1)).as("wcnt"))
+    val occ = wc.select(col("word"), col("wcnt"), explode(expr(
+      s"""flatten(transform(sequence(1, length(word)), i ->
+            filter(transform(sequence(1, $maxPieceLen), l ->
+              named_struct('j', cast(i - 1 as bigint), 'e', cast(i + l - 1 as bigint),
+                           'sub', substr(word, i, l))),
+              o -> o.e <= length(word))))""")).as("o"))
+      .select(col("word"), col("wcnt"),
+        col("o.j").as("j"), col("o.e").as("e"), col("o.sub").as("sub"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seedFreq = occ.groupBy(col("sub"))
+      .agg(sum(col("wcnt")).as("freq"))
+      .withColumnRenamed("sub", "piece")
+    val seed = seedFreq.filter(length(col("piece")) === 1)
+      .unionAll(seedFreq.filter(length(col("piece")) >= 2)
+        .orderBy(col("freq").desc, col("piece").asc).limit(vMulti))
+
+    var vocab = seed
+    var seg: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val tot = vocab.agg(lnMicroCol(sum(col("freq"))).as("lnt"))
+      val scored = vocab.crossJoin(broadcast(tot))
+        .select(col("piece"), (lnMicroCol(col("freq")) - col("lnt")).as("s"))
+      val cand = occ.join(scored, occ("sub") === scored("piece"))
+        .groupBy(col("word"), col("wcnt"))
+        .agg(sort_array(collect_list(struct(col("e"), col("j"), col("s")))).as("cs"))
+      seg = cand
+        .withColumn("pieces", expr(segFoldExpr))
+        .select(col("word"), col("wcnt"), col("pieces"))
+      vocab = seg.select(col("wcnt"), explode(col("pieces")).as("piece"))
+        .groupBy(col("piece")).agg(sum(col("wcnt")).as("freq"))
+    }
+    (vocab, seg)
+  }
+
+  /** The trained unigram-LM tokenizer model: each surviving piece with
+    * its usage frequency and integer micro-nat log-probability — the
+    * (piece, score) table SentencePiece serializes as its model. See
+    * [[unigramState]] for the hard-EM loop; this is its registered
+    * readout, oracle-replayed end to end including both EM rounds.
+    */
+  def unigramLmTrain(spark: SparkSession, dir: String,
+      vMulti: Int = 32, maxPieceLen: Int = 4, rounds: Int = 2): DataFrame = {
+    val (vocab, _) = unigramState(spark, dir, vMulti, maxPieceLen, rounds)
+    val tot = vocab.agg(lnMicroCol(sum(col("freq"))).as("lnt"))
+    vocab.crossJoin(broadcast(tot))
+      .select(col("piece"), col("freq"),
+        (lnMicroCol(col("freq")) - col("lnt")).as("score_micro"))
+  }
+
+  /** Unigram-LM encode: every document tokenized by the trained model
+    * — [[bpeEncode]]'s shape (per-doc word count, piece count, and the
+    * flattened piece string) with the segmentation dictionary coming
+    * from [[unigramState]]'s final E-step instead of a merge replay.
+    * The dictionary is the final WORD table (vocab-scale), joined to
+    * the one exploded token pass; encoding costs one hash join, zero
+    * corpus-scale folds.
+    */
+  def unigramEncode(spark: SparkSession, dir: String,
+      vMulti: Int = 32, maxPieceLen: Int = 4, rounds: Int = 2): DataFrame = {
+    val (_, seg) = unigramState(spark, dir, vMulti, maxPieceLen, rounds)
+    val enc = seg.select(col("word"),
+      concat_ws(" ", col("pieces")).as("enc"),
+      size(col("pieces")).cast("long").as("np"))
+    val toks = Tables.documentsSpread(spark, dir)
+      .select(col("doc_id"), posexplode(tokens(col("text"))))
+      .select(col("doc_id"), col("pos"), col("col").as("t"))
+    val agg = toks.join(enc, toks("t") === enc("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("np")).as("n_pieces"),
+        concat_ws(" ", array_sort(collect_list(struct(col("pos"), col("enc"))))
+          .getField("enc")).as("pieces"))
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_pieces"), lit(0L)).as("n_pieces"),
+        coalesce(col("pieces"), lit("")).as("pieces"))
+  }
+
   /** Tokenizer fertility per language: BPE pieces emitted per
     * whitespace word — the multilingual-fairness metric (a language
     * whose fertility runs high pays more sequence length per sentence,

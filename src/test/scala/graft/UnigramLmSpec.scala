@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.TextOps
+
+/** Unigram-LM tokenizer (SentencePiece hard-EM): structural and
+  * reconstruction invariants on the fixture corpus. The cross-engine
+  * hash equality of the full training loop is the driver oracle's job;
+  * these tests pin the properties that make that loop WELL-FORMED —
+  * every word reconstructs from its pieces (a crossed or truncated
+  * segmentation, the failure class of the DuckDB two-lambda
+  * mis-alignment found during development, breaks this immediately),
+  * the model is a valid probability table, and training is
+  * deterministic across runs.
+  */
+class UnigramLmSpec extends AnyFunSuite with SparkFixture {
+
+  test("trained model is a valid integer log-prob table over corpus substrings") {
+    val m = TextOps.unigramLmTrain(spark, fixtureDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(m.nonEmpty)
+    // every piece: used (freq > 0), at most maxPieceLen chars, a real
+    // substring of some corpus word
+    val words = Set(Fixtures.DocA, Fixtures.DocC, Fixtures.DocD, Fixtures.DocE)
+      .flatMap(_.split("\\s+"))
+    assert(m.forall(_._2 > 0))
+    assert(m.forall(_._1.length <= 4))
+    assert(m.forall { case (p, _, _) => words.exists(_.contains(p)) })
+    // scores are negative micro-nat log-probs, monotone in freq
+    assert(m.forall(_._3 < 0))
+    val byFreq = m.sortBy(_._2)
+    assert(byFreq.zip(byFreq.tail).forall { case (a, b) => a._3 <= b._3 })
+    // model total probability is at most 1: scores are floor-quantized
+    // ln(freq/total), so exp-summing stays under 1 + quantization slack
+    val probSum = m.map(t => math.exp(t._3 / 1e6)).sum
+    assert(probSum <= 1.0 + 1e-4, s"prob mass $probSum")
+  }
+
+  test("every document reconstructs exactly from its piece sequence") {
+    val enc = TextOps.unigramEncode(spark, fixtureDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(enc.length === 5)
+    val texts = Map(0L -> Fixtures.DocA, 1L -> Fixtures.DocA, 2L -> Fixtures.DocC,
+      3L -> Fixtures.DocD, 4L -> Fixtures.DocE)
+    enc.foreach { case (id, nTok, nPieces, pieces) =>
+      val words = texts(id).split("\\s+")
+      assert(nTok === words.length.toLong)
+      // piece fertility: at least one piece per word, pieces are a
+      // (possibly finer) cover — characters are conserved exactly
+      assert(nPieces >= nTok)
+      assert(pieces.replace(" ", "") === texts(id).replace(" ", ""))
+      assert(pieces.split(" ").length.toLong === nPieces)
+    }
+    // exact-duplicate docs tokenize identically
+    val byId = enc.map(e => e._1 -> e._4).toMap
+    assert(byId(0L) === byId(1L))
+  }
+
+  test("training is deterministic across runs") {
+    def run(): Seq[(String, Long, Long)] =
+      TextOps.unigramLmTrain(spark, fixtureDir).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(run() === run())
+  }
+}
