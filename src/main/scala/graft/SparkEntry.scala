@@ -289,6 +289,7 @@ object SparkEntry {
     "orders_cdc_merge"       -> Relational.ordersCdcMerge _,
     "dedup_semantic"         -> ((s: SparkSession, d: String) => Similarity.dedupSemantic(s, d)),
     "cluster_top_terms"      -> ((s: SparkSession, d: String) => Similarity.clusterTopTerms(s, d)),
+    "contamination_semantic" -> ((s: SparkSession, d: String) => Similarity.contaminationSemantic(s, d)),
     "bpe_pair_counts"        -> ((s: SparkSession, d: String) => TextOps.bpePairCounts(s, d)),
     "stream_topk_users"      -> graft.streaming.EventStreams.streamTopkUsers _,
     // ---- round 7: curation classifier + data mixing ----
@@ -4311,6 +4312,23 @@ object SparkEntry {
          WHERE list_reduce(list_prepend(0.0,
                  list_transform(range(1, len(x.v)+1), i -> x.v[i]*y.v[i])),
                  (acc,z) -> acc + z) / (x.nrm * y.nrm) >= 0.35""",
+    // benchmark slice broadcast against the corpus scan, exact cosine
+    // with the house pinned-fold dot product, near threshold 0.35
+    "contamination_semantic" ->
+      """WITH e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v,
+                           sqrt(list_reduce(list_prepend(0.0,
+                             list_transform(cast(embedding AS DOUBLE[]), x -> x*x)),
+                             (a,x) -> a + x)) AS nrm
+                    FROM embeddings),
+              b AS (SELECT vec_id AS bid, v AS bv, nrm AS bnrm FROM e WHERE vec_id < 10),
+              s AS (SELECT e.vec_id,
+                           list_reduce(list_prepend(0.0,
+                             list_transform(range(1, len(e.v)+1), i -> e.v[i]*b.bv[i])),
+                             (a,x) -> a + x) / (e.nrm * b.bnrm) AS sim
+                    FROM e, b WHERE e.vec_id >= 10)
+         SELECT vec_id AS doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+                max(sim) AS best_sim
+         FROM s WHERE sim >= 0.35 GROUP BY vec_id""",
     // full k=64 Lloyd replay + final assignment, then each cell's
     // top-5 terms by the cell's integer share of the term's corpus
     // occurrences (min corpus count 5; rank fully ordered)

@@ -1104,6 +1104,35 @@ object Similarity {
       .select(col("vec_id"), col("cell"), col("d2").cast("long").as("d2"), col("proto_rank"))
   }
 
+  /** Embedding-space benchmark decontamination — the semantic twin of
+    * `contamination_check` (Curation.scala): a training document is
+    * flagged when its embedding is near ANY benchmark vector, catching
+    * the paraphrased / reworded eval leakage that exact 8-gram overlap
+    * misses by construction. Benchmark = the `vec_id < 10` slice
+    * (contamination_check's id-range convention); the near threshold
+    * is the embedding-dedup family's 0.35.
+    *
+    * Scale shape: the benchmark side of a decontamination run is
+    * eval-suite-sized (thousands of vectors against a 100 TB corpus),
+    * so the right plan is a BROADCAST of the benchmark against one
+    * narrow corpus scan — the similarity_topk shape, no LSH index
+    * needed and no shuffle of the corpus. Output is one row per
+    * contaminated doc with its hit count and best similarity (exact
+    * cosine, pinned fold order → oracle-exact).
+    */
+  def contaminationSemantic(spark: SparkSession, dir: String,
+      threshold: Double = 0.35): DataFrame = {
+    val e = withNorm(spark, dir)
+    val bench = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("bid"), col("v").as("bv"), col("nrm").as("bnrm"))
+    e.filter(col("vec_id") >= 10)
+      .join(broadcast(bench))
+      .withColumn("sim", dot(col("v"), col("bv")) / (col("nrm") * col("bnrm")))
+      .filter(col("sim") >= threshold)
+      .groupBy(col("vec_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_hits"), max(col("sim")).as("best_sim"))
+  }
+
   /** Cluster labeling (the BERTopic / c-TF-IDF readout): after the
     * same two integer-exact Lloyd rounds as [[dedupSemantic]], each
     * cluster cell is described by its most DISTINCTIVE terms — ranked

@@ -79,6 +79,7 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
     "stopword_candidates" -> "1-row doc-count scalar (the DF-gate denominator) kept in-plan as a broadcast crossJoin over the vocabulary-bounded DF table",
     "simhash_bit_balance" -> "1-row doc-count scalar (the share denominator) kept in-plan as a broadcast crossJoin over the 56-row bit table",
     "unigram_lm_train" -> "per-EM-round 1-row normalizer scalar (lnMicro of the vocab freq total) kept in-plan as a broadcast crossJoin over the vocabulary-bounded piece table — one per round plus the final readout",
+    "contamination_semantic" -> "benchmark-slice broadcast side x streamed corpus scan (eval suites are thousands of vectors vs a 100 TB corpus — the similarity_topk shape)",
     "unigram_encode" -> "inherits unigram_lm_train's per-round 1-row normalizer crossJoins (the encode dictionary IS the final training E-step)"
     // dropped round 7 (stale — plans improved out from under the rows):
     //   pi_montecarlo: ConvertToLocalRelation folds the seeded-parameter

@@ -376,6 +376,20 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("semantic contamination flags every corpus doc near a benchmark vector") {
+    // benchmark = ids 0..9 → cluster 0 has 4 bench members, clusters
+    // 1/2 have 3; tight fixture clusters keep same-cluster cosine high
+    val got = Similarity.contaminationSemantic(spark, fixtureDir, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.forall(_._1 >= 10L))
+    assert(got.map(_._1).toSet === (10L until 60L).toSet)
+    got.foreach { case (id, nHits, best) =>
+      val benchInCluster = (0L until 10L).count(_ % 3 === id % 3)
+      assert(nHits >= 1L && nHits <= benchInCluster.toLong)
+      assert(best > 0.9)
+    }
+  }
+
   test("cluster top-terms ranks each cell's distinctive vocabulary by corpus share") {
     // docs 0..4 land in cells 0/1/2/0/1 (k=3 seeds = one per true
     // cluster). Corpus counts (over the 5 docs): w1..w39 = 4, w40 = 3,
