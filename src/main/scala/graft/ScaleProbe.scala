@@ -161,13 +161,18 @@ object ScaleProbe {
 
     val results = probes.map { case (name, fn) =>
       // warm once at base so neither measurement pays first-codegen;
-      // base = min-of-2 warm runs, scaled = one warm run (its absolute
-      // size makes JIT noise a rounding error). Memoizing ops get their
-      // session cache busted before every run (cold-vs-cold).
+      // BOTH legs are min-of-2 runs: the scaled dir is freshly written,
+      // so its first read pays page-cache misses that have nothing to
+      // do with the operator's scale shape (observed swinging single-
+      // sample scaled legs 4× across back-to-back identical-code runs —
+      // er_jaro_winkler 5.8x vs 10.6x, bitext_mine_ann 12.9x vs 3.5x).
+      // Memoizing ops get their session cache busted before every run
+      // (cold-vs-cold in the operator-state sense; the min pair
+      // controls for I/O luck, not operator warmth).
       val bust = busters.getOrElse(name, () => ())
       run(fn, baseDir, bust)
       val base = math.min(run(fn, baseDir, bust), run(fn, baseDir, bust))
-      val big = run(fn, outDir, bust)
+      val big = math.min(run(fn, outDir, bust), run(fn, outDir, bust))
       val ratio = big / base
       println(f"[probe] $name: base=$base%.1fs ${factor}x=$big%.1fs ratio=$ratio%.1fx")
       f""""$name":{"base_sec":$base%.2f,"scaled_sec":$big%.2f,"ratio":$ratio%.2f}"""
