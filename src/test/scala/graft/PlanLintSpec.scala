@@ -39,7 +39,7 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
     "dedup_minhash_incremental" -> "1-row batch-cutoff scalar kept in-plan as a broadcast crossJoin (same shape as dedup_incremental)",
     "ngram_novelty_incremental" -> "1-row batch-cutoff scalar kept in-plan as a broadcast crossJoin (same shape as dedup_incremental)",
     "dedup_edit_distance_incremental" -> "1-row batch-cutoff scalar kept in-plan as a broadcast crossJoin (same shape as dedup_incremental)",
-    "dedup_components_incremental" -> "1-row batch-cutoff scalar kept in-plan as a broadcast crossJoin (same shape as dedup_incremental), plus the touched-component remap broadcast",
+    "dedup_components_incremental" -> "1-row cut-literal crossJoin re-annotating the merge fixpoint (the cut itself is a session-cached driver literal now — the standing-signature path) plus the touched-component remap broadcast",
     // dedup_components_append needs no row: its registered plan is the
     // post-compaction bucketed-table read-back (the fold runs inside
     // the index write during construction)
@@ -115,7 +115,6 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
     "dedup_minhash_incremental" -> "final pass of the batch-cutoff scalar aggregate: one partial row per upstream partition",
     "ngram_novelty_incremental" -> "final pass of the batch-cutoff scalar aggregate: one partial row per upstream partition",
     "dedup_edit_distance_incremental" -> "final pass of the batch-cutoff scalar aggregate: one partial row per upstream partition",
-    "dedup_components_incremental" -> "final pass of the batch-cutoff scalar aggregate: one partial row per upstream partition",
     "er_blocking_report" -> "final passes of the per-strategy 1-row scalar aggregates: one partial row per upstream partition each",
     "dedup_edit_distance_standing" -> "final pass of the batch-cutoff scalar aggregate (probe side): one partial row per upstream partition",
     "dedup_edit_distance_delete" -> "final pass of the batch-cutoff scalar aggregate (probe side), same as dedup_edit_distance_standing",
