@@ -430,9 +430,12 @@ object Dedup {
     var labels = init.persist(StorageLevel.MEMORY_AND_DISK)
     // Labels are monotonically non-increasing per doc, so an unchanged
     // label SUM is exactly a fixpoint — one scalar aggregate per round
-    // instead of a full old-vs-new join.
+    // instead of a full old-vs-new join. The INIT sum rides the first
+    // round's action (1-row crossJoin of the two aggregates) instead
+    // of paying its own job — one fewer driver round-trip per
+    // propagate call, measured on every components-family row.
     // coalesce: sum over an EMPTY corpus is NULL, not 0
-    var prevSum = labels.agg(coalesce(sum(col("comp")), lit(0L))).head().getLong(0)
+    var prevSum: Option[Long] = None
     var converged = false
     var rounds = 0
     while (!converged && rounds < 50) {
@@ -442,11 +445,18 @@ object Dedup {
         .unionAll(labels)
         .groupBy(col("doc_id")).agg(min(col("comp")).as("comp"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val nextSum = next.agg(coalesce(sum(col("comp")), lit(0L))).head().getLong(0)
+      val nextAgg = next.agg(coalesce(sum(col("comp")), lit(0L)).as("s"))
+      val row = prevSum match {
+        case Some(_) => nextAgg.head()
+        case None => nextAgg.crossJoin(
+          labels.agg(coalesce(sum(col("comp")), lit(0L)).as("p"))).head()
+      }
+      val nextSum = row.getLong(0)
+      val pv = prevSum.getOrElse(row.getLong(1))
       labels.unpersist()
       labels = next
-      converged = nextSum == prevSum
-      prevSum = nextSum
+      converged = nextSum == pv
+      prevSum = Some(nextSum)
       rounds += 1
     }
     // Silent non-convergence would hand downstream curation WRONG
