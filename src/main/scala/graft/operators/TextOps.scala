@@ -833,8 +833,54 @@ object TextOps {
     * over 255 chars are excluded from training (the key encoding's
     * low byte; SentencePiece's max-length cut plays the same role).
     */
-  private def unigramState(spark: SparkSession, dir: String,
+  private val unigramStateCache =
+    scala.collection.concurrent.TrieMap[(String, String, Int, Int, Int),
+      (DataFrame, DataFrame)]()
+  private val unigramKeyLocks =
+    scala.collection.concurrent.TrieMap[(String, String, Int, Int, Int), Object]()
+
+  /** Drop all memoized unigram training state — the probe/test hook,
+    * same contract as [[clearBpeCaches]].
+    */
+  private[graft] def clearUnigramCaches(): Unit = {
+    unigramStateCache.values.foreach { case (v, s) =>
+      try { v.unpersist(); s.unpersist() } catch { case _: Throwable => () }
+    }
+    unigramStateCache.clear()
+    unigramKeyLocks.clear()
+  }
+
+  /** [[unigramState]] memoized per (application, corpus, params) — the
+    * session-scoped model-state pattern [[bpeTrainStateShared]] set:
+    * one EM loop per corpus, the final vocab and segmentation pinned
+    * as eager localCheckpoints, the intermediate occurrence cache
+    * released. Per-key locks, so first calls on different corpora
+    * train in parallel. Same durability caveat as the BPE cache:
+    * localCheckpoint is not fault-tolerant; a cluster deployment
+    * re-keys through [[clearUnigramCaches]] on block-fetch failure or
+    * uses a reliable checkpoint dir.
+    */
+  private def unigramStateShared(spark: SparkSession, dir: String,
       vMulti: Int, maxPieceLen: Int, rounds: Int): (DataFrame, DataFrame) = {
+    val key = (spark.sparkContext.applicationId, dir, vMulti, maxPieceLen, rounds)
+    unigramStateCache.get(key) match {
+      case Some(v) => v
+      case None =>
+        unigramKeyLocks.getOrElseUpdate(key, new Object).synchronized {
+          unigramStateCache.getOrElseUpdate(key, {
+            val (vocab, seg, occ) =
+              unigramState(spark, dir, vMulti, maxPieceLen, rounds)
+            val vs = vocab.localCheckpoint(true)
+            val ss = seg.localCheckpoint(true)
+            occ.unpersist()
+            (vs, ss)
+          })
+        }
+    }
+  }
+
+  private def unigramState(spark: SparkSession, dir: String,
+      vMulti: Int, maxPieceLen: Int, rounds: Int): (DataFrame, DataFrame, DataFrame) = {
     val wc = Tables.documentsSpread(spark, dir)
       .select(explode(tokens(col("text"))).as("word"))
       .filter(length(col("word")) <= 255)
@@ -870,7 +916,7 @@ object TextOps {
       vocab = seg.select(col("wcnt"), explode(col("pieces")).as("piece"))
         .groupBy(col("piece")).agg(sum(col("wcnt")).as("freq"))
     }
-    (vocab, seg)
+    (vocab, seg, occ)
   }
 
   /** The trained unigram-LM tokenizer model: each surviving piece with
@@ -881,7 +927,7 @@ object TextOps {
     */
   def unigramLmTrain(spark: SparkSession, dir: String,
       vMulti: Int = 32, maxPieceLen: Int = 4, rounds: Int = 2): DataFrame = {
-    val (vocab, _) = unigramState(spark, dir, vMulti, maxPieceLen, rounds)
+    val (vocab, _) = unigramStateShared(spark, dir, vMulti, maxPieceLen, rounds)
     val tot = vocab.agg(lnMicroCol(sum(col("freq"))).as("lnt"))
     vocab.crossJoin(broadcast(tot))
       .select(col("piece"), col("freq"),
@@ -898,7 +944,7 @@ object TextOps {
     */
   def unigramEncode(spark: SparkSession, dir: String,
       vMulti: Int = 32, maxPieceLen: Int = 4, rounds: Int = 2): DataFrame = {
-    val (_, seg) = unigramState(spark, dir, vMulti, maxPieceLen, rounds)
+    val (_, seg) = unigramStateShared(spark, dir, vMulti, maxPieceLen, rounds)
     val enc = seg.select(col("word"),
       concat_ws(" ", col("pieces")).as("enc"),
       size(col("pieces")).cast("long").as("np"))
