@@ -1050,13 +1050,39 @@ object Similarity {
     * DuckDB oracle replays the WHOLE pipeline including both Lloyd
     * rounds.
     */
+  private val centroidCache = scala.collection.concurrent.TrieMap[
+    (String, String, Int), Seq[(Long, Seq[Double])]]()
+
+  /** Drop all memoized k-means codebooks — the probe/test hook, same
+    * contract as the corpus-count cache's [[clearCorpusCountCache]].
+    */
+  private[graft] def clearCentroidCache(): Unit = centroidCache.clear()
+
+  /** The two-round Lloyd codebook per (application, corpus, k),
+    * memoized: the centroids are MODEL state (k·dim integer codes, a
+    * few KB on the driver — no DataFrame lifecycle to manage), and
+    * every consumer that buckets the corpus by them (semantic dedup,
+    * prototype pruning, cluster labeling) re-derives the identical
+    * seq. One training per session under the immutable-corpus-dir
+    * contract ([[corpusBandBits]]); consumers still run their own
+    * final assignment scan against the cached literal.
+    */
+  private def finalCentroids(spark: SparkSession, dir: String,
+      k: Int): Seq[(Long, Seq[Double])] =
+    centroidCache.getOrElseUpdate(
+      (spark.sparkContext.applicationId, dir, k), {
+        val qd = quantizedCodes(spark, dir)
+        val init = initCents(qd, k)
+        if (init.isEmpty) Seq.empty
+        else centsOf(assignUpdate(qd, centsOf(assignUpdate(qd, init))))
+      })
+
   def dedupSemantic(spark: SparkSession, dir: String, k: Int = 64,
       threshold: Double = 0.35): DataFrame = {
     import spark.implicits._
     val qd = quantizedCodes(spark, dir)
-    val init = initCents(qd, k)
-    if (init.isEmpty) return Seq.empty[(Long, Long)].toDF("id_a", "id_b")
-    val finalCents = centsOf(assignUpdate(qd, centsOf(assignUpdate(qd, init))))
+    val finalCents = finalCentroids(spark, dir, k)
+    if (finalCents.isEmpty) return Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     val assigned = cellAssign(qd, finalCents).select(col("vec_id"), col("cell"))
     val e = withNorm(spark, dir)
       .join(assigned, "vec_id")
@@ -1091,10 +1117,9 @@ object Similarity {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val qd = quantizedCodes(spark, dir)
-    val init = initCents(qd, k)
-    if (init.isEmpty)
+    val finalCents = finalCentroids(spark, dir, k)
+    if (finalCents.isEmpty)
       return Seq.empty[(Long, Long, Long, Long)].toDF("vec_id", "cell", "d2", "proto_rank")
-    val finalCents = centsOf(assignUpdate(qd, centsOf(assignUpdate(qd, init))))
     val w = Window.partitionBy(col("cell")).orderBy(col("d2").asc, col("vec_id").asc)
     cellAssign(qd, finalCents)
       .select(col("vec_id"), col("cell"), col("d2"))
@@ -1163,11 +1188,10 @@ object Similarity {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val qd = quantizedCodes(spark, dir)
-    val init = initCents(qd, k)
-    if (init.isEmpty)
+    val finalCents = finalCentroids(spark, dir, k)
+    if (finalCents.isEmpty)
       return Seq.empty[(Long, String, Long, Long, Long)]
         .toDF("cell", "term", "cnt", "share_micro", "rank")
-    val finalCents = centsOf(assignUpdate(qd, centsOf(assignUpdate(qd, init))))
     val assigned = cellAssign(qd, finalCents).select(col("vec_id"), col("cell"))
     val toks = Tables.documentsSpread(spark, dir)
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
