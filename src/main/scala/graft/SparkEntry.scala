@@ -312,6 +312,7 @@ object SparkEntry {
     "bpe_vocab"              -> ((s: SparkSession, d: String) => TextOps.bpeVocab(s, d)),
     "unigram_lm_train"       -> ((s: SparkSession, d: String) => TextOps.unigramLmTrain(s, d)),
     "unigram_encode"         -> ((s: SparkSession, d: String) => TextOps.unigramEncode(s, d)),
+    "tokenizer_compare"      -> ((s: SparkSession, d: String) => TextOps.tokenizerCompare(s, d)),
     "trigram_kn_probs"       -> TextOps.trigramKnProbs _,
     "similarity_ann_pq"      -> ((s: SparkSession, d: String) => Similarity.annPq(s, d)),
     "stream_dedup_minhash"   -> graft.streaming.DocStreams.streamDedupMinhash _,
@@ -870,8 +871,10 @@ object SparkEntry {
                     FROM uv${rounds + 1}) AS score_micro
         FROM uv${rounds + 1}"""
 
-  private def unigramEncodeSql(vMulti: Int, maxPieceLen: Int, rounds: Int): String =
-    s"""WITH ${unigramCtes(vMulti, maxPieceLen, rounds)},
+  /** The unigram encode CTE chain through its per-doc `uagg` — shared
+    * by `unigram_encode` and the `tokenizer_compare` rollup. */
+  private def unigramEncodeCtes(vMulti: Int, maxPieceLen: Int, rounds: Int): String =
+    s"""${unigramCtes(vMulti, maxPieceLen, rounds)},
              uenc AS (SELECT word, array_to_string(pieces, ' ') AS enc,
                              CAST(len(pieces) AS BIGINT) AS np
                       FROM ub$rounds),
@@ -885,7 +888,10 @@ object SparkEntry {
                              CAST(sum(np) AS BIGINT) AS n_pieces,
                              array_to_string(list(enc ORDER BY pos), ' ') AS pieces
                       FROM ue JOIN uenc ON ue.t = uenc.word
-                      GROUP BY doc_id)
+                      GROUP BY doc_id)"""
+
+  private def unigramEncodeSql(vMulti: Int, maxPieceLen: Int, rounds: Int): String =
+    s"""WITH ${unigramEncodeCtes(vMulti, maxPieceLen, rounds)}
         SELECT d.doc_id,
                coalesce(n_tokens, 0) AS n_tokens,
                coalesce(n_pieces, 0) AS n_pieces,
@@ -908,8 +914,10 @@ object SparkEntry {
         FROM (SELECT unnest(string_split(s, ' ')) AS piece, wcnt FROM v$rounds)
         GROUP BY piece"""
 
-  private def bpeEncodeSql(rounds: Int): String = {
-    s"""WITH ${bpeRoundCtes(rounds)},
+  /** The BPE encode CTE chain through its per-doc `agg` — shared by
+    * `bpe_encode` and the `tokenizer_compare` rollup. */
+  private def bpeEncodeCtes(rounds: Int): String =
+    s"""${bpeRoundCtes(rounds)},
              enc AS (SELECT word, s AS enc,
                             CAST(len(string_split(s, ' ')) AS BIGINT) AS np
                      FROM v$rounds),
@@ -921,7 +929,10 @@ object SparkEntry {
                             CAST(sum(np) AS BIGINT) AS n_pieces,
                             array_to_string(list(enc ORDER BY pos), ' ') AS pieces
                      FROM e JOIN enc ON e.t = enc.word
-                     GROUP BY doc_id)
+                     GROUP BY doc_id)"""
+
+  private def bpeEncodeSql(rounds: Int): String = {
+    s"""WITH ${bpeEncodeCtes(rounds)}
         SELECT d.doc_id,
                coalesce(n_tokens, 0) AS n_tokens,
                coalesce(n_pieces, 0) AS n_pieces,
@@ -4505,6 +4516,31 @@ object SparkEntry {
     "bpe_vocab" -> bpeVocabSql(8),
     "unigram_lm_train" -> unigramTrainSql(32, 4, 2),
     "unigram_encode" -> unigramEncodeSql(32, 4, 2),
+    // both trained-tokenizer replays composed: per-language piece
+    // spend of the 3-merge BPE vs the 2-round unigram model, each
+    // against its own encodable word count, integer micro fertility
+    "tokenizer_compare" ->
+      s"""WITH ${bpeEncodeCtes(3)},
+              ${unigramEncodeCtes(32, 4, 2)},
+              j AS (SELECT d.doc_id, d.lang,
+                           coalesce(a.n_tokens, 0) AS bw,
+                           coalesce(a.n_pieces, 0) AS bp,
+                           coalesce(ua.n_tokens, 0) AS uw,
+                           coalesce(ua.n_pieces, 0) AS up
+                    FROM documents d
+                    LEFT JOIN agg a USING (doc_id)
+                    LEFT JOIN uagg ua USING (doc_id))
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(bw) AS BIGINT) AS bpe_words,
+                CAST(sum(bp) AS BIGINT) AS bpe_pieces,
+                CAST(sum(uw) AS BIGINT) AS unigram_words,
+                CAST(sum(up) AS BIGINT) AS unigram_pieces,
+                (CAST(sum(bp) AS BIGINT) * 1000000)
+                  // CAST(sum(bw) AS BIGINT) AS bpe_fertility_micro,
+                (CAST(sum(up) AS BIGINT) * 1000000)
+                  // CAST(sum(uw) AS BIGINT) AS unigram_fertility_micro
+         FROM j GROUP BY lang
+         HAVING sum(bw) > 0 AND sum(uw) > 0""",
     // full k=64 Lloyd replay + final assignment keeping the winning
     // squared distance, then the per-cell prototypicality window
     "prototype_prune" ->

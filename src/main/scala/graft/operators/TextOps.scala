@@ -964,6 +964,35 @@ object TextOps {
         coalesce(col("pieces"), lit("")).as("pieces"))
   }
 
+  /** Side-by-side tokenizer-family comparison — the model-selection
+    * readout: per language, how many pieces the trained BPE merges and
+    * the trained unigram-LM model each spend per whitespace word
+    * (integer micro fertility, each family against its own encodable
+    * word count). A language where the unigram column runs materially
+    * lower is the SentencePiece literature's standard argument for
+    * switching families; both columns ride the two VERIFIED encoders
+    * ([[bpeEncode]], [[unigramEncode]]) whose training state is
+    * session-memoized, so this rollup costs two doc-id joins and one
+    * languages-bounded aggregate on top of models already built.
+    */
+  def tokenizerCompare(spark: SparkSession, dir: String): DataFrame = {
+    val b = bpeEncode(spark, dir)
+      .select(col("doc_id"), col("n_tokens").as("bw"), col("n_pieces").as("bp"))
+    val u = unigramEncode(spark, dir)
+      .select(col("doc_id"), col("n_tokens").as("uw"), col("n_pieces").as("up"))
+    b.join(u, "doc_id")
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("bw")).as("bpe_words"), sum(col("bp")).as("bpe_pieces"),
+        sum(col("uw")).as("unigram_words"), sum(col("up")).as("unigram_pieces"))
+      .filter(col("bpe_words") > 0L && col("unigram_words") > 0L)
+      .withColumn("bpe_fertility_micro",
+        expr("(bpe_pieces * 1000000) div bpe_words"))
+      .withColumn("unigram_fertility_micro",
+        expr("(unigram_pieces * 1000000) div unigram_words"))
+  }
+
   /** Tokenizer fertility per language: BPE pieces emitted per
     * whitespace word — the multilingual-fairness metric (a language
     * whose fertility runs high pays more sequence length per sentence,

@@ -78,9 +78,11 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
     "customer_revenue_topn_share" -> "1-row revenue-total scalar (the share denominator) kept in-plan as a broadcast crossJoin over the 1-row top-10 aggregate",
     "stopword_candidates" -> "1-row doc-count scalar (the DF-gate denominator) kept in-plan as a broadcast crossJoin over the vocabulary-bounded DF table",
     "simhash_bit_balance" -> "1-row doc-count scalar (the share denominator) kept in-plan as a broadcast crossJoin over the 56-row bit table",
-    "unigram_lm_train" -> "per-EM-round 1-row normalizer scalar (lnMicro of the vocab freq total) kept in-plan as a broadcast crossJoin over the vocabulary-bounded piece table — one per round plus the final readout",
-    "contamination_semantic" -> "benchmark-slice broadcast side x streamed corpus scan (eval suites are thousands of vectors vs a 100 TB corpus — the similarity_topk shape)",
-    "unigram_encode" -> "inherits unigram_lm_train's per-round 1-row normalizer crossJoins (the encode dictionary IS the final training E-step)"
+    "unigram_lm_train" -> "1-row readout-normalizer scalar (lnMicro of the vocab freq total) kept in-plan as a broadcast crossJoin over the memoized vocabulary checkpoint (training's per-round crossJoins run once per session, outside this plan)",
+    "contamination_semantic" -> "benchmark-slice broadcast side x streamed corpus scan (eval suites are thousands of vectors vs a 100 TB corpus — the similarity_topk shape)"
+    // unigram_encode needs no row: its registered plan reads the
+    // session-memoized segmentation checkpoint (training's normalizer
+    // crossJoins run once per session, outside this query's plan)
     // dropped round 7 (stale — plans improved out from under the rows):
     //   pi_montecarlo: ConvertToLocalRelation folds the seeded-parameter
     //   crossJoin away entirely; contamination_check: the benchmark-gram
@@ -157,8 +159,7 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
     "simhash_bit_balance" -> "final pass of the doc-count scalar aggregate (the share denominator): one partial row per upstream partition",
     "table_profile" -> "final passes of the ten 1-row per-table profile aggregates: one partial row per upstream partition each",
     "dup_quality_association" -> "final pass of the 2×2 cell scalar aggregate (the query IS one global table): one partial row per upstream partition",
-    "unigram_lm_train" -> "final passes of the per-EM-round 1-row normalizer scalar aggregates over the vocabulary-bounded piece table: one partial row per upstream partition each",
-    "unigram_encode" -> "inherits unigram_lm_train's per-round normalizer scalar finals (the encode dictionary IS the final training E-step)"
+    "unigram_lm_train" -> "final pass of the 1-row readout-normalizer scalar aggregate over the memoized vocabulary checkpoint: one partial row per upstream partition"
   )
 
   // One plan sweep shared by all tests: name → (plans nested-loop?,

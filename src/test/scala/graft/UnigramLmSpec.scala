@@ -56,6 +56,26 @@ class UnigramLmSpec extends AnyFunSuite with SparkFixture {
     assert(byId(0L) === byId(1L))
   }
 
+  test("tokenizer comparison reconciles with each encoder's own totals") {
+    val cmp = TextOps.tokenizerCompare(spark, fixtureDir).collect()
+    assert(cmp.length === 1) // fixture docs are all lang=en
+    val r = cmp.head
+    assert(r.getString(0) === "en")
+    assert(r.getLong(1) === 5L) // n_docs
+    val (bw, bp, uw, up) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    // cross-check against the per-doc encoders directly
+    val bTot = TextOps.bpeEncode(spark, fixtureDir).collect()
+      .map(x => (x.getLong(1), x.getLong(2)))
+    val uTot = TextOps.unigramEncode(spark, fixtureDir).collect()
+      .map(x => (x.getLong(1), x.getLong(2)))
+    assert((bw, bp) === (bTot.map(_._1).sum, bTot.map(_._2).sum))
+    assert((uw, up) === (uTot.map(_._1).sum, uTot.map(_._2).sum))
+    // fertility is pieces-per-word in micro units, never below 1.0
+    assert(r.getLong(6) === bp * 1000000L / bw)
+    assert(r.getLong(7) === up * 1000000L / uw)
+    assert(r.getLong(6) >= 1000000L && r.getLong(7) >= 1000000L)
+  }
+
   test("training is deterministic across runs") {
     def run(): Seq[(String, Long, Long)] =
       TextOps.unigramLmTrain(spark, fixtureDir).collect()
