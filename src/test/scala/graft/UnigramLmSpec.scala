@@ -76,6 +76,76 @@ class UnigramLmSpec extends AnyFunSuite with SparkFixture {
     assert(r.getLong(6) >= 1000000L && r.getLong(7) >= 1000000L)
   }
 
+  test("SQL-fold training matches an independent in-memory reference on an adversarial corpus") {
+    // crafted stress content: overlap-heavy repeats (abab/aaaa — tie
+    // and self-overlap pressure on the DP), shared morphology
+    // (prefix/suffix families), plus seeded pseudo-words; one doc per
+    // group so word counts differ across docs
+    val rng = new scala.util.Random(13)
+    val docs = Seq(
+      "abab abab aaaa aaab baba ab ba a b",
+      "walker walked walking walks talker talked talking talks",
+      "zzzz zzz zz z zzzzzz",
+      (1 to 30).map(_ => Seq("mon", "ster", "monster", "stermon")(rng.nextInt(4))).mkString(" "),
+      (1 to 40).map(_ => (1 to (1 + rng.nextInt(6))).map(_ => ('a' + rng.nextInt(4)).toChar).mkString).mkString(" "))
+    val dir = scratchDir("graft-unigram-ref")
+    import spark.implicits._
+    docs.zipWithIndex.map { case (t, i) => (i.toLong, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // independent reference: same seed/score/DP/tie rules, plain Scala
+    def refTrain(words: Map[String, Long], vMulti: Int, maxLen: Int,
+                 rounds: Int): Map[String, Long] = {
+      def lnMicro(x: Long) = math.floor(math.log(x.toDouble) * 1e6).toLong
+      val occ = for {
+        (w, c) <- words.toSeq; i <- 0 until w.length
+        l <- 1 to maxLen if i + l <= w.length
+      } yield (w.substring(i, i + l), c)
+      val sf = occ.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+      val multi = sf.filter(_._1.length >= 2).toSeq
+        .sortBy { case (p, f) => (-f, p) }.take(vMulti)
+      var vocab: Map[String, Long] = sf.filter(_._1.length == 1) ++ multi
+      for (_ <- 1 to rounds) {
+        val tot = lnMicro(vocab.values.sum)
+        val s = vocab.map { case (p, f) => p -> (lnMicro(f) - tot) }
+        val counts = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+        for ((w, c) <- words) {
+          val OFF = 16000000000L
+          val key = Array.fill[Option[Long]](w.length + 1)(None)
+          key(0) = Some(OFF * 256L)
+          for (i <- 1 to w.length) {
+            var best: Option[Long] = None
+            for (j <- math.max(0, i - maxLen) until i) {
+              (key(j), s.get(w.substring(j, i))) match {
+                case (Some(kj), Some(sc)) =>
+                  val cand = (kj / 256L + sc) * 256L + j
+                  if (best.forall(_ < cand)) best = Some(cand)
+                case _ =>
+              }
+            }
+            key(i) = best
+          }
+          var pos = w.length
+          while (pos > 0) {
+            val j = (key(pos).get % 256L).toInt
+            counts(w.substring(j, pos)) += c
+            pos = j
+          }
+        }
+        vocab = counts.toMap
+      }
+      vocab
+    }
+
+    val wordCounts = docs.flatMap(_.split("\\s+")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, xs) => w -> xs.length.toLong }
+    val expected = refTrain(wordCounts, vMulti = 32, maxLen = 4, rounds = 2)
+    val got = TextOps.unigramLmTrain(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+  }
+
   test("training is deterministic across runs") {
     def run(): Seq[(String, Long, Long)] =
       TextOps.unigramLmTrain(spark, fixtureDir).collect()
