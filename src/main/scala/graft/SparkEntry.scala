@@ -559,28 +559,33 @@ object SparkEntry {
     * (`params` → `e` → `sig` → `bands` → `probed`): `params.bb` runs
     * the SAME integer rule as
     * [[graft.operators.Similarity.derivedBandBits]] (smallest b in
-    * [4, 16] with 2^b·8 ≥ count(embeddings) — pure integer shifts, no
-    * log2 ulp risk), the signature is 4·bb md5-hyperplane sign bits,
-    * `bands` slices it into 4 bands of bb bits with a generic
-    * positional fold (the old 4-bit unroll, generalized — verified
-    * identical at bb=4), and `probed` is the hamming-≤1 probe fan-out
-    * twin of Similarity.probeExpand (pk = 0 keeps the bucket, pk = i
-    * flips bit i−1). Parameters live IN the SQL, so one oracle string
-    * stays hash-exact at every SF — the derivation is replayed, not
-    * baked in.
+    * [4, 45] with 2^b·8 ≥ count(embeddings) — pure integer shifts, no
+    * log2 ulp risk) and `params.nb` the
+    * [[graft.operators.Similarity.derivedBandCount]] rule
+    * (4 + max(0, bb − 16) — band count grows past the old 16-bit
+    * width, holding recall while buckets stay ∝ N). The signature is
+    * nb·bb md5-hyperplane sign bits; `bands` folds band k's own
+    * bb-bit slice positionally into a BIGINT band value (identical to
+    * the retired single-64-bit-signature slicing wherever nb·bb ≤ 63,
+    * but width-unbounded like the Scala side); `probed` is the
+    * hamming-≤1 probe fan-out twin of Similarity.probeExpand (pk = 0
+    * keeps the bucket, pk = i flips bit i−1). Parameters live IN the
+    * SQL, so one oracle string stays hash-exact at every SF — the
+    * derivation is replayed, not baked in.
     */
   private val lshBandCtes: String =
-    """params AS (SELECT coalesce(
-                    (SELECT min(b) FROM (SELECT unnest(range(4, 17)) AS b)
+    """params AS (SELECT bb, 4 + greatest(0, bb - 16) AS nb
+                  FROM (SELECT coalesce(
+                    (SELECT min(b) FROM (SELECT unnest(range(4, 46)) AS b)
                      WHERE (CAST(1 AS BIGINT) << b) * 8 >= (SELECT count(*) FROM embeddings)),
-                    16) AS bb),
+                    45) AS bb)),
               e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v,
                            sqrt(list_reduce(list_prepend(0.0,
                              list_transform(cast(embedding AS DOUBLE[]), x -> x*x)),
                              (a,x) -> a + x)) AS nrm
                     FROM embeddings),
-              sig AS (SELECT vec_id, bb,
-                             list_transform(range(0, 4 * bb), p ->
+              sig AS (SELECT vec_id, bb, nb,
+                             list_transform(range(0, nb * bb), p ->
                                CASE WHEN list_reduce(list_prepend(0.0,
                                       list_transform(range(0, 64), j ->
                                         v[j+1] * cast(('0x' || substr(md5(p || ':' || j), 1, 7))::BIGINT
@@ -594,11 +599,12 @@ object SparkEntry {
                                    CAST(bits[band*bb + i + 1] AS BIGINT)
                                      * (CAST(1 AS BIGINT) << i))),
                                  (a,x) -> a + x) AS band_val
-                        FROM sig, (SELECT unnest(range(0, 4)) AS band)),
+                        FROM sig, (SELECT unnest(range(0, 33)) AS band)
+                        WHERE band < nb),
               probed AS (SELECT vec_id, band,
                                 CASE WHEN pk = 0 THEN band_val
                                      ELSE xor(band_val, CAST(1 AS BIGINT) << (pk - 1)) END AS band_val
-                         FROM bands, (SELECT unnest(range(0, 17)) AS pk)
+                         FROM bands, (SELECT unnest(range(0, 46)) AS pk)
                          WHERE pk <= bb)"""
 
   /** [[graft.operators.Similarity.dedupEmbeddingAnn]]'s full replay —
@@ -1624,10 +1630,16 @@ object SparkEntry {
       s"""WITH d AS (SELECT doc_id, lang FROM documents),
               $lshBandCtes,
               lv AS (SELECT unnest([0, 1, 2]) AS probes),
-              masks AS (SELECT pm
-                        FROM params, (SELECT unnest(range(0, 65536)) AS pm)
-                        WHERE pm < (CAST(1 AS BIGINT) << bb)
-                          AND bit_count(pm) <= 2),
+              masks AS (SELECT CAST(0 AS BIGINT) AS pm
+                        UNION ALL
+                        SELECT CAST(1 AS BIGINT) << i
+                        FROM params, (SELECT unnest(range(0, 45)) AS i)
+                        WHERE i < bb
+                        UNION ALL
+                        SELECT (CAST(1 AS BIGINT) << i) + (CAST(1 AS BIGINT) << j)
+                        FROM params, (SELECT unnest(range(0, 45)) AS i),
+                                     (SELECT unnest(range(0, 45)) AS j)
+                        WHERE i < j AND j < bb),
               sbL AS (SELECT lv.probes, bd.vec_id AS src_id, band,
                              xor(band_val, pm) AS band_val
                       FROM bands bd JOIN d ON d.doc_id = bd.vec_id, lv, masks

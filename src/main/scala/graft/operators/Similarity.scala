@@ -1052,11 +1052,16 @@ object Similarity {
     */
   private val centroidCache = scala.collection.concurrent.TrieMap[
     (String, String, Int), Seq[(Long, Seq[Double])]]()
+  private val centroidKeyLocks = scala.collection.concurrent.TrieMap[
+    (String, String, Int), Object]()
 
   /** Drop all memoized k-means codebooks — the probe/test hook, same
     * contract as the corpus-count cache's [[clearCorpusCountCache]].
     */
-  private[graft] def clearCentroidCache(): Unit = centroidCache.clear()
+  private[graft] def clearCentroidCache(): Unit = {
+    centroidCache.clear()
+    centroidKeyLocks.clear()
+  }
 
   /** The two-round Lloyd codebook per (application, corpus, k),
     * memoized: the centroids are MODEL state (k·dim integer codes, a
@@ -1065,17 +1070,29 @@ object Similarity {
     * prototype pruning, cluster labeling) re-derives the identical
     * seq. One training per session under the immutable-corpus-dir
     * contract ([[corpusBandBits]]); consumers still run their own
-    * final assignment scan against the cached literal.
+    * final assignment scan against the cached literal. Per-key
+    * double-checked locking (the `unigramStateShared` pattern) keeps
+    * concurrent first callers — dedup_semantic / prototype_prune /
+    * cluster_top_terms in a parallel sweep — from each running the
+    * corpus-scale Lloyd rounds redundantly, while different
+    * (corpus, k) keys still train in parallel.
     */
   private def finalCentroids(spark: SparkSession, dir: String,
-      k: Int): Seq[(Long, Seq[Double])] =
-    centroidCache.getOrElseUpdate(
-      (spark.sparkContext.applicationId, dir, k), {
-        val qd = quantizedCodes(spark, dir)
-        val init = initCents(qd, k)
-        if (init.isEmpty) Seq.empty
-        else centsOf(assignUpdate(qd, centsOf(assignUpdate(qd, init))))
-      })
+      k: Int): Seq[(Long, Seq[Double])] = {
+    val key = (spark.sparkContext.applicationId, dir, k)
+    centroidCache.get(key) match {
+      case Some(v) => v
+      case None =>
+        centroidKeyLocks.getOrElseUpdate(key, new Object).synchronized {
+          centroidCache.getOrElseUpdate(key, {
+            val qd = quantizedCodes(spark, dir)
+            val init = initCents(qd, k)
+            if (init.isEmpty) Seq.empty
+            else centsOf(assignUpdate(qd, centsOf(assignUpdate(qd, init))))
+          })
+        }
+    }
+  }
 
   def dedupSemantic(spark: SparkSession, dir: String, k: Int = 64,
       threshold: Double = 0.35): DataFrame = {
@@ -1430,20 +1447,39 @@ object Similarity {
     * (SparkEntry `lshBandCtes`), so derived parameters stay
     * hash-exact at any SF. Pure integers — no log2 ulp risk.
     *
-    * Validity bound: the cap at b = 16 (the widest band 4 bands fit in
-    * one 64-bit signature) means the linear-collision guarantee holds
-    * up to N = 2^16·8 ≈ 524k vectors per corpus; beyond that, bucket
-    * occupancy grows with N again and candidates revert to
-    * quadratic-in-load growth. The 100 TB posture past the cap is MORE
-    * bands of 16 bits (more signature words), not wider bands — a
-    * band-count knob every consumer already threads (`nBits0`), left
-    * at 4 because the registered corpora sit far below the bound.
+    * Validity bound: b grows with N up to 45 bits — a 2^45-bucket
+    * band space holds ~2.8·10^14 vectors at occupancy 8, far past any
+    * 100 TB corpus — so the linear-collision guarantee never expires
+    * at realistic scale. (Earlier rounds capped b at 16 because all
+    * bands packed into ONE 64-bit signature column; [[lshBands]] now
+    * computes each band's value directly from its own plane slice, so
+    * band width is bounded only by BIGINT range, and the 45-bit
+    * ceiling exists purely to keep `1L << b` and the oracle's integer
+    * replay comfortably inside 64-bit range.) Recall lost to wider
+    * bands past 16 bits is recovered by DERIVING THE BAND COUNT too
+    * ([[derivedBandCount]]): one extra OR-band per extra bit of
+    * width, holding the expected number of matching bands for a
+    * fixed-similarity pair roughly flat as N grows (per extra bit a
+    * θ≈0.28π pair keeps matching a band with probability ≈0.86 —
+    * ≈1/1.16 — so +1 band per bit over-compensates slightly).
     */
   private[graft] def derivedBandBits(n: Long): Int = {
     var b = 4
-    while (b < 16 && (1L << b) * 8L < n) b += 1
+    while (b < 45 && (1L << b) * 8L < n) b += 1
     b
   }
+
+  /** Corpus-derived band COUNT: 4 OR-bands up to the 16-bit width
+    * that served every corpus below N = 2^16·8 ≈ 524k, plus one band
+    * per bit of extra width past that (see [[derivedBandBits]] for
+    * the recall arithmetic). Total candidate volume stays
+    * O(nBands · 8 · N) = O(N log N) worst case — each band is
+    * occupancy-bounded, and the band count grows only with log N.
+    * Replayed as the `nb` column of every oracle `params` CTE
+    * (SparkEntry `lshBandCtes`) — same integer rule, hash-exact.
+    */
+  private[graft] def derivedBandCount(bandBits: Int): Int =
+    4 + math.max(0, bandBits - 16)
 
   private val corpusCountCache =
     scala.collection.concurrent.TrieMap[(String, String), Long]()
@@ -1484,48 +1520,64 @@ object Similarity {
     * Scale knobs: `nBits`/`bandBits` set the bucket count
     * (`nBands × 2^bandBits` distinct join keys) and per-band collision
     * probability `(1 − θ/π)^bandBits`. By default (the 0 sentinel)
-    * both DERIVE from corpus cardinality — 4 bands of
-    * [[corpusBandBits]] bits — so bucket count scales ∝ N and the
-    * registered consumers stay linear up to the derivation's 2^16·8
-    * ≈ 524k-vector bound (see [[derivedBandBits]]; past it, add
-    * bands, not width); explicit values remain for stress probes and
-    * specs. The recall a wider
-    * band costs is recovered on the probe side ([[probeExpand]]),
-    * not by re-narrowing the buckets. The signature (nBits dot
-    * products per row) feeds every band stream, so it is computed
-    * once and persisted.
+    * both DERIVE from corpus cardinality — [[derivedBandCount]] bands
+    * of [[corpusBandBits]] bits — so bucket count scales ∝ N and the
+    * registered consumers stay linear-in-N at ANY corpus size (band
+    * width uncapped to 45 bits, band count growing one per extra bit
+    * past 16 to hold recall; see [[derivedBandBits]]). Explicit
+    * values remain for stress probes and specs. The recall a wider
+    * band costs is additionally recovered on the probe side
+    * ([[probeExpand]]), never by re-narrowing the buckets.
+    *
+    * Each band's value is computed DIRECTLY from its own slice of
+    * hyperplane sign bits (band k, local bit i ← plane k·bandBits+i,
+    * weight 2^i) rather than packed through one 64-bit signature and
+    * re-sliced — bit-identical to the old packed form wherever
+    * nBands·bandBits ≤ 63 (same plane indices, same local weights),
+    * but free of the 64-bit budget that used to cap width at 16. The
+    * per-row sign-bit pass (nBands·bandBits dot products) feeds every
+    * band stream, so it is computed once and persisted pre-explode.
     */
-  private def lshBands(spark: SparkSession, dir: String,
-                       nBits0: Int = 0, bandBits0: Int = 0, dim: Int = 64): DataFrame = {
+  private[graft] def lshBands(spark: SparkSession, dir: String,
+                              nBits0: Int = 0, bandBits0: Int = 0, dim: Int = 64): DataFrame = {
     val bandBits = if (bandBits0 > 0) bandBits0 else corpusBandBits(spark, dir)
-    val nBits = if (nBits0 > 0) nBits0 else 4 * bandBits
-    val nBands = nBits / bandBits
+    val nBands = if (nBits0 > 0) nBits0 / bandBits else derivedBandCount(bandBits)
+    val nBits = nBands * bandBits
     val planes: Seq[Seq[Double]] = (0 until nBits).map { p =>
       (0 until dim).map(j => planeWeight(p, j))
     }
     val planesLit = typedLit(planes)
 
     val emb = withNorm(spark, dir)
-    val sigBits = (0 until nBits).map { p =>
-      when(dot(col("v"), element_at(planesLit, p + 1)) > 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    val sig = emb.withColumn("sig", sigBits).persist(StorageLevel.MEMORY_AND_DISK)
+    val bandVals = (0 until nBands).map { k =>
+      (0 until bandBits).map { i =>
+        val p = k * bandBits + i
+        when(dot(col("v"), element_at(planesLit, p + 1)) > 0, lit(1L << i))
+          .otherwise(lit(0L))
+      }.reduce(_ + _).as(s"bv$k")
+    }
+    val sig = emb.select(col("vec_id") +: col("v") +: col("nrm") +: bandVals: _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     sig.select(
       col("vec_id"), col("v"), col("nrm"),
-      posexplode(array((0 until nBands).map(b =>
-        shiftright(col("sig"), b * bandBits).bitwiseAND(lit((1L << bandBits) - 1))): _*)))
+      posexplode(array((0 until nBands).map(k => col(s"bv$k")): _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_val")
   }
 
-  /** All `bandBits`-bit XOR masks with popcount ≤ `probes`, ascending —
-    * the hamming-ball enumeration [[probeExpand]] fans out over and the
-    * oracle's mask CTE replays (`bit_count(pm) <= probes` over
-    * `range(0, 2^bb)` enumerates the same set in the same order).
+  /** All `bandBits`-bit XOR masks with popcount ≤ `probes`, in
+    * ascending numeric order — the hamming-ball enumeration
+    * [[probeExpand]] fans out over and the oracle's mask CTE replays.
+    * Generated combinatorially (bit-position combinations, then
+    * sorted) rather than by scanning all 2^bandBits masks: the same
+    * set in the same order for any width, but O(C(bandBits, probes))
+    * work — a 45-bit band at probe level 2 enumerates 1,036 masks,
+    * not 2^45.
     */
   private[graft] def probeMasks(bandBits: Int, probes: Int): Seq[Long] =
-    (0L until (1L << bandBits))
-      .filter(m => java.lang.Long.bitCount(m) <= probes)
+    (0 to math.min(probes, bandBits)).flatMap(k =>
+      (0 until bandBits).combinations(k).map(_.map(1L << _).sum))
+      .sorted
 
   /** Hamming-≤`probes` multi-probe over one side of a [[lshBands]]
     * relation: each band row fans out to its own bucket plus every
@@ -1567,7 +1619,7 @@ object Similarity {
       .drop("pe")
 
   /** Approximate top-5 via random-hyperplane LSH: corpus-derived
-    * banding (4 bands × [[corpusBandBits]] md5-derived hyperplane sign
+    * banding ([[derivedBandCount]] bands × [[corpusBandBits]] md5-derived hyperplane sign
     * bits) with hamming-≤1 multi-probe on the QUERY side. A candidate
     * is scored only if it lands in a probed bucket of the query, then
     * exact cosine ranks the survivors. Deterministic by construction →
