@@ -100,7 +100,12 @@ object Tables {
     */
   def scopedIndex(s: SparkSession, base: String, d: String): (String, String) = {
     val app = s.sparkContext.applicationId.toLowerCase.replaceAll("[^a-z0-9]+", "_")
-    val dirTag = java.lang.Integer.toHexString(d.hashCode)
+    // 64-bit SHA-256 prefix, not String.hashCode: a 32-bit tag makes a
+    // birthday collision between two corpus dirs in one application
+    // plausible at fleet scale, and a collision would silently alias
+    // two corpora's signature/label tables
+    val dirTag = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(d.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
     val name = s"${base}_${app}_$dirTag"
     (name, s"${sys.props("java.io.tmpdir")}/$name")
   }

@@ -481,6 +481,11 @@ object Dedup {
     // comp) rows, never documents.
     val out = labels.localCheckpoint(true)
     labels.unpersist()
+    // the symmetrized edge cache is local to this fixpoint and dead
+    // once the labels are checkpointed; repeated ingest calls in one
+    // session must not accumulate it (`pairs`' cache belongs to the
+    // caller and is left alone)
+    edges.unpersist()
     out
   }
 
@@ -580,8 +585,15 @@ object Dedup {
           verifyPairsAB(jaccardCandidates(batchPref, batchPref),
             batchSets, batchSets))
         .select(col("doc_a"), col("doc_b"))
-    foldBatchCore(batchShas, bshaIdx, nearBatch, baseLabels,
+    val out = foldBatchCore(batchShas, bshaIdx, nearBatch, baseLabels,
       Seq(cutV).toDF("c"))
+    // foldBatchCore's merge fixpoint is eager (localCheckpoint) and its
+    // returned plan reads only checkpointed/standing state, so the
+    // batch signature cache is dead here — repeated ingest calls in
+    // one session (exactly what the standing-index design makes cheap)
+    // must not accumulate it
+    batchSets.unpersist()
+    out
   }
 
   private val cutCache =
@@ -786,6 +798,10 @@ object Dedup {
       contracted, verts.select(col("doc_id"), col("doc_id").as("comp")),
       "componentsIncremental(merge)")
       .crossJoin(broadcast(cut))
+    // the propagate call above is eager and checkpoint-truncated, and
+    // nothing below re-reads the contracted edges — release the cache
+    // instead of accumulating one per ingest call
+    contracted.unpersist()
 
     // (4) batch rows come straight from the merge fixpoint; base rows
     // re-label through the changed-component remap (touched comps only
