@@ -124,8 +124,8 @@ object SparkEntry {
     "similarity_topk"        -> Similarity.topKBrute _,
     "similarity_ann_lsh"     -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
     "similarity_ann_ivf"     -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
-    "dedup_embedding"        -> Similarity.dedupEmbeddingQuery _,
-    "bitext_mine"            -> ((s: SparkSession, d: String) => Similarity.bitextMine(s, d)),
+    "dedup_embedding_exact_baseline" -> Similarity.dedupEmbeddingQuery _,
+    "bitext_mine_exact_baseline" -> ((s: SparkSession, d: String) => Similarity.bitextMine(s, d)),
     "bitext_mine_ann"        -> ((s: SparkSession, d: String) => Similarity.bitextMineAnn(s, d)),
     "bitext_recall_sweep"    -> ((s: SparkSession, d: String) => Similarity.bitextRecallSweep(s, d)),
     "dedup_embedding_ann"    -> ((s: SparkSession, d: String) => Similarity.dedupEmbeddingAnn(s, d)),
@@ -433,6 +433,68 @@ object SparkEntry {
                  SELECT vec_id, q, cell,
                         row_number() OVER (PARTITION BY vec_id
                                            ORDER BY dist, cell) AS rn
+                 FROM d2) WHERE rn = 1),
+        u2 AS (SELECT cell, unnest(q) AS qv,
+                      unnest(range(0, len(q))) AS dim_idx FROM a2),
+        c2 AS (SELECT cell, dim_idx,
+                      CAST(trunc(CAST(sum(qv) AS DOUBLE) / count(*)) AS BIGINT) AS c_q
+               FROM u2 GROUP BY cell, dim_idx),
+        c2l AS (SELECT cell, list(c_q ORDER BY dim_idx) AS c FROM c2 GROUP BY cell)"""
+
+  /** [[kmeansCtes]]'s SPHERICAL twin, replaying
+    * [[graft.operators.Similarity.sphericalCentroids]]'s two
+    * cosine-assignment Lloyd rounds for a given k: int8 quantize →
+    * init (vec_id < k) → (assign by dot(q,c)/‖c‖ with a −1e9 sentinel
+    * for dead all-zero centroids, ties to the lowest cell; update =
+    * per-dim trunc'd integer mean) ×2. Ends exposing `c2l` (cell →
+    * integer centroid list) under the same contract as kmeansCtes, so
+    * the IVF-family oracles consume either chain unchanged. Dot
+    * products of int8 codes are exact integers; the sim ratio is the
+    * only double and both engines compute it from identical operands.
+    */
+  private def sphericalKmeansCtes(k: Int): String =
+    s"""m AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v,
+                     list_max(list_transform(cast(embedding AS DOUBLE[]),
+                                             x -> abs(x))) AS ma
+              FROM embeddings),
+        q AS (SELECT vec_id,
+                     list_transform(v, x -> CASE WHEN ma = 0.0 THEN 0
+                          ELSE greatest(-127, least(127,
+                                 cast(floor(x * 127.0 / ma) AS BIGINT))) END) AS q
+              FROM m),
+        c0 AS (SELECT vec_id AS cell, q AS c,
+                      sqrt(CAST(list_sum(list_transform(q, x -> x*x)) AS DOUBLE)) AS cn
+               FROM q WHERE vec_id < $k),
+        d1 AS (SELECT q.vec_id, q.q, c0.cell,
+                      CASE WHEN c0.cn = 0 THEN -1000000000.0
+                           ELSE CAST(list_sum(list_transform(range(1, len(q.q) + 1),
+                                  i -> q.q[i] * c0.c[i])) AS DOUBLE) / c0.cn
+                      END AS sim
+               FROM q, c0),
+        a1 AS (SELECT vec_id, q, cell FROM (
+                 SELECT vec_id, q, cell,
+                        row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY sim DESC, cell) AS rn
+                 FROM d1) WHERE rn = 1),
+        u1 AS (SELECT cell, unnest(q) AS qv,
+                      unnest(range(0, len(q))) AS dim_idx FROM a1),
+        c1 AS (SELECT cell, dim_idx,
+                      CAST(trunc(CAST(sum(qv) AS DOUBLE) / count(*)) AS BIGINT) AS c_q
+               FROM u1 GROUP BY cell, dim_idx),
+        c1l AS (SELECT cell, list(c_q ORDER BY dim_idx) AS c,
+                       sqrt(CAST(list_sum(list_transform(
+                         list(c_q ORDER BY dim_idx), x -> x*x)) AS DOUBLE)) AS cn
+                FROM c1 GROUP BY cell),
+        d2 AS (SELECT q.vec_id, q.q, c1l.cell,
+                      CASE WHEN c1l.cn = 0 THEN -1000000000.0
+                           ELSE CAST(list_sum(list_transform(range(1, len(q.q) + 1),
+                                  i -> q.q[i] * c1l.c[i])) AS DOUBLE) / c1l.cn
+                      END AS sim
+               FROM q, c1l),
+        a2 AS (SELECT vec_id, q, cell FROM (
+                 SELECT vec_id, q, cell,
+                        row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY sim DESC, cell) AS rn
                  FROM d2) WHERE rn = 1),
         u2 AS (SELECT cell, unnest(q) AS qv,
                       unnest(range(0, len(q))) AS dim_idx FROM a2),
@@ -954,18 +1016,28 @@ object SparkEntry {
   /** [[annIvfSql]] with an extra predicate on the CANDIDATE side of the
     * probe join — the delete lifecycle replays as "the same plan minus
     * the tombstoned rows" (same shape as minhashIncrementalSqlWith).
+    * The codebook is the TRAINED two-round Lloyd result (`kmeansCtes`,
+    * the same training replay kmeans_train/dedup_semantic verify):
+    * integer centroid components, so the cosine similarities replay
+    * bit-exactly like the old first-16 raw-vector stand-in did.
     */
   private def annIvfSqlWith(candidateFilter: String): String =
-    s"""WITH e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v,
+    s"""WITH ${sphericalKmeansCtes(16)},
+              e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v,
                            sqrt(list_reduce(list_prepend(0.0,
                              list_transform(cast(embedding AS DOUBLE[]), x -> x*x)),
                              (a,x) -> a + x)) AS nrm
                     FROM embeddings),
-              c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM e WHERE vec_id < 16),
+              c AS (SELECT cell AS cid,
+                           list_transform(c, x -> CAST(x AS DOUBLE)) AS cv,
+                           sqrt(CAST(list_sum(list_transform(c, x -> x*x)) AS DOUBLE)) AS cnrm
+                    FROM c2l),
               cs AS (SELECT e.vec_id, c.cid,
-                            list_reduce(list_prepend(0.0,
-                              list_transform(range(1, len(e.v)+1), i -> e.v[i]*c.cv[i])),
-                              (a,x) -> a + x) / (e.nrm * c.cnrm) AS sim
+                            CASE WHEN c.cnrm = 0 THEN -1000000000.0
+                                 ELSE list_reduce(list_prepend(0.0,
+                                        list_transform(range(1, len(e.v)+1), i -> e.v[i]*c.cv[i])),
+                                        (a,x) -> a + x) / (e.nrm * c.cnrm)
+                            END AS sim
                      FROM e, c),
               assigned AS (SELECT vec_id, cell FROM (
                      SELECT vec_id, cid AS cell,
@@ -1481,7 +1553,7 @@ object SparkEntry {
                            row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rnk
                     FROM s)
          SELECT qid, neighbor_id, rnk FROM r WHERE rnk <= 5""",
-    "dedup_embedding" ->
+    "dedup_embedding_exact_baseline" ->
       """WITH e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v,
                            sqrt(list_reduce(list_prepend(0.0,
                              list_transform(cast(embedding AS DOUBLE[]), x -> x*x)),
@@ -1536,7 +1608,7 @@ object SparkEntry {
     // the sims in DESCENDING sorted order (list_sort 'DESC' +
     // list_reduce ≡ Spark's sort_array(desc) + aggregate), margin op
     // order pinned to sim / ((mx + my) * 0.5).
-    "bitext_mine" ->
+    "bitext_mine_exact_baseline" ->
       """WITH d AS (SELECT doc_id, lang FROM documents),
               e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v,
                            sqrt(list_reduce(list_prepend(0.0,
@@ -1957,27 +2029,26 @@ object SparkEntry {
            SELECT qid, vec_id,
                   row_number() OVER (PARTITION BY qid ORDER BY dist ASC, vec_id ASC) AS rnk
            FROM adc) WHERE rnk <= 5""",
-    // Full IVF-PQ replay: int8 quantize, first-16 coarse codebook,
-    // residual vs assigned cell, PQ codebook = residuals of vectors
-    // 16..31, per-subspace encode (ties to the lowest codebook id),
-    // nprobe=4 cell probe (ties to the lowest cid), full-residual ADC
-    // — integer distances throughout, every tie replayed.
+    // Full IVF-PQ replay: int8 quantize, TRAINED two-round-Lloyd
+    // coarse codebook (kmeansCtes — the same training replay the
+    // kmeans_train row verifies), residual vs assigned cell, PQ
+    // codebook = residuals of vectors 16..31, per-subspace encode
+    // (ties to the lowest codebook id), nprobe=4 cell probe (ties to
+    // the lowest cid), full-residual ADC — integer distances
+    // throughout (trunc'd Lloyd centroids stay integer), every tie
+    // replayed.
     "similarity_ann_ivfpq" ->
-      """WITH m AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v,
-                           list_max(list_transform(cast(embedding AS DOUBLE[]),
-                                                   x -> abs(x))) AS ma
-                    FROM embeddings),
-              q AS (SELECT vec_id,
-                           list_transform(v, x -> CASE WHEN ma = 0.0 THEN 0
-                                ELSE greatest(-127, least(127,
-                                       cast(floor(x * 127.0 / ma) AS BIGINT))) END) AS q
-                    FROM m),
-              cb AS (SELECT vec_id AS cid, q AS c FROM q WHERE vec_id < 16),
+      s"""WITH ${sphericalKmeansCtes(16)},
+              cb AS (SELECT cell AS cid, c,
+                            sqrt(CAST(list_sum(list_transform(c, x -> x*x)) AS DOUBLE)) AS cn
+                     FROM c2l),
               a0 AS (SELECT vec_id, cell FROM (
                        SELECT v.vec_id, cb.cid AS cell,
                               row_number() OVER (PARTITION BY v.vec_id ORDER BY
-                                list_sum(list_transform(range(1, len(v.q) + 1),
-                                  i -> (v.q[i] - cb.c[i]) * (v.q[i] - cb.c[i]))), cb.cid) AS rn
+                                CASE WHEN cb.cn = 0 THEN -1000000000.0
+                                     ELSE CAST(list_sum(list_transform(range(1, len(v.q) + 1),
+                                            i -> v.q[i] * cb.c[i])) AS DOUBLE) / cb.cn
+                                END DESC, cb.cid) AS rn
                        FROM q v, cb) WHERE rn = 1),
               res AS (SELECT v.vec_id, a0.cell,
                              list_transform(range(1, len(v.q) + 1),
@@ -1995,8 +2066,10 @@ object SparkEntry {
               probes AS (SELECT qid, cell FROM (
                            SELECT v.vec_id AS qid, cb.cid AS cell,
                                   row_number() OVER (PARTITION BY v.vec_id ORDER BY
-                                    list_sum(list_transform(range(1, len(v.q) + 1),
-                                      i -> (v.q[i] - cb.c[i]) * (v.q[i] - cb.c[i]))), cb.cid) AS rn
+                                    CASE WHEN cb.cn = 0 THEN -1000000000.0
+                                         ELSE CAST(list_sum(list_transform(range(1, len(v.q) + 1),
+                                                i -> v.q[i] * cb.c[i])) AS DOUBLE) / cb.cn
+                                    END DESC, cb.cid) AS rn
                            FROM q v, cb WHERE v.vec_id < 10) WHERE rn <= 4),
               qres AS (SELECT p.qid, p.cell,
                               list_transform(range(1, len(v.q) + 1),
@@ -5219,16 +5292,22 @@ object SparkEntry {
     * always emit).
     */
   private lazy val annNprobeSweepSql: String =
-    s"""WITH e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v,
+    s"""WITH ${sphericalKmeansCtes(16)},
+              e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v,
                            sqrt(list_reduce(list_prepend(0.0,
                              list_transform(cast(embedding AS DOUBLE[]), x -> x*x)),
                              (a,x) -> a + x)) AS nrm
                     FROM embeddings),
-              c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM e WHERE vec_id < 16),
+              c AS (SELECT cell AS cid,
+                           list_transform(c, x -> CAST(x AS DOUBLE)) AS cv,
+                           sqrt(CAST(list_sum(list_transform(c, x -> x*x)) AS DOUBLE)) AS cnrm
+                    FROM c2l),
               cs AS (SELECT e.vec_id, c.cid,
-                            list_reduce(list_prepend(0.0,
-                              list_transform(range(1, len(e.v)+1), i -> e.v[i]*c.cv[i])),
-                              (a,x) -> a + x) / (e.nrm * c.cnrm) AS sim
+                            CASE WHEN c.cnrm = 0 THEN -1000000000.0
+                                 ELSE list_reduce(list_prepend(0.0,
+                                        list_transform(range(1, len(e.v)+1), i -> e.v[i]*c.cv[i])),
+                                        (a,x) -> a + x) / (e.nrm * c.cnrm)
+                            END AS sim
                      FROM e, c),
               assigned AS (SELECT vec_id, cell FROM (
                      SELECT vec_id, cid AS cell,

@@ -589,29 +589,26 @@ object Similarity {
   /** Approximate top-5 via IVF (inverted-file) coarse quantization:
     * vectors are assigned to their nearest of `nlist` centroids; a
     * query scores only vectors in its `nprobe` nearest cells. The
-    * centroid set here is the deterministic first-`nlist` vectors (a
-    * k-means init stand-in — the assignment/probe plumbing is identical
-    * once a trained codebook replaces it); collecting it is
-    * metadata-scale, like loading a model, and the cell assignment
-    * itself is a per-row broadcast computation with native dot
-    * products. Approximate by construction → ScalaTest recall check
-    * against [[topKBrute]], no SQL oracle.
+    * codebook is the TRAINED [[ivfCodebook]] (two integer-exact Lloyd
+    * rounds, session-memoized); loading it is metadata-scale, like
+    * loading a model, and the cell assignment itself is a per-row
+    * broadcast computation with native dot products. Deterministic
+    * end to end, so the DuckDB oracle replays training, assignment,
+    * probe, and re-rank.
     */
-  def annIvf(spark: SparkSession, dir: String, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val emb = withNorm(spark, dir)
-    val cents: Seq[Seq[Double]] = emb.filter(col("vec_id") < nlist)
-      .orderBy("vec_id").select("v").collect().toSeq.map(_.getSeq[Double](0))
-    if (cents.isEmpty) {
-      // empty corpus → empty codebook → empty result, same schema
-      import spark.implicits._
-      return Seq.empty[(Long, Long, Long)].toDF("qid", "neighbor_id", "rnk")
-    }
-    val centNorms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
-    val centsLit = typedLit(cents)
+  def annIvf(spark: SparkSession, dir: String, nlist: Int = 16, nprobe: Int = 4): DataFrame =
+    annIvfWith(spark, dir, ivfCodebook(spark, dir, nlist), nprobe)
 
-    def cellSims(v: Column, nrm: Column): Column = array(
-      (0 until nlist).map(i =>
-        dot(v, element_at(centsLit, i + 1)) / (nrm * centNorms(i))): _*)
+  /** [[annIvf]] against an explicit codebook and query set — the
+    * codebook-comparison hook AnnCodebookSpec drives with the trained
+    * book vs the first-N control over the same corpus and queries.
+    */
+  private[graft] def annIvfWith(spark: SparkSession, dir: String,
+      codebook: Option[(Int, (Column, Column) => Column)], nprobe: Int,
+      queryPred: Column = col("vec_id") < 10): DataFrame = {
+    val emb = withNorm(spark, dir)
+    val (nCells, cellSims) = codebook
+      .getOrElse(return emptyProbeFrame(spark))
 
     val assigned = emb
       .withColumn("cs", cellSims(col("v"), col("nrm")))
@@ -622,13 +619,13 @@ object Similarity {
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // query → its nprobe highest-similarity cells
-    val qProbes = assigned.filter(col("vec_id") < 10)
+    val qProbes = assigned.filter(queryPred)
       .withColumn("cs", cellSims(col("v"), col("nrm")))
       .select(
         col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"),
         explode(slice(
           transform(
-            reverse(array_sort(zip_with(col("cs"), sequence(lit(1), lit(nlist)),
+            reverse(array_sort(zip_with(col("cs"), sequence(lit(1), lit(nCells)),
               (s, i) => struct(s.as("s"), i.as("i"))))),
             p => p.getField("i")),
           1, nprobe)).as("cell"))
@@ -676,26 +673,54 @@ object Similarity {
   def annIvfStandingAppend(spark: SparkSession, dir: String, nlist: Int = 16, nprobe: Int = 4): DataFrame =
     annIvfStandingImpl(spark, dir, nlist, nprobe, appendEpoch = true)
 
-  /** The centroid-load + cell-similarity prelude shared by every
-    * standing IVF variant (build, append, delete, soft-delete probe):
-    * the first-`nlist` codebook rows collected once (parameter-bounded
-    * — `vec_id < nlist`, never data-scaled), norms precomputed, and
-    * the per-row cell-similarity expression closed over the literal
-    * codebook. `None` on an empty corpus, so all four variants share
-    * ONE empty-input guard instead of each re-implementing (or, as the
-    * soft-delete probe did, missing) it.
+  /** The centroid-load + cell-similarity prelude shared by the whole
+    * IVF family (in-query, standing build, append, delete, soft-delete
+    * probe, nprobe sweep): the TRAINED codebook — [[finalCentroids]]'s
+    * two integer-exact Lloyd rounds at k = `nlist`, session-memoized,
+    * the same codebook `dedup_semantic` / `prototype_prune` share at
+    * their own k — with norms precomputed and the per-row
+    * cell-similarity expression closed over the literal centroids.
+    * Earlier rounds used the deterministic first-`nlist` vectors as a
+    * k-means-init stand-in; the trained centroids slot into the same
+    * plumbing (the assignment/probe/ADC stages are codebook-agnostic)
+    * and buy measurable recall at the same nprobe, because cells now
+    * approximate the corpus's actual density modes instead of
+    * whatever the first rows happened to be.
+    *
+    * Centroid components are integers (Lloyd in int8-quantized space,
+    * trunc updates), so cosine similarities against them are as
+    * deterministic as before and the DuckDB oracle replays the
+    * training rounds with integer arithmetic (`kmeansCtes`). Cells
+    * are ordered by ascending k-means label, so array_position's
+    * first-max tie rule still means "lowest cell id". `None` on an
+    * empty corpus, so every variant shares ONE empty-input guard.
     */
-  private def ivfCodebook(emb: DataFrame, nlist: Int)
+  private[graft] def ivfCodebook(spark: SparkSession, dir: String, nlist: Int)
+      : Option[(Int, (Column, Column) => Column)] =
+    cellSimsOf(sphericalCentroids(spark, dir, nlist).map(_._2))
+
+  /** The retired first-`nlist` codebook, kept as AnnCodebookSpec's
+    * untrained CONTROL: same cell-similarity machinery over the raw
+    * leading vectors, so the spec isolates exactly what training
+    * changes.
+    */
+  private[graft] def ivfCodebookFirstN(spark: SparkSession, dir: String,
+      nlist: Int): Option[(Int, (Column, Column) => Column)] =
+    cellSimsOf(withNorm(spark, dir).filter(col("vec_id") < nlist)
+      .orderBy("vec_id").select("v").collect().toSeq.map(_.getSeq[Double](0)))
+
+  private def cellSimsOf(cents: Seq[Seq[Double]])
       : Option[(Int, (Column, Column) => Column)] = {
-    val cents: Seq[Seq[Double]] = emb.filter(col("vec_id") < nlist)
-      .orderBy("vec_id").select("v").collect().toSeq.map(_.getSeq[Double](0))
     if (cents.isEmpty) None
     else {
       val centNorms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
       val centsLit = typedLit(cents)
       Some((cents.size, (v: Column, nrm: Column) => array(
         cents.indices.map(i =>
-          dot(v, element_at(centsLit, i + 1)) / (nrm * centNorms(i))): _*)))
+          // dead (all-zero) centroid → sentinel, never wins; the
+          // oracle replays the same CASE guard
+          if (centNorms(i) == 0.0) lit(-1e9)
+          else dot(v, element_at(centsLit, i + 1)) / (nrm * centNorms(i))): _*)))
     }
   }
 
@@ -708,7 +733,7 @@ object Similarity {
       spark: SparkSession, dir: String, nlist: Int, nprobe: Int,
       appendEpoch: Boolean): DataFrame = {
     val emb = withNorm(spark, dir)
-    val (nCells, cellSims) = ivfCodebook(emb, nlist)
+    val (nCells, cellSims) = ivfCodebook(spark, dir, nlist)
       .getOrElse(return emptyProbeFrame(spark))
 
     // Build — in production a once-then-append offline job; overwrite
@@ -759,7 +784,7 @@ object Similarity {
   def annIvfStandingDelete(spark: SparkSession, dir: String,
                            nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     val emb = withNorm(spark, dir)
-    val (nCells, cellSims) = ivfCodebook(emb, nlist)
+    val (nCells, cellSims) = ivfCodebook(spark, dir, nlist)
       .getOrElse(return emptyProbeFrame(spark))
 
     val (table, idxPath) = Tables.scopedIndex(spark, "graft_ivf_cell_del", dir)
@@ -794,7 +819,7 @@ object Similarity {
       spark: SparkSession, dir: String, table: String,
       nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     val emb = withNorm(spark, dir)
-    val (nCells, cellSims) = ivfCodebook(emb, nlist)
+    val (nCells, cellSims) = ivfCodebook(spark, dir, nlist)
       .getOrElse(return emptyProbeFrame(spark))
     ivfProbe(spark, emb, cellSims, nCells, nprobe, table,
       idxFilter = Some(!tombstoned(col("vec_id"), nlist)))
@@ -807,7 +832,7 @@ object Similarity {
     * exact-cosine re-rank through the k-bounded TopK fold.
     */
   private def ivfProbe(spark: SparkSession, emb: DataFrame,
-                       cellSims: (Column, Column) => Column, nlist: Int,
+                       cellSims: (Column, Column) => Column, nCells: Int,
                        nprobe: Int, table: String,
                        idxFilter: Option[Column] = None): DataFrame = {
     val qProbes = emb.filter(col("vec_id") < 10)
@@ -816,7 +841,7 @@ object Similarity {
         col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"),
         explode(slice(
           transform(
-            reverse(array_sort(zip_with(col("cs"), sequence(lit(1), lit(nlist)),
+            reverse(array_sort(zip_with(col("cs"), sequence(lit(1), lit(nCells)),
               (s, i) => struct(s.as("s"), i.as("i"))))),
             p => p.getField("i")),
           1, nprobe)).as("cell"))
@@ -1054,6 +1079,10 @@ object Similarity {
     (String, String, Int), Seq[(Long, Seq[Double])]]()
   private val centroidKeyLocks = scala.collection.concurrent.TrieMap[
     (String, String, Int), Object]()
+  private val sphCentroidCache = scala.collection.concurrent.TrieMap[
+    (String, String, Int), Seq[(Long, Seq[Double])]]()
+  private val sphCentroidKeyLocks = scala.collection.concurrent.TrieMap[
+    (String, String, Int), Object]()
 
   /** Drop all memoized k-means codebooks — the probe/test hook, same
     * contract as the corpus-count cache's [[clearCorpusCountCache]].
@@ -1061,6 +1090,87 @@ object Similarity {
   private[graft] def clearCentroidCache(): Unit = {
     centroidCache.clear()
     centroidKeyLocks.clear()
+    sphCentroidCache.clear()
+    sphCentroidKeyLocks.clear()
+  }
+
+  /** One SPHERICAL Lloyd assign→update round: rank by
+    * `dot(q, c) / ‖c‖` (cosine up to the row's own norm, which is
+    * constant per row and cannot flip its argmax), ties to the lowest
+    * cell id (ascending-cell array order + array_position's first-max
+    * rule), centroid update = per-dim trunc'd integer mean of the
+    * members' int8 codes — the same integer-exact update as the L2
+    * trainer, so centroids stay integer and the whole round replays
+    * in DuckDB. Dot products of int8 codes are exact in doubles
+    * (≤ 64·127² ≪ 2^53), so the only non-integer value, the
+    * sim ratio, is a single well-defined double division on both
+    * sides of the oracle.
+    */
+  private def assignUpdateCos(qd: DataFrame,
+      cents: Seq[(Long, Seq[Double])]): DataFrame =
+    cellAssignCos(qd, cents)
+      .select(col("cell"), posexplode(col("q")))
+      .groupBy(col("cell"), col("pos").cast("long").as("dim_idx"))
+      .agg(count(lit(1)).as("n"), sum(col("col")).cast("long").as("sum_q"))
+      .select(col("cell"), col("dim_idx"), col("n"),
+        (col("sum_q").cast("double") / col("n")).cast("long").as("c_q"))
+
+  /** Cosine-rule nearest-centroid assignment over quantized codes:
+    * rank by `dot(q, c) / ‖c‖` (the row's own norm is a constant
+    * positive factor — dropped), first max in ascending-cell array
+    * order = lowest cell id on ties. A dead centroid (all-zero trunc
+    * mean) gets a −1e9 sentinel so it never wins an assignment and
+    * division by zero never reaches the plan; the oracle replays the
+    * same CASE guard.
+    */
+  private def cellAssignCos(qd: DataFrame,
+      cents: Seq[(Long, Seq[Double])]): DataFrame = {
+    val cellIds = typedLit(cents.map(_._1))
+    val cl = typedLit(cents.map(_._2))
+    val cnorms = cents.map { case (_, c) => math.sqrt(c.map(x => x * x).sum) }
+    val sims = array(cents.indices.map(i =>
+      if (cnorms(i) == 0.0) lit(-1e9)
+      else dot(col("q"), element_at(cl, i + 1)) / lit(cnorms(i))): _*)
+    qd
+      .withColumn("ss", sims)
+      .withColumn("cell",
+        element_at(cellIds,
+          array_position(col("ss"), array_max(col("ss"))).cast("int")))
+      .drop("ss")
+  }
+
+  /** The IVF family's trained coarse codebook: two SPHERICAL Lloyd
+    * rounds ([[assignUpdateCos]]) from the deterministic first-`k`
+    * init, per (application, corpus, k), memoized with the same
+    * per-key double-checked locking as [[finalCentroids]]. Spherical
+    * (cosine-assignment) training is the right metric for a COSINE
+    * ANN index: the L2 trainer in quantized space pulls centroids
+    * toward the data mean, and routing a cosine query through
+    * L2-trained cells measurably LOST recall on the registered corpus
+    * (ann_recall 46→44, nprobe-1 sweep 45→34 when it was tried);
+    * cosine-consistent training routes corpus and queries by the
+    * identical rule the training optimized. AnnCodebookSpec proves
+    * the training win in-operator on a shard-grouped clustered
+    * corpus — the realistic 100 TB ordering, where a first-N codebook
+    * is blind to every cluster past the first shard — and documents
+    * why the registered synthetic corpus (isotropic unit vectors,
+    * within-label cosine ≈ 0) can show parity at best.
+    */
+  private[graft] def sphericalCentroids(spark: SparkSession, dir: String,
+      k: Int): Seq[(Long, Seq[Double])] = {
+    val key = (spark.sparkContext.applicationId, dir, k)
+    sphCentroidCache.get(key) match {
+      case Some(v) => v
+      case None =>
+        sphCentroidKeyLocks.getOrElseUpdate(key, new Object).synchronized {
+          sphCentroidCache.getOrElseUpdate(key, {
+            val qd = quantizedCodes(spark, dir)
+            val init = initCents(qd, k)
+            if (init.isEmpty) Seq.empty
+            else centsOf(assignUpdateCos(qd, centsOf(assignUpdateCos(qd, init))))
+          })
+        }
+    }
   }
 
   /** The two-round Lloyd codebook per (application, corpus, k),
@@ -1337,15 +1447,15 @@ object Similarity {
     * not a constant shift across candidates from different cells and
     * cannot be dropped.
     *
-    * Codebooks are the deterministic stand-ins of the family: coarse =
-    * first-`nlist` vectors ([[annIvf]]); PQ = residuals of the NEXT
-    * `ksub` vectors (ids nlist..nlist+ksub — the first nlist have zero
-    * residual by construction and would train a degenerate codebook).
-    * Both are model-scale collects; [[kmeansTrain]]-refined versions
-    * slot in without touching the encode/probe/ADC plumbing. Integer-
-    * exact end to end (int8 codes ⇒ integer residuals ⇒ integer
-    * squared distances), so the DuckDB oracle replays the whole
-    * pipeline including every tie.
+    * The coarse codebook is the TRAINED [[finalCentroids]] at
+    * k = `nlist` (two integer-exact Lloyd rounds in the quantized
+    * space — the same codebook [[annIvf]] routes by); the PQ codebook
+    * is residuals of the `ksub` vectors with ids nlist..nlist+ksub
+    * against those trained cells. Both are model-scale collects.
+    * Integer-exact end to end (int8 codes ⇒ integer centroids ⇒
+    * integer residuals ⇒ integer squared distances), so the DuckDB
+    * oracle replays the whole pipeline — training rounds included —
+    * with every tie.
     */
   def annIvfPq(spark: SparkSession, dir: String, nlist: Int = 16, nprobe: Int = 4,
       m: Int = 8, ksub: Int = 16): DataFrame = {
@@ -1353,19 +1463,22 @@ object Similarity {
     val dim = 64
     val dsub = dim / m
     val qd = quantizedCodes(spark, dir)
-    val coarse = initCents(qd, nlist)
+    val coarse = sphericalCentroids(spark, dir, nlist)
     val pqTrain: Seq[Seq[Double]] = qd
       .filter(col("vec_id") >= nlist && col("vec_id") < (nlist + ksub).toLong)
       .orderBy("vec_id").select(col("q")).collect().toSeq.map(_.getSeq[Double](0))
     if (coarse.isEmpty || pqTrain.isEmpty)
       return Seq.empty[(Long, Long, Long)].toDF("qid", "neighbor_id", "rnk")
-    def sq(v: Seq[Double], c: Seq[Double]): Double =
-      v.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
-    // PQ training residuals: assign each train vector to its nearest
-    // coarse cell (same integer L2 + lowest-cid tie rule as the plan)
+    // PQ training residuals: assign each train vector to its coarse
+    // cell by the SAME cosine rule as the plan (dot/‖c‖, ties to the
+    // lowest cid; dead centroids sentineled out)
+    val coarseNorms = coarse.map { case (_, c) => math.sqrt(c.map(x => x * x).sum) }
+    def cosTo(v: Seq[Double], i: Int): Double =
+      if (coarseNorms(i) == 0.0) -1e9
+      else v.zip(coarse(i)._2).map { case (a, b) => a * b }.sum / coarseNorms(i)
     val pqRes: Seq[Seq[Double]] = pqTrain.map { v =>
-      val (_, cv) = coarse.minBy { case (cid, c) => (sq(v, c), cid) }
-      v.zip(cv).map { case (a, b) => a - b }
+      val best = coarse.indices.minBy(i => (-cosTo(v, i), coarse(i)._1))
+      v.zip(coarse(best)._2).map { case (a, b) => a - b }
     }
     val kP = pqRes.size
     val pqSub: Array[Array[Seq[Double]]] =
@@ -1381,7 +1494,7 @@ object Similarity {
 
     // encode every vector: residual vs its assigned cell, per-subspace
     // argmin code (1-based codebook positions, ties to the lowest)
-    val encoded = cellAssign(qd, coarse)
+    val encoded = cellAssignCos(qd, coarse)
       .withColumn("subs", subsOf(zip_with(col("q"),
         element_at(centMap, col("cell")), (a, b) => a - b)))
       .select(col("vec_id"), col("cell"),
@@ -1391,13 +1504,14 @@ object Similarity {
           array_position(ds, array_min(ds))
         }: _*).as("codes"))
 
-    // query → nprobe nearest cells by exact full-vector L2 (ascending
-    // struct sort = ties to the lowest cid), then one full-distance
+    // query → nprobe highest-cosine cells (negated sims so the
+    // ascending struct sort means sim DESC with ties to the lowest
+    // cid — negation of a double is exact), then one full-distance
     // LUT per (query, probed cell) over the query's residual THERE
     val cellIds = typedLit(coarse.map(_._1))
-    val ccs = coarse.map { case (_, c) => c.map(x => x * x).sum }
     val qdists = array(coarse.indices.map(i =>
-      col("qq") - lit(2.0) * dot(col("q"), typedLit(coarse(i)._2)) + lit(ccs(i))): _*)
+      if (coarseNorms(i) == 0.0) lit(1e9)
+      else -(dot(col("q"), typedLit(coarse(i)._2)) / lit(coarseNorms(i)))): _*)
     val probes = qd.filter(col("vec_id") < 10)
       .withColumn("ds", qdists)
       .select(col("vec_id").as("qid"), col("q").as("qv"),
@@ -1869,16 +1983,9 @@ object Similarity {
                      nprobes: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
     import spark.implicits._
     val emb = withNorm(spark, dir)
-    val cents: Seq[Seq[Double]] = emb.filter(col("vec_id") < nlist)
-      .orderBy("vec_id").select("v").collect().toSeq.map(_.getSeq[Double](0))
-    if (cents.isEmpty)
+    val (nCells, cellSims) = ivfCodebook(spark, dir, nlist).getOrElse(
       return Seq.empty[(Int, Long, Long, Long, Double)]
-        .toDF("nprobe", "candidates", "hits", "possible", "recall")
-    val centNorms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
-    val centsLit = typedLit(cents)
-    def cellSims(v: Column, nrm: Column): Column = array(
-      (0 until nlist).map(i =>
-        dot(v, element_at(centsLit, i + 1)) / (nrm * centNorms(i))): _*)
+        .toDF("nprobe", "candidates", "hits", "possible", "recall"))
     val assigned = emb
       .withColumn("cs", cellSims(col("v"), col("nrm")))
       .withColumn("cell", array_position(col("cs"), array_max(col("cs"))).cast("int"))
@@ -1897,7 +2004,7 @@ object Similarity {
         col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"),
         explode(slice(
           transform(
-            reverse(array_sort(zip_with(col("cs"), sequence(lit(1), lit(nlist)),
+            reverse(array_sort(zip_with(col("cs"), sequence(lit(1), lit(nCells)),
               (s, i) => struct(s.as("s"), i.as("i"))))),
             p => p.getField("i")),
           1, np)).as("cell"))

@@ -25,8 +25,8 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
     * each is a deliberately-bounded side, not an N² pair blowup.
     */
   private val nestedLoopAllowed: Map[String, String] = Map(
-    "dedup_embedding" -> "exact all-pairs ground-truth baseline (README register; scale path = dedup_embedding_ann)",
-    "bitext_mine" -> "exact all-pairs (en × lang) mining baseline (README register; scale path = the registered bitext_mine_ann, the same marginSelect tail over LSH candidates)",
+    "dedup_embedding_exact_baseline" -> "exact all-pairs ground-truth baseline (README register; scale path = dedup_embedding_ann)",
+    "bitext_mine_exact_baseline" -> "exact all-pairs (en × lang) mining baseline (README register; scale path = the registered bitext_mine_ann, the same marginSelect tail over LSH candidates)",
     "bitext_recall_sweep" -> "inherits bitext_mine's bounded all-pairs exact denominator (run once), plus per-level 1-row count scalars broadcast-crossJoined into the sweep rows",
     "taskG_inactive" -> "1-row global-max scalar kept in-plan as a broadcast crossJoin",
     "taskH_above_avg" -> "1-row global-average scalar kept in-plan as a broadcast crossJoin",
