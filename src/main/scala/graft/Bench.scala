@@ -171,9 +171,35 @@ object Bench {
     // true-trigger evidence the batch-replay oracle can't give:
     // micro-batch scheduling, state-store commits, and checkpoint I/O
     // are all on the measured path.
-    val streamJson: String =
-      if (queryArgs.nonEmpty) ""
-      else try {
+    // Full runs DELEGATE the measurement to a fresh `--stream-only`
+    // child JVM (same classpath, same JVM flags, same env): after ~283
+    // queries of JIT/code-cache/GC history the in-JVM reading has
+    // sampled anywhere from 6.5k to 26k rows/s on identical code, and
+    // three rounds of BENCH_DIFF adjudication re-derived the isolated
+    // figure by hand each time — so record the isolated figure
+    // directly. The in-JVM path remains as the fallback (and IS the
+    // measurement when this process already runs --stream-only).
+    def isolatedStreamJson(): String = {
+      import scala.jdk.CollectionConverters._
+      val javaBin = java.nio.file.Paths
+        .get(System.getProperty("java.home"), "bin", "java").toString
+      val jvmArgs = java.lang.management.ManagementFactory
+        .getRuntimeMXBean.getInputArguments.asScala.toSeq
+      val cmd = Seq(javaBin) ++ jvmArgs ++
+        Seq("-cp", System.getProperty("java.class.path"), "graft.Bench", "--stream-only")
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+      pb.environment().put("SPARK_GRAFT_CPUS", cpus)
+      // child stderr → parent stderr (progress visible, no pipe to drain)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val p = pb.start()
+      val out = scala.io.Source.fromInputStream(p.getInputStream, "UTF-8").mkString
+      val rc = p.waitFor()
+      val m = """"stream_throughput":\{[^}]*\}""".r.findFirstIn(out)
+      if (rc != 0 || m.isEmpty) "" else "," + m.get
+    }
+    def inJvmStreamJson(): String =
+      try {
         val tmpIn = java.nio.file.Files.createTempDirectory("graft-stream-in").toString
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         // fan the events table out to many files so the 16-files-per-
@@ -209,6 +235,18 @@ object Bench {
         case e: Throwable =>
           System.err.println(s"[bench] stream_throughput FAILED: ${e.getMessage}")
           ""
+      }
+    val streamJson: String =
+      if (queryArgs.nonEmpty) ""
+      else if (streamOnly) inJvmStreamJson()
+      else {
+        val iso =
+          try isolatedStreamJson()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] isolated stream harness FAILED: ${e.getMessage}")
+            ""
+          }
+        if (iso.nonEmpty) iso else inJvmStreamJson()
       }
 
     val qs = timings.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")

@@ -269,7 +269,8 @@ object Similarity {
                     nBits: Int = 0, bandBits: Int = 0,
                     probes: Int = 1): DataFrame = {
     val (banded, bb) = bitextBanded(spark, dir, nBits, bandBits)
-    marginSelect(bitextScoredAnn(banded, bb, probes), k, threshold)
+    marginSelect(
+      bitextScoredAnn(banded, withNorm(spark, dir), bb, probes), k, threshold)
   }
 
   /** The lang-tagged band relation the mining candidate stage joins
@@ -283,17 +284,21 @@ object Similarity {
     val bb = if (bandBits > 0) bandBits else corpusBandBits(spark, dir)
     val langs = Tables.documentsSpread(spark, dir)
       .select(col("doc_id"), col("lang"))
+    // SLIM rows — (lang, id, band, band_val) only: the probe fan-out
+    // multiplies this relation by the hamming-ball size, so vectors
+    // must not ride it (they re-join per unique pair downstream)
     (lshBands(spark, dir, nBits, bandBits)
-      .join(langs, col("vec_id") === col("doc_id")), bb)
+      .join(langs, col("vec_id") === col("doc_id"))
+      .select(col("lang"), col("vec_id"), col("band"), col("band_val")), bb)
   }
 
   /** The candidate stage [[bitextMineAnn]] feeds [[marginSelect]] —
     * the `plevel`-filtered view of [[bitextScoredLeveled]] at its own
     * probe setting.
     */
-  private def bitextScoredAnn(banded: DataFrame, bb: Int,
+  private def bitextScoredAnn(banded: DataFrame, vecs: DataFrame, bb: Int,
                               probes: Int): DataFrame =
-    bitextScoredLeveled(banded, bb, probes).drop("plevel")
+    bitextScoredLeveled(banded, vecs, bb, probes).drop("plevel")
 
   /** [[bitextScoredAnn]] with every candidate pair tagged by the
     * MINIMUM probe level that finds it (`plevel` = the smallest
@@ -309,24 +314,40 @@ object Similarity {
     * so the min is exact and deterministic and the exchange still
     * moves slim id+double rows, never vectors.
     */
-  private def bitextScoredLeveled(banded: DataFrame, bb: Int,
-                                  maxLevel: Int): DataFrame = {
+  private def bitextScoredLeveled(banded: DataFrame, vecs: DataFrame,
+                                  bb: Int, maxLevel: Int): DataFrame = {
     // probe fan-out on the en side only — the one-sided hamming-≤k
     // expansion covers the symmetric ≤k-bit condition, and en is the
     // natural probe side (one source language vs the union of targets)
-    val src = probeExpandLeveled(banded.filter(col("lang") === "en"), bb, maxLevel)
-      .select(col("vec_id").as("src_id"), col("v").as("sv"),
-        col("nrm").as("snrm"), col("band"), col("band_val"), col("plevel"))
+    //
+    // The fan-out rows are SLIM — (src_id, band, band_val, plevel),
+    // ~28 bytes: the hamming ball multiplies the probed side by
+    // 1 + b + C(b,2) at level 2, and carrying 64-double vectors
+    // through that expansion made this the registry's largest
+    // exchange (87 MB at sf0.1). Vectors re-join ONCE PER UNIQUE PAIR
+    // after the dedup group-by — the same bytes-over-flops trade as
+    // dedupEmbeddingAnn, applied to the fan-out side: the collision
+    // join and pair dedup move ids, the two id-keyed vector joins
+    // move each vector once per surviving pair, and the cosine is
+    // computed per pair instead of per collision (a pure saving —
+    // sim is a function of the pair, so every duplicate collision
+    // recomputed the identical double before).
+    val src = probeExpandLeveled(
+      banded.filter(col("lang") === "en")
+        .select(col("vec_id").as("src_id"), col("band"), col("band_val")),
+      bb, maxLevel)
     val tgt = banded.filter(col("lang") =!= "en")
       .select(col("lang"), col("vec_id").as("tgt_id"),
-        col("v").as("tv"), col("nrm").as("tnrm"), col("band"), col("band_val"))
+        col("band"), col("band_val"))
 
-    // score each band collision BEFORE deduping (see dedupEmbeddingAnn:
-    // the group-by's exchange then moves 20-byte rows, not vectors)
     tgt.join(src, Seq("band", "band_val"))
-      .withColumn("sim", dot(col("sv"), col("tv")) / (col("snrm") * col("tnrm")))
       .groupBy(col("lang"), col("src_id"), col("tgt_id"))
-      .agg(min(col("plevel")).as("plevel"), min(col("sim")).as("sim"))
+      .agg(min(col("plevel")).as("plevel"))
+      .join(vecs.select(col("vec_id").as("src_id"),
+        col("v").as("sv"), col("nrm").as("snrm")), "src_id")
+      .join(vecs.select(col("vec_id").as("tgt_id"),
+        col("v").as("tv"), col("nrm").as("tnrm")), "tgt_id")
+      .withColumn("sim", dot(col("sv"), col("tv")) / (col("snrm") * col("tnrm")))
       .select(col("lang"), col("src_id"), col("tgt_id"), col("plevel"), col("sim"))
       .persist(StorageLevel.MEMORY_AND_DISK)
   }
@@ -365,7 +386,7 @@ object Similarity {
     // level; each shallower level is a plevel filter of it (the
     // candidate sets are nested hamming balls — see
     // [[bitextScoredLeveled]])
-    val leveled = bitextScoredLeveled(banded, bb, levels.max)
+    val leveled = bitextScoredLeveled(banded, withNorm(spark, dir), bb, levels.max)
     levels.map { p =>
       val scored = leveled.filter(col("plevel") <= p)
         .select(col("lang"), col("src_id"), col("tgt_id"), col("sim"))
@@ -1352,10 +1373,16 @@ object Similarity {
     * adds — no per-candidate dot products at all.
     *
     * The codebook here is the deterministic first-`ksub` vectors'
-    * subvectors (the same k-means-init stand-in as [[annIvf]] — a
-    * [[kmeansTrain]]-refined codebook slots in without touching the
-    * encode/ADC plumbing, which is what this operator demonstrates).
-    * Collecting it is model-scale (ksub×64 ints).
+    * subvectors. Unlike the IVF coarse codebook (now the trained
+    * [[sphericalCentroids]]), training THIS codebook was measured and
+    * declined: two per-subspace L2 Lloyd rounds moved recall@5
+    * 13→12/50 (first-`ksub` init) and 13→13/50 (hash-spread init) on
+    * the registered corpus — the int8 subvector distribution is
+    * isotropic, so quantization distortion is init-insensitive there
+    * and the 16 extra training scans buy nothing. A trained codebook
+    * still slots in without touching the encode/ADC plumbing when a
+    * corpus with structured subspaces warrants it. Collecting the
+    * codebook is model-scale (ksub×64 ints).
     *
     * Integer-exact end to end: codes and centroids are int8 values, so
     * every squared distance is an exact integer (≤ 64·254² ≪ 2⁵³) and
