@@ -248,6 +248,8 @@ object SparkEntry {
     "markov_entropy_rate"    -> EventOps.markovEntropyRate _,
     "orders_cohort_ltv"      -> Relational.ordersCohortLtv _,
     "langid_nb_confusion"    -> TextOps.langidNbConfusion _,
+    "langid_hashed_confusion" -> ((s: SparkSession, d: String) =>
+      TextOps.langidHashedConfusion(s, d)),
     "brand_type_chi2"        -> Relational.brandTypeChi2 _,
     "events_value_drift_psi" -> EventOps.eventsValueDriftPsi _,
     "basket_size_hist"       -> Relational.basketSizeHist _,
@@ -3236,6 +3238,40 @@ object SparkEntry {
                      FROM dt CROSS JOIN lt CROSS JOIN vc
                      LEFT JOIN model ON model.lang_m = lt.lang_m
                                     AND model.token = dt.token
+                     GROUP BY 1, 2, 3),
+              pred AS (SELECT true_lang, lang_m AS pred_lang,
+                              row_number() OVER (PARTITION BY doc_id
+                                                 ORDER BY score DESC, lang_m DESC)
+                                AS rk
+                       FROM sc)
+         SELECT true_lang, pred_lang, count(*) AS n_docs
+         FROM pred WHERE rk = 1
+         GROUP BY 1, 2""",
+    // fastText-shape NB: hashed char-bigram features (portable md5
+    // idiom, 7 hex chars -> BIGINT mod 4096), same integer micro-nat
+    // scoring and tie rules as langid_nb_confusion; the length >= 2
+    // guard replays Spark's filter (DuckDB range(1, 1) is empty but
+    // the explicit guard keeps both engines' row sets identical)
+    "langid_hashed_confusion" ->
+      """WITH f AS (SELECT doc_id, lang AS true_lang,
+                           ('0x' || substr(md5(substr(text, CAST(i AS INT), 2)), 1, 7))::BIGINT % 4096 AS feat
+                    FROM (SELECT doc_id, lang, text, unnest(range(1, length(text))) AS i
+                          FROM documents WHERE length(text) >= 2)),
+              df AS (SELECT doc_id, true_lang, feat, count(*) AS c_df
+                     FROM f GROUP BY 1, 2, 3),
+              model AS (SELECT true_lang AS lang_m, feat, count(*) AS c_lf
+                        FROM f GROUP BY 1, 2),
+              lt AS (SELECT true_lang AS lang_m, count(*) AS n_l
+                     FROM f GROUP BY 1),
+              vc AS (SELECT count(DISTINCT feat) AS v FROM f),
+              sc AS (SELECT df.doc_id, df.true_lang, lt.lang_m,
+                            CAST(sum(c_df *
+                              (CAST(floor(ln(CAST(coalesce(c_lf, 0) + 1 AS DOUBLE)) * 1000000) AS BIGINT)
+                               - CAST(floor(ln(CAST(n_l + v AS DOUBLE)) * 1000000) AS BIGINT)))
+                              AS BIGINT) AS score
+                     FROM df CROSS JOIN lt CROSS JOIN vc
+                     LEFT JOIN model ON model.lang_m = lt.lang_m
+                                    AND model.feat = df.feat
                      GROUP BY 1, 2, 3),
               pred AS (SELECT true_lang, lang_m AS pred_lang,
                               row_number() OVER (PARTITION BY doc_id

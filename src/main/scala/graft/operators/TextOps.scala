@@ -1659,6 +1659,65 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"))
   }
 
+  /** [[langidNbConfusion]] over a HASHED CHARACTER-BIGRAM feature
+    * space — the fastText shape: every 2-character window of the raw
+    * text md5-hashes into one of `buckets` feature ids, and the same
+    * integer micro-nat Naive-Bayes scoring runs over those. Two
+    * properties make this the deployment-grade language-ID gate the
+    * token model is not: (1) character n-grams see MORPHOLOGY, so
+    * they classify text whose exact tokens never appeared in
+    * training; (2) the model table is bounded by `|langs| × buckets`
+    * REGARDLESS of vocabulary — at 100 TB the token model's
+    * (lang, token) table grows with the crawl, while this one stays
+    * broadcast-sized forever, turning the scoring join's model side
+    * into a broadcast by construction.
+    *
+    * The feature hash is the portable md5 idiom (7 hex chars →
+    * BIGINT mod `buckets` — same on both engines, like
+    * stratified_sample's gate), docs shorter than 2 characters carry
+    * no features and drop (replayed by the oracle's length guard),
+    * and every score is an exact BIGINT of micro-nats with ties
+    * broken by lang — the whole pipeline hash-replays in DuckDB.
+    */
+  def langidHashedConfusion(spark: SparkSession, dir: String,
+      buckets: Int = 4096): DataFrame = {
+    def lnMicro(c: Column) =
+      floor(log(c.cast("double")) * lit(1000000.0)).cast("long")
+    val feats = Tables.documentsSpread(spark, dir)
+      .filter(length(col("text")) >= 2)
+      .select(col("doc_id"), col("lang").as("true_lang"),
+        explode(expr(
+          "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"))
+          .as("bg"))
+      .select(col("doc_id"), col("true_lang"),
+        (conv(substring(md5(col("bg").cast("binary")), 1, 7), 16, 10)
+          .cast("long") % buckets).as("feat"))
+    val docFeats = feats.groupBy(col("doc_id"), col("true_lang"), col("feat"))
+      .agg(count(lit(1)).as("c_df"))
+    val model = feats.groupBy(col("true_lang").as("lang_m"), col("feat"))
+      .agg(count(lit(1)).as("c_lf"))
+    val langTotals = feats.groupBy(col("true_lang").as("lang_m"))
+      .agg(count(lit(1)).as("n_l"))
+    // Laplace denominator = OBSERVED distinct feature count (mirrors
+    // the token model's vocabulary scalar; ≤ buckets by construction)
+    val vocab = feats.select(col("feat")).distinct()
+      .agg(count(lit(1)).as("v"))
+    val scored = docFeats
+      .crossJoin(broadcast(langTotals.crossJoin(vocab)))
+      .join(broadcast(model), Seq("lang_m", "feat"), "left")
+      .withColumn("c_lf", coalesce(col("c_lf"), lit(0L)))
+      .groupBy(col("doc_id"), col("true_lang"), col("lang_m"))
+      .agg(sum(col("c_df") * (lnMicro(col("c_lf") + 1)
+        - lnMicro(col("n_l") + col("v")))).as("score"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("lang_m").desc)
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .groupBy(col("true_lang"), col("lang_m").as("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   /** Fingerprint-width collision telemetry: how many documents collide
     * under 24-, 32- and 48-bit content fingerprints — the measured
     * birthday-problem curve that decides how wide a dedup hash must be

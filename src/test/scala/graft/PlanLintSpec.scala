@@ -73,6 +73,7 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
     "source_lang_kl" -> "1-row corpus-total scalar (the KL denominator) kept in-plan as a broadcast crossJoin over the ≤ sources×langs cell table",
     "values_benford_digits" -> "1-row digit-total scalar (the share/χ² denominator) kept in-plan as a broadcast crossJoin over the 9-row digit table",
     "langid_nb_confusion" -> "|langs|-row class-fanout (langTotals × 1-row vocab scalar) broadcast-crossJoined onto the doc-token table — bounded by the class count, not the data",
+    "langid_hashed_confusion" -> "|langs|-row class-fanout (langTotals × 1-row vocab scalar) broadcast-crossJoined onto the doc-feature table — bounded by the class count, not the data",
     "brand_type_chi2" -> "1-row grand-total scalar kept in-plan as a broadcast crossJoin over the |brands|·|types|-bounded cell table",
     "events_value_drift_psi" -> "two 1-row scalars (integer midpoint split; bin totals) kept in-plan as broadcast crossJoins over the ≤64-row bin table",
     "customer_revenue_topn_share" -> "1-row revenue-total scalar (the share denominator) kept in-plan as a broadcast crossJoin over the 1-row top-10 aggregate",
@@ -152,6 +153,7 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
     "values_benford_digits" -> "final pass of the digit-total scalar aggregate over the 9-row digit table: one partial row per upstream partition",
     "markov_entropy_rate" -> "final pass of the weighted log-ratio scalar aggregate over the ≤ |types|² transition table (the query IS one global rate): one partial row per upstream partition",
     "langid_nb_confusion" -> "final pass of the vocabulary-size scalar aggregate (the Laplace denominator): one partial row per upstream partition",
+    "langid_hashed_confusion" -> "final pass of the observed-feature-count scalar aggregate (the Laplace denominator): one partial row per upstream partition",
     "brand_type_chi2" -> "final pass of the grand-total scalar aggregate over the bounded cell table: one partial row per upstream partition",
     "events_value_drift_psi" -> "final passes of the midpoint and bin-total scalar aggregates: one partial row per upstream partition each",
     "customer_revenue_topn_share" -> "final passes of the revenue-total and top-10 scalar aggregates (the top side is already a 10-row TakeOrdered): one partial row per upstream partition each",

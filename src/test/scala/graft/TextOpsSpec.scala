@@ -483,6 +483,40 @@ class TextOpsSpec extends AnyFunSuite with SparkFixture {
     assert(m === Map(("xx", "xx") -> 2L, ("yy", "yy") -> 2L))
   }
 
+  test("langidHashedConfusion: disjoint character statistics give a perfect " +
+    "diagonal; morphology generalizes where exact tokens cannot") {
+    import spark.implicits._
+    // single-class fixture corpus → one (en, en, 5) cell, like the
+    // token model
+    val got = TextOps.langidHashedConfusion(spark, fixtureDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === Map(("en", "en") -> 5L))
+    // two-class corpus with disjoint character inventories: perfect
+    // diagonal. Docs 4/5 hold UNSEEN token forms ("aab", "ccd") whose
+    // character bigrams still match their class — the generalization
+    // the token model is structurally blind to (its unseen tokens
+    // score identically under every class).
+    val dir = scratchDir("graft-nb-hashed")
+    Seq(
+      (0L, "aa bb aa bb aa", "xx", "s", 14L), (1L, "bb aa aa bb bb", "xx", "s", 14L),
+      (2L, "cc dd cc dd cc", "yy", "s", 14L), (3L, "dd cc cc dd dd", "yy", "s", 14L),
+      (4L, "aab baa aab", "xx", "s", 11L), (5L, "ccd dcc ccd", "yy", "s", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val m = TextOps.langidHashedConfusion(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(m === Map(("xx", "xx") -> 3L, ("yy", "yy") -> 3L))
+    // sub-2-char documents carry no bigram features and must drop,
+    // not crash or emit an unscorable row
+    val dir2 = scratchDir("graft-nb-short")
+    Seq((0L, "a", "xx", "s", 1L), (1L, "bb bb", "yy", "s", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val short = TextOps.langidHashedConfusion(spark, dir2).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(short === Map(("yy", "yy") -> 1L))
+  }
+
   test("fingerprintCollisions: exact duplicates collide at every width; widths refine") {
     // fixture: docs 0 and 1 share identical text → at least one
     // collision at every width; distinct counts can only grow (or
