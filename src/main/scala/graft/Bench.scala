@@ -196,7 +196,16 @@ object Bench {
       val out = scala.io.Source.fromInputStream(p.getInputStream, "UTF-8").mkString
       val rc = p.waitFor()
       val m = """"stream_throughput":\{[^}]*\}""".r.findFirstIn(out)
-      if (rc != 0 || m.isEmpty) "" else "," + m.get
+      if (rc != 0 || m.isEmpty) ""
+      else if (out.contains("\"contended\":true"))
+        // the child saw a foreign JVM (its own pre-run wait expired or a
+        // sibling appeared mid-run): carry the stamp INTO the recorded
+        // object so the reading is discounted, not silently trusted —
+        // the exact unstamped-contamination class the isolation
+        // protocol exists to kill
+        "," + m.get.replaceFirst(
+          """"stream_throughput":\{""", """"stream_throughput":{"contended":true,""")
+      else "," + m.get
     }
     def inJvmStreamJson(): String =
       try {
