@@ -616,6 +616,20 @@ object Similarity {
     * broadcast computation with native dot products. Deterministic
     * end to end, so the DuckDB oracle replays training, assignment,
     * probe, and re-rank.
+    *
+    * SIZING at scale: `nlist`/`nprobe` are deployment knobs, not
+    * derived — deliberately, unlike the LSH band width. The banding
+    * derivation protects a GUARANTEE (linear candidate growth) with
+    * no recall counterpart: the probe side re-buys recall
+    * independently. IVF's knobs trade recall against scan fraction
+    * directly (`nprobe/nlist` of the corpus per query), the right
+    * setting depends on the corpus's cluster structure and the
+    * deployment's latency budget, and the registered
+    * `ann_nprobe_sweep` row exists precisely to price that trade per
+    * corpus. The standard large-corpus setting is nlist ≈ √(N/target
+    * cell size) with nprobe chosen off the sweep; both thread through
+    * every variant here, and the codebook trainer is k-agnostic
+    * (dedup_semantic already trains at k=64 on the same machinery).
     */
   def annIvf(spark: SparkSession, dir: String, nlist: Int = 16, nprobe: Int = 4): DataFrame =
     annIvfWith(spark, dir, ivfCodebook(spark, dir, nlist), nprobe)
