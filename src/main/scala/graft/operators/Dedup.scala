@@ -556,13 +556,11 @@ object Dedup {
     if (cutV < 0L)
       return Seq.empty[(Long, Long, Boolean)].toDF("doc_id", "comp", "keep")
     val (bshaIdx, bsets, bpref) = standingBaseSignatures(spark, dir)
-    val baseLabels = {
-      // one-time per (session, corpus), shared with the append row —
-      // built through the in-memory split tables like before
-      val (shas, sets, prefAll) = splitTables(spark, dir)
-      standingBaseLabels(spark, dir, shas, sets, prefAll,
-        "componentsIncremental(base)")
-    }
+    // one-time per (session, corpus), shared with the append row; the
+    // by-name split argument means repeat ingest calls never even
+    // construct (or persist-register) the in-memory split tables
+    val baseLabels = standingBaseLabels(spark, dir, splitTables(spark, dir),
+      "componentsIncremental(base)")
     // per-ingest work: shingle ONLY the batch (scan with the pushed
     // doc_id > cut literal), probe the standing signature tables
     val batchDocs = Tables.documentsSpread(spark, dir)
@@ -713,11 +711,16 @@ object Dedup {
     * once across the whole components-lifecycle family.
     */
   private def standingBaseLabels(spark: SparkSession, dir: String,
-      shas: DataFrame, sets: DataFrame, prefAll: DataFrame,
+      split: => (DataFrame, DataFrame, DataFrame),
       caller: String): DataFrame = this.synchronized {
     val (baseTable, basePath) =
       Tables.scopedIndex(spark, "graft_components_base", dir)
     if (!spark.catalog.tableExists(baseTable)) {
+      // `split` is by-name: the persisted in-memory split tables are
+      // only constructed on the one-time index build — repeat ingest
+      // calls short-circuit to the bucketed table without registering
+      // a fresh set of (never-computed) cached relations per call
+      val (shas, sets, prefAll) = split
       baseComponentLabels(shas, sets, prefAll, caller)
         .write.bucketBy(8, "doc_id").sortBy("doc_id")
         .option("path", basePath).mode("overwrite").saveAsTable(baseTable)
@@ -853,7 +856,7 @@ object Dedup {
       if (!spark.catalog.tableExists(v2Table)) {
         val (shas, sets, prefAll) = splitTables(spark, dir)
         val folded = foldBatchIntoLabels(shas, sets, prefAll,
-          standingBaseLabels(spark, dir, shas, sets, prefAll,
+          standingBaseLabels(spark, dir, (shas, sets, prefAll),
             "componentsStandingAppend(base)"))
         folded
           .write.bucketBy(8, "doc_id").sortBy("doc_id")
