@@ -1693,16 +1693,66 @@ object Similarity {
     * per-row sign-bit pass (nBands·bandBits dot products) feeds every
     * band stream, so it is computed once and persisted pre-explode.
     */
+  private val lshSigCache = scala.collection.concurrent.TrieMap[
+    (String, String, Int, Int, Int), DataFrame]()
+  private val lshSigLocks = scala.collection.concurrent.TrieMap[
+    (String, String, Int, Int, Int), Object]()
+
+  /** Drop the memoized LSH signature frames — the probe/test hook of
+    * the family's session caches (same contract as
+    * [[clearCorpusCountCache]] / [[clearCentroidCache]]).
+    */
+  private[graft] def clearLshSigCache(): Unit = {
+    lshSigCache.clear()
+    lshSigLocks.clear()
+  }
+
   private[graft] def lshBands(spark: SparkSession, dir: String,
                               nBits0: Int = 0, bandBits0: Int = 0, dim: Int = 64): DataFrame = {
     val bandBits = if (bandBits0 > 0) bandBits0 else corpusBandBits(spark, dir)
     val nBands = if (nBits0 > 0) nBits0 / bandBits else derivedBandCount(bandBits)
+    // The signature pass (nBands·bandBits dot products per row) is the
+    // LSH family's corpus scan, and SEVEN registered consumers share
+    // the default-parameter signature (annLsh, dedupEmbeddingAnn,
+    // dedupThresholdSweep, contrastivePairs, the three bitext rows) —
+    // so it is session-memoized per (application, corpus, params) as
+    // an eager localCheckpoint, the same model-state pattern as the
+    // BPE/unigram/Lloyd training caches. This also ends the one
+    // cached-signature-frame-per-call accumulation the old per-call
+    // persist leaked. Values are per-row deterministic (md5 planes,
+    // sign thresholds), so the memo can never change a result — only
+    // who pays the scan. A 100 TB deployment lifts the same frame
+    // into a standing bucketed table; in-session memoization is the
+    // local analogue, under the immutable-corpus-dir contract
+    // ([[corpusBandBits]]).
+    val key = (spark.sparkContext.applicationId, dir, nBits0, bandBits0, dim)
+    val sig = lshSigCache.get(key) match {
+      case Some(s) => s
+      case None =>
+        lshSigLocks.getOrElseUpdate(key, new Object).synchronized {
+          lshSigCache.getOrElseUpdate(key,
+            lshSigPlan(spark, dir, nBands, bandBits, dim).localCheckpoint(true))
+        }
+    }
+    sig.select(
+      col("vec_id"), col("v"), col("nrm"),
+      posexplode(array((0 until nBands).map(k => col(s"bv$k")): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_val")
+  }
+
+  /** The LAZY signature-frame plan the memo materializes — exposed
+    * separately so PlanQualitySpec can pin the scan shape (pruned
+    * embedding read, no label column) on the plan that actually pays
+    * the corpus scan; consumer plans read the checkpoint.
+    */
+  private[graft] def lshSigPlan(spark: SparkSession, dir: String,
+      nBands: Int, bandBits: Int, dim: Int): DataFrame = {
     val nBits = nBands * bandBits
     val planes: Seq[Seq[Double]] = (0 until nBits).map { p =>
       (0 until dim).map(j => planeWeight(p, j))
     }
     val planesLit = typedLit(planes)
-
     val emb = withNorm(spark, dir)
     val bandVals = (0 until nBands).map { k =>
       (0 until bandBits).map { i =>
@@ -1711,13 +1761,7 @@ object Similarity {
           .otherwise(lit(0L))
       }.reduce(_ + _).as(s"bv$k")
     }
-    val sig = emb.select(col("vec_id") +: col("v") +: col("nrm") +: bandVals: _*)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    sig.select(
-      col("vec_id"), col("v"), col("nrm"),
-      posexplode(array((0 until nBands).map(k => col(s"bv$k")): _*)))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "band_val")
+    emb.select(col("vec_id") +: col("v") +: col("nrm") +: bandVals: _*)
   }
 
   /** All `bandBits`-bit XOR masks with popcount ≤ `probes`, in

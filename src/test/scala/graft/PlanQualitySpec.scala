@@ -51,10 +51,15 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
     // the plan and the op degraded to N²
     assert(!plan.contains("BroadcastNestedLoopJoin")
       && !plan.contains("CartesianProduct"), plan)
+    // the corpus scan lives in the memoized signature frame since r18
+    // (consumer plans read the checkpoint) — pin the pruning on the
+    // plan that actually pays the scan
+    val sigPlan = PlanChecks.executedPlanString(
+      graft.operators.Similarity.lshSigPlan(spark, fixtureDir, 4, 8, 64))
     val read = "ReadSchema: struct<([^>]*)>".r
-      .findAllMatchIn(plan).map(_.group(1)).toSeq
+      .findAllMatchIn(sigPlan).map(_.group(1)).toSeq
     assert(read.exists(s => s.contains("vec_id") && s.contains("embedding")
-      && !s.contains("label")), plan)
+      && !s.contains("label")), sigPlan)
   }
 
   test("copurchase pairs: two exchanges (per-order sets, pair counts) — no self-join re-shuffle") {
