@@ -104,6 +104,91 @@ def main() -> None:
                      "1.25x (or 8 MB)")
     else:
         lines.append("## No shuffle-byte data in one side (pre-r14 record)")
+
+    # ---- Generated adjudication -------------------------------------
+    # The drift-vs-code call every round used to hand-argue, mechanized:
+    #  * MEDIAN per-query ratio over untouched queries — a uniform
+    #    environmental shift moves the median; a code regression moves
+    #    a family/tail and leaves the median ~1.0.
+    #  * POSITIONAL-WINDOW scan — the bench runs queries in alphabetical
+    #    order, so transient host pressure shows up as a CONTIGUOUS
+    #    alphabetical block of inflated ratios (the r18 signature),
+    #    which no code change produces (code tracks families, not
+    #    adjacency in sort order).
+    #  * AMBIENT stamps — BENCH's /proc-sampled per-query foreign-CPU
+    #    shares (>10% of host capacity on the recorded min run), the
+    #    self-load-immune signal loadavg can't give.
+    #  * SHUFFLE BYTES — deterministic; zero byte regressions means no
+    #    plan got worse, whatever wall clock did.
+    lines.append("")
+    lines.append("## Adjudication (generated)")
+    lines.append("")
+    stable = [(n, cq[n] / pq[n]) for n in common if pq[n] >= 0.10]
+    med = sorted(r for _, r in stable)[len(stable) // 2] if stable else 1.0
+    lines.append(f"- median per-query ratio over {len(stable)} queries "
+                 f"with prev >= 0.1s: **{med:.3f}**")
+    amb = curr.get("ambient")
+    if amb is not None:
+        flagged = amb.get("flagged", {})
+        names = ", ".join(f"{k} ({v:.2f})"
+                          for k, v in sorted(flagged.items())[:12])
+        more = "" if len(flagged) <= 12 else f", +{len(flagged) - 12} more"
+        lines.append(
+            f"- ambient stamps: foreign_cpu {amb.get('foreign_cpu_sec', 0)}s, "
+            f"steal {amb.get('steal_sec', 0)}s across all timed windows; "
+            f"{len(flagged)} recorded run(s) >10% foreign"
+            + (f": {names}{more}" if flagged else ""))
+    else:
+        lines.append("- ambient stamps: none in the current record "
+                     "(pre-r19 bench)")
+    # positional windows: >=6 consecutive alphabetical queries whose
+    # rolling-median ratio exceeds 1.3 (sub-0.1s rows skipped — their
+    # ratios are pure scheduler jitter and flag phantom windows)
+    seq = [(n, cq[n] / pq[n]) for n in common if pq[n] >= 0.10]
+    W, windows = 6, []
+    i = 0
+    while i + W <= len(seq):
+        win = seq[i:i + W]
+        wmed = sorted(r for _, r in win)[W // 2]
+        if wmed > 1.3:
+            j = i + W
+            while j < len(seq):
+                ext = seq[i:j + 1]
+                if sorted(r for _, r in ext)[len(ext) // 2] > 1.3:
+                    j += 1
+                else:
+                    break
+            windows.append((seq[i][0], seq[j - 1][0], j - i))
+            i = j
+        else:
+            i += 1
+    for a, b, k in windows:
+        lines.append(f"- positional window: {k} consecutive queries "
+                     f"[{a} .. {b}] at rolling-median ratio >1.3")
+    byte_regr = [m for m in bmovers if m[3] > 1.0]
+    wall_regr = [m for m in movers if m[3] > 1.0]
+    if not wall_regr:
+        verdict = ("FLAT-OR-FASTER — no wall REGRESSIONS above the "
+                   "adjudicable bar; nothing to call.")
+    elif byte_regr:
+        verdict = ("CODE-SHAPED — shuffle bytes (deterministic) "
+                   "regressed on: "
+                   + ", ".join(m[0] for m in byte_regr)
+                   + ". Inspect those plans before blaming the host.")
+    elif windows and med < 1.15:
+        verdict = ("AMBIENT — wall regressions sit in contiguous "
+                   "alphabetical window(s) with zero shuffle-byte "
+                   f"regressions and a ~flat global median ({med:.3f}); "
+                   "transient host pressure, not a plan property.")
+    elif med >= 1.15:
+        verdict = (f"UNIFORM SHIFT — global median {med:.3f} moved with "
+                   "zero shuffle-byte regressions: environmental "
+                   "(host-wide slowdown), not per-query code.")
+    else:
+        verdict = ("MIXED — isolated wall movers with flat bytes and no "
+                   "positional window; likely the codegen-oscillation "
+                   "class. A/B the named movers in isolation.")
+    lines.append(f"- **verdict: {verdict}**")
     report = "\n".join(lines) + "\n"
     with open(out_path, "w") as f:
         f.write(report)
