@@ -29,6 +29,40 @@ object Bench {
       .map(_.pid).filterNot(family).toSeq
   }
 
+  /** One host-CPU sample for ambient-drift accounting, in jiffies:
+    * (busy, steal, self). `busy` sums user+nice+system+irq+softirq+
+    * steal over all cpus from /proc/stat; `self` is THIS JVM's
+    * utime+stime from /proc/self/stat (every Spark local[n] thread is
+    * in-process, so self covers the bench's entire own load). The
+    * foreign CPU spent inside a window is Δbusy − Δself — work done
+    * by anything that is not this bench (sibling JVMs, host services,
+    * and, via the steal column, the hypervisor) — which is exactly
+    * the signal `foreignJvms()` cannot see: loadavg includes our own
+    * saturating sweeps, but Δbusy−Δself is self-load-immune. (-1, 0,
+    * 0) when /proc is unreadable (non-Linux), disabling the stamps.
+    */
+  private def procCpuSample(): (Long, Long, Long) =
+    try {
+      val cpu = scala.io.Source.fromFile("/proc/stat").getLines()
+        .next().trim.split("\\s+")
+      val n = (i: Int) => if (i < cpu.length) cpu(i).toLong else 0L
+      val steal = n(8)
+      val busy = n(1) + n(2) + n(3) + n(6) + n(7) + steal
+      val self = {
+        val s = scala.io.Source.fromFile("/proc/self/stat").mkString
+        // comm can contain spaces — parse after the closing paren;
+        // utime/stime are fields 14/15 (1-based), i.e. 11/12 past state
+        val post = s.substring(s.lastIndexOf(')') + 2).split(" ")
+        post(11).toLong + post(12).toLong
+      }
+      (busy, steal, self)
+    } catch { case _: Throwable => (-1L, 0L, 0L) }
+
+  /** Jiffies per second — the kernel's USER_HZ, fixed at 100 on Linux
+    * (the value /proc/stat and /proc/<pid>/stat report in).
+    */
+  private val Hz = 100.0
+
   def main(args: Array[String]): Unit = {
     // --stream-only: run ONLY the streaming-throughput harness in this
     // fresh JVM — the isolation protocol for adjudicating throughput
@@ -70,6 +104,19 @@ object Bench {
       // full-width 32-partition exchanges over batch-sized data —
       // measured ~25% off the components merge-fold rounds at sf0.1
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      // Codegen class cache sized for the whole registry (default 100
+      // entries): a 284-query sweep generates ~10k codegen sources, so
+      // at the default size every query's classes are EVICTED between
+      // its sweep-1 and sweep-2 runs and each timed run re-pays its
+      // Janino compilation — measured 2.1s for minhash_error_profile
+      // against a 1.25s steady-state wall, which is exactly the
+      // "codegen oscillation" class (same code, bytes unmoved, wall
+      // flipping 1.25↔3.2s across records: the flip was the eviction
+      // state, r19 pin via PlanDump's compile-time readout). With the
+      // registry's classes resident, the recorded min measures the
+      // query, not the compiler — the steady-state figure a deployment
+      // re-running a pipeline sees.
+      .config("spark.sql.codegen.cache.maxEntries", "20000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -99,6 +146,16 @@ object Bench {
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val shuffles = scala.collection.mutable.LinkedHashMap[String, Long]()
     val failed = scala.collection.mutable.ListBuffer[String]()
+    // Per-query ambient stamps: the foreign-CPU share (Δbusy − Δself
+    // over the window's wall × cpus capacity) of the run whose timing
+    // is RECORDED (the min run), plus run-total foreign/steal seconds.
+    // This machine-stamps host-pressure windows per query instead of
+    // leaving drift adjudication to next round's hand analysis — the
+    // r18 close burned a judge cycle on exactly that.
+    val nCpus = Runtime.getRuntime.availableProcessors()
+    val ambientShare = scala.collection.mutable.LinkedHashMap[String, Double]()
+    var foreignJiffies = 0L
+    var stealJiffies = 0L
     // Min of repeated timed runs per query: a one-shot measurement is
     // dominated by JIT/whole-stage-codegen compilation of that query's
     // generated methods (measured: same query swings 2-10x run to run
@@ -111,13 +168,17 @@ object Bench {
       if (streamOnly) Seq.empty
       else if (queryArgs.isEmpty) SparkEntry.queries.toSeq
       else SparkEntry.queries.filter { case (k, _) => queryArgs.contains(k) }.toSeq
+    // returns (wall sec, foreign-CPU share of the window): share =
+    // (Δbusy − Δself) / (wall · Hz · cpus) — 0 when /proc is absent
     def timed(name: String,
-              fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+              fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Double) = {
       org.apache.spark.GraftSparkGlue.drainListenerBus(spark.sparkContext)
       val s0 = shuffleBytes.get
+      val (b0, st0, self0) = procCpuSample()
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.mode("overwrite").format("noop").save()
       val dt = (System.nanoTime() - t0) / 1e9
+      val (b1, st1, self1) = procCpuSample()
       org.apache.spark.GraftSparkGlue.drainListenerBus(spark.sparkContext)
       // bytes are deterministic run to run (unlike wall time) — the
       // last run's delta is the recorded figure
@@ -125,7 +186,15 @@ object Bench {
       // drop the query's persisted sketch tables so the repeat run
       // (and later queries) start cold and dead caches don't pile up
       spark.catalog.clearCache()
-      dt
+      val share =
+        if (b0 < 0 || b1 < 0 || dt <= 0) 0.0
+        else {
+          val foreign = math.max(0L, (b1 - b0) - (self1 - self0))
+          foreignJiffies += foreign
+          stealJiffies += math.max(0L, st1 - st0)
+          foreign / (dt * Hz * nCpus)
+        }
+      (dt, share)
     }
     // Two FULL sweeps rather than same-query back-to-back repeats: by
     // the time the recorded second sweep starts, every family's
@@ -134,7 +203,7 @@ object Bench {
     // absorb. Back-to-back min-of-2 left 2-4 movers per bench pair from
     // exactly that class; two sweeps is the same total work, ordered so
     // sweep 2 measures a uniformly warm JVM.
-    val sweep1 = scala.collection.mutable.Map[String, Double]()
+    val sweep1 = scala.collection.mutable.Map[String, (Double, Double)]()
     selected.sortBy(_._1).foreach { case (name, fn) =>
       try sweep1(name) = timed(name, fn)
       catch {
@@ -148,15 +217,19 @@ object Bench {
       .foreach { case (name, fn) =>
         try {
           val a = sweep1(name); val b = timed(name, fn)
-          val best = math.min(a, b)
+          var best = if (a._1 <= b._1) a else b
           // Third run when the sweeps disagree >1.5x (a hiccup landed
           // in one) or the min is still over 1s (the cross-query-
           // pressure class) — the min of three is the steady-state
           // figure.
-          timings(name) =
-            if (best > 1.0 || math.max(a, b) > 1.5 * best)
-              math.min(best, timed(name, fn))
-            else best
+          if (best._1 > 1.0 || math.max(a._1, b._1) > 1.5 * best._1) {
+            val c = timed(name, fn)
+            if (c._1 < best._1) best = c
+          }
+          timings(name) = best._1
+          // the ambient stamp that matters is the one on the RECORDED
+          // (min) run — a clean min makes slower contaminated runs moot
+          ambientShare(name) = best._2
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
@@ -195,17 +268,35 @@ object Bench {
       val p = pb.start()
       val out = scala.io.Source.fromInputStream(p.getInputStream, "UTF-8").mkString
       val rc = p.waitFor()
-      val m = """"stream_throughput":\{[^}]*\}""".r.findFirstIn(out)
-      if (rc != 0 || m.isEmpty) ""
-      else if (out.contains("\"contended\":true"))
-        // the child saw a foreign JVM (its own pre-run wait expired or a
-        // sibling appeared mid-run): carry the stamp INTO the recorded
-        // object so the reading is discounted, not silently trusted —
-        // the exact unstamped-contamination class the isolation
-        // protocol exists to kill
-        "," + m.get.replaceFirst(
-          """"stream_throughput":\{""", """"stream_throughput":{"contended":true,""")
-      else "," + m.get
+      if (rc != 0) ""
+      else {
+        // Parse the child's compact summary LINE as JSON (it is printed
+        // last for exactly this purpose) instead of regex-scraping the
+        // whole stream: a regex truncated the object at its first '}'
+        // if it ever gained a nested field, and a whole-stdout
+        // substring check for "contended":true could mis-stamp the
+        // reading off an incidental occurrence. The record's own
+        // fields are the only evidence consulted.
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val rec = out.linesIterator.map(_.trim)
+          .filter(l => l.startsWith("{") && l.endsWith("}"))
+          .flatMap(l =>
+            try Option(om.readTree(l)).filter(_.has("stream_throughput"))
+            catch { case _: Throwable => None })
+          .toSeq.lastOption
+        rec.fold("") { n =>
+          val st = n.get("stream_throughput")
+            .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+          st.put("isolated", true)
+          // the child saw a foreign JVM (its own pre-run wait expired
+          // or a sibling appeared mid-run): carry the stamp INTO the
+          // recorded object so the reading is discounted, not silently
+          // trusted — the exact unstamped-contamination class the
+          // isolation protocol exists to kill
+          if (n.path("contended").asBoolean(false)) st.put("contended", true)
+          ",\"stream_throughput\":" + om.writeValueAsString(st)
+        }
+      }
     }
     def inJvmStreamJson(): String =
       try {
@@ -255,7 +346,16 @@ object Bench {
             System.err.println(s"[bench] isolated stream harness FAILED: ${e.getMessage}")
             ""
           }
-        if (iso.nonEmpty) iso else inJvmStreamJson()
+        if (iso.nonEmpty) iso
+        else {
+          // the in-JVM reading rides ~284 queries of JIT/code-cache
+          // history — stamp the fallback so a contaminated figure is
+          // never mistaken for the isolated one in BENCH_DIFF
+          val f = inJvmStreamJson()
+          if (f.isEmpty) ""
+          else f.replaceFirst("""\"stream_throughput\":\{""",
+            "\"stream_throughput\":{\"isolated\":false,\"fallback\":true,")
+        }
       }
 
     val qs = timings.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
@@ -269,8 +369,22 @@ object Bench {
     // present at launch, and the pre-bench check alone cannot see it.
     if (contended.isEmpty) contended = foreignJvms()
     val cont = if (contended.nonEmpty) ""","contended":true""" else ""
+    // Machine-stamped ambient record: total foreign-CPU and steal
+    // seconds observed across every timed window, plus the per-query
+    // stamps whose RECORDED (min) run had >10% of the host's capacity
+    // going to non-bench work — the positional-window evidence
+    // BENCH_DIFF's adjudication reads instead of re-deriving drift by
+    // hand each round.
+    val ambientJson =
+      if (procCpuSample()._1 < 0 || timings.isEmpty) ""
+      else {
+        val flagged = ambientShare.filter(_._2 > 0.10)
+          .map { case (k, v) => "\"" + k + f"""\":$v%.2f""" }
+          .mkString("{", ",", "}")
+        f""","ambient":{"cpus":$nCpus,"foreign_cpu_sec":${foreignJiffies / Hz}%.1f,"steal_sec":${stealJiffies / Hz}%.1f,"flagged":$flagged}"""
+      }
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"shuffle_mb":$sh,"failed":$fs,"sf":"$sfDir"$cont$streamJson}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"shuffle_mb":$sh,"failed":$fs,"sf":"$sfDir"$cont$ambientJson$streamJson}"""
     println(json)
     // The full line above is the contract record (and lands verbatim in
     // BENCH_LAST.json), but at 274 queries it runs ~8 KB — longer than
@@ -279,7 +393,7 @@ object Bench {
     // null. Print a compact summary line LAST (only the sbt epilogue
     // follows it): short enough to survive the tail window whole, so a
     // line-wise JSON scan of the tail parses it.
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${timings.size},"n_failed":${failed.size},"sf":"$sfDir"$cont$streamJson}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${timings.size},"n_failed":${failed.size},"ambient_flagged":${ambientShare.count(_._2 > 0.10)},"sf":"$sfDir"$cont$streamJson}""")
     // Robust copy for parsers that can't read sbt-prefixed stdout.
     // FULL runs only: a single-query or --stream-only invocation must
     // not clobber the committed full-bench record (the restore-from-log

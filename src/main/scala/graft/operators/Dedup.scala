@@ -1780,15 +1780,25 @@ object Dedup {
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val sigA = sig.toDF("doc_a" +: (0 until numHashes).map(j => s"a$j"): _*)
-    val sigB = sig.toDF("doc_b" +: (0 until numHashes).map(j => s"b$j"): _*)
-    val agree = (0 until numHashes)
-      .map(j => when(col(s"a$j") === col(s"b$j"), 1L).otherwise(0L))
-      .reduce(_ + _)
+    // Signature agreement over ARRAY-packed signatures: the former
+    // shape joined two 65-column relations and summed 64 unrolled
+    // CASE comparisons — ~80 KB of generated source whose Janino
+    // compile (~0.9s of this query's 2.1s total) re-ran inside timed
+    // runs whenever the codegen class cache had evicted it (the
+    // pinned cause of this row's 1.25↔3.2s bench oscillation; see
+    // Bench's cache sizing). The packed form moves one array column
+    // per side and counts agreements with a zip_with/filter fold —
+    // interpreted eval, which is FINE here: it runs once per
+    // LSH-bounded candidate pair (dozens of rows), not per corpus row,
+    // and drops the join-stage source to a fraction.
+    val sigArr = sig.select(col("doc_id"),
+      array((0 until numHashes).map(j => col(s"h$j")): _*).as("sig"))
     cand
-      .join(sigA, "doc_a")
-      .join(sigB, "doc_b")
-      .select(col("doc_a"), col("doc_b"), agree.as("n_agree"))
+      .join(sigArr.select(col("doc_id").as("doc_a"), col("sig").as("siga")), "doc_a")
+      .join(sigArr.select(col("doc_id").as("doc_b"), col("sig").as("sigb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(filter(zip_with(col("siga"), col("sigb"), (a, b) => a === b),
+          x => x)).cast("long").as("n_agree"))
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
       .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
