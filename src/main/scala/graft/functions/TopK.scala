@@ -54,6 +54,46 @@ class TopKBySim(k: Int)
     ExpressionEncoder[Seq[(Long, Long)]]()
 }
 
+/** [[TopKBySim]]'s sibling for NEIGHBORHOOD STATS: the same k-bounded
+  * (sim DESC, id ASC) fold, finishing as the kept sims in descending
+  * order instead of ranked ids — the input to a margin denominator's
+  * sequential mean fold. Replaces a
+  * `row_number() OVER (PARTITION BY endpoint ORDER BY sim DESC)` +
+  * `rn <= k` + collect_list pipeline that exchanged EVERY scored
+  * candidate and sorted whole partitions to keep k rows: here the
+  * exchange carries at most k sims per endpoint per upstream
+  * partition (map-side combine), and nothing is globally sorted.
+  * Same total order as TopKBySim (NaN first, ties to the lower id),
+  * so the kept k-set — and therefore every downstream double — is
+  * bit-identical to the window formulation the DuckDB oracles replay.
+  */
+class TopSims(k: Int)
+    extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[Double]] {
+
+  private val ord: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
+    def compare(x: (Double, Long), y: (Double, Long)): Int = {
+      val c = java.lang.Double.compare(y._1, x._1) // DESC, NaN first
+      if (c != 0) c else java.lang.Long.compare(x._2, y._2)
+    }
+  }
+
+  override def zero: Seq[(Double, Long)] = Nil
+
+  override def reduce(b: Seq[(Double, Long)], a: (Double, Long)): Seq[(Double, Long)] =
+    (a +: b).sorted(ord).take(k)
+
+  override def merge(b1: Seq[(Double, Long)], b2: Seq[(Double, Long)]): Seq[(Double, Long)] =
+    (b1 ++ b2).sorted(ord).take(k)
+
+  override def finish(b: Seq[(Double, Long)]): Seq[Double] =
+    b.sorted(ord).map(_._1)
+
+  override def bufferEncoder: Encoder[Seq[(Double, Long)]] =
+    ExpressionEncoder[Seq[(Double, Long)]]()
+  override def outputEncoder: Encoder[Seq[Double]] =
+    ExpressionEncoder[Seq[Double]]()
+}
+
 object TopK {
 
   /** `(qid, vec_id, sim)` rows → per-qid top-k `(qid, neighbor_id, rnk)`

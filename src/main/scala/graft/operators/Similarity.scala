@@ -199,45 +199,61 @@ object Similarity {
   }
 
   /** The ratio-margin selection shared by [[bitextMine]] (all-pairs
-    * scores) and [[bitextMineAnn]] (LSH-candidate scores): rank each
-    * direction's neighborhood, average the top-k sims per endpoint
-    * (DESC-sorted sequential fold — the FP-order pin the oracle
-    * replays; short groups divide by what exists), and keep each
-    * (lang, src) group's best match when `sim / mean(mx, my)` clears
-    * the threshold. Operating on whatever `scored` relation the caller
-    * supplies is exactly what makes the ANN twin "the SAME margin over
-    * ANN candidates": the tail is this one function.
+    * scores) and [[bitextMineAnn]] (LSH-candidate scores): average the
+    * top-k sims per endpoint in each direction (DESC-sorted sequential
+    * fold — the FP-order pin the oracle replays; short groups divide
+    * by what exists), and keep each (lang, src) group's best match
+    * when `sim / mean(mx, my)` clears the threshold. Operating on
+    * whatever `scored` relation the caller supplies is exactly what
+    * makes the ANN twin "the SAME margin over ANN candidates": the
+    * tail is this one function.
+    *
+    * Scale shape (rebuilt in r19): every stage is a k-bounded or
+    * 1-bounded FOLD with map-side combine, never a corpus-wide window
+    * — the old formulation exchanged the full candidate relation
+    * three times (two neighborhood row_number windows + the final
+    * margin-rank window) and was the dominant shuffle of all three
+    * bitext rows (the exact baseline alone moved 48 MB at sf0.1).
+    * Now: per-direction neighborhoods are [[graft.functions.TopSims]]
+    * folds (≤ k sims per endpoint per upstream partition cross the
+    * exchange), the margin join's mean relations are endpoint-scale
+    * slim (id + double) rows AQE broadcasts at bench scale and
+    * sort-merges at corpus scale, and the per-(lang, src) winner is a
+    * 1-bounded `max(struct(margin, −tgt, tgt))` fold — higher margin
+    * wins, ties to the lower tgt_id, NaN-first double ordering: the
+    * exact total order of the replaced `row_number()` — so the pair
+    * set, and every oracle hash, is unchanged.
     */
   private def marginSelect(scored: DataFrame, k: Int, threshold: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val wx = Window.partitionBy(col("lang"), col("src_id"))
-      .orderBy(col("sim").desc, col("tgt_id").asc)
-    val wy = Window.partitionBy(col("lang"), col("tgt_id"))
-      .orderBy(col("sim").desc, col("src_id").asc)
-    val ranked = scored
-      .withColumn("rnx", row_number().over(wx))
-      .withColumn("rny", row_number().over(wy))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-
-    def neighborhoodMean(rankCol: String, idCol: String, out: String): DataFrame =
-      ranked.filter(col(rankCol) <= k)
-        .groupBy(col("lang"), col(idCol))
-        .agg(collect_list(col("sim")).as("sims"))
-        .select(col("lang"), col(idCol),
+    def neighborhoodMean(keyCol: String, otherCol: String, out: String): DataFrame = {
+      val spark = scored.sparkSession
+      import spark.implicits._
+      scored.select(col("lang"), col(keyCol), col(otherCol), col("sim"))
+        .as[(String, Long, Long, Double)]
+        .groupByKey(r => (r._1, r._2))
+        .mapValues(r => (r._4, r._3))
+        .agg(new graft.functions.TopSims(k).toColumn.name("sims"))
+        .map { case ((lang, id), sims) => (lang, id, sims) }
+        .toDF("lang", keyCol, "sims")
+        .select(col("lang"), col(keyCol),
+          // the fold input is already DESC-sorted by the aggregator;
+          // the sort_array wrap keeps the summation-order expression
+          // textually identical to the oracle's replay
           (aggregate(sort_array(col("sims"), asc = false), lit(0.0),
             (acc, x) => acc + x) / size(col("sims")).cast("double")).as(out))
-    val mx = neighborhoodMean("rnx", "src_id", "mx")
-    val my = neighborhoodMean("rny", "tgt_id", "my")
+    }
+    val mx = neighborhoodMean("src_id", "tgt_id", "mx")
+    val my = neighborhoodMean("tgt_id", "src_id", "my")
 
     scored
       .join(mx, Seq("lang", "src_id"))
       .join(my, Seq("lang", "tgt_id"))
       .withColumn("margin", col("sim") / ((col("mx") + col("my")) * lit(0.5)))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("lang"), col("src_id"))
-          .orderBy(col("margin").desc, col("tgt_id").asc)))
-      .filter(col("rk") === 1 && col("margin") >= threshold)
-      .select(col("lang"), col("src_id"), col("tgt_id"))
+      .groupBy(col("lang"), col("src_id"))
+      .agg(max(struct(col("margin"), (-col("tgt_id")).as("nt"),
+        col("tgt_id").as("tgt"))).as("w"))
+      .filter(col("w.margin") >= threshold)
+      .select(col("lang"), col("src_id"), col("w.tgt").as("tgt_id"))
   }
 
   /** [[bitextMine]]'s 100 TB path, registered: the SAME ratio-margin
@@ -316,31 +332,53 @@ object Similarity {
     */
   private def bitextScoredLeveled(banded: DataFrame, vecs: DataFrame,
                                   bb: Int, maxLevel: Int): DataFrame = {
-    // probe fan-out on the en side only — the one-sided hamming-≤k
-    // expansion covers the symmetric ≤k-bit condition, and en is the
-    // natural probe side (one source language vs the union of targets)
-    //
-    // The fan-out rows are SLIM — (src_id, band, band_val, plevel),
-    // ~28 bytes: the hamming ball multiplies the probed side by
-    // 1 + b + C(b,2) at level 2, and carrying 64-double vectors
-    // through that expansion made this the registry's largest
-    // exchange (87 MB at sf0.1). Vectors re-join ONCE PER UNIQUE PAIR
-    // after the dedup group-by — the same bytes-over-flops trade as
-    // dedupEmbeddingAnn, applied to the fan-out side: the collision
-    // join and pair dedup move ids, the two id-keyed vector joins
-    // move each vector once per surviving pair, and the cosine is
-    // computed per pair instead of per collision (a pure saving —
-    // sim is a function of the pair, so every duplicate collision
-    // recomputed the identical double before).
-    val src = probeExpandLeveled(
-      banded.filter(col("lang") === "en")
-        .select(col("vec_id").as("src_id"), col("band"), col("band_val")),
-      bb, maxLevel)
-    val tgt = banded.filter(col("lang") =!= "en")
+    // The fan-out rows are SLIM — (id, band, band_val [, mask]),
+    // ~28 bytes: carrying 64-double vectors through the hamming-ball
+    // expansion made this the registry's largest exchange (87 MB at
+    // sf0.1). Vectors re-join ONCE PER UNIQUE PAIR after the dedup
+    // group-by — the same bytes-over-flops trade as dedupEmbeddingAnn,
+    // applied to the fan-out side: the collision join and pair dedup
+    // move ids, the two id-keyed vector joins move each vector once
+    // per surviving pair, and the cosine is computed per pair instead
+    // of per collision.
+    val en = banded.filter(col("lang") === "en")
+      .select(col("vec_id").as("src_id"), col("band"), col("band_val"))
+    val other = banded.filter(col("lang") =!= "en")
       .select(col("lang"), col("vec_id").as("tgt_id"),
         col("band"), col("band_val"))
-
-    tgt.join(src, Seq("band", "band_val"))
+    val collided =
+      if (maxLevel == 2) {
+        // TWO-SIDED split of the level-2 shell: ball(2) is the
+        // Minkowski sum ball(1) ⊕ ball(1), so expanding BOTH sides by
+        // radius ≤ 1 (1 + b rows each) covers every pair within
+        // hamming distance 2 while exchanging 2·(1+b)·rows instead of
+        // the one-sided (1 + b + C(b,2))·rows — at the derivation's
+        // 45-bit ceiling that is 92× vs 1081× fan-out, and the C(b,2)
+        // term that dominated this exchange never materializes. A
+        // pair at distance d collides under every (srcMask, tgtMask)
+        // split with srcMask⊕tgtMask = diff; the canonical-split
+        // filter keeps exactly one per band — (0,0) for d=0, (diff,0)
+        // for d=1, the srcMask<tgtMask orientation for d=2 — so the
+        // join OUTPUT (and hence the pair set, plevel = popcount sum
+        // = d, and every downstream hash) is identical to the
+        // one-sided expansion, collision for collision.
+        val src = probeExpandMasked(en, bb, "src_mask")
+        val tgt = probeExpandMasked(other, bb, "tgt_mask")
+        tgt.join(src, Seq("band", "band_val"))
+          .filter(col("tgt_mask") === 0L ||
+            (col("src_mask") =!= 0L && col("src_mask") < col("tgt_mask")))
+          .withColumn("plevel",
+            (bit_count(col("src_mask")) + bit_count(col("tgt_mask"))).cast("int"))
+          .drop("src_mask", "tgt_mask")
+      } else {
+        // levels 0/1: the one-sided expansion is already minimal
+        // (1 + b rows on the en side — the natural probe side, one
+        // source language vs the union of targets); deeper-than-2
+        // sweeps would need a radius-⌈L/2⌉ split filter and stay
+        // one-sided until a consumer exists.
+        other.join(probeExpandLeveled(en, bb, maxLevel), Seq("band", "band_val"))
+      }
+    collided
       .groupBy(col("lang"), col("src_id"), col("tgt_id"))
       .agg(min(col("plevel")).as("plevel"))
       .join(vecs.select(col("vec_id").as("src_id"),
@@ -617,22 +655,24 @@ object Similarity {
     * end to end, so the DuckDB oracle replays training, assignment,
     * probe, and re-rank.
     *
-    * SIZING at scale: `nlist`/`nprobe` are deployment knobs, not
-    * derived — deliberately, unlike the LSH band width. The banding
-    * derivation protects a GUARANTEE (linear candidate growth) with
-    * no recall counterpart: the probe side re-buys recall
-    * independently. IVF's knobs trade recall against scan fraction
-    * directly (`nprobe/nlist` of the corpus per query), the right
-    * setting depends on the corpus's cluster structure and the
-    * deployment's latency budget, and the registered
-    * `ann_nprobe_sweep` row exists precisely to price that trade per
-    * corpus. The standard large-corpus setting is nlist ≈ √(N/target
-    * cell size) with nprobe chosen off the sweep; both thread through
-    * every variant here, and the codebook trainer is k-agnostic
-    * (dedup_semantic already trains at k=64 on the same machinery).
+    * SIZING at scale: `nlist` DERIVES from corpus cardinality by
+    * default ([[derivedNlist]]: the smallest power of two ≥ 16 with
+    * k²·8 ≥ N — the standard nlist ≈ √(N/target cell size) sizing,
+    * made integer-exact so the oracle replays it). A fixed nlist
+    * holds cell population ∝ N, so at 100× the corpus the probed-cell
+    * scan reverts toward linear-in-N per query — the same cliff shape
+    * the LSH band derivation closed; deriving k ∝ √N bounds the scan
+    * at nprobe·8·√(N/8) = O(√N). `nprobe` stays a deployment knob —
+    * it trades recall against scan fraction directly, the right
+    * setting depends on the corpus's cluster structure and latency
+    * budget, and the registered `ann_nprobe_sweep` row prices that
+    * trade per corpus. Both thread through every variant here, and
+    * the codebook trainer is k-agnostic (dedup_semantic already
+    * trains at k=64 on the same machinery).
     */
-  def annIvf(spark: SparkSession, dir: String, nlist: Int = 16, nprobe: Int = 4): DataFrame =
-    annIvfWith(spark, dir, ivfCodebook(spark, dir, nlist), nprobe)
+  def annIvf(spark: SparkSession, dir: String, nlist: Int = 0, nprobe: Int = 4): DataFrame =
+    annIvfWith(spark, dir,
+      ivfCodebook(spark, dir, resolveNlist(spark, dir, nlist)), nprobe)
 
   /** [[annIvf]] against an explicit codebook and query set — the
     * codebook-comparison hook AnnCodebookSpec drives with the trained
@@ -691,7 +731,7 @@ object Similarity {
     * parquet roundtrip bit-exactly, so the result is bit-identical to
     * the in-query variant and shares its DuckDB oracle.
     */
-  def annIvfStanding(spark: SparkSession, dir: String, nlist: Int = 16, nprobe: Int = 4): DataFrame =
+  def annIvfStanding(spark: SparkSession, dir: String, nlist: Int = 0, nprobe: Int = 4): DataFrame =
     annIvfStandingImpl(spark, dir, nlist, nprobe, appendEpoch = false)
 
   /** The IVF partition index's APPEND lifecycle, executed: epoch 1
@@ -705,7 +745,7 @@ object Similarity {
     * [[annIvf]] and shares their DuckDB oracle; `StandingIndexSpec`'s
     * partition-count pin runs against this variant too.
     */
-  def annIvfStandingAppend(spark: SparkSession, dir: String, nlist: Int = 16, nprobe: Int = 4): DataFrame =
+  def annIvfStandingAppend(spark: SparkSession, dir: String, nlist: Int = 0, nprobe: Int = 4): DataFrame =
     annIvfStandingImpl(spark, dir, nlist, nprobe, appendEpoch = true)
 
   /** The centroid-load + cell-similarity prelude shared by the whole
@@ -765,8 +805,9 @@ object Similarity {
   }
 
   private def annIvfStandingImpl(
-      spark: SparkSession, dir: String, nlist: Int, nprobe: Int,
+      spark: SparkSession, dir: String, nlist0: Int, nprobe: Int,
       appendEpoch: Boolean): DataFrame = {
+    val nlist = resolveNlist(spark, dir, nlist0)
     val emb = withNorm(spark, dir)
     val (nCells, cellSims) = ivfCodebook(spark, dir, nlist)
       .getOrElse(return emptyProbeFrame(spark))
@@ -817,7 +858,8 @@ object Similarity {
     * the takedown predicate applied on the candidate side.
     */
   def annIvfStandingDelete(spark: SparkSession, dir: String,
-                           nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+                           nlist0: Int = 0, nprobe: Int = 4): DataFrame = {
+    val nlist = resolveNlist(spark, dir, nlist0)
     val emb = withNorm(spark, dir)
     val (nCells, cellSims) = ivfCodebook(spark, dir, nlist)
       .getOrElse(return emptyProbeFrame(spark))
@@ -852,7 +894,8 @@ object Similarity {
     */
   private[graft] def annIvfSoftDeleteProbe(
       spark: SparkSession, dir: String, table: String,
-      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+      nlist0: Int = 0, nprobe: Int = 4): DataFrame = {
+    val nlist = resolveNlist(spark, dir, nlist0)
     val emb = withNorm(spark, dir)
     val (nCells, cellSims) = ivfCodebook(spark, dir, nlist)
       .getOrElse(return emptyProbeFrame(spark))
@@ -1389,14 +1432,21 @@ object Similarity {
     * The codebook here is the deterministic first-`ksub` vectors'
     * subvectors. Unlike the IVF coarse codebook (now the trained
     * [[sphericalCentroids]]), training THIS codebook was measured and
-    * declined: two per-subspace L2 Lloyd rounds moved recall@5
-    * 13→12/50 (first-`ksub` init) and 13→13/50 (hash-spread init) on
-    * the registered corpus — the int8 subvector distribution is
-    * isotropic, so quantization distortion is init-insensitive there
-    * and the 16 extra training scans buy nothing. A trained codebook
-    * still slots in without touching the encode/ADC plumbing when a
-    * corpus with structured subspaces warrants it. Collecting the
-    * codebook is model-scale (ksub×64 ints).
+    * declined TWICE: (r18) two per-subspace L2 Lloyd rounds moved
+    * recall@5 13→12/50 (first-`ksub` init) and 13→13/50 (hash-spread
+    * init) on the registered corpus — isotropic int8 subvectors, so
+    * distortion is init-insensitive there; (r19, RECALL.json) the
+    * same training re-measured on the planted CLUSTERED corpus — the
+    * data where the coarse codebook's training demonstrably wins —
+    * and LOST recall at both sizes (21→12/50 at N=2k, 8→5/50 at
+    * N=16k, ADC semantics replicated exactly: the driver replica leg
+    * reproduces the in-plan figures bit-for-bit). Full-vector cluster
+    * structure does not survive 8-dim slicing: per-subspace Lloyd
+    * from the degenerate init collapses code spread toward subspace
+    * means. A trained codebook still slots in without touching the
+    * encode/ADC plumbing if a corpus with genuinely structured
+    * subspaces appears. Collecting the codebook is model-scale
+    * (ksub×64 ints).
     *
     * Integer-exact end to end: codes and centroids are int8 values, so
     * every squared distance is an exact integer (≤ 64·254² ≪ 2⁵³) and
@@ -1488,19 +1538,22 @@ object Similarity {
     * not a constant shift across candidates from different cells and
     * cannot be dropped.
     *
-    * The coarse codebook is the TRAINED [[finalCentroids]] at
-    * k = `nlist` (two integer-exact Lloyd rounds in the quantized
-    * space — the same codebook [[annIvf]] routes by); the PQ codebook
-    * is residuals of the `ksub` vectors with ids nlist..nlist+ksub
-    * against those trained cells. Both are model-scale collects.
+    * The coarse codebook is the TRAINED [[sphericalCentroids]] at
+    * k = `nlist` (two integer-exact cosine-assignment Lloyd rounds in
+    * the quantized space — the same codebook [[annIvf]] routes by,
+    * with nlist derived from corpus cardinality by default); the PQ
+    * codebook is residuals of the `ksub` vectors with ids
+    * nlist..nlist+ksub against those trained cells. Both are
+    * model-scale collects.
     * Integer-exact end to end (int8 codes ⇒ integer centroids ⇒
     * integer residuals ⇒ integer squared distances), so the DuckDB
     * oracle replays the whole pipeline — training rounds included —
     * with every tie.
     */
-  def annIvfPq(spark: SparkSession, dir: String, nlist: Int = 16, nprobe: Int = 4,
+  def annIvfPq(spark: SparkSession, dir: String, nlist0: Int = 0, nprobe: Int = 4,
       m: Int = 8, ksub: Int = 16): DataFrame = {
     import spark.implicits._
+    val nlist = resolveNlist(spark, dir, nlist0)
     val dim = 64
     val dsub = dim / m
     val qd = quantizedCodes(spark, dir)
@@ -1636,6 +1689,43 @@ object Similarity {
   private[graft] def derivedBandCount(bandBits: Int): Int =
     4 + math.max(0, bandBits - 16)
 
+  /** Corpus-derived IVF cell count — [[derivedBandBits]]'s analog for
+    * the coarse quantizer: the smallest power of two k ≥ 16 with
+    * k²·8 ≥ N, i.e. k ≈ √(N/8) rounded up to a power of two. Cell
+    * population is then N/k ≤ 8k, so a query's probed-cell scan costs
+    * nprobe·8k = O(√N) — the standard IVF sizing (nlist ∝ √N) — where
+    * a FIXED nlist reverts the probe toward linear-in-N per query
+    * (cell population ∝ N/const), the same cliff shape the LSH band
+    * derivation closed in r18. Capped at 2^20 cells (valid to
+    * N = 2^40·8 ≈ 8.8e12 vectors at occupancy ≤ 8·2^20; past that a
+    * deployment trains on a sample anyway). Pure integer shifts, so
+    * the SAME rule replays as the `nlparams` CTE in every IVF oracle
+    * (SparkEntry `nlistParamsCte`) — derived parameters stay
+    * hash-exact at any SF. At the registered corpora (500–2000
+    * vectors) the rule lands on the floor k = 16, bit-identical to
+    * the retired fixed knob; IvfScaleSpec drives planted corpora
+    * across the 2048-vector boundary where the two rules diverge.
+    */
+  private[graft] def derivedNlist(n: Long): Int = {
+    var b = 4
+    while (b < 20 && (1L << b) * (1L << b) * 8L < n) b += 1
+    1 << b
+  }
+
+  /** [[derivedNlist]] over the corpus cardinality — shares
+    * [[corpusBandBits]]'s memoized count and immutable-dir contract.
+    */
+  private[graft] def corpusNlist(spark: SparkSession, dir: String): Int =
+    derivedNlist(corpusCountCache.getOrElseUpdate(
+      (spark.sparkContext.applicationId, dir),
+      Tables.embeddings(spark, dir).count()))
+
+  /** The IVF family's knob resolution: explicit values (specs, stress
+    * probes) pass through; the 0 sentinel derives from cardinality.
+    */
+  private def resolveNlist(spark: SparkSession, dir: String, nlist: Int): Int =
+    if (nlist > 0) nlist else corpusNlist(spark, dir)
+
   private val corpusCountCache =
     scala.collection.concurrent.TrieMap[(String, String), Long]()
 
@@ -1700,9 +1790,21 @@ object Similarity {
 
   /** Drop the memoized LSH signature frames — the probe/test hook of
     * the family's session caches (same contract as
-    * [[clearCorpusCountCache]] / [[clearCentroidCache]]).
+    * [[clearCorpusCountCache]] / [[clearCentroidCache]]). The frames
+    * are EAGER localCheckpoints, so clearing the map alone would
+    * orphan corpus-scale checkpoint blocks in the block manager until
+    * GC/ContextCleaner happens to run — during exactly the
+    * measurements ScaleProbe's per-run clears exist to isolate;
+    * each frame's backing RDD is unpersisted explicitly first.
     */
   private[graft] def clearLshSigCache(): Unit = {
+    lshSigCache.values.foreach { df =>
+      org.apache.spark.sql.GraftGlue.analyzed(df) match {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
+    }
     lshSigCache.clear()
     lshSigLocks.clear()
   }
@@ -1815,6 +1917,22 @@ object Similarity {
            else col("band_val").bitwiseXOR(lit(m))).as("bv"))): _*)).as("pe"))
       .withColumn("band_val", col("pe.bv"))
       .withColumn("plevel", col("pe.pl"))
+      .drop("pe")
+
+  /** Radius-1 hamming expansion carrying the applied MASK in `maskCol`
+    * — the per-side half of [[bitextScoredLeveled]]'s two-sided level-2
+    * split, where the post-join canonical-split filter needs both
+    * sides' masks (plevel then reassembles as the popcount sum).
+    */
+  private def probeExpandMasked(bands: DataFrame, bandBits: Int,
+                                maskCol: String): DataFrame =
+    bands
+      .select(col("*"), explode(array(probeMasks(bandBits, 1).map(m =>
+        struct(lit(m).as("m"),
+          (if (m == 0L) col("band_val")
+           else col("band_val").bitwiseXOR(lit(m))).as("bv"))): _*)).as("pe"))
+      .withColumn("band_val", col("pe.bv"))
+      .withColumn(maskCol, col("pe.m"))
       .drop("pe")
 
   /** Approximate top-5 via random-hyperplane LSH: corpus-derived
@@ -2064,11 +2182,12 @@ object Similarity {
     * sweep's marginal cost per level is its own probe join, which is
     * the quantity being measured.
     */
-  def annNprobeSweep(spark: SparkSession, dir: String, nlist: Int = 16,
+  def annNprobeSweep(spark: SparkSession, dir: String, nlist: Int = 0,
                      nprobes: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
     import spark.implicits._
     val emb = withNorm(spark, dir)
-    val (nCells, cellSims) = ivfCodebook(spark, dir, nlist).getOrElse(
+    val (nCells, cellSims) = ivfCodebook(spark, dir,
+      resolveNlist(spark, dir, nlist)).getOrElse(
       return Seq.empty[(Int, Long, Long, Long, Double)]
         .toDF("nprobe", "candidates", "hits", "possible", "recall"))
     val assigned = emb
