@@ -1,0 +1,211 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Committed-artifact harness for ANN recall ON CLUSTERED DATA →
+  * `RECALL.json` (the r18 verdict's item 6): the registered
+  * `ann_recall` row runs over the synthetic testdata embeddings,
+  * which are ISOTROPIC (within-label cosine ≈ 0 — see
+  * AnnCodebookSpec's measurement), so its numbers can neither show
+  * what codebook training buys nor what recall a real, clustered
+  * corpus would see. This main plants the shard-grouped clustered
+  * corpus AnnCodebookSpec proves the training win on — 12 skewed
+  * Gaussian clusters written in cluster order, the realistic 100 TB
+  * layout — at two sizes straddling the derived-nlist boundary
+  * (N = 2,000 → nlist 16; N = 16,000 → nlist 64), runs the FULL
+  * registered scoreboard ([[graft.operators.Similarity.annRecall]]:
+  * IVF / IVF-PQ / LSH / PQ vs exact brute force) plus the first-N
+  * untrained-codebook control at equal nprobe, and writes one JSON
+  * line per (corpus, variant) so recall claims are readable
+  * round-over-round without opening a spec.
+  *
+  * Queries are ids 0–9, one drawn from each of clusters 1–10 (the
+  * registered operators' query convention), then the corpus follows
+  * in cluster order — so, as on the registered corpus, the queries
+  * coincide with the first-16 INIT rows; the trained codebook
+  * retrains away from that init (the control isolates what training
+  * contributes net of the coincidence, which here INFLATES the
+  * control), and the exact denominator is unaffected.
+  *
+  * Deterministic end to end: fixed-seed java.util.Random(7) corpus
+  * (the LCG + polar-method sequence is specified), deterministic
+  * training/probing — re-running reproduces RECALL.json byte-for-byte
+  * (timestamps deliberately omitted).
+  */
+object RecallProbe {
+
+  private val Dim = 64
+  private val BaseSizes = Seq(400, 300, 250, 200, 180, 150, 130, 120, 100, 80, 60, 30)
+
+  /** AnnCodebookSpec's shard-grouped clustered corpus at a size
+    * multiplier, with one query per cluster 1..10 moved to ids 0–9.
+    */
+  private def plantCorpus(spark: SparkSession, mult: Int, dir: String): Long = {
+    val sizes = BaseSizes.map(_ * mult)
+    val rng = new java.util.Random(7)
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val centers = Array.fill(sizes.size)(unit(Array.fill(Dim)(rng.nextGaussian())))
+    val clusterOf = for {
+      (sz, c) <- sizes.zipWithIndex
+      _ <- 0 until sz
+    } yield c
+    val vecs = clusterOf.map { c =>
+      unit(centers(c).map(x => x + 0.12 * rng.nextGaussian())).map(_.toFloat).toSeq
+    }
+    // one query per cluster 1..10: the member at each cluster's midpoint
+    val starts = sizes.scanLeft(0)(_ + _)
+    val queryPos = (1 to 10).map(c => starts(c) + sizes(c) / 2)
+    val ordered = queryPos.map(vecs) ++
+      vecs.indices.filterNot(queryPos.contains).map(vecs)
+    val s = spark
+    import s.implicits._
+    ordered.zipWithIndex.map { case (v, id) => (id.toLong, v) }
+      .toDF("vec_id", "embedding")
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    ordered.size.toLong
+  }
+
+  /** Stretch-8 measurement: per-subspace PQ codebook training (two
+    * integer-exact L2 Lloyd rounds from the first-ksub init) vs the
+    * shipped first-ksub codebook, scored as ADC recall@5 with
+    * [[graft.operators.Similarity.annPq]]'s exact scan semantics —
+    * int8 quantize (max-abs, floor), m=8 × dsub=8 subspaces, argmin
+    * encode with ties to the lowest code id, distance rank ties to
+    * the lowest vec_id. Driver-side replication over the planted
+    * corpus (≤ 16k × 64 ints — measurement scale); returns
+    * (variant, hits, possible) legs for RECALL.json.
+    */
+  private def pqTrainingMeasurement(spark: SparkSession, dir: String,
+      exact: Set[(Long, Long)]): Seq[(String, Long, Long)] = {
+    val m = 8; val ksub = 16; val dsub = Dim / m
+    // int8 quantized codes, exactly embeddingQuantize's formula
+    val qd: Array[(Long, Array[Long])] = spark.read
+      .parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .collect().map { r =>
+        val v = r.getSeq[Double](1).toArray
+        val ma = v.map(math.abs).max
+        (r.getLong(0), v.map(x =>
+          if (ma == 0.0) 0L
+          else math.max(-127L, math.min(127L, math.floor(x * 127.0 / ma).toLong))))
+      }.sortBy(_._1)
+    val n = qd.length
+    def sub(v: Array[Long], ms: Int): Array[Long] = v.slice(ms * dsub, (ms + 1) * dsub)
+    def d2(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    // codebooks: per subspace, ksub centroids. Untrained = first-ksub
+    // rows' subvectors (the shipped annPq book); trained = two Lloyd
+    // rounds from that init (assign by (d2, cid) min; update =
+    // trunc'd integer mean — the sphericalCentroids/kmeansTrain house
+    // update, L2 metric because ADC ranks by L2)
+    val init: Array[Array[Array[Long]]] =
+      Array.tabulate(m)(ms => qd.take(ksub).map(r => sub(r._2, ms)))
+    def lloyd(book: Array[Array[Array[Long]]]): Array[Array[Array[Long]]] =
+      Array.tabulate(m) { ms =>
+        val cents = book(ms)
+        val sums = Array.fill(cents.length, dsub)(0L)
+        val cnts = Array.fill(cents.length)(0L)
+        qd.foreach { case (_, v) =>
+          val x = sub(v, ms)
+          val c = cents.indices.minBy(c0 => (d2(x, cents(c0)), c0))
+          cnts(c) += 1
+          var i = 0; while (i < dsub) { sums(c)(i) += x(i); i += 1 }
+        }
+        Array.tabulate(cents.length, dsub)((c, i) =>
+          if (cnts(c) == 0) cents(c)(i)
+          else (sums(c)(i).toDouble / cnts(c)).toLong)
+      }
+    def adcRecall(book: Array[Array[Array[Long]]]): Long = {
+      val codes: Array[Array[Int]] = qd.map { case (_, v) =>
+        Array.tabulate(m)(ms => {
+          val x = sub(v, ms)
+          book(ms).indices.minBy(c => (d2(x, book(ms)(c)), c))
+        })
+      }
+      (0 until 10).map { q =>
+        val lut = Array.tabulate(m, ksub)((ms, c) => d2(sub(qd(q)._2, ms), book(ms)(c)))
+        val top5 = qd.indices.filter(_ != q)
+          .map(i => ((0 until m).map(ms => lut(ms)(codes(i)(ms))).sum, qd(i)._1))
+          .sortBy(identity).take(5)
+        top5.count { case (_, id) => exact.contains((qd(q)._1, id)) }.toLong
+      }.sum
+    }
+    val possible = exact.size.toLong
+    Seq(
+      ("ann_pq_first16_driver_replica", adcRecall(init), possible),
+      ("ann_pq_trained_2lloyd", adcRecall(lloyd(lloyd(init))), possible))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val out = new StringBuilder
+    for (mult <- Seq(1, 8)) {
+      val dir = s"/tmp/graft-recallprobe-$mult"
+      val n = plantCorpus(spark, mult, dir)
+      val nlist = operators.Similarity.corpusNlist(spark, dir)
+
+      // the registered scoreboard, verbatim, over the planted corpus
+      val board = operators.Similarity.annRecall(spark, dir)
+        .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+
+      // untrained first-N control at the same derived nlist & nprobe
+      // (the AnnCodebookSpec contrast, recorded as an artifact row)
+      val exact = operators.Similarity.topKBrute(spark, dir)
+        .select(col("qid"), col("neighbor_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val firstN = operators.Similarity.annIvfWith(spark, dir,
+          operators.Similarity.ivfCodebookFirstN(spark, dir, nlist), nprobe = 4)
+        .select(col("qid"), col("neighbor_id")).collect()
+        .count(r => exact.contains((r.getLong(0), r.getLong(1))))
+
+      // PQ subspace-codebook training, re-measured on CLUSTERED data
+      // (the r18 verdict's stretch 8): r18 measured training flat
+      // (13→12/50) on the isotropic registered corpus — where no
+      // codebook can win — and declined it. The clustered corpus is
+      // where distortion structure exists; this leg trains
+      // per-subspace codebooks with two integer-exact L2 Lloyd rounds
+      // (the house recipe: trunc'd integer means, ties to the lowest
+      // id) from the same first-ksub init, and scores ADC recall with
+      // BYTE-IDENTICAL scan semantics to annPq (argmin encode, partial
+      // distances, (dist, id) rank) — driver-side over the planted
+      // corpora, which is the honest scale for a measurement-only
+      // prototype (the in-plan wiring follows only if this wins).
+      val pqLegs = pqTrainingMeasurement(spark, dir, exact)
+
+      (board.toSeq ++ pqLegs :+
+        (("ann_ivf_first16_control", firstN.toLong, exact.size.toLong)))
+        .foreach { case (variant, hits, possible) =>
+          out.append(
+            s"""{"corpus":"clustered-shardgrouped","n":$n,"nlist":$nlist,""" +
+            s""""nprobe":4,"variant":"$variant","k":5,"hits":$hits,""" +
+            s""""possible":$possible,"recall":${hits.toDouble / possible}}""" + "\n")
+        }
+      spark.catalog.clearCache()
+      operators.Similarity.clearLshSigCache()
+      operators.Similarity.clearCentroidCache()
+      operators.Similarity.clearCorpusCountCache()
+    }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("RECALL.json"), out.toString)
+    print(out)
+    spark.stop()
+  }
+}

@@ -296,6 +296,10 @@ object SparkEntry {
     "stream_topk_users"      -> graft.streaming.EventStreams.streamTopkUsers _,
     // ---- round 7: curation classifier + data mixing ----
     "quality_classifier"     -> Curation.qualityClassifier _,
+    // ---- round 19: the classifier TRAINED in-plan (NB on hashed
+    // unigrams against the gopher gate — no offline weight artifact)
+    "quality_classifier_trained" ->
+      ((s: SparkSession, d: String) => Curation.qualityClassifierTrained(s, d)),
     "source_mix_sample"      -> Curation.sourceMixSample _,
     // ---- round 7: span removal, incremental fuzzy dedup, prototype prune ----
     "dedup_span_remove"      -> ((s: SparkSession, d: String) => Dedup.dedupSpanRemove(s, d)),
@@ -443,19 +447,39 @@ object SparkEntry {
                FROM u2 GROUP BY cell, dim_idx),
         c2l AS (SELECT cell, list(c_q ORDER BY dim_idx) AS c FROM c2 GROUP BY cell)"""
 
+  /** The IVF family's `nlist` derivation as a CTE — the
+    * [[lshBandCtes]] `params` pattern applied to the coarse quantizer:
+    * `nl` runs the SAME integer rule as
+    * [[graft.operators.Similarity.derivedNlist]] (the smallest power
+    * of two 2^b, b in [4, 20], with 2^b·2^b·8 ≥ count(embeddings) —
+    * nlist ≈ √(N/8), pure integer shifts). The derivation is REPLAYED,
+    * not baked in, so one oracle string stays hash-exact at every SF
+    * while the engine's cell count scales ∝ √N.
+    */
+  private val nlistParamsCte: String =
+    """nlparams AS (SELECT CAST(1 AS BIGINT) << lb AS nl FROM (
+         SELECT coalesce(
+           (SELECT min(b) FROM (SELECT unnest(range(4, 21)) AS b)
+            WHERE (CAST(1 AS BIGINT) << b) * (CAST(1 AS BIGINT) << b) * 8
+                    >= (SELECT count(*) FROM embeddings)),
+           20) AS lb))"""
+
   /** [[kmeansCtes]]'s SPHERICAL twin, replaying
     * [[graft.operators.Similarity.sphericalCentroids]]'s two
-    * cosine-assignment Lloyd rounds for a given k: int8 quantize →
-    * init (vec_id < k) → (assign by dot(q,c)/‖c‖ with a −1e9 sentinel
-    * for dead all-zero centroids, ties to the lowest cell; update =
-    * per-dim trunc'd integer mean) ×2. Ends exposing `c2l` (cell →
-    * integer centroid list) under the same contract as kmeansCtes, so
-    * the IVF-family oracles consume either chain unchanged. Dot
-    * products of int8 codes are exact integers; the sim ratio is the
-    * only double and both engines compute it from identical operands.
+    * cosine-assignment Lloyd rounds at the DERIVED k (the
+    * [[nlistParamsCte]] rule — the same k the engine resolves): int8
+    * quantize → init (vec_id < nl) → (assign by dot(q,c)/‖c‖ with a
+    * −1e9 sentinel for dead all-zero centroids, ties to the lowest
+    * cell; update = per-dim trunc'd integer mean) ×2. Ends exposing
+    * `c2l` (cell → integer centroid list) under the same contract as
+    * kmeansCtes, so the IVF-family oracles consume either chain
+    * unchanged. Dot products of int8 codes are exact integers; the
+    * sim ratio is the only double and both engines compute it from
+    * identical operands.
     */
-  private def sphericalKmeansCtes(k: Int): String =
-    s"""m AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v,
+  private val sphericalKmeansCtesDerived: String =
+    s"""$nlistParamsCte,
+        m AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v,
                      list_max(list_transform(cast(embedding AS DOUBLE[]),
                                              x -> abs(x))) AS ma
               FROM embeddings),
@@ -466,7 +490,7 @@ object SparkEntry {
               FROM m),
         c0 AS (SELECT vec_id AS cell, q AS c,
                       sqrt(CAST(list_sum(list_transform(q, x -> x*x)) AS DOUBLE)) AS cn
-               FROM q WHERE vec_id < $k),
+               FROM q WHERE vec_id < (SELECT nl FROM nlparams)),
         d1 AS (SELECT q.vec_id, q.q, c0.cell,
                       CASE WHEN c0.cn = 0 THEN -1000000000.0
                            ELSE CAST(list_sum(list_transform(range(1, len(q.q) + 1),
@@ -1018,13 +1042,15 @@ object SparkEntry {
   /** [[annIvfSql]] with an extra predicate on the CANDIDATE side of the
     * probe join — the delete lifecycle replays as "the same plan minus
     * the tombstoned rows" (same shape as minhashIncrementalSqlWith).
-    * The codebook is the TRAINED two-round Lloyd result (`kmeansCtes`,
-    * the same training replay kmeans_train/dedup_semantic verify):
+    * The codebook is the TRAINED two-round SPHERICAL Lloyd result
+    * (`sphericalKmeansCtesDerived` — the cosine-assignment replay of
+    * [[graft.operators.Similarity.sphericalCentroids]], at the
+    * nlist the `nlparams` CTE derives from corpus cardinality):
     * integer centroid components, so the cosine similarities replay
     * bit-exactly like the old first-16 raw-vector stand-in did.
     */
   private def annIvfSqlWith(candidateFilter: String): String =
-    s"""WITH ${sphericalKmeansCtes(16)},
+    s"""WITH $sphericalKmeansCtesDerived,
               e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v,
                            sqrt(list_reduce(list_prepend(0.0,
                              list_transform(cast(embedding AS DOUBLE[]), x -> x*x)),
@@ -1081,6 +1107,52 @@ object SparkEntry {
                              JOIN n nb ON contained = nb.doc_id
                       WHERE (na.ns > nb.ns OR (na.ns = nb.ns AND container < contained))
                         AND inter * 10 >= nb.ns * 9)"""
+
+  /** [[graft.operators.Curation.qualityClassifierTrained]]'s replay.
+    * `lm(x)` is the house micro-nat log (floor(ln(int)·10⁶) — exact
+    * BIGINT both engines agree on); the label CTE is gopher_rules'
+    * keep arithmetic, the feature hash the portable md5-bucket idiom.
+    */
+  private val qualityClassifierTrainedSql: String = {
+    def lm(e: String): String =
+      s"CAST(floor(ln(CAST(($e) AS DOUBLE)) * 1000000) AS BIGINT)"
+    s"""WITH t AS (SELECT doc_id,
+                          list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS ts
+                   FROM documents),
+            g AS (SELECT doc_id,
+                         ((CAST(len(ts) AS BIGINT) >= 50 AND len(ts) <= 100000)
+                          AND (3 * len(ts) <= coalesce(list_sum(list_transform(ts, x -> length(x))), 0)
+                               AND coalesce(list_sum(list_transform(ts, x -> length(x))), 0) <= 10 * len(ts))
+                          AND (5 * len(list_filter(ts, x -> regexp_matches(x, '[a-zA-Z]'))) >= 4 * len(ts))
+                          AND (len(list_intersect(list_distinct(ts),
+                                ['the','be','to','of','and','that','have','with'])) >= 2)) AS lab
+                  FROM t),
+            f AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 7))::BIGINT % 1024 AS feat
+                  FROM (SELECT doc_id, unnest(ts) AS tok FROM t)),
+            fl AS (SELECT f.doc_id, feat, lab FROM f JOIN g USING (doc_id)),
+            df AS (SELECT doc_id, feat, count(*) AS c_df FROM fl GROUP BY 1, 2),
+            model AS (SELECT feat,
+                             CAST(sum(CASE WHEN lab THEN 1 ELSE 0 END) AS BIGINT) AS c_keep,
+                             CAST(sum(CASE WHEN lab THEN 0 ELSE 1 END) AS BIGINT) AS c_drop
+                      FROM fl GROUP BY 1),
+            tot AS (SELECT CAST(sum(CASE WHEN lab THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+                           CAST(sum(CASE WHEN lab THEN 0 ELSE 1 END) AS BIGINT) AS n_drop,
+                           CAST(count(DISTINCT feat) AS BIGINT) AS v
+                    FROM fl),
+            pri AS (SELECT CAST(sum(CASE WHEN lab THEN 1 ELSE 0 END) AS BIGINT) AS d_keep,
+                           CAST(sum(CASE WHEN lab THEN 0 ELSE 1 END) AS BIGINT) AS d_drop
+                    FROM g),
+            ev AS (SELECT df.doc_id,
+                          CAST(sum(c_df * (${lm("c_keep + 1")} - ${lm("n_keep + v")}
+                                           - ${lm("c_drop + 1")} + ${lm("n_drop + v")}))
+                            AS BIGINT) AS evidence
+                   FROM df JOIN model USING (feat) CROSS JOIN tot
+                   GROUP BY 1)
+       SELECT g.doc_id,
+              coalesce(evidence, 0) + ${lm("d_keep + 1")} - ${lm("d_drop + 1")} AS score,
+              (coalesce(evidence, 0) + ${lm("d_keep + 1")} - ${lm("d_drop + 1")}) > 0 AS keep
+       FROM g LEFT JOIN ev USING (doc_id) CROSS JOIN pri"""
+  }
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
     "taskA_filter_project" ->
@@ -1969,7 +2041,8 @@ object SparkEntry {
     // delete-lifecycle twin: same replay minus the tombstoned
     // candidates (soft-delete predicate ≡ post-compaction contents)
     "similarity_ann_delete" ->
-      annIvfSqlWith(" AND NOT (a.vec_id % 10 = 3 AND a.vec_id >= 16)"),
+      annIvfSqlWith(
+        " AND NOT (a.vec_id % 10 = 3 AND a.vec_id >= (SELECT nl FROM nlparams))"),
     // Full LSH replay: md5-derived integer plane weights (exact as
     // doubles), sequential-dot sign bits, corpus-derived banding,
     // hamming-<=1 query-side probe fan-out, candidate dedupe,
@@ -2031,16 +2104,17 @@ object SparkEntry {
            SELECT qid, vec_id,
                   row_number() OVER (PARTITION BY qid ORDER BY dist ASC, vec_id ASC) AS rnk
            FROM adc) WHERE rnk <= 5""",
-    // Full IVF-PQ replay: int8 quantize, TRAINED two-round-Lloyd
-    // coarse codebook (kmeansCtes — the same training replay the
-    // kmeans_train row verifies), residual vs assigned cell, PQ
-    // codebook = residuals of vectors 16..31, per-subspace encode
-    // (ties to the lowest codebook id), nprobe=4 cell probe (ties to
-    // the lowest cid), full-residual ADC — integer distances
-    // throughout (trunc'd Lloyd centroids stay integer), every tie
-    // replayed.
+    // Full IVF-PQ replay: int8 quantize, TRAINED two-round SPHERICAL
+    // Lloyd coarse codebook (sphericalKmeansCtesDerived — the
+    // cosine-assignment replay of Similarity.sphericalCentroids at
+    // the nlparams-derived nlist), residual vs assigned cell, PQ
+    // codebook = residuals of the ksub=16 vectors after the nlist
+    // codebook rows, per-subspace encode (ties to the lowest codebook
+    // id), nprobe=4 cell probe (ties to the lowest cid), full-residual
+    // ADC — integer distances throughout (trunc'd Lloyd centroids
+    // stay integer), every tie replayed.
     "similarity_ann_ivfpq" ->
-      s"""WITH ${sphericalKmeansCtes(16)},
+      s"""WITH $sphericalKmeansCtesDerived,
               cb AS (SELECT cell AS cid, c,
                             sqrt(CAST(list_sum(list_transform(c, x -> x*x)) AS DOUBLE)) AS cn
                      FROM c2l),
@@ -2057,7 +2131,8 @@ object SparkEntry {
                                i -> v.q[i] - cb.c[i]) AS r
                       FROM q v JOIN a0 USING (vec_id) JOIN cb ON cb.cid = a0.cell),
               pt AS (SELECT vec_id AS pcid, r AS pr FROM res
-                     WHERE vec_id >= 16 AND vec_id < 32),
+                     WHERE vec_id >= (SELECT nl FROM nlparams)
+                       AND vec_id < (SELECT nl FROM nlparams) + 16),
               enc AS (SELECT vec_id, cell, sub, pcid AS code FROM (
                         SELECT res.vec_id, res.cell, s.sub, pt.pcid,
                                row_number() OVER (PARTITION BY res.vec_id, s.sub ORDER BY
@@ -4192,6 +4267,13 @@ object SparkEntry {
                  AND (5 * n_alpha_words >= 4 * n_tokens)
                  AND (n_stop_distinct >= 2)) AS keep
          FROM m""",
+    // Full NB training + scoring replay: gopher labels (the
+    // gopher_rules oracle's rule arithmetic inlined as the `lab`
+    // CTE), md5-hashed unigram features, per-feature class counts,
+    // add-1 smoothed micro-nat log-odds, prior from doc-level label
+    // counts — every value an exact BIGINT (floor(ln(int)·10⁶)), so
+    // training and scoring hash-replay like langid_hashed_confusion.
+    "quality_classifier_trained" -> qualityClassifierTrainedSql,
     // Per-source acquisition-triage rollup: each signal CTE is the
     // corresponding single-operator oracle verbatim (gopher_rules,
     // quality_classifier, lang_id, pii_redact), joined id-to-id and
@@ -5328,7 +5410,7 @@ object SparkEntry {
     * always emit).
     */
   private lazy val annNprobeSweepSql: String =
-    s"""WITH ${sphericalKmeansCtes(16)},
+    s"""WITH $sphericalKmeansCtesDerived,
               e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v,
                            sqrt(list_reduce(list_prepend(0.0,
                              list_transform(cast(embedding AS DOUBLE[]), x -> x*x)),

@@ -282,6 +282,76 @@ object Curation {
       .withColumn("keep", col("score") > 0L)
   }
 
+  /** In-plan TRAINED quality classifier — closes the curation stack's
+    * last offline artifact: [[qualityClassifier]] scores with weights
+    * fit OFFLINE (`tools/train_quality.py`); this row trains the same
+    * hashed-feature model shape IN THE ENGINE, end to end, using the
+    * [[graft.operators.TextOps.langidHashedConfusion]] recipe — hashed
+    * unigram features (1024 md5 buckets), binary Naive Bayes with
+    * add-1 smoothing, integer micro-nat logs — against the corpus's
+    * own [[gopherRules]] gate as the weak-supervision label (the
+    * CCNet/Gopher-style classifier bootstrap: fit a cheap learned
+    * scorer on heuristic labels, then gate with the smoother,
+    * generalizing score). Output is [[qualityClassifier]]'s shape:
+    * (doc_id, score = posterior log-odds in micro-nats, keep =
+    * score > 0). Zero-token documents score prior-only (LEFT join,
+    * never a silent drop).
+    *
+    * Integer-exact end to end: every log is floor(ln(int)·10⁶) of an
+    * exact integer count, so the DuckDB oracle replays TRAINING and
+    * scoring hash-for-hash — no offline artifact left in the loop.
+    *
+    * Scale shape: one tokenize+hash explode feeds both the per-doc
+    * feature counts and the model (partial-agg'd groupBys); the model
+    * is ≤ `buckets` slim rows and the class totals/prior are 1-row
+    * aggregates — all broadcast BY CONSTRUCTION at any corpus size
+    * (the bounded-feature-space property the hashed langid row
+    * demonstrated). The only corpus-scale exchanges are the two
+    * doc_id-keyed aggregations. QualitySpec pins that the trained
+    * scorer reproduces its training gate better than the offline
+    * baked weights, and that its calibration is monotone end-to-end.
+    */
+  def qualityClassifierTrained(spark: SparkSession, dir: String,
+      buckets: Int = 1024): DataFrame = {
+    def lnMicro(c: Column) =
+      floor(log(c.cast("double")) * lit(1000000.0)).cast("long")
+    val labels = gopherRules(spark, dir).select(col("doc_id"), col("keep").as("lab"))
+    val feats = Tables.documentsSpread(spark, dir)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("t").cast("binary")), 1, 7), 16, 10)
+          .cast("long") % buckets).as("feat"))
+      .join(labels, "doc_id")
+    val docFeats = feats.groupBy(col("doc_id"), col("feat"))
+      .agg(count(lit(1)).as("c_df"))
+    val model = feats.groupBy(col("feat"))
+      .agg(
+        sum(when(col("lab"), 1L).otherwise(0L)).as("c_keep"),
+        sum(when(!col("lab"), 1L).otherwise(0L)).as("c_drop"))
+    val totals = feats.agg(
+      sum(when(col("lab"), 1L).otherwise(0L)).as("n_keep"),
+      sum(when(!col("lab"), 1L).otherwise(0L)).as("n_drop"),
+      countDistinct(col("feat")).as("v"))
+    val priors = labels.agg(
+      sum(when(col("lab"), 1L).otherwise(0L)).as("d_keep"),
+      sum(when(!col("lab"), 1L).otherwise(0L)).as("d_drop"))
+    val evidence = docFeats
+      .join(broadcast(model), "feat")
+      .crossJoin(broadcast(totals))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c_df") * (
+        lnMicro(col("c_keep") + 1) - lnMicro(col("n_keep") + col("v"))
+          - lnMicro(col("c_drop") + 1) + lnMicro(col("n_drop") + col("v"))))
+        .as("evidence"))
+    labels.select(col("doc_id"))
+      .join(evidence, Seq("doc_id"), "left")
+      .crossJoin(broadcast(priors))
+      .select(col("doc_id"),
+        (coalesce(col("evidence"), lit(0L))
+          + lnMicro(col("d_keep") + 1) - lnMicro(col("d_drop") + 1)).as("score"))
+      .withColumn("keep", col("score") > 0L)
+  }
+
   /** Source-mix rebalancing sampler — the data-mixing step (Pile/Dolma
     * mixture weights, multilingual temperature sampling) that reshapes
     * a corpus toward a target per-source share. Targets are

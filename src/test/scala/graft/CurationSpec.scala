@@ -233,6 +233,91 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
     assert(auc > 0.9, s"held-out AUC $auc should beat 0.9")
   }
 
+  test("quality_classifier_trained: in-plan NB beats the baked offline weights " +
+    "at its gate and calibrates monotonically") {
+    import spark.implicits._
+    // A fresh draw of the prose-vs-junk generator (offset 9000 — data
+    // neither the offline fit nor the AUC test used). The trained row
+    // fits the corpus's OWN gopher labels in-plan; the claims:
+    //  (1) its keep decisions agree with the gopher gate strictly
+    //      more often than the offline baked weights do,
+    //  (2) its score ranks gopher-kept docs above dropped ones
+    //      (Mann-Whitney AUC ≥ the baked classifier's), and
+    //  (3) calibration is monotone at the ends: the top score tercile
+    //      keep-rate exceeds the bottom tercile's.
+    val prose = ("the be to of and that have with it is in for not on as you do at " +
+      "this but his by from they we say her she or an will my one all " +
+      "would there their what so up out if about who get which go me when " +
+      "make can like time no just him know take people into year your good").split(" ")
+    val junk = ("buy cheap casino loan click free win credit $$$ !!! ### 0x1f 0xdead " +
+      "111 222222 3333333 99999999 aaaaaaaaaaaaaaaaaaaa zzzzzzzzzzzz " +
+      "qqqqqqqqqq href= <div> </div> [url] {json} %%% ~~~ === +++ 4u2").split(" ")
+    val off = 9000
+    val docs = (0 until 400).map { i =>
+      val n = 30 + (i * 7 + off) % 90
+      val mix = (i * 13 + off) % 10
+      val toks = (0 until n).map { j =>
+        val other = (j % 10) < (mix / 2)
+        if ((i % 2 == 0) != other) prose((i * 17 + j * 31 + off) % prose.length)
+        else junk((i * 11 + j * 23 + off) % junk.length)
+      }
+      (i.toLong, toks.mkString(" "))
+    }
+    val dir = scratchDir("graft-quality-trained")
+    docs.map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val labels = Curation.gopherRules(spark, dir).select("doc_id", "keep").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(labels.values.count(identity) > 100 && labels.values.count(!_) > 100,
+      "labels must be two-sided for agreement/AUC to mean anything")
+    def collected(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Boolean)] =
+      df.select("doc_id", "score", "keep").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    val baked = collected(Curation.qualityClassifier(spark, dir))
+    val trained = collected(Curation.qualityClassifierTrained(spark, dir))
+
+    val agreeBaked = labels.count { case (id, l) => baked(id)._2 == l }
+    val agreeTrained = labels.count { case (id, l) => trained(id)._2 == l }
+    info(s"gate agreement over ${labels.size}: baked=$agreeBaked trained=$agreeTrained")
+    assert(agreeTrained > agreeBaked,
+      s"in-plan training should beat offline weights at its own gate " +
+        s"($agreeTrained vs $agreeBaked)")
+
+    def auc(scores: Map[Long, (Long, Boolean)]): Double = {
+      val sorted = scores.toArray.map { case (id, (s, _)) => (id, s) }.sortBy(_._2)
+      val rank = scala.collection.mutable.Map[Long, Double]()
+      var i = 0
+      while (i < sorted.length) {
+        var j = i
+        while (j < sorted.length && sorted(j)._2 == sorted(i)._2) j += 1
+        val avg = (i + 1 + j).toDouble / 2.0
+        (i until j).foreach(k => rank(sorted(k)._1) = avg)
+        i = j
+      }
+      val pos = sorted.collect { case (id, _) if labels(id) => rank(id) }
+      val nPos = pos.length.toDouble
+      (pos.sum - nPos * (nPos + 1) / 2.0) / (nPos * (sorted.length - nPos))
+    }
+    val aucTrained = auc(trained)
+    info(f"AUC vs gopher labels: baked=${auc(baked)}%.3f trained=$aucTrained%.3f")
+    assert(aucTrained > 0.95, s"trained AUC $aucTrained should beat 0.95 on its gate")
+    assert(aucTrained >= auc(baked) - 0.005,
+      "training in-plan must not rank worse than the offline fit")
+
+    // end-to-end calibration: top vs bottom score tercile keep-rate
+    val byScore = trained.toSeq.sortBy(_._2._1).map(_._1)
+    val third = byScore.length / 3
+    def keepRate(ids: Seq[Long]): Double =
+      ids.count(labels(_)).toDouble / ids.length
+    val lo = keepRate(byScore.take(third))
+    val hi = keepRate(byScore.takeRight(third))
+    info(f"keep-rate by score tercile: bottom=$lo%.2f top=$hi%.2f")
+    assert(hi > lo + 0.5,
+      s"calibration collapsed: top tercile $hi vs bottom $lo")
+  }
+
   test("source_mix_sample saturates starved sources and replays the gate exactly") {
     val kept = Curation.sourceMixSample(spark, mixDir).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap

@@ -125,6 +125,7 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
     "dedup_minhash_append" -> "same batch-cutoff scalar aggregate as dedup_minhash_standing (append-lifecycle twin)",
     "dedup_minhash_delete" -> "same batch-cutoff scalar aggregate as dedup_minhash_standing (delete-lifecycle twin)",
     "dsir_importance" -> "final pass of the corpus-totals scalar aggregate over the 1024-row bucket table: one partial row per upstream partition",
+    "quality_classifier_trained" -> "final passes of the 1-row class-total/prior scalar aggregates (n_keep/n_drop/v and d_keep/d_drop): one partial row per upstream partition each; the model table is 1024-bounded",
     "kneser_ney_probs" -> "final pass of the distinct-bigram-type scalar aggregate: one partial row per upstream partition",
     "trigram_kn_probs" -> "final pass of the distinct-bigram-type scalar aggregate (backoff denominator D): one partial row per upstream partition",
     "doc_knn_tfidf" -> "final pass of the corpus-count scalar aggregate (idf numerator N): one partial row per upstream partition",
