@@ -112,7 +112,7 @@ object Bench {
       // against a 1.25s steady-state wall, which is exactly the
       // "codegen oscillation" class (same code, bytes unmoved, wall
       // flipping 1.25↔3.2s across records: the flip was the eviction
-      // state, r19 pin via PlanDump's compile-time readout). With the
+      // state, r19 pin via PlanAudit --exec's compile readout). With the
       // registry's classes resident, the recorded min measures the
       // query, not the compiler — the steady-state figure a deployment
       // re-running a pipeline sees.

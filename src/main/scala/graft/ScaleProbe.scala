@@ -39,6 +39,10 @@ object ScaleProbe {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val outDir  = if (args.length > 1) args(1) else "/tmp/graft-scale-probe"
     val factor  = if (args.length > 2) args(2).toInt else 10
+    // optional 4th+ args: probe names to run (targeted A/B loop); the
+    // replica dirs are reused when already present, so a single-probe
+    // re-leg costs seconds, not the full build+sweep
+    val only: Set[String] = args.drop(3).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -47,6 +51,9 @@ object ScaleProbe {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      // registry-sized codegen class cache (the Bench fix): evictions
+      // would re-pay Janino compiles inside timed probe runs
+      .config("spark.sql.codegen.cache.maxEntries", "20000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -61,6 +68,11 @@ object ScaleProbe {
         d.withColumn(k, col(k) + lit(i.toLong * s))
       }
 
+    val replicasReady = only.nonEmpty &&
+      new java.io.File(s"$outDir/embeddings.parquet/_SUCCESS").exists()
+    if (replicasReady)
+      println(s"[probe] reusing existing ${factor}x replicas under $outDir")
+    else {
     println(s"[probe] building ${factor}x replicas under $outDir")
     val li = Tables.lineitem(spark, baseDir)
     val liSpans = Map(
@@ -88,6 +100,7 @@ object ScaleProbe {
         .withColumn("embedding",
           expr(s"concat(slice(embedding, ${rot + 1}, ${dim - rot}), slice(embedding, 1, $rot))"))
     }.reduce(_ unionAll _), "embeddings")
+    }
 
     def run(fn: (SparkSession, String) => DataFrame, dir: String,
             bust: () => Unit = () => ()): Double = {
@@ -170,7 +183,7 @@ object ScaleProbe {
         (() => operators.Similarity.clearLshSigCache()),
       "ann_recall" -> (() => operators.Similarity.clearLshSigCache()))
 
-    val results = probes.map { case (name, fn) =>
+    val results = probes.filter(p => only.isEmpty || only(p._1)).map { case (name, fn) =>
       // warm once at base so neither measurement pays first-codegen;
       // BOTH legs are min-of-2 runs: the scaled dir is freshly written,
       // so its first read pays page-cache misses that have nothing to
@@ -181,8 +194,18 @@ object ScaleProbe {
       // (cold-vs-cold in the operator-state sense; the min pair
       // controls for I/O luck, not operator warmth).
       val bust = busters.getOrElse(name, () => ())
+      // warm EACH leg's own plan before its timed pair: AQE picks
+      // different physical strategies per scale (a join broadcast at
+      // base goes sort-merge at 10x), so a base-only warm-up leaves
+      // the scaled leg's codegen/compile inside its timed runs —
+      // measured +2.4s on the bitext margin stage, misread as a scale
+      // regression until the Bench harness (warm by construction)
+      // showed the same plan at 3.1s. Operator-state caches are still
+      // busted per timed run; only compiler state is pre-paid, which
+      // is the steady-state lens every other figure uses.
       run(fn, baseDir, bust)
       val base = math.min(run(fn, baseDir, bust), run(fn, baseDir, bust))
+      run(fn, outDir, bust)
       val big = math.min(run(fn, outDir, bust), run(fn, outDir, bust))
       val ratio = big / base
       println(f"[probe] $name: base=$base%.1fs ${factor}x=$big%.1fs ratio=$ratio%.1fx")

@@ -650,4 +650,7 @@ object functions {
     GraftGlue.column(JaroWinklerSim(GraftGlue.expression(a), GraftGlue.expression(b)))
   def damerau_levenshtein(a: Column, b: Column): Column =
     GraftGlue.column(DamerauLevenshtein(GraftGlue.expression(a), GraftGlue.expression(b)))
+  def top_sims(sim: Column, id: Column, k: Int): Column =
+    GraftGlue.column(TopSimsAgg(GraftGlue.expression(sim),
+      GraftGlue.expression(id), k).toAggregateExpression())
 }

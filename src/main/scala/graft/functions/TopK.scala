@@ -39,8 +39,14 @@ class TopKBySim(k: Int)
 
   override def zero: Seq[(Double, Long)] = Nil
 
+  // the buffer is kept sorted best-first, so a candidate that cannot
+  // beat the current k-th (the common case on a big scored stream) is
+  // rejected in O(1) instead of paying a per-row sort + allocation —
+  // measured as the ScaleProbe 10x hot path of the fold consumers.
+  // Rejection is exact: `take(k)` would drop exactly those candidates.
   override def reduce(b: Seq[(Double, Long)], a: (Long, Long, Double)): Seq[(Double, Long)] =
-    ((a._3, a._2) +: b).sorted(ord).take(k)
+    if (b.size >= k && ord.compare((a._3, a._2), b.last) >= 0) b
+    else ((a._3, a._2) +: b).sorted(ord).take(k)
 
   override def merge(b1: Seq[(Double, Long)], b2: Seq[(Double, Long)]): Seq[(Double, Long)] =
     (b1 ++ b2).sorted(ord).take(k)
@@ -52,46 +58,6 @@ class TopKBySim(k: Int)
     ExpressionEncoder[Seq[(Double, Long)]]()
   override def outputEncoder: Encoder[Seq[(Long, Long)]] =
     ExpressionEncoder[Seq[(Long, Long)]]()
-}
-
-/** [[TopKBySim]]'s sibling for NEIGHBORHOOD STATS: the same k-bounded
-  * (sim DESC, id ASC) fold, finishing as the kept sims in descending
-  * order instead of ranked ids — the input to a margin denominator's
-  * sequential mean fold. Replaces a
-  * `row_number() OVER (PARTITION BY endpoint ORDER BY sim DESC)` +
-  * `rn <= k` + collect_list pipeline that exchanged EVERY scored
-  * candidate and sorted whole partitions to keep k rows: here the
-  * exchange carries at most k sims per endpoint per upstream
-  * partition (map-side combine), and nothing is globally sorted.
-  * Same total order as TopKBySim (NaN first, ties to the lower id),
-  * so the kept k-set — and therefore every downstream double — is
-  * bit-identical to the window formulation the DuckDB oracles replay.
-  */
-class TopSims(k: Int)
-    extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[Double]] {
-
-  private val ord: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
-    def compare(x: (Double, Long), y: (Double, Long)): Int = {
-      val c = java.lang.Double.compare(y._1, x._1) // DESC, NaN first
-      if (c != 0) c else java.lang.Long.compare(x._2, y._2)
-    }
-  }
-
-  override def zero: Seq[(Double, Long)] = Nil
-
-  override def reduce(b: Seq[(Double, Long)], a: (Double, Long)): Seq[(Double, Long)] =
-    (a +: b).sorted(ord).take(k)
-
-  override def merge(b1: Seq[(Double, Long)], b2: Seq[(Double, Long)]): Seq[(Double, Long)] =
-    (b1 ++ b2).sorted(ord).take(k)
-
-  override def finish(b: Seq[(Double, Long)]): Seq[Double] =
-    b.sorted(ord).map(_._1)
-
-  override def bufferEncoder: Encoder[Seq[(Double, Long)]] =
-    ExpressionEncoder[Seq[(Double, Long)]]()
-  override def outputEncoder: Encoder[Seq[Double]] =
-    ExpressionEncoder[Seq[Double]]()
 }
 
 object TopK {

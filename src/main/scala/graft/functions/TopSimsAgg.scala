@@ -1,0 +1,109 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.BinaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Native top-k-sims aggregate — [[TopSims]]'s Catalyst twin, for the
+  * margin-denominator hot path: per group, keep the k best (sim DESC,
+  * NaN first, ties to the lower id) candidates and emit their sims in
+  * descending order.
+  *
+  * Why native and not the typed [[Aggregator]]: a
+  * `groupByKey(...).mapValues(...).agg(aggregator)` plan wraps the
+  * whole candidate stream in DeserializeToObject/SerializeFromObject —
+  * every input row round-trips through Scala object codecs before the
+  * fold even sees it, which ScaleProbe measured as the dominant 10×
+  * cost of the bitext margin stage (the fold itself is O(1) per
+  * rejected row). A [[TypedImperativeAggregate]] runs inside the
+  * ordinary hash-aggregate operator on unsafe rows: update reads two
+  * primitive columns, the k-bounded buffer serializes to a few dozen
+  * bytes between partial and final, and the surrounding projections
+  * stay in whole-stage codegen. Same fold, same total order, same
+  * result — only who pays the row codec changes.
+  */
+case class TopSimsAgg(
+    sim: Expression,
+    id: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[ArrayBuffer[(Double, Long)]]
+  with BinaryLike[Expression] {
+
+  override def left: Expression = sim
+  override def right: Expression = id
+
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "top_sims"
+
+  // best-first: higher sim wins, NaN sorts first (Double.compare —
+  // matching Spark's descending sort and TopKBySim/TopSims), ties to
+  // the lower id.
+  private def better(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+    val c = java.lang.Double.compare(s2, s1) // negative ⟺ s1 ranks first
+    if (c != 0) c < 0 else i1 < i2
+  }
+
+  override def createAggregationBuffer(): ArrayBuffer[(Double, Long)] =
+    ArrayBuffer.empty
+
+  override def update(b: ArrayBuffer[(Double, Long)], input: InternalRow)
+      : ArrayBuffer[(Double, Long)] = {
+    val sv = sim.eval(input)
+    val iv = id.eval(input)
+    if (sv == null || iv == null) return b
+    insert(b, sv.asInstanceOf[Double], iv.asInstanceOf[Long])
+  }
+
+  private def insert(b: ArrayBuffer[(Double, Long)], s: Double, i: Long)
+      : ArrayBuffer[(Double, Long)] = {
+    // O(1) rejection when the candidate cannot beat the current k-th —
+    // the common case on a large scored stream
+    if (b.length >= k && !better(s, i, b.last._1, b.last._2)) return b
+    var pos = 0
+    while (pos < b.length && better(b(pos)._1, b(pos)._2, s, i)) pos += 1
+    b.insert(pos, (s, i))
+    if (b.length > k) b.remove(k, b.length - k)
+    b
+  }
+
+  override def merge(b1: ArrayBuffer[(Double, Long)],
+      b2: ArrayBuffer[(Double, Long)]): ArrayBuffer[(Double, Long)] = {
+    b2.foreach { case (s, i) => insert(b1, s, i) }
+    b1
+  }
+
+  override def eval(b: ArrayBuffer[(Double, Long)]): Any =
+    new GenericArrayData(b.map(_._1).toArray)
+
+  override def serialize(b: ArrayBuffer[(Double, Long)]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + b.length * 16)
+    bb.putInt(b.length)
+    b.foreach { case (s, i) => bb.putDouble(s); bb.putLong(i) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): ArrayBuffer[(Double, Long)] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val b = new ArrayBuffer[(Double, Long)](n)
+    var j = 0
+    while (j < n) { b += ((bb.getDouble, bb.getLong)); j += 1 }
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopSimsAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopSimsAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TopSimsAgg =
+    copy(sim = newLeft, id = newRight)
+}

@@ -214,34 +214,29 @@ object Similarity {
     * three times (two neighborhood row_number windows + the final
     * margin-rank window) and was the dominant shuffle of all three
     * bitext rows (the exact baseline alone moved 48 MB at sf0.1).
-    * Now: per-direction neighborhoods are [[graft.functions.TopSims]]
-    * folds (≤ k sims per endpoint per upstream partition cross the
-    * exchange), the margin join's mean relations are endpoint-scale
-    * slim (id + double) rows AQE broadcasts at bench scale and
-    * sort-merges at corpus scale, and the per-(lang, src) winner is a
-    * 1-bounded `max(struct(margin, −tgt, tgt))` fold — higher margin
-    * wins, ties to the lower tgt_id, NaN-first double ordering: the
-    * exact total order of the replaced `row_number()` — so the pair
-    * set, and every oracle hash, is unchanged.
+    * Now: per-direction neighborhoods are native
+    * [[graft.functions.TopSimsAgg]] folds (≤ k sims per endpoint per
+    * upstream partition cross the exchange, computed inside the
+    * ordinary hash-aggregate on unsafe rows — no object codec on the
+    * candidate stream), the margin join's mean relations are
+    * endpoint-scale slim (id + double) rows AQE broadcasts at bench
+    * scale and sort-merges at corpus scale, and the per-(lang, src)
+    * winner is a 1-bounded `max(struct(margin, −tgt, tgt))` fold —
+    * higher margin wins, ties to the lower tgt_id, NaN-first double
+    * ordering: the exact total order of the replaced `row_number()` —
+    * so the pair set, and every oracle hash, is unchanged.
     */
   private def marginSelect(scored: DataFrame, k: Int, threshold: Double): DataFrame = {
-    def neighborhoodMean(keyCol: String, otherCol: String, out: String): DataFrame = {
-      val spark = scored.sparkSession
-      import spark.implicits._
-      scored.select(col("lang"), col(keyCol), col(otherCol), col("sim"))
-        .as[(String, Long, Long, Double)]
-        .groupByKey(r => (r._1, r._2))
-        .mapValues(r => (r._4, r._3))
-        .agg(new graft.functions.TopSims(k).toColumn.name("sims"))
-        .map { case ((lang, id), sims) => (lang, id, sims) }
-        .toDF("lang", keyCol, "sims")
+    def neighborhoodMean(keyCol: String, otherCol: String, out: String): DataFrame =
+      scored.groupBy(col("lang"), col(keyCol))
+        .agg(graft.functions.functions
+          .top_sims(col("sim"), col(otherCol), k).as("sims"))
         .select(col("lang"), col(keyCol),
-          // the fold input is already DESC-sorted by the aggregator;
+          // the fold output is already DESC-sorted by the aggregator;
           // the sort_array wrap keeps the summation-order expression
           // textually identical to the oracle's replay
           (aggregate(sort_array(col("sims"), asc = false), lit(0.0),
             (acc, x) => acc + x) / size(col("sims")).cast("double")).as(out))
-    }
     val mx = neighborhoodMean("src_id", "tgt_id", "mx")
     val my = neighborhoodMean("tgt_id", "src_id", "my")
 

@@ -29,6 +29,7 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
     "bitext_mine_exact_baseline" -> "exact all-pairs (en × lang) mining baseline (README register; scale path = the registered bitext_mine_ann, the same marginSelect tail over LSH candidates)",
     "bitext_recall_sweep" -> "inherits bitext_mine's bounded all-pairs exact denominator (run once), plus per-level 1-row count scalars broadcast-crossJoined into the sweep rows",
     "taskG_inactive" -> "1-row global-max scalar kept in-plan as a broadcast crossJoin",
+    "quality_classifier_trained" -> "1-row class-totals (Laplace denominators) and label-prior scalars kept in-plan as broadcast crossJoins (the taskH shape); the model side is a 1024-bounded broadcast hash join",
     "taskH_above_avg" -> "1-row global-average scalar kept in-plan as a broadcast crossJoin",
     "similarity_topk" -> "10-query broadcast side x streamed candidates (O(kN), k-bounded)",
     "er_jaro_winkler_sql" -> "the jw-only theta join IS a nested loop by design: no sound blocking discriminates natural text (measured 285M candidates / 12.5M pairs — see JaroWinklerThresholdRewrite's scaladoc), so the plan is the fused jaro_winkler_gte kernel over a SimJoinParallelize-repartitioned streamed side",
