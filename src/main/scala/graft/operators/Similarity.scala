@@ -184,6 +184,12 @@ object Similarity {
     val tgt = emb.filter(col("lang") =!= "en")
       .select(col("lang"), col("vec_id").as("tgt_id"),
         col("v").as("tv"), col("nrm").as("tnrm"))
+      // key the STREAMED side by the first margin window's partition
+      // before the fan-out: the broadcast-NL join preserves streamed
+      // partitioning, so the (lang, tgt) window over the |en|-times
+      // larger scored relation then needs no exchange — the exchange
+      // moves to the doc-scale input side where its bytes are trivial
+      .repartition(col("lang"), col("tgt_id"))
 
     // all-pairs exact scores (the baseline's deliberate weakness);
     // persisted once — both direction windows and the margin join
@@ -227,28 +233,99 @@ object Similarity {
     * so the pair set, and every oracle hash, is unchanged.
     */
   private def marginSelect(scored: DataFrame, k: Int, threshold: Double): DataFrame = {
-    def neighborhoodMean(keyCol: String, otherCol: String, out: String): DataFrame =
-      scored.groupBy(col("lang"), col(keyCol))
-        .agg(graft.functions.functions
-          .top_sims(col("sim"), col(otherCol), k).as("sims"))
-        .select(col("lang"), col(keyCol),
-          // the fold output is already DESC-sorted by the aggregator;
-          // the sort_array wrap keeps the summation-order expression
-          // textually identical to the oracle's replay
-          (aggregate(sort_array(col("sims"), asc = false), lit(0.0),
-            (acc, x) => acc + x) / size(col("sims")).cast("double")).as(out))
-    val mx = neighborhoodMean("src_id", "tgt_id", "mx")
-    val my = neighborhoodMean("tgt_id", "src_id", "my")
-
+    import org.apache.spark.sql.expressions.Window
+    // Each direction's top-k mean attaches as a WINDOW aggregate over
+    // that endpoint's partition (whole-partition frame → the fold runs
+    // once per endpoint and projects onto its rows): no mean relation
+    // is ever built or joined back — the join formulation either
+    // re-exchanged the candidate relation per mean (sort-merge) or
+    // left AQE flapping between broadcast and shuffle on
+    // threshold-adjacent sizes, sampling 29–54 MB run to run on the
+    // sweep. This shape is exactly two exchanges of the candidate
+    // relation — (lang, tgt) then (lang, src) — and the winner fold
+    // reuses the second partitioning. Window state is bounded per
+    // ENDPOINT (its LSH collision count), never corpus-wide.
+    //
+    // The fold output is DESC-sorted by the aggregator; the sort_array
+    // wrap keeps the summation-order expression textually identical
+    // to the oracle's replay.
+    def meanOf(sims: Column): Column =
+      aggregate(sort_array(sims, asc = false), lit(0.0),
+        (acc, x) => acc + x) / size(sims).cast("double")
     scored
-      .join(mx, Seq("lang", "src_id"))
-      .join(my, Seq("lang", "tgt_id"))
+      .withColumn("my", meanOf(graft.functions.functions
+        .top_sims(col("sim"), col("src_id"), k)
+        .over(Window.partitionBy(col("lang"), col("tgt_id")))))
+      .withColumn("mx", meanOf(graft.functions.functions
+        .top_sims(col("sim"), col("tgt_id"), k)
+        .over(Window.partitionBy(col("lang"), col("src_id")))))
       .withColumn("margin", col("sim") / ((col("mx") + col("my")) * lit(0.5)))
       .groupBy(col("lang"), col("src_id"))
       .agg(max(struct(col("margin"), (-col("tgt_id")).as("nt"),
         col("tgt_id").as("tgt"))).as("w"))
       .filter(col("w.margin") >= threshold)
       .select(col("lang"), col("src_id"), col("w.tgt").as("tgt_id"))
+  }
+
+  /** [[marginSelect]] for ALL probe levels of a `plevel`-tagged
+    * candidate relation in ONE pass — the sweep's margin stage. The
+    * per-level marginSelect formulation re-exchanged the (nested)
+    * level subsets once per level (3 neighborhood passes + 3 margin
+    * joins + 3 winner folds); here each direction's groupBy computes
+    * every level's top-k mean as a conditional [[graft.functions
+    * .TopSimsAgg]] fold in the same aggregate (a level-p neighborhood
+    * is the fold over rows with plevel ≤ p — nested-hamming-ball
+    * subsets need no separate scan), the two mean joins run once over
+    * the deepest level's relation, and one winner fold emits every
+    * level's best match as per-level max-struct columns. Per level
+    * the kept k-sets, means, margins, winners and threshold decisions
+    * are the EXACT per-level marginSelect values (a group with no
+    * level-p rows folds an all-null column → null winner → filtered,
+    * matching its absence from the per-level relation), so the sweep
+    * rows — and their oracle hashes — are unchanged; only the number
+    * of candidate-relation exchanges drops from 3× nested subsets to
+    * the one deepest pass.
+    */
+  private def marginSelectLeveled(leveled: DataFrame, k: Int,
+      threshold: Double, levels: Seq[Int]): Map[Int, DataFrame] = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.functions.top_sims
+    // window-attached per-level means, as in [[marginSelect]] — one
+    // WindowExec per direction evaluates every level's conditional
+    // fold over the same endpoint partition
+    def withMeans(df: DataFrame, keyCol: String, otherCol: String,
+        prefix: String): DataFrame = {
+      val w = Window.partitionBy(col("lang"), col(keyCol))
+      levels.foldLeft(df) { (d, p) =>
+        // NULL for an endpoint with no level-p candidates (ANSI-safe
+        // empty-fold guard): any ROW with plevel ≤ p puts itself in
+        // its own endpoints' level-p folds, so a null mean can never
+        // reach a level-p margin — it marks combos the winner fold
+        // never reads
+        val sims = top_sims(when(col("plevel") <= p, col("sim")),
+          col(otherCol), k).over(w)
+        d.withColumn(s"$prefix$p",
+          when(size(sims) > 0,
+            aggregate(sort_array(sims, asc = false), lit(0.0),
+              (acc, x) => acc + x) / size(sims).cast("double")))
+      }
+    }
+    val winnerCols = levels.map { p =>
+      max(when(col("plevel") <= p, struct(
+        (col("sim") / ((col(s"mx$p") + col(s"my$p")) * lit(0.5))).as("margin"),
+        (-col("tgt_id")).as("nt"), col("tgt_id").as("tgt")))).as(s"w$p")
+    }
+    val winners =
+      withMeans(withMeans(leveled, "tgt_id", "src_id", "my"),
+        "src_id", "tgt_id", "mx")
+      .groupBy(col("lang"), col("src_id"))
+      .agg(winnerCols.head, winnerCols.tail: _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    levels.map { p =>
+      p -> winners
+        .filter(col(s"w$p.margin") >= threshold)
+        .select(col("lang"), col("src_id"), col(s"w$p.tgt").as("tgt_id"))
+    }.toMap
   }
 
   /** [[bitextMine]]'s 100 TB path, registered: the SAME ratio-margin
@@ -420,12 +497,15 @@ object Similarity {
     // candidate sets are nested hamming balls — see
     // [[bitextScoredLeveled]])
     val leveled = bitextScoredLeveled(banded, withNorm(spark, dir), bb, levels.max)
+    // ONE margin pass for every level (conditional folds over the
+    // nested level subsets — see [[marginSelectLeveled]]); each
+    // shallower level's selections are columns of the same aggregate
+    val matchesByLevel = marginSelectLeveled(leveled, k, threshold, levels)
     levels.map { p =>
       val scored = leveled.filter(col("plevel") <= p)
         .select(col("lang"), col("src_id"), col("tgt_id"), col("sim"))
       val cands = scored.agg(count(lit(1)).as("candidates"))
-      val matches = marginSelect(scored, k, threshold)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      val matches = matchesByLevel(p)
       val matched = matches.agg(count(lit(1)).as("matched"))
       val hits = matches
         .join(exact, Seq("lang", "src_id", "tgt_id"), "left_semi")
