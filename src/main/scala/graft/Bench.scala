@@ -152,7 +152,15 @@ object Bench {
     // This machine-stamps host-pressure windows per query instead of
     // leaving drift adjudication to next round's hand analysis — the
     // r18 close burned a judge cycle on exactly that.
-    val nCpus = Runtime.getRuntime.availableProcessors()
+    // Host capacity for the share denominator: count the cpuN lines in
+    // /proc/stat (the host the busy jiffies are summed OVER), not
+    // availableProcessors — under a cpuset/quota container the JVM's
+    // processor count undercounts host CPUs and would inflate every
+    // foreign-CPU share past the 10% flag threshold.
+    val nCpus =
+      try scala.io.Source.fromFile("/proc/stat").getLines()
+        .count(_.matches("cpu\\d+ .*")) max 1
+      catch { case _: Throwable => Runtime.getRuntime.availableProcessors() }
     val ambientShare = scala.collection.mutable.LinkedHashMap[String, Double]()
     var foreignJiffies = 0L
     var stealJiffies = 0L

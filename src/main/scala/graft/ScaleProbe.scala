@@ -68,12 +68,23 @@ object ScaleProbe {
         d.withColumn(k, col(k) + lit(i.toLong * s))
       }
 
+    // Targeted re-legs may reuse the replicas built by a prior full
+    // run — but only when that run replicated the SAME base corpus at
+    // the SAME factor: a _SUCCESS marker alone would silently measure
+    // stale replicas at the wrong scale after a baseDir/factor change.
+    // The build stamps a manifest next to the replicas; reuse requires
+    // an exact match.
+    val manifestFile = new java.io.File(s"$outDir/replicas.manifest")
+    val manifest = s"baseDir=$baseDir factor=$factor"
     val replicasReady = only.nonEmpty &&
-      new java.io.File(s"$outDir/embeddings.parquet/_SUCCESS").exists()
+      new java.io.File(s"$outDir/embeddings.parquet/_SUCCESS").exists() &&
+      (try scala.io.Source.fromFile(manifestFile).mkString.trim == manifest
+       catch { case _: Throwable => false })
     if (replicasReady)
       println(s"[probe] reusing existing ${factor}x replicas under $outDir")
     else {
     println(s"[probe] building ${factor}x replicas under $outDir")
+    manifestFile.delete() // a partial build must never pass the reuse check
     val li = Tables.lineitem(spark, baseDir)
     val liSpans = Map(
       "l_orderkey" -> span(li, "l_orderkey"),
@@ -100,6 +111,10 @@ object ScaleProbe {
         .withColumn("embedding",
           expr(s"concat(slice(embedding, ${rot + 1}, ${dim - rot}), slice(embedding, 1, $rot))"))
     }.reduce(_ unionAll _), "embeddings")
+    // stamp AFTER all replica writes succeed — a crashed build leaves
+    // no (or a stale-mismatched) manifest and the next run rebuilds
+    java.nio.file.Files.write(manifestFile.toPath,
+      manifest.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
 
     def run(fn: (SparkSession, String) => DataFrame, dir: String,

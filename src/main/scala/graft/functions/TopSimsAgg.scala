@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpectsInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.BinaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -34,10 +34,16 @@ case class TopSimsAgg(
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[ArrayBuffer[(Double, Long)]]
-  with BinaryLike[Expression] {
+  with BinaryLike[Expression] with ExpectsInputTypes {
 
   override def left: Expression = sim
   override def right: Expression = id
+
+  // update() unboxes sim/id as Double/Long; declare that contract so a
+  // mistyped input (e.g. a FloatType sim) fails at ANALYSIS with a
+  // type-mismatch instead of a runtime ClassCastException mid-task.
+  // (covariant return: AbstractDataType is private[sql] to user code)
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, LongType)
 
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)

@@ -825,8 +825,9 @@ object Similarity {
 
   /** The centroid-load + cell-similarity prelude shared by the whole
     * IVF family (in-query, standing build, append, delete, soft-delete
-    * probe, nprobe sweep): the TRAINED codebook — [[finalCentroids]]'s
-    * two integer-exact Lloyd rounds at k = `nlist`, session-memoized,
+    * probe, nprobe sweep): the TRAINED codebook —
+    * [[sphericalCentroids]]'s two integer-exact Lloyd rounds at
+    * k = `nlist`, session-memoized,
     * the same codebook `dedup_semantic` / `prototype_prune` share at
     * their own k — with norms precomputed and the per-row
     * cell-similarity expression closed over the literal centroids.
@@ -840,7 +841,8 @@ object Similarity {
     * Centroid components are integers (Lloyd in int8-quantized space,
     * trunc updates), so cosine similarities against them are as
     * deterministic as before and the DuckDB oracle replays the
-    * training rounds with integer arithmetic (`kmeansCtes`). Cells
+    * training rounds with integer arithmetic
+    * (`sphericalKmeansCtesDerived`). Cells
     * are ordered by ascending k-means label, so array_position's
     * first-max tie rule still means "lowest cell id". `None` on an
     * empty corpus, so every variant shares ONE empty-input guard.
