@@ -124,6 +124,39 @@ object LifecycleProbe {
       (b, probeSec + appendSec, idxRows)
     }
 
+    // ---- LSH signature standing table lifecycle ---------------------
+    // The r20 signature table (Similarity.lshSigStandingTable): the
+    // banded-signature corpus scan persisted as a bucketBy(vec_id)
+    // parquet table, appended per ingest batch. The claim under test:
+    // per-batch APPEND cost (batch signature dot products + bucketed
+    // write) is batch-shaped — flat while the table doubles — because
+    // the vec_id cut evaluates below the band-value projection
+    // (BucketedJoinSpec pins that plan shape), so an append never
+    // re-pays the corpus's dot products.
+    import operators.Similarity
+    val vecMax = Tables.embeddings(spark, baseDir)
+      .agg(max(col("vec_id"))).head.getLong(0)
+    def vhi(b: Int): Long = vecMax * (batches + b) / (2 * batches)
+    val sigBb = Similarity.corpusBandBits(spark, baseDir)
+    val sigNb = Similarity.derivedBandCount(sigBb)
+    val (sigTable, sigPath) =
+      Tables.scopedIndex(spark, "graft_lifecycle_lsh_sig", baseDir)
+    def writeSig(rows: DataFrame, mode: String): Unit =
+      rows.write.bucketBy(8, "vec_id").sortBy("vec_id")
+        .option("path", sigPath).mode(mode).saveAsTable(sigTable)
+    val sigPlan = Similarity.lshSigPlan(spark, baseDir, sigNb, sigBb, 64)
+    writeSig(sigPlan.filter(col("vec_id") <= vhi(0)), "overwrite")
+    val sigRows = (1 to batches).map { b =>
+      val batchSig =
+        sigPlan.filter(col("vec_id") > vhi(b - 1) && col("vec_id") <= vhi(b))
+      val (_, appendSec) = timeIt(writeSig(batchSig, "append"))
+      val idxRows = spark.table(sigTable).count()
+      System.err.println(
+        f"[lifecycle] lsh_sig batch $b: append=$appendSec%.2fs index_rows=$idxRows")
+      (b, appendSec, idxRows)
+    }
+    spark.sql(s"DROP TABLE IF EXISTS $sigTable")
+
     // ---- components fold: cost vs batch fraction --------------------
     // The incremental-clustering claim is that the FOLD's data volume
     // is batch-shaped (plus the fixed corpus-side scaffolding the
@@ -285,7 +318,7 @@ object LifecycleProbe {
       }.mkString("[", ",", "]")
       f""""components_bootstrap":{"bootstrap_sec":$bootstrapSec%.2f,"steady_state_consumers":$cs,"note":"one-time base clustering paid by the session's FIRST standing-components consumer; ScaleProbe's curation_funnel ratio reads bootstrap+consumer as one number -- the consumer rows here are the amortized per-readout cost"}"""
     }
-    println(s"""{"metric":"lifecycle","index_growth":2.0,${fmt("minhash", mhRows)},${fmt("editdist", edRows)},"components_append":{"versions":$caJson,"growth":${f"$caGrowth%.2f"}},"components":{"points":$compJson,"fold_mb_5_over_50":${f"$foldRatio%.2f"}},$bootJson}""")
+    println(s"""{"metric":"lifecycle","index_growth":2.0,${fmt("minhash", mhRows)},${fmt("editdist", edRows)},${fmt("lsh_sig", sigRows)},"components_append":{"versions":$caJson,"growth":${f"$caGrowth%.2f"}},"components":{"points":$compJson,"fold_mb_5_over_50":${f"$foldRatio%.2f"}},$bootJson}""")
     spark.sql(s"DROP TABLE IF EXISTS $mhTable")
     spark.sql(s"DROP TABLE IF EXISTS $edTable")
     spark.stop()

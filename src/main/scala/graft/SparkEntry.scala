@@ -300,6 +300,13 @@ object SparkEntry {
     // unigrams against the gopher gate — no offline weight artifact)
     "quality_classifier_trained" ->
       ((s: SparkSession, d: String) => Curation.qualityClassifierTrained(s, d)),
+    // ---- round 20: the LSH signature frame as a standing bucketed
+    // table (build + batch-shaped append), probed by annLsh — the
+    // durable materialization the in-session signature memo fronts
+    "similarity_ann_lsh_standing" ->
+      ((s: SparkSession, d: String) => Similarity.annLshStanding(s, d)),
+    "similarity_ann_lsh_append" ->
+      ((s: SparkSession, d: String) => Similarity.annLshStandingAppend(s, d)),
     "source_mix_sample"      -> Curation.sourceMixSample _,
     // ---- round 7: span removal, incremental fuzzy dedup, prototype prune ----
     "dedup_span_remove"      -> ((s: SparkSession, d: String) => Dedup.dedupSpanRemove(s, d)),
@@ -5493,5 +5500,10 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     oracleSqlBase + ("ann_recall" -> annRecallSql) +
       ("ann_nprobe_sweep" -> annNprobeSweepSql) +
-      ("hybrid_search_rrf" -> hybridSearchRrfSql)
+      ("hybrid_search_rrf" -> hybridSearchRrfSql) +
+      // standing-signature-table variants return rows bit-identical to
+      // the memo-backed probe (base ∪ appended batch = the full
+      // corpus's signature set), so all three share one replay
+      ("similarity_ann_lsh_standing" -> oracleSqlBase("similarity_ann_lsh")) +
+      ("similarity_ann_lsh_append" -> oracleSqlBase("similarity_ann_lsh"))
 }

@@ -421,13 +421,40 @@ object Dedup {
     // never re-shuffles inside the loop (one exchange total instead of
     // one per round).
     val p = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    // Symmetrize by EXPLODING both directions from one scan, not by
+    // self-union: a `p.unionAll(p.select(flip))` defeats the cache
+    // substitution for its second branch (the analyzer's
+    // relation-dedup rewrite leaves a plan the cache manager no longer
+    // matches), silently re-running the whole pair-generation pipeline
+    // — measured 27 MB of re-paid jaccard shuffle on the sf0.1
+    // `dedup_components` row, half that row's total bytes. The explode
+    // reads the cached pairs once and emits the same row multiset.
     val edges = p
-      .unionAll(p.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .toDF("src", "dst")
+      .select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    var labels = init.persist(StorageLevel.MEMORY_AND_DISK)
+    // Only vertices incident to an edge can change label or influence
+    // a neighbor; every other init row IS its own fixpoint. Iterating
+    // the full vertex set pays (rounds × corpus-id) union+aggregate
+    // shuffle rows for vertices that cannot move — on the from-scratch
+    // `dedup_components` row that was most of the registry's largest
+    // shuffle, since non-duplicate docs dominate any real corpus. Trim
+    // the loop to the ACTIVE set (edge endpoints — `edges` is already
+    // symmetrized, so `src` covers both sides) and union the inert
+    // rows back once at the end: identical fixpoint, batch-shaped
+    // loop. `init` is persisted because the semi/anti split reads it
+    // twice (some callers pass un-cached lineage, e.g. the contracted
+    // vertex distinct).
+    val initP = init.persist(StorageLevel.MEMORY_AND_DISK)
+    val active = edges.select(col("src").as("doc_id")).distinct()
+    val inert = initP.join(active, Seq("doc_id"), "left_anti")
+
+    var labels = initP.join(active, Seq("doc_id"), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // Labels are monotonically non-increasing per doc, so an unchanged
     // label SUM is exactly a fixpoint — one scalar aggregate per round
     // instead of a full old-vs-new join. The INIT sum rides the first
@@ -479,8 +506,12 @@ object Dedup {
     // (the incremental fold references them five times: measured 168 s
     // vs ~2 s at sf0.1). The checkpoint holds vertex-scale (doc_id,
     // comp) rows, never documents.
-    val out = labels.localCheckpoint(true)
+    // reattach the inert vertices (one anti-join pass, paid once) —
+    // their init labels are untouched by construction, so the union is
+    // the same relation the full-vertex loop used to return
+    val out = labels.unionAll(inert).localCheckpoint(true)
     labels.unpersist()
+    initP.unpersist()
     // the symmetrized edge cache is local to this fixpoint and dead
     // once the labels are checkpointed; repeated ingest calls in one
     // session must not accumulate it (`pairs`' cache belongs to the
@@ -793,9 +824,13 @@ object Dedup {
     // batch docs plus every touched base component, each starting as
     // its own label (a base component's label IS its min doc_id, so
     // the contracted min is the true min over the merged doc set)
+    // endpoint explode, not two unioned selects of the cached frame —
+    // the relation-dedup rewrite would defeat cache substitution for
+    // the later branches and re-run the probe joins above (the
+    // propagateMinLabels symmetrize fix, same class)
     val verts = batchShas.select(col("doc_id"))
-      .unionAll(contracted.select(col("doc_a").as("doc_id")))
-      .unionAll(contracted.select(col("doc_b").as("doc_id")))
+      .unionAll(contracted.select(
+        explode(array(col("doc_a"), col("doc_b"))).as("doc_id")))
       .distinct()
     val merged = propagateMinLabels(
       contracted, verts.select(col("doc_id"), col("doc_id").as("comp")),

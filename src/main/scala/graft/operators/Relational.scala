@@ -1000,8 +1000,18 @@ object Relational {
     }
 
   def pagerank(edges: DataFrame, iters: Int = 2): DataFrame = {
-    val sym = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    // Symmetrize via explode, not self-union: `edges` arrives as an
+    // UN-persisted pair pipeline (copurchasePairs), so a
+    // `edges.union(edges.select(flip))` evaluates that pipeline once
+    // per branch inside the sym materialization — and even over a
+    // cached input the analyzer's relation-dedup rewrite defeats cache
+    // substitution for the second branch (measured 27 MB of re-paid
+    // pair generation on `dedup_components` before the same fix in
+    // Dedup.propagateMinLabels). One scan, same row multiset.
+    val sym = edges.select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // deg is vertex-scale and read three times (initial ranks + one
@@ -1070,8 +1080,12 @@ object Relational {
   private[graft] def pagerankDeltasOf(edges: DataFrame, rounds: Int): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val sym = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    // explode-symmetrize for the same single-evaluation reason as
+    // [[pagerank]] — the telemetry twin must pay the identical cost
+    val sym = edges.select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))

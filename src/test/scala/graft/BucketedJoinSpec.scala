@@ -277,4 +277,48 @@ class BucketedJoinSpec extends AnyFunSuite with SparkFixture {
       spark.sql("DROP TABLE IF EXISTS customer_b2")
     }
   }
+
+  test("lsh signature standing table: probe matches the memo path, " +
+       "append epoch scans only the batch, layout is bucketed") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Similarity
+    val dir = "/root/testdata/sf0.001"
+
+    // 1. the standing-table probe and the append-lifecycle probe both
+    // return the memo-backed annLsh's rows bit-identically (base ∪
+    // appended batch = the full corpus's signature set)
+    def rowSet(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      df.collect().map(_.toSeq).toSet
+    val memo = rowSet(Similarity.annLsh(spark, dir))
+    assert(memo.nonEmpty)
+    assert(rowSet(Similarity.annLshStanding(spark, dir)) === memo)
+    assert(rowSet(Similarity.annLshStandingAppend(spark, dir)) === memo)
+
+    // 2. the table is versioned by derivation params and bucketed by
+    // vec_id — the layout contract appends are validated against
+    val bb = Similarity.corpusBandBits(spark, dir)
+    val nBands = Similarity.derivedBandCount(bb)
+    val (table, _, _) =
+      Similarity.lshSigStandingTable(spark, dir, appendEpoch = false)
+    assert(table.startsWith(s"graft_lsh_sig_v${nBands}x${bb}x64"))
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    assert(meta.bucketSpec.exists(b =>
+      b.numBuckets == 8 && b.bucketColumnNames == Seq("vec_id")))
+
+    // 3. batch-shaped append: the epoch-2 cut must sit BELOW the
+    // band-value projection, so the nBands·bandBits dot products run
+    // over batch rows only. In a fresh session the filter pushes to
+    // the parquet scan (PushedFilters); with the session's memoized
+    // corpus frame it lands in the InMemoryTableScan's batch pruning —
+    // either way it prints DEEPER than the projection (children print
+    // after parents), never above it.
+    val batchPlan = Similarity.lshSigPlan(spark, dir, nBands, bb, 64)
+      .filter(col("vec_id") > 400L)
+      .queryExecution.sparkPlan.toString
+    val iProj = batchPlan.indexOf("dot_product") // band-value projection
+    val iCut = batchPlan.indexOf("> 400")        // the batch cut
+    assert(iProj >= 0 && iCut > iProj,
+      s"vec_id cut should evaluate below the signature projection, got:\n$batchPlan")
+  }
 }
