@@ -2137,9 +2137,10 @@ object SparkEntry {
                              list_transform(range(1, len(v.q) + 1),
                                i -> v.q[i] - cb.c[i]) AS r
                       FROM q v JOIN a0 USING (vec_id) JOIN cb ON cb.cid = a0.cell),
+              pts AS (SELECT vec_id FROM q
+                      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 256),
               pt AS (SELECT vec_id AS pcid, r AS pr FROM res
-                     WHERE vec_id >= (SELECT nl FROM nlparams)
-                       AND vec_id < (SELECT nl FROM nlparams) + 16),
+                     WHERE vec_id IN (SELECT vec_id FROM pts)),
               enc AS (SELECT vec_id, cell, sub, pcid AS code FROM (
                         SELECT res.vec_id, res.cell, s.sub, pt.pcid,
                                row_number() OVER (PARTITION BY res.vec_id, s.sub ORDER BY
@@ -2168,11 +2169,29 @@ object SparkEntry {
                       JOIN enc e ON e.cell = qres.cell
                       JOIN pt ON pt.pcid = e.code
                       WHERE e.vec_id != qres.qid
-                      GROUP BY qres.qid, e.vec_id)
+                      GROUP BY qres.qid, e.vec_id),
+              topr AS (SELECT qid, vec_id FROM (
+                         SELECT qid, vec_id,
+                                row_number() OVER (PARTITION BY qid ORDER BY dist ASC, vec_id ASC) AS rr
+                         FROM adc) WHERE rr <= 100),
+              nrm2 AS (SELECT vec_id,
+                              CAST(list_sum(list_transform(q, x -> x*x)) AS DOUBLE) AS qq
+                       FROM q),
+              rerank AS (SELECT t.qid, t.vec_id,
+                                CASE WHEN cn.qq = 0 OR qn.qq = 0 THEN -1000000000.0
+                                     ELSE CAST(list_sum(list_transform(range(1, len(qv.q) + 1),
+                                            i -> qv.q[i] * cv.q[i])) AS DOUBLE)
+                                          / (sqrt(qn.qq) * sqrt(cn.qq))
+                                END AS sim
+                         FROM topr t
+                         JOIN q qv ON qv.vec_id = t.qid
+                         JOIN q cv ON cv.vec_id = t.vec_id
+                         JOIN nrm2 qn ON qn.vec_id = t.qid
+                         JOIN nrm2 cn ON cn.vec_id = t.vec_id)
          SELECT qid, vec_id AS neighbor_id, rnk FROM (
            SELECT qid, vec_id,
-                  row_number() OVER (PARTITION BY qid ORDER BY dist ASC, vec_id ASC) AS rnk
-           FROM adc) WHERE rnk <= 5""",
+                  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rnk
+           FROM rerank) WHERE rnk <= 5""",
     // CAST(sum AS BIGINT): DuckDB sum(BIGINT) yields HUGEINT, which the
     // harness stringifies as a float — must pin to BIGINT to hash-match
     // Spark's LongType sum. json_valid guard keeps the bad-input-is-NULL

@@ -1605,9 +1605,9 @@ object Similarity {
     * centered near zero, so the same code budget quantizes them far
     * more finely than raw vectors). A query probes its `nprobe`
     * nearest cells and, PER PROBED CELL, builds the asymmetric lookup
-    * table of its residual against the PQ codebook — candidate cost is
-    * m lookups + m adds, exactly [[annPq]]'s scan shape, but over only
-    * the probed cells' populations.
+    * table of its subvectors against the PQ codebook — candidate cost
+    * is m lookups + m adds, exactly [[annPq]]'s scan shape, but over
+    * only the probed cells' populations.
     *
     * Unlike [[annPq]]'s single-table scan, the per-cell LUTs must carry
     * the FULL squared distance (including the query-residual self-term):
@@ -1615,29 +1615,68 @@ object Similarity {
     * not a constant shift across candidates from different cells and
     * cannot be dropped.
     *
+    * Three r20 rebuilds, all forced by RECALL.json's clustered-corpus
+    * collapse (recall 0.26 → 0.02 as N grew — the composed "scale
+    * path" was the worst variant exactly where cluster structure
+    * exists). Each was measured on the RecallProbe corpora before
+    * landing (a cosine-decomposed ADC was also built and measured
+    * WORSE at every codebook — quantization noise in q·r̂ hurts a
+    * ratio more than a distance — so the residual-L2 ADC stays):
+    *  1. LAYOUT-BLIND PQ SAMPLE. The codebook is residuals of `ksub`
+    *     corpus vectors — now the ksub lowest by md5(vec_id) instead
+    *     of the contiguous window after nlist: shard-grouped ingest
+    *     puts contiguous ids in one cluster, so the old window drew
+    *     every codebook entry from one or two cells' noise and
+    *     mis-coded everyone else's residuals. (A stride rule was
+    *     measured too: it fixes shard-grouped layouts but collapses on
+    *     interleaved ones; the hash is immune to any id↔cluster
+    *     correlation.)
+    *  2. ksub 16 → 256 (codes are m·log₂(ksub) = 64 bits — the FAISS
+    *     default shape). The codebook stays a sampled-residual
+    *     collect; per-subspace Lloyd training was re-measured at 256
+    *     entries and again bought nothing over the sample.
+    *  3. REFINE stage: exact-cosine re-rank of the ADC top `refineR`
+    *     (see the inline comment — PQ codes cannot rank same-cluster
+    *     noise alignments; every production IVF-PQ deployment refines).
+    * RecallProbe recall@5 on the clustered corpora, before → after:
+    * N=16k/nlist=64 0.02 → 0.90; N=2k/nlist=16 0.26 → 0.98.
+    *
     * The coarse codebook is the TRAINED [[sphericalCentroids]] at
     * k = `nlist` (two integer-exact cosine-assignment Lloyd rounds in
     * the quantized space — the same codebook [[annIvf]] routes by,
-    * with nlist derived from corpus cardinality by default); the PQ
-    * codebook is residuals of the `ksub` vectors with ids
-    * nlist..nlist+ksub against those trained cells. Both are
-    * model-scale collects.
-    * Integer-exact end to end (int8 codes ⇒ integer centroids ⇒
-    * integer residuals ⇒ integer squared distances), so the DuckDB
-    * oracle replays the whole pipeline — training rounds included —
-    * with every tie.
+    * with nlist derived from corpus cardinality by default). Both
+    * codebooks are model-scale collects. Integer-exact end to end
+    * (int8 codes ⇒ integer centroids ⇒ integer residuals ⇒ integer
+    * squared distances; the refine ratio is one IEEE divide both
+    * engines spell identically), so the DuckDB oracle replays the
+    * whole pipeline — training rounds, the md5 sample rule, and the
+    * refine tail included — with every tie.
     */
   def annIvfPq(spark: SparkSession, dir: String, nlist0: Int = 0, nprobe: Int = 4,
-      m: Int = 8, ksub: Int = 16): DataFrame = {
+      m: Int = 8, ksub: Int = 256, refineR: Int = 100): DataFrame = {
     import spark.implicits._
     val nlist = resolveNlist(spark, dir, nlist0)
     val dim = 64
     val dsub = dim / m
     val qd = quantizedCodes(spark, dir)
     val coarse = sphericalCentroids(spark, dir, nlist)
+    // PQ sample: the ksub lowest vectors BY MD5 OF vec_id — a
+    // layout-blind deterministic pseudo-random draw — NOT the first
+    // ksub ids after nlist. Under the shard-grouped orderings real
+    // ingest produces, contiguous ids share a cluster, so the old
+    // window drew every codebook entry from one or two cells' residual
+    // noise and mis-coded every other cell's residuals — RECALL.json's
+    // r19 collapse (recall 0.26 → 0.02 as N grew). A stride (id ≡ c
+    // mod N/ksub) fixes shard-grouped layouts but collapses on
+    // interleaved ones (the round-robin fixture assigns clusters by
+    // id mod 3); hashing ids is immune to ANY id↔cluster correlation.
+    // The rows are re-sorted by vec_id so codebook position order (the
+    // encode tie rule) stays the oracle's `pcid` order.
     val pqTrain: Seq[Seq[Double]] = qd
-      .filter(col("vec_id") >= nlist && col("vec_id") < (nlist + ksub).toLong)
-      .orderBy("vec_id").select(col("q")).collect().toSeq.map(_.getSeq[Double](0))
+      .orderBy(md5(col("vec_id").cast("string").cast("binary")), col("vec_id"))
+      .limit(ksub)
+      .select(col("vec_id"), col("q")).collect().toSeq
+      .sortBy(_.getLong(0)).map(_.getSeq[Double](1))
     if (coarse.isEmpty || pqTrain.isEmpty)
       return Seq.empty[(Long, Long, Long)].toDF("qid", "neighbor_id", "rnk")
     // PQ training residuals: assign each train vector to its coarse
@@ -1655,10 +1694,23 @@ object Similarity {
     val pqSub: Array[Array[Seq[Double]]] =
       Array.tabulate(kP, m)((c, ms) => pqRes(c).slice(ms * dsub, (ms + 1) * dsub))
     val pqSelf: Array[Array[Double]] = pqSub.map(_.map(s => s.map(x => x * x).sum))
-    // partial residual distance c·c − 2·x·c (exact; the x·x self-term
-    // is added only where cross-cell comparability needs it)
-    def pDist(x: Column, c: Int, ms: Int): Column =
-      lit(pqSelf(c)(ms)) - lit(2.0) * dot(x, typedLit(pqSub(c)(ms)))
+    // codebook as LITERAL ARRAYS folded by higher-order functions, not
+    // kP unrolled expressions per subspace: at ksub = 256 the unrolled
+    // form is ~2k expression nodes per projection — plan bloat and a
+    // codegen-method-size hazard — while a `transform` over one
+    // literal array stays a constant-size plan at any ksub. Per-entry
+    // values are c·c − 2·x·c (integer-exact; the x·x self-term is
+    // constant per (vector, subspace) so argmin is unaffected, and the
+    // LUT adds it back where cross-cell comparability needs it).
+    val pqSubLit = typedLit((0 until m).map(ms => (0 until kP).map(c => pqSub(c)(ms))))
+    val pqSelfLit = typedLit((0 until m).map(ms => (0 until kP).map(c => pqSelf(c)(ms))))
+    def dotHof(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    def pDists(sub: Column, ms: Int): Column =
+      zip_with(
+        element_at(pqSelfLit, ms + 1),
+        transform(element_at(pqSubLit, ms + 1), e => dotHof(e, sub)),
+        (s, d) => s - lit(2.0) * d)
     val centMap = typedLit(coarse.toMap)
     def subsOf(r: Column): Column =
       array((0 until m).map(ms => slice(r, ms * dsub + 1, dsub)): _*)
@@ -1670,8 +1722,7 @@ object Similarity {
         element_at(centMap, col("cell")), (a, b) => a - b)))
       .select(col("vec_id"), col("cell"),
         array((0 until m).map { ms =>
-          val sub = element_at(col("subs"), ms + 1)
-          val ds = array((0 until kP).map(c => pDist(sub, c, ms)): _*)
+          val ds = pDists(element_at(col("subs"), ms + 1), ms)
           array_position(ds, array_min(ds))
         }: _*).as("codes"))
 
@@ -1691,6 +1742,12 @@ object Similarity {
             (d, i) => struct(d.as("d"), i.as("i")))),
           1, nprobe)).as("p"))
       .select(col("qid"), col("qv"), col("p.i").as("cell"))
+    // Residual-L2 ADC ranks the PQ CANDIDATE stage (measured better
+    // than a cosine-decomposed ADC at every tested codebook — the
+    // quantization noise in q·r̂ hurts a ratio more than a distance),
+    // and the full squared distance (query-residual self-term
+    // included) keeps candidates from different probed cells
+    // comparable, exactly as before.
     val qlut = probes
       .withColumn("subs", subsOf(zip_with(col("qv"),
         element_at(centMap, col("cell")), (a, b) => a - b)))
@@ -1698,17 +1755,41 @@ object Similarity {
         flatten(array((0 until m).map { ms =>
           val sub = element_at(col("subs"), ms + 1)
           val rr = dot(sub, sub)
-          array((0 until kP).map(c => rr + pDist(sub, c, ms)): _*)
+          transform(pDists(sub, ms), d => rr + d)
         }: _*)).as("lut"))
 
-    val scored = encoded.join(broadcast(qlut), Seq("cell"))
+    val pqScored = encoded.join(broadcast(qlut), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("d", (0 until m).map { ms =>
         element_at(col("lut"),
           (lit(ms * kP) + element_at(col("codes"), ms + 1)).cast("int"))
       }.reduce(_ + _))
+      // distances are exact integers so negation is exact and the
+      // TopK rank equals (d ASC, id ASC)
       .withColumn("sim", -col("d"))
-    graft.functions.TopK.perQuery(scored, 5)
+
+    // REFINE stage (the r20 recall fix that actually worked): PQ codes
+    // cannot rank same-cluster neighbors — inside one cell the true
+    // top-k differ by noise alignments far below m·log₂(ksub) bits of
+    // resolution, which is why the unrefined row collapsed exactly on
+    // clustered corpora (RECALL.json r19: 0.26 → 0.02). Production
+    // IVF-PQ answers with a refine pass (FAISS's IndexRefine shape):
+    // ADC selects top `refineR` per query — k-bounded, so the exchange
+    // carries ≤ R ids — and EXACT cosine over the fetched vectors
+    // re-ranks those R down to 5. Candidate scan stays m lookups + m
+    // adds per candidate; the exact work is R vectors per query, not a
+    // cell population.
+    val topR = graft.functions.TopK.perQuery(pqScored, refineR)
+      .select(col("qid"), col("neighbor_id").as("vec_id"))
+    val qSide = qd.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("q").as("qv2"), col("qq").as("qq2"))
+    val rerank = qd.select(col("vec_id"), col("q"), col("qq"))
+      .join(broadcast(topR), "vec_id")
+      .join(broadcast(qSide), "qid")
+      .withColumn("sim",
+        when(col("qq") === 0.0 || col("qq2") === 0.0, lit(-1e9))
+          .otherwise(dot(col("qv2"), col("q")) / (sqrt(col("qq2")) * sqrt(col("qq")))))
+    graft.functions.TopK.perQuery(rerank, 5)
   }
 
   /** md5-derived hyperplane weight in [-1000, 1000] — deterministic,

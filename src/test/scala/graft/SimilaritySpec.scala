@@ -137,10 +137,11 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact intersect got).size.toDouble / exact.size
     info(f"IVF-PQ recall vs brute force: $recall%.2f (${got.size} returned)")
-    // residual-PQ ranks within probed cells; on the tight fixture the
-    // probed cells hold the query's cluster, so recall clears the
-    // random-5-of-19-same-cluster baseline (~0.26)
-    assert(recall >= 0.35, s"IVF-PQ recall $recall not above same-cluster-random baseline")
+    // r20: ADC selects top-refineR inside probed cells and exact
+    // cosine re-ranks them, so recall is bounded by the probe stage,
+    // not PQ code resolution — 0.92 measured on the fixture (the
+    // pre-refine form read 0.26, losing to its own 0.35 floor)
+    assert(recall >= 0.8, s"IVF-PQ refine recall $recall regressed")
   }
 
   test("standing IVF index: bit-identical to in-query IVF, probe scan partition-pruned") {
