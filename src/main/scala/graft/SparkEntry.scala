@@ -307,6 +307,13 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Similarity.annLshStanding(s, d)),
     "similarity_ann_lsh_append" ->
       ((s: SparkSession, d: String) => Similarity.annLshStandingAppend(s, d)),
+    // ---- round 20: the clustered-corpus recall scoreboard as a
+    // registered row — corpus generated in-plan from integer md5
+    // arithmetic, oracle regenerates it as a CTE shadowing the
+    // embeddings view, so recall-on-clustered-data is hash-checked
+    // every round instead of probe-recorded
+    "ann_recall_clustered" ->
+      ((s: SparkSession, d: String) => Similarity.annRecallClustered(s, d)),
     "source_mix_sample"      -> Curation.sourceMixSample _,
     // ---- round 7: span removal, incremental fuzzy dedup, prototype prune ----
     "dedup_span_remove"      -> ((s: SparkSession, d: String) => Dedup.dedupSpanRemove(s, d)),
@@ -1056,17 +1063,29 @@ object SparkEntry {
     * integer centroid components, so the cosine similarities replay
     * bit-exactly like the old first-16 raw-vector stand-in did.
     */
-  private def annIvfSqlWith(candidateFilter: String): String =
+  private def annIvfSqlWith(candidateFilter: String, trained: Boolean = true): String = {
+    // trained: the two-round spherical codebook (c2l, integer
+    // components). untrained control: the RAW first-nlist vectors as
+    // centroids — ivfCodebookFirstN's replay (norms via the same
+    // sequential 0.0-seeded fold as the Scala `map(x*x).sum`)
+    val centroidCte =
+      if (trained)
+        """c AS (SELECT cell AS cid,
+                        list_transform(c, x -> CAST(x AS DOUBLE)) AS cv,
+                        sqrt(CAST(list_sum(list_transform(c, x -> x*x)) AS DOUBLE)) AS cnrm
+                 FROM c2l)"""
+      else
+        """c AS (SELECT vec_id AS cid, v AS cv,
+                        sqrt(list_reduce(list_prepend(0.0,
+                          list_transform(v, x -> x*x)), (a,x) -> a + x)) AS cnrm
+                 FROM e WHERE vec_id < (SELECT nl FROM nlparams))"""
     s"""WITH $sphericalKmeansCtesDerived,
               e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v,
                            sqrt(list_reduce(list_prepend(0.0,
                              list_transform(cast(embedding AS DOUBLE[]), x -> x*x)),
                              (a,x) -> a + x)) AS nrm
                     FROM embeddings),
-              c AS (SELECT cell AS cid,
-                           list_transform(c, x -> CAST(x AS DOUBLE)) AS cv,
-                           sqrt(CAST(list_sum(list_transform(c, x -> x*x)) AS DOUBLE)) AS cnrm
-                    FROM c2l),
+              $centroidCte,
               cs AS (SELECT e.vec_id, c.cid,
                             CASE WHEN c.cnrm = 0 THEN -1000000000.0
                                  ELSE list_reduce(list_prepend(0.0,
@@ -1094,6 +1113,11 @@ object SparkEntry {
          SELECT qid, vec_id AS neighbor_id, rnk FROM (
            SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rnk
            FROM scored) WHERE rnk <= 5"""
+  }
+
+  /** The untrained first-nlist control's replay (raw vectors as
+    * centroids) — the clustered scoreboard's fifth variant. */
+  private lazy val annIvfCtlSql: String = annIvfSqlWith("", trained = false)
 
   // Shared by dedup_containment (the pair relation) and
   // dedup_containment_remove (the corpus minus every contained doc).
@@ -5398,12 +5422,7 @@ object SparkEntry {
     * left-joined against the exact top-k replay. Composition of
     * already-verified SQL; integer hit counts only.
     */
-  private lazy val annRecallSql: String = {
-    val variants = Seq(
-      "ann_ivf"   -> annIvfSql,
-      "ann_ivfpq" -> oracleSqlBase("similarity_ann_ivfpq"),
-      "ann_lsh"   -> oracleSqlBase("similarity_ann_lsh"),
-      "ann_pq"    -> oracleSqlBase("similarity_ann_pq"))
+  private def annRecallSqlOf(variants: Seq[(String, String)]): String = {
     val tagged = variants.map { case (v, sql) =>
       s"SELECT '$v' AS variant, qid, neighbor_id FROM ($sql)"
     }.mkString("\nUNION ALL\n")
@@ -5426,6 +5445,45 @@ object SparkEntry {
        FROM (VALUES $variantRows) v(variant)
        LEFT JOIN scored s ON v.variant = s.variant"""
   }
+
+  private lazy val annRecallVariants: Seq[(String, String)] = Seq(
+    "ann_ivf"   -> annIvfSql,
+    "ann_ivfpq" -> oracleSqlBase("similarity_ann_ivfpq"),
+    "ann_lsh"   -> oracleSqlBase("similarity_ann_lsh"),
+    "ann_pq"    -> oracleSqlBase("similarity_ann_pq"))
+
+  private lazy val annRecallSql: String = annRecallSqlOf(annRecallVariants)
+
+  /** The in-plan clustered corpus
+    * ([[graft.operators.Similarity.synthClusteredDir]]) regenerated as
+    * a CTE: 2000 vectors, 12 contiguous clusters (queries 0-9 drawn
+    * from clusters 1-10), coordinate = md5-int center in [-1000, 1000]
+    * + md5-int noise in [-120, 120] — the `('0x' || substr(md5(...),
+    * 1, 7))::BIGINT` idiom every LSH oracle already replays, so floats
+    * carry the integers exactly and the corpus is bit-identical to the
+    * Spark side's at any SF.
+    */
+  private val synthClusteredCte: String =
+    """embeddings AS (
+         SELECT id AS vec_id,
+                list_transform(range(0, 64), j -> CAST(
+                  ('0x' || substr(md5('ctr:' ||
+                     (CASE WHEN id < 10 THEN id + 1 ELSE (id * 12) // 2000 END)
+                     || ':' || j), 1, 7))::BIGINT % 2001 - 1000
+                  + ('0x' || substr(md5('nz:' || id || ':' || j), 1, 7))::BIGINT % 241 - 120
+                AS FLOAT)) AS embedding
+         FROM range(0, 2000) t(id))"""
+
+  /** [[graft.operators.Similarity.annRecallClustered]]'s replay: the
+    * synthetic corpus CTE SHADOWS the `embeddings` view (CTE names
+    * take precedence in DuckDB), so the standard variant replays —
+    * plus the untrained first-nlist control ([[annIvfCtlSql]]) — run
+    * verbatim over the generated corpus.
+    */
+  private lazy val annRecallClusteredSql: String =
+    s"WITH $synthClusteredCte, " +
+      annRecallSqlOf(annRecallVariants :+ ("ann_ivf_ctl" -> annIvfCtlSql))
+        .stripPrefix("WITH ")
 
   /** [[graft.operators.Similarity.annNprobeSweep]]'s replay: the SAME
     * codebook/assignment/probe CTEs as [[annIvfSql]] with the probe
@@ -5524,5 +5582,6 @@ object SparkEntry {
       // the memo-backed probe (base ∪ appended batch = the full
       // corpus's signature set), so all three share one replay
       ("similarity_ann_lsh_standing" -> oracleSqlBase("similarity_ann_lsh")) +
-      ("similarity_ann_lsh_append" -> oracleSqlBase("similarity_ann_lsh"))
+      ("similarity_ann_lsh_append" -> oracleSqlBase("similarity_ann_lsh")) +
+      ("ann_recall_clustered" -> annRecallClusteredSql)
 }

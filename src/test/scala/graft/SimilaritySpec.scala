@@ -144,6 +144,21 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(recall >= 0.8, s"IVF-PQ refine recall $recall regressed")
   }
 
+  test("ann_recall_clustered: trained codebook >= untrained control, no collapse") {
+    // the registered clustered scoreboard (synthetic md5-integer
+    // corpus, independent of dir) — pins the r19 failure class: a
+    // variant collapsing ONLY on clustered data went unnoticed until
+    // a probe happened to run
+    val rows = graft.operators.Similarity.annRecallClustered(spark, fixtureDir)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(rows.keySet === Set("ann_ivf", "ann_ivf_ctl", "ann_ivfpq", "ann_lsh", "ann_pq"))
+    assert(rows("ann_ivf") >= rows("ann_ivf_ctl"),
+      s"trained IVF ${rows("ann_ivf")} fell below the untrained control ${rows("ann_ivf_ctl")}")
+    assert(rows("ann_ivf") >= 45L)
+    assert(rows("ann_ivfpq") >= 40L, s"IVF-PQ clustered recall collapsed: ${rows("ann_ivfpq")}/50")
+    assert(rows("ann_lsh") >= 45L)
+  }
+
   test("standing IVF index: bit-identical to in-query IVF, probe scan partition-pruned") {
     standingIvfCheck("graft_ivf_cell_index",
       (s, d) => Similarity.annIvfStanding(s, d, nlist = 16, nprobe = 1))
