@@ -56,6 +56,7 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
     "similarity_ann_pq" -> "10-query broadcast LUT side x streamed code scan (O(mN) lookups, the ADC shape — same rationale as similarity_topk)",
     "doc_knn_tfidf" -> "1-row corpus-count scalar kept in-plan as a broadcast crossJoin against the vocabulary-bounded df table",
     "ann_recall" -> "inherits similarity_topk's 10-query broadcast side and similarity_ann_pq's LUT shape (both whitelisted), plus a 1-row possible-total scalar crossJoin",
+    "ann_recall_clustered" -> "the same five-shape composition as ann_recall (10-query broadcast exact side, PQ LUT broadcast, 1-row possible-total scalar crossJoin) over the in-plan 2000-row synthesized clustered corpus; the added untrained control is annIvf's whitelist-free probed-cell shape",
     "ann_nprobe_sweep" -> "inherits similarity_topk's 10-query broadcast exact denominator (run once), plus per-level 1-row count scalars broadcast-crossJoined into the sweep rows",
     "hybrid_search_rrf" -> "inherits both rankers' whitelisted shapes: similarity_topk's 10-query broadcast side and doc_knn_tfidf's 1-row corpus-count scalar crossJoin; the fusion itself joins two k-bounded lists",
     "bm25_search" -> "1-row corpus-stats scalar (N, total tokens) kept in-plan as a broadcast crossJoin against the vocabulary-bounded df table (same shape as doc_knn_tfidf)",
@@ -131,6 +132,7 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
     "trigram_kn_probs" -> "final pass of the distinct-bigram-type scalar aggregate (backoff denominator D): one partial row per upstream partition",
     "doc_knn_tfidf" -> "final pass of the corpus-count scalar aggregate (idf numerator N): one partial row per upstream partition",
     "ann_recall" -> "final pass of the possible-total scalar aggregate over the queries×k exact top-k rows: one partial row per upstream partition",
+    "ann_recall_clustered" -> "final pass of the same possible-total scalar aggregate over the synthesized corpus's queries×k exact top-k rows: one partial row per upstream partition",
     "bm25_search" -> "final pass of the corpus-stats scalar aggregate (N, total tokens) over the doc-length table: one partial row per upstream partition",
     "token_pmi" -> "final pass of the corpus-totals scalar aggregate over the vocabulary-bounded unigram/bigram tables: one partial row per upstream partition",
     "q6_forecast_revenue" -> "final pass of the Q6 scalar aggregate: one partial row per upstream partition (the query IS a global sum)",
