@@ -72,8 +72,11 @@ object RecallProbe {
 
   /** Stretch-8 measurement: per-subspace PQ codebook training (two
     * integer-exact L2 Lloyd rounds from the first-ksub init) vs the
-    * shipped first-ksub codebook, scored as ADC recall@5 with
-    * [[graft.operators.Similarity.annPq]]'s exact scan semantics —
+    * untrained first-ksub codebook — the pre-r20 annPq book; the
+    * shipped annPq now draws 256 ids by md5 and exact-refines its ADC
+    * top-100, so these legs isolate the TRAINING question on the raw
+    * unrefined first-16 ADC, where its loss was measured — scored as
+    * recall@5 with the UNREFINED scan semantics —
     * int8 quantize (max-abs, floor), m=8 × dsub=8 subspaces, argmin
     * encode with ties to the lowest code id, distance rank ties to
     * the lowest vec_id. Driver-side replication over the planted
@@ -102,7 +105,7 @@ object RecallProbe {
       s
     }
     // codebooks: per subspace, ksub centroids. Untrained = first-ksub
-    // rows' subvectors (the shipped annPq book); trained = two Lloyd
+    // rows' subvectors (the pre-r20 annPq book); trained = two Lloyd
     // rounds from that init (assign by (d2, cid) min; update =
     // trunc'd integer mean — the sphericalCentroids/kmeansTrain house
     // update, L2 metric because ADC ranks by L2)
@@ -185,8 +188,9 @@ object RecallProbe {
       // per-subspace codebooks with two integer-exact L2 Lloyd rounds
       // (the house recipe: trunc'd integer means, ties to the lowest
       // id) from the same first-ksub init, and scores ADC recall with
-      // BYTE-IDENTICAL scan semantics to annPq (argmin encode, partial
-      // distances, (dist, id) rank) — driver-side over the planted
+      // the pre-r20 annPq's UNREFINED scan semantics (argmin encode,
+      // partial distances, (dist, id) rank — isolating the training
+      // question from the refine tail) — driver-side over the planted
       // corpora, which is the honest scale for a measurement-only
       // prototype (the in-plan wiring follows only if this wins).
       val pqLegs = pqTrainingMeasurement(spark, dir, exact)

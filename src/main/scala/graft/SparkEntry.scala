@@ -2096,11 +2096,13 @@ object SparkEntry {
                   row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rnk
            FROM scored) WHERE rnk <= 5""",
     // Full PQ-ADC replay: int8 quantize (the kmeans_train formula),
-    // first-16 codebook, per-subspace nearest-centroid encode (8
-    // subspaces × 8 dims, ties to the lowest cid), asymmetric distance
-    // = Σ over subspaces of exact query-subvector→assigned-centroid
-    // squared L2 — every distance an exact integer, so the rank
-    // replays bit-for-bit.
+    // md5-sampled 256-entry codebook (the annIvfPq r20 draw — the
+    // contiguous first-16 window collapsed on shard-grouped clustered
+    // corpora), per-subspace nearest-centroid encode (8 subspaces × 8
+    // dims, ties to the lowest pcid), asymmetric distance = Σ over
+    // subspaces of exact query-subvector→assigned-centroid squared L2
+    // (every distance an exact integer), ADC top-100 per query, exact
+    // cosine refine to 5 — rank and ties replay bit-for-bit.
     "similarity_ann_pq" ->
       """WITH m AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v,
                            list_max(list_transform(cast(embedding AS DOUBLE[]),
@@ -2111,39 +2113,58 @@ object SparkEntry {
                                 ELSE greatest(-127, least(127,
                                        cast(floor(x * 127.0 / ma) AS BIGINT))) END) AS q
                     FROM m),
-              cb AS (SELECT vec_id AS cid, q AS c FROM q WHERE vec_id < 16),
+              pts AS (SELECT vec_id FROM q
+                      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 256),
+              cb AS (SELECT vec_id AS pcid, q AS c FROM q
+                     WHERE vec_id IN (SELECT vec_id FROM pts)),
               subs AS (SELECT unnest(range(0, 8)) AS sub),
-              d AS (SELECT v.vec_id, s.sub, cb.cid,
-                           list_sum(list_transform(range(1, 9), j ->
-                             (v.q[s.sub*8+j] - cb.c[s.sub*8+j])
-                               * (v.q[s.sub*8+j] - cb.c[s.sub*8+j]))) AS dist
-                    FROM q v, subs s, cb),
-              enc AS (SELECT vec_id, sub, cid AS code FROM (
-                        SELECT vec_id, sub, cid,
-                               row_number() OVER (PARTITION BY vec_id, sub
-                                                  ORDER BY dist, cid) AS rn
-                        FROM d) WHERE rn = 1),
+              enc AS (SELECT vec_id, sub, pcid AS code FROM (
+                        SELECT v.vec_id, s.sub, cb.pcid,
+                               row_number() OVER (PARTITION BY v.vec_id, s.sub ORDER BY
+                                 list_sum(list_transform(range(1, 9), j ->
+                                   (v.q[s.sub*8+j] - cb.c[s.sub*8+j])
+                                     * (v.q[s.sub*8+j] - cb.c[s.sub*8+j]))), cb.pcid) AS rn
+                        FROM q v, subs s, cb) WHERE rn = 1),
               qs AS (SELECT vec_id AS qid, q AS qv FROM q WHERE vec_id < 10),
               adc AS (SELECT qs.qid, e.vec_id,
                              CAST(sum(list_sum(list_transform(range(1, 9), j ->
                                (qs.qv[e.sub*8+j] - cb.c[e.sub*8+j])
                                  * (qs.qv[e.sub*8+j] - cb.c[e.sub*8+j])))) AS BIGINT) AS dist
-                      FROM qs, enc e JOIN cb ON cb.cid = e.code
+                      FROM qs, enc e JOIN cb ON cb.pcid = e.code
                       WHERE e.vec_id != qs.qid
-                      GROUP BY qs.qid, e.vec_id)
+                      GROUP BY qs.qid, e.vec_id),
+              topr AS (SELECT qid, vec_id FROM (
+                         SELECT qid, vec_id,
+                                row_number() OVER (PARTITION BY qid ORDER BY dist ASC, vec_id ASC) AS rr
+                         FROM adc) WHERE rr <= 100),
+              nrm2 AS (SELECT vec_id,
+                              CAST(list_sum(list_transform(q, x -> x*x)) AS DOUBLE) AS qq
+                       FROM q),
+              rerank AS (SELECT t.qid, t.vec_id,
+                                CASE WHEN cn.qq = 0 OR qn.qq = 0 THEN -1000000000.0
+                                     ELSE CAST(list_sum(list_transform(range(1, len(qv.q) + 1),
+                                            i -> qv.q[i] * cv.q[i])) AS DOUBLE)
+                                          / (sqrt(qn.qq) * sqrt(cn.qq))
+                                END AS sim
+                         FROM topr t
+                         JOIN q qv ON qv.vec_id = t.qid
+                         JOIN q cv ON cv.vec_id = t.vec_id
+                         JOIN nrm2 qn ON qn.vec_id = t.qid
+                         JOIN nrm2 cn ON cn.vec_id = t.vec_id)
          SELECT qid, vec_id AS neighbor_id, rnk FROM (
            SELECT qid, vec_id,
-                  row_number() OVER (PARTITION BY qid ORDER BY dist ASC, vec_id ASC) AS rnk
-           FROM adc) WHERE rnk <= 5""",
+                  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rnk
+           FROM rerank) WHERE rnk <= 5""",
     // Full IVF-PQ replay: int8 quantize, TRAINED two-round SPHERICAL
     // Lloyd coarse codebook (sphericalKmeansCtesDerived — the
     // cosine-assignment replay of Similarity.sphericalCentroids at
     // the nlparams-derived nlist), residual vs assigned cell, PQ
-    // codebook = residuals of the ksub=16 vectors after the nlist
-    // codebook rows, per-subspace encode (ties to the lowest codebook
-    // id), nprobe=4 cell probe (ties to the lowest cid), full-residual
-    // ADC — integer distances throughout (trunc'd Lloyd centroids
-    // stay integer), every tie replayed.
+    // codebook = residuals of the ksub=256 lowest-by-md5(vec_id)
+    // vectors (the r20 layout-blind draw), per-subspace encode (ties
+    // to the lowest codebook id), nprobe=4 cell probe (ties to the
+    // lowest cid), full-residual ADC, top-100 exact-cosine refine —
+    // integer distances throughout (trunc'd Lloyd centroids stay
+    // integer), every tie replayed.
     "similarity_ann_ivfpq" ->
       s"""WITH $sphericalKmeansCtesDerived,
               cb AS (SELECT cell AS cid, c,

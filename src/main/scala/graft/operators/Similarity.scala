@@ -1506,60 +1506,70 @@ object Similarity {
     * distances, and each candidate's distance is m table lookups + m
     * adds — no per-candidate dot products at all.
     *
-    * The codebook here is the deterministic first-`ksub` vectors'
-    * subvectors. Unlike the IVF coarse codebook (now the trained
-    * [[sphericalCentroids]]), training THIS codebook was measured and
-    * declined TWICE: (r18) two per-subspace L2 Lloyd rounds moved
-    * recall@5 13→12/50 (first-`ksub` init) and 13→13/50 (hash-spread
-    * init) on the registered corpus — isotropic int8 subvectors, so
-    * distortion is init-insensitive there; (r19, RECALL.json) the
-    * same training re-measured on the planted CLUSTERED corpus — the
-    * data where the coarse codebook's training demonstrably wins —
-    * and LOST recall at both sizes (21→12/50 at N=2k, 8→5/50 at
-    * N=16k, ADC semantics replicated exactly: the driver replica leg
-    * reproduces the in-plan figures bit-for-bit). Full-vector cluster
-    * structure does not survive 8-dim slicing: per-subspace Lloyd
-    * from the degenerate init collapses code spread toward subspace
-    * means. A trained codebook still slots in without touching the
-    * encode/ADC plumbing if a corpus with genuinely structured
-    * subspaces appears. Collecting the codebook is model-scale
-    * (ksub×64 ints).
+    * The codebook is the `ksub` = 256 lowest vectors BY MD5 OF vec_id
+    * — the layout-blind deterministic draw [[annIvfPq]]'s r20 rebuild
+    * landed (a contiguous first-`ksub` window collapses under
+    * shard-grouped ingest orderings, where adjacent ids share a
+    * cluster: the old first-16 book scored 2/50 on the registered
+    * clustered scoreboard) — re-sorted by vec_id so codebook position
+    * order (the encode tie rule) is the oracle's pcid order. TRAINING
+    * this codebook was measured and declined TWICE ((r18) two
+    * per-subspace L2 Lloyd rounds moved recall 13→12/50 on the
+    * registered corpus; (r19, RECALL.json) the same training LOST on
+    * the planted clustered corpus at both sizes, 21→12 and 8→5/50 —
+    * full-vector cluster structure does not survive 8-dim slicing), so
+    * the scale answer is the one every production PQ deployment uses
+    * instead: an exact-refine tail. ADC selects top `refineR` = 100
+    * per query — k-bounded, so the exchange carries ≤ R ids — and
+    * exact cosine over the fetched vectors re-ranks to 5 (FAISS
+    * IndexRefine shape, the [[annIvfPq]] tail verbatim). PQ is a
+    * candidate compressor, not a ranker: codes at any tested budget
+    * cannot order same-cluster neighbors whose true ranks differ by
+    * noise alignments below code resolution. Collecting the codebook
+    * is model-scale (ksub×64 ints).
     *
     * Integer-exact end to end: codes and centroids are int8 values, so
     * every squared distance is an exact integer (≤ 64·254² ≪ 2⁵³) and
     * no accumulation order or libm call can flip an argmin or a rank —
-    * the DuckDB oracle replays quantize → encode → ADC → rank
-    * bit-for-bit. Approximation error (vs [[topKBrute]]) comes only
-    * from the quantization itself; the spec pins recall.
+    * the DuckDB oracle replays quantize → sample → encode → ADC →
+    * refine → rank bit-for-bit. Approximation error (vs [[topKBrute]])
+    * comes only from the quantization itself; the spec pins recall.
     */
-  def annPq(spark: SparkSession, dir: String, m: Int = 8, ksub: Int = 16): DataFrame = {
+  def annPq(spark: SparkSession, dir: String, m: Int = 8, ksub: Int = 256,
+      refineR: Int = 100): DataFrame = {
     import spark.implicits._
     val dim = 64
     val dsub = dim / m
     val qd = quantizedCodes(spark, dir)
-    // codebook: (cid, full int8 vector) — subspace c's centroid is the
-    // vector's dims [ms*dsub, (ms+1)*dsub). cid-ascending order makes
-    // array_position's first-min tie rule = "lowest cid", matching the
-    // oracle's ORDER BY dist, cid.
-    val cents: Seq[(Long, Seq[Double])] = qd.filter(col("vec_id") < ksub)
-      .orderBy("vec_id").select(col("vec_id"), col("q")).collect().toSeq
-      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val cents: Seq[(Long, Seq[Double])] = qd
+      .orderBy(md5(col("vec_id").cast("string").cast("binary")), col("vec_id"))
+      .limit(ksub)
+      .select(col("vec_id"), col("q")).collect().toSeq
+      .sortBy(_.getLong(0)).map(r => (r.getLong(0), r.getSeq[Double](1)))
     if (cents.isEmpty)
       return Seq.empty[(Long, Long, Long)].toDF("qid", "neighbor_id", "rnk")
     val kAct = cents.size
-    // Distances are ranked as the PARTIAL squared L2 `c·c − 2·x·c`
-    // (the x·x term is constant per (row, subspace), so every argmin
-    // and every ADC rank — including ties — is identical to the
-    // oracle's full `‖x−c‖²`; dropping it is the standard ADC
-    // decomposition and keeps the expression tree one native dot
-    // product per (subspace, centroid) instead of dsub element_at
-    // branches, which codegen couldn't compile at m·ksub·dsub scale).
-    val centSub: Array[Array[Seq[Double]]] = Array.tabulate(kAct, m) { (c, ms) =>
+    val pqSub: Array[Array[Seq[Double]]] = Array.tabulate(kAct, m) { (c, ms) =>
       cents(c)._2.slice(ms * dsub, (ms + 1) * dsub)
     }
-    val centSelf: Array[Array[Double]] = centSub.map(_.map(s => s.map(x => x * x).sum))
-    def partialDist(x: Column, c: Int, ms: Int): Column =
-      lit(centSelf(c)(ms)) - lit(2.0) * dot(x, typedLit(centSub(c)(ms)))
+    val pqSelf: Array[Array[Double]] = pqSub.map(_.map(s => s.map(x => x * x).sum))
+    // codebook folded as LITERAL ARRAYS through higher-order functions
+    // (the annIvfPq shape): at ksub = 256 the unrolled per-centroid
+    // expression form is ~2k nodes per projection — plan bloat and a
+    // codegen-method-size hazard — while the HOF fold keeps the plan
+    // constant-size at any ksub. Per-entry value is the PARTIAL
+    // squared L2 `c·c − 2·x·c`: the x·x self-term is constant per
+    // (row, subspace), so every argmin and every ADC rank — ties
+    // included — is identical to the full distance's.
+    val pqSubLit = typedLit((0 until m).map(ms => (0 until kAct).map(c => pqSub(c)(ms))))
+    val pqSelfLit = typedLit((0 until m).map(ms => (0 until kAct).map(c => pqSelf(c)(ms))))
+    def dotHof(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    def pDists(sub: Column, ms: Int): Column =
+      zip_with(
+        element_at(pqSelfLit, ms + 1),
+        transform(element_at(pqSubLit, ms + 1), e => dotHof(e, sub)),
+        (s, d) => s - lit(2.0) * d)
 
     // per-row subvectors, computed once and reused by all kAct
     // centroid distances in each subspace
@@ -1571,19 +1581,17 @@ object Similarity {
     val encoded = withSubs.select(
       col("vec_id"),
       array((0 until m).map { ms =>
-        val sub = element_at(col("subs"), ms + 1)
-        val ds = array((0 until kAct).map(c => partialDist(sub, c, ms)): _*)
+        val ds = pDists(element_at(col("subs"), ms + 1), ms)
         array_position(ds, array_min(ds))
       }: _*).as("codes"))
 
     // per-query ADC lookup table: lut[ms·kAct + (code−1)] = partial
-    // distance from the query's ms-subvector to centroid `code` —
+    // distance from the query's ms-subvector to codebook entry `code` —
     // computed ONCE per query row, broadcast to the candidate scan.
     val qlut = withSubs.filter(col("vec_id") < 10).select(
       col("vec_id").as("qid"),
       flatten(array((0 until m).map { ms =>
-        val sub = element_at(col("subs"), ms + 1)
-        array((0 until kAct).map(c => partialDist(sub, c, ms)): _*)
+        pDists(element_at(col("subs"), ms + 1), ms)
       }: _*)).as("lut"))
 
     val scored = encoded.crossJoin(broadcast(qlut))
@@ -1595,7 +1603,21 @@ object Similarity {
       // TopK orders (sim DESC, id ASC); distances are exact integers so
       // negation is exact and the rank equals (d ASC, id ASC).
       .withColumn("sim", -col("d"))
-    graft.functions.TopK.perQuery(scored, 5)
+
+    // REFINE tail (the annIvfPq r20 shape, verbatim): ADC is the
+    // candidate generator, exact cosine over refineR fetched vectors
+    // is the ranker.
+    val topR = graft.functions.TopK.perQuery(scored, refineR)
+      .select(col("qid"), col("neighbor_id").as("vec_id"))
+    val qSide = qd.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("q").as("qv2"), col("qq").as("qq2"))
+    val rerank = qd.select(col("vec_id"), col("q"), col("qq"))
+      .join(broadcast(topR), "vec_id")
+      .join(broadcast(qSide), "qid")
+      .withColumn("sim",
+        when(col("qq") === 0.0 || col("qq2") === 0.0, lit(-1e9))
+          .otherwise(dot(col("qv2"), col("q")) / (sqrt(col("qq2")) * sqrt(col("qq")))))
+    graft.functions.TopK.perQuery(rerank, 5)
   }
 
   /** Approximate top-5 via IVF-PQ — the composition [[annIvf]] ×

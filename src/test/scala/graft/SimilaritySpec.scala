@@ -115,11 +115,12 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     val pqPairs = pq.map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact intersect pqPairs).size.toDouble / exact.size
     info(f"PQ-ADC recall vs brute force: $recall%.2f")
-    // tight clusters survive the quantization: the neighbor CLUSTER is
-    // always right (asserted below); within-cluster ranks swap freely
-    // under PQ distortion, so recall@5 is graded against the
-    // random-5-of-19-same-cluster baseline (~0.26), not near-1
-    assert(recall >= 0.35, s"PQ recall $recall not above same-cluster-random baseline")
+    // r20 refine tail: ADC is only the candidate generator now — the
+    // exact-cosine re-rank of its top-100 restores the within-cluster
+    // order PQ distortion used to scramble (recall was graded against
+    // the ~0.26 same-cluster-random baseline before; it reads ~0.94
+    // with the tail). Grade well above the old baseline.
+    assert(recall >= 0.8, s"PQ recall $recall below the refine-tail expectation")
     // every approximate neighbor at least lands in the query's cluster
     assert(pq.forall(r => r.getLong(0) % 3 === r.getLong(1) % 3))
   }
