@@ -537,6 +537,12 @@ object Dedup {
     val (table, idxPath) = Tables.scopedIndex(spark, "graft_components_index", dir)
     if (!spark.catalog.tableExists(table)) {
       dedupComponents(spark, dir)
+        // cluster by the bucket key before the bucketed write: without
+        // it every upstream task writes a file into every bucket it
+        // touches (tasks x buckets small files); one partition per
+        // bucket -> one file per bucket, and every later probe scan
+        // opens 8 files instead of hundreds
+        .repartition(8, col("doc_id"))
         .write.bucketBy(8, "doc_id").sortBy("doc_id")
         .option("path", idxPath).mode("overwrite").saveAsTable(table)
     }
@@ -664,13 +670,20 @@ object Dedup {
         .filter(col("doc_id") <= corpusCut(spark, dir))
       base.select(col("doc_id"), sha2(col("text"), 256).as("h"))
         .groupBy(col("h")).agg(min(col("doc_id")).as("base_min"))
+        // one partition per bucket on every standing write (see
+        // componentLabels): the un-clustered builds left tasks x 8
+        // files (measured 256 on the sf0.1 bsets/bpref tables) that
+        // every per-ingest probe re-opened
+        .repartition(8, col("h"))
         .write.bucketBy(8, "h")
         .option("path", shaP).mode("overwrite").saveAsTable(shaT)
       val baseSets = hashedSetsOf(base).drop("sh")
         .persist(StorageLevel.MEMORY_AND_DISK)
-      baseSets.write.bucketBy(8, "doc_id").sortBy("doc_id")
+      baseSets.repartition(8, col("doc_id"))
+        .write.bucketBy(8, "doc_id").sortBy("doc_id")
         .option("path", setP).mode("overwrite").saveAsTable(setT)
       prefixTable(baseSets, 4)
+        .repartition(8, col("h"))
         .write.bucketBy(8, "h")
         .option("path", prefP).mode("overwrite").saveAsTable(prefT)
       baseSets.unpersist()
@@ -753,6 +766,7 @@ object Dedup {
       // a fresh set of (never-computed) cached relations per call
       val (shas, sets, prefAll) = split
       baseComponentLabels(shas, sets, prefAll, caller)
+        .repartition(8, col("doc_id"))
         .write.bucketBy(8, "doc_id").sortBy("doc_id")
         .option("path", basePath).mode("overwrite").saveAsTable(baseTable)
     }
@@ -894,6 +908,7 @@ object Dedup {
           standingBaseLabels(spark, dir, (shas, sets, prefAll),
             "componentsStandingAppend(base)"))
         folded
+          .repartition(8, col("doc_id"))
           .write.bucketBy(8, "doc_id").sortBy("doc_id")
           .option("path", v2Path).mode("overwrite").saveAsTable(v2Table)
       }

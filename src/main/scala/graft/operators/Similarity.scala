@@ -898,8 +898,15 @@ object Similarity {
     val cells = emb.withColumn("cs", cellSims(col("v"), col("nrm")))
       .withColumn("cell", array_position(col("cs"), array_max(col("cs"))).cast("int"))
       .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+    // Cluster by the partition column BEFORE the partitioned write:
+    // without it every upstream task opens a file in every cell
+    // directory it touches (tasks × cells small files — measured 503
+    // files / 16 cells on the sf0.1 build, ~8 KB each), which taxes
+    // both the write commit and every later probe's scan. The
+    // repartition shuffles only the slim (vec_id, v, nrm, cell) rows
+    // and lands each cell in exactly one task → one file per cell.
     def writeEpoch(rows: DataFrame, mode: String): Unit =
-      rows.write.partitionBy("cell")
+      rows.repartition(col("cell")).write.partitionBy("cell")
         .option("path", idxPath)
         .mode(mode).saveAsTable(table)
     if (appendEpoch) {
@@ -942,8 +949,10 @@ object Similarity {
       .getOrElse(return emptyProbeFrame(spark))
 
     val (table, idxPath) = Tables.scopedIndex(spark, "graft_ivf_cell_del", dir)
+    // same pre-write clustering as annIvfStandingImpl (one file per
+    // cell instead of tasks × cells)
     def writeEpoch(rows: DataFrame, mode: String): Unit =
-      rows.write.partitionBy("cell")
+      rows.repartition(col("cell")).write.partitionBy("cell")
         .option("path", idxPath)
         .mode(mode).saveAsTable(table)
     writeEpoch(emb.withColumn("cs", cellSims(col("v"), col("nrm")))
@@ -2082,7 +2091,11 @@ object Similarity {
     val (table, path) = Tables.scopedIndex(spark,
       s"graft_lsh_sig_v${nBands}x${bandBits}x$dim", dir)
     def write(rows: DataFrame, mode: String): Unit =
-      rows.write.bucketBy(8, "vec_id").sortBy("vec_id")
+      // one partition per bucket (see Dedup.componentLabels): the
+      // un-clustered build left 256 files on the sf0.1 table that all
+      // seven signature consumers re-opened every probe
+      rows.repartition(8, col("vec_id"))
+        .write.bucketBy(8, "vec_id").sortBy("vec_id")
         .option("path", path).mode(mode).saveAsTable(table)
     val sig = lshSigPlan(spark, dir, nBands, bandBits, dim)
     if (!appendEpoch) write(sig, "overwrite")

@@ -1635,13 +1635,29 @@ object TextOps {
     val docs = Tables.documentsSpread(spark, dir)
       .select(col("doc_id"), col("lang").as("true_lang"),
         explode(tokens(col("text"))).as("token"))
+    // model, language totals and vocabulary all DERIVE from the per-doc
+    // aggregate instead of re-running the tokenize+explode scan: every
+    // (lang, token) instance count is the sum of its per-doc counts,
+    // the per-lang total is the sum of those, and the observed
+    // vocabulary is the model's distinct token set. The four consumers
+    // previously each re-scanned and re-exploded the corpus (4
+    // Generate+tokenize passes in the physical plan); now 2. The share
+    // point is the PERSISTED vocabulary-scale model table — exchange
+    // reuse alone cannot dedup the branches (column pruning
+    // specializes each one's partial aggregate, so the subtrees stop
+    // being canonically equal), and persisting the doc-scale
+    // aggregate instead measured SLOWER (the cache materialization
+    // serializes what were parallel passes and doubles row traffic;
+    // see OPTIMIZATION_r20.md). docTokens stays a direct pass — it
+    // runs concurrently with the model pass in the same job.
     val docTokens = docs.groupBy(col("doc_id"), col("true_lang"), col("token"))
       .agg(count(lit(1)).as("c_dt"))
     val model = docs.groupBy(col("true_lang").as("lang_m"), col("token"))
       .agg(count(lit(1)).as("c_lt"))
-    val langTotals = docs.groupBy(col("true_lang").as("lang_m"))
-      .agg(count(lit(1)).as("n_l"))
-    val vocab = docs.select(col("token")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val langTotals = model.groupBy(col("lang_m"))
+      .agg(sum(col("c_lt")).as("n_l"))
+    val vocab = model.select(col("token")).distinct()
       .agg(count(lit(1)).as("v"))
     val scored = docTokens
       .crossJoin(broadcast(langTotals.crossJoin(vocab)))
@@ -1692,15 +1708,25 @@ object TextOps {
       .select(col("doc_id"), col("true_lang"),
         (conv(substring(md5(col("bg").cast("binary")), 1, 7), 16, 10)
           .cast("long") % buckets).as("feat"))
+    // Same share shape as [[langidNbConfusion]]: per-lang totals and
+    // the observed-feature count fold out of the PERSISTED model table
+    // (|langs| × buckets-bounded — broadcast-sized by construction)
+    // instead of re-running the bigram-explode + md5 pass per consumer
+    // (the md5 per character bigram is this query's dominant compute;
+    // the plan previously carried 4 Generate+hash subtrees, now 2 —
+    // pruning-specialized partial aggregates defeat plain exchange
+    // reuse, and persisting the doc-scale aggregate measured slower,
+    // so the share point is the model-scale cache).
     val docFeats = feats.groupBy(col("doc_id"), col("true_lang"), col("feat"))
       .agg(count(lit(1)).as("c_df"))
     val model = feats.groupBy(col("true_lang").as("lang_m"), col("feat"))
       .agg(count(lit(1)).as("c_lf"))
-    val langTotals = feats.groupBy(col("true_lang").as("lang_m"))
-      .agg(count(lit(1)).as("n_l"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val langTotals = model.groupBy(col("lang_m"))
+      .agg(sum(col("c_lf")).as("n_l"))
     // Laplace denominator = OBSERVED distinct feature count (mirrors
     // the token model's vocabulary scalar; ≤ buckets by construction)
-    val vocab = feats.select(col("feat")).distinct()
+    val vocab = model.select(col("feat")).distinct()
       .agg(count(lit(1)).as("v"))
     val scored = docFeats
       .crossJoin(broadcast(langTotals.crossJoin(vocab)))
