@@ -391,6 +391,157 @@ object HashOps {
     acc
   }
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val hexDigits = "0123456789abcdef".toCharArray
+  /** Per-permutation prefix bytes "j:" for the md5 minhash family —
+    * built once, shared by every row.
+    */
+  private val md5Prefixes: Array[Array[Byte]] =
+    Array.tabulate(64)(j => s"$j:".getBytes("UTF-8"))
+
+  /** md5 minhash signature: h_j = min over shingles s of
+    * md5utf8("j:" || s), j in [0, numHashes), as lowercase hex strings
+    * — the native equivalent of exploding the shingle set and folding
+    * `min(md5(concat_ws(':', j, s)))` per j. Lowercase fixed-length
+    * hex compares lexicographically exactly like the unsigned digest
+    * bytes, so tracking mins on raw digests and hex-encoding once per
+    * document at the end yields the identical signature. One reused
+    * MessageDigest per thread, zero per-row string/agg machinery, and
+    * the per-doc aggregation (with its 64-string-column partial-agg
+    * exchange) disappears from the plan. Null shingles are skipped
+    * (the internal call sites never produce them). Returns null for an
+    * empty set — callers filter those rows to match the explode
+    * formulation, where a shingle-less doc never reached the agg.
+    */
+  def md5MinhashSig(arr: ArrayData, numHashes: Int): ArrayData = {
+    val n = arr.numElements()
+    val md = md5Local.get()
+    val mins = new Array[Array[Byte]](numHashes)
+    var i = 0
+    var any = false
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        any = true
+        val s = arr.getUTF8String(i).getBytes
+        var j = 0
+        while (j < numHashes) {
+          md.reset()
+          md.update(md5Prefixes(j))
+          md.update(s)
+          val d = md.digest()
+          val cur = mins(j)
+          if (cur == null || unsignedLess(d, cur)) mins(j) = d
+          j += 1
+        }
+      }
+      i += 1
+    }
+    if (!any) return null
+    val out = new Array[org.apache.spark.unsafe.types.UTF8String](numHashes)
+    var j = 0
+    while (j < numHashes) {
+      val d = mins(j)
+      val hex = new Array[Byte](32)
+      var b = 0
+      while (b < 16) {
+        hex(2 * b) = hexDigits((d(b) >> 4) & 0xf).toByte
+        hex(2 * b + 1) = hexDigits(d(b) & 0xf).toByte
+        b += 1
+      }
+      out(j) = org.apache.spark.unsafe.types.UTF8String.fromBytes(hex)
+      j += 1
+    }
+    new GenericArrayData(out.asInstanceOf[Array[Any]])
+  }
+
+  private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < 16) {
+      val x = a(i) & 0xff
+      val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    false
+  }
+
+  /** Product-quantization encode: for each of `m` subspaces of `dsub`
+    * dims, the 1-based index of the codebook entry minimizing the
+    * partial squared L2 `c·c − 2·x·c` (the x·x self-term is constant
+    * per (row, subspace) and cannot flip an argmin). `flat` is the
+    * k×(m·dsub) codebook row-major by centroid; `selfs(c·m + ms)` the
+    * precomputed per-subspace self term. First-min tie rule — the
+    * exact `array_position(ds, array_min(ds))` semantics of the HOF
+    * formulation this replaces; every distance is an exact integer
+    * (int8-valued inputs), so accumulation order cannot matter either.
+    */
+  def pqEncode(q: ArrayData, flat: Array[Double], selfs: Array[Double],
+               m: Int, dsub: Int, k: Int): ArrayData = {
+    val dim = m * dsub
+    val out = new Array[Long](m)
+    var ms = 0
+    while (ms < m) {
+      val off = ms * dsub
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < k) {
+        var d = 0.0
+        val cOff = c * dim + off
+        var j = 0
+        while (j < dsub) {
+          d += q.getDouble(off + j) * flat(cOff + j)
+          j += 1
+        }
+        val dist = selfs(c * m + ms) - 2.0 * d
+        if (dist < bestD) { bestD = dist; best = c }
+        c += 1
+      }
+      out(ms) = best + 1
+      ms += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** The per-query ADC lookup table matching [[pqEncode]]'s codes:
+    * lut(ms·k + c) = partial distance from the query's ms-subvector to
+    * codebook entry c (+ the subvector's own self-term when `addSelf`
+    * — required when LUTs from different probed cells must be
+    * comparable, the IVF-PQ residual case). Values bit-identical to
+    * the HOF formulation (integer-exact inputs).
+    */
+  def pqLut(q: ArrayData, flat: Array[Double], selfs: Array[Double],
+            m: Int, dsub: Int, k: Int, addSelf: Boolean): ArrayData = {
+    val dim = m * dsub
+    val out = new Array[Double](m * k)
+    var ms = 0
+    while (ms < m) {
+      val off = ms * dsub
+      var rr = 0.0
+      if (addSelf) {
+        var j = 0
+        while (j < dsub) { val x = q.getDouble(off + j); rr += x * x; j += 1 }
+      }
+      var c = 0
+      while (c < k) {
+        var d = 0.0
+        val cOff = c * dim + off
+        var j = 0
+        while (j < dsub) {
+          d += q.getDouble(off + j) * flat(cOff + j)
+          j += 1
+        }
+        out(ms * k + c) = rr + (selfs(c * m + ms) - 2.0 * d)
+        c += 1
+      }
+      ms += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** 64-bit SimHash over a token array: per-bit ±1 votes of each
     * token's xxh64 (seed 42 — bit-identical to the previous
     * `xxhash64(token)` HOF formulation), sign of the vote → bit.
@@ -438,6 +589,31 @@ case class MinHashBands(child: Expression, numHashes: Int, bandRows: Int)
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.HashOps.minhashBands($c, $numHashes, $bandRows);")
   override protected def withNewChildInternal(newChild: Expression): MinHashBands =
+    copy(child = newChild)
+}
+
+/** `md5_minhash_sig(shingles, numHashes)` → ARRAY<STRING> of the
+  * numHashes per-permutation min md5 hex digests (null on an empty
+  * set — see [[HashOps.md5MinhashSig]]).
+  */
+case class Md5MinhashSig(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+  require(numHashes > 0 && numHashes <= 64,
+    s"md5_minhash_sig: need 0 < numHashes <= 64, got $numHashes")
+  override def checkInputDataTypes(): TypeCheckResult =
+    HashExprChecks.requireStringArray(prettyName, child)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  // an empty shingle array yields null (no min exists)
+  override def nullable: Boolean = true
+  override def prettyName: String = "md5_minhash_sig"
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.md5MinhashSig(input.asInstanceOf[ArrayData], numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.HashOps.md5MinhashSig($c, $numHashes);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+  override protected def withNewChildInternal(newChild: Expression): Md5MinhashSig =
     copy(child = newChild)
 }
 
@@ -601,6 +777,101 @@ case class DamerauLevenshtein(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Shared constructor-arg plumbing for the PQ expressions: the
+  * codebook rides the expression as a driver-side object (flattened +
+  * self-terms precomputed once, shipped to executors through the
+  * codegen references array), NOT as a plan literal — the old
+  * `typedLit` codebooks put m·ksub·dsub doubles into every projection,
+  * bloating each ANN plan to hundreds of KB that Catalyst re-analyzed
+  * and AQE re-stringified per action, and the HOF folds that consumed
+  * them ran interpreted per element.
+  */
+private[functions] trait PqCodebook { self: Expression =>
+  def cents: Array[Array[Double]]
+  def m: Int
+  @transient protected final lazy val dim: Int = cents(0).length
+  @transient protected final lazy val dsub: Int = dim / m
+  @transient protected final lazy val k: Int = cents.length
+  @transient protected final lazy val flatCents: Array[Double] = {
+    val out = new Array[Double](k * dim)
+    var c = 0
+    while (c < k) { System.arraycopy(cents(c), 0, out, c * dim, dim); c += 1 }
+    out
+  }
+  /** selfs(c·m + ms) = Σ over the ms-subspace of cents(c)², the same
+    * left-to-right sum as the HOF `s.map(x => x*x).sum` it replaces.
+    */
+  @transient protected final lazy val selfTerms: Array[Double] = {
+    val out = new Array[Double](k * m)
+    var c = 0
+    while (c < k) {
+      var ms = 0
+      while (ms < m) {
+        var s = 0.0
+        var j = 0
+        while (j < dsub) { val x = cents(c)(ms * dsub + j); s += x * x; j += 1 }
+        out(c * m + ms) = s
+        ms += 1
+      }
+      c += 1
+    }
+    out
+  }
+  protected def checkPqInput(name: String, child: Expression): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _)
+        if cents.nonEmpty && m > 0 && cents(0).length % m == 0 =>
+        TypeCheckResult.TypeCheckSuccess
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckFailure(
+        s"$name: need a non-empty codebook and dim divisible by m (k=${cents.length}, m=$m)")
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$name requires ARRAY<DOUBLE> input, got ${other.catalogString}")
+    }
+}
+
+/** `pq_encode(v)` → ARRAY<BIGINT> of m 1-based codebook positions
+  * (see [[HashOps.pqEncode]]).
+  */
+case class PqEncode(child: Expression, cents: Array[Array[Double]], m: Int)
+    extends UnaryExpression with PqCodebook {
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkPqInput(prettyName, child)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.pqEncode(input.asInstanceOf[ArrayData], flatCents, selfTerms, m, dsub, k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val flatRef = ctx.addReferenceObj("pqCents", flatCents, "double[]")
+    val selfRef = ctx.addReferenceObj("pqSelfs", selfTerms, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashOps.pqEncode($c, $flatRef, $selfRef, $m, $dsub, $k);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+/** `pq_lut(v)` → ARRAY<DOUBLE> of m·k ADC partial distances
+  * (see [[HashOps.pqLut]]).
+  */
+case class PqLut(child: Expression, cents: Array[Array[Double]], m: Int,
+                 addSelf: Boolean)
+    extends UnaryExpression with PqCodebook {
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkPqInput(prettyName, child)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "pq_lut"
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.pqLut(input.asInstanceOf[ArrayData], flatCents, selfTerms, m, dsub, k, addSelf)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val flatRef = ctx.addReferenceObj("pqCents", flatCents, "double[]")
+    val selfRef = ctx.addReferenceObj("pqSelfs", selfTerms, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashOps.pqLut($c, $flatRef, $selfRef, $m, $dsub, $k, $addSelf);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): PqLut =
+    copy(child = newChild)
+}
+
 /** `dot_product(a, b)` → DOUBLE over two ARRAY<DOUBLE> columns. */
 case class ArrayDotProduct(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
@@ -646,6 +917,12 @@ object functions {
     GraftGlue.column(SortedIntersectCount(GraftGlue.expression(a), GraftGlue.expression(b)))
   def dot_product(a: Column, b: Column): Column =
     GraftGlue.column(ArrayDotProduct(GraftGlue.expression(a), GraftGlue.expression(b)))
+  def md5_minhash_sig(c: Column, numHashes: Int): Column =
+    GraftGlue.column(Md5MinhashSig(GraftGlue.expression(c), numHashes))
+  def pq_encode(v: Column, cents: Array[Array[Double]], m: Int): Column =
+    GraftGlue.column(PqEncode(GraftGlue.expression(v), cents, m))
+  def pq_lut(v: Column, cents: Array[Array[Double]], m: Int, addSelf: Boolean): Column =
+    GraftGlue.column(PqLut(GraftGlue.expression(v), cents, m, addSelf))
   def jaro_winkler(a: Column, b: Column): Column =
     GraftGlue.column(JaroWinklerSim(GraftGlue.expression(a), GraftGlue.expression(b)))
   def damerau_levenshtein(a: Column, b: Column): Column =

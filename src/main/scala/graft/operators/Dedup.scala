@@ -412,15 +412,6 @@ object Dedup {
     */
   private[graft] def propagateMinLabels(
       pairs: DataFrame, init: DataFrame, caller: String): DataFrame = {
-    // Persist the undirected pair set before symmetrizing: the union
-    // references it twice, and un-cached that doubles the (expensive)
-    // pair-generation pipeline inside the edge materialization. Then
-    // hash-partition by src BEFORE persisting the symmetric table:
-    // every propagation round joins on src, so the cached partitioning
-    // satisfies the join's distribution requirement and the edge table
-    // never re-shuffles inside the loop (one exchange total instead of
-    // one per round).
-    val p = pairs.persist(StorageLevel.MEMORY_AND_DISK)
     // Symmetrize by EXPLODING both directions from one scan, not by
     // self-union: a `p.unionAll(p.select(flip))` defeats the cache
     // substitution for its second branch (the analyzer's
@@ -428,14 +419,30 @@ object Dedup {
     // matches), silently re-running the whole pair-generation pipeline
     // — measured 27 MB of re-paid jaccard shuffle on the sf0.1
     // `dedup_components` row, half that row's total bytes. The explode
-    // reads the cached pairs once and emits the same row multiset.
-    val edges = p
+    // reads the pairs once and emits the same row multiset.
+    // Hash-partition by src BEFORE materializing: every propagation
+    // round joins on src, so the checkpointed partitioning satisfies
+    // the join's distribution requirement and the edge table never
+    // re-shuffles inside the loop (one exchange total instead of one
+    // per round).
+    // EAGER localCheckpoint, not persist: a persisted frame still
+    // carries the whole pair-generation LOGICAL plan (shingle →
+    // prefix-explode → candidate join → verify), and every fixpoint
+    // action — one agg per round plus the final checkpoint — re-runs
+    // Catalyst analysis/optimization and AQE per-stage re-planning
+    // over that tree. Measured on the r21 steady-state JobProbe:
+    // dedup_components_delete spent 3.6 s of its 4.5 s wall in
+    // between-job driver gaps, concentrated on the round aggregates
+    // whose plans nested the induced-subgraph pipeline. Truncating to
+    // an in-memory leaf makes every round plan over a table scan
+    // (same blocks as the persist — edge-scale, never documents).
+    val edges = pairs
       .select(explode(array(
         struct(col("doc_a").as("src"), col("doc_b").as("dst")),
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .repartition(col("src"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
 
     // Only vertices incident to an edge can change label or influence
     // a neighbor; every other init row IS its own fixpoint. Iterating
@@ -446,10 +453,10 @@ object Dedup {
     // the loop to the ACTIVE set (edge endpoints — `edges` is already
     // symmetrized, so `src` covers both sides) and union the inert
     // rows back once at the end: identical fixpoint, batch-shaped
-    // loop. `init` is persisted because the semi/anti split reads it
-    // twice (some callers pass un-cached lineage, e.g. the contracted
-    // vertex distinct).
-    val initP = init.persist(StorageLevel.MEMORY_AND_DISK)
+    // loop. `init` is read twice (the semi/anti split) and rides into
+    // every round's plan via the loop seed — checkpoint-truncated for
+    // the same replanning reason as `edges` (vertex-scale blocks).
+    val initP = init.localCheckpoint(true)
     val active = edges.select(col("src").as("doc_id")).distinct()
     val inert = initP.join(active, Seq("doc_id"), "left_anti")
 
@@ -511,12 +518,13 @@ object Dedup {
     // the same relation the full-vertex loop used to return
     val out = labels.unionAll(inert).localCheckpoint(true)
     labels.unpersist()
-    initP.unpersist()
-    // the symmetrized edge cache is local to this fixpoint and dead
-    // once the labels are checkpointed; repeated ingest calls in one
-    // session must not accumulate it (`pairs`' cache belongs to the
-    // caller and is left alone)
-    edges.unpersist()
+    // the symmetrized edge / init checkpoints are local to this
+    // fixpoint and dead once the labels are checkpointed; repeated
+    // ingest calls in one session must not accumulate their blocks
+    // (checkpoint blocks outlive catalog.clearCache, so freeing them
+    // deterministically matters more than it did for the old caches)
+    Relational.freeLocalCheckpoint(initP)
+    Relational.freeLocalCheckpoint(edges)
     out
   }
 
@@ -831,8 +839,14 @@ object Dedup {
       .filter(col("doc_a") =!= col("doc_b"))
       // id-pair scale, and fanned out SIX ways below (vertex set twice,
       // symmetrized edges twice, fixpoint init through verts) — without
-      // this persist every reference replays the probe joins above
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      // materialization every reference replays the probe joins above.
+      // EAGER localCheckpoint rather than persist: the probe-join plan
+      // otherwise rides into every downstream action (the merge
+      // fixpoint's per-round aggregates re-plan it — the r21 JobProbe
+      // measured ~2.9 s of driver-only replanning gaps on exactly
+      // those actions), and truncation caps each round's plan at leaf
+      // scans for the same block footprint
+      .localCheckpoint(true)
 
     // (3) propagate over the contracted merge graph: vertices are the
     // batch docs plus every touched base component, each starting as
@@ -851,9 +865,9 @@ object Dedup {
       "componentsIncremental(merge)")
       .crossJoin(broadcast(cut))
     // the propagate call above is eager and checkpoint-truncated, and
-    // nothing below re-reads the contracted edges — release the cache
-    // instead of accumulating one per ingest call
-    contracted.unpersist()
+    // nothing below re-reads the contracted edges — release the blocks
+    // instead of accumulating one set per ingest call
+    Relational.freeLocalCheckpoint(contracted)
 
     // (4) batch rows come straight from the merge fixpoint; base rows
     // re-label through the changed-component remap (touched comps only
@@ -986,6 +1000,9 @@ object Dedup {
       star.unionAll(near),
       grpMin.select(col("doc_id"), col("grp_min").as("comp")),
       "componentsDelete")
+    // the propagate call is eager and checkpoint-truncated — the
+    // induced-subgraph caches are dead now; release them per call
+    grpMin.unpersist(); sets.unpersist()
 
     untouched.unionAll(relabeled.select(col("doc_id"), col("comp")))
       .select(col("doc_id"), col("comp"),
@@ -1684,17 +1701,30 @@ object Dedup {
     * (P(miss | j=0.82) ≈ 0.11 at 4 bands — band count, not hash
     * family, was the difference).
     */
-  /** md5 minhash signature table (doc_id, h0..h63): each shingle row
-    * computes all 64 md5s and the per-doc min folds map-side before the
-    * one doc_id shuffle. Factored out of [[md5BandTable]] so
-    * [[minhashErrorProfile]] can read the raw signature columns.
+  /** md5 minhash signature table (doc_id, h0..h63), computed by the
+    * native [[graft.functions.Md5MinhashSig]] kernel: one pass over
+    * each document's shingle set inside the codegen span, instead of
+    * exploding shingles and folding 64 separate
+    * `min(md5(concat_ws(':', j, s)))` aggregate columns — the explode
+    * formulation paid 64 codegen'd md5 expressions (each with its own
+    * digest + hex allocation) per SHINGLE row plus a 64-string-column
+    * partial-agg exchange; the kernel reuses one MessageDigest, tracks
+    * mins on raw digest bytes, and the per-doc aggregation (and its
+    * exchange) leaves the plan entirely. Hex values, and every oracle
+    * hash downstream, are unchanged (lowercase hex order ≡ unsigned
+    * digest-byte order). The size filter replicates the explode
+    * semantics: a shingle-less doc never reached the old groupBy.
+    * Factored out of [[md5BandTable]] so [[minhashErrorProfile]] can
+    * read the raw signature columns.
     */
   private[graft] def md5SigTable(sh: DataFrame): DataFrame = {
     val numHashes = 64
-    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-    val sigCols = (0 until numHashes).map(j =>
-      min(md5(concat_ws(":", lit(j.toString), col("s")).cast("binary"))).as(s"h$j"))
-    ex.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    val withSig = sh
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"),
+        graft.functions.functions.md5_minhash_sig(col("sh"), numHashes).as("sig"))
+    withSig.select(col("doc_id") +:
+      (0 until numHashes).map(j => element_at(col("sig"), j + 1).as(s"h$j")): _*)
   }
 
   /** 16×4 banding over a [[md5SigTable]] signature relation. */
@@ -1980,8 +2010,16 @@ object Dedup {
       .withColumn("band_key", concat_ws("#", col("band"), col("band_hash")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val (table, idxPath) = Tables.scopedIndex(spark, "graft_minhash_band_del", dir)
+    // one partition per bucket before the write: the kernel-computed
+    // band table arrives at scan parallelism (no aggregate exchange
+    // upstream any more), and an unclustered write opens tasks×8
+    // bucket writers and leaves tasks×8 files for every later probe
+    // scan. The clustering shuffle moves the slim (dup_of, band_key)
+    // rows (<1 MB at sf0.1) — measured cheaper than the writer fan-out
+    // it removes, unlike the index-scale repartitions r20 refused.
     def writeIndex(rows: DataFrame, mode: String): Unit =
-      rows.write.bucketBy(8, "band_key").sortBy("band_key")
+      rows.repartition(8, col("band_key"))
+        .write.bucketBy(8, "band_key").sortBy("band_key")
         .option("path", idxPath)
         .mode(mode).saveAsTable(table)
     writeIndex(withKey.filter(col("doc_id") <= col("c"))
@@ -2056,8 +2094,11 @@ object Dedup {
     val base =
       if (appendEpoch) "graft_minhash_band_appended" else "graft_minhash_band_index"
     val (table, idxPath) = Tables.scopedIndex(spark, base, dir)
+    // clustered like minhashStandingDelete's writeIndex (see there):
+    // slim rows, one file per bucket per epoch
     def writeEpoch(rows: DataFrame, mode: String): Unit =
       rows.select(col("doc_id").as("dup_of"), col("band_key"))
+        .repartition(8, col("band_key"))
         .write.bucketBy(8, "band_key").sortBy("band_key")
         .option("path", idxPath)
         .mode(mode).saveAsTable(table)

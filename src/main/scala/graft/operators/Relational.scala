@@ -992,7 +992,7 @@ object Relational {
     * lineage-truncated RDD still in use elsewhere — has a non-leaf
     * root and is a no-op here.
     */
-  private def freeLocalCheckpoint(df: DataFrame): Unit =
+  private[operators] def freeLocalCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false)
@@ -1014,17 +1014,18 @@ object Relational {
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // deg is vertex-scale and read three times (initial ranks + one
-    // edge join per round) — persist it; the edge⋈deg join itself is
-    // re-executed per round from the two cached inputs, which measures
-    // cheaper than materializing the edge-scale joined table
+    // The per-vertex degree is CARRIED as a column of the rank vector
+    // instead of living in its own persisted table joined back every
+    // round: deg(id) is loop-invariant, so folding it into the
+    // checkpointed (id, r, deg) rows removes one vertex-scale join
+    // (and its broadcast/exchange stage) from every round's plan
+    // (§2.4) — the update arithmetic is unchanged, only where `deg`
+    // rides. The init evaluates once inside round 1's checkpoint.
     val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val withDeg = sym.join(deg, "src")
-    var ranks = deg.select(col("src").as("id"), lit(1000000L).as("r"))
+    var ranks = deg.select(col("src").as("id"), lit(1000000L).as("r"), col("deg"))
     var prevCk: Option[DataFrame] = None
     (1 to iters).foreach { _ =>
-      val inflow = withDeg.join(ranks, col("src") === col("id"))
+      val inflow = sym.join(ranks, col("src") === col("id"))
         .select(col("dst"), expr("r div deg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
       // localCheckpoint (eager): materializes the round AND truncates
@@ -1037,10 +1038,11 @@ object Relational {
       // plan size and recompute at per-round constant. (Cluster caveat:
       // localCheckpoint trades executor-loss recovery for speed — a
       // reliable checkpoint dir restores it at the same plan shape.)
-      ranks = ranks.select(col("id"), col("r"))
+      ranks = ranks.select(col("id"), col("r"), col("deg"))
         .join(inflow, col("id") === col("dst"), "left")
         .select(col("id"),
-          (lit(150000L) + expr("(850000 * coalesce(inflow, 0L)) div 1000000")).as("r"))
+          (lit(150000L) + expr("(850000 * coalesce(inflow, 0L)) div 1000000")).as("r"),
+          col("deg"))
         .localCheckpoint()
       // the new round is materialized (eager checkpoint), so the
       // predecessor's blocks are dead — free them now instead of
@@ -1048,8 +1050,8 @@ object Relational {
       prevCk.foreach(freeLocalCheckpoint)
       prevCk = Some(ranks)
     }
-    if (iters > 0) { deg.unpersist(blocking = false); sym.unpersist(blocking = false) }
-    ranks
+    if (iters > 0) sym.unpersist(blocking = false)
+    ranks.select(col("id"), col("r"))
   }
 
   /** Per-round convergence telemetry for [[pagerank]]: for each of
@@ -1088,50 +1090,56 @@ object Relational {
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // degree carried as a rank-vector column, as in [[pagerank]] — one
+    // fewer vertex-scale join per round
     val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val withDeg = sym.join(deg, "src")
     // localCheckpoint per round, exactly like [[pagerank]]'s loop: the
     // delta self-join references BOTH rounds, so a persist-only chain
     // triples its logical plan per round — at the registered rounds=8
     // the plan string alone (persist prints it for the cache name) goes
     // exponential. Truncated leaves keep every round's plan constant.
-    var ck = deg.select(col("src").as("id"), lit(1000000L).as("r"))
+    val ck0 = deg.select(col("src").as("id"), lit(1000000L).as("r"), col("deg"))
       .localCheckpoint()
-    var ranks: DataFrame = ck
+    var ranks: DataFrame = ck0
+    val ckpts = scala.collection.mutable.ListBuffer[DataFrame](ck0)
     val deltas =
       if (ranks.isEmpty) Seq.empty[(Long, Long, Long)]
-      else (1 to rounds).map { rnd =>
-        val inflow = withDeg.join(ranks, col("src") === col("id"))
-          .select(col("dst"), expr("r div deg").as("c"))
-          .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
-        // lazy checkpoint: the delta aggregate below is the first (and
-        // only) job over this plan — it materializes the round's blocks
-        // and collects the telemetry in one pass. `r_prev` rides along
-        // so the delta needs no old-vs-new self-join.
-        val next = ranks.select(col("id"), col("r"))
-          .join(inflow, col("id") === col("dst"), "left")
-          .select(col("id"),
-            (lit(150000L) + expr("(850000 * coalesce(inflow, 0L)) div 1000000")).as("r"),
-            col("r").as("r_prev"))
-          .localCheckpoint(eager = false)
-        val row = next
-          .agg(
-            coalesce(max(abs(col("r") - col("r_prev"))), lit(0L)).as("md"),
-            coalesce(sum(when(col("r") =!= col("r_prev"), 1L).otherwise(0L)), lit(0L)).as("nc"))
-          .head()
-        // the delta row is collected and `next` is materialized — the
-        // old round's checkpoint blocks are dead; free deterministically.
-        // `ck` is the exact Dataset localCheckpoint() returned (ranks is
-        // a Project over it) — freeLocalCheckpoint's root-match demands
-        // the checkpoint itself, so the loop carries both references.
-        freeLocalCheckpoint(ck)
-        ck = next
-        ranks = next.select(col("id"), col("r"))
-        (rnd.toLong, row.getLong(0), row.getLong(1))
+      else {
+        // Per-round delta aggregates are built LAZILY (each over its
+        // round's lazy checkpoint, `r_prev` riding along so no
+        // old-vs-new self-join) and folded by ONE action at the end:
+        // the old loop head()-collected each round — 8 sequential
+        // driver round-trips, each with its own Catalyst/AQE pass —
+        // where one union job materializes the checkpoint chain in
+        // lineage order and collects all 8 telemetry rows together
+        // (§2.4/§5 — fewer jobs for the same fixpoint). The blocks of
+        // all rounds stay live until that action (bounded: rounds ×
+        // vertex-scale slim rows, spillable) and are freed explicitly
+        // below.
+        val deltaFrames = (1 to rounds).map { rnd =>
+          val inflow = sym.join(ranks, col("src") === col("id"))
+            .select(col("dst"), expr("r div deg").as("c"))
+            .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
+          val next = ranks.select(col("id"), col("r"), col("deg"))
+            .join(inflow, col("id") === col("dst"), "left")
+            .select(col("id"),
+              (lit(150000L) + expr("(850000 * coalesce(inflow, 0L)) div 1000000")).as("r"),
+              col("r").as("r_prev"), col("deg"))
+            .localCheckpoint(eager = false)
+          ckpts += next
+          ranks = next.select(col("id"), col("r"), col("deg"))
+          next.agg(
+              coalesce(max(abs(col("r") - col("r_prev"))), lit(0L)).as("md"),
+              coalesce(sum(when(col("r") =!= col("r_prev"), 1L).otherwise(0L)), lit(0L)).as("nc"))
+            .select(lit(rnd.toLong).as("round"), col("md"), col("nc"))
+        }
+        deltaFrames.reduce(_ unionAll _).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
       }
-    freeLocalCheckpoint(ck) // telemetry is collected; the final rank vector is not returned
-    deg.unpersist(); sym.unpersist()
+    // telemetry is collected; no rank vector is returned — free every
+    // round's checkpoint blocks deterministically
+    ckpts.foreach(freeLocalCheckpoint)
+    sym.unpersist()
     deltas.toDF("round", "max_delta_micro", "n_changed")
   }
 

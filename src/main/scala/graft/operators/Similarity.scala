@@ -287,7 +287,7 @@ object Similarity {
     * the one deepest pass.
     */
   private def marginSelectLeveled(leveled: DataFrame, k: Int,
-      threshold: Double, levels: Seq[Int]): Map[Int, DataFrame] = {
+      levels: Seq[Int]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.functions.top_sims
     // window-attached per-level means, as in [[marginSelect]] — one
@@ -315,17 +315,10 @@ object Similarity {
         (col("sim") / ((col(s"mx$p") + col(s"my$p")) * lit(0.5))).as("margin"),
         (-col("tgt_id")).as("nt"), col("tgt_id").as("tgt")))).as(s"w$p")
     }
-    val winners =
-      withMeans(withMeans(leveled, "tgt_id", "src_id", "my"),
-        "src_id", "tgt_id", "mx")
+    withMeans(withMeans(leveled, "tgt_id", "src_id", "my"),
+      "src_id", "tgt_id", "mx")
       .groupBy(col("lang"), col("src_id"))
       .agg(winnerCols.head, winnerCols.tail: _*)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    levels.map { p =>
-      p -> winners
-        .filter(col(s"w$p.margin") >= threshold)
-        .select(col("lang"), col("src_id"), col(s"w$p.tgt").as("tgt_id"))
-    }.toMap
   }
 
   /** [[bitextMine]]'s 100 TB path, registered: the SAME ratio-margin
@@ -500,26 +493,55 @@ object Similarity {
     // ONE margin pass for every level (conditional folds over the
     // nested level subsets — see [[marginSelectLeveled]]); each
     // shallower level's selections are columns of the same aggregate
-    val matchesByLevel = marginSelectLeveled(leveled, k, threshold, levels)
-    levels.map { p =>
-      val scored = leveled.filter(col("plevel") <= p)
-        .select(col("lang"), col("src_id"), col("tgt_id"), col("sim"))
-      val cands = scored.agg(count(lit(1)).as("candidates"))
-      val matches = matchesByLevel(p)
-      val matched = matches.agg(count(lit(1)).as("matched"))
-      val hits = matches
-        .join(exact, Seq("lang", "src_id", "tgt_id"), "left_semi")
-        .agg(count(lit(1)).as("hits"))
-      cands.crossJoin(matched).crossJoin(hits).crossJoin(exactN)
-        .select(lit(p).as("probes"), col("candidates"), col("matched"),
-          col("hits"),
-          // NULL when the exact miner found nothing (empty/degenerate
-          // corpus) — ANSI mode would otherwise throw on the 0/0; the
-          // oracle replays the same CASE guard
-          when(col("exact_total") > 0,
-            col("hits").cast("double") / col("exact_total").cast("double"))
-            .as("recall"))
-    }.reduce(_ unionAll _)
+    val winners = marginSelectLeveled(leveled, k, levels)
+    // Per-level counts FUSED into two single-pass aggregates instead
+    // of 3 counts + 3 semi-joins + 3 more counts (§2.4 — the old loop
+    // re-scanned the persisted candidate relation once per level and
+    // the winner table twice per level, 12 aggregate subtrees in one
+    // action):
+    //  - candidates_p = one conditional count per level over ONE scan
+    //    of the leveled relation (a level is `plevel <= p` of it);
+    //  - matched_p / hits_p ride one left join of the winner table
+    //    against the exact miner keyed (lang, src_id) — exact holds at
+    //    most one row per key (it IS a per-(lang, src) argmax), so the
+    //    join never duplicates a winner row, a null-margin level-p
+    //    winner fails the threshold predicate exactly like its absence
+    //    from the old per-level filter, and the old 3-column semi-join
+    //    hit test is the tgt-equality predicate given the key match.
+    // Values, rows and hashes are unchanged; the oracle replays the
+    // same counts.
+    val candCols = levels.map(p =>
+      count(when(col("plevel") <= p, lit(1))).as(s"cand$p"))
+    val cands = leveled.agg(candCols.head, candCols.tail: _*)
+    val statCols = levels.flatMap { p =>
+      val sel = col(s"w$p.margin") >= threshold
+      Seq(count(when(sel, lit(1))).as(s"matched$p"),
+        count(when(sel && col(s"w$p.tgt") === col("ex_tgt"), lit(1))).as(s"hits$p"))
+    }
+    val stats = winners
+      .join(exact.select(col("lang"), col("src_id"), col("tgt_id").as("ex_tgt")),
+        Seq("lang", "src_id"), "left")
+      .agg(statCols.head, statCols.tail: _*)
+    // one row per level EXPLODED from the single fused stat row — a
+    // per-level `folded.select(...)` union looked equivalent but each
+    // level's column pruning made the three aggregate subtrees
+    // non-identical, defeating exchange reuse and re-running the
+    // winner join per level (measured 39 → 81 MB sweep shuffle before
+    // this explode)
+    cands.crossJoin(stats).crossJoin(exactN)
+      .select(explode(array(levels.map(p => struct(
+        lit(p).as("probes"),
+        col(s"cand$p").as("candidates"),
+        col(s"matched$p").as("matched"),
+        col(s"hits$p").as("hits"),
+        // NULL when the exact miner found nothing (empty/degenerate
+        // corpus) — ANSI mode would otherwise throw on the 0/0; the
+        // oracle replays the same CASE guard
+        when(col("exact_total") > 0,
+          col(s"hits$p").cast("double") / col("exact_total").cast("double"))
+          .as("recall"))): _*)).as("r"))
+      .select(col("r.probes"), col("r.candidates"), col("r.matched"),
+        col("r.hits"), col("r.recall"))
   }
 
   def dedupEmbeddingQuery(spark: SparkSession, dir: String): DataFrame =
@@ -1547,8 +1569,6 @@ object Similarity {
   def annPq(spark: SparkSession, dir: String, m: Int = 8, ksub: Int = 256,
       refineR: Int = 100): DataFrame = {
     import spark.implicits._
-    val dim = 64
-    val dsub = dim / m
     val qd = quantizedCodes(spark, dir)
     val cents: Seq[(Long, Seq[Double])] = qd
       .orderBy(md5(col("vec_id").cast("string").cast("binary")), col("vec_id"))
@@ -1558,50 +1578,31 @@ object Similarity {
     if (cents.isEmpty)
       return Seq.empty[(Long, Long, Long)].toDF("qid", "neighbor_id", "rnk")
     val kAct = cents.size
-    val pqSub: Array[Array[Seq[Double]]] = Array.tabulate(kAct, m) { (c, ms) =>
-      cents(c)._2.slice(ms * dsub, (ms + 1) * dsub)
-    }
-    val pqSelf: Array[Array[Double]] = pqSub.map(_.map(s => s.map(x => x * x).sum))
-    // codebook folded as LITERAL ARRAYS through higher-order functions
-    // (the annIvfPq shape): at ksub = 256 the unrolled per-centroid
-    // expression form is ~2k nodes per projection — plan bloat and a
-    // codegen-method-size hazard — while the HOF fold keeps the plan
-    // constant-size at any ksub. Per-entry value is the PARTIAL
-    // squared L2 `c·c − 2·x·c`: the x·x self-term is constant per
-    // (row, subspace), so every argmin and every ADC rank — ties
-    // included — is identical to the full distance's.
-    val pqSubLit = typedLit((0 until m).map(ms => (0 until kAct).map(c => pqSub(c)(ms))))
-    val pqSelfLit = typedLit((0 until m).map(ms => (0 until kAct).map(c => pqSelf(c)(ms))))
-    def dotHof(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-    def pDists(sub: Column, ms: Int): Column =
-      zip_with(
-        element_at(pqSelfLit, ms + 1),
-        transform(element_at(pqSubLit, ms + 1), e => dotHof(e, sub)),
-        (s, d) => s - lit(2.0) * d)
-
-    // per-row subvectors, computed once and reused by all kAct
-    // centroid distances in each subspace
-    val withSubs = qd.withColumn("subs",
-      array((0 until m).map(ms => slice(col("q"), ms * dsub + 1, dsub)): _*))
+    // codebook as a NATIVE-KERNEL reference object
+    // (graft.functions.PqEncode/PqLut), not typedLit arrays folded by
+    // higher-order functions: the HOF form ran m·ksub interpreted
+    // lambda dot products per row (~16k boxed multiply-adds at the
+    // registered m=8, ksub=256) and pinned ~370 KB of codebook
+    // literals into every projection that Catalyst re-analyzed per
+    // action. The kernels run one tight JVM loop per row inside the
+    // whole-stage-codegen span and compute bit-identical values (all
+    // inputs int8-valued ⇒ every distance an exact integer; same
+    // first-min tie rule), so codes, LUTs, ranks and the oracle hash
+    // are unchanged — see the r21 plan diff (plans/r21/).
+    val cbArr: Array[Array[Double]] = cents.map(_._2.toArray).toArray
 
     // candidates: m codes per vector (1-based codebook positions); the
     // downstream scan carries ONLY (vec_id, codes).
-    val encoded = withSubs.select(
+    val encoded = qd.select(
       col("vec_id"),
-      array((0 until m).map { ms =>
-        val ds = pDists(element_at(col("subs"), ms + 1), ms)
-        array_position(ds, array_min(ds))
-      }: _*).as("codes"))
+      graft.functions.functions.pq_encode(col("q"), cbArr, m).as("codes"))
 
     // per-query ADC lookup table: lut[ms·kAct + (code−1)] = partial
     // distance from the query's ms-subvector to codebook entry `code` —
     // computed ONCE per query row, broadcast to the candidate scan.
-    val qlut = withSubs.filter(col("vec_id") < 10).select(
+    val qlut = qd.filter(col("vec_id") < 10).select(
       col("vec_id").as("qid"),
-      flatten(array((0 until m).map { ms =>
-        pDists(element_at(col("subs"), ms + 1), ms)
-      }: _*)).as("lut"))
+      graft.functions.functions.pq_lut(col("q"), cbArr, m, addSelf = false).as("lut"))
 
     val scored = encoded.crossJoin(broadcast(qlut))
       .filter(col("vec_id") =!= col("qid"))
@@ -1687,8 +1688,6 @@ object Similarity {
       m: Int = 8, ksub: Int = 256, refineR: Int = 100): DataFrame = {
     import spark.implicits._
     val nlist = resolveNlist(spark, dir, nlist0)
-    val dim = 64
-    val dsub = dim / m
     val qd = quantizedCodes(spark, dir)
     val coarse = sphericalCentroids(spark, dir, nlist)
     // PQ sample: the ksub lowest vectors BY MD5 OF vec_id — a
@@ -1722,40 +1721,26 @@ object Similarity {
       v.zip(coarse(best)._2).map { case (a, b) => a - b }
     }
     val kP = pqRes.size
-    val pqSub: Array[Array[Seq[Double]]] =
-      Array.tabulate(kP, m)((c, ms) => pqRes(c).slice(ms * dsub, (ms + 1) * dsub))
-    val pqSelf: Array[Array[Double]] = pqSub.map(_.map(s => s.map(x => x * x).sum))
-    // codebook as LITERAL ARRAYS folded by higher-order functions, not
-    // kP unrolled expressions per subspace: at ksub = 256 the unrolled
-    // form is ~2k expression nodes per projection — plan bloat and a
-    // codegen-method-size hazard — while a `transform` over one
-    // literal array stays a constant-size plan at any ksub. Per-entry
-    // values are c·c − 2·x·c (integer-exact; the x·x self-term is
-    // constant per (vector, subspace) so argmin is unaffected, and the
-    // LUT adds it back where cross-cell comparability needs it).
-    val pqSubLit = typedLit((0 until m).map(ms => (0 until kP).map(c => pqSub(c)(ms))))
-    val pqSelfLit = typedLit((0 until m).map(ms => (0 until kP).map(c => pqSelf(c)(ms))))
-    def dotHof(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-    def pDists(sub: Column, ms: Int): Column =
-      zip_with(
-        element_at(pqSelfLit, ms + 1),
-        transform(element_at(pqSubLit, ms + 1), e => dotHof(e, sub)),
-        (s, d) => s - lit(2.0) * d)
+    // codebook as a NATIVE-KERNEL reference object (see [[annPq]] —
+    // the same PqEncode/PqLut swap: the HOF fold ran m·ksub
+    // interpreted lambda dot products per row and pinned the ksub·dim
+    // codebook into every projection as a literal; the kernels compute
+    // bit-identical integer-exact distances with the same first-min
+    // tie rule inside the codegen span). Per-entry values are
+    // c·c − 2·x·c (the x·x self-term is constant per (vector,
+    // subspace) so argmin is unaffected, and the LUT adds it back
+    // where cross-cell comparability needs it — `addSelf = true`).
+    val pqResArr: Array[Array[Double]] = pqRes.map(_.toArray).toArray
     val centMap = typedLit(coarse.toMap)
-    def subsOf(r: Column): Column =
-      array((0 until m).map(ms => slice(r, ms * dsub + 1, dsub)): _*)
+    def residual(v: Column): Column =
+      zip_with(v, element_at(centMap, col("cell")), (a, b) => a - b)
 
     // encode every vector: residual vs its assigned cell, per-subspace
     // argmin code (1-based codebook positions, ties to the lowest)
     val encoded = cellAssignCos(qd, coarse)
-      .withColumn("subs", subsOf(zip_with(col("q"),
-        element_at(centMap, col("cell")), (a, b) => a - b)))
       .select(col("vec_id"), col("cell"),
-        array((0 until m).map { ms =>
-          val ds = pDists(element_at(col("subs"), ms + 1), ms)
-          array_position(ds, array_min(ds))
-        }: _*).as("codes"))
+        graft.functions.functions.pq_encode(residual(col("q")), pqResArr, m)
+          .as("codes"))
 
     // query → nprobe highest-cosine cells (negated sims so the
     // ascending struct sort means sim DESC with ties to the lowest
@@ -1780,14 +1765,9 @@ object Similarity {
     // included) keeps candidates from different probed cells
     // comparable, exactly as before.
     val qlut = probes
-      .withColumn("subs", subsOf(zip_with(col("qv"),
-        element_at(centMap, col("cell")), (a, b) => a - b)))
       .select(col("qid"), col("cell"),
-        flatten(array((0 until m).map { ms =>
-          val sub = element_at(col("subs"), ms + 1)
-          val rr = dot(sub, sub)
-          transform(pDists(sub, ms), d => rr + d)
-        }: _*)).as("lut"))
+        graft.functions.functions.pq_lut(residual(col("qv")), pqResArr, m,
+          addSelf = true).as("lut"))
 
     val pqScored = encoded.join(broadcast(qlut), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))

@@ -162,4 +162,69 @@ object HashOpsProperties extends Properties("HashOps") {
       HashOps.damerauLevenshtein(u8(a), u8(b)) ==
         HashOps.damerauLevenshtein(u8(toBmp(a)), u8(toBmp(b)))
     }
+
+  // r21 kernels: each must equal the HOF/SQL formulation it replaced,
+  // value for value — that identity is what keeps the oracle hashes of
+  // every consumer unchanged.
+
+  property("md5MinhashSig == per-permutation min of hex(md5(\"j:\" || s))") =
+    forAll(tokens) { ts =>
+      val n = 16
+      val got = HashOps.md5MinhashSig(strArr(ts), n)
+      if (ts.isEmpty) got == null
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def hex(b: Array[Byte]) = b.map("%02x".format(_)).mkString
+        val expect = (0 until n).map(j =>
+          ts.map(s => hex(md.digest(s"$j:$s".getBytes("UTF-8")))).min)
+        got.numElements() == n &&
+          (0 until n).forall(j => got.getUTF8String(j).toString == expect(j))
+      }
+    }
+
+  private val intVec: Gen[Array[Double]] =
+    Gen.listOfN(16, Gen.chooseNum(-127, 127)).map(_.map(_.toDouble).toArray)
+
+  property("pqEncode == first-argmin of (c·c − 2·x·c) per subspace") =
+    forAll(Gen.listOfN(5, intVec), intVec) { (cents, q) =>
+      val m = 4
+      val dim = 16
+      val dsub = dim / m
+      val k = cents.size
+      val flat = cents.flatten.toArray
+      val selfs = Array.tabulate(k * m) { i =>
+        val (c, ms) = (i / m, i % m)
+        (0 until dsub).map(j => { val x = cents(c)(ms * dsub + j); x * x }).sum
+      }
+      val got = HashOps.pqEncode(new GenericArrayData(q), flat, selfs, m, dsub, k)
+      (0 until m).forall { ms =>
+        val ds = (0 until k).map { c =>
+          val d = (0 until dsub).map(j => q(ms * dsub + j) * cents(c)(ms * dsub + j)).sum
+          selfs(c * m + ms) - 2.0 * d
+        }
+        got.getLong(ms) == ds.indexOf(ds.min) + 1
+      }
+    }
+
+  property("pqLut == (optional self-term) + partial distances, laid out ms·k + c") =
+    forAll(Gen.listOfN(3, intVec), intVec, Gen.oneOf(true, false)) { (cents, q, addSelf) =>
+      val m = 4
+      val dim = 16
+      val dsub = dim / m
+      val k = cents.size
+      val flat = cents.flatten.toArray
+      val selfs = Array.tabulate(k * m) { i =>
+        val (c, ms) = (i / m, i % m)
+        (0 until dsub).map(j => { val x = cents(c)(ms * dsub + j); x * x }).sum
+      }
+      val got = HashOps.pqLut(new GenericArrayData(q), flat, selfs, m, dsub, k, addSelf)
+      (0 until m).forall { ms =>
+        val rr = if (addSelf)
+          (0 until dsub).map(j => { val x = q(ms * dsub + j); x * x }).sum else 0.0
+        (0 until k).forall { c =>
+          val d = (0 until dsub).map(j => q(ms * dsub + j) * cents(c)(ms * dsub + j)).sum
+          got.getDouble(ms * k + c) == rr + (selfs(c * m + ms) - 2.0 * d)
+        }
+      }
+    }
 }
