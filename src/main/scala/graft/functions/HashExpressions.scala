@@ -468,6 +468,134 @@ object HashOps {
     false
   }
 
+  /** 56-bit engine-portable SimHash: per token, h = the first 14 hex
+    * chars of md5(token) as a long (≡ the digest's top 56 bits); per
+    * bit, ±1 votes over all token OCCURRENCES; sign → bit. The native
+    * equivalent of exploding tokens and folding 56
+    * `sum(when(shiftright(h, b) & 1 = 1, 1).otherwise(-1))` aggregate
+    * columns — integer votes are order-independent, so one pass per
+    * document computes the identical signature with no explode, no
+    * 56-column aggregate and no exchange. Null tokens are skipped
+    * (internal call sites never produce them). Returns MinValue-free
+    * long; callers filter empty token sets to match the explode
+    * semantics (a token-less doc never reached the old groupBy).
+    */
+  def md5Simhash56(arr: ArrayData): Long = {
+    val bits = 56
+    val votes = new Array[Int](bits)
+    val md = md5Local.get()
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        md.reset()
+        val d = md.digest(arr.getUTF8String(i).getBytes)
+        var h = 0L
+        var b = 0
+        while (b < 7) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+        var j = 0
+        while (j < bits) {
+          if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < bits) {
+      if (votes(j) > 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+
+  /** Hashed character-bigram feature counts for one document: every
+    * 2-character window of `text` md5-hashes to
+    * `(top 28 digest bits) mod buckets` — the portable
+    * `conv(substring(md5(bg), 1, 7), 16, 10) % buckets` idiom — and
+    * the per-feature occurrence counts come back as (feat, cnt) struct
+    * rows sorted by feat. The native equivalent of exploding the
+    * windows, hashing each (the dominant compute of the hashed langid
+    * gate), and group-counting per (doc, feat) — the per-doc aggregate
+    * (and its doc-scale exchange) folds into the row pass. Windows
+    * are UTF-8 character (code point) slices, matching `substring`'s
+    * indexing; texts shorter than 2 characters yield an empty array
+    * (callers filter them to match the explode semantics).
+    */
+  def md5BigramFeatCounts(text: org.apache.spark.unsafe.types.UTF8String,
+                          buckets: Int): ArrayData = {
+    val bytes = text.getBytes
+    val md = md5Local.get()
+    // UTF-8 character start offsets
+    val n = bytes.length
+    val counts = new java.util.TreeMap[Long, Long]()
+    var i = 0
+    var prev = -1 // start offset of the previous character
+    while (i < n) {
+      if ((bytes(i) & 0xc0) != 0x80) { // a character START byte
+        if (prev >= 0) {
+          // window = the two characters starting at `prev`; its byte
+          // end is the start of the character AFTER i (or end of text)
+          var end = i + 1
+          while (end < n && (bytes(end) & 0xc0) == 0x80) end += 1
+          md.reset()
+          md.update(bytes, prev, end - prev)
+          val d = md.digest()
+          val u = ((d(0) & 0xffL) << 20) | ((d(1) & 0xffL) << 12) |
+            ((d(2) & 0xffL) << 4) | ((d(3) & 0xffL) >> 4)
+          val f = u % buckets
+          counts.merge(f, 1L, (a, b) => a + b)
+        }
+        prev = i
+      }
+      i += 1
+    }
+    val out = new Array[Any](counts.size())
+    var j = 0
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](e.getKey.longValue(), e.getValue.longValue()))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Poisson(1) bootstrap weights for one fact row across `reps`
+    * replicates: weight_r = CDF⁻¹(u_r) where u_r = (first 28 bits of
+    * md5("<prefix>:<r>:<a>:<b>")) mod 1 000 000 — the native
+    * equivalent of exploding a replicate literal and evaluating
+    * `conv(substring(md5(concat_ws(':', …)), 1, 7), 16, 10) % 1e6`
+    * through the banded CDF CASE per (row, replicate). One reused
+    * MessageDigest, the suffix bytes built once per row, no hex
+    * round-trip (7 hex chars ≡ the digest's top 28 bits); `cdf` holds
+    * the ≤-thresholds in micro-units, index = weight, values past the
+    * table = cdf.length.
+    */
+  def poissonBootWeights(a: Long, b: Long, prefix: Array[Array[Byte]],
+                         cdf: Array[Long]): ArrayData = {
+    val md = md5Local.get()
+    val suffix = (":" + a + ":" + b).getBytes("UTF-8")
+    val reps = prefix.length
+    val out = new Array[Long](reps)
+    var r = 0
+    while (r < reps) {
+      md.reset()
+      md.update(prefix(r))
+      md.update(suffix)
+      val d = md.digest()
+      val u = (((d(0) & 0xffL) << 20) | ((d(1) & 0xffL) << 12) |
+        ((d(2) & 0xffL) << 4) | ((d(3) & 0xffL) >> 4)) % 1000000L
+      var w = 0
+      while (w < cdf.length && u >= cdf(w)) w += 1
+      out(r) = w.toLong
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Product-quantization encode: for each of `m` subspaces of `dsub`
     * dims, the 1-based index of the codebook entry minimizing the
     * partial squared L2 `c·c − 2·x·c` (the x·x self-term is constant
@@ -592,6 +720,33 @@ case class MinHashBands(child: Expression, numHashes: Int, bandRows: Int)
     copy(child = newChild)
 }
 
+/** `md5_bigram_feat_counts(text, buckets)` → ARRAY<STRUCT<feat BIGINT,
+  * cnt BIGINT>> of hashed character-bigram feature counts (see
+  * [[HashOps.md5BigramFeatCounts]]).
+  */
+case class Md5BigramFeatCounts(child: Expression, buckets: Int)
+    extends UnaryExpression {
+  require(buckets > 0, s"md5_bigram_feat_counts: need buckets > 0, got $buckets")
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires STRING input, got ${other.catalogString}")
+    }
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("feat", LongType, nullable = false),
+      StructField("cnt", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "md5_bigram_feat_counts"
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.md5BigramFeatCounts(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], buckets)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashOps.md5BigramFeatCounts($c, $buckets);")
+  override protected def withNewChildInternal(newChild: Expression): Md5BigramFeatCounts =
+    copy(child = newChild)
+}
+
 /** `md5_minhash_sig(shingles, numHashes)` → ARRAY<STRING> of the
   * numHashes per-permutation min md5 hex digests (null on an empty
   * set — see [[HashOps.md5MinhashSig]]).
@@ -614,6 +769,24 @@ case class Md5MinhashSig(child: Expression, numHashes: Int)
       ${ev.isNull} = (${ev.value} == null);
     """)
   override protected def withNewChildInternal(newChild: Expression): Md5MinhashSig =
+    copy(child = newChild)
+}
+
+/** `md5_simhash56(tokens)` → BIGINT engine-portable 56-bit simhash
+  * (see [[HashOps.md5Simhash56]]).
+  */
+case class Md5Simhash56(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    HashExprChecks.requireStringArray(prettyName, child)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5_simhash56"
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.md5Simhash56(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashOps.md5Simhash56($c);")
+  override protected def withNewChildInternal(newChild: Expression): Md5Simhash56 =
     copy(child = newChild)
 }
 
@@ -872,6 +1045,38 @@ case class PqLut(child: Expression, cents: Array[Array[Double]], m: Int,
     copy(child = newChild)
 }
 
+/** `poisson_boot_weights(a, b)` → ARRAY<BIGINT> of `reps` Poisson(1)
+  * bootstrap weights drawn from md5("<prefix>:<r>:<a>:<b>") (see
+  * [[HashOps.poissonBootWeights]]).
+  */
+case class PoissonBootWeights(left: Expression, right: Expression,
+    prefix: String, reps: Int, cdf: Array[Long])
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  require(reps > 0, s"poisson_boot_weights: need reps > 0, got $reps")
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (LongType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two BIGINT inputs, got ${l.catalogString}, ${r.catalogString}")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "poisson_boot_weights"
+  @transient private lazy val prefixBytes: Array[Array[Byte]] =
+    Array.tabulate(reps)(r => s"$prefix:$r".getBytes("UTF-8"))
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashOps.poissonBootWeights(a.asInstanceOf[Long], b.asInstanceOf[Long],
+      prefixBytes, cdf)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pRef = ctx.addReferenceObj("bootPrefixes", prefixBytes, "byte[][]")
+    val cRef = ctx.addReferenceObj("bootCdf", cdf, "long[]")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.HashOps.poissonBootWeights($a, $b, $pRef, $cRef);")
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PoissonBootWeights =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `dot_product(a, b)` → DOUBLE over two ARRAY<DOUBLE> columns. */
 case class ArrayDotProduct(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
@@ -917,8 +1122,16 @@ object functions {
     GraftGlue.column(SortedIntersectCount(GraftGlue.expression(a), GraftGlue.expression(b)))
   def dot_product(a: Column, b: Column): Column =
     GraftGlue.column(ArrayDotProduct(GraftGlue.expression(a), GraftGlue.expression(b)))
+  def poisson_boot_weights(a: Column, b: Column, prefix: String, reps: Int,
+      cdf: Array[Long]): Column =
+    GraftGlue.column(PoissonBootWeights(GraftGlue.expression(a),
+      GraftGlue.expression(b), prefix, reps, cdf))
   def md5_minhash_sig(c: Column, numHashes: Int): Column =
     GraftGlue.column(Md5MinhashSig(GraftGlue.expression(c), numHashes))
+  def md5_simhash56(c: Column): Column =
+    GraftGlue.column(Md5Simhash56(GraftGlue.expression(c)))
+  def md5_bigram_feat_counts(c: Column, buckets: Int): Column =
+    GraftGlue.column(Md5BigramFeatCounts(GraftGlue.expression(c), buckets))
   def pq_encode(v: Column, cents: Array[Array[Double]], m: Int): Column =
     GraftGlue.column(PqEncode(GraftGlue.expression(v), cents, m))
   def pq_lut(v: Column, cents: Array[Array[Double]], m: Int, addSelf: Boolean): Column =
@@ -929,5 +1142,8 @@ object functions {
     GraftGlue.column(DamerauLevenshtein(GraftGlue.expression(a), GraftGlue.expression(b)))
   def top_sims(sim: Column, id: Column, k: Int): Column =
     GraftGlue.column(TopSimsAgg(GraftGlue.expression(sim),
+      GraftGlue.expression(id), k).toAggregateExpression())
+  def top_sims_mean(sim: Column, id: Column, k: Int): Column =
+    GraftGlue.column(TopSimsMeanAgg(GraftGlue.expression(sim),
       GraftGlue.expression(id), k).toAggregateExpression())
 }

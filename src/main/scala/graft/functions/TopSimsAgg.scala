@@ -113,3 +113,99 @@ case class TopSimsAgg(
       newLeft: Expression, newRight: Expression): TopSimsAgg =
     copy(sim = newLeft, id = newRight)
 }
+
+/** [[TopSimsAgg]] that emits the NEIGHBORHOOD MEAN instead of the sims
+  * array: the margin denominator consumed every [[TopSimsAgg]] output
+  * as `aggregate(sort_array(sims, DESC), 0.0, +) / size(sims)` — an
+  * interpreted per-ROW HOF fold over the window-projected array, paid
+  * once per candidate row in both directions. The buffer here is kept
+  * best-first (sim DESC, ties to the lower id) by the same insert, so
+  * folding it in order and dividing by its length is the identical
+  * IEEE sequence — same doubles, same margins, same oracle hashes.
+  * Empty buffer → null, matching the `when(size(sims) > 0, …)` guard
+  * the leveled conditional folds used.
+  */
+case class TopSimsMeanAgg(
+    sim: Expression,
+    id: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[ArrayBuffer[(Double, Long)]]
+  with BinaryLike[Expression] with ExpectsInputTypes {
+
+  override def left: Expression = sim
+  override def right: Expression = id
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, LongType)
+  override def nullable: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "top_sims_mean"
+
+  private def better(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+    val c = java.lang.Double.compare(s2, s1)
+    if (c != 0) c < 0 else i1 < i2
+  }
+
+  override def createAggregationBuffer(): ArrayBuffer[(Double, Long)] =
+    ArrayBuffer.empty
+
+  override def update(b: ArrayBuffer[(Double, Long)], input: InternalRow)
+      : ArrayBuffer[(Double, Long)] = {
+    val sv = sim.eval(input)
+    val iv = id.eval(input)
+    if (sv == null || iv == null) return b
+    insert(b, sv.asInstanceOf[Double], iv.asInstanceOf[Long])
+  }
+
+  private def insert(b: ArrayBuffer[(Double, Long)], s: Double, i: Long)
+      : ArrayBuffer[(Double, Long)] = {
+    if (b.length >= k && !better(s, i, b.last._1, b.last._2)) return b
+    var pos = 0
+    while (pos < b.length && better(b(pos)._1, b(pos)._2, s, i)) pos += 1
+    b.insert(pos, (s, i))
+    if (b.length > k) b.remove(k, b.length - k)
+    b
+  }
+
+  override def merge(b1: ArrayBuffer[(Double, Long)],
+      b2: ArrayBuffer[(Double, Long)]): ArrayBuffer[(Double, Long)] = {
+    b2.foreach { case (s, i) => insert(b1, s, i) }
+    b1
+  }
+
+  override def eval(b: ArrayBuffer[(Double, Long)]): Any =
+    if (b.isEmpty) null
+    else {
+      // DESC-ordered sequential sum — textually the oracle's
+      // list_sort('DESC') + list_reduce replay, numerically the exact
+      // fold meanOf ran over the projected array
+      var acc = 0.0
+      var j = 0
+      while (j < b.length) { acc += b(j)._1; j += 1 }
+      acc / b.length.toDouble
+    }
+
+  override def serialize(b: ArrayBuffer[(Double, Long)]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + b.length * 16)
+    bb.putInt(b.length)
+    b.foreach { case (s, i) => bb.putDouble(s); bb.putLong(i) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): ArrayBuffer[(Double, Long)] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val b = new ArrayBuffer[(Double, Long)](n)
+    var j = 0
+    while (j < n) { b += ((bb.getDouble, bb.getLong)); j += 1 }
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopSimsMeanAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopSimsMeanAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TopSimsMeanAgg =
+    copy(sim = newLeft, id = newRight)
+}

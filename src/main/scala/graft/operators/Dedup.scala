@@ -2150,18 +2150,9 @@ object Dedup {
     */
   def simhashBitBalance(spark: SparkSession, dir: String): DataFrame = {
     val bits = 56
-    val toks = Tables.documentsSpread(spark, dir)
-      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
-      .withColumn("h",
-        conv(substring(md5(col("tok").cast("binary")), 1, 14), 16, 10).cast("long"))
-    val voteCols = (0 until bits).map(b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
-        .as(s"v$b"))
-    val sig = toks.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
-      .select(col("doc_id"),
-        (0 until bits).map(b =>
-          when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
-          .as("simhash"))
+    // signatures via the native Md5Simhash56 kernel — see
+    // [[simhashPortable]]; identical longs, no explode/56-column agg
+    val sig = portableSimhashSigs(spark, dir)
     val total = sig.agg(count(lit(1)).as("n_docs"))
     sig
       .select(explode(typedLit((0 until bits).map(_.toLong))).as("bit"),
@@ -2176,23 +2167,29 @@ object Dedup {
           .as("set_share"))
   }
 
+  /** The portable 56-bit signature table (doc_id, simhash) shared by
+    * [[simhashPortable]] and [[simhashBitBalance]], computed by the
+    * native [[graft.functions.Md5Simhash56]] kernel: one pass per
+    * document's token array inside the codegen span, instead of
+    * exploding tokens and folding 56 conditional-sum aggregate columns
+    * (md5 per token stays — it is the portability contract — but the
+    * per-doc aggregation and its exchange leave the plan; integer
+    * votes are order-independent, so the signature is bit-identical).
+    * The size filter replicates the explode semantics: a token-less
+    * doc never reached the old groupBy.
+    */
+  private def portableSimhashSigs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documentsSpread(spark, dir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) > 0)
+      .select(col("doc_id"),
+        graft.functions.functions.md5_simhash56(col("ts")).as("simhash"))
+
   def simhashPortable(spark: SparkSession, dir: String): DataFrame = {
-    val bits = 56
     val chunkBits = 14
     val nChunks = 4
 
-    val toks = Tables.documentsSpread(spark, dir)
-      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
-      .withColumn("h",
-        conv(substring(md5(col("tok").cast("binary")), 1, 14), 16, 10).cast("long"))
-    val voteCols = (0 until bits).map(b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
-        .as(s"v$b"))
-    val sig = toks.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
-      .select(col("doc_id"),
-        (0 until bits).map(b =>
-          when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
-          .as("simhash"))
+    val sig = portableSimhashSigs(spark, dir)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val chunks = sig.select(

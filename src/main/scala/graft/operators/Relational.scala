@@ -399,9 +399,13 @@ object Relational {
     * probes are key-partitioned hash joins on the part id.
     */
   def partPairLift(spark: SparkSession, dir: String): DataFrame = {
+    // persisted: three consumers (per-part counts, the 1-row order
+    // total, the pair explode) otherwise each re-run the lineitem
+    // scan + collect_set aggregate — the query's dominant pass (§2.4)
     val orderSets = Tables.lineitem(spark, dir)
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val perPart = orderSets.select(explode(col("ps")).as("pk"))
       .groupBy(col("pk")).agg(count(lit(1)).as("n_part"))
     val total = orderSets.agg(count(lit(1)).as("n_orders_total"))
@@ -548,35 +552,35 @@ object Relational {
     val reps = 32
     // P(Poisson(1) ≤ k)·10⁶ for k = 0..5 (≥6 treated as 6: the tail
     // above 10⁻⁴ of mass is irrelevant to a variance estimate)
-    val cdf = Seq(367879L, 735758L, 919698L, 980947L, 996259L, 999999L)
-    val u = conv(substring(md5(concat_ws(":", lit("boot"), col("rep").cast("string"),
-      col("l_orderkey").cast("string"), col("l_linenumber").cast("string"))
-      .cast("binary")), 1, 7), 16, 10).cast("long") % 1000000L
-    // the CDF CASE reads the MATERIALIZED u column: inlining u would
-    // re-evaluate the md5 chain once per branch (6× per row — measured
-    // 63s vs 4s at sf0.1 on the 32× exploded fact table)
-    val weight = cdf.zipWithIndex.foldRight(
-      lit(6L): org.apache.spark.sql.Column) {
-      case ((p: Long, k: Int), rest) => when(col("u") < p, k.toLong).otherwise(rest)
-    }
+    val cdf = Array(367879L, 735758L, 919698L, 980947L, 996259L, 999999L)
+    // All 32 replicate draws run in ONE native kernel call per fact row
+    // ([[graft.functions.PoissonBootWeights]]): the old shape exploded
+    // a replicate literal and evaluated a codegen'd
+    // md5(concat_ws(…)) → conv(substring) → CDF CASE chain per
+    // (row, replicate) — 19M digest+hex+parse round-trips at sf0.1.
+    // The kernel reuses one MessageDigest, builds the ":okey:lineno"
+    // suffix once per row, reads u straight off the digest's top 28
+    // bits (≡ the 7-hex-char conv) and walks the same ≤-threshold
+    // table — identical u, identical weights, identical DECIMAL sums,
+    // so the oracle replays unchanged.
     Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_linenumber"),
         (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
           .cast("decimal(18,4)").as("rev"))
-      // spread BEFORE the 32x explode: the per-(row, replicate) md5
-      // draw is the dominant cost, and without this it inherits the
-      // SCAN's partitioning — a compact input (one file / one row
-      // group) would serialize 19M draws per 600k rows onto one core
-      // (measured: 17.9s single-task vs ~2s spread at sf0.1). The
-      // shuffle moves only the narrow 3-column pre-explode rows; sums
-      // are exact DECIMAL, so the round-robin layout can't move the
-      // result.
+      // spread BEFORE the weight pass: the per-row 32-draw kernel is
+      // the dominant cost, and without this it inherits the SCAN's
+      // partitioning — a compact input (one file / one row group)
+      // would serialize every draw onto one core (measured: 17.9s
+      // single-task vs ~2s spread at sf0.1, pre-kernel). The shuffle
+      // moves only the narrow 3-column rows; sums are exact DECIMAL,
+      // so the round-robin layout can't move the result.
       .repartition(spark.sparkContext.defaultParallelism)
-      .select(col("l_orderkey"), col("l_linenumber"), col("rev"),
-        explode(typedLit((0 until reps).map(_.toLong))).as("rep"))
-      .withColumn("u", u)
-      .groupBy(col("rep"))
-      .agg(sum(col("rev") * weight).cast("double").as("boot_revenue"))
+      .select(col("rev"),
+        posexplode(graft.functions.functions.poisson_boot_weights(
+          col("l_orderkey").cast("long"), col("l_linenumber").cast("long"),
+          "boot", reps, cdf)))
+      .groupBy(col("pos").cast("long").as("rep"))
+      .agg(sum(col("rev") * col("col")).cast("double").as("boot_revenue"))
   }
 
   /** Brand × type independence test: the R×C chi-square over the part

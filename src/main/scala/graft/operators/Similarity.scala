@@ -246,19 +246,19 @@ object Similarity {
     // reuses the second partitioning. Window state is bounded per
     // ENDPOINT (its LSH collision count), never corpus-wide.
     //
-    // The fold output is DESC-sorted by the aggregator; the sort_array
-    // wrap keeps the summation-order expression textually identical
-    // to the oracle's replay.
-    def meanOf(sims: Column): Column =
-      aggregate(sort_array(sims, asc = false), lit(0.0),
-        (acc, x) => acc + x) / size(sims).cast("double")
+    // The neighborhood mean folds INSIDE the aggregate
+    // ([[graft.functions.TopSimsMeanAgg]] — the buffer is already
+    // DESC-ordered, so its sequential sum / count is the identical
+    // IEEE sequence to the old per-row
+    // `aggregate(sort_array(sims, DESC), 0.0, +) / size` HOF, which ran
+    // interpreted once per candidate row per direction).
     scored
-      .withColumn("my", meanOf(graft.functions.functions
-        .top_sims(col("sim"), col("src_id"), k)
-        .over(Window.partitionBy(col("lang"), col("tgt_id")))))
-      .withColumn("mx", meanOf(graft.functions.functions
-        .top_sims(col("sim"), col("tgt_id"), k)
-        .over(Window.partitionBy(col("lang"), col("src_id")))))
+      .withColumn("my", graft.functions.functions
+        .top_sims_mean(col("sim"), col("src_id"), k)
+        .over(Window.partitionBy(col("lang"), col("tgt_id"))))
+      .withColumn("mx", graft.functions.functions
+        .top_sims_mean(col("sim"), col("tgt_id"), k)
+        .over(Window.partitionBy(col("lang"), col("src_id"))))
       .withColumn("margin", col("sim") / ((col("mx") + col("my")) * lit(0.5)))
       .groupBy(col("lang"), col("src_id"))
       .agg(max(struct(col("margin"), (-col("tgt_id")).as("nt"),
@@ -289,25 +289,22 @@ object Similarity {
   private def marginSelectLeveled(leveled: DataFrame, k: Int,
       levels: Seq[Int]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import graft.functions.functions.top_sims
+    import graft.functions.functions.top_sims_mean
     // window-attached per-level means, as in [[marginSelect]] — one
     // WindowExec per direction evaluates every level's conditional
-    // fold over the same endpoint partition
+    // fold over the same endpoint partition. The mean folds inside the
+    // aggregate (TopSimsMeanAgg): an endpoint with no level-p
+    // candidates folds an empty buffer → null — the same ANSI-safe
+    // guard the old `when(size(sims) > 0, …)` spelled out — and any
+    // ROW with plevel ≤ p puts itself in its own endpoints' level-p
+    // folds, so a null mean can never reach a level-p margin.
     def withMeans(df: DataFrame, keyCol: String, otherCol: String,
         prefix: String): DataFrame = {
       val w = Window.partitionBy(col("lang"), col(keyCol))
       levels.foldLeft(df) { (d, p) =>
-        // NULL for an endpoint with no level-p candidates (ANSI-safe
-        // empty-fold guard): any ROW with plevel ≤ p puts itself in
-        // its own endpoints' level-p folds, so a null mean can never
-        // reach a level-p margin — it marks combos the winner fold
-        // never reads
-        val sims = top_sims(when(col("plevel") <= p, col("sim")),
-          col(otherCol), k).over(w)
         d.withColumn(s"$prefix$p",
-          when(size(sims) > 0,
-            aggregate(sort_array(sims, asc = false), lit(0.0),
-              (acc, x) => acc + x) / size(sims).cast("double")))
+          top_sims_mean(when(col("plevel") <= p, col("sim")),
+            col(otherCol), k).over(w))
       }
     }
     val winnerCols = levels.map { p =>
@@ -1269,6 +1266,10 @@ object Similarity {
     (String, String, Int), Seq[(Long, Seq[Double])]]()
   private val sphCentroidKeyLocks = scala.collection.concurrent.TrieMap[
     (String, String, Int), Object]()
+  private val pqSampleCache = scala.collection.concurrent.TrieMap[
+    (String, String, Int), Seq[(Long, Seq[Double])]]()
+  private val pqSampleKeyLocks = scala.collection.concurrent.TrieMap[
+    (String, String, Int), Object]()
 
   /** Drop all memoized k-means codebooks — the probe/test hook, same
     * contract as the corpus-count cache's [[clearCorpusCountCache]].
@@ -1278,6 +1279,33 @@ object Similarity {
     centroidKeyLocks.clear()
     sphCentroidCache.clear()
     sphCentroidKeyLocks.clear()
+    pqSampleCache.clear()
+    pqSampleKeyLocks.clear()
+  }
+
+  /** The PQ codebook sample — the `ksub` lowest (vec_id, q) rows by
+    * md5(vec_id), re-sorted by vec_id — memoized per (application,
+    * corpus, ksub) under the same model-state contract as
+    * [[sphericalCentroids]]: the draw is fully deterministic, so the
+    * memo can only change who pays the sort+limit collect (previously
+    * one collect job per [[annPq]]/[[annIvfPq]] CALL — four inside
+    * each recall scoreboard).
+    */
+  private def pqSample(spark: SparkSession, dir: String,
+      ksub: Int): Seq[(Long, Seq[Double])] = {
+    val key = (spark.sparkContext.applicationId, dir, ksub)
+    pqSampleCache.get(key) match {
+      case Some(v) => v
+      case None =>
+        pqSampleKeyLocks.getOrElseUpdate(key, new Object).synchronized {
+          pqSampleCache.getOrElseUpdate(key,
+            quantizedCodes(spark, dir)
+              .orderBy(md5(col("vec_id").cast("string").cast("binary")), col("vec_id"))
+              .limit(ksub)
+              .select(col("vec_id"), col("q")).collect().toSeq
+              .sortBy(_.getLong(0)).map(r => (r.getLong(0), r.getSeq[Double](1))))
+        }
+    }
   }
 
   /** One SPHERICAL Lloyd assign→update round: rank by
@@ -1570,11 +1598,7 @@ object Similarity {
       refineR: Int = 100): DataFrame = {
     import spark.implicits._
     val qd = quantizedCodes(spark, dir)
-    val cents: Seq[(Long, Seq[Double])] = qd
-      .orderBy(md5(col("vec_id").cast("string").cast("binary")), col("vec_id"))
-      .limit(ksub)
-      .select(col("vec_id"), col("q")).collect().toSeq
-      .sortBy(_.getLong(0)).map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val cents: Seq[(Long, Seq[Double])] = pqSample(spark, dir, ksub)
     if (cents.isEmpty)
       return Seq.empty[(Long, Long, Long)].toDF("qid", "neighbor_id", "rnk")
     val kAct = cents.size
@@ -1702,11 +1726,7 @@ object Similarity {
     // id mod 3); hashing ids is immune to ANY id↔cluster correlation.
     // The rows are re-sorted by vec_id so codebook position order (the
     // encode tie rule) stays the oracle's `pcid` order.
-    val pqTrain: Seq[Seq[Double]] = qd
-      .orderBy(md5(col("vec_id").cast("string").cast("binary")), col("vec_id"))
-      .limit(ksub)
-      .select(col("vec_id"), col("q")).collect().toSeq
-      .sortBy(_.getLong(0)).map(_.getSeq[Double](1))
+    val pqTrain: Seq[Seq[Double]] = pqSample(spark, dir, ksub).map(_._2)
     if (coarse.isEmpty || pqTrain.isEmpty)
       return Seq.empty[(Long, Long, Long)].toDF("qid", "neighbor_id", "rnk")
     // PQ training residuals: assign each train vector to its coarse

@@ -1699,28 +1699,27 @@ object TextOps {
       buckets: Int = 4096): DataFrame = {
     def lnMicro(c: Column) =
       floor(log(c.cast("double")) * lit(1000000.0)).cast("long")
-    val feats = Tables.documentsSpread(spark, dir)
+    // Per-doc hashed-bigram feature COUNTS in one native kernel pass
+    // ([[graft.functions.Md5BigramFeatCounts]]): the window explode +
+    // per-window md5 (this query's dominant compute) + the per-(doc,
+    // feat) count aggregate and its doc-scale exchange all fold into
+    // the row pass — values identical (same 2-character windows, same
+    // 7-hex-char draw, same counts). The compact per-doc count table
+    // is PERSISTED and shared by the scoring side and the model side,
+    // so the bigram hash pass runs ONCE per call (the r20 share point
+    // was the model-scale cache, which still left the doc-side pass
+    // re-hashing the corpus; the kernel's per-doc pre-aggregation is
+    // what makes the doc-scale cache cheap enough to win now).
+    val docFeats = Tables.documentsSpread(spark, dir)
       .filter(length(col("text")) >= 2)
       .select(col("doc_id"), col("lang").as("true_lang"),
-        explode(expr(
-          "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"))
-          .as("bg"))
+        explode(graft.functions.functions.md5_bigram_feat_counts(
+          col("text"), buckets)).as("fc"))
       .select(col("doc_id"), col("true_lang"),
-        (conv(substring(md5(col("bg").cast("binary")), 1, 7), 16, 10)
-          .cast("long") % buckets).as("feat"))
-    // Same share shape as [[langidNbConfusion]]: per-lang totals and
-    // the observed-feature count fold out of the PERSISTED model table
-    // (|langs| × buckets-bounded — broadcast-sized by construction)
-    // instead of re-running the bigram-explode + md5 pass per consumer
-    // (the md5 per character bigram is this query's dominant compute;
-    // the plan previously carried 4 Generate+hash subtrees, now 2 —
-    // pruning-specialized partial aggregates defeat plain exchange
-    // reuse, and persisting the doc-scale aggregate measured slower,
-    // so the share point is the model-scale cache).
-    val docFeats = feats.groupBy(col("doc_id"), col("true_lang"), col("feat"))
-      .agg(count(lit(1)).as("c_df"))
-    val model = feats.groupBy(col("true_lang").as("lang_m"), col("feat"))
-      .agg(count(lit(1)).as("c_lf"))
+        col("fc.feat").as("feat"), col("fc.cnt").as("c_df"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val model = docFeats.groupBy(col("true_lang").as("lang_m"), col("feat"))
+      .agg(sum(col("c_df")).as("c_lf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val langTotals = model.groupBy(col("lang_m"))
       .agg(sum(col("c_lf")).as("n_l"))

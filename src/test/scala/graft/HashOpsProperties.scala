@@ -182,6 +182,56 @@ object HashOpsProperties extends Properties("HashOps") {
       }
     }
 
+  property("md5Simhash56 == sign of per-bit votes over 56-bit md5-prefix token hashes") =
+    forAll(tokens) { ts =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val votes = new Array[Int](56)
+      ts.foreach { t =>
+        val d = md.digest(t.getBytes("UTF-8"))
+        val hex = d.map("%02x".format(_)).mkString
+        val h = java.lang.Long.parseLong(hex.substring(0, 14), 16)
+        (0 until 56).foreach(b =>
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1)
+      }
+      val expect = (0 until 56).map(b => if (votes(b) > 0) 1L << b else 0L).sum
+      HashOps.md5Simhash56(strArr(ts)) == expect
+    }
+
+  property("poissonBootWeights == the md5-u CDF-case draw per replicate") =
+    forAll(Gen.chooseNum(-5L, 99999L), Gen.chooseNum(0L, 7L)) { (a, b) =>
+      val cdf = Array(367879L, 735758L, 919698L, 980947L, 996259L, 999999L)
+      val reps = 8
+      val prefixes = Array.tabulate(reps)(r => s"boot:$r".getBytes("UTF-8"))
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val got = HashOps.poissonBootWeights(a, b, prefixes, cdf)
+      (0 until reps).forall { r =>
+        val hex = md.digest(s"boot:$r:$a:$b".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        val u = java.lang.Long.parseLong(hex.substring(0, 7), 16) % 1000000L
+        val w = cdf.indexWhere(u < _) match { case -1 => cdf.length; case k => k }
+        got.getLong(r) == w.toLong
+      }
+    }
+
+  property("md5BigramFeatCounts == group-count of the 2-char-window md5 feature draw") =
+    forAll(Gen.chooseNum(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'ü', '語'))).map(_.mkString)) { s =>
+      val buckets = 64
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val cps = s.toSeq // test alphabet is BMP-only, so chars == code points
+      val expect = cps.sliding(2).filter(_.size == 2).toSeq
+        .map { w =>
+          val hex = md.digest(w.mkString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          java.lang.Long.parseLong(hex.substring(0, 7), 16) % buckets
+        }
+        .groupBy(identity).view.mapValues(_.size.toLong).toSeq.sortBy(_._1)
+      val got = HashOps.md5BigramFeatCounts(u8(s), buckets)
+      got.numElements() == expect.size && expect.indices.forall { i =>
+        val row = got.getStruct(i, 2)
+        row.getLong(0) == expect(i)._1 && row.getLong(1) == expect(i)._2
+      }
+    }
+
   private val intVec: Gen[Array[Double]] =
     Gen.listOfN(16, Gen.chooseNum(-127, 127)).map(_.map(_.toDouble).toArray)
 
